@@ -1,0 +1,81 @@
+"""Column-function helpers shared by the operator library.
+
+Everything here stays JVM-side (pyspark.sql.functions only — no Python
+UDFs), so expressions remain inside whole-stage codegen and Catalyst
+can push/prune around them.
+
+Determinism notes (these matter for the DuckDB oracle hash-compare):
+
+* ``dsum`` casts doubles to DECIMAL before summing.  Double summation
+  is association-dependent — Spark and DuckDB partition/parallelize
+  differently, so ``SUM(double)`` differs in the last ulps between
+  engines and across runs.  Decimal summation is exact integer
+  arithmetic: bit-identical everywhere, any partitioning.  At 100 TB
+  this is also the *correct* choice for money columns.
+* ``davg`` divides an exact decimal sum by a count in IEEE double —
+  one deterministic rounding instead of billions.
+* vector ops fold left-to-right via ``F.aggregate``; results are
+  rounded before any ranking so equal-to-6-decimals ties break by key,
+  not by engine-specific ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dec(col: Column, scale: int = 2, precision: int = 18) -> Column:
+    """Round a double column onto an exact decimal grid."""
+    return col.cast(f"decimal({precision},{scale})")
+
+
+def dsum(col: Column, scale: int = 2) -> Column:
+    """Deterministic SUM of a double column (exact decimal arithmetic),
+    returned as double.  SQL oracle twin:
+    ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``."""
+    return F.sum(dec(col, scale)).cast("double")
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def davg(col: Column, scale: int = 4) -> Column:
+    """Deterministic AVG: exact decimal sum / count, one double divide.
+    SQL oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)
+    / COUNT(x)``."""
+    return F.sum(dec(col, scale)).cast("double") / F.count(col)
+
+
+def sql_davg(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({expr})"
+
+
+def vec_double(col: Column) -> Column:
+    """array<float> → array<double> (testdata embeddings are float32;
+    all math runs in float64 for cross-engine agreement)."""
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns, folded left-to-right
+    JVM-side (no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column, digits: int = 6) -> Column:
+    """Cosine similarity rounded to ``digits`` (ranking-stable across
+    engines; DuckDB twin: ``ROUND(list_cosine_similarity(a::DOUBLE[],
+    b::DOUBLE[]), digits)``)."""
+    return F.round(dot(a, b) / (norm(a) * norm(b)), digits)

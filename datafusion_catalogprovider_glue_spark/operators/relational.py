@@ -1,0 +1,1019 @@
+"""Relational operator surface (SURVEY.md §2-C, C1–C32).
+
+The reference exposes this surface by registering Glue tables into
+DataFusion and delegating SQL execution (glue.rs:269-272,
+demo.rs:66-123).  Here each capability is a named query over the
+driver's testdata star schema, expressed with the DataFrame API so
+Catalyst plans it (pushdown / pruning / join selection / AQE — see
+SURVEY.md §4).  Every query has a DuckDB oracle twin with identical
+column aliases.
+
+Scale notes are inline per operator: the testdata is small, but each
+plan is written as it should run on 100 TB (broadcast hints on
+dimension tables, decimal aggregation, no driver-side collects).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_catalogprovider_glue_spark.functions import (
+    davg,
+    dec,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# C1–C7: scan / projection / filter / sort / limit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 full-table scan (reference demo: ``select * from glue.{db}.{t}``,
+    demo.rs:116-123)."""
+    return _t(spark, sf_dir, "region")
+
+
+@query(
+    "projection",
+    oracle="SELECT c_custkey, c_name, c_acctbal FROM customer",
+)
+def projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2 column projection (demo.rs:76).  Catalyst pushes the column
+    list into the parquet ReadSchema — scan reads 3 of 5 columns."""
+    return _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+
+
+@query(
+    "filter_eq_and",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, l_linestatus
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_linestatus <> 'F' AND l_quantity = 10.0
+    """,
+)
+def filter_eq_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 equality / <> / AND conjunction (demo.rs:78-84).  All three
+    predicates push to the parquet scan (PushedFilters)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_linestatus") != "F")
+        & (F.col("l_quantity") == 10.0)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus")
+
+
+@query(
+    "sort_multi",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_orderstatus
+    FROM orders ORDER BY o_orderpriority ASC, o_orderkey ASC
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 multi-column ORDER BY (demo.rs:85).  Spark uses a range-
+    partitioned sort (sampling-based) — scales by partitioning, never
+    a single-node sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_orderstatus")
+        .orderBy(F.col("o_orderpriority").asc(), F.col("o_orderkey").asc())
+    )
+
+
+@query(
+    "limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 10
+    """,
+)
+def limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 LIMIT (demo.rs:120 ``show_limit(10)``).  Ordered first so the
+    result is deterministic; Spark plans TakeOrderedAndProject (per-
+    partition top-k + merge), not a global sort."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "filter_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+      AND l_quantity BETWEEN 5.0 AND 10.0
+    """,
+)
+def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 range predicates (+BETWEEN).  On a date-partitioned layout
+    these prune partitions; on raw parquet they prune row-groups via
+    min/max stats (glue.rs:447-448 is the reference's equivalent
+    metadata plumbing)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        & F.col("l_quantity").between(5.0, 10.0)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C8–C11: joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 equi inner join.  customer is the dimension side → explicit
+    broadcast hint: at 100 TB the orders fact table never shuffles for
+    this join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 left outer join with a join-side predicate (kept in the ON
+    clause — semantics differ from WHERE on outer joins)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F")
+    return c.join(o, cond, "left").select("c_custkey", "c_name", "o_orderkey")
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, c.c_custkey, c.c_acctbal
+    FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 right outer join."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "c_custkey", "c_acctbal"
+    )
+
+
+@query(
+    "join_full",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, c.c_custkey, c.c_name
+    FROM supplier s FULL OUTER JOIN customer c ON s.s_suppkey = c.c_custkey
+    """,
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9 full outer join (keys only partially overlap → unmatched rows
+    on both sides)."""
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    return s.join(c, s.s_suppkey == c.c_custkey, "full").select(
+        "s_suppkey", "s_name", "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 left-semi join (EXISTS decorrelation)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10 left-anti join (NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 cross join (tiny × tiny only — a cross join of two big
+    tables is a design error at any scale)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s.s_suppkey, n.n_nationkey
+    FROM supplier s JOIN nation n ON s.s_nationkey < n.n_nationkey
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 theta (non-equi) join → BroadcastNestedLoopJoin; small side
+    broadcast keeps it sane."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return s.join(F.broadcast(n), s.s_nationkey < n.n_nationkey).select(
+        "s_suppkey", "n_nationkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C12–C17: aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_global",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    """,
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 ungrouped aggregates.  Spark computes partial aggregates
+    map-side then merges — one row crosses the shuffle per partition."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        davg(F.col("l_extendedprice")).alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@query(
+    "agg_group",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS sum_total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13 grouped hash aggregation (partial+final automatic)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice")).alias("sum_total"),
+    )
+
+
+@query(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 COUNT(DISTINCT) — Spark expands to a two-level aggregate;
+    exact, shuffle-heavy, which is why C15 exists for 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+@query(
+    "select_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 SELECT DISTINCT."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C15 approx_count_distinct (HyperLogLog++).  The scale path for
+    distinct counting: constant memory per group, one shuffle of
+    sketches.  Rows-only check — sketch estimates are engine-specific
+    (SURVEY §2 C15 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           {sql_dsum('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 ROLLUP."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity")).alias("sum_qty")
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 CUBE."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16 GROUPING SETS (via SQL — the DataFrame API has no grouping-
+    sets builder; the view registration mirrors reference demo.rs:66)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@query(
+    "having",
+    oracle=f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice')} AS sum_total
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+    """,
+)
+def having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17 HAVING (post-aggregation filter)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("sum_total"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C18–C21: window functions / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18 ranking window functions.  Total order (tiebreak on key)
+    keeps row_number/ntile deterministic across engines."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "window_analytic",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19 lag/lead/first/last.  last_value needs the full-partition
+    frame (default frame stops at CURRENT ROW in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+    )
+
+
+@query(
+    "window_agg_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+             (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+             (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS moving_qty
+    FROM lineitem
+    """,
+)
+def window_agg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 windowed aggregates with ROWS frames (running + moving sum).
+    Decimal accumulation keeps the running sums engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    qty = dec(F.col("l_quantity"), 2)
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(qty)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_qty"),
+        F.sum(qty).over(w.rowsBetween(-3, Window.currentRow)).cast("double").alias("moving_qty"),
+    )
+
+
+@query(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21 top-k: ORDER BY + LIMIT plans as TakeOrderedAndProject —
+    per-partition heaps, no global sort, scales to any input size."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# C22–C24: set operations and subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 UNION ALL (no dedup shuffle)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s)
+
+
+@query(
+    "union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22 UNION (distinct)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23 INTERSECT (distinct semantics, both engines)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "except_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def except_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23 EXCEPT (distinct semantics — ``subtract`` is Spark's EXCEPT
+    DISTINCT)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice > 2 * (SELECT AVG(o_totalprice) FROM orders)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24 scalar subquery — rewritten as a broadcast cross-join of the
+    1-row aggregate (how Catalyst itself decorrelates it)."""
+    o = _t(spark, sf_dir, "orders")
+    avg_df = o.agg(F.avg("o_totalprice").alias("_avg_total"))
+    return (
+        o.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 2 * F.col("_avg_total"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49.0)
+    """,
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24 IN subquery → left-semi join (Catalyst's own rewrite)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49.0)
+    return o.join(li, o.o_orderkey == li.l_orderkey, "left_semi").select(
+        "o_orderkey", "o_orderstatus"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C25–C32: scalar function surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           LOWER(c_mktsegment) AS seg_lower,
+           SUBSTR(c_name, 10, 9) AS cust_num,
+           LENGTH(c_name) AS name_len,
+           REPLACE(c_name, 'Customer#', 'C-') AS name_short,
+           CONCAT(c_mktsegment, ':', c_name) AS seg_name,
+           TRIM('  pad  ') AS trimmed,
+           (c_name LIKE '%00001_') AS like_flag,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS digits
+    FROM customer
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25 string functions."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 10, 9).alias("cust_num"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("C-")).alias("name_short"),
+        F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
+        F.trim(F.lit("  pad  ")).alias("trimmed"),
+        F.col("c_name").like("%00001_").alias("like_flag"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("digits"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 50000.0) AS abs_diff,
+           ROUND(l_extendedprice * l_discount, 4) AS disc_amt,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+           CAST(FLOOR(l_quantity / 7.0) AS BIGINT) AS floor_q,
+           ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+           ROUND(POW(l_discount, 2), 8) AS disc_sq,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 math functions (all IEEE-deterministic per-row ops)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_diff"),
+        # scale 4 = the product's exact decimal grid (2-dec × 2-dec);
+        # rounding coarser hits half-ties that engines resolve differently
+        F.round(F.col("l_extendedprice") * F.col("l_discount"), 4).alias("disc_amt"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("ceil_q"),
+        F.floor(F.col("l_quantity") / 7.0).alias("floor_q"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 8).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(YEAR FROM o_orderdate) AS order_year,
+           EXTRACT(MONTH FROM o_orderdate) AS order_month,
+           EXTRACT(DAY FROM o_orderdate) AS order_day,
+           EXTRACT(DOY FROM o_orderdate) AS order_doy,
+           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           STRFTIME(o_orderdate, '%Y-%m') AS order_ym
+    FROM orders
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27 datetime functions (extract / trunc / interval / format).
+    Outputs cast to DATE / int / string so no tz ambiguity reaches the
+    hash compare."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.dayofyear("o_orderdate").cast("long").alias("order_doy"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
+        F.expr("o_orderdate + INTERVAL 30 DAYS").cast("date").alias("due_date"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+    )
+
+
+@query(
+    "scalar_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'small' END AS size_class,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+           CAST(TRUNC(o_totalprice) AS BIGINT) AS price_int,
+           CAST(o_orderkey AS VARCHAR) AS key_str
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C28 CASE / coalesce / nullif / cast."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 150000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        # Spark double→bigint truncates toward zero; the oracle says
+        # TRUNC explicitly because ANSI CAST in other engines rounds
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_orderkey").cast("string").alias("key_str"),
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           ROUND(CAST(embedding[64] AS DOUBLE), 6) AS last_val
+    FROM embeddings
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29 array functions on array<float> (size / element access,
+    1-based in both engines via element_at)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("last_val"),
+    )
+
+
+@query(
+    "unnest_explode",
+    oracle="""
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents) t
+    GROUP BY word
+    """,
+)
+def unnest_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29 explode/unnest — word histogram over documents (generator
+    runs inside codegen; no Python)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT c_custkey, c_acctbal AS bal_from_map FROM customer
+    """,
+)
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30 map construction + key access.  The map round-trip is a
+    Spark-side identity (build map<string,double>, read it back), so
+    the oracle is the plain column — this checks Spark's map semantics
+    against ground truth (SURVEY §1.3: map value access)."""
+    c = _t(spark, sf_dir, "customer")
+    m = F.create_map(F.lit("bal"), F.col("c_acctbal"), F.lit("zero"), F.lit(0.0))
+    return c.select("c_custkey", F.element_at(m, F.lit("bal")).alias("bal_from_map"))
+
+
+@query(
+    "scalar_struct",
+    oracle="""
+    SELECT c_custkey, c_name AS name_from_struct, c_acctbal AS bal_from_struct
+    FROM customer
+    """,
+)
+def scalar_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31 struct construction + nested field access (identity round-
+    trip, oracle = plain columns)."""
+    c = _t(spark, sf_dir, "customer")
+    s = F.struct(
+        F.col("c_name").alias("name"),
+        F.struct(F.col("c_acctbal").alias("bal")).alias("inner"),
+    )
+    return c.select(
+        "c_custkey",
+        s.getField("name").alias("name_from_struct"),
+        s.getField("inner").getField("bal").alias("bal_from_struct"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32 JSON string extraction (events.props is a JSON document)."""
+    e = _t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Flagship / headline analytical queries (TPC-H-shaped, bench workload)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary (scan → pushed filter
+    → hash agg with map-side partials → tiny shuffle).  The shape the
+    reference's author ran against their TPC-H Glue database
+    (README.md:12-16); here expressed as one declarative plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price, 4).alias("sum_disc_price"),
+            # scale 6: the triple product is an intrinsically 6-decimal
+            # value; a coarser grid hits round-half ties that Spark and
+            # other engines resolve differently.
+            dsum(charge, 6).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: filtered dims broadcast into the fact scan, one
+    aggregation, top-k.  customer (filtered) broadcasts; orders↔lineitem
+    is the only shuffle join; TakeOrderedAndProject caps the output."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(revenue, 4).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: 6-table join.  All dimension tables broadcast;
+    the only shuffle is lineitem↔orders (both partitioned by orderkey
+    in a bucketed deployment — co-located, zero-shuffle)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue, 4).alias("revenue"))
+    )

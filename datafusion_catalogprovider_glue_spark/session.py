@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for the engine.
+
+The reference pins ``target_partitions: 1`` (glue.rs:449) — a
+single-partition scan that would never survive 100 TB. We deliberately
+do NOT replicate that: sessions here enable AQE (runtime coalescing,
+skew-join splitting, dynamic partition pruning) and Arrow for the
+Pandas-UDF extension operators, per SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults applied to every session we build.  At real cluster scale the
+# shuffle-partition count is sized by AQE from
+# spark.sql.adaptive.coalescePartitions.initialPartitionNum; locally we
+# seed it with the core count so small benches don't over-schedule.
+_BASE_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.shuffle.partitions": "32",
+    # 128 MiB splits: good balance of task count vs per-task overhead for
+    # columnar scans; at 100 TB this yields ~800k tasks which Spark's
+    # scheduler handles, and AQE coalesces downstream stages.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def apply_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-mutable engine defaults to an existing session.
+
+    Used when the harness hands us a session we didn't build (the
+    driver's ``entry(spark)`` / ``queries()`` contract).  Only
+    runtime-settable keys are applied; static ones are skipped.
+    """
+    for key, value in _BASE_CONF.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on a live session — keep the session's value
+    return spark
+
+
+def get_spark(app_name: str = "datafusion-catalogprovider-glue-spark") -> SparkSession:
+    """Build (or fetch) the tuned local session.
+
+    Master defaults to ``local[$SPARK_GRAFT_CPUS]`` (all cores if unset),
+    matching the driver's bench environment.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    for key, value in _BASE_CONF.items():
+        builder = builder.config(key, value)
+    builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    spark = builder.getOrCreate()
+    return apply_engine_conf(spark)
