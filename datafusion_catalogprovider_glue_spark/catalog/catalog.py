@@ -1,0 +1,283 @@
+"""GlueCatalog — the Spark-native analog of the reference's
+``GlueCatalogProvider`` (glue.rs:36-571).
+
+Maps Glue catalog metadata (databases, tables, columns, partition
+keys, SerDe/format, location) onto Spark: each Glue table becomes a
+DataFrame registered as the temp view ``glue__<db>__<table>``, with
+the schema either derived from Glue column types (default) or
+inferred from the data — the reference's two
+``TableRegistrationOptions`` (glue.rs:28-33).
+
+Registration is metadata-only plumbing; execution is Spark SQL over
+the views, exactly as the reference delegates execution to DataFusion
+(SURVEY.md §0).  Per-table failures are collected, not fatal
+(glue.rs:124-132).
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_catalogprovider_glue_spark.errors import (
+    DeltaError,
+    GlueError,
+    NotImplementedYet,
+    SparkError,
+    wrap_error_with_table_info,
+)
+from datafusion_catalogprovider_glue_spark.sources.formats import calculate_reader_spec
+from datafusion_catalogprovider_glue_spark.types import (
+    map_glue_columns_to_spark_schema,
+    parse_glue_data_type,
+)
+
+CATALOG_NAME = "glue"  # the reference registers itself as "glue" (demo.rs:66)
+
+
+class TableRegistrationOptions(enum.Enum):
+    """glue.rs:28-33."""
+
+    DERIVE_SCHEMA_FROM_GLUE_TABLE = "derive"
+    INFER_SCHEMA_FROM_DATA = "infer"
+
+
+@dataclass
+class TableEntry:
+    """Registry record backing information_schema (SURVEY.md §3 EP3)."""
+
+    database: str
+    table: str
+    view: str
+    schema: T.StructType
+    format: str
+    location: str
+    options: dict[str, str] = field(default_factory=dict)
+    partition_keys: list[tuple[str, str]] = field(default_factory=list)
+    is_delta: bool = False
+
+
+RegistrationResult = Union[TableEntry, GlueError]
+
+
+class GlueCatalog:
+    """One catalog = one Glue account/region (glue.rs:36-40)."""
+
+    def __init__(self, spark: SparkSession, glue_client, view_prefix: str = "glue__"):
+        self.spark = spark
+        self.client = glue_client
+        self.view_prefix = view_prefix
+        # {database: {table: TableEntry}} — the lazy per-database
+        # schema-provider map of the reference (glue.rs:286-296) is a
+        # plain nested dict here.
+        self._registry: dict[str, dict[str, TableEntry]] = {}
+
+    # -- naming -----------------------------------------------------------
+    def view_name(self, database: str, table: str) -> str:
+        return f"{self.view_prefix}{database}__{table}"
+
+    # -- registration (A2-A7) ---------------------------------------------
+    def register_table(
+        self,
+        database: str,
+        table: str,
+        options: TableRegistrationOptions = TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE,
+    ) -> TableEntry:
+        """A2: fetch ONE table (GetTable) and register it (glue.rs:55-90)."""
+        response = self.client.get_table(DatabaseName=database, Name=table)
+        return self._register_glue_table(response["Table"], options)
+
+    def register_tables(
+        self,
+        database: str,
+        options: TableRegistrationOptions = TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE,
+    ) -> list[RegistrationResult]:
+        """A3: register every table of one database; per-table failures
+        are collected, not raised (glue.rs:93-133)."""
+        response = self.client.get_tables(DatabaseName=database)
+        results: list[RegistrationResult] = []
+        for tbl in response["TableList"]:
+            try:
+                results.append(self._register_glue_table(tbl, options))
+            except GlueError as err:
+                results.append(
+                    wrap_error_with_table_info(database, tbl.get("Name", "?"), err)
+                )
+        return results
+
+    def register_all(
+        self,
+        options: TableRegistrationOptions = TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE,
+    ) -> list[RegistrationResult]:
+        """A4: GetDatabases × GetTables — whole catalog (glue.rs:136-172)."""
+        results: list[RegistrationResult] = []
+        for db in self.client.get_databases()["DatabaseList"]:
+            results.extend(self.register_tables(db["Name"], options))
+        return results
+
+    def _register_glue_table(
+        self, table: dict, options: TableRegistrationOptions
+    ) -> TableEntry:
+        """A5 dispatch: delta vs listing (glue.rs:174-212)."""
+        database = table.get("DatabaseName")
+        name = table.get("Name")
+        if not database:
+            raise SparkError("Failed to find database name in table")
+        if not name:
+            raise SparkError("Failed to find table name")
+        params = table.get("Parameters") or {}
+        if params.get("table_type", "").lower() == "delta":  # glue.rs:191-196
+            return self._register_delta_table(database, name, table)
+        return self._register_listing_table(database, name, table, options)
+
+    def _register_delta_table(self, database: str, name: str, table: dict) -> TableEntry:
+        """A6 (glue.rs:214-240): load the Delta log as the table.
+        Requires the delta-spark JVM package; import-gated because the
+        test container ships without it."""
+        location = self._table_location(database, name, table)
+        try:
+            df = self.spark.read.format("delta").load(location)
+        except Exception as exc:
+            raise DeltaError(f"failed to load delta table at {location}: {exc}") from exc
+        return self._finish(database, name, df, T.StructType(df.schema), "delta", location, {}, [], True)
+
+    def _register_listing_table(
+        self,
+        database: str,
+        name: str,
+        table: dict,
+        options: TableRegistrationOptions,
+    ) -> TableEntry:
+        """A7 (glue.rs:243-274): format dispatch + schema mode + load."""
+        sd = self._storage_descriptor(database, name, table)
+        location = self._table_location(database, name, table)
+        spec = calculate_reader_spec(sd)
+
+        reader = self.spark.read.format(spec.format).options(**spec.options)
+        partition_keys = [
+            (k["Name"], k["Type"]) for k in (table.get("PartitionKeys") or [])
+        ]
+        if partition_keys:
+            # Hive-style partition dirs: Spark discovers them; basePath
+            # keeps the partition columns when loading the root
+            # (reference: table_partition_cols, glue.rs:433-447)
+            reader = reader.option("basePath", location)
+
+        if options is TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE:
+            columns = sd.get("Columns") or []
+            schema = map_glue_columns_to_spark_schema(columns)
+            if schema.fields:
+                reader = reader.schema(schema)
+        elif spec.format in ("csv", "json"):
+            # InferSchemaFromData (glue.rs:266): sample the files.
+            # Parquet/avro/delta are self-describing.
+            reader = reader.option("inferSchema", "true")
+
+        try:
+            df = reader.load(location)
+        except Exception as exc:
+            raise SparkError(f"failed to read {spec.format} at {location}: {exc}") from exc
+
+        # partition columns come back from directory discovery; cast
+        # them to the Glue-declared types (glue.rs:433-442)
+        for pk_name, pk_type in partition_keys:
+            if pk_name in df.columns:
+                df = df.withColumn(pk_name, F.col(pk_name).cast(parse_glue_data_type(pk_type)))
+
+        return self._finish(
+            database,
+            name,
+            df,
+            T.StructType(df.schema),
+            spec.format,
+            location,
+            dict(spec.options),
+            partition_keys,
+            False,
+        )
+
+    def _finish(
+        self,
+        database: str,
+        name: str,
+        df: DataFrame,
+        schema: T.StructType,
+        fmt: str,
+        location: str,
+        options: dict[str, str],
+        partition_keys: list[tuple[str, str]],
+        is_delta: bool,
+    ) -> TableEntry:
+        view = self.view_name(database, name)
+        df.createOrReplaceTempView(view)
+        entry = TableEntry(
+            database, name, view, schema, fmt, location, options, partition_keys, is_delta
+        )
+        self._registry.setdefault(database, {})[name] = entry
+        return entry
+
+    # -- accessors / guards (A17-A19) --------------------------------------
+    def database_names(self) -> list[str]:
+        """A17 ``schema_names`` (glue.rs:548-556)."""
+        return sorted(self._registry)
+
+    def table_names(self, database: str) -> list[str]:
+        return sorted(self._registry.get(database, {}))
+
+    def entries(self) -> list[TableEntry]:
+        return [
+            self._registry[db][t]
+            for db in sorted(self._registry)
+            for t in sorted(self._registry[db])
+        ]
+
+    def table(self, database: str, name: str) -> Optional[TableEntry]:
+        return self._registry.get(database, {}).get(name)
+
+    def df(self, database: str, name: str) -> DataFrame:
+        entry = self.table(database, name)
+        if entry is None:
+            raise SparkError(f"table {database}.{name} is not registered")
+        return self.spark.table(entry.view)
+
+    def sql(self, text: str) -> DataFrame:
+        """EP2: the SQL entry over registered views (demo.rs:118)."""
+        return self.spark.sql(text)
+
+    def register_schema(self, name: str) -> None:
+        """A18: deliberately unsupported — this catalog is read-only,
+        like the reference's ``unimplemented!()`` (glue.rs:564-570)."""
+        raise NotImplementedYet("register_schema is not supported: read-only catalog")
+
+    # -- guards -------------------------------------------------------------
+    @staticmethod
+    def _storage_descriptor(database: str, name: str, table: dict) -> dict:
+        sd = table.get("StorageDescriptor")
+        if not sd:
+            raise SparkError(f"Failed to find storage descriptor for {database}.{name}")
+        return sd
+
+    def _table_location(self, database: str, name: str, table: dict) -> str:
+        sd = self._storage_descriptor(database, name, table)
+        location = sd.get("Location")
+        if not location:
+            raise SparkError(f"Failed to find table location for {database}.{name}")
+        return location
+
+    # -- smoke runner (A23, demo.rs:92-123) ----------------------------------
+    def sample_all(self, limit: int = 10) -> dict[str, Union[list, GlueError]]:
+        """Run ``SELECT * LIMIT n`` on every registered view, collecting
+        per-table failures like the reference demo."""
+        out: dict[str, Union[list, GlueError]] = {}
+        for entry in self.entries():
+            key = f"{entry.database}.{entry.table}"
+            try:
+                out[key] = self.spark.table(entry.view).limit(limit).collect()
+            except Exception as exc:
+                out[key] = SparkError(str(exc))
+        return out

@@ -1,0 +1,175 @@
+"""Local, AWS-free stand-in for the Glue Data Catalog API.
+
+Serves Glue-API-shaped dicts (``GetDatabases`` / ``GetTables`` /
+``GetTable``) from an in-memory fixture, so the catalog layer is fully
+testable without AWS — the reference's own CI never touches AWS either
+(SURVEY.md §5).  The real path is a thin boto3 client behind the same
+three methods (``boto3.client("glue")`` responses are exactly this
+shape), gated behind an import-try.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from datafusion_catalogprovider_glue_spark.errors import AwsError
+
+# Glue type strings for the driver's testdata tables (FIXTURES.md §1).
+TESTDATA_GLUE_COLUMNS: dict[str, list[tuple[str, str]]] = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [("n_nationkey", "int"), ("n_name", "string"), ("n_regionkey", "int")],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp"),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", "timestamp"),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+_PARQUET_SD = {
+    "InputFormat": "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+    "OutputFormat": "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+    "SerdeInfo": {
+        "SerializationLibrary": "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe"
+    },
+}
+
+
+def parquet_table(
+    database: str,
+    name: str,
+    location: str,
+    columns: list[tuple[str, str]],
+    partition_keys: Optional[list[tuple[str, str]]] = None,
+    parameters: Optional[dict[str, str]] = None,
+) -> dict:
+    """Build a Glue ``Table`` dict for a parquet table."""
+    return {
+        "DatabaseName": database,
+        "Name": name,
+        "Parameters": dict(parameters or {}),
+        "PartitionKeys": [
+            {"Name": n, "Type": t} for n, t in (partition_keys or [])
+        ],
+        "StorageDescriptor": {
+            **_PARQUET_SD,
+            "Columns": [{"Name": n, "Type": t} for n, t in columns],
+            "Location": location,
+        },
+    }
+
+
+class FakeGlueClient:
+    """Glue API double: ``{db: {table: TableDict}}`` behind the three
+    calls the reference makes (glue.rs:70-75, 105-110, 146-157)."""
+
+    def __init__(self, databases: dict[str, dict[str, dict]]):
+        self._databases = databases
+
+    def get_databases(self) -> dict:
+        return {"DatabaseList": [{"Name": db} for db in sorted(self._databases)]}
+
+    def get_tables(self, DatabaseName: str) -> dict:
+        try:
+            tables = self._databases[DatabaseName]
+        except KeyError:
+            raise AwsError(f"EntityNotFoundException: database {DatabaseName}")
+        return {"TableList": [tables[t] for t in sorted(tables)]}
+
+    def get_table(self, DatabaseName: str, Name: str) -> dict:
+        try:
+            return {"Table": self._databases[DatabaseName][Name]}
+        except KeyError:
+            raise AwsError(
+                f"EntityNotFoundException: table {DatabaseName}.{Name}"
+            )
+
+    @classmethod
+    def from_json(cls, path: str) -> "FakeGlueClient":
+        with open(path) as fh:
+            return cls(json.load(fh))
+
+
+def testdata_fixture(sf_dir: str, database: str = "default") -> FakeGlueClient:
+    """FakeGlue catalog describing the driver's testdata tables."""
+    tables = {
+        name: parquet_table(
+            database,
+            name,
+            os.path.join(sf_dir, f"{name}.parquet"),
+            cols,
+        )
+        for name, cols in TESTDATA_GLUE_COLUMNS.items()
+    }
+    return FakeGlueClient({database: tables})
+
+
+def boto3_glue_client(region_name: Optional[str] = None):
+    """The real AWS path (untested live, mirroring the reference whose
+    AWS path is also CI-untested — SURVEY.md §5).  boto3 responses have
+    exactly the FakeGlueClient shape."""
+    try:
+        import boto3  # type: ignore[import-not-found]
+    except ImportError as exc:  # pragma: no cover
+        raise AwsError(
+            "boto3 is not installed; use FakeGlueClient for local catalogs"
+        ) from exc
+    return boto3.client("glue", region_name=region_name)  # pragma: no cover

@@ -1,0 +1,71 @@
+"""information_schema emulation (SURVEY.md §2 C6, §3 EP3).
+
+DataFusion ships virtual ``information_schema.tables`` / ``.columns``
+views, which the reference enables and the demo queries
+(demo.rs:46,68-90).  Spark has no information_schema for temp views,
+so these are built from the GlueCatalog registry — same column set as
+the reference's demo output (README.md:14-33), with ``data_type``
+carrying Spark's type string instead of Arrow's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from datafusion_catalogprovider_glue_spark.catalog.catalog import CATALOG_NAME, GlueCatalog
+
+_TABLES_SCHEMA = T.StructType(
+    [
+        T.StructField("table_catalog", T.StringType(), False),
+        T.StructField("table_schema", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("table_type", T.StringType(), False),
+    ]
+)
+
+_COLUMNS_SCHEMA = T.StructType(
+    [
+        T.StructField("table_catalog", T.StringType(), False),
+        T.StructField("table_schema", T.StringType(), False),
+        T.StructField("table_name", T.StringType(), False),
+        T.StructField("column_name", T.StringType(), False),
+        T.StructField("ordinal_position", T.LongType(), False),
+        T.StructField("is_nullable", T.StringType(), False),
+        T.StructField("data_type", T.StringType(), False),
+    ]
+)
+
+
+def information_schema_tables(catalog: GlueCatalog) -> DataFrame:
+    """README.md:14-20: (table_catalog, table_schema, table_name,
+    table_type); registered tables are BASE TABLE, the info-schema
+    views themselves are VIEW."""
+    rows = [
+        (CATALOG_NAME, e.database, e.table, "BASE TABLE") for e in catalog.entries()
+    ]
+    rows += [
+        (CATALOG_NAME, "information_schema", "tables", "VIEW"),
+        (CATALOG_NAME, "information_schema", "columns", "VIEW"),
+    ]
+    return catalog.spark.createDataFrame(rows, _TABLES_SCHEMA)
+
+
+def information_schema_columns(catalog: GlueCatalog) -> DataFrame:
+    """README.md:22-33: per-column rows with 0-based ordinal_position,
+    is_nullable YES/NO, and the engine's type string."""
+    rows = []
+    for e in catalog.entries():
+        for i, fld in enumerate(e.schema.fields):
+            rows.append(
+                (
+                    CATALOG_NAME,
+                    e.database,
+                    e.table,
+                    fld.name,
+                    i,
+                    "YES" if fld.nullable else "NO",
+                    fld.dataType.simpleString(),
+                )
+            )
+    return catalog.spark.createDataFrame(rows, _COLUMNS_SCHEMA)

@@ -1,0 +1,116 @@
+"""Catalog-plane query keys (SURVEY.md §2-A/C6).
+
+These exercise the full Glue→Spark registration path end-to-end: a
+FakeGlue catalog describing the testdata tables is registered through
+``GlueCatalog`` (derive-schema mode, the reference default), then the
+query runs over the registered views / the information_schema
+emulation.  Oracles are VALUES literals derived from the *fixture
+metadata* (not from Spark), so a drift in registration or type
+mapping shows up as a hash mismatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_catalogprovider_glue_spark.catalog.catalog import (
+    CATALOG_NAME,
+    GlueCatalog,
+)
+from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+    TESTDATA_GLUE_COLUMNS,
+    testdata_fixture,
+)
+from datafusion_catalogprovider_glue_spark.infoschema import (
+    information_schema_columns,
+    information_schema_tables,
+)
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.types import parse_glue_data_type
+
+
+def _catalog(spark: SparkSession, sf_dir: str) -> GlueCatalog:
+    apply_engine_conf(spark)
+    catalog = GlueCatalog(spark, testdata_fixture(sf_dir))
+    results = catalog.register_all()
+    errors = [r for r in results if isinstance(r, Exception)]
+    if errors:
+        raise errors[0]
+    return catalog
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _tables_oracle() -> str:
+    rows = [
+        f"({_sql_quote(CATALOG_NAME)}, 'default', {_sql_quote(t)}, 'BASE TABLE')"
+        for t in sorted(TESTDATA_GLUE_COLUMNS)
+    ]
+    rows += [
+        f"({_sql_quote(CATALOG_NAME)}, 'information_schema', 'tables', 'VIEW')",
+        f"({_sql_quote(CATALOG_NAME)}, 'information_schema', 'columns', 'VIEW')",
+    ]
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(table_catalog, table_schema, table_name, table_type)"
+    )
+
+
+def _columns_oracle() -> str:
+    rows = []
+    for t in sorted(TESTDATA_GLUE_COLUMNS):
+        for i, (col, glue_type) in enumerate(TESTDATA_GLUE_COLUMNS[t]):
+            spark_type = parse_glue_data_type(glue_type).simpleString()
+            rows.append(
+                f"({_sql_quote(CATALOG_NAME)}, 'default', {_sql_quote(t)}, "
+                f"{_sql_quote(col)}, CAST({i} AS BIGINT), 'YES', {_sql_quote(spark_type)})"
+            )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(table_catalog, table_schema, table_name, column_name, "
+        "ordinal_position, is_nullable, data_type)"
+    )
+
+
+@query("info_schema_tables", oracle=_tables_oracle())
+def info_schema_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: information_schema.tables over a freshly-registered catalog
+    (reference demo.rs:68-71; README.md:14-20)."""
+    return information_schema_tables(_catalog(spark, sf_dir))
+
+
+@query("info_schema_columns", oracle=_columns_oracle())
+def info_schema_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: information_schema.columns — checks the whole Glue-type →
+    Spark-type derivation chain against fixture metadata
+    (README.md:22-33)."""
+    return information_schema_columns(_catalog(spark, sf_dir))
+
+
+@query(
+    "catalog_register_scan",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def catalog_register_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-A7 end-to-end: register through GlueCatalog (GetDatabases →
+    GetTables → SerDe dispatch → derived schema → view), then run SQL
+    over the registered views — the reference's EP2 flow
+    (demo.rs:116-123)."""
+    catalog = _catalog(spark, sf_dir)
+    return catalog.sql(
+        """
+        SELECT r.r_name, COUNT(*) AS n_nations
+        FROM glue__default__nation n
+        JOIN glue__default__region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        """
+    )

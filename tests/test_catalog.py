@@ -1,0 +1,293 @@
+"""Catalog layer tests: SerDe dispatch (B1-B7), registration flows
+(A2-A7), schema modes (A8), partition keys (A13), error collection,
+read-only register_schema (A18), info_schema (C6), smoke runner (A23).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from datafusion_catalogprovider_glue_spark.catalog.catalog import (
+    GlueCatalog,
+    TableRegistrationOptions,
+)
+from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+    FakeGlueClient,
+    parquet_table,
+    testdata_fixture as make_testdata_fixture,
+)
+from datafusion_catalogprovider_glue_spark.errors import (
+    AwsError,
+    DeltaError,
+    NotImplementedYet,
+)
+from datafusion_catalogprovider_glue_spark.infoschema import (
+    information_schema_columns,
+    information_schema_tables,
+)
+from datafusion_catalogprovider_glue_spark.sources.formats import (
+    AVRO_IN,
+    AVRO_OUT,
+    AVRO_SERDE,
+    HIVE_JSON_SERDE,
+    ION_SERDE,
+    LAZY_SIMPLE_SERDE,
+    OPENX_JSON_SERDE,
+    TEXT_IN,
+    TEXT_OUT,
+    calculate_reader_spec,
+)
+from tests.conftest import SF_SMOKE
+
+
+def _text_sd(serde, serde_params=None, sd_params=None):
+    return {
+        "InputFormat": TEXT_IN,
+        "OutputFormat": TEXT_OUT,
+        "SerdeInfo": {"SerializationLibrary": serde, "Parameters": serde_params or {}},
+        "Parameters": sd_params or {},
+    }
+
+
+# ---------------------------------------------------------------- formats
+def test_dispatch_parquet():
+    spec = calculate_reader_spec(
+        parquet_table("db", "t", "/x", [("a", "int")])["StorageDescriptor"]
+    )
+    assert spec.format == "parquet" and spec.options == {}
+
+
+def test_dispatch_csv_delim_and_header():
+    spec = calculate_reader_spec(
+        _text_sd(LAZY_SIMPLE_SERDE, {"field.delim": "|"}, {"skip.header.line.count": "1"})
+    )
+    assert spec.format == "csv"
+    assert spec.options == {"sep": "|", "header": "true"}
+
+
+def test_dispatch_csv_no_header():
+    spec = calculate_reader_spec(_text_sd(LAZY_SIMPLE_SERDE, {"field.delim": ","}))
+    assert spec.options["header"] == "false"
+
+
+def test_dispatch_csv_missing_delim_errors():
+    # glue.rs:389-398
+    with pytest.raises(NotImplementedYet):
+        calculate_reader_spec(_text_sd(LAZY_SIMPLE_SERDE))
+
+
+def test_dispatch_avro():
+    spec = calculate_reader_spec(
+        {
+            "InputFormat": AVRO_IN,
+            "OutputFormat": AVRO_OUT,
+            "SerdeInfo": {"SerializationLibrary": AVRO_SERDE},
+        }
+    )
+    assert spec.format == "avro"
+
+
+@pytest.mark.parametrize("serde", [HIVE_JSON_SERDE, OPENX_JSON_SERDE, ION_SERDE])
+def test_dispatch_json_variants(serde):
+    # B4/B5/B6 — Ion falls back to JSON like the reference (glue.rs:421-425)
+    assert calculate_reader_spec(_text_sd(serde)).format == "json"
+
+
+def test_dispatch_unknown_triple_errors():
+    with pytest.raises(NotImplementedYet) as exc:
+        calculate_reader_spec(_text_sd("com.example.UnknownSerDe"))
+    assert "No support for" in str(exc.value)
+
+
+# ---------------------------------------------------------------- catalog
+def test_register_all_testdata(spark):
+    catalog = GlueCatalog(spark, make_testdata_fixture(SF_SMOKE))
+    results = catalog.register_all()
+    assert len(results) == 10
+    assert not [r for r in results if isinstance(r, Exception)]
+    assert catalog.database_names() == ["default"]
+    assert len(catalog.table_names("default")) == 10
+    # derived schema forces Glue types: c_nationkey declared int
+    entry = catalog.table("default", "customer")
+    assert entry.schema["c_nationkey"].dataType == T.IntegerType()
+    # and the view answers SQL (EP2)
+    n = catalog.sql("SELECT COUNT(*) AS n FROM glue__default__customer").collect()[0].n
+    assert n == 150
+
+
+def test_register_single_table_and_missing(spark):
+    catalog = GlueCatalog(spark, make_testdata_fixture(SF_SMOKE))
+    entry = catalog.register_table("default", "nation")
+    assert entry.view == "glue__default__nation"
+    with pytest.raises(AwsError):
+        catalog.register_table("default", "no_such_table")
+
+
+def test_infer_schema_mode(spark):
+    catalog = GlueCatalog(spark, make_testdata_fixture(SF_SMOKE))
+    entry = catalog.register_table(
+        "default", "customer", TableRegistrationOptions.INFER_SCHEMA_FROM_DATA
+    )
+    # parquet self-describes: c_nationkey is int32 in the file too
+    assert entry.schema["c_nationkey"].dataType == T.IntegerType()
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    p = tmp_path / "csv_table"
+    p.mkdir()
+    (p / "part-0.csv").write_text("id|name\n1|alpha\n2|beta\n")
+    client = FakeGlueClient(
+        {
+            "csvdb": {
+                "people": {
+                    "DatabaseName": "csvdb",
+                    "Name": "people",
+                    "Parameters": {},
+                    "PartitionKeys": [],
+                    "StorageDescriptor": {
+                        **_text_sd(
+                            LAZY_SIMPLE_SERDE,
+                            {"field.delim": "|"},
+                            {"skip.header.line.count": "1"},
+                        ),
+                        "Columns": [
+                            {"Name": "id", "Type": "int"},
+                            {"Name": "name", "Type": "string"},
+                        ],
+                        "Location": str(p),
+                    },
+                }
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("csvdb", "people")
+    rows = spark.table(entry.view).orderBy("id").collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "alpha"), (2, "beta")]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    p = tmp_path / "json_table"
+    p.mkdir()
+    (p / "part-0.json").write_text('{"id": 1, "tag": "x"}\n{"id": 2, "tag": "y"}\n')
+    client = FakeGlueClient(
+        {
+            "jdb": {
+                "tags": {
+                    "DatabaseName": "jdb",
+                    "Name": "tags",
+                    "Parameters": {},
+                    "PartitionKeys": [],
+                    "StorageDescriptor": {
+                        **_text_sd(OPENX_JSON_SERDE),
+                        "Columns": [
+                            {"Name": "id", "Type": "bigint"},
+                            {"Name": "tag", "Type": "string"},
+                        ],
+                        "Location": str(p),
+                    },
+                }
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("jdb", "tags")
+    assert spark.table(entry.view).count() == 2
+
+
+def test_partitioned_table(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a", 2023), (2, "b", 2023), (3, "c", 2024)], "id int, v string, year int"
+    )
+    base = str(tmp_path / "pt")
+    src.write.partitionBy("year").parquet(base)
+    client = FakeGlueClient(
+        {
+            "pdb": {
+                "pt": parquet_table(
+                    "pdb",
+                    "pt",
+                    base,
+                    [("id", "int"), ("v", "string")],
+                    partition_keys=[("year", "smallint")],  # deliberately narrower
+                )
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("pdb", "pt")
+    df = spark.table(entry.view)
+    # partition column discovered AND cast to the Glue-declared type
+    assert df.schema["year"].dataType == T.ShortType()
+    assert df.filter("year = 2024").count() == 1
+    assert entry.partition_keys == [("year", "smallint")]
+
+
+def test_delta_table_errors_without_delta(spark):
+    client = FakeGlueClient(
+        {
+            "ddb": {
+                "dt": parquet_table(
+                    "ddb",
+                    "dt",
+                    "/nonexistent/delta",
+                    [("a", "int")],
+                    parameters={"table_type": "DELTA"},  # case-insensitive match
+                )
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    with pytest.raises(DeltaError):
+        catalog.register_table("ddb", "dt")
+
+
+def test_register_tables_collects_failures(spark):
+    good = parquet_table(
+        "mix", "ok", os.path.join(SF_SMOKE, "region.parquet"), [("r_regionkey", "int"), ("r_name", "string")]
+    )
+    bad = {
+        "DatabaseName": "mix",
+        "Name": "bad",
+        "Parameters": {},
+        "PartitionKeys": [],
+        "StorageDescriptor": {
+            **_text_sd("com.example.UnknownSerDe"),
+            "Columns": [{"Name": "a", "Type": "int"}],
+            "Location": "/tmp/nope",
+        },
+    }
+    catalog = GlueCatalog(spark, FakeGlueClient({"mix": {"bad": bad, "ok": good}}))
+    results = catalog.register_tables("mix")
+    # per-table Result collection (glue.rs:124-132): one error, one entry
+    errors = [r for r in results if isinstance(r, Exception)]
+    assert len(results) == 2 and len(errors) == 1
+    assert "mix.bad" in str(errors[0])
+    assert catalog.table_names("mix") == ["ok"]
+
+
+def test_register_schema_read_only(spark):
+    catalog = GlueCatalog(spark, make_testdata_fixture(SF_SMOKE))
+    with pytest.raises(NotImplementedYet):
+        catalog.register_schema("new_schema")
+
+
+def test_info_schema_and_sample(spark):
+    catalog = GlueCatalog(spark, make_testdata_fixture(SF_SMOKE))
+    catalog.register_all()
+    tables = information_schema_tables(catalog).collect()
+    assert len(tables) == 12  # 10 base tables + 2 info-schema views
+    cols = information_schema_columns(catalog)
+    li = cols.filter("table_name = 'lineitem'").orderBy("ordinal_position").collect()
+    assert [c.column_name for c in li][:3] == ["l_orderkey", "l_partkey", "l_suppkey"]
+    assert li[0].data_type == "bigint" and li[0].is_nullable == "YES"
+    # A23 smoke runner: every table answers SELECT * LIMIT 10,
+    # except events whose TIMESTAMP(NANOS) file needs the reader
+    # workaround (a known per-table failure, like the reference's
+    # README.md:51-68 expected-failure classes)
+    out = catalog.sample_all(10)
+    failures = {k for k, v in out.items() if isinstance(v, Exception)}
+    assert failures <= {"default.events"}
