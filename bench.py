@@ -1,0 +1,79 @@
+"""Bench harness (driver contract): time the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is forced to full materialization with a noop datasource
+write (no driver-side collect — the bench measures distributed
+execution, not result transfer).  A warmup scan amortizes JVM/codegen
+startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# One query per workload class from SURVEY.md §2 — scan/agg (C1,C12-13),
+# joins (C8, TPC-H Q3/Q5 shapes), window (C18), top-k (C21), the §2-D
+# LLM-pipeline ops, and the §2-E batch-window op.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "join_inner",
+    "agg_group",
+    "window_rank",
+    "topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "text_stats",
+    "window_tumbling",
+    "multimodal_decode",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from datafusion_catalogprovider_glue_spark.session import get_spark
+    from datafusion_catalogprovider_glue_spark.operators import registry
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    registry.load_all_operator_modules()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the big table once so JVM/codegen/FS caches are hot
+    load_table(spark, sf_dir, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        start = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,1 +1,309 @@
-"""Placeholder — filled in by the extension-operator milestone."""
+"""Deduplication operators for LLM training-data pipelines
+(SURVEY.md §2-D1/D2; BASELINE.json north_star).
+
+Five strategies, all shuffle-conscious and collect-free:
+
+* exact (hash-groupBy on full text, and on a 128-bit fingerprint —
+  the form that scales: group 16-byte keys, not documents)
+* MinHash + LSH banding (shingle → minhash signature → band-bucket
+  join → exact-Jaccard verification of candidates only)
+* SimHash (64-bit signatures, JVM bit ops)
+* word-n-gram Jaccard with blocking (exact, oracle-checkable)
+* embedding-cosine nearest neighbor within IVF-style label blocks
+
+100 TB design notes: every pair-generating join goes through a
+*blocking key* (LSH band hash, simhash band, lang, label) so the
+join is an equi-join Catalyst can shuffle-partition — never an
+unblocked cross join.  Banding keys are computed with ``xxhash64``
+(JVM, codegen'd).  Skewed buckets (a band hash shared by millions of
+docs) are handled by AQE skew-join splitting; in production you'd
+additionally cap bucket sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_catalogprovider_glue_spark.functions import cosine, vec_double
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+MINHASH_K = 32          # signature length
+LSH_BANDS = 8           # bands × rows-per-band = K
+LSH_ROWS = MINHASH_K // LSH_BANDS
+SHINGLE_WORDS = 3
+JACCARD_THRESHOLD = 0.5
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: exact dedup via hash-groupBy on the full text; keeps the
+    smallest doc_id per group (deterministic, unlike dropDuplicates'
+    arbitrary pick)."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("doc_id", "n_copies")
+
+
+@query(
+    "dedup_fingerprint",
+    oracle="""
+    SELECT md5(lower(text)) AS fingerprint, MIN(doc_id) AS keep_doc,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(lower(text))
+    """,
+)
+def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 at scale: dedup on a 128-bit content fingerprint — the
+    shuffle moves 16-byte keys instead of documents.  (Normalization
+    here is just lowercasing; production adds whitespace/punct
+    canonicalization before hashing.)"""
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5(F.lower("text")).alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def _shingles(words_col):
+    """Distinct SHINGLE_WORDS-word shingles, computed JVM-side with
+    higher-order functions (no Python, no explode until banding)."""
+    n = F.size(words_col)
+    return F.array_distinct(
+        F.when(
+            n >= SHINGLE_WORDS,
+            F.transform(
+                F.sequence(F.lit(1), n - (SHINGLE_WORDS - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words_col, i, SHINGLE_WORDS)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words_col)))
+    )
+
+
+def minhash_signatures(d: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, shingles, sig: array<bigint>[k]) — one min-hash per
+    hash-family member i, family = xxhash64(i, shingle)."""
+    shingled = d.select(
+        "doc_id", _shingles(F.split("text", " ")).alias("shingles")
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+            )
+            for i in range(k)
+        ]
+    )
+    return shingled.select("doc_id", "shingles", sig.alias("sig"))
+
+
+@query("dedup_minhash_lsh")  # rows-only: hash family is engine-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: MinHash+LSH near-duplicate pairs.
+
+    shingle(3 words) → 32 minhashes → 8 bands × 4 rows → candidate
+    pairs sharing any band bucket → exact Jaccard on shingle sets →
+    keep pairs ≥ 0.5.  With these parameters the S-curve gives
+    P(candidate) ≈ 1-(1-j^4)^8: ~0.99 at j=0.8, ~0.24 at j=0.4.
+
+    The only shuffles are (a) the band-bucket self-join (equi-join on
+    (band, band_hash)) and (b) the signature re-join for verification.
+    At 100 TB you'd persist signatures columnar first; here the plan
+    recomputes them per branch, which AQE handles fine at bench scale.
+    """
+    d = _docs(spark, sf_dir)
+    sigs = minhash_signatures(d)
+
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.element_at("sig", b * LSH_ROWS + r + 1) for r in range(LSH_ROWS)]
+                        ).alias("band_hash"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.band_hash")
+
+    left = bands.alias("l")
+    right = bands.alias("r")
+    candidates = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    sh = sigs.select("doc_id", "shingles")
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.array_union(F.col("a.shingles"), F.col("b.shingles")))
+    jaccard = inter.cast("double") / union
+    return (
+        candidates.join(a, candidates.doc_a == F.col("a.doc_id"))
+        .join(b, candidates.doc_b == F.col("b.doc_id"))
+        .select("doc_a", "doc_b", F.round(jaccard, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                         list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+                 / (len(list_distinct(string_split(a.text, ' ')))
+                    + len(list_distinct(string_split(b.text, ' ')))
+                    - len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                         list_distinct(string_split(b.text, ' '))))),
+                 6) AS jaccard
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                  list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+          / (len(list_distinct(string_split(a.text, ' ')))
+             + len(list_distinct(string_split(b.text, ' ')))
+             - len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                  list_distinct(string_split(b.text, ' '))))) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard ≥ 0.8 within a blocking key (lang) —
+    the oracle-checkable exact baseline that LSH approximates.  The
+    block join is an equi-join; block size bounds the quadratic term
+    (at 100 TB, block on something finer — shard by length bucket ×
+    lang, or require a shared rare token)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("wset")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.wset"), F.col("b.wset")))
+    union = (
+        F.size(F.col("a.wset")) + F.size(F.col("b.wset")) - inter
+    )
+    jaccard = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jaccard, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
+SIMHASH_BITS = 63  # stay in the positive bigint range
+
+
+@query("dedup_simhash")  # rows-only: hash family is engine-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures: per doc, each of 63 bits is the sign of the
+    sum over tokens of ±1 (bit i of xxhash64(token)).  All JVM bit
+    arithmetic via explode + groupBy(doc_id) with 63 conditional sums
+    — one shuffle keyed by doc_id, no skew (docs are the keys)."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).select("doc_id", F.xxhash64("w").alias("h"))
+    bit_sums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{i}") >= 0, F.lit(2 ** i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return bit_sums.select("doc_id", sig.alias("simhash"))
+
+
+@query(
+    "dedup_embedding_nn",
+    oracle="""
+    SELECT vec_id, nn_id, cos AS nn_cos, (cos >= 0.9) AS is_near_dup
+    FROM (
+        SELECT a.vec_id,
+               b.vec_id AS nn_id,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                         b.embedding::DOUBLE[]), 6) DESC,
+                            b.vec_id) AS rn
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection, IVF-style: pairs are only
+    formed *within a coarse partition* (the ``label`` column stands in
+    for a cluster assignment), so the join is an equi-join on label —
+    the same shape as IVF probing, and the only way pairwise cosine
+    survives 100 TB.  Emits each vector's nearest neighbor + dup flag
+    (cosine rounded before ranking so ordering is engine-stable)."""
+    apply_engine_conf(spark)
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vec_double(F.col("embedding")).alias("v")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("b.vec_id").alias("nn_id"),
+        cos.alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("nn_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "nn_id",
+            F.col("cos").alias("nn_cos"),
+            (F.col("cos") >= 0.9).alias("is_near_dup"),
+        )
+    )

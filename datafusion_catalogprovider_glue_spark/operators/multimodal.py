@@ -1,1 +1,158 @@
-"""Placeholder — filled in by the extension-operator milestone."""
+"""Multimodal column handling (SURVEY.md §2-D5).
+
+Image/audio/video payloads are opaque ``binary`` columns wrapped in a
+struct with typed metadata — the standard lakehouse layout for
+multimodal training data.  The Spark-side plumbing (schema, struct
+access, Arrow-batched ``mapInPandas`` with batch-shape changes) is
+real and oracle-tested; the actual media decode is STUBBED with a
+deterministic fake because no image/audio libraries ship in this
+container (the ``_decode_media_real`` hook raises
+``NotImplementedError`` and documents where PIL/ffmpeg would plug in).
+
+100 TB notes: payload bytes travel executor→Python as Arrow batches
+(zero-copy columnar), never through the driver; per-batch work is
+pure pandas/numpy; output schemas are declared up front so Catalyst
+can plan around the UDF.  ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds peak memory when payloads are large.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+FRAMES_PER_DOC = 3
+
+
+def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text re-packed as a multimodal record:
+    media struct<bytes: binary, meta: struct<mime, n_bytes>>."""
+    apply_engine_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        "text",
+        F.struct(
+            payload.alias("bytes"),
+            F.struct(
+                F.lit("application/octet-stream").alias("mime"),
+                F.length(payload).cast("long").alias("n_bytes"),
+            ).alias("meta"),
+        ).alias("media"),
+    )
+
+
+def _decode_media_real(payload: bytes) -> dict:
+    """Where a real decoder plugs in (PIL.Image.open / soundfile /
+    pyav).  Not available in this container."""
+    raise NotImplementedError(
+        "media decode requires an image/audio library not present in "
+        "this environment; tests use the deterministic fake below"
+    )
+
+
+def _decode_media_fake(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for a decoder: derives 'dimensions' and a
+    'feature' from the byte length so the full pipeline is testable."""
+    n = len(payload)
+    return n % 640, (n * 7) % 480, round(n / 1000.0, 6)
+
+
+@query(
+    "multimodal_pack",
+    oracle="""
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte
+    FROM documents
+    """,
+)
+def multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 schema plumbing: pack → struct-field access back out.  The
+    binary payload column itself never leaves the JVM."""
+    m = _docs_as_media(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.col("media.meta.mime").alias("mime"),
+        F.col("media.meta.n_bytes").alias("n_bytes"),
+        F.ascii(F.substring("text", 1, 1)).cast("long").alias("first_byte"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) % 640 AS width,
+           (octet_length(encode(text)) * 7) % 480 AS height,
+           ROUND(octet_length(encode(text)) / 1000.0, 6) AS feature
+    FROM documents
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 decode stage: Arrow-batched ``mapInPandas`` over the packed
+    records.  The decode itself is the deterministic fake (see module
+    docstring) — but the batch transfer, struct unpacking in pandas,
+    and declared output schema are exactly what a real image decode
+    uses, and the oracle independently recomputes the fake from SQL,
+    so the plumbing is value-checked end-to-end."""
+    m = _docs_as_media(spark, sf_dir).select("doc_id", "media")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["media"].map(lambda rec: rec["bytes"])
+            decoded = payloads.map(_decode_media_fake)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": decoded.map(lambda t: t[0]),
+                    "height": decoded.map(lambda t: t[1]),
+                    "feature": decoded.map(lambda t: t[2]),
+                }
+            )
+
+    return m.mapInPandas(
+        decode_batches, "doc_id bigint, width bigint, height bigint, feature double"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, CAST(f.idx AS BIGINT) AS frame_idx,
+           md5(text || '-' || f.idx) AS frame_hash
+    FROM documents, (SELECT UNNEST(range({FRAMES_PER_DOC})) AS idx) f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 frame sampling: one input record fans out to N output rows
+    inside ``mapInPandas`` (the batch-shape change a video
+    frame-sampler needs).  Frame 'content' is a deterministic hash of
+    (payload, frame index) standing in for the decoded frame."""
+    m = _docs_as_media(spark, sf_dir).select("doc_id", "text")
+
+    def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for idx in range(FRAMES_PER_DOC):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_hash"].append(
+                        hashlib.md5(f"{text}-{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return m.mapInPandas(
+        sample_frames, "doc_id bigint, frame_idx bigint, frame_hash string"
+    )

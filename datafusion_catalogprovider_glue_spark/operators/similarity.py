@@ -1,1 +1,138 @@
-"""Placeholder — filled in by the extension-operator milestone."""
+"""Similarity search over embeddings (SURVEY.md §2-D3).
+
+Two paths, mirroring how ANN systems are actually deployed:
+
+* brute-force top-k — the exact baseline; a broadcast join of the
+  (small) query set against the corpus, cosine folded JVM-side.
+  Scales linearly with the corpus: at 100 TB the corpus side stays
+  partitioned, queries broadcast, and the per-partition top-k +
+  final merge is exactly what ``row_number() ≤ k`` compiles to.
+* LSH-bucketed (random hyperplanes) — the scale path; candidates are
+  restricted to matching sign-buckets, turning the cross join into an
+  equi-join on bucket id.  Recall < 1 by construction (rows-only
+  check; the brute-force twin is the oracle-checked exact variant).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_catalogprovider_glue_spark.functions import cosine, dot, vec_double
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+N_QUERIES = 10   # vec_id < 10 are the query vectors
+TOP_K = 5
+
+# deterministic random hyperplanes for the LSH path (seed fixed so
+# every run — and every resumed run — buckets identically)
+LSH_PLANES = 6        # 2^6 = 64 buckets
+LSH_TABLES = 2        # OR-amplification: union of two independent tables
+_EMBED_DIM = 64
+
+
+def _planes(table: int) -> list[list[float]]:
+    rng = np.random.default_rng(42 + table)
+    return rng.standard_normal((LSH_PLANES, _EMBED_DIM)).round(6).tolist()
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vec_double(F.col("embedding")).alias("v")
+    )
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos, rank
+    FROM (
+        SELECT q.vec_id AS query_id,
+               c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]), 6) AS cos,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                         c.embedding::DOUBLE[]), 6) DESC,
+                            c.vec_id) AS BIGINT) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ) t WHERE rank <= {TOP_K}
+    """,
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 exact baseline: top-{K} cosine neighbors for each query
+    vector.  The query set broadcasts (it's tiny by construction);
+    the corpus never shuffles; ranking is per-query-partition."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _bucketed(e: DataFrame, table: int) -> DataFrame:
+    """Sign-bucket id for one hash table: bit i = sign(v · plane_i)."""
+    planes = _planes(table)
+    bucket = None
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(F.col("v"), lit_plane) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return e.withColumn("bucket", bucket).withColumn("htable", F.lit(table))
+
+
+@query("sim_topk_lsh")  # rows-only: LSH recall is parameter/engine-specific
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 scale path: random-hyperplane LSH.  Each vector lands in one
+    of 64 sign-buckets per hash table (2 tables, OR-combined);
+    candidates = corpus vectors sharing a bucket with the query in any
+    table; then exact cosine + top-k on candidates only.
+
+    The expensive cross join becomes an equi-join on (htable, bucket)
+    — at 100 TB this is the difference between 10^14 candidate pairs
+    and ~10^10, and bucket skew is handled by AQE skew splitting."""
+    e = _emb(spark, sf_dir)
+    buckets = _bucketed(e, 0).unionByName(_bucketed(e, 1))
+    q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        "htable",
+        "bucket",
+    )
+    c = buckets.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "htable", "bucket"
+    )
+    candidates = (
+        c.join(F.broadcast(q), ["htable", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        candidates.select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )

@@ -1,1 +1,161 @@
-"""Placeholder — filled in by the extension-operator milestone."""
+"""Text-analysis operators for LLM training-data pipelines
+(SURVEY.md §2-D4; BASELINE.json north_star).
+
+Everything is built from JVM-side ``pyspark.sql.functions`` —
+tokenization, regex counting, higher-order array functions — so the
+hot path stays inside whole-stage codegen with zero Python.  At
+100 TB these are embarrassingly parallel per-row transforms followed
+by (for the rollups) a partial-aggregated groupBy on low-cardinality
+keys: one small shuffle, no skew risk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+# tiny English function-word list for the language-ID heuristic;
+# identical literal list in the SQL oracles
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol
+BPE_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "text_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: per-(lang, source) corpus rollup.  Integer sums are exact,
+    the average is one double divide — engine-deterministic."""
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum(F.size(_words())).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}')) AS bpe_tokens,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex pre-tokenizer
+    (letter runs / digit runs / single symbols)."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), 0)).cast("long").alias(
+            "bpe_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w IN ({_SQL_STOPWORDS}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS en_ratio,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                                          w -> w IN ({_SQL_STOPWORDS}))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.05
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: share of tokens that are English function
+    words (an n-gram/stopword detector's core signal).  The testdata
+    vocabulary is synthetic so the prediction itself is boring — the
+    point is the deterministic, fully-vectorized plumbing."""
+    d = _docs(spark, sf_dir)
+    words = _words()
+    hits = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    ratio = hits.cast("double") / F.size(words)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(ratio, 6).alias("en_ratio"),
+        F.when(ratio >= 0.05, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                 / length(text), 6) AS punct_ratio,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                                      w -> w IN ({_SQL_STOPWORDS}))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(0.4 * (CAST(len(list_filter(string_split(text, ' '),
+                                             w -> w IN ({_SQL_STOPWORDS}))) AS DOUBLE)
+                        / len(string_split(text, ' ')))
+                 + 0.3 * LEAST(len(string_split(text, ' ')) / 100.0, 1.0)
+                 + 0.3 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                                / length(text)), 6) AS quality_score
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / punctuation / stopword-ratio features
+    combined into one score — the standard cheap pre-filter before
+    expensive model-based quality classifiers."""
+    d = _docs(spark, sf_dir)
+    words = _words()
+    n_tokens = F.size(words)
+    punct = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0))
+    punct_ratio = punct.cast("double") / F.length("text")
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*STOPWORDS))).cast("double") / n_tokens
+    )
+    score = (
+        0.4 * stop_ratio
+        + 0.3 * F.least(n_tokens / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - punct_ratio)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )

@@ -10,6 +10,8 @@ Pandas-UDF extension operators, per SURVEY.md §4.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -45,7 +47,29 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass  # static conf on a live session — keep the session's value
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    A session we didn't build may have a driver whose cwd/sys.path
+    includes the repo while the executors' workers do not (and on a real
+    cluster they never do).  Cloudpickled UDF closures that reference
+    module-level helpers deserialize by module import, so ship the
+    package once per SparkContext via ``addPyFile``.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dcg_spark_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    staging = tempfile.mkdtemp(prefix="dcg_spark_pkg_")
+    zip_base = os.path.join(staging, "datafusion_catalogprovider_glue_spark_pkg")
+    archive = shutil.make_archive(zip_base, "zip", os.path.dirname(pkg_dir),
+                                  os.path.basename(pkg_dir))
+    sc.addPyFile(archive)
+    sc._dcg_spark_pkg_shipped = True
 
 
 def get_spark(app_name: str = "datafusion-catalogprovider-glue-spark") -> SparkSession:

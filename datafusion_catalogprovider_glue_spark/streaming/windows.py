@@ -1,1 +1,196 @@
-"""Placeholder — filled in by the streaming milestone."""
+"""Time-window operators + Structured Streaming surface
+(SURVEY.md §2-E).
+
+The reference has zero streaming (no watermark/window/state code in
+``src/``); these are the north-star extension.  E1–E3 use Spark's
+window functions on a batch DataFrame — ``F.window`` /
+``F.session_window`` produce identical results on batch and stream,
+which is what makes them oracle-checkable.  E4 runs a *real*
+Structured Streaming query (file source → watermark → tumbling agg →
+memory sink, ``availableNow`` trigger) so the streaming execution path
+itself is exercised in the correctness gate: in a single availableNow
+run the watermark never advances past the data, so the result equals
+the batch tumbling aggregation and shares its oracle.
+
+Scale notes: streaming aggs keyed by (window, event_type) shuffle on
+the group key exactly like batch; the watermark bounds state size —
+with a 10-minute watermark and 1-hour windows, at most two windows of
+state per key are live at any moment regardless of input volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.functions import dsum, sql_dsum
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table, table_path
+
+_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+def _win_str(col: str):
+    return F.date_format(col, _FMT)
+
+
+@query(
+    "window_tumbling",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 4)} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: 1-hour tumbling windows per event_type."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 4).alias("sum_value"))
+        .select(
+            _win_str("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "window_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                    - TO_MINUTES(o.off), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events
+    FROM events, (SELECT UNNEST([0, 15, 30, 45]) AS off) o
+    GROUP BY 1
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: 1-hour windows sliding every 15 minutes — each event lands
+    in 4 overlapping windows (the oracle reproduces that by exploding
+    the 4 alignment offsets)."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(_win_str("w.start").alias("window_start"), "n_events")
+    )
+
+
+@query(
+    "window_session",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL '30 minutes'
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: per-user session windows with a 30-minute inactivity gap.
+    Spark's session_window end = last event + gap; the oracle
+    reproduces the gap semantics with lag/cumsum sessionization."""
+    e = _events(spark, sf_dir)
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            _win_str("w.start").alias("session_start"),
+            _win_str("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_tumbling_watermark",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 4)} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: REAL Structured Streaming — parquet file source →
+    10-minute watermark → 1-hour tumbling agg → memory sink, drained
+    with an availableNow trigger.  One-shot availableNow processes all
+    input in order, so no rows are late and the result equals E1's
+    batch aggregation (same oracle) — while still executing the
+    streaming state-store path end-to-end."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    # The file-stream source requires a *directory* to monitor; the
+    # events table is a single parquet file (read-only), so stage a
+    # directory of symlinks next to it in /tmp (idempotent per sf).
+    import hashlib as _hashlib
+    import os as _os
+
+    stream_dir = _os.path.join(
+        "/tmp",
+        f"glue_spark_stream_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    _os.makedirs(stream_dir, exist_ok=True)
+    link = _os.path.join(stream_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(table_path(sf_dir, "events"), link)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 4).alias("sum_value"))
+        .select(
+            _win_str("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sink_name = "stream_tumbling_watermark_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink_name)

@@ -1,0 +1,86 @@
+"""E4 semantics: a real multi-batch Structured Streaming run where the
+watermark actually drops late data (not reachable from the single-batch
+oracle check).
+
+Semantics verified (matches Spark's documented behavior):
+- a late row is dropped only when the watermark has passed its WINDOW END
+  (state evicted) — not merely when its event time is below the watermark;
+- watermark computed from batch N's data takes effect in batch N+1;
+- in append mode a closed window is emitted in the first batch whose
+  effective watermark >= window end (including the final no-data batch).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def write_file(name: str, rows, mtime: float):
+        # the file stream source does not recurse into subdirectories, so
+        # stage the parquet write and move the part file up to src/
+        df = spark.createDataFrame(rows, "ts string, user_id bigint").select(
+            F.to_timestamp("ts").alias("ts"), "user_id"
+        )
+        staging = tmp_path / ("staging_" + name)
+        df.coalesce(1).write.parquet(str(staging))
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        dest = src / (name + ".parquet")
+        shutil.move(part, str(dest))
+        os.utime(dest, (mtime, mtime))
+
+    base = time.time()
+    # b1: three rows in the 12:00 window + 13:15 -> watermark 13:05 (effective b2)
+    write_file(
+        "b1",
+        [
+            ("2024-03-01 12:00:00", 1),
+            ("2024-03-01 12:05:00", 2),
+            ("2024-03-01 12:59:00", 3),
+            ("2024-03-01 13:15:00", 4),
+        ],
+        base - 100,
+    )
+    # b2: on-time 13:45; the 12:00 window (end 13:00 <= wm 13:05) closes n=3
+    write_file("b2", [("2024-03-01 13:45:00", 5)], base - 80)
+    # b3: 12:30 is LATE (window end 13:00 <= wm 13:35, state evicted) -> dropped
+    write_file("b3", [("2024-03-01 12:30:00", 6)], base - 60)
+    # b4: 14:50 -> wm 14:40, closes the 13:00 window (n=2) in the final batch
+    write_file("b4", [("2024-03-01 14:50:00", 7)], base - 40)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", "1")  # one file per micro-batch
+        .parquet(str(src))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH:mm").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = {r.start: r.n for r in spark.table("late_drop_sink").collect()}
+    # 12:00 closes with n=3 (late 12:30 dropped — n=4 or a duplicate 12:00 row
+    # would mean the watermark failed); 13:00 closes with n=2 (13:15 + 13:45);
+    # the 14:00 window is still open and must NOT be emitted
+    assert rows == {"12:00": 3, "13:00": 2}
