@@ -37,10 +37,42 @@ LSH_ROWS = MINHASH_K // LSH_BANDS
 SHINGLE_WORDS = 3
 JACCARD_THRESHOLD = 0.5
 
+# MinHash family over a folded 31-bit base hash: h_i(x) = (a_i*x + b_i)
+# mod p with p = 2^31-1 (the same family MLlib's MinHashLSH uses).
+# One string hash per shingle + k integer perms — vs k string hashes —
+# is the difference between reading a shingle once or k times at 100 TB.
+# Coefficients are fixed so signatures are deterministic across runs.
+_MERSENNE_PRIME_31 = (1 << 31) - 1
+_MASK_31 = (1 << 31) - 1
+
+
+def _minhash_coeffs(k: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, _MERSENNE_PRIME_31), rng.randrange(0, _MERSENNE_PRIME_31))
+        for _ in range(k)
+    ]
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return load_table(spark, sf_dir, "documents")
+
+
+def _parallelize(d: DataFrame, *cols: str) -> DataFrame:
+    """Spread rows across the cluster before CPU-heavy per-row compute.
+
+    Our testdata is one single-row-group parquet file per table, so the
+    scan stage is one task; anything computed before the first exchange
+    would run serially.  A hash repartition on the row key costs one
+    small shuffle (keys + text) and buys full-cluster parallelism for
+    the shingling/hashing that follows.  On a real multi-file layout
+    the scan is already parallel and this coalesces nothing away —
+    defaultParallelism partitions of hashed keys are skew-free.
+    """
+    return d.repartition(d.sparkSession.sparkContext.defaultParallelism, *cols)
 
 
 @query(
@@ -95,20 +127,31 @@ def _shingles(words_col):
 
 
 def minhash_signatures(d: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, shingles, sig: array<bigint>[k]) — one min-hash per
-    hash-family member i, family = xxhash64(i, shingle)."""
+    """(doc_id, shingles, sig: array<bigint>[k]) — each shingle is
+    string-hashed ONCE (xxhash64, folded to 31 bits), then the k family
+    members are integer permutations (a*h+b mod p).  All JVM-side
+    higher-order functions; a*h fits in 62 bits so the arithmetic is
+    ANSI-overflow-safe."""
     shingled = d.select(
         "doc_id", _shingles(F.split("text", " ")).alias("shingles")
     )
+    hashed = shingled.select(
+        "doc_id",
+        "shingles",
+        F.transform(
+            "shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK_31))
+        ).alias("hs"),
+    )
+    def _perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE_PRIME_31
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(F.col("shingles"), lambda s, i=i: F.xxhash64(F.lit(i), s))
-            )
-            for i in range(k)
+            F.array_min(F.transform("hs", _perm(a, b)))
+            for a, b in _minhash_coeffs(k)
         ]
     )
-    return shingled.select("doc_id", "shingles", sig.alias("sig"))
+    return hashed.select("doc_id", "shingles", sig.alias("sig"))
 
 
 @query("dedup_minhash_lsh")  # rows-only: hash family is engine-specific
@@ -120,13 +163,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep pairs ≥ 0.5.  With these parameters the S-curve gives
     P(candidate) ≈ 1-(1-j^4)^8: ~0.99 at j=0.8, ~0.24 at j=0.4.
 
-    The only shuffles are (a) the band-bucket self-join (equi-join on
-    (band, band_hash)) and (b) the signature re-join for verification.
-    At 100 TB you'd persist signatures columnar first; here the plan
-    recomputes them per branch, which AQE handles fine at bench scale.
+    The only shuffles are (a) the parallelizing repartition, (b) the
+    band-bucket self-join (equi-join on (band, band_hash)) and (c) the
+    signature re-join for verification.  Signatures are computed once
+    and persisted (MEMORY_AND_DISK) because three plan branches reuse
+    them — the cache is the in-session analog of the "persist
+    signatures columnar first" step a 100 TB pipeline would run.
     """
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
-    sigs = minhash_signatures(d)
+    sigs = minhash_signatures(_parallelize(d, "doc_id")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     bands = sigs.select(
         "doc_id",
@@ -195,25 +244,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard ≥ 0.8 within a blocking key (lang) —
-    the oracle-checkable exact baseline that LSH approximates.  The
-    block join is an equi-join; block size bounds the quadratic term
-    (at 100 TB, block on something finer — shard by length bucket ×
-    lang, or require a shared rare token)."""
-    d = _docs(spark, sf_dir).select(
+    the oracle-checkable exact baseline that LSH approximates.
+
+    Scale notes, both result-preserving:
+
+    * **length filter** (PPJoin family): J(A,B) ≤ min(|A|,|B|) /
+      max(|A|,|B|), so pairs with size ratio < 0.8 are pruned in the
+      join condition BEFORE the O(|A|+|B|) intersection runs.
+    * **parallelism**: one side fits in a broadcast here, so the probe
+      side's partitioning (not the handful of lang keys) sets the
+      parallelism.  When neither side broadcasts at 100 TB, the block
+      join becomes a shuffle on lang — few keys — and needs the salt
+      treatment (left keeps doc_id % S, right replicated S times,
+      join key (lang, salt)); AQE's skew splitting covers moderate
+      imbalance before that.
+    """
+    d = _parallelize(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("wset")
     )
     a = d.alias("a")
     b = d.alias("b")
+    sa, sb = F.size(F.col("a.wset")), F.size(F.col("b.wset"))
     inter = F.size(F.array_intersect(F.col("a.wset"), F.col("b.wset")))
-    union = (
-        F.size(F.col("a.wset")) + F.size(F.col("b.wset")) - inter
-    )
+    union = sa + sb - inter
     jaccard = inter.cast("double") / union
     return (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.least(sa, sb) * F.lit(1.0) / F.greatest(sa, sb) >= 0.8),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -233,7 +293,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum over tokens of ±1 (bit i of xxhash64(token)).  All JVM bit
     arithmetic via explode + groupBy(doc_id) with 63 conditional sums
     — one shuffle keyed by doc_id, no skew (docs are the keys)."""
-    d = _docs(spark, sf_dir)
+    d = _parallelize(_docs(spark, sf_dir), "doc_id")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     ).select("doc_id", F.xxhash64("w").alias("h"))

@@ -303,8 +303,8 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        dsum(F.col("l_quantity")).alias("sum_qty"),
-        davg(F.col("l_extendedprice")).alias("avg_price"),
+        dsum(F.col("l_quantity"), 2, 8).alias("sum_qty"),
+        davg(F.col("l_extendedprice"), 2, 8).alias("avg_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
@@ -323,7 +323,7 @@ def agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dsum(F.col("o_totalprice")).alias("sum_total"),
+        dsum(F.col("o_totalprice"), 2, 8).alias("sum_total"),
     )
 
 
@@ -379,7 +379,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C16 ROLLUP."""
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity")).alias("sum_qty")
+        F.count(F.lit(1)).alias("n"), dsum(F.col("l_quantity"), 2, 8).alias("sum_qty")
     )
 
 
@@ -431,7 +431,7 @@ def having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            dsum(F.col("o_totalprice")).alias("sum_total"),
+            dsum(F.col("o_totalprice"), 2, 8).alias("sum_total"),
         )
         .filter(F.col("n_orders") >= 15)
     )
@@ -919,16 +919,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(F.col("l_quantity"), 2, 8).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2, 8).alias("sum_base_price"),
             dsum(disc_price, 4).alias("sum_disc_price"),
             # scale 6: the triple product is an intrinsically 6-decimal
             # value; a coarser grid hits round-half ties that Spark and
             # other engines resolve differently.
             dsum(charge, 6).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
+            # (2,8) vs the oracle's DECIMAL(18,4): source values sit on
+            # an exact 2-decimal grid < 10^6, so both casts are lossless
+            # and the sums agree bit-for-bit — but (2,8) stays on the
+            # long-backed accumulator fast path.
+            davg(F.col("l_quantity"), 2, 8).alias("avg_qty"),
+            davg(F.col("l_extendedprice"), 2, 8).alias("avg_price"),
+            davg(F.col("l_discount"), 2, 8).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

@@ -56,7 +56,7 @@ def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _events(spark, sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 4, 8).alias("sum_value"))
         .select(
             _win_str("w.start").alias("window_start"),
             "event_type",
@@ -176,7 +176,7 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 4).alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 4, 8).alias("sum_value"))
         .select(
             _win_str("w.start").alias("window_start"),
             "event_type",
