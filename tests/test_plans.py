@@ -1,0 +1,118 @@
+"""Physical-plan shape assertions — the at-scale contract.
+
+Correctness tests prove the operators compute the right answer at
+sf0.01; these prove the *plan* is the one that survives 100 TB:
+filters reach the parquet scan, projections prune the read schema,
+small dimensions broadcast, aggregation is partial+final, and nothing
+degenerates into an unblocked cartesian product.  The reference gets
+the analogous guarantees by feeding DataFusion schema + partition
+metadata (SURVEY.md §4, glue.rs:433-450); here they're Catalyst
+behaviors we pin with regression tests.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_catalogprovider_glue_spark.operators import registry
+
+registry.load_all_operator_modules()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def q(spark, name):
+    return registry.QUERIES[name](spark, SF_DIR)
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    p = plan_str(q(spark, "q1_pricing_summary"))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+
+
+def test_q1_column_pruning(spark):
+    p = plan_str(q(spark, "q1_pricing_summary"))
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    # 7 of lineitem's 16 columns — no full-width scan for an aggregate
+    assert "l_quantity" in read_schema and "l_shipdate" in read_schema
+    assert "l_orderkey" not in read_schema and "l_comment" not in read_schema
+
+
+def test_q1_partial_final_aggregation(spark):
+    p = plan_str(q(spark, "q1_pricing_summary"), "simple")
+    # map-side partial + reduce-side final: two HashAggregate levels
+    assert p.count("HashAggregate") >= 2
+
+
+def test_q1_whole_stage_codegen(spark):
+    # AQE hides WholeStageCodegen markers in the un-executed simple plan;
+    # codegen explain mode enumerates the compiled subtrees directly.
+    p = plan_str(q(spark, "q1_pricing_summary"), "codegen")
+    assert "WholeStageCodegen" in p
+
+
+def test_q1_decimal_sums_stay_long_backed(spark):
+    """The bounded-precision casts must keep SUM on the UnscaledValue
+    (long arithmetic) fast path — see functions.dec."""
+    p = plan_str(q(spark, "q1_pricing_summary"), "simple")
+    assert "sum(UnscaledValue(cast(l_quantity" in p
+    assert "sum(UnscaledValue(cast(l_extendedprice" in p
+
+
+def test_projection_prunes_read_schema(spark):
+    p = plan_str(q(spark, "projection"))
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "c_address" not in read_schema and "c_comment" not in read_schema
+
+
+def test_filter_range_pushed(spark):
+    p = plan_str(q(spark, "filter_range"))
+    assert "PushedFilters" in p
+    pushed = next(l for l in p.splitlines() if "PushedFilters" in l)
+    assert pushed.count("(") > 1  # at least one real predicate reached the scan
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "q5_local_supplier", "join_inner"])
+def test_dim_joins_broadcast(spark, name):
+    """Small-side joins must be broadcast, not shuffle — at 100 TB the
+    fact side never moves for a dimension join."""
+    p = plan_str(q(spark, name), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_theta_join_is_nested_loop_broadcast(spark):
+    p = plan_str(q(spark, "join_theta"), "simple")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_nn", "sim_topk_bruteforce"],
+)
+def test_pair_generators_never_cartesian(spark, name):
+    """Every pair-generating extension op goes through a blocking key;
+    an unblocked cartesian product would be quadratic at 100 TB."""
+    p = plan_str(q(spark, name), "simple")
+    assert "CartesianProduct" not in p
+
+
+def test_topk_uses_limit_not_global_sort(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject — a global
+    sort of the full table would shuffle everything at scale."""
+    p = plan_str(q(spark, "topk"), "simple")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    for name in ("join_semi", "join_anti"):
+        p = plan_str(q(spark, name), "simple")
+        assert "Join" in p
+        assert "CartesianProduct" not in p
