@@ -48,4 +48,7 @@ def load_all_operator_modules() -> None:
         similarity,
         text,
     )
-    from datafusion_catalogprovider_glue_spark.streaming import windows  # noqa: F401
+    from datafusion_catalogprovider_glue_spark.streaming import (  # noqa: F401
+        stateful,
+        windows,
+    )

@@ -1,0 +1,200 @@
+"""E5: custom stateful streaming operator (applyInPandasWithState).
+
+The reference has no streaming at all (SURVEY.md §2-E); Spark's
+session_window covers declarative sessionization (E3).  This module
+adds the *custom state* variant — per-user sessionization written
+against the arbitrary-stateful-processing API — because that API is
+what a production pipeline reaches for when session semantics stop
+fitting a gap window (e.g. cart-abandonment funnels, per-entity model
+state).  Plumbing (state schema, event-time timeout, watermark-driven
+flush, append-mode emission) is the real thing; the per-group logic is
+pure pandas.
+
+Determinism contract for the oracle: with an ``availableNow`` one-shot
+run, all events arrive in batch 1 (watermark 0 → nothing late), and
+the final no-data batch advances the watermark to max(ts), firing
+EventTimeTimeout for every held session whose (last_ts + gap) <
+max(ts).  So the emitted set = all gap-closed sessions + held sessions
+that time out — i.e. every session EXCEPT a user's final one when its
+end lies within ``gap`` of the global max timestamp.  The DuckDB twin
+reproduces exactly that filter.  (Checked: no testdata sf has a
+session end exactly equal to max(ts), so the strict-< boundary is
+unambiguous.)
+
+100 TB notes: state is keyed by user_id → shuffle partitioning is
+uniform; per-group state is O(1) (start/last/count, never the event
+list); the watermark bounds total state to one open session per active
+user; Arrow batches carry rows executor-side only.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import table_path
+
+SESSION_GAP_MIN = 30
+_GAP = pd.Timedelta(minutes=SESSION_GAP_MIN)
+_FMT = "%Y-%m-%d %H:%M:%S"
+
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", StringType()),
+        StructField("session_end", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+# held-open session per user: (start_us, last_us, n)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _us(ts: pd.Timestamp) -> int:
+    return ts.value // 1000
+
+
+def _row(user_id: int, start_us: int, last_us: int, n: int) -> dict[str, Any]:
+    start = pd.Timestamp(start_us * 1000)
+    end = pd.Timestamp(last_us * 1000) + _GAP
+    return {
+        "user_id": user_id,
+        "session_start": start.strftime(_FMT),
+        "session_end": end.strftime(_FMT),
+        "n_events": n,
+    }
+
+
+def _sessionize(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user session accumulator.  Emits gap-closed sessions as
+    data arrives; holds the open session in state with an event-time
+    timeout at (last_ts + gap) so the watermark flushes it."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame([_row(user_id, start_us, last_us, n)])
+        return
+
+    ts = pd.concat([pdf["ts"] for pdf in pdfs]).sort_values().reset_index(drop=True)
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us = last_us = _us(ts.iloc[0])
+        n = 0
+
+    out: list[dict[str, Any]] = []
+    for t in ts:
+        t_us = _us(t)
+        if n > 0 and t_us - last_us > _GAP.value // 1000:
+            out.append(_row(user_id, start_us, last_us, n))
+            start_us, n = t_us, 0
+        last_us = max(last_us, t_us)
+        n += 1
+
+    state.update((start_us, last_us, n))
+    state.setTimeoutTimestamp(last_us // 1000 + SESSION_GAP_MIN * 60 * 1000)
+    if out:
+        yield pd.DataFrame(out)
+
+
+@query(
+    "stream_stateful_sessionize",
+    oracle=f"""
+    WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+    mx AS (SELECT max(ts) AS m FROM e),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL '{SESSION_GAP_MIN} minutes'
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ), sessions AS (
+        SELECT user_id,
+               MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS s_end,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           strftime(s_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(s_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+           n_events
+    FROM sessions, mx
+    WHERE s_end < m  -- held-open sessions at end-of-stream are not emitted
+    """,
+)
+def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: real Structured Streaming with arbitrary per-key state —
+    parquet file source → watermark(0s) → applyInPandasWithState
+    (EventTimeTimeout) → memory sink, drained with availableNow."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream_dir = os.path.join(
+        "/tmp",
+        f"glue_spark_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts")
+    )
+    sessions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    sink_name = "stream_stateful_sessionize_sink"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink_name)
