@@ -30,8 +30,14 @@ TOP_K = 5
 
 # deterministic random hyperplanes for the LSH path (seed fixed so
 # every run — and every resumed run — buckets identically)
-LSH_PLANES = 6        # 2^6 = 64 buckets
-LSH_TABLES = 2        # OR-amplification: union of two independent tables
+# Tuned for the testdata's weak cluster structure (top-5 neighbors sit
+# at cosine 0.26-0.49, i.e. 60-75 deg): per-plane agreement p ~ 0.6, so
+# 4 planes/table -> p^4 ~ 0.13 per table, 8 OR-combined tables ->
+# recall ~ 1-(1-0.13)^8 ~ 0.67 (tests assert >= 0.5).  Tight clusters
+# (the usual near-dup case) push p toward 1 and recall toward 1 with
+# far fewer tables; the knobs trade candidate volume for recall.
+LSH_PLANES = 4        # 2^4 = 16 buckets per table
+LSH_TABLES = 8        # OR-amplification: union of 8 independent tables
 _EMBED_DIM = 64
 
 
@@ -90,47 +96,59 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucketed(e: DataFrame, table: int) -> DataFrame:
+def _bucket_expr(table: int):
     """Sign-bucket id for one hash table: bit i = sign(v · plane_i)."""
-    planes = _planes(table)
     bucket = None
-    for i, plane in enumerate(planes):
+    for i, plane in enumerate(_planes(table)):
         lit_plane = F.array(*[F.lit(x) for x in plane])
         bit = F.when(dot(F.col("v"), lit_plane) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return e.withColumn("bucket", bucket).withColumn("htable", F.lit(table))
+    return bucket
 
 
 @query("sim_topk_lsh")  # rows-only: LSH recall is parameter/engine-specific
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 scale path: random-hyperplane LSH.  Each vector lands in one
-    of 64 sign-buckets per hash table (2 tables, OR-combined);
-    candidates = corpus vectors sharing a bucket with the query in any
+    sign-bucket per hash table (OR-combined over LSH_TABLES tables);
+    candidates = corpus vectors sharing a bucket with a query in any
     table; then exact cosine + top-k on candidates only.
 
-    The expensive cross join becomes an equi-join on (htable, bucket)
-    — at 100 TB this is the difference between 10^14 candidate pairs
-    and ~10^10, and bucket skew is handled by AQE skew splitting."""
-    e = _emb(spark, sf_dir)
-    buckets = _bucketed(e, 0).unionByName(_bucketed(e, 1))
+    Plan shape for scale: ONE corpus scan computes all tables' bucket
+    ids (posexplode of an array — not a union of per-table scans);
+    candidate dedup runs on bare (query_id, neighbor_id) ids so the
+    shuffle never carries embedding arrays; vectors are re-attached by
+    equi-joins afterwards.  The expensive cross join becomes an
+    equi-join on (htable, bucket) — at 100 TB this is the difference
+    between 10^14 candidate pairs and ~10^10 — and bucket skew is
+    handled by AQE skew splitting."""
+    from datafusion_catalogprovider_glue_spark.operators.dedup import _parallelize
+
+    e = _parallelize(_emb(spark, sf_dir), "vec_id")
+    buckets = e.select(
+        "vec_id",
+        F.posexplode(F.array(*[_bucket_expr(t) for t in range(LSH_TABLES)])).alias(
+            "htable", "bucket"
+        ),
+    )
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        "htable",
-        "bucket",
+        F.col("vec_id").alias("query_id"), "htable", "bucket"
     )
-    c = buckets.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "htable", "bucket"
-    )
+    c = buckets.select(F.col("vec_id").alias("neighbor_id"), "htable", "bucket")
     candidates = (
         c.join(F.broadcast(q), ["htable", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        candidates.select(
+        candidates.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
         )
         .withColumn("rank", F.row_number().over(w).cast("long"))

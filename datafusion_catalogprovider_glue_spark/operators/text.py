@@ -159,3 +159,59 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality_score"),
     )
+
+
+# Rabin-Karp rolling-hash fingerprinting: polynomial hash of every
+# w-char window, base 31 mod 2^31-1.  The declarative form recomputes
+# each window (the O(1) rolling update needs imperative state), but the
+# VALUES are exactly a rolling hasher's output, so the fingerprints are
+# portable — and the oracle recomputes them independently in DuckDB.
+FP_WINDOW = 8
+_FP_MOD = (1 << 31) - 1
+_FP_BASE = 31
+
+
+def _window_hashes(text_col):
+    def _rh(strcol):
+        return F.aggregate(
+            F.split(strcol, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * _FP_BASE + F.ascii(c)) % _FP_MOD,
+        )
+
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col) - (FP_WINDOW - 1), F.lit(1))
+    )
+    return F.transform(starts, lambda i: _rh(text_col.substr(i, F.lit(FP_WINDOW))))
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_min([list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                                    list_transform(string_split(substr(text, CAST(i AS INT), {FP_WINDOW}), ''),
+                                                   c -> CAST(ascii(c) AS BIGINT))),
+                       (acc, c) -> (acc * {_FP_BASE} + c) % {_FP_MOD})
+                     FOR i IN range(1, GREATEST(length(text) - {FP_WINDOW - 1}, 1) + 1)])
+             AS min_fingerprint,
+           CAST(GREATEST(length(text) - {FP_WINDOW - 1}, 1) AS INT) AS n_windows
+    FROM documents
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via rolling hash (winnowing-lite: the
+    minimum window hash is the document's fingerprint — robust to
+    small edits anywhere except around the minimizing window, which is
+    the property winnowing builds on).  All JVM-side higher-order
+    functions; at 100 TB this is a pure map stage."""
+    from datafusion_catalogprovider_glue_spark.operators.dedup import _parallelize
+
+    d = _parallelize(_docs(spark, sf_dir), "doc_id")
+    hashes = _window_hashes(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("min_fingerprint"),
+        F.size(hashes).alias("n_windows"),
+    )

@@ -122,3 +122,22 @@ def test_minhash_recall_vs_exact_bruteforce(spark):
     assert strong, "generator should plant near-dups"
     recall = len(found & strong) / len(strong)
     assert recall >= 0.9, f"LSH recall {recall} over {len(strong)} strong pairs"
+
+
+def test_sim_topk_lsh_recall(spark):
+    """LSH is approximate; pin its quality: recall vs the exact
+    brute-force top-k must clear 0.5 with the tuned parameters
+    (expected ~0.7 on this data — see similarity.py's derivation)."""
+    from datafusion_catalogprovider_glue_spark.operators import registry
+
+    registry.load_all_operator_modules()
+    sf = "/root/testdata/sf0.001"
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["sim_topk_bruteforce"](spark, sf).collect()
+    }
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["sim_topk_lsh"](spark, sf).collect()
+    }
+    assert len(bf & lsh) / len(bf) >= 0.5
