@@ -367,3 +367,91 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cos") >= 0.9).alias("is_near_dup"),
         )
     )
+
+
+_EDGE_SQL = """
+    SELECT a.doc_id AS src, b.doc_id AS dst
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                  list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
+          / (len(list_distinct(string_split(a.text, ' ')))
+             + len(list_distinct(string_split(b.text, ' ')))
+             - len(list_intersect(list_distinct(string_split(a.text, ' ')),
+                                  list_distinct(string_split(b.text, ' '))))) >= 0.8
+"""
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE edges AS (
+        SELECT src, dst FROM ({_EDGE_SQL})
+        UNION ALL
+        SELECT dst, src FROM ({_EDGE_SQL})
+    ),
+    walk(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.root FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id,
+           MIN(root) AS cluster_id,
+           (MIN(root) = node) AS keep
+    FROM walk GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: connected components over the exact
+    near-dup pair graph, then keep-one-per-cluster — the step that
+    turns pairwise similarity into an actual dedup decision.
+
+    Implemented as hash-min label propagation (the standard large-scale
+    CC algorithm): every doc starts labeled with its own id; each round
+    every node takes the min label among itself and its neighbors;
+    converged when no label changes.  Rounds are driver-side LOOP
+    CONTROL only (one count() per round — never data); per-round state
+    is localCheckpoint()ed so lineage stays flat.  Near-dup graphs are
+    shallow (components are small cliques-ish), so rounds ~ O(component
+    diameter), typically < 5.  The DuckDB twin computes components with
+    a recursive CTE — an independent algorithm, same fixpoint.
+    """
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(20):  # hard bound; converges in O(diameter) rounds
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+                (
+                    F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")
+                ).alias("changed"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = updated.filter("changed").count()
+        labels = updated.select("doc_id", "cluster_id")
+        if n_changed == 0:
+            break
+    return labels.select(
+        "doc_id", "cluster_id", (F.col("cluster_id") == F.col("doc_id")).alias("keep")
+    )

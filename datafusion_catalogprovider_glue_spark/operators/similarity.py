@@ -1,16 +1,20 @@
 """Similarity search over embeddings (SURVEY.md §2-D3).
 
-Two paths, mirroring how ANN systems are actually deployed:
+Three paths, mirroring how ANN systems are actually deployed:
 
 * brute-force top-k — the exact baseline; a broadcast join of the
   (small) query set against the corpus, cosine folded JVM-side.
   Scales linearly with the corpus: at 100 TB the corpus side stays
   partitioned, queries broadcast, and the per-partition top-k +
   final merge is exactly what ``row_number() ≤ k`` compiles to.
-* LSH-bucketed (random hyperplanes) — the scale path; candidates are
-  restricted to matching sign-buckets, turning the cross join into an
-  equi-join on bucket id.  Recall < 1 by construction (rows-only
-  check; the brute-force twin is the oracle-checked exact variant).
+* LSH-bucketed (random hyperplanes) — candidates are restricted to
+  matching sign-buckets, turning the cross join into an equi-join on
+  bucket id.  Recall < 1 by construction (rows-only check + a recall
+  test; the brute-force twin is the oracle-checked exact variant).
+* IVF (k-means inverted file) — a coarse quantizer assigns corpus
+  vectors to cells; queries probe their nprobe nearest cells.  The
+  FAISS-style structure, in Spark primitives (rows-only + recall
+  test, same reason).
 """
 
 from __future__ import annotations
@@ -151,6 +155,76 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
         )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+IVF_CELLS = 16        # coarse centroids (k for the k-means quantizer)
+IVF_NPROBE = 4        # cells probed per query
+
+
+@query("sim_topk_ivf")  # rows-only: centroids are trainer/seed-specific
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 scale path #2: IVF (inverted-file) ANN — the index structure
+    FAISS/Milvus-style systems use, built from Spark primitives.
+
+    A k-means coarse quantizer (MLlib, distributed, fixed seed) assigns
+    every corpus vector to one of IVF_CELLS cells; each query probes
+    its IVF_NPROBE nearest centroids and ranks exact cosine only within
+    those cells.  The candidate join is an equi-join on cell id —
+    corpus-side work is proportional to nprobe/cells, and at 100 TB
+    the assignment step is one map over the corpus while training
+    samples a fraction (MLlib does the iteration distributed; here the
+    full corpus trains because it is tiny).
+
+    Recall on this near-uniform testdata: centroid distances are a
+    weak signal (as with LSH); the recall test pins >= 0.5 at nprobe=4
+    of 16 cells, i.e. scanning ~25% of the corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _emb(spark, sf_dir)
+    with_vec = e.select("vec_id", "v", array_to_vector("v").alias("features"))
+    km = KMeans(k=IVF_CELLS, seed=7, maxIter=10, featuresCol="features")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).select(
+        "vec_id", "v", F.col("prediction").alias("cell")
+    )
+
+    centroids = [c.tolist() for c in model.clusterCenters()]
+
+    def _dist2(vcol, center: list[float]) -> "F.Column":
+        lit_c = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(vcol, lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # per query: nprobe nearest centroids (tiny: n_queries x cells)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES)
+    cell_dists = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.posexplode(
+            F.array(*[_dist2(F.col("v"), c) for c in centroids])
+        ).alias("cell", "d2"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell"))
+    probes = (
+        cell_dists.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+
+    c = assigned.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cell")
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )

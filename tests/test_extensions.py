@@ -141,3 +141,43 @@ def test_sim_topk_lsh_recall(spark):
         for r in registry.QUERIES["sim_topk_lsh"](spark, sf).collect()
     }
     assert len(bf & lsh) / len(bf) >= 0.5
+
+
+def test_sim_topk_ivf_recall(spark):
+    """IVF with nprobe=4 of 16 cells scans ~25% of the corpus; recall
+    vs exact top-k must clear 0.5 (measured ~0.7)."""
+    from datafusion_catalogprovider_glue_spark.operators import registry
+
+    registry.load_all_operator_modules()
+    sf = "/root/testdata/sf0.001"
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["sim_topk_bruteforce"](spark, sf).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["sim_topk_ivf"](spark, sf).collect()
+    }
+    assert len(bf & ivf) / len(bf) >= 0.5
+
+
+def test_dedup_clusters_consistency(spark):
+    """Cluster labels must be closed under the pair graph: both ends
+    of every near-dup pair share a cluster id, and exactly one doc per
+    cluster is kept."""
+    from datafusion_catalogprovider_glue_spark.operators import registry
+
+    registry.load_all_operator_modules()
+    sf = "/root/testdata/sf0.001"
+    labels = {
+        r.doc_id: (r.cluster_id, r.keep)
+        for r in registry.QUERIES["dedup_clusters"](spark, sf).collect()
+    }
+    pairs = registry.QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
+    for p in pairs:
+        assert labels[p.doc_a][0] == labels[p.doc_b][0]
+    clusters = {}
+    for doc, (cid, keep) in labels.items():
+        clusters.setdefault(cid, []).append(keep)
+    for cid, keeps in clusters.items():
+        assert sum(keeps) == 1
