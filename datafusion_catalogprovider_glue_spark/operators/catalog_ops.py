@@ -27,6 +27,7 @@ from datafusion_catalogprovider_glue_spark.infoschema import (
 )
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
 from datafusion_catalogprovider_glue_spark.types import parse_glue_data_type
 
 
@@ -113,4 +114,61 @@ def catalog_register_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN glue__default__region r ON n.n_regionkey = r.r_regionkey
         GROUP BY r.r_name
         """
+    )
+
+
+@query(
+    "scan_partitioned_pruned",
+    oracle="""
+    SELECT CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INT) AS l_year,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE year(CAST(l_shipdate AS TIMESTAMP)) = 1996
+    GROUP BY 1
+    """,
+)
+def scan_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/C7 partition pruning over a REAL Hive-partitioned layout.
+
+    The Glue reference maps partition keys to typed partition columns
+    so the engine can prune whole directories (glue.rs:433-447).  The
+    testdata is unpartitioned, so this op materializes lineitem
+    partitioned by ``l_year`` once per sf (a write-side "sink" the
+    reference lacks), then reads it back with a partition-column
+    filter — Catalyst turns that into a PartitionFilter, listing only
+    the 1996 directory.  At 100 TB this is the difference between
+    scanning one year and scanning thirty; the plan test pins the
+    PartitionFilters entry.  Values are oracle-checked against the
+    ORIGINAL unpartitioned table, proving the round trip is lossless.
+    """
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    apply_engine_conf(spark)
+    part_dir = os.path.join(
+        "/tmp",
+        f"glue_spark_part_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        "lineitem_by_year",
+    )
+    marker = os.path.join(part_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.withColumn("l_year", F.year("l_shipdate"))
+            .repartition("l_year")  # one output file per partition dir
+            .write.mode("overwrite")
+            .partitionBy("l_year")
+            .parquet(part_dir)
+        )
+    return (
+        spark.read.parquet(part_dir)
+        .filter(F.col("l_year") == 1996)
+        .groupBy("l_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(8,2)")).cast("double").alias("sum_qty"),
+        )
     )

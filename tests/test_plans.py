@@ -116,3 +116,13 @@ def test_semi_anti_joins_stay_joins(spark):
         p = plan_str(q(spark, name), "simple")
         assert "Join" in p
         assert "CartesianProduct" not in p
+
+
+def test_partitioned_scan_prunes_directories(spark):
+    """scan_partitioned_pruned must plan a PartitionFilter on l_year —
+    directory-level pruning, the Hive-partition analog of the
+    reference's table_partition_cols metadata (glue.rs:433-447)."""
+    df = q(spark, "scan_partitioned_pruned")
+    p = plan_str(df)
+    part_line = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "l_year" in part_line and "1996" in part_line
