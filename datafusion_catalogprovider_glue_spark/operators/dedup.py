@@ -246,25 +246,42 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard ≥ 0.8 within a blocking key (lang) —
     the oracle-checkable exact baseline that LSH approximates.
 
-    Scale notes, both result-preserving:
+    Scale techniques, all result-preserving (the oracle recomputes the
+    full unblocked semantics independently):
 
     * **length filter** (PPJoin family): J(A,B) ≤ min(|A|,|B|) /
       max(|A|,|B|), so pairs with size ratio < 0.8 are pruned in the
       join condition BEFORE the O(|A|+|B|) intersection runs.
-    * **parallelism**: one side fits in a broadcast here, so the probe
-      side's partitioning (not the handful of lang keys) sets the
-      parallelism.  When neither side broadcasts at 100 TB, the block
-      join becomes a shuffle on lang — few keys — and needs the salt
-      treatment (left keeps doc_id % S, right replicated S times,
-      join key (lang, salt)); AQE's skew splitting covers moderate
-      imbalance before that.
+    * **log-size bucket blocking**: with ratio ≥ 0.8, the two docs'
+      log_{1.25} set sizes differ by at most one bucket.  The home
+      side keeps its own bucket; the probe side is exploded to
+      {bucket-1, bucket}; each qualifying pair meets exactly once, at
+      the smaller doc's bucket (ties broken by doc_id).  The join key
+      becomes (lang, bucket) — candidate pairs drop by ~the bucket
+      count, and the key space fans out for shuffle parallelism when
+      neither side broadcasts at 100 TB.  AQE skew splitting covers
+      residual imbalance.
     """
+    import math
+
+    _LOG_BASE = math.log(1.25)
     d = _parallelize(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("wset")
     )
+    d = d.withColumn(
+        "bucket", F.floor(F.log(F.size("wset").cast("double")) / _LOG_BASE)
+    )
     a = d.alias("a")
-    b = d.alias("b")
+    b = d.select(
+        "doc_id",
+        "lang",
+        "wset",
+        F.explode(F.array(F.col("bucket") - 1, F.col("bucket"))).alias("bucket"),
+    ).alias("b")
     sa, sb = F.size(F.col("a.wset")), F.size(F.col("b.wset"))
+    # canonical orientation: the pair is generated at the smaller doc's
+    # bucket only (size tie → smaller doc_id), so no pair is duplicated
+    canonical = (sa < sb) | ((sa == sb) & (F.col("a.doc_id") < F.col("b.doc_id")))
     inter = F.size(F.array_intersect(F.col("a.wset"), F.col("b.wset")))
     union = sa + sb - inter
     jaccard = inter.cast("double") / union
@@ -272,12 +289,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & canonical
             & (F.least(sa, sb) * F.lit(1.0) / F.greatest(sa, sb) >= 0.8),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             F.round(jaccard, 6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.8)
