@@ -1,15 +1,19 @@
 """Deduplication operators for LLM training-data pipelines
 (SURVEY.md §2-D1/D2; BASELINE.json north_star).
 
-Five strategies, all shuffle-conscious and collect-free:
+Six strategies, all shuffle-conscious and collect-free:
 
 * exact (hash-groupBy on full text, and on a 128-bit fingerprint —
   the form that scales: group 16-byte keys, not documents)
 * MinHash + LSH banding (shingle → minhash signature → band-bucket
   join → exact-Jaccard verification of candidates only)
-* SimHash (64-bit signatures, JVM bit ops)
-* word-n-gram Jaccard with blocking (exact, oracle-checkable)
+* SimHash (63-bit signatures, JVM bit ops) + banded hamming-radius
+  pair detection (exact within radius, Manku-style)
+* word-n-gram Jaccard with length-ratio + log-size-bucket blocking
+  (exact, oracle-checkable)
 * embedding-cosine nearest neighbor within IVF-style label blocks
+* connected-components cluster formation over the pair graph
+  (hash-min propagation; keep-one-per-cluster)
 
 100 TB design notes: every pair-generating join goes through a
 *blocking key* (LSH band hash, simhash band, lang, label) so the
@@ -473,4 +477,58 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     return labels.select(
         "doc_id", "cluster_id", (F.col("cluster_id") == F.col("doc_id")).alias("keep")
+    )
+
+
+SIMHASH_BANDS = 4       # Manku-style: r=3 differing bits can't touch all 4 bands
+SIMHASH_RADIUS = 3      # near-dup iff hamming(simhash_a, simhash_b) <= 3
+
+
+@query("dedup_simhash_pairs")  # rows-only: hash family is engine-specific
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: band the 63-bit signature into 4
+    chunks; any pair within hamming radius 3 leaves at least one band
+    untouched (pigeonhole, Manku et al.'s web-dedup design), so the
+    band-bucket equi-join finds EVERY such pair — banding is a lossless
+    index for the radius, unlike MinHash-LSH's probabilistic recall.
+    Candidates are then verified with one xor+bit_count.  Shuffles
+    carry (doc_id, band, 16-bit chunk) only; signature re-attachment is
+    an equi-join on doc_id."""
+    sigs = dedup_simhash(spark, sf_dir)  # (doc_id, simhash), persisted plan below
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    band_width = 16
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", b * band_width).bitwiseAND(
+                        F.lit((1 << band_width) - 1)
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    l, r = bands.alias("l"), bands.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_RADIUS)
     )

@@ -291,3 +291,37 @@ def test_info_schema_and_sample(spark):
     out = catalog.sample_all(10)
     failures = {k for k, v in out.items() if isinstance(v, Exception)}
     assert failures <= {"default.events"}
+
+
+def test_s3_store_registry(spark):
+    """A22: per-bucket object-store registry → S3A per-bucket conf
+    (demo.rs:126-196).  No AWS here — we assert the Hadoop conf keys,
+    which is the entire Spark-side contract."""
+    from datafusion_catalogprovider_glue_spark.sources.object_store import (
+        S3Credentials,
+        S3StoreRegistry,
+    )
+
+    reg = S3StoreRegistry(spark)
+    bucket = reg.register_for_url(
+        "s3://demo-bucket/tpch/lineitem/",
+        S3Credentials(
+            access_key="AKIATEST",
+            secret_key="secret",
+            session_token="tok",
+            region="eu-central-1",
+        ),
+    )
+    assert bucket == "demo-bucket"
+    assert reg.get("fs.s3a.bucket.demo-bucket.access.key") == "AKIATEST"
+    assert reg.get("fs.s3a.bucket.demo-bucket.session.token") == "tok"
+    assert reg.get("fs.s3a.bucket.demo-bucket.endpoint.region") == "eu-central-1"
+    assert (
+        reg.get("fs.s3a.bucket.demo-bucket.aws.credentials.provider")
+        == "org.apache.hadoop.fs.s3a.TemporaryAWSCredentialsProvider"
+    )
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        S3StoreRegistry.bucket_of("file:///tmp/x")

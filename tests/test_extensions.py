@@ -181,3 +181,30 @@ def test_dedup_clusters_consistency(spark):
         clusters.setdefault(cid, []).append(keep)
     for cid, keeps in clusters.items():
         assert sum(keeps) == 1
+
+
+def test_simhash_banding_is_exact_within_radius(spark):
+    """4-band SimHash candidate generation must find EVERY pair with
+    hamming distance <= 3 (pigeonhole guarantee) — compare against the
+    brute-force all-pairs ground truth at sf0.001."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.operators import registry
+
+    registry.load_all_operator_modules()
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in registry.QUERIES["dedup_simhash_pairs"](spark, sf).collect()
+    }
+    sigs = registry.QUERIES["dedup_simhash"](spark, sf)
+    a = sigs.select(F.col("doc_id").alias("da"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("db"), F.col("simhash").alias("hb"))
+    truth = {
+        (r.da, r.db)
+        for r in a.crossJoin(b)
+        .filter("da < db")
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .collect()
+    }
+    assert got == truth
