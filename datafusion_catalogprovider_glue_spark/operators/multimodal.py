@@ -156,3 +156,58 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(
         sample_frames, "doc_id bigint, frame_idx bigint, frame_hash string"
     )
+
+
+RESIZE_W, RESIZE_H = 224, 224  # the standard vision-model input shape
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) % 640 AS src_w,
+           (octet_length(encode(text)) * 7) % 480 AS src_h,
+           {RESIZE_W} AS dst_w,
+           {RESIZE_H} AS dst_h,
+           ROUND(CAST({RESIZE_W} AS DOUBLE) / GREATEST(octet_length(encode(text)) % 640, 1), 6)
+             AS scale_x,
+           md5(text || '-resized-{RESIZE_W}x{RESIZE_H}') AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 resize stage: decode → resize → re-encode as one Arrow-batched
+    ``mapInPandas`` pass (the fused layout a real image pipeline uses so
+    pixels never cross a stage boundary).  The resize itself is the
+    deterministic fake (real: PIL ``Image.resize``); source dims come
+    from the fake decode, the output carries the target shape, the
+    scale factor, and a content hash standing in for re-encoded bytes —
+    all recomputed independently by the SQL oracle."""
+    m = _docs_as_media(spark, sf_dir).select("doc_id", "text", "media")
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["media"].map(lambda rec: rec["bytes"])
+            decoded = payloads.map(_decode_media_fake)
+            src_w = decoded.map(lambda t: t[0])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "src_w": src_w,
+                    "src_h": decoded.map(lambda t: t[1]),
+                    "dst_w": RESIZE_W,
+                    "dst_h": RESIZE_H,
+                    "scale_x": (RESIZE_W / src_w.clip(lower=1)).round(6),
+                    "content_hash": pdf["text"].map(
+                        lambda t: hashlib.md5(
+                            f"{t}-resized-{RESIZE_W}x{RESIZE_H}".encode()
+                        ).hexdigest()
+                    ),
+                }
+            )
+
+    return m.mapInPandas(
+        resize_batches,
+        "doc_id bigint, src_w bigint, src_h bigint, dst_w int, dst_h int, "
+        "scale_x double, content_hash string",
+    )
