@@ -194,3 +194,80 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(sink_name)
+
+
+@query(
+    "stream_session_watermark",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - LAG(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL '30 minutes'
+                         OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '30 minutes', '%Y-%m-%d %H:%M:%S') AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 on the REAL streaming path: file source → watermark →
+    ``session_window`` gap aggregation → memory sink (complete mode,
+    availableNow).  Complete output emits every session at drain time,
+    so the one-shot result equals the batch sessionization and shares
+    its oracle — while exercising the streaming session-state merge
+    path (gap-window state unions, not fixed windows)."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    import hashlib as _hashlib
+    import os as _os
+
+    stream_dir = _os.path.join(
+        "/tmp",
+        f"glue_spark_stream_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    _os.makedirs(stream_dir, exist_ok=True)
+    link = _os.path.join(stream_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(table_path(sf_dir, "events"), link)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            _win_str("w.start").alias("session_start"),
+            _win_str("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    sink_name = "stream_session_watermark_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink_name)

@@ -208,3 +208,29 @@ def test_simhash_banding_is_exact_within_radius(spark):
         .collect()
     }
     assert got == truth
+
+
+def test_approx_distinct_accuracy(spark):
+    """agg_approx_distinct is rows-only in the oracle gate (HLL is
+    engine-specific); pin its accuracy here: relative error vs the
+    exact distinct count must stay under 5%."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.operators import registry
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    registry.load_all_operator_modules()
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.l_returnflag: r.approx_parts
+        for r in registry.QUERIES["agg_approx_distinct"](spark, sf).collect()
+    }
+    li = load_table(spark, sf, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) / n < 0.05
