@@ -100,14 +100,40 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bucket_expr(table: int):
-    """Sign-bucket id for one hash table: bit i = sign(v · plane_i)."""
-    bucket = None
-    for i, plane in enumerate(_planes(table)):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bit = F.when(dot(F.col("v"), lit_plane) >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket
+def _planes_df(spark: SparkSession):
+    """All tables' hyperplanes as DATA (32 rows), not as plan literals.
+
+    Inlining planes into expressions would bake tables×planes×dim
+    (= 2048 here) double literals into the generated code — megabytes
+    of Janino output that stalls JIT and would grow with any index
+    parameter.  As a broadcast DataFrame the codegen is one generic
+    zip_with/aggregate fold, independent of index size."""
+    rows = [
+        (t, i, plane)
+        for t in range(LSH_TABLES)
+        for i, plane in enumerate(_planes(t))
+    ]
+    return spark.createDataFrame(
+        rows, "htable int, plane_idx int, plane array<double>"
+    )
+
+
+def _bucket_assignments(e: DataFrame) -> DataFrame:
+    """(vec_id, htable, bucket): sign-bit buckets for every hash table
+    in one data-driven pass — corpus × planes broadcast join, then a
+    bit-packing aggregation keyed by (vec_id, htable)."""
+    spark = e.sparkSession
+    scored = e.crossJoin(F.broadcast(_planes_df(spark))).select(
+        "vec_id",
+        "htable",
+        F.when(
+            dot(F.col("v"), F.col("plane")) >= 0,
+            F.expr("shiftleft(1L, plane_idx)"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("bit"),
+    )
+    return scored.groupBy("vec_id", "htable").agg(F.sum("bit").alias("bucket"))
 
 
 @query("sim_topk_lsh")  # rows-only: LSH recall is parameter/engine-specific
@@ -128,12 +154,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_catalogprovider_glue_spark.operators.dedup import _parallelize
 
     e = _parallelize(_emb(spark, sf_dir), "vec_id")
-    buckets = e.select(
-        "vec_id",
-        F.posexplode(F.array(*[_bucket_expr(t) for t in range(LSH_TABLES)])).alias(
-            "htable", "bucket"
-        ),
-    )
+    buckets = _bucket_assignments(e)
     q = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "htable", "bucket"
     )
