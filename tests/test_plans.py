@@ -126,3 +126,18 @@ def test_partitioned_scan_prunes_directories(spark):
     p = plan_str(df)
     part_line = next(l for l in p.splitlines() if "PartitionFilters" in l)
     assert "l_year" in part_line and "1996" in part_line
+
+
+def test_multi_file_scan_parallelism(spark, tmp_path):
+    """The testdata's single-row-group files force 1-task scans (why
+    _parallelize exists); confirm the property that matters at 100 TB:
+    a multi-file table scans with multi-partition parallelism out of
+    the box."""
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    dest = str(tmp_path / "li8")
+    li.repartition(8).write.parquet(dest)
+    scanned = spark.read.parquet(dest)
+    assert scanned.rdd.getNumPartitions() >= 8
+    assert scanned.count() == li.count()
