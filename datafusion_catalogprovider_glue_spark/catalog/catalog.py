@@ -137,13 +137,26 @@ class GlueCatalog:
 
     def _register_delta_table(self, database: str, name: str, table: dict) -> TableEntry:
         """A6 (glue.rs:214-240): load the Delta log as the table.
-        Requires the delta-spark JVM package; import-gated because the
-        test container ships without it."""
+
+        Prefers the delta-spark JVM package (full protocol support);
+        falls back to the built-in minimal snapshot reader
+        (sources/delta.py) when the package is absent — same behavior
+        as the reference, which reads ``_delta_log`` itself via the
+        deltalake crate rather than requiring a running Delta engine."""
         location = self._table_location(database, name, table)
         try:
             df = self.spark.read.format("delta").load(location)
-        except Exception as exc:
-            raise DeltaError(f"failed to load delta table at {location}: {exc}") from exc
+        except Exception:
+            from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+
+            try:
+                df = read_delta(self.spark, location)
+            except DeltaError:
+                raise
+            except Exception as exc:
+                raise DeltaError(
+                    f"failed to load delta table at {location}: {exc}"
+                ) from exc
         return self._finish(database, name, df, T.StructType(df.schema), "delta", location, {}, [], True)
 
     def _register_listing_table(

@@ -1,0 +1,150 @@
+"""Minimal Delta Lake snapshot reader (SURVEY.md §2-B8).
+
+The reference loads Delta tables by reading ``_delta_log`` through the
+deltalake crate (glue.rs:214-240).  The delta-spark JVM package is not
+available in this environment, so this module implements the same
+capability directly against the OPEN Delta transaction-log protocol
+(https://github.com/delta-io/delta/blob/master/PROTOCOL.md):
+
+1. read ``_last_checkpoint`` (if present) → base snapshot from the
+   checkpoint parquet's ``add`` rows;
+2. replay newer ``NNNNNNNNNNNNNNNNNNNN.json`` commits in order,
+   applying ``add`` / ``remove`` actions keyed by file path;
+3. schema comes from the latest ``metaData`` action — its
+   ``schemaString`` IS a Spark StructType JSON, so no translation;
+4. partition columns come from ``metaData.partitionColumns`` with
+   per-file values in ``add.partitionValues`` (Delta data files do
+   not contain partition columns).
+
+Scope: snapshot (time-travel-less) reads, which is exactly what the
+reference's ``load()`` does.  Log parsing is driver-side metadata work
+(KBs; the reference does the same); the data read is a normal
+distributed parquet scan.  Partitioned tables are read per partition
+group with the partition values attached as literal columns — at
+100 TB you'd instead converge on delta-spark proper, which pushes
+partition pruning into the log; the capability boundary is documented,
+not hidden.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_catalogprovider_glue_spark.errors import DeltaError
+
+_LOG_DIR = "_delta_log"
+
+
+def _commit_files(log_dir: str) -> list[tuple[int, str]]:
+    out = []
+    for name in os.listdir(log_dir):
+        stem, ext = os.path.splitext(name)
+        if ext == ".json" and stem.isdigit():
+            out.append((int(stem), os.path.join(log_dir, name)))
+    return sorted(out)
+
+
+def _last_checkpoint(log_dir: str) -> Optional[int]:
+    p = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["version"])
+
+
+class DeltaSnapshot:
+    """Resolved state of a Delta table at its latest version."""
+
+    def __init__(self, table_path: str):
+        log_dir = os.path.join(table_path, _LOG_DIR)
+        if not os.path.isdir(log_dir):
+            raise DeltaError(f"no {_LOG_DIR} at {table_path!r}")
+        self.table_path = table_path
+        self.schema: Optional[T.StructType] = None
+        self.partition_columns: list[str] = []
+        # path -> partitionValues dict
+        self._active: dict[str, dict] = {}
+
+        ckpt_version = _last_checkpoint(log_dir)
+        commits = _commit_files(log_dir)
+        if not commits and ckpt_version is None:
+            raise DeltaError(f"empty delta log at {table_path!r}")
+
+        if ckpt_version is not None:
+            self._apply_checkpoint(log_dir, ckpt_version)
+        for version, path in commits:
+            if ckpt_version is not None and version <= ckpt_version:
+                continue
+            with open(path) as f:
+                for line in f:
+                    if line.strip():
+                        self._apply_action(json.loads(line))
+        if self.schema is None:
+            raise DeltaError(f"no metaData action found in {log_dir!r}")
+
+    def _apply_checkpoint(self, log_dir: str, version: int) -> None:
+        import pyarrow.parquet as pq
+
+        ckpt = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        if not os.path.exists(ckpt):
+            raise DeltaError(f"missing checkpoint file {ckpt!r}")
+        tbl = pq.read_table(ckpt)
+        for row in tbl.to_pylist():
+            for kind in ("metaData", "add", "remove"):
+                if row.get(kind) is not None:
+                    self._apply_action({kind: row[kind]})
+
+    def _apply_action(self, action: dict) -> None:
+        if "metaData" in action and action["metaData"]:
+            meta = action["metaData"]
+            schema_str = meta.get("schemaString")
+            if isinstance(schema_str, str):
+                self.schema = T.StructType.fromJson(json.loads(schema_str))
+            self.partition_columns = list(meta.get("partitionColumns") or [])
+        elif "add" in action and action["add"]:
+            add = action["add"]
+            self._active[add["path"]] = add.get("partitionValues") or {}
+        elif "remove" in action and action["remove"]:
+            self._active.pop(action["remove"]["path"], None)
+
+    @property
+    def files(self) -> list[str]:
+        return [os.path.join(self.table_path, p) for p in sorted(self._active)]
+
+
+def read_delta(spark: SparkSession, table_path: str) -> DataFrame:
+    """Load the current snapshot of a Delta table as a DataFrame."""
+    snap = DeltaSnapshot(table_path)
+    if not snap._active:
+        return spark.createDataFrame([], snap.schema)
+
+    data_fields = [f for f in snap.schema.fields if f.name not in snap.partition_columns]
+    data_schema = T.StructType(data_fields)
+
+    if not snap.partition_columns:
+        return spark.read.schema(data_schema).parquet(*snap.files)
+
+    # group files by partition values; attach values as literal columns
+    groups: dict[tuple, list[str]] = {}
+    for path, pvals in snap._active.items():
+        key = tuple(pvals.get(c) for c in snap.partition_columns)
+        groups.setdefault(key, []).append(os.path.join(snap.table_path, path))
+    parts = []
+    by_name = {f.name: f.dataType for f in snap.schema.fields}
+    for key, files in sorted(groups.items()):
+        df = spark.read.schema(data_schema).parquet(*files)
+        for col_name, raw in zip(snap.partition_columns, key):
+            # partitionValues are strings (or None) per protocol; cast
+            # to the declared type like Delta does
+            df = df.withColumn(col_name, F.lit(raw).cast(by_name[col_name]))
+        parts.append(df.select([f.name for f in snap.schema.fields]))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

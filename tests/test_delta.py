@@ -1,0 +1,165 @@
+"""B8: minimal Delta snapshot reader against hand-crafted transaction
+logs (the protocol is open; delta-spark isn't in this container, which
+is exactly why sources/delta.py exists).  Covers add/remove replay,
+schema-from-metaData, partitionValues attachment, checkpoint bases,
+and the Glue catalog's delta dispatch path."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from datafusion_catalogprovider_glue_spark.catalog.catalog import GlueCatalog
+from datafusion_catalogprovider_glue_spark.catalog.fake_glue import FakeGlueClient
+from datafusion_catalogprovider_glue_spark.errors import DeltaError
+from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+
+SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+            {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+        ],
+    }
+)
+
+
+def _write_data_file(spark, tmp_path, table_dir, name, rows):
+    df = spark.createDataFrame(rows, "id long, v string")
+    staging = tmp_path / f"stage_{name}"
+    df.coalesce(1).write.parquet(str(staging))
+    part = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(staging)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    os.makedirs(table_dir, exist_ok=True)
+    shutil.move(part, os.path.join(table_dir, name))
+
+
+def _meta_action(partition_cols=()):
+    return {
+        "metaData": {
+            "id": "test-table",
+            "schemaString": SCHEMA_JSON,
+            "partitionColumns": list(partition_cols),
+            "format": {"provider": "parquet"},
+        }
+    }
+
+
+def _commit(table_dir, version, actions):
+    log_dir = os.path.join(table_dir, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+
+
+def test_snapshot_add_remove_replay(spark, tmp_path):
+    t = str(tmp_path / "delta_t1")
+    _write_data_file(spark, tmp_path, t, "f1.parquet", [(1, "a"), (2, "b")])
+    _write_data_file(spark, tmp_path, t, "f2.parquet", [(3, "c")])
+    _write_data_file(spark, tmp_path, t, "f3.parquet", [(4, "d")])
+    _commit(t, 0, [_meta_action(), {"add": {"path": "f1.parquet", "partitionValues": {}}}])
+    _commit(t, 1, [{"add": {"path": "f2.parquet", "partitionValues": {}}}])
+    # version 2 compacts f1+f2 into f3
+    _commit(
+        t,
+        2,
+        [
+            {"remove": {"path": "f1.parquet"}},
+            {"remove": {"path": "f2.parquet"}},
+            {"add": {"path": "f3.parquet", "partitionValues": {}}},
+        ],
+    )
+    df = read_delta(spark, t)
+    assert [f.name for f in df.schema.fields] == ["id", "v"]
+    assert {(r.id, r.v) for r in df.collect()} == {(4, "d")}
+
+
+def test_snapshot_partitioned(spark, tmp_path):
+    t = str(tmp_path / "delta_t2")
+    _write_data_file(spark, tmp_path, t, "p1.parquet", [(1, "a")])
+    _write_data_file(spark, tmp_path, t, "p2.parquet", [(2, "b")])
+    schema = json.loads(SCHEMA_JSON)
+    schema["fields"].append(
+        {"name": "year", "type": "integer", "nullable": True, "metadata": {}}
+    )
+    meta = _meta_action(["year"])
+    meta["metaData"]["schemaString"] = json.dumps(schema)
+    _commit(
+        t,
+        0,
+        [
+            meta,
+            {"add": {"path": "p1.parquet", "partitionValues": {"year": "2023"}}},
+            {"add": {"path": "p2.parquet", "partitionValues": {"year": "2024"}}},
+        ],
+    )
+    df = read_delta(spark, t)
+    rows = {(r.id, r.v, r.year) for r in df.collect()}
+    assert rows == {(1, "a", 2023), (2, "b", 2024)}
+    assert dict(df.dtypes)["year"] == "int"
+
+
+def test_snapshot_from_checkpoint(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "delta_t3")
+    _write_data_file(spark, tmp_path, t, "c1.parquet", [(10, "x")])
+    _write_data_file(spark, tmp_path, t, "c2.parquet", [(11, "y")])
+    log_dir = os.path.join(t, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    # checkpoint at version 1: metaData + add c1
+    # partitionValues omitted: pyarrow can't write an empty struct, and
+    # the reader defaults absent partitionValues to {}
+    ckpt_rows = [
+        {"metaData": {"schemaString": SCHEMA_JSON, "partitionColumns": []},
+         "add": None, "remove": None},
+        {"metaData": None, "add": {"path": "c1.parquet"}, "remove": None},
+    ]
+    pq.write_table(
+        pa.Table.from_pylist(ckpt_rows),
+        os.path.join(log_dir, f"{1:020d}.checkpoint.parquet"),
+    )
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as f:
+        json.dump({"version": 1, "size": 2}, f)
+    # commits 0/1 deliberately absent (pruned); commit 2 adds c2
+    _commit(t, 2, [{"add": {"path": "c2.parquet", "partitionValues": {}}}])
+    df = read_delta(spark, t)
+    assert {(r.id, r.v) for r in df.collect()} == {(10, "x"), (11, "y")}
+
+
+def test_catalog_delta_dispatch_uses_fallback_reader(spark, tmp_path):
+    t = str(tmp_path / "delta_t4")
+    _write_data_file(spark, tmp_path, t, "f.parquet", [(7, "z")])
+    _commit(t, 0, [_meta_action(), {"add": {"path": "f.parquet", "partitionValues": {}}}])
+    client = FakeGlueClient(
+        {
+            "ddb": {
+                "dt": {
+                    "DatabaseName": "ddb",
+                    "Name": "dt",
+                    "Parameters": {"table_type": "DELTA"},  # case-insensitive match
+                    "PartitionKeys": [],
+                    "StorageDescriptor": {"Columns": [], "Location": t},
+                }
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("ddb", "dt")
+    assert entry.is_delta
+    assert {(r.id, r.v) for r in spark.table(entry.view).collect()} == {(7, "z")}
+
+
+def test_missing_log_raises_delta_error(spark, tmp_path):
+    with pytest.raises(DeltaError):
+        read_delta(spark, str(tmp_path / "not_a_delta_table"))
