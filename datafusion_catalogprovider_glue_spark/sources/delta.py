@@ -16,8 +16,9 @@ capability directly against the OPEN Delta transaction-log protocol
    per-file values in ``add.partitionValues`` (Delta data files do
    not contain partition columns).
 
-Scope: snapshot (time-travel-less) reads, which is exactly what the
-reference's ``load()`` does.  Log parsing is driver-side metadata work
+Scope: snapshot reads at the latest version or a pinned one
+(VERSION AS OF) — a superset of the reference's ``load()``, which is
+latest-only.  Log parsing is driver-side metadata work
 (KBs; the reference does the same); the data read is a normal
 distributed parquet scan.  Partitioned tables are read per partition
 group with the partition values attached as literal columns — at
@@ -59,9 +60,10 @@ def _last_checkpoint(log_dir: str) -> Optional[int]:
 
 
 class DeltaSnapshot:
-    """Resolved state of a Delta table at its latest version."""
+    """Resolved state of a Delta table at its latest version, or at a
+    pinned ``version`` (time travel — VERSION AS OF)."""
 
-    def __init__(self, table_path: str):
+    def __init__(self, table_path: str, version: Optional[int] = None):
         log_dir = os.path.join(table_path, _LOG_DIR)
         if not os.path.isdir(log_dir):
             raise DeltaError(f"no {_LOG_DIR} at {table_path!r}")
@@ -75,12 +77,21 @@ class DeltaSnapshot:
         commits = _commit_files(log_dir)
         if not commits and ckpt_version is None:
             raise DeltaError(f"empty delta log at {table_path!r}")
+        if version is not None and commits and version > commits[-1][0]:
+            raise DeltaError(
+                f"version {version} not in log (latest {commits[-1][0]})"
+            )
 
-        if ckpt_version is not None:
+        use_ckpt = ckpt_version is not None and (
+            version is None or ckpt_version <= version
+        )
+        if use_ckpt:
             self._apply_checkpoint(log_dir, ckpt_version)
-        for version, path in commits:
-            if ckpt_version is not None and version <= ckpt_version:
+        for v, path in commits:
+            if use_ckpt and v <= ckpt_version:
                 continue
+            if version is not None and v > version:
+                break
             with open(path) as f:
                 for line in f:
                     if line.strip():
@@ -118,9 +129,11 @@ class DeltaSnapshot:
         return [os.path.join(self.table_path, p) for p in sorted(self._active)]
 
 
-def read_delta(spark: SparkSession, table_path: str) -> DataFrame:
-    """Load the current snapshot of a Delta table as a DataFrame."""
-    snap = DeltaSnapshot(table_path)
+def read_delta(
+    spark: SparkSession, table_path: str, version: Optional[int] = None
+) -> DataFrame:
+    """Load a Delta table snapshot (latest, or VERSION AS OF)."""
+    snap = DeltaSnapshot(table_path, version)
     if not snap._active:
         return spark.createDataFrame([], snap.schema)
 

@@ -163,3 +163,25 @@ def test_catalog_delta_dispatch_uses_fallback_reader(spark, tmp_path):
 def test_missing_log_raises_delta_error(spark, tmp_path):
     with pytest.raises(DeltaError):
         read_delta(spark, str(tmp_path / "not_a_delta_table"))
+
+
+def test_time_travel_version_as_of(spark, tmp_path):
+    t = str(tmp_path / "delta_t5")
+    _write_data_file(spark, tmp_path, t, "f1.parquet", [(1, "a")])
+    _write_data_file(spark, tmp_path, t, "f2.parquet", [(2, "b")])
+    _commit(t, 0, [_meta_action(), {"add": {"path": "f1.parquet", "partitionValues": {}}}])
+    _commit(
+        t,
+        1,
+        [
+            {"remove": {"path": "f1.parquet"}},
+            {"add": {"path": "f2.parquet", "partitionValues": {}}},
+        ],
+    )
+    v0 = {(r.id, r.v) for r in read_delta(spark, t, version=0).collect()}
+    v1 = {(r.id, r.v) for r in read_delta(spark, t, version=1).collect()}
+    latest = {(r.id, r.v) for r in read_delta(spark, t).collect()}
+    assert v0 == {(1, "a")}
+    assert v1 == {(2, "b")} == latest
+    with pytest.raises(DeltaError):
+        read_delta(spark, t, version=9)
