@@ -194,7 +194,26 @@ class GlueCatalog:
         try:
             df = reader.load(location)
         except Exception as exc:
-            raise SparkError(f"failed to read {spec.format} at {location}: {exc}") from exc
+            if spec.format == "avro":
+                # spark-avro is an external JVM package; when absent,
+                # fall back to the built-in pure-Python container
+                # reader (sources/avro_fallback.py) — same pattern as
+                # the Delta fallback.
+                from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+                    read_avro_fallback,
+                    schema_from_avro_file,
+                )
+
+                columns = sd.get("Columns") or []
+                if options is TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE and columns:
+                    fallback_schema = map_glue_columns_to_spark_schema(columns)
+                else:
+                    fallback_schema = schema_from_avro_file(location)
+                df = read_avro_fallback(self.spark, location, fallback_schema)
+            else:
+                raise SparkError(
+                    f"failed to read {spec.format} at {location}: {exc}"
+                ) from exc
 
         # partition columns come back from directory discovery; cast
         # them to the Glue-declared types (glue.rs:433-442)

@@ -1,0 +1,223 @@
+"""Minimal Avro Object Container File reader (SURVEY.md §2-B3).
+
+The reference supports Avro tables through DataFusion's avro feature
+(glue.rs:406-410, Cargo.toml:23).  Spark's own spark-avro module is an
+external JVM package absent from this container, and no Python avro
+library ships here either — so this module implements the open Avro
+1.11 container spec (https://avro.apache.org/docs/1.11.1/specification/)
+directly, for the subset Glue tables actually use:
+
+* container framing: ``Obj\\x01`` magic, file-metadata map
+  (``avro.schema``, ``avro.codec``), 16-byte sync marker, blocks of
+  (count, byte-size, payload, sync);
+* codecs: ``null`` and ``deflate`` (raw zlib);
+* datum types: record of null / boolean / int / long (zigzag varint) /
+  float / double / bytes / string, plus ``["null", T]`` unions (the
+  shape Glue's nullable columns produce).
+
+Execution model: the DRIVER only lists files; decoding runs
+executor-side via ``mapPartitions`` over the file list, one task per
+file group — the same distribution shape as any file scan.  Decoded
+rows become a DataFrame under the Glue-derived schema (fields matched
+by name, missing fields null).  Complex nested Avro (sub-records,
+arrays, maps, enums) raises ``NotImplementedYet`` loudly.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
+
+_MAGIC = b"Obj\x01"
+
+
+def _read_long(buf: io.BufferedIOBase) -> int:
+    """Zigzag varint (Avro int/long)."""
+    shift = 0
+    accum = 0
+    while True:
+        b = buf.read(1)
+        if not b:
+            raise EOFError("truncated varint")
+        byte = b[0]
+        accum |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (accum >> 1) ^ -(accum & 1)
+
+
+def _read_bytes(buf: io.BufferedIOBase) -> bytes:
+    n = _read_long(buf)
+    return buf.read(n)
+
+
+def _decode_datum(buf: io.BufferedIOBase, schema) -> object:
+    if isinstance(schema, list):  # union: branch index then datum
+        branch = schema[_read_long(buf)]
+        return _decode_datum(buf, branch)
+    if isinstance(schema, dict):
+        if schema.get("type") == "record":
+            return tuple(
+                _decode_datum(buf, f["type"]) for f in schema["fields"]
+            )
+        schema = schema.get("type", schema)
+    if schema == "null":
+        return None
+    if schema == "boolean":
+        return buf.read(1) == b"\x01"
+    if schema in ("int", "long"):
+        return _read_long(buf)
+    if schema == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if schema == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if schema == "bytes":
+        return _read_bytes(buf)
+    if schema == "string":
+        return _read_bytes(buf).decode("utf-8")
+    raise NotImplementedYet(f"avro type not supported by fallback reader: {schema!r}")
+
+
+def decode_container_file(path: str) -> tuple[dict, list[tuple]]:
+    """(writer schema, rows) from one .avro container file."""
+    with open(path, "rb") as f:
+        if f.read(4) != _MAGIC:
+            raise NotImplementedYet(f"{path!r} is not an Avro container file")
+        meta: dict[str, bytes] = {}
+        # file metadata map: series of blocks, each (count, k/v pairs)
+        while True:
+            n = _read_long(f)
+            if n == 0:
+                break
+            for _ in range(abs(n)):
+                if n < 0:
+                    _read_long(f)  # block byte size, present when count < 0
+                key = _read_bytes(f).decode("utf-8")
+                meta[key] = _read_bytes(f)
+        sync = f.read(16)
+        schema = json.loads(meta["avro.schema"].decode("utf-8"))
+        codec = meta.get("avro.codec", b"null").decode("utf-8")
+        if codec not in ("null", "deflate"):
+            raise NotImplementedYet(f"avro codec {codec!r} not supported")
+
+        rows: list[tuple] = []
+        while True:
+            try:
+                count = _read_long(f)
+            except EOFError:
+                break
+            size = _read_long(f)
+            payload = f.read(size)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            block = io.BytesIO(payload)
+            for _ in range(count):
+                rows.append(_decode_datum(block, schema))
+            if f.read(16) != sync:
+                raise NotImplementedYet(f"bad sync marker in {path!r}")
+        return schema, rows
+
+
+def read_avro_fallback(
+    spark: SparkSession, location: str, schema: T.StructType
+) -> DataFrame:
+    """Distributed read of a directory of .avro files under the
+    Glue-derived ``schema`` (fields matched by writer-field name)."""
+    if os.path.isdir(location):
+        files = sorted(
+            os.path.join(location, n)
+            for n in os.listdir(location)
+            if n.endswith(".avro")
+        )
+    else:
+        files = [location]
+    if not files:
+        return spark.createDataFrame([], schema)
+
+    target_fields = [f.name for f in schema.fields]
+
+    def decode_files(paths):
+        for p in paths:
+            writer_schema, rows = decode_container_file(p)
+            names = [f["name"] for f in writer_schema["fields"]]
+            idx = {n: i for i, n in enumerate(names)}
+            for row in rows:
+                yield tuple(
+                    row[idx[name]] if name in idx else None
+                    for name in target_fields
+                )
+
+    rdd = spark.sparkContext.parallelize(files, len(files)).mapPartitions(decode_files)
+    return spark.createDataFrame(rdd, schema)
+
+
+_AVRO_TO_SPARK = {
+    "null": T.NullType(),
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+
+def _avro_type_to_spark(avro_type) -> T.DataType:
+    if isinstance(avro_type, list):  # nullable union
+        non_null = [t for t in avro_type if t != "null"]
+        if len(non_null) != 1:
+            raise NotImplementedYet(f"unsupported avro union: {avro_type!r}")
+        return _avro_type_to_spark(non_null[0])
+    if isinstance(avro_type, dict):
+        avro_type = avro_type.get("type", avro_type)
+    if isinstance(avro_type, str) and avro_type in _AVRO_TO_SPARK:
+        return _AVRO_TO_SPARK[avro_type]
+    raise NotImplementedYet(f"avro type not supported by fallback reader: {avro_type!r}")
+
+
+def schema_from_avro_file(location: str) -> T.StructType:
+    """InferSchemaFromData for Avro: the writer schema in the first
+    file's header (Avro is self-describing, glue.rs:266's infer path)."""
+    if os.path.isdir(location):
+        first = next(
+            (
+                os.path.join(location, n)
+                for n in sorted(os.listdir(location))
+                if n.endswith(".avro")
+            ),
+            None,
+        )
+    else:
+        first = location
+    if first is None:
+        raise NotImplementedYet(f"no .avro files under {location!r} to infer from")
+    with open(first, "rb") as f:
+        if f.read(4) != _MAGIC:
+            raise NotImplementedYet(f"{first!r} is not an Avro container file")
+        meta: dict[str, bytes] = {}
+        while True:
+            n = _read_long(f)
+            if n == 0:
+                break
+            for _ in range(abs(n)):
+                if n < 0:
+                    _read_long(f)
+                key = _read_bytes(f).decode("utf-8")
+                meta[key] = _read_bytes(f)
+    writer = json.loads(meta["avro.schema"].decode("utf-8"))
+    return T.StructType(
+        [
+            T.StructField(fld["name"], _avro_type_to_spark(fld["type"]), True)
+            for fld in writer["fields"]
+        ]
+    )
