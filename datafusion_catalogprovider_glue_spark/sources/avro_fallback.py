@@ -98,9 +98,10 @@ def decode_container_file(path: str) -> tuple[dict, list[tuple]]:
             n = _read_long(f)
             if n == 0:
                 break
-            for _ in range(abs(n)):
-                if n < 0:
-                    _read_long(f)  # block byte size, present when count < 0
+            if n < 0:  # negative count: block byte size follows, once
+                n = -n
+                _read_long(f)
+            for _ in range(n):
                 key = _read_bytes(f).decode("utf-8")
                 meta[key] = _read_bytes(f)
         sync = f.read(16)
@@ -209,9 +210,10 @@ def schema_from_avro_file(location: str) -> T.StructType:
             n = _read_long(f)
             if n == 0:
                 break
-            for _ in range(abs(n)):
-                if n < 0:
-                    _read_long(f)
+            if n < 0:  # negative count: block byte size follows, once
+                n = -n
+                _read_long(f)
+            for _ in range(n):
                 key = _read_bytes(f).decode("utf-8")
                 meta[key] = _read_bytes(f)
     writer = json.loads(meta["avro.schema"].decode("utf-8"))

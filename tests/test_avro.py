@@ -179,3 +179,31 @@ def test_unsupported_nested_type_is_loud(tmp_path):
 
     with pytest.raises(NotImplementedYet):
         decode_container_file(p)
+
+
+def test_negative_count_metadata_block(spark, tmp_path):
+    """Avro spec: a negative map-block count means abs(count) items
+    preceded by ONE long byte-size for the whole block."""
+    payload = _encode_row(ROWS_A[0])
+    buf = io.BytesIO()
+    buf.write(b"Obj\x01")
+    items = [
+        ("avro.schema", json.dumps(WRITER_SCHEMA).encode()),
+        ("avro.codec", b"null"),
+    ]
+    body = b"".join(_string(k) + _zigzag(len(v)) + v for k, v in items)
+    buf.write(_zigzag(-len(items)))  # negative count
+    buf.write(_zigzag(len(body)))    # block byte size, once
+    buf.write(body)
+    buf.write(_zigzag(0))
+    buf.write(SYNC)
+    buf.write(_zigzag(1))
+    buf.write(_zigzag(len(payload)))
+    buf.write(payload)
+    buf.write(SYNC)
+    p = str(tmp_path / "neg.avro")
+    with open(p, "wb") as f:
+        f.write(buf.getvalue())
+    st = schema_from_avro_file(p)
+    df = read_avro_fallback(spark, p, st)
+    assert [tuple(r) for r in df.collect()] == [ROWS_A[0]]
