@@ -98,27 +98,40 @@ class GlueCatalog:
         options: TableRegistrationOptions = TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE,
     ) -> list[RegistrationResult]:
         """A3: register every table of one database; per-table failures
-        are collected, not raised (glue.rs:93-133)."""
-        response = self.client.get_tables(DatabaseName=database)
+        are collected, not raised (glue.rs:93-133).  Follows NextToken
+        pagination — live Glue caps GetTables at 100 tables/page."""
         results: list[RegistrationResult] = []
-        for tbl in response["TableList"]:
-            try:
-                results.append(self._register_glue_table(tbl, options))
-            except GlueError as err:
-                results.append(
-                    wrap_error_with_table_info(database, tbl.get("Name", "?"), err)
-                )
-        return results
+        token: dict = {}
+        while True:
+            response = self.client.get_tables(DatabaseName=database, **token)
+            for tbl in response["TableList"]:
+                try:
+                    results.append(self._register_glue_table(tbl, options))
+                except GlueError as err:
+                    results.append(
+                        wrap_error_with_table_info(database, tbl.get("Name", "?"), err)
+                    )
+            next_token = response.get("NextToken")
+            if not next_token:
+                return results
+            token = {"NextToken": next_token}
 
     def register_all(
         self,
         options: TableRegistrationOptions = TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE,
     ) -> list[RegistrationResult]:
-        """A4: GetDatabases × GetTables — whole catalog (glue.rs:136-172)."""
+        """A4: GetDatabases × GetTables — whole catalog (glue.rs:136-172),
+        with NextToken pagination on the database listing too."""
         results: list[RegistrationResult] = []
-        for db in self.client.get_databases()["DatabaseList"]:
-            results.extend(self.register_tables(db["Name"], options))
-        return results
+        token: dict = {}
+        while True:
+            response = self.client.get_databases(**token)
+            for db in response["DatabaseList"]:
+                results.extend(self.register_tables(db["Name"], options))
+            next_token = response.get("NextToken")
+            if not next_token:
+                return results
+            token = {"NextToken": next_token}
 
     def _register_glue_table(
         self, table: dict, options: TableRegistrationOptions

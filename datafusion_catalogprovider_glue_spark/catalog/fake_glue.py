@@ -121,18 +121,32 @@ class FakeGlueClient:
     """Glue API double: ``{db: {table: TableDict}}`` behind the three
     calls the reference makes (glue.rs:70-75, 105-110, 146-157)."""
 
-    def __init__(self, databases: dict[str, dict[str, dict]]):
+    def __init__(self, databases: dict[str, dict[str, dict]], page_size: int = 0):
         self._databases = databases
+        # page_size > 0 emulates live Glue's NextToken pagination
+        self._page_size = page_size
 
-    def get_databases(self) -> dict:
-        return {"DatabaseList": [{"Name": db} for db in sorted(self._databases)]}
+    def _paginate(self, items: list, key: str, token) -> dict:
+        start = int(token) if token is not None else 0
+        if self._page_size <= 0:
+            return {key: items[start:]}
+        page = items[start : start + self._page_size]
+        out = {key: page}
+        if start + self._page_size < len(items):
+            out["NextToken"] = str(start + self._page_size)
+        return out
 
-    def get_tables(self, DatabaseName: str) -> dict:
+    def get_databases(self, NextToken=None) -> dict:
+        items = [{"Name": db} for db in sorted(self._databases)]
+        return self._paginate(items, "DatabaseList", NextToken)
+
+    def get_tables(self, DatabaseName: str, NextToken=None) -> dict:
         try:
             tables = self._databases[DatabaseName]
         except KeyError:
             raise AwsError(f"EntityNotFoundException: database {DatabaseName}")
-        return {"TableList": [tables[t] for t in sorted(tables)]}
+        items = [tables[t] for t in sorted(tables)]
+        return self._paginate(items, "TableList", NextToken)
 
     def get_table(self, DatabaseName: str, Name: str) -> dict:
         try:

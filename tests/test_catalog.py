@@ -325,3 +325,14 @@ def test_s3_store_registry(spark):
 
     with _pytest.raises(ValueError):
         S3StoreRegistry.bucket_of("file:///tmp/x")
+
+
+def test_register_all_follows_pagination(spark):
+    """A3/A4 with NextToken pagination (live Glue caps GetTables at
+    100/page; FakeGlue emulates with page_size=3)."""
+    fixture = make_testdata_fixture(SF_SMOKE)
+    paginated = FakeGlueClient(fixture._databases, page_size=3)
+    catalog = GlueCatalog(spark, paginated, view_prefix="pag__")
+    results = catalog.register_all()
+    assert len(results) == 10
+    assert not [r for r in results if isinstance(r, Exception)]
