@@ -532,3 +532,40 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= SIMHASH_RADIUS)
     )
+
+
+@query(
+    "dedup_keep_latest",
+    oracle="""
+    SELECT user_id, event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+           event_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 variant every pipeline needs: keep the LATEST record per key
+    (CDC compaction, snapshot-of-append-log).  One window shuffle on
+    the key; ties broken by event_id so the pick is deterministic.  At
+    100 TB this is the standard row_number()=1 pattern — partial
+    aggregation doesn't apply, but the shuffle carries only the
+    selected columns."""
+    e = load_table(spark, sf_dir, "events")
+    apply_engine_conf(spark)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "event_type",
+        )
+    )

@@ -1154,3 +1154,33 @@ def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.exceptAll(s)
+
+
+@query(
+    "subquery_correlated",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice = (
+        SELECT MAX(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24 correlated scalar subquery (TPC-H Q2's shape: row must match
+    a per-group aggregate).  Catalyst decorrelates it into an
+    aggregate + join on the correlation key — written here in SQL so
+    the decorrelation rule itself is exercised, not a hand rewrite."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("sq_corr_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM sq_corr_orders o
+        WHERE o.o_totalprice = (
+            SELECT MAX(o2.o_totalprice) FROM sq_corr_orders o2
+            WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
