@@ -141,3 +141,43 @@ def test_multi_file_scan_parallelism(spark, tmp_path):
     scanned = spark.read.parquet(dest)
     assert scanned.rdd.getNumPartitions() >= 8
     assert scanned.count() == li.count()
+
+
+def test_aqe_splits_skewed_join(spark):
+    """The dedup/similarity blocking joins rely on AQE skew splitting
+    for hot buckets (module docstrings promise it); prove the
+    mechanism actually engages: a hot key under lowered thresholds
+    must produce SortMergeJoin(skew=true) in the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set(keys[0], "64KB")
+        spark.conf.set(keys[1], "2")
+        spark.conf.set(keys[2], "16KB")
+        spark.conf.set(keys[3], "-1")  # force sort-merge join
+        left = spark.range(200000).select(
+            F.when(F.col("id") < 195000, F.lit(1))
+            .otherwise(F.col("id") % 50)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(500).select(
+            (F.col("id") % 50).alias("k"), F.col("id").alias("w")
+        )
+        joined = left.join(right, "k")
+        assert len(joined.collect()) == 2_000_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
