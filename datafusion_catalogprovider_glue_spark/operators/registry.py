@@ -47,6 +47,7 @@ def load_all_operator_modules() -> None:
         relational,
         similarity,
         text,
+        tpch_extra,
     )
     from datafusion_catalogprovider_glue_spark.streaming import (  # noqa: F401
         stateful,
