@@ -1,0 +1,335 @@
+"""Analytics extensions: as-of join, range join, pivot/unpivot,
+order statistics, moment statistics, deterministic sampling.
+
+None of these exist in the reference crate — they extend its delegated
+SQL surface (SURVEY.md §2-C scoping note) with operators a time-series
+/ feature-engineering workload needs, each built Spark-first:
+
+* as-of join — Spark has no ASOF JOIN operator (DuckDB does, which
+  makes the oracle easy).  The scalable implementation is the
+  union + window trick: tag both sides, union, one shuffle on the key,
+  and a running ``last(value, ignorenulls)`` ordered by (ts, side)
+  carries the most recent right-side row onto each left row.  This is
+  O(n log n) in the partition with NO range explosion — at 100 TB it
+  beats any join-on-inequality plan (which Spark would execute as a
+  broadcast nested loop) because it shuffles each row exactly once.
+* range join — joining a fact column into literal interval bands.
+  The band table is tiny, so the right plan at any scale is a
+  broadcast nested-loop join with the band predicate evaluated in
+  codegen; Catalyst picks exactly that.
+* pivot / unpivot — first-class DataFrame ops in Spark; the oracle
+  spells them as conditional aggregation / UNION ALL, which is also
+  what Catalyst lowers them to.
+* percentiles — exact interpolated percentiles (Catalyst's
+  ``percentile``, a single-pass sort-based aggregate).  On the
+  integer-valued quantity column the linear interpolation is exact in
+  doubles, so values hash-match DuckDB's ``quantile_cont``.
+* moment statistics — variance/stddev/correlation computed from EXACT
+  decimal power sums (Σx, Σx², Σxy) with one final double expression,
+  written with the identical formula text in both engines: the result
+  is bit-identical, unlike native ``stddev``/``corr`` whose merge
+  order differs per engine/partitioning.  At 100 TB the power sums are
+  a single map-side-combined aggregation — same cost as the native
+  implementation.
+* deterministic sampling — hash-based Bernoulli sampling
+  (``md5(key) < threshold``): reproducible across engines, runs, and
+  cluster sizes, unlike seed-based ``TABLESAMPLE`` whose output
+  depends on partitioning.  This is the sampling you actually want in
+  a 100 TB pipeline (stable holdout sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.functions import dsum, sql_dsum
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.purchase_value,
+           v.ts AS view_ts, v.view_value
+    FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event matched to the latest view event
+    of the same user at-or-before it (inner semantics — purchases with
+    no prior view drop, matching DuckDB ASOF JOIN).
+
+    Implementation: union + running window.  The right side is first
+    made unique per (user_id, ts) (MAX(value) — ties at identical
+    microsecond timestamps would otherwise make the match
+    nondeterministic), then both sides are unioned with a side tag and
+    a single window partitioned by user_id, ordered by (ts, side),
+    carries the last non-null right-side payload forward onto each
+    left row.  side: views sort before purchases at equal ts, so the
+    match is inclusive (ts_view <= ts_purchase) like DuckDB's ``>=``.
+
+    One shuffle total (by user_id), no inequality-join explosion —
+    the plan that survives 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            "view_value",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("view_value"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn("matched_value", F.last("view_value", ignorenulls=True).over(w))
+        .withColumn(
+            "matched_ts",
+            F.last(
+                F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter((F.col("side") == 1) & F.col("matched_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "purchase_value",
+            F.col("matched_ts").alias("view_ts"),
+            F.col("matched_value").alias("view_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# range join
+# ---------------------------------------------------------------------------
+
+_BANDS = [("low", 1, 15), ("mid", 15, 35), ("high", 35, 51)]
+
+
+@query(
+    "join_range",
+    oracle=f"""
+    SELECT b.band, COUNT(*) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('low', 1, 15), ('mid', 15, 35), ('high', 35, 51)) b(band, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: lineitem rows land in literal quantity
+    bands.  The band table is 3 rows → Catalyst plans a broadcast
+    nested-loop join with the interval predicate in codegen; the fact
+    side streams through once, never shuffled.  With a large interval
+    table the scale path is binning both sides to an equi-join key
+    (floor(qty/width)) — noted here, not needed for literal bands."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band string, lo int, hi int")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(
+            F.broadcast(bands),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(rev, 4).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot / unpivot
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'A') AS DOUBLE) AS "A",
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'N') AS DOUBLE) AS "N",
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'R') AS DOUBLE) AS "R"
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: quantity by linestatus × returnflag.  Pivot values are
+    given explicitly — with them, Spark skips the extra distinct-values
+    job and plans ONE grouped aggregation with conditional aggregates
+    (exactly the oracle's FILTER form), map-side combined."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum(F.col("l_quantity"), 2))
+    )
+
+
+@query(
+    "unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+    """,
+)
+def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): part attributes to long form.  Spark's
+    ``unpivot`` expands each row to k rows in the scan projection —
+    no shuffle at all; the oracle's UNION ALL spelling would scan the
+    table twice, the DataFrame op scans once."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    )
+    return p.unpivot(["p_partkey"], ["p_size", "p_retailprice"], "attr", "val")
+
+
+# ---------------------------------------------------------------------------
+# order statistics / moment statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+           median(l_quantity) AS med
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles + median per group (Catalyst
+    ``percentile`` — single-pass, sort-based).  l_quantity is
+    integer-valued so the interpolation arithmetic (lower + frac *
+    (upper - lower)) is exact in doubles → hash-matches DuckDB's
+    quantile_cont.  At 100 TB switch to approx_percentile (t-digest,
+    mergeable sketch) — kept exact here because the oracle is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit([0.25, 0.5, 0.75])).alias("quartiles"),
+        F.median(F.col("l_quantity")).alias("med"),
+    )
+
+
+@query(
+    "agg_moment_stats",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           (sxx - sx * sx / n) / (n - 1) AS var_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+             AS corr_qty_discount
+    FROM s
+    """,
+)
+def agg_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance / stddev / correlation from exact decimal power
+    sums (Σx, Σx², Σy, Σy², Σxy) + one double-precision formula.
+    Native ``stddev``/``corr`` merge partial moments in partition
+    order — nondeterministic across engines AND across cluster sizes;
+    power sums in decimal are exact under any merge order, and the
+    identical final expression text makes both engines round the same
+    way.  Same single-aggregation cost."""
+    li = _t(spark, sf_dir, "lineitem")
+    q, d = F.col("l_quantity"), F.col("l_discount")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(q, 2).alias("sx"),
+        dsum(q * q, 2).alias("sxx"),
+        dsum(d, 4).alias("sy"),
+        dsum(d * d, 4).alias("syy"),
+        dsum(q * d, 4).alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return agg.select(
+        "l_returnflag",
+        ((sxx - sx * sx / n) / (n - 1)).alias("var_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_discount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sample_hash",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% Bernoulli sample keyed on md5(orderkey).
+    Unlike TABLESAMPLE / ``df.sample`` (partitioning-dependent even
+    with a seed), the hash predicate selects the SAME rows on any
+    engine, any cluster size, any run — the property a reproducible
+    holdout/eval split needs.  Evaluates in the scan's codegen stage;
+    no shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

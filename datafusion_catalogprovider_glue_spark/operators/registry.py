@@ -41,6 +41,7 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 def load_all_operator_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     from datafusion_catalogprovider_glue_spark.operators import (  # noqa: F401
+        analytics,
         catalog_ops,
         dedup,
         multimodal,

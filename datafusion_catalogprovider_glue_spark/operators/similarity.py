@@ -249,3 +249,83 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding column maintenance ops (feed the similarity paths above)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_normalize",
+    oracle="""
+    SELECT vec_id,
+           list_transform(
+               CAST(embedding AS DOUBLE[]),
+               x -> x / sqrt(list_reduce(
+                   list_prepend(0.0, list_transform(CAST(embedding AS DOUBLE[]),
+                                                    y -> y * y)),
+                   (a, b) -> a + b))
+           ) AS nvec
+    FROM embeddings
+    """,
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding column (the prep step before cosine
+    becomes a plain dot product).  Pure JVM higher-order functions
+    (transform/aggregate) — row-local, no shuffle, whole-stage
+    codegen; the left-to-right fold order matches DuckDB's
+    list_reduce, so doubles are bit-identical with no rounding."""
+    e = _emb(spark, sf_dir)
+    ss = F.aggregate(
+        F.transform(F.col("v"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.sqrt(ss)).alias("nvec"),
+    )
+
+
+@query(
+    "embedding_centroid",
+    oracle="""
+    WITH e AS (
+        SELECT label,
+               unnest(CAST(embedding AS DOUBLE[])) AS val,
+               unnest(range(1, len(embedding) + 1)) AS pos
+        FROM embeddings
+    ),
+    m AS (
+        SELECT label, pos,
+               CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(val) AS av
+        FROM e GROUP BY label, pos
+    )
+    SELECT label, COUNT(*) AS dim, list(av ORDER BY pos) AS centroid
+    FROM m GROUP BY label
+    """,
+)
+def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean vector (the k-means update step / class
+    prototype).  posexplode → grouped exact-decimal mean per (label,
+    dimension) → reassemble ordered by position.  The explode
+    multiplies rows by dim (64×) but each is 3 narrow columns, and the
+    aggregation is map-side combined on (label, pos) — at 100 TB this
+    beats collecting vectors: state is one accumulator per (label,
+    pos), never a vector buffer.  Means use exact decimal sums, so
+    centroids are bit-identical across engines/partitionings."""
+    e = _emb(spark, sf_dir)
+    exploded = e.select("label", F.posexplode(F.col("v")).alias("pos", "val"))
+    means = exploded.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("decimal(38,9)").cast("double")
+            / F.count("val")
+        ).alias("av")
+    )
+    return means.groupBy("label").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
+        ).alias("centroid"),
+    )

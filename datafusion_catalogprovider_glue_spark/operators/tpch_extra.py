@@ -39,7 +39,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_REV = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
 _SQL_REV = "l_extendedprice * (1 - l_discount)"
 
 
@@ -99,7 +102,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("long").alias("l_year"),
         )
-        .agg(dsum(_REV, 4).alias("revenue"))
+        .agg(dsum(_rev(), 4).alias("revenue"))
     )
 
 
@@ -150,7 +153,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
-    volume = _REV.alias("volume")
+    volume = _rev().alias("volume")
     all_nations = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
@@ -221,10 +224,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-10-01"))
     )
     p = _t(spark, sf_dir, "part")
-    promo = F.when(F.col("p_type") == "PROMO", _REV).otherwise(0.0)
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(0.0)
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .agg((F.lit(100.00) * dsum(promo, 4) / dsum(_REV, 4)).alias("promo_revenue"))
+        .agg((F.lit(100.00) * dsum(promo, 4) / dsum(_rev(), 4)).alias("promo_revenue"))
     )
 
 
@@ -396,7 +399,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
-        .agg(dsum(_REV, 4).alias("revenue"))
+        .agg(dsum(_rev(), 4).alias("revenue"))
     )
 
 

@@ -234,3 +234,40 @@ def test_approx_distinct_accuracy(spark):
     }
     for flag, n in exact.items():
         assert abs(approx[flag] - n) / n < 0.05
+
+
+def test_asof_join_tie_and_order_semantics(spark):
+    # constructed case: view exactly AT the purchase ts must match
+    # (inclusive >=), later views must not, and a purchase with no
+    # prior view drops (inner asof semantics)
+    import datetime as dt
+
+    from datafusion_catalogprovider_glue_spark.operators.analytics import join_asof
+    from datafusion_catalogprovider_glue_spark.tables import load_table as real_load
+    import datafusion_catalogprovider_glue_spark.operators.analytics as mod
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view@12:00, purchase@12:00 (tie -> matches), view@12:05 later
+        (1, t0, 1, "view", 10.0, None),
+        (2, t0, 1, "purchase", 99.0, None),
+        (3, t0 + dt.timedelta(minutes=5), 1, "view", 20.0, None),
+        # user 2: purchase with no prior view -> dropped
+        (4, t0, 2, "purchase", 50.0, None),
+        # user 3: two views before purchase -> latest wins
+        (5, t0, 3, "view", 1.0, None),
+        (6, t0 + dt.timedelta(minutes=1), 3, "view", 2.0, None),
+        (7, t0 + dt.timedelta(minutes=2), 3, "purchase", 7.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    orig = mod.load_table
+    mod.load_table = lambda s, d, n: df
+    try:
+        out = {r["event_id"]: r for r in join_asof(spark, "ignored").collect()}
+    finally:
+        mod.load_table = orig
+    assert set(out) == {2, 7}
+    assert out[2]["view_value"] == 10.0 and out[2]["view_ts"] == t0
+    assert out[7]["view_value"] == 2.0

@@ -181,3 +181,39 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_asof_join_no_nested_loop(spark):
+    # the union+window as-of join must never degenerate into an
+    # inequality join (BroadcastNestedLoop / CartesianProduct); its
+    # only fact-sized movement is hash exchanges on user_id
+    p = plan_str(q(spark, "join_asof"), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+
+
+def test_range_join_broadcasts_band_table(spark):
+    # 3-row interval table: the RIGHT plan is a broadcast nested loop
+    # with the band predicate in codegen — the fact side never shuffles
+    p = plan_str(q(spark, "join_range"), "simple")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_pivot_is_single_aggregation(spark):
+    # explicit pivot values -> one partial+final aggregate pair, no
+    # extra distinct-values job and no per-value scans
+    p = plan_str(q(spark, "pivot"), "simple")
+    assert p.count("Scan parquet") == 1
+
+
+def test_unpivot_scans_once_no_shuffle(spark):
+    # DataFrame unpivot expands rows in the projection: one scan,
+    # zero exchanges (the UNION ALL oracle spelling would scan twice)
+    p = plan_str(q(spark, "unpivot"), "simple")
+    assert p.count("Scan parquet") == 1
+    assert "Exchange" not in p
+
+
+def test_sample_hash_filter_in_scan_stage(spark):
+    p = plan_str(q(spark, "sample_hash"), "simple")
+    assert "Exchange" not in p  # pure map-side predicate
