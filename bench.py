@@ -26,7 +26,9 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q18_large_orders",
     "join_inner",
+    "join_asof",
     "agg_group",
     "window_rank",
     "topk",

@@ -333,3 +333,72 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.filter(
         F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1")
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+# ---------------------------------------------------------------------------
+# distribution window functions / collection aggregates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ntile(4)      OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()   OVER w AS cume,
+           nth_value(o_totalprice, 2)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    / nth_value.  Ordered by the unique o_orderkey so ranks are
+    deterministic; nth_value gets an explicit full-partition frame
+    (engine defaults differ).  percent_rank and cume_dist are exact
+    rationals computed identically in both engines.  One shuffle on
+    o_custkey; at 100 TB the per-customer partitions are tiny and
+    AQE-coalesced."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value(F.col("o_totalprice"), 2).over(wf).alias("second_price"),
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT s_nationkey,
+           list(s_name ORDER BY s_name) AS names,
+           list(DISTINCT s_acctbal > 0 ORDER BY s_acctbal > 0) AS bal_signs,
+           string_agg(s_name, ',' ORDER BY s_name) AS names_csv
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregates: list / distinct-list / string_agg.
+    Spark's collect_list order is partition-arrival order
+    (nondeterministic) — array_sort after collection restores a stable
+    result, which is also the only sane contract at 100 TB where
+    partitioning is dynamic.  State per group is the collected list:
+    fine for bounded groups (suppliers per nation), the wrong tool for
+    unbounded ones — that's what the sketch aggregates are for."""
+    s = _t(spark, sf_dir, "supplier")
+    return s.groupBy("s_nationkey").agg(
+        F.array_sort(F.collect_list("s_name")).alias("names"),
+        F.array_sort(F.collect_set(F.col("s_acctbal") > 0)).alias("bal_signs"),
+        F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("names_csv"),
+    )

@@ -215,3 +215,64 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(hashes).alias("min_fingerprint"),
         F.size(hashes).alias("n_windows"),
     )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS bigram FROM w)
+    SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM g GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram LIMIT 50
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram extraction (word bigrams): the vocabulary /
+    phrase-mining step of a training-data pipeline.  Bigram expansion
+    is a JVM ``transform`` over index sequences (no Python, no UDF);
+    the count is one map-side-combined groupBy on the bigram string.
+    At 100 TB the bigram key space is Zipf-skewed — AQE's skew-join
+    handling and partial aggregation absorb it; the final top-50 is
+    TakeOrderedAndProject, never a global sort."""
+    d = _docs(spark, sf_dir)
+    ws = F.split(F.lower(F.col("text")), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - 1),
+        lambda i: F.concat(F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)),
+    )
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("bigram"))
+        .limit(50)
+    )
+
+
+@query(
+    "text_normalize",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lowercase, strip non-alphanumerics, collapse
+    whitespace) — the canonicalization step before exact/near dedup.
+    Pure codegen regex chain, row-local, zero shuffle.  Spark's
+    regexp_replace is global by default; the oracle passes DuckDB the
+    'g' flag for the same semantics."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select("doc_id", norm.alias("norm_text"))
