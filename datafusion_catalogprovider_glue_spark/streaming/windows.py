@@ -271,3 +271,65 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(sink_name)
+
+
+@query(
+    "stream_static_join",
+    oracle=f"""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value', 4)} AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment, e.event_type
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6: stream-static enrichment join — the standard streaming
+    pattern of decorating an event stream with a slowly-changing
+    dimension.  The static side (customer) is a batch DataFrame
+    broadcast into every micro-batch; the stream side never shuffles
+    before the join.  Aggregated per (segment, event_type) in complete
+    mode (no watermark needed: complete mode re-emits full state, and
+    the availableNow one-shot drain makes the result equal the batch
+    join — same oracle).  At 100 TB/day the same topology holds: the
+    dimension refreshes per micro-batch, the stream stays partition-
+    local until the post-join aggregation."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    import hashlib as _hashlib
+    import os as _os
+
+    stream_dir = _os.path.join(
+        "/tmp",
+        f"glue_spark_stream_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    _os.makedirs(stream_dir, exist_ok=True)
+    link = _os.path.join(stream_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(table_path(sf_dir, "events"), link)
+
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    customer = F.broadcast(load_table(spark, sf_dir, "customer"))
+    agg = (
+        stream.join(customer, stream.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 4, 8).alias("sum_value"),
+        )
+    )
+    sink_name = "stream_static_join_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink_name)

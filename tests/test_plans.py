@@ -217,3 +217,17 @@ def test_unpivot_scans_once_no_shuffle(spark):
 def test_sample_hash_filter_in_scan_stage(spark):
     p = plan_str(q(spark, "sample_hash"), "simple")
     assert "Exchange" not in p  # pure map-side predicate
+
+
+@pytest.mark.parametrize("name", ["q7_volume_shipping", "q8_market_share", "q14_promo_revenue", "q19_disjunctive_predicates"])
+def test_tpch_extra_dims_broadcast(spark, name):
+    # every dimension join in the widened TPC-H set must broadcast —
+    # the fact table shuffles at most once (orders co-join)
+    p = plan_str(q(spark, name), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q18_semi_join_not_expanded(spark):
+    p = plan_str(q(spark, "q18_large_orders"), "simple")
+    assert "LeftSemi" in p
