@@ -333,3 +333,57 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(sink_name)
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_distinct_users
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: streaming deduplication — ``dropDuplicates`` on
+    (user_id, event_type) runs through the streaming dedup state store
+    (one state row per distinct key), then a grouped count per type.
+    In the one-shot availableNow drain the result equals the batch
+    DISTINCT (the oracle).  At 100 TB/day the unbounded-state risk is
+    real: production would use dropDuplicatesWithinWatermark so state
+    expires with event time — noted here, the bounded key domain
+    (users × 5 types) keeps exact dedup cheap."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    import hashlib as _hashlib
+    import os as _os
+
+    stream_dir = _os.path.join(
+        "/tmp",
+        f"glue_spark_stream_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    _os.makedirs(stream_dir, exist_ok=True)
+    link = _os.path.join(stream_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(table_path(sf_dir, "events"), link)
+
+    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    agg = (
+        stream.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+    )
+    sink_name = "stream_dedup_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink_name)
