@@ -49,6 +49,7 @@ def load_all_operator_modules() -> None:
         similarity,
         text,
         tpch_extra,
+        tpch_rest,
     )
     from datafusion_catalogprovider_glue_spark.streaming import (  # noqa: F401
         stateful,
