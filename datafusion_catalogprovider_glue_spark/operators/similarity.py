@@ -329,3 +329,85 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
         ).alias("centroid"),
     )
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, v,
+               list_aggregate(list_transform(v, x -> abs(x)), 'max') AS amax
+        FROM v
+    )
+    SELECT vec_id, amax / 127.0 AS scale,
+           CASE WHEN amax = 0.0 THEN list_transform(v, x -> 0)
+                ELSE list_transform(v, x -> CAST(round(x / (amax / 127.0)) AS INT))
+           END AS q
+    FROM s
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 family: symmetric int8 scalar quantization per vector — the
+    standard 4× shrink before an ANN index or a feature store write.
+    Row-local and zero-shuffle: scale = max|x| / 127, q = round(x /
+    scale), all in JVM higher-order functions (transform / array_max),
+    so the 100 TB plan is a pure map stage that pipelines with the
+    scan.  All-zero vectors keep scale 0 and quantize to zeros instead
+    of dividing by zero.  Determinism: divide and round are
+    exactly-rounded IEEE ops with identical formula text on both
+    engines; both engines round halves away from zero, and the int
+    cast is exact because round() already produced an integral."""
+    e = _emb(spark, sf_dir)
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    q = F.when(
+        amax == 0.0, F.transform(F.col("v"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(F.col("v"), lambda x: F.round(x / (amax / 127.0)).cast("int"))
+    )
+    return e.select(
+        "vec_id",
+        (amax / 127.0).alias("scale"),
+        q.alias("q"),
+    )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+        SELECT unnest(CAST(embedding AS DOUBLE[])) AS val,
+               unnest(range(0, len(embedding))) AS dim
+        FROM embeddings
+    )
+    SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(val) AS mean_val,
+           MIN(val) AS min_val, MAX(val) AS max_val
+    FROM e GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 family: per-dimension corpus statistics (mean / min / max) —
+    the profile a pipeline needs before whitening, clipping, or
+    choosing quantization ranges.  posexplode fans each vector into
+    (dim, val) pairs; the aggregation is map-side combined on the
+    64-value dim domain, so the shuffle carries 64 accumulator rows
+    per map task regardless of corpus size — this is the
+    no-vector-buffer pattern from embedding_centroid, global instead
+    of per-label.  Means are exact decimal sums divided once, so
+    stats hash-match under any partitioning."""
+    e = _emb(spark, sf_dir)
+    ex = e.select(F.posexplode(F.col("v")).alias("dim", "val")).withColumn(
+        "dim", F.col("dim").cast("long")
+    )
+    return ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("decimal(38,9)").cast("double")
+            / F.count("val")
+        ).alias("mean_val"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )

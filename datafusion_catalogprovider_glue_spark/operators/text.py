@@ -11,7 +11,7 @@ keys: one small shuffle, no skew risk.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_catalogprovider_glue_spark.operators.registry import query
@@ -276,3 +276,69 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", norm.alias("norm_text"))
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf,
+               t.tf * (n.n_docs + 1.0) / (d.df_docs + 1.0) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf * (n.n_docs + 1.0) / (d.df_docs + 1.0) DESC,
+                            t.term
+               ) AS rnk
+        FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score, CAST(rnk AS BIGINT) AS rnk
+    FROM scored WHERE rnk <= 3
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: top-3 characteristic terms per document by tf-idf.
+
+    Three distributed stages: (1) tokenize + per-(doc, term) counts —
+    one shuffle on (doc_id, term); (2) document frequency per term —
+    a second, smaller aggregation reusing the tf relation (no second
+    corpus scan); (3) join tf with df on term and rank per document.
+    The term join is zipf-skewed (stopwords hit every doc) — AQE's
+    skew-join splitting handles the hot terms; at 100 TB add a
+    frequency-capped stopword pre-filter (df above ~50% of corpus
+    carries no signal) to shrink the join's hot side by orders of
+    magnitude before it shuffles.
+
+    Determinism: the idf factor is the LOG-FREE ratio
+    (N + 1) / (df + 1) — Java's Math.log and DuckDB's libm log are not
+    guaranteed to agree in the last ulp, while multiply/divide are
+    exactly-rounded IEEE ops that match bit-for-bit.  Ranking breaks
+    score ties by the term itself, so top-3 is stable across engines
+    and partitionings."""
+    d = _docs(spark, sf_dir)
+    tokens = d.select("doc_id", F.explode(_words()).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (
+        F.col("tf") * (F.col("n_docs") + F.lit(1.0)) / (F.col("df_docs") + F.lit(1.0))
+    )
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("score", score)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )
