@@ -231,3 +231,46 @@ def test_tpch_extra_dims_broadcast(spark, name):
 def test_q18_semi_join_not_expanded(spark):
     p = plan_str(q(spark, "q18_large_orders"), "simple")
     assert "LeftSemi" in p
+
+
+def test_q21_exists_become_semi_and_anti(spark):
+    # the double-correlated EXISTS / NOT EXISTS must decorrelate into
+    # semi + anti joins on l_orderkey — never a per-row subquery loop
+    p = plan_str(q(spark, "q21_waiting_suppliers"), "simple")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q16_excluded_suppliers_broadcast_anti(spark):
+    # the NOT IN supplier exclusion is a broadcast anti join (filtered
+    # dim), not a shuffled one
+    p = plan_str(q(spark, "q16_supplier_part_count"), "simple")
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    # the correlated MIN(unit_cost) subquery must become an aggregate
+    # joined back on partkey, not a nested-loop re-evaluation
+    p = plan_str(q(spark, "q2_min_cost_supplier"), "simple")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_tfidf_ndocs_is_broadcast_not_cartesian(spark):
+    # the 1-row corpus count joins via broadcast nested loop (fine);
+    # the tf x df term join must be a real equi-join
+    p = plan_str(q(spark, "text_tfidf"), "simple")
+    assert "CartesianProduct" not in p
+
+
+def test_embedding_quantize_zero_shuffle(spark):
+    # row-local quantization must not introduce an exchange
+    p = plan_str(q(spark, "embedding_quantize"), "simple")
+    assert "Exchange" not in p
+
+
+def test_scan_csv_goes_through_text_reader(spark):
+    # the SerDe dispatch must land on the csv source, not parquet
+    p = plan_str(q(spark, "scan_csv"))
+    assert "csv" in p.lower()
