@@ -223,3 +223,120 @@ def schema_from_avro_file(location: str) -> T.StructType:
             for fld in writer["fields"]
         ]
     )
+
+
+# ---------------------------------------------------------------------------
+# Writer (the encode mirror of the reader above) — used to materialize
+# Avro fixtures for the correctness gate and as a minimal single-file
+# sink.  Same subset: records of primitives wrapped in ["null", T]
+# unions (the shape Glue's all-nullable columns produce, glue.rs:535).
+# ---------------------------------------------------------------------------
+
+
+def _write_long(out: io.BufferedIOBase, value: int) -> None:
+    """Zigzag varint (Avro int/long)."""
+    accum = (value << 1) ^ (value >> 63)
+    while True:
+        byte = accum & 0x7F
+        accum >>= 7
+        if accum:
+            out.write(bytes([byte | 0x80]))
+        else:
+            out.write(bytes([byte]))
+            break
+
+
+def _write_bytes(out: io.BufferedIOBase, data: bytes) -> None:
+    _write_long(out, len(data))
+    out.write(data)
+
+
+_SPARK_TO_AVRO = {
+    "long": "long",
+    "bigint": "long",
+    "integer": "int",
+    "int": "int",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "boolean": "boolean",
+    "binary": "bytes",
+}
+
+
+def _encode_datum(out: io.BufferedIOBase, avro_type: str, value) -> None:
+    # every field is a ["null", T] union: branch index first
+    if value is None:
+        _write_long(out, 0)
+        return
+    _write_long(out, 1)
+    if avro_type in ("long", "int"):
+        _write_long(out, int(value))
+    elif avro_type == "double":
+        out.write(struct.pack("<d", float(value)))
+    elif avro_type == "float":
+        out.write(struct.pack("<f", float(value)))
+    elif avro_type == "string":
+        _write_bytes(out, value.encode("utf-8"))
+    elif avro_type == "boolean":
+        out.write(b"\x01" if value else b"\x00")
+    elif avro_type == "bytes":
+        _write_bytes(out, bytes(value))
+    else:
+        raise NotImplementedYet(f"avro writer: unsupported type {avro_type}")
+
+
+def write_avro_container(
+    path: str, schema: T.StructType, rows, block_size: int = 4096
+) -> None:
+    """Write one Avro Object Container File (null codec) for a flat
+    schema of nullable primitives.  ``rows`` is an iterable of tuples
+    in field order.  Deterministic: the sync marker derives from the
+    schema, so identical input produces identical bytes.  This is a
+    single-file encoder — a distributed sink would run it per
+    partition via ``mapPartitions`` (one file per task, exactly how
+    the reader distributes decode)."""
+    import hashlib
+
+    avro_fields = []
+    for f in schema.fields:
+        simple = f.dataType.simpleString()
+        if simple not in _SPARK_TO_AVRO:
+            raise NotImplementedYet(f"avro writer: unsupported type {simple}")
+        avro_fields.append({"name": f.name, "type": ["null", _SPARK_TO_AVRO[simple]]})
+    avro_schema = {"type": "record", "name": "row", "fields": avro_fields}
+    schema_json = json.dumps(avro_schema).encode("utf-8")
+    sync = hashlib.md5(schema_json).digest()
+    types = [_SPARK_TO_AVRO[f.dataType.simpleString()] for f in schema.fields]
+
+    with open(path, "wb") as out:
+        out.write(_MAGIC)
+        _write_long(out, 2)  # metadata map: one block of 2 entries
+        _write_bytes(out, b"avro.schema")
+        _write_bytes(out, schema_json)
+        _write_bytes(out, b"avro.codec")
+        _write_bytes(out, b"null")
+        _write_long(out, 0)  # map terminator
+        out.write(sync)
+
+        block: list[tuple] = []
+
+        def flush() -> None:
+            if not block:
+                return
+            payload = io.BytesIO()
+            for row in block:
+                for avro_type, value in zip(types, row):
+                    _encode_datum(payload, avro_type, value)
+            data = payload.getvalue()
+            _write_long(out, len(block))
+            _write_long(out, len(data))
+            out.write(data)
+            out.write(sync)
+            block.clear()
+
+        for row in rows:
+            block.append(tuple(row))
+            if len(block) >= block_size:
+                flush()
+        flush()

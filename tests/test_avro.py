@@ -207,3 +207,36 @@ def test_negative_count_metadata_block(spark, tmp_path):
     st = schema_from_avro_file(p)
     df = read_avro_fallback(spark, p, st)
     assert [tuple(r) for r in df.collect()] == [ROWS_A[0]]
+
+
+def test_writer_reader_roundtrip(spark, tmp_path):
+    """The writer is the encode mirror of the reader: negative zigzag
+    longs, None union branches, IEEE doubles, booleans, bytes."""
+    from pyspark.sql import types as T
+
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("flag", T.BooleanType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("raw", T.BinaryType()),
+        ]
+    )
+    rows = [
+        (-(2**40), True, -0.1, "héllo", b"\x00\xff"),
+        (None, None, None, None, None),
+        (7, False, float("inf"), "", b""),
+    ]
+    p = str(tmp_path / "rt.avro")
+    write_avro_container(p, schema, rows, block_size=2)  # force 2 blocks
+    df = read_avro_fallback(spark, p, schema)
+    got = sorted(
+        [tuple(bytes(v) if isinstance(v, (bytes, bytearray)) else v for v in r) for r in df.collect()],
+        key=str,
+    )
+    assert got == sorted(rows, key=str)
