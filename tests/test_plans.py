@@ -274,3 +274,51 @@ def test_scan_csv_goes_through_text_reader(spark):
     # the SerDe dispatch must land on the csv source, not parquet
     p = plan_str(q(spark, "scan_csv"))
     assert "csv" in p.lower()
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path):
+    """The 100 TB co-located join: two tables bucketed on the join key
+    join with ZERO Exchange — the shuffle is paid once at write time
+    and amortized over every subsequent join.  This is Spark's analog
+    of pre-partitioned storage layouts (the reference can't express
+    it: DataFusion 37 ListingTable has no bucketing metadata)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_quantity")
+        .write.bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", str(tmp_path / "b_lineitem"))
+        .mode("overwrite")
+        .saveAsTable("b_lineitem")
+    )
+    (
+        o.write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", str(tmp_path / "b_orders"))
+        .mode("overwrite")
+        .saveAsTable("b_orders")
+    )
+    joined = (
+        spark.table("b_lineitem")
+        .hint("merge")  # force SMJ so tiny test tables don't broadcast
+        .join(spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    p = plan_str(joined, "simple")
+    assert "SortMergeJoin" in p
+    assert "Exchange" not in p  # bucketing replaced both shuffles
+    # sanity: result matches the shuffled join
+    expected = (
+        load_table(spark, SF_DIR, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert joined.count() == expected
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
