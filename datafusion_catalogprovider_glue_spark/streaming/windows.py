@@ -387,3 +387,69 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(sink_name)
+
+
+@query(
+    "stream_sliding_watermark",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+                    - TO_MINUTES(o.off), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 4)} AS sum_value
+    FROM events, (SELECT UNNEST([0, 15, 30, 45]) AS off) o
+    GROUP BY 1
+    """,
+)
+def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-family: REAL streaming sliding windows — file source →
+    10-minute watermark → 1-hour windows sliding every 15 minutes →
+    memory sink, availableNow drain.  Each event updates 4 overlapping
+    window states; the watermark bounds how long each stays open, so
+    state is O(active windows), not O(stream).  One-shot drain equals
+    the batch sliding aggregation (E2's oracle, widened with the exact
+    decimal sum).  At 100 TB-scale streams the state store shards by
+    (window, key) across executors — overlapping windows multiply
+    state size by window/slide (4× here), which is the capacity knob
+    to watch."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import hashlib as _hashlib
+    import os as _os
+
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream_dir = _os.path.join(
+        "/tmp",
+        f"glue_spark_stream_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    _os.makedirs(stream_dir, exist_ok=True)
+    link = _os.path.join(stream_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(table_path(sf_dir, "events"), link)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 4, 8).alias("sum_value"),
+        )
+        .select(_win_str("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+    sink_name = "stream_sliding_watermark_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(sink_name)
