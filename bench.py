@@ -39,6 +39,8 @@ HEADLINE = [
     "sim_topk_lsh",
     "text_stats",
     "text_rolling_fingerprint",
+    "text_tfidf",
+    "embedding_quantize",
     "window_tumbling",
     # stream_stateful_sessionize is oracle-checked in the correctness
     # gate but excluded here: its wall time is dominated by streaming
