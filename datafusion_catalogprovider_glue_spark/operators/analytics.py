@@ -402,3 +402,25 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_set(F.col("s_acctbal") > 0)).alias("bal_signs"),
         F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("names_csv"),
     )
+
+
+@query("agg_approx_percentile")  # rows-only: sketch internals are engine-specific
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB swap agg_percentile's docstring promises: quantiles
+    from a bounded-memory mergeable sketch (Catalyst's
+    ``approx_percentile``, Greenwald-Khanna family) instead of the
+    exact sort-based ``percentile``.  The exact form buffers each
+    group's values; the sketch holds O(1/accuracy) state per group
+    regardless of row count and merges associatively across
+    partitions — the only viable shape when one group spans billions
+    of rows.  Engine-specific sketch internals mean no cross-engine
+    hash oracle; the accuracy contract (rank error ≤ 1/accuracy =
+    0.1%) is pinned against the exact percentiles in
+    tests/test_extensions.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile(
+            F.col("l_quantity"), F.lit([0.25, 0.5, 0.75]), F.lit(1000)
+        ).alias("approx_quartiles"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -271,3 +271,42 @@ def test_asof_join_tie_and_order_semantics(spark):
     assert set(out) == {2, 7}
     assert out[2]["view_value"] == 10.0 and out[2]["view_ts"] == t0
     assert out[7]["view_value"] == 2.0
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """approx_percentile(accuracy=1000) must land within 0.5% rank
+    error of the exact quartiles (contract is 1/accuracy = 0.1%; the
+    margin covers integer-valued data where many rows tie)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.operators import registry
+
+    registry.load_all_operator_modules()
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r["l_returnflag"]: r["approx_quartiles"]
+        for r in registry.QUERIES["agg_approx_percentile"](spark, sf).collect()
+    }
+    exact_rows = registry.QUERIES["agg_percentile"](spark, sf).collect()
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    li = load_table(spark, sf, "lineitem")
+    for row in exact_rows:
+        flag = row["l_returnflag"]
+        vals = sorted(
+            x["l_quantity"]
+            for x in li.filter(F.col("l_returnflag") == flag)
+            .select("l_quantity")
+            .collect()
+        )
+        n = len(vals)
+        for q, got in zip([0.25, 0.5, 0.75], approx[flag]):
+            # rank of the sketch's answer must be within 0.5% of q*n
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * (n - 1)
+            assert lo - 0.005 * n <= target <= hi + 0.005 * n, (
+                flag, q, got, lo, hi, target, n,
+            )
