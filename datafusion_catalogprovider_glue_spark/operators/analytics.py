@@ -424,3 +424,46 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_quartiles"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "join_salted",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit key salting — the manual fix for join skew that AQE's
+    runtime splitting (pinned in tests/test_plans.py) automates.  The
+    technique: the build side is replicated once per salt value with
+    an explicit salt column; the probe side computes a deterministic
+    per-row salt from non-key columns; the join key becomes
+    (key, salt), spreading any hot key over SALT shuffle partitions.
+    The oracle is the PLAIN join — hash-matching it proves salting is
+    result-preserving.  Use when one key holds >~1 partition's worth
+    of rows and the build side is too big to broadcast; replication
+    multiplies build-side shuffle volume by SALT, so size it to the
+    skew, not higher.  At 100 TB this is the difference between one
+    straggler task holding the stage for hours and SALT even tasks."""
+    SALT = 8
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    salts = spark.range(SALT).select(F.col("id").cast("int").alias("salt"))
+    o_salted = o.crossJoin(F.broadcast(salts))
+    li_salted = li.withColumn(
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(SALT)).cast("int")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li_salted.join(
+            o_salted,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (li_salted.salt == o_salted.salt),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), dsum(rev, 4).alias("revenue"))
+    )
