@@ -134,6 +134,19 @@ class _Parser:
         # simple types: longest keyword first so 'integer' beats 'int'
         for keyword in sorted(_SIMPLE, key=len, reverse=True):
             if self.eat(keyword):
+                if keyword in ("char", "varchar") and self.eat("("):
+                    # extension beyond the reference grammar: Hive DDL
+                    # allows char(n)/varchar(n) and real Glue/Athena
+                    # catalogs emit them, but the reference's pest
+                    # grammar accepts only the bare keywords
+                    # (glue_datatype.pest:17-18) and fails such tables
+                    # at registration (collected per-table,
+                    # glue.rs:124-132).  The length is dropped either
+                    # way (→ Utf8/StringType, glue.rs:468-469), so
+                    # accepting it only widens coverage, never changes
+                    # a value.  Documented in SURVEY §1.3.
+                    self.number()
+                    self.expect(")")
                 return _SIMPLE[keyword]
         raise self.fail("a Glue data type")
 

@@ -168,3 +168,23 @@ def test_field_and_schema_always_nullable():
     )
     assert all(f.nullable for f in schema.fields)
     assert schema["tags"].dataType.containsNull is True
+
+
+def test_char_varchar_with_length_extension():
+    """Extension beyond the reference grammar: Hive DDL / real Glue
+    catalogs emit char(n)/varchar(n); the reference fails those tables
+    at registration (bare keywords only, glue_datatype.pest:17-18).
+    We accept and drop the length — same StringType either way."""
+    assert parse_glue_data_type("char(10)") == T.StringType()
+    assert parse_glue_data_type("varchar(65535)") == T.StringType()
+    nested = parse_glue_data_type("struct<a:varchar(5),b:array<char(2)>>")
+    assert nested == T.StructType(
+        [
+            T.StructField("a", T.StringType(), True),
+            T.StructField("b", T.ArrayType(T.StringType(), True), True),
+        ]
+    )
+    with pytest.raises(TypeMappingError):
+        parse_glue_data_type("char()")
+    with pytest.raises(TypeMappingError):
+        parse_glue_data_type("varchar(x)")
