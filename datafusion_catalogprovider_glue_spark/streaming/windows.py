@@ -453,3 +453,112 @@ def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(120)
     return spark.table(sink_name)
+
+
+def keep_latest_per_user(df: DataFrame) -> DataFrame:
+    """One row per user_id: latest by (ts, event_id) — the reduce used
+    on both sides of the streaming upsert merge."""
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+def make_upsert_merger(state_dir: str, cols: list[str]):
+    """Build the foreachBatch callback for a keyed-upsert parquet sink.
+
+    Each call reduces the batch to one row per key, merges with the
+    current state (union -> keep-latest), writes a new version, and
+    atomically repoints ``current`` via rename.  Factored out so tests
+    can drive a multi-batch sequence directly."""
+    import os as _os
+    import shutil as _shutil
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        incoming = keep_latest_per_user(batch.select(*cols))
+        current = _os.path.join(state_dir, "current")
+        if _os.path.exists(current):
+            merged = keep_latest_per_user(s.read.parquet(current).unionByName(incoming))
+        else:
+            merged = incoming
+        staged = _os.path.join(state_dir, f"v{batch_id}")
+        merged.write.mode("overwrite").parquet(staged)
+        # atomic repoint: rename is the poor man's transaction on a
+        # local FS; Delta/Iceberg MERGE is the production swap
+        tmp_old = current + ".old"
+        if _os.path.exists(current):
+            _os.rename(current, tmp_old)
+        _os.rename(staged, current)
+        if _os.path.exists(tmp_old):
+            _shutil.rmtree(tmp_old)
+
+    return _merge
+
+
+@query(
+    "stream_upsert_sink",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+           event_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT through ``foreachBatch`` — the sink-side
+    pattern Structured Streaming leaves to the user: each micro-batch
+    is reduced to its latest row per key, merged with the current
+    state table (union → window rank → keep-1), and atomically swapped
+    in (write to a new versioned directory, then repoint).  The final
+    state equals batch keep-latest-per-key (same oracle as
+    dedup_keep_latest).  At 100 TB the swap target is a format with
+    real MERGE (Delta/Iceberg) or a partitioned overwrite limited to
+    touched key ranges; the batch-local reduce stays as-is — it shrinks
+    each merge to one row per touched key, which is what keeps
+    per-batch cost O(batch + touched keys), not O(state)."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    base = _os.path.join(
+        "/tmp",
+        f"glue_spark_upsert_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    stream_dir = _os.path.join(base, "in")
+    state_dir = _os.path.join(base, "state")
+    if _os.path.exists(base):
+        _shutil.rmtree(base)  # fresh run: the sink is the thing under test
+    _os.makedirs(stream_dir)
+    link = _os.path.join(stream_dir, "events.parquet")
+    _os.symlink(table_path(sf_dir, "events"), link)
+
+    _merge = make_upsert_merger(state_dir, ["user_id", "event_id", "ts", "event_type"])
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(_os.path.join(state_dir, "current")).select(
+        "user_id", "event_id", _win_str("ts").alias("ts"), "event_type"
+    )

@@ -84,3 +84,40 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # would mean the watermark failed); 13:00 closes with n=2 (13:15 + 13:45);
     # the 14:00 window is still open and must NOT be emitted
     assert rows == {"12:00": 3, "13:00": 2}
+
+
+def test_upsert_merger_multi_batch(spark, tmp_path):
+    """The foreachBatch upsert must converge across batches: a later
+    batch's newer row replaces state; an older row does not."""
+    from datafusion_catalogprovider_glue_spark.streaming.windows import (
+        make_upsert_merger,
+    )
+
+    state = str(tmp_path / "state")
+    cols = ["user_id", "event_id", "ts", "event_type"]
+    merge = make_upsert_merger(state, cols)
+    schema = "user_id long, event_id long, ts timestamp_ntz, event_type string"
+    import datetime as dt
+
+    t = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    b0 = spark.createDataFrame(
+        [(1, 10, t, "view"), (2, 20, t, "view")], schema
+    )
+    merge(b0, 0)
+    # batch 1: user 1 has a NEWER event; user 3 is new; user 2 gets an
+    # OLDER event that must lose the merge
+    b1 = spark.createDataFrame(
+        [
+            (1, 11, t + dt.timedelta(minutes=5), "purchase"),
+            (3, 30, t, "view"),
+            (2, 19, t - dt.timedelta(minutes=5), "click"),
+        ],
+        schema,
+    )
+    merge(b1, 1)
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in spark.read.parquet(f"{state}/current").collect()
+    }
+    assert got == {1: (11, "purchase"), 2: (20, "view"), 3: (30, "view")}
