@@ -467,3 +467,33 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_lines"), dsum(rev, 4).alias("revenue"))
     )
+
+
+@query("agg_hll_partitioned_merge")  # rows-only: sketch bytes are engine-specific
+def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch architecture, end-to-end: per-day HLL sketches
+    of the distinct-user set (``hll_sketch_agg``), then a sketch UNION
+    (``hll_union_agg``) produces the global distinct estimate without
+    ever re-touching the rows.  This two-level shape is the 100 TB
+    pattern approx_count_distinct hides inside one aggregate: daily
+    sketches are tiny (≤ ~1.5 KB at lgConfigK=12), so incremental
+    ingestion keeps one sketch per partition-day and any rollup
+    (7-day, monthly, all-time) is a byte-merge, not a scan.  The
+    per-day rows also expose each day's own estimate.  Sketch binary
+    layouts differ per engine → rows-only in the gate; the estimate's
+    accuracy (within 5% of exact) is pinned in tests."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sketch"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    per_day = daily.select(
+        "day", F.hll_sketch_estimate("sketch").alias("daily_users"), "n_events"
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("total_users")
+    )
+    return per_day.crossJoin(F.broadcast(total)).orderBy("day")

@@ -310,3 +310,30 @@ def test_approx_percentile_within_rank_error(spark):
             assert lo - 0.005 * n <= target <= hi + 0.005 * n, (
                 flag, q, got, lo, hi, target, n,
             )
+
+
+def test_hll_partitioned_merge_accuracy(spark):
+    """The merged-sketch global estimate must sit within 5% of the
+    exact COUNT(DISTINCT user_id), and per-day estimates within 5%
+    of each day's exact count."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.operators import registry
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    registry.load_all_operator_modules()
+    sf = "/root/testdata/sf0.01"
+    rows = registry.QUERIES["agg_hll_partitioned_merge"](spark, sf).collect()
+    ev = load_table(spark, sf, "events")
+    exact_total = ev.select("user_id").distinct().count()
+    assert abs(rows[0]["total_users"] - exact_total) <= 0.05 * exact_total
+    exact_daily = {
+        r["day"]: r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r["daily_users"] - exact_daily[r["day"]]) <= max(
+            0.05 * exact_daily[r["day"]], 2
+        )
