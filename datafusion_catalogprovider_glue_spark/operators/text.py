@@ -342,3 +342,63 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "score", "rnk")
     )
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    ),
+    gated AS (
+        SELECT doc_id, norm_text, len(string_split(norm_text, ' ')) AS n_tokens
+        FROM norm
+        WHERE len(string_split(norm_text, ' ')) >= 20
+    ),
+    dedup AS (
+        SELECT MIN(doc_id) AS doc_id, MIN(n_tokens) AS n_tokens,
+               md5(norm_text) AS fingerprint
+        FROM gated GROUP BY norm_text
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, fingerprint
+    FROM dedup
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+          IN ('0', '1', '2', '3', '4', '5', '6', '7')
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composite: the canonical training-corpus cleaning
+    pipeline as ONE dataflow — normalize → length gate → exact dedup
+    (keep lowest doc_id) → stable 50% hash sample.  Because every
+    stage is an operator this engine already proves individually
+    (text_normalize, text_quality's gate, dedup_exact, sample_hash),
+    the composite's oracle is plain SQL over the whole chain.
+
+    Plan economics at 100 TB: normalize + gate + the sample predicate
+    are all row-local codegen (the sample could run before dedup, but
+    then near-identical docs straddling the sample boundary would
+    survive — order matters semantically, so the one shuffle is the
+    dedup groupBy on the normalized-text hash).  Everything before it
+    is map-side; everything after is a projection.  One shuffle for a
+    four-stage pipeline."""
+    d = _docs(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    gated = d.select("doc_id", norm.alias("norm_text")).withColumn(
+        "n_tokens", F.size(F.split("norm_text", " ")).cast("long")
+    ).filter(F.col("n_tokens") >= 20)
+    deduped = gated.groupBy("norm_text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3", "4", "5", "6", "7"
+        )
+    ).select("doc_id", "n_tokens", F.md5("norm_text").alias("fingerprint"))
