@@ -1184,3 +1184,40 @@ def subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "scalar_bitwise_hash",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 15 AS ored,
+           xor(o_orderkey, o_custkey) AS xored,
+           o_orderkey << 2 AS shifted_l,
+           o_orderkey >> 3 AS shifted_r,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount,
+           md5(CAST(o_orderkey AS VARCHAR)) AS key_md5,
+           sha256(CAST(o_orderkey AS VARCHAR)) AS key_sha256
+    FROM orders
+    """,
+)
+def scalar_bitwise_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 widening: bitwise operators (&, |, xor, shifts, popcount)
+    and cryptographic digests (md5, sha256) — the primitives behind
+    hash partitioning, bloom/bit-sketches, and content addressing.
+    All row-local codegen with bit-identical cross-engine semantics on
+    two's-complement longs; digests are hex over identical UTF-8 input
+    on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        key.bitwiseAND(F.lit(255)).alias("band"),
+        key.bitwiseOR(F.lit(15)).alias("ored"),
+        key.bitwiseXOR(F.col("o_custkey")).alias("xored"),
+        F.shiftleft(key, 2).alias("shifted_l"),
+        F.shiftright(key, 3).alias("shifted_r"),
+        F.bit_count(key).alias("popcount"),
+        F.md5(key.cast("string")).alias("key_md5"),
+        F.sha2(key.cast("string"), 256).alias("key_sha256"),
+    )
