@@ -322,3 +322,10 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     assert joined.count() == expected
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
     spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_clean_corpus_pipeline_single_shuffle(spark):
+    # four pipeline stages, exactly ONE exchange (the dedup groupBy);
+    # normalize, gate, and sample must stay row-local in the scan stage
+    p = plan_str(q(spark, "pipeline_clean_corpus"), "simple")
+    assert p.count("Exchange") == 1
