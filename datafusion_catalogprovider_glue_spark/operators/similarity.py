@@ -411,3 +411,43 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+@query(
+    "sim_range_search",
+    oracle="""
+    SELECT a.vec_id AS query_id, b.vec_id AS match_id,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a
+    JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.35
+    """,
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search — ALL pairs above a similarity threshold, the
+    complement of top-k (top-k bounds output per query; range search
+    bounds quality).  This is the primitive behind near-dup pair
+    mining at a fixed similarity bar and radius-based clustering.
+    (The bar is 0.35 because the synthetic corpus has weak cluster
+    structure — within-label cosines top out near 0.47; a production
+    near-dup bar sits at 0.9+ with the identical plan.)
+    Same IVF-style label blocking as dedup_embedding_nn (a pair join
+    is quadratic without a blocking key), canonical a < b orientation
+    halves the candidate set, and the cosine is rounded to 6 decimals
+    BEFORE thresholding so the boundary set is identical on both
+    engines.  At 100 TB the label blocks come from a coarse quantizer
+    (sim_topk_ivf's k-means) and hot blocks lean on AQE skew
+    splitting — same playbook as the dedup family."""
+    e = _emb(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("query_id"), F.col("label"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("match_id"), F.col("label").alias("lb"), F.col("v").alias("vb"))
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, (F.col("label") == F.col("lb")) & (F.col("query_id") < F.col("match_id")))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.35)
+        .select("query_id", "match_id", "cos")
+    )

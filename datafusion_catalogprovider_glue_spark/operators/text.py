@@ -402,3 +402,60 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             "0", "1", "2", "3", "4", "5", "6", "7"
         )
     ).select("doc_id", "n_tokens", F.md5("norm_text").alias("fingerprint"))
+
+
+@query(
+    "text_containment",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS wset
+        FROM documents
+    )
+    SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+           ROUND(CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+                 / len(a.wset), 6) AS containment
+    FROM w a
+    JOIN w b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE len(a.wset) * 2 <= len(b.wset)
+      AND CAST(len(list_intersect(a.wset, b.wset)) AS DOUBLE)
+          / len(a.wset) >= 0.9
+    """,
+)
+def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment |A∩B| / |A| ≥ 0.9 — catches a short doc
+    embedded inside a much longer one (quotation, boilerplate reuse,
+    excerpting), which symmetric Jaccard misses by construction: a
+    100-word doc fully contained in a 10,000-word doc has Jaccard
+    ~0.01 but containment 1.0.  Blocking: lang equi-join plus the
+    directional size gate |A|·2 ≤ |B| (containment hunting only makes
+    sense into strictly larger docs), which also orients each pair
+    once — no canonical-pair dedup needed.  Same intersection kernel
+    and AQE-skew playbook as dedup_ngram_jaccard; at 100 TB swap the
+    word sets for minhash-of-shingles and this becomes approximate
+    containment (Broder), same plan shape."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("wset")
+    )
+    a = d.select(
+        F.col("doc_id").alias("src_id"), F.col("lang"), F.col("wset").alias("wa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("dst_id"), F.col("lang").alias("lang_b"),
+        F.col("wset").alias("wb"),
+    )
+    containment = (
+        F.size(F.array_intersect(F.col("wa"), F.col("wb"))).cast("double")
+        / F.size(F.col("wa"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("src_id") != F.col("dst_id"))
+            & (F.size(F.col("wa")) * 2 <= F.size(F.col("wb"))),
+        )
+        .withColumn("containment", F.round(containment, 6))
+        .filter(F.col("containment") >= 0.9)
+        .select("src_id", "dst_id", "containment")
+    )
