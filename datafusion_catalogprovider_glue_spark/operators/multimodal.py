@@ -211,3 +211,54 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, src_w bigint, src_h bigint, dst_w int, dst_h int, "
         "scale_x double, content_hash string",
     )
+
+
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id,
+           length(text) AS n_bytes,
+           length(text) - length(replace(text, ' ', '')) AS n_space,
+           ROUND(CAST(list_sum(list_transform(string_split(text, ''),
+                                              c -> ascii(c))) AS DOUBLE)
+                 / length(text), 6) AS mean_byte
+    FROM documents
+    """,
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 feature extraction — and unlike the decode/resize stages,
+    this one is REAL, not stubbed: byte-level features (size,
+    whitespace count, mean byte value) need numpy only, so the full
+    Arrow path runs genuine computation end-to-end and the oracle
+    recomputes the same features from the text the payload encodes.
+    The numpy kernel (np.frombuffer → vectorized reduction) is exactly
+    how a real featurizer consumes the payload column; swapping in a
+    CLIP/mel-spectrogram embedding changes the kernel body, not the
+    dataflow.  Zero shuffle: pure map stage, batch-bounded memory."""
+    import numpy as np
+
+    media = _docs_as_media(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n = int(arr.size)
+                feats.append(
+                    (
+                        doc_id,
+                        n,
+                        int((arr == 32).sum()),
+                        round(float(int(arr.sum(dtype=np.int64))) / n, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                feats, columns=["doc_id", "n_bytes", "n_space", "mean_byte"]
+            )
+
+    return media.select(
+        "doc_id", F.col("media.bytes").alias("payload")
+    ).mapInPandas(
+        extract, "doc_id long, n_bytes long, n_space long, mean_byte double"
+    )
