@@ -336,11 +336,16 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18-shaped: customers with very large orders.  The IN
-    subquery is a grouped HAVING over the fact table that Catalyst
-    plans as a semi join on l_orderkey — the same key the main join
-    shuffles on, so AQE reuses the exchange.  Top-100 via
-    TakeOrderedAndProject."""
+    """TPC-H Q18-shaped: customers with very large orders.  The naive
+    plan (and the oracle SQL) scans lineitem twice — once for the
+    HAVING subquery, once to re-aggregate sum_qty in the output.  But
+    the output sum IS the HAVING sum, so this implementation computes
+    the per-order aggregate once and joins it straight to
+    orders/customer: one fact scan, one aggregation, and the
+    orderkey-partitioned aggregate feeds the orders join without a
+    second lineitem exchange.  At 100 TB that halves the dominant
+    cost (the fact scan).  Top-100 via TakeOrderedAndProject.
+    Hash-matching the two-pass oracle proves the reuse is exact."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -348,21 +353,18 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("q"))
         .filter(F.col("q") > 250)
-        .select("l_orderkey")
     )
     return (
-        li.join(big.withColumnRenamed("l_orderkey", "big_key"),
-                F.col("l_orderkey") == F.col("big_key"), "left_semi")
-        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        big.join(o, big.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .groupBy(
+        .select(
             "c_name",
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").cast("date").alias("orderdate"),
             "o_totalprice",
+            F.col("q").cast("decimal(38,2)").cast("double").alias("sum_qty"),
         )
-        .agg(dsum(F.col("l_quantity"), 2).alias("sum_qty"))
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
         .limit(100)
     )

@@ -228,9 +228,13 @@ def test_tpch_extra_dims_broadcast(spark, name):
     assert "CartesianProduct" not in p
 
 
-def test_q18_semi_join_not_expanded(spark):
-    p = plan_str(q(spark, "q18_large_orders"), "simple")
-    assert "LeftSemi" in p
+def test_q18_single_fact_scan(spark):
+    # the output sum reuses the HAVING aggregate: lineitem must be
+    # scanned exactly once (the oracle's two-pass form is the proof
+    # of equivalence, not the plan to run)
+    p = plan_str(q(spark, "q18_large_orders"))
+    assert p.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in p
 
 
 def test_q21_exists_become_semi_and_anti(spark):
