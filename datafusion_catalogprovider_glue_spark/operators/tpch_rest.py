@@ -6,8 +6,9 @@ testdata does not have — but ``lineitem`` carries the same
 (l_partkey, l_suppkey) relation, so each query keeps its plan shape
 with lineitem standing in as the part↔supplier bridge:
 
-* Q2  — min-cost supplier per part (correlated MIN subquery over a
-        shared CTE, decorrelated by Catalyst)
+* Q2  — min-cost supplier per part (the oracle keeps the textbook
+        correlated-MIN-over-CTE form; the Spark plan computes it as a
+        single-pass window MIN — see the docstring)
 * Q9  — product-type profit by nation and year (retailprice-based
         cost proxy for the missing ps_supplycost)
 * Q11 — important stock: GROUP BY + HAVING > scalar
@@ -83,43 +84,45 @@ _SQL_REV = "l_extendedprice * (1 - l_discount)"
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2-shaped: the cheapest regional supplier per part.  The
     missing partsupp.ps_supplycost becomes the supplier's best observed
-    unit price MIN(l_extendedprice / l_quantity) per (part, supplier) —
-    one grouped aggregate CTE used twice (outer join + correlated MIN),
-    exactly Q2's structure.  Catalyst decorrelates the scalar subquery
-    into a per-partkey MIN aggregate joined back; both uses of the CTE
-    shuffle on the same (l_partkey, l_suppkey)-derived keys.  At 100 TB
-    the cost CTE should be persisted (one lineitem scan, reused);
-    dims broadcast.  The division is IEEE double with identical text on
-    both engines, and the final ORDER BY ends in the unique
+    unit price MIN(l_extendedprice / l_quantity) per (part, supplier).
+
+    The oracle keeps Q2's textbook form — a cost CTE used twice (outer
+    join + correlated MIN subquery).  The Spark plan does better: the
+    correlated MIN over EUROPE suppliers of the same part is a window
+    MIN over the already-joined, already-filtered relation, so the
+    cost aggregate and its three dimension joins run ONCE instead of
+    twice (hash-matching the two-pass oracle proves equivalence).  The
+    part filter only removes whole partitions of the window, never
+    rows within a surviving partition, so the window MIN equals the
+    subquery MIN.  One lineitem scan, broadcast dims, one window
+    shuffle on p_partkey.  The division is IEEE double with identical
+    text on both engines, and the final ORDER BY ends in the unique
     (p_partkey, s_name) pair so LIMIT 100 is deterministic."""
-    for tbl in ("lineitem", "part", "supplier", "nation", "region"):
-        _view(spark, sf_dir, tbl, f"q2_{tbl}")
-    return spark.sql(
-        """
-        WITH cost AS (
-            SELECT l_partkey, l_suppkey,
-                   MIN(l_extendedprice / l_quantity) AS unit_cost
-            FROM q2_lineitem
-            GROUP BY l_partkey, l_suppkey
-        )
-        SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, c.unit_cost
-        FROM q2_part p
-        JOIN cost c ON c.l_partkey = p.p_partkey
-        JOIN q2_supplier s ON s.s_suppkey = c.l_suppkey
-        JOIN q2_nation n ON s.s_nationkey = n.n_nationkey
-        JOIN q2_region r ON n.n_regionkey = r.r_regionkey
-        WHERE p.p_size <= 10 AND p.p_type = 'STANDARD' AND r.r_name = 'EUROPE'
-          AND c.unit_cost = (
-              SELECT MIN(c2.unit_cost)
-              FROM cost c2
-              JOIN q2_supplier s2 ON s2.s_suppkey = c2.l_suppkey
-              JOIN q2_nation n2 ON s2.s_nationkey = n2.n_nationkey
-              JOIN q2_region r2 ON n2.n_regionkey = r2.r_regionkey
-              WHERE c2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
-          )
-        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
-        LIMIT 100
-        """
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    joined = (
+        cost.join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
     )
 
 

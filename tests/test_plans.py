@@ -253,12 +253,14 @@ def test_q16_excluded_suppliers_broadcast_anti(spark):
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
 
 
-def test_q2_correlated_min_decorrelates(spark):
-    # the correlated MIN(unit_cost) subquery must become an aggregate
-    # joined back on partkey, not a nested-loop re-evaluation
-    p = plan_str(q(spark, "q2_min_cost_supplier"), "simple")
+def test_q2_single_pass_window_min(spark):
+    # the correlated MIN is a window over the joined relation: the
+    # cost aggregate and its dim joins must run once (one lineitem
+    # scan), never as a second decorrelated subtree
+    p = plan_str(q(spark, "q2_min_cost_supplier"))
+    assert p.count("lineitem.parquet") == 1
+    assert "Window" in p
     assert "CartesianProduct" not in p
-    assert p.count("HashAggregate") >= 2
 
 
 def test_tfidf_ndocs_is_broadcast_not_cartesian(spark):
