@@ -1,0 +1,177 @@
+"""Event-sequence analytics: ordered funnel + cohort retention.
+
+The reference exposes no event analytics (it is a catalog provider,
+SURVEY.md §0); these extend the delegated SQL surface (§2-C scoping
+note) with the two queries every product-analytics workload runs over
+an append-only event stream, each built Spark-first:
+
+* ordered funnel — "view, then click, then purchase" with strict time
+  ordering.  The naive relational form is K cascaded
+  min-timestamp-after-previous-step aggregations, i.e. K passes over
+  the fact table (that IS the oracle).  The Spark plan does it in ONE
+  pass: group events by user, sort each user's event list, and run a
+  sequential fold (``F.aggregate`` higher-order function, executed in
+  codegen — no Python) that advances a (depth, last_ts) state machine
+  on each matching step.  One shuffle on user_id, fact scanned once.
+  State per user is that user's event list — bounded by per-user
+  activity; for power-law users (bots) the swap is the K-pass
+  cascaded form or a per-user event cap, noted not needed here.
+* cohort retention — users bucketed by first-activity day, counted on
+  each later active day.  Join-free plan: distinct (user, day) →
+  window MIN(day) per user carries the cohort day onto every activity
+  row → one final aggregation.  No broadcast dependency (a cohort
+  dimension join would need |users| rows broadcast — fine at 150
+  users, wrong at 10⁹), and every stage shrinks the data:
+  events → user-days → (cohort, offset) cells.
+
+Strict-inequality step matching makes the funnel independent of how
+same-timestamp events are ordered: an event at exactly the previous
+step's timestamp never advances the state machine, in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return load_table(spark, sf_dir, "events")
+
+
+_STEPS = ["view", "click", "purchase"]
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH u1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), u2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        JOIN u1 ON e.user_id = u1.user_id
+        WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id
+    ), u3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        JOIN u2 ON e.user_id = u2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id
+    )
+    SELECT 1 AS step_no, 'view' AS step, (SELECT COUNT(*) FROM u1) AS users
+    UNION ALL
+    SELECT 2 AS step_no, 'click' AS step, (SELECT COUNT(*) FROM u2) AS users
+    UNION ALL
+    SELECT 3 AS step_no, 'purchase' AS step, (SELECT COUNT(*) FROM u3) AS users
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase with strict time order:
+    a user reaches step k+1 only with an event strictly after their
+    step-k match (greedy earliest-match, which equals the oracle's
+    cascaded MIN-after-previous form).
+
+    Plan: ONE shuffle (groupBy user_id), each user's (ts, event_id,
+    event_type) list sorted and folded by a codegen'd higher-order
+    ``aggregate`` — the oracle's three fact-table passes collapse into
+    one.  The per-user depth rows then reduce to three conditional
+    counts (map-side combined) and unfold to (step_no, step, users)."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
+    )
+    init = F.struct(
+        F.lit(0).alias("depth"),
+        F.lit("1900-01-01 00:00:00").cast("timestamp").alias("last_ts"),
+    )
+
+    def _advance(acc, e):
+        nxt = (
+            F.when(acc["depth"] == 0, F.lit(_STEPS[0]))
+            .when(acc["depth"] == 1, F.lit(_STEPS[1]))
+            .otherwise(F.lit(_STEPS[2]))
+        )
+        hit = (
+            (acc["depth"] < 3)
+            & (e["event_type"] == nxt)
+            & (e["ts"] > acc["last_ts"])
+        )
+        return F.when(
+            hit,
+            F.struct(
+                (acc["depth"] + 1).alias("depth"), e["ts"].alias("last_ts")
+            ),
+        ).otherwise(acc)
+
+    depths = per_user.select(
+        F.aggregate(F.col("evs"), init, _advance)["depth"].alias("depth")
+    )
+    totals = depths.agg(
+        F.sum((F.col("depth") >= 1).cast("bigint")).alias("u1"),
+        F.sum((F.col("depth") >= 2).cast("bigint")).alias("u2"),
+        F.sum((F.col("depth") >= 3).cast("bigint")).alias("u3"),
+    )
+    return totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("step_no"),
+                        F.lit(step).alias("step"),
+                        F.col(f"u{i + 1}").alias("users"),
+                    )
+                    for i, step in enumerate(_STEPS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ), coh AS (
+        SELECT user_id, day,
+               MIN(day) OVER (PARTITION BY user_id) AS cohort_day
+        FROM daily
+    )
+    SELECT cohort_day, datediff('day', cohort_day, day) AS day_offset,
+           COUNT(*) AS active_users
+    FROM coh GROUP BY cohort_day, day_offset
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: for each cohort (day of a user's
+    first activity) and day offset, how many of that cohort's users
+    were active.  ``active_users`` is COUNT(*) over unique (user, day)
+    rows, i.e. distinct users without a distinct aggregate.
+
+    Join-free plan: distinct user-days (shuffle 1, map-side combined
+    straight off the scan), window MIN(day) per user carries the
+    cohort day (shuffle 2 — no |users|-sized dimension to broadcast or
+    join), final (cohort, offset) rollup (shuffle 3, output is
+    O(days²) cells).  Data volume shrinks at every stage, the shape
+    that survives 100 TB of events."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("user_id")
+    return (
+        daily.withColumn("cohort_day", F.min("day").over(w))
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

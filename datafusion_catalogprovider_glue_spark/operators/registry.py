@@ -44,6 +44,7 @@ def load_all_operator_modules() -> None:
         analytics,
         catalog_ops,
         dedup,
+        funnel,
         multimodal,
         relational,
         similarity,

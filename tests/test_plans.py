@@ -330,6 +330,23 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_funnel_single_fact_scan_no_python(spark):
+    # the oracle's 3 cascaded passes collapse to ONE events scan; the
+    # per-user state machine is a codegen'd HOF, never Python rows
+    p = plan_str(q(spark, "events_funnel"), "simple")
+    assert p.count("FileScan") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # shuffle on user_id + the single-row final rollup, nothing else
+    assert p.count("Exchange") == 2
+
+
+def test_retention_join_free(spark):
+    # cohort day travels via window MIN, not a |users|-row dimension join
+    p = plan_str(q(spark, "events_retention"), "simple")
+    assert "Join" not in p
+    assert p.count("Exchange") == 3
+
+
 def test_clean_corpus_pipeline_single_shuffle(spark):
     # four pipeline stages, exactly ONE exchange (the dedup groupBy);
     # normalize, gate, and sample must stay row-local in the scan stage
