@@ -1,0 +1,114 @@
+"""Storage-layout operators: the pay-the-shuffle-once join.
+
+The reference cannot express physical co-location — DataFusion 37's
+``ListingTable`` carries no bucketing metadata (SURVEY.md §4, the
+`file_sort_order: vec![]` / `target_partitions: 1` rows of
+glue.rs:449-450).  Spark can: ``bucketBy`` at write time hash-
+partitions AND sorts the files by the join key, and every subsequent
+equi-join on that key runs with ZERO Exchange — the shuffle is paid
+once at ingest and amortized over every query.  At 100 TB this is the
+single biggest join optimization available: a fact-fact join that
+would move both tables across the network instead streams co-located
+sorted buckets.
+
+``join_bucketed`` proves the whole round trip inside the correctness
+gate: bucketed external tables are materialized once per scale
+factor, re-registered from their files in any fresh session (the
+bucket spec re-attaches via ``CLUSTERED BY`` DDL — files written by
+Spark's bucketed writer encode the bucket id in the file name), then
+joined and aggregated; the oracle is the PLAIN join on the original
+parquet, so a hash match proves the bucketed layout is
+result-preserving.  The zero-Exchange plan shape is pinned in
+tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.functions import dsum
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+N_BUCKETS = 8
+
+
+def _bucket_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    columns: list[str],
+) -> DataFrame:
+    """Materialize ``table`` bucketed+sorted on ``key`` once per sf and
+    return it as a bucketed catalog table (re-registering from the
+    existing files when this is a fresh session)."""
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    name = f"b_{table}_{h}"
+    out = os.path.join("/tmp", f"glue_spark_bucketed_{h}", table)
+    if not spark.catalog.tableExists(name):
+        if not os.path.exists(os.path.join(out, "_SUCCESS")):
+            (
+                load_table(spark, sf_dir, table)
+                .select(*columns)
+                .write.bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", out)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        else:
+            # files survive across sessions; the bucket spec lives in the
+            # catalog, so re-attach it with DDL (bucketed file names are
+            # how Spark maps files to buckets at read time)
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in spark.read.parquet(out).schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({ddl}) USING PARQUET "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) "
+                f"INTO {N_BUCKETS} BUCKETS LOCATION '{out}'"
+            )
+    return spark.table(name)
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi-join over co-located bucketed tables: lineitem
+    and orders both bucketed+sorted on the order key join with zero
+    Exchange (the ``merge`` hint keeps tiny test tables off the
+    broadcast path so the plan exercised here is the 100 TB one).
+    The only shuffle left in the query is the final rollup's.  Oracle
+    is the plain join on the original parquet — the hash match proves
+    the bucketed round trip drops/duplicates nothing."""
+    apply_engine_conf(spark)
+    li = _bucket_fixture(
+        spark, sf_dir, "lineitem", "l_orderkey", ["l_orderkey", "l_quantity"]
+    )
+    o = _bucket_fixture(
+        spark, sf_dir, "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]
+    )
+    return (
+        li.hint("merge")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_quantity"), 2, 8).alias("sum_qty"),
+        )
+    )

@@ -262,3 +262,63 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).mapInPandas(
         extract, "doc_id long, n_bytes long, n_space long, mean_byte double"
     )
+
+
+AUDIO_WINDOW_BYTES = 400  # 25 ms of 16 kHz mono s8 — one STFT frame
+AUDIO_HOP_BYTES = 160  # 10 ms hop
+
+
+@query(
+    "multimodal_audio_windows",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(s.start AS BIGINT) AS window_id,
+           CAST(s.start * {AUDIO_HOP_BYTES} AS BIGINT) AS start_byte,
+           CAST(LEAST({AUDIO_WINDOW_BYTES},
+                      octet_length(encode(text)) - s.start * {AUDIO_HOP_BYTES})
+                AS INT) AS n_bytes,
+           md5(substring(text, s.start * {AUDIO_HOP_BYTES} + 1,
+                         {AUDIO_WINDOW_BYTES})) AS window_md5
+    FROM documents,
+         UNNEST(generate_series(
+             0, (octet_length(encode(text)) - 1) // {AUDIO_HOP_BYTES}
+         )) AS s(start)
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5 audio framing: slice each binary payload into overlapping
+    fixed-size windows (400-byte window, 160-byte hop — the 25 ms/10 ms
+    STFT framing every speech pipeline uses), all JVM-side: the window
+    grid is a ``sequence`` explode and each slice is a binary
+    ``substring`` — no Python in the loop, unlike the decode stages,
+    because framing needs no codec.  Each window row carries its
+    offset, actual length (tail windows run short) and an md5 of the
+    slice bytes; the oracle recomputes the same windows from the text
+    the payload encodes (ASCII corpus: byte slicing == char slicing).
+    Zero shuffle — scan-stage generate+project, linear in corpus
+    bytes; downstream FFT/mel kernels consume window rows, never whole
+    payloads, which is what bounds executor memory at 100 TB."""
+    media = _docs_as_media(spark, sf_dir)
+    payload = F.col("media.bytes")
+    grid = F.sequence(
+        F.lit(0),
+        F.floor((F.length(payload) - 1) / AUDIO_HOP_BYTES).cast("int"),
+    )
+    win = F.expr(
+        f"substring(media.bytes, start * {AUDIO_HOP_BYTES} + 1, {AUDIO_WINDOW_BYTES})"
+    )
+    return (
+        media.select("doc_id", "media", F.explode(grid).alias("start"))
+        .select(
+            "doc_id",
+            F.col("start").cast("bigint").alias("window_id"),
+            (F.col("start") * AUDIO_HOP_BYTES).cast("bigint").alias("start_byte"),
+            F.least(
+                F.lit(AUDIO_WINDOW_BYTES),
+                F.length(payload) - F.col("start") * AUDIO_HOP_BYTES,
+            )
+            .cast("int")
+            .alias("n_bytes"),
+            F.md5(win).alias("window_md5"),
+        )
+    )

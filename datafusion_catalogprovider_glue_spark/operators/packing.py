@@ -1,0 +1,170 @@
+"""Training-data assembly: document chunking and sequence packing.
+
+The two transforms between a cleaned corpus and a training batch:
+
+* ``text_chunk`` — split every document into fixed-size token windows
+  with overlap (context-window chunking for embedding/RAG/pretrain
+  pipelines).  Row-local: tokenize once, explode the window starts,
+  slice the token array per window.  Zero shuffles — the op is a
+  projection + generate, so it runs in the scan's codegen stage and
+  scales linearly with corpus bytes.
+* ``pipeline_pack_sequences`` — GPT-style concat-and-split packing:
+  documents are laid end-to-end in a deterministic order (doc_id) and
+  cut into fixed-capacity context windows; each document reports the
+  pack it starts in and its offset.  The naive plan is a global
+  running sum — a single-partition window, the classic scale trap.
+  This plan computes prefix sums hierarchically: coarse doc_id blocks
+  aggregate their token totals (tiny: one row per block), the block
+  offsets are a running sum over that shrunken table (the ONLY
+  single-partition window — over ~|docs|/block_size rows, e.g. 10⁵
+  rows for 10⁹ docs), and each document's global offset is its
+  within-block running sum plus its block's offset, joined back by
+  block id.  Same answer as the naive form (the oracle IS the naive
+  form), but no stage ever holds more than a block or the block table
+  in one task.
+
+Both ops are pure integer/string arithmetic — bit-identical across
+engines, no floats anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+PACK_CAPACITY = 2048
+PACK_BLOCK = 64  # docs per prefix-sum block
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "text_chunk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(s.start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(s.start AS BIGINT) AS start_token,
+           CAST(LEAST({CHUNK_SIZE}, len(w) - s.start) AS INT) AS n_tokens,
+           array_to_string(w[s.start + 1 : s.start + {CHUNK_SIZE}], ' ')
+               AS chunk_text
+    FROM toks, UNNEST(generate_series(0, len(w) - 1, {CHUNK_STRIDE}))
+         AS s(start)
+    """,
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking: windows of {size} tokens every
+    {stride} (tail windows run short; a window starts wherever a
+    stride boundary lands before the end of the doc).
+
+    Plan: tokenize → explode the stride grid → slice.  All row-local
+    JVM higher-order functions in one codegen stage; output rows ≈
+    corpus_tokens / stride, each carrying only its own slice — no
+    doc-sized rows survive the generate, so downstream shuffles (if
+    any) move chunks, not documents."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    starts = F.sequence(
+        F.lit(0), F.size("w") - 1, F.lit(CHUNK_STRIDE)
+    )
+    return (
+        d.select("doc_id", "w", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.col("start").cast("bigint").alias("start_token"),
+            F.least(F.lit(CHUNK_SIZE), F.size("w") - F.col("start"))
+            .cast("int")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("w"), F.col("start") + 1, F.lit(CHUNK_SIZE)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+@query(
+    "pipeline_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), laid AS (
+        SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS tok_offset
+        FROM toks
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(tok_offset AS BIGINT) AS tok_offset,
+           CAST(tok_offset AS BIGINT) // {PACK_CAPACITY} AS pack_id,
+           CAST(tok_offset % {PACK_CAPACITY} AS BIGINT) AS pack_pos
+    FROM laid
+    """,
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents concatenated in
+    doc_id order and cut every {capacity} tokens; each doc gets its
+    global token offset, the pack it starts in, and its position
+    within that pack.
+
+    Hierarchical prefix sum (see module docstring): block sums →
+    running sum over the tiny block table → broadcast join back.
+    The oracle is the naive global-window form — identical values,
+    different (scalable) plan."""
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.floor(F.col("doc_id") / PACK_BLOCK).cast("bigint").alias("block"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    # per-block totals: one row per PACK_BLOCK docs
+    block_tot = toks.groupBy("block").agg(F.sum("n_tokens").alias("block_tokens"))
+    # running sum over blocks — the only global window, over the
+    # shrunken table (|docs| / PACK_BLOCK rows)
+    w_blocks = (
+        Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    block_off = block_tot.select(
+        "block",
+        F.coalesce(F.sum("block_tokens").over(w_blocks), F.lit(0)).alias(
+            "block_offset"
+        ),
+    )
+    # within-block running sum, partitioned — scales with block size
+    w_in = (
+        Window.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    laid = (
+        toks.withColumn(
+            "local_offset", F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0))
+        )
+        .join(F.broadcast(block_off), "block")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("block_offset") + F.col("local_offset")).alias("tok_offset"),
+        )
+    )
+    return laid.select(
+        "doc_id",
+        "n_tokens",
+        "tok_offset",
+        (F.col("tok_offset") / PACK_CAPACITY).cast("bigint").alias("pack_id"),
+        (F.col("tok_offset") % PACK_CAPACITY).alias("pack_pos"),
+    )

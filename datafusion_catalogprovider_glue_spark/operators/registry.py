@@ -45,7 +45,9 @@ def load_all_operator_modules() -> None:
         catalog_ops,
         dedup,
         funnel,
+        layout,
         multimodal,
+        packing,
         relational,
         similarity,
         text,

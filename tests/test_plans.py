@@ -330,6 +330,38 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_join_bucketed_zero_join_exchange(spark):
+    # both sides bucketed+sorted on the key: the join itself needs no
+    # Exchange and no Sort; the only shuffle left is the final rollup's
+    p = plan_str(q(spark, "join_bucketed"), "simple")
+    assert "SortMergeJoin" in p
+    assert p.count("Exchange") == 1  # groupBy only — join is co-located
+
+
+def test_text_chunk_scan_stage_only(spark):
+    # chunking is a generate+project in the scan stage: no shuffle, no
+    # Python, one file scan
+    p = plan_str(q(spark, "text_chunk"), "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert p.count("FileScan") == 1
+
+
+def test_pack_sequences_broadcast_no_global_sort(spark):
+    # hierarchical prefix sum: block offsets come back via broadcast
+    # join, never a sort-merge or cartesian over the full corpus
+    p = plan_str(q(spark, "pipeline_pack_sequences"), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+
+
+def test_audio_windows_no_shuffle_no_python(spark):
+    # binary framing stays JVM-side in the scan stage
+    p = plan_str(q(spark, "multimodal_audio_windows"), "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
 def test_funnel_single_fact_scan_no_python(spark):
     # the oracle's 3 cascaded passes collapse to ONE events scan; the
     # per-user state machine is a codegen'd HOF, never Python rows
