@@ -497,3 +497,30 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("total_users")
     )
     return per_day.crossJoin(F.broadcast(total)).orderBy("day")
+
+
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CASE WHEN lang = 'en'
+               THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+               ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+          END
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: the majority stratum (en) keeps
+    ~25% while every minority language keeps ~50% — the mixture
+    rebalancing step of a training-data pipeline (downsample the
+    dominant source, preserve the tails), with the same hash-keyed
+    reproducibility as sample_hash: identical rows selected on any
+    engine, partitioning, or run.  Evaluates in the scan's codegen
+    stage; no shuffle, no RNG state."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(
+        F.col("lang") == "en", bucket.isin("0", "1", "2", "3")
+    ).otherwise(bucket.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+    return d.filter(keep).select("doc_id", "lang", "n_chars")

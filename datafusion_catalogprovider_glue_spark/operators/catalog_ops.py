@@ -580,3 +580,97 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("s_acctbal"), 2).alias("sum_acctbal"),
         )
     )
+
+
+@query(
+    "scan_delta_time_travel",
+    oracle="""
+    SELECT 'v1' AS snapshot, r.r_name, COUNT(*) AS n_nations,
+           SUM(n.n_nationkey) AS key_sum
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    UNION ALL
+    SELECT 'latest' AS snapshot, r.r_name, COUNT(*) AS n_nations,
+           SUM(n.n_nationkey) AS key_sum
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE n.n_nationkey < 12
+    GROUP BY r.r_name
+    """,
+)
+def scan_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 extension — VERSION AS OF time travel, value-distinguishable:
+    a three-commit log (v0 adds the whole table as one file, v1 swaps
+    it for a lo/hi two-file split, v2 DELETES the hi file) is read at
+    version 1 (all rows) and at latest (only ``n_nationkey < 12``),
+    and both snapshots' aggregates are unioned under a tag.  The two
+    snapshots return DIFFERENT data, so the hash match proves version
+    pinning replays exactly the prefix of the log — not merely that
+    the reader runs.  The reference's deltalake ``load()`` reads only
+    latest (glue.rs:227-234); pinned reads are the same replay loop
+    stopped early (sources/delta.py), with identical scale behavior:
+    log replay is driver-side metadata, data files fan out as a
+    normal multi-file scan."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+
+    apply_engine_conf(spark)
+    table_dir = _text_scan_dir(sf_dir, "nation_delta_tt")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.exists(os.path.join(log_dir, f"{2:020d}.json")):
+        nation = load_table(spark, sf_dir, "nation")
+
+        def _stage(name: str, df) -> None:
+            staging = os.path.join(table_dir, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = next(
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(staging)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            shutil.move(part, os.path.join(table_dir, name))
+            shutil.rmtree(staging)
+
+        os.makedirs(table_dir, exist_ok=True)
+        _stage("full.parquet", nation)
+        _stage("lo.parquet", nation.filter(F.col("n_nationkey") < 12))
+        _stage("hi.parquet", nation.filter(F.col("n_nationkey") >= 12))
+        os.makedirs(log_dir, exist_ok=True)
+        meta = {
+            "metaData": {
+                "id": "nation-delta-tt",
+                "schemaString": nation.schema.json(),
+                "partitionColumns": [],
+                "format": {"provider": "parquet"},
+            }
+        }
+        with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps(meta) + "\n")
+            fh.write(json.dumps({"add": {"path": "full.parquet", "partitionValues": {}}}) + "\n")
+        with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"remove": {"path": "full.parquet"}}) + "\n")
+            fh.write(json.dumps({"add": {"path": "lo.parquet", "partitionValues": {}}}) + "\n")
+            fh.write(json.dumps({"add": {"path": "hi.parquet", "partitionValues": {}}}) + "\n")
+        with open(os.path.join(log_dir, f"{2:020d}.json"), "w") as fh:
+            fh.write(json.dumps({"remove": {"path": "hi.parquet"}}) + "\n")
+    region = load_table(spark, sf_dir, "region")
+
+    def _agg(df, tag: str):
+        return (
+            df.join(F.broadcast(region), df.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_nations"),
+                F.sum("n_nationkey").alias("key_sum"),
+            )
+            .select(F.lit(tag).alias("snapshot"), "r_name", "n_nations", "key_sum")
+        )
+
+    return _agg(read_delta(spark, table_dir, version=1), "v1").unionByName(
+        _agg(read_delta(spark, table_dir), "latest")
+    )
