@@ -112,3 +112,59 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_quantity"), 2, 8).alias("sum_qty"),
         )
     )
+
+
+TARGET_FILE_BYTES = 1 << 20  # 1 MiB at test scale; 128-512 MiB in production
+
+
+@query(
+    "pipeline_compact_files",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def pipeline_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the lakehouse maintenance op (Delta
+    OPTIMIZE / Iceberg rewrite_data_files) every 100 TB table needs:
+    streaming ingest and fine-grained partitioning leave thousands of
+    KB-sized files, and scan cost becomes per-file overhead (open,
+    footer read, task schedule) instead of bytes.
+
+    The fixture scatters documents across 32 small files once per sf;
+    compaction sizes the target file count from actual on-disk bytes
+    (total / TARGET_FILE_BYTES) and rewrites with ``coalesce`` — which
+    bin-packs existing partitions WITHOUT a shuffle, the right tool
+    when output count only shrinks (``repartition`` would pay a full
+    exchange to balance perfectly; compaction doesn't need perfect).
+    The returned aggregate reads the COMPACTED copy and hash-matches
+    the original table, proving the rewrite is value-lossless; the
+    file-count collapse itself is pinned in tests/test_extensions.py.
+    """
+    apply_engine_conf(spark)
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join("/tmp", f"glue_spark_compact_{h}")
+    small = os.path.join(base, "small")
+    compacted = os.path.join(base, "compacted")
+    if not os.path.exists(os.path.join(small, "_SUCCESS")):
+        load_table(spark, sf_dir, "documents").repartition(32).write.mode(
+            "overwrite"
+        ).parquet(small)
+    if not os.path.exists(os.path.join(compacted, "_SUCCESS")):
+        total = sum(
+            os.path.getsize(os.path.join(small, f))
+            for f in os.listdir(small)
+            if f.endswith(".parquet")
+        )
+        n_target = max(1, -(-total // TARGET_FILE_BYTES))
+        spark.read.parquet(small).coalesce(n_target).write.mode(
+            "overwrite"
+        ).parquet(compacted)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -337,3 +337,35 @@ def test_hll_partitioned_merge_accuracy(spark):
         assert abs(r["daily_users"] - exact_daily[r["day"]]) <= max(
             0.05 * exact_daily[r["day"]], 2
         )
+
+
+def test_compaction_collapses_file_count(spark):
+    """pipeline_compact_files must actually shrink the file count to
+    the size-derived target, not merely return correct values."""
+    import os
+
+    from datafusion_catalogprovider_glue_spark.operators import layout
+
+    layout.pipeline_compact_files(spark, SF_CORRECTNESS).collect()
+    import hashlib
+
+    h = hashlib.md5(SF_CORRECTNESS.encode()).hexdigest()[:12]
+    base = os.path.join("/tmp", f"glue_spark_compact_{h}")
+    n_small = len(
+        [f for f in os.listdir(os.path.join(base, "small")) if f.endswith(".parquet")]
+    )
+    n_compacted = len(
+        [
+            f
+            for f in os.listdir(os.path.join(base, "compacted"))
+            if f.endswith(".parquet")
+        ]
+    )
+    assert n_small == 32
+    assert n_compacted < n_small
+    total = sum(
+        os.path.getsize(os.path.join(base, "small", f))
+        for f in os.listdir(os.path.join(base, "small"))
+        if f.endswith(".parquet")
+    )
+    assert n_compacted == max(1, -(-total // layout.TARGET_FILE_BYTES))
