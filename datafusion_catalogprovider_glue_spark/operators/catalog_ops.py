@@ -674,3 +674,87 @@ def scan_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(read_delta(spark, table_dir, version=1), "v1").unionByName(
         _agg(read_delta(spark, table_dir), "latest")
     )
+
+
+@query(
+    "scan_csv_inferred",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+)
+def scan_csv_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8's SECOND branch through the gate: the same CSV fixture as
+    ``scan_csv`` registered with ``InferSchemaFromData``
+    (glue.rs:266's ``infer_schema`` delegation → Spark's
+    ``inferSchema`` sampling pass) instead of the Glue-derived schema.
+    The SerDe dispatch still supplies delimiter + header (types are
+    what inference must discover; the dialect never is).  Inferred
+    integer widths can differ from declared ones (README.md:65-68's
+    signed/unsigned class), so the aggregate casts its key explicitly
+    — the oracle hash then proves inference recovered value-compatible
+    types from text alone.  At 100 TB inference costs an extra pass
+    over sampled files at registration; derive-from-Glue stays the
+    default for exactly that reason."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.catalog import (
+        TableRegistrationOptions,
+    )
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import FakeGlueClient
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+
+    apply_engine_conf(spark)
+    out = _text_scan_dir(sf_dir, "customer_csv")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.mode("overwrite")
+            .option("sep", "|")
+            .option("header", True)
+            .csv(out)
+        )
+    client = FakeGlueClient(
+        {
+            "textdb": {
+                "customer_csv_inf": {
+                    "DatabaseName": "textdb",
+                    "Name": "customer_csv_inf",
+                    "Parameters": {},
+                    "PartitionKeys": [],
+                    "StorageDescriptor": {
+                        "InputFormat": "org.apache.hadoop.mapred.TextInputFormat",
+                        "OutputFormat": "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+                        "SerdeInfo": {
+                            "SerializationLibrary": "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+                            "Parameters": {"field.delim": "|"},
+                        },
+                        "Parameters": {"skip.header.line.count": "1"},
+                        "Columns": [
+                            {"Name": n, "Type": t}
+                            for n, t in TESTDATA_GLUE_COLUMNS["customer"]
+                        ],
+                        "Location": out,
+                    },
+                }
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table(
+        "textdb",
+        "customer_csv_inf",
+        options=TableRegistrationOptions.INFER_SCHEMA_FROM_DATA,
+    )
+    return (
+        spark.table(entry.view)
+        .groupBy(F.col("c_nationkey").cast("bigint").alias("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
