@@ -1221,3 +1221,39 @@ def scalar_bitwise_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(key.cast("string")).alias("key_md5"),
         F.sha2(key.cast("string"), 256).alias("key_sha256"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT CASE WHEN c.c_nationkey <> 0 THEN c.c_nationkey END AS ck,
+           COUNT(*) AS n_pairs
+    FROM customer c JOIN supplier s
+      ON (CASE WHEN c.c_nationkey <> 0 THEN c.c_nationkey END)
+         IS NOT DISTINCT FROM
+         (CASE WHEN s.s_nationkey <> 0 THEN s.s_nationkey END)
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8 edge: null-safe equality join (`<=>` / IS NOT DISTINCT FROM).
+    Keys are made nullable by nulling out nation 0, so a plain
+    equi-join would silently DROP every null-keyed row — the classic
+    cleaned-data trap (null keys are common after normalization).
+    Null-safe equality keeps them AND stays a hash-partitionable
+    equi-join in Catalyst (EqualNullSafe is a join key, not a filter),
+    so the plan is still SortMergeJoin/BHJ — never a nested loop; at
+    scale the null bucket hashes to ONE partition, so a heavy null
+    population is a skew key like any other (AQE skew split or
+    pre-filter + union when nulls dominate)."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_nationkey") != 0, F.col("c_nationkey")).alias("ck")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.when(F.col("s_nationkey") != 0, F.col("s_nationkey")).alias("sk")
+    )
+    return (
+        c.join(s, c["ck"].eqNullSafe(s["sk"]))
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -330,6 +330,14 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_null_safe_join_stays_hash_family(spark):
+    # EqualNullSafe must remain a join KEY (hash-partitionable), not
+    # degrade to a nested-loop condition
+    p = plan_str(q(spark, "join_null_safe"), "simple")
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_join_bucketed_zero_join_exchange(spark):
     # both sides bucketed+sorted on the key: the join itself needs no
     # Exchange and no Sort; the only shuffle left is the final rollup's
