@@ -40,6 +40,41 @@ from datafusion_catalogprovider_glue_spark.types import (
 CATALOG_NAME = "glue"  # the reference registers itself as "glue" (demo.rs:66)
 
 
+def _nano_timestamp_columns(location: str) -> set[str]:
+    """Top-level TIMESTAMP(NANOS) columns in a parquet file/dir.
+
+    Spark's parquet reader rejects nano timestamps outright
+    ([PARQUET_TYPE_ILLEGAL]); the reference maps Glue ``timestamp`` to
+    nanoseconds and its README documents the matching inference
+    failure class (README.md:57-60).  We instead detect nanos from the
+    footer at registration (driver-side metadata read, same cost class
+    as the reference's infer path) and transparently rebuild them as
+    µs-truncated timestamps — the truncation §1.3 already accepts.
+    Best-effort: any inspection failure returns the empty set and the
+    plain read path proceeds (and raises its own, clearer error)."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as pat
+
+        path = location
+        if os.path.isdir(location):
+            parts = sorted(
+                f for f in os.listdir(location) if f.endswith(".parquet")
+            )
+            if not parts:
+                return set()
+            path = os.path.join(location, parts[0])
+        return {
+            f.name
+            for f in pq.read_schema(path)
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:
+        return set()
+
+
 class TableRegistrationOptions(enum.Enum):
     """glue.rs:28-33."""
 
@@ -194,9 +229,25 @@ class GlueCatalog:
             # (reference: table_partition_cols, glue.rs:433-447)
             reader = reader.option("basePath", location)
 
+        nano_cols = (
+            _nano_timestamp_columns(location) if spec.format == "parquet" else set()
+        )
+        if nano_cols:
+            # read nanos as raw int64 (legacy knob), rebuild below
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
         if options is TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE:
             columns = sd.get("Columns") or []
             schema = map_glue_columns_to_spark_schema(columns)
+            if nano_cols and schema.fields:
+                schema = T.StructType(
+                    [
+                        T.StructField(f.name, T.LongType(), True)
+                        if f.name in nano_cols
+                        else f
+                        for f in schema.fields
+                    ]
+                )
             if schema.fields:
                 reader = reader.schema(schema)
         elif spec.format in ("csv", "json"):
@@ -227,6 +278,20 @@ class GlueCatalog:
                 raise SparkError(
                     f"failed to read {spec.format} at {location}: {exc}"
                 ) from exc
+
+        # rebuild nano-timestamp columns as µs-truncated TIMESTAMP_NTZ
+        # (ns→µs is the deviation §1.3 already accepts, glue.rs:466;
+        # NTZ matches the tz-naive reference mapping, and the epoch
+        # arithmetic is session-timezone-independent)
+        for c in sorted(nano_cols):
+            if c in df.columns:
+                df = df.withColumn(
+                    c,
+                    F.expr(
+                        f"timestampadd(MICROSECOND, `{c}` div 1000, "
+                        f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                    ),
+                )
 
         # partition columns come back from directory discovery; cast
         # them to the Glue-declared types (glue.rs:433-442)

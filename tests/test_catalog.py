@@ -336,3 +336,28 @@ def test_register_all_follows_pagination(spark):
     results = catalog.register_all()
     assert len(results) == 10
     assert not [r for r in results if isinstance(r, Exception)]
+
+
+def test_register_nano_timestamp_parquet(spark):
+    """events.parquet stores TIMESTAMP(NANOS); registration must detect
+    it from the footer and serve µs-truncated timestamps instead of
+    failing at scan time (the reference DOCUMENTS this failure class,
+    README.md:57-60 — we fix it)."""
+    from datafusion_catalogprovider_glue_spark.catalog.catalog import GlueCatalog
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        testdata_fixture,
+    )
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+
+    catalog = GlueCatalog(spark, testdata_fixture(SF_SMOKE))
+    entry = catalog.register_table("default", "events")
+    via_catalog = spark.table(entry.view)
+    assert dict(via_catalog.dtypes)["ts"].startswith("timestamp")
+    expected = load_table(spark, SF_SMOKE, "events")
+    assert via_catalog.count() == expected.count()
+    a = via_catalog.agg(F.min("ts"), F.max("ts")).collect()[0]
+    b = expected.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert tuple(a) == tuple(b)
