@@ -42,6 +42,10 @@ HEADLINE = [
     "text_tfidf",
     "embedding_quantize",
     "window_tumbling",
+    "events_funnel",
+    "join_bucketed",
+    "text_chunk",
+    "pipeline_pack_sequences",
     # stream_stateful_sessionize is oracle-checked in the correctness
     # gate but excluded here: its wall time is dominated by streaming
     # machinery startup (state store + checkpoint + Python workers),
