@@ -569,3 +569,64 @@ def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
+
+
+@query(
+    "dedup_edit_distance",
+    oracle="""
+    WITH keys AS (
+        SELECT c_name,
+               unnest(list_distinct(list_prepend(c_name,
+                   [substr(c_name, 1, CAST(i AS INT) - 1)
+                    || substr(c_name, CAST(i AS INT) + 1, length(c_name))
+                    FOR i IN range(1, length(c_name) + 1)]))) AS k
+        FROM customer
+    )
+    SELECT DISTINCT a.c_name AS name_a, b.c_name AS name_b
+    FROM keys a JOIN keys b ON a.k = b.k
+    WHERE a.c_name < b.c_name
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 near-duplicate pairs via FastSS deletion
+    neighborhoods (Bocek et al. 2007, the SymSpell index): each
+    string's blocking keys are itself plus every single-character
+    deletion; two strings within edit distance 1 — substitution,
+    insertion, OR deletion — provably share a key, so the blocked
+    equi-join is exact, never a similarity guess.  A final
+    ``levenshtein ≤ 1`` filter discards the hash-collision-free but
+    distance-2 collisions the blocks admit (two different deletions
+    landing on one key).
+
+    Scale: the index is (L+1)× the input in rows but each key is
+    near-unique, so the equi-join is hash-partitioned with small
+    buckets — the O(n²) all-pairs comparison becomes O(n·L) index
+    rows + an output-bound join, and the verify runs only on
+    candidates.  At 100 TB the distance-k generalization (k deletion
+    rounds) raises fan-out to O(L^k) — k=1..2 is the practical
+    envelope, exactly why SymSpell ships k≤2 defaults."""
+    apply_engine_conf(spark)
+    c = load_table(spark, sf_dir, "customer").select("c_name")
+    deletions = F.expr(
+        "transform(sequence(1, length(c_name)), i -> "
+        "concat(substring(c_name, 1, i - 1), "
+        "substring(c_name, i + 1, length(c_name) - i)))"
+    )
+    keys = c.select(
+        "c_name",
+        F.explode(
+            F.array_distinct(F.concat(F.array(F.col("c_name")), deletions))
+        ).alias("k"),
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    return (
+        a.join(b, "k")
+        .filter(F.col("a.c_name") < F.col("b.c_name"))
+        .select(
+            F.col("a.c_name").alias("name_a"), F.col("b.c_name").alias("name_b")
+        )
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+    )

@@ -369,3 +369,30 @@ def test_compaction_collapses_file_count(spark):
         if f.endswith(".parquet")
     )
     assert n_compacted == max(1, -(-total // layout.TARGET_FILE_BYTES))
+
+
+def test_edit_distance_blocking_is_exact(spark):
+    """FastSS deletion-neighborhood blocking must find EXACTLY the
+    brute-force levenshtein<=1 pairs — blocking is a join strategy,
+    not an approximation."""
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    blocked = {
+        (r.name_a, r.name_b)
+        for r in dedup.dedup_edit_distance(spark, SF_SMOKE).collect()
+    }
+    c = load_table(spark, SF_SMOKE, "customer").select("c_name")
+    a, b = c.alias("a"), c.alias("b")
+    brute = {
+        (r.name_a, r.name_b)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("a.c_name") < F.col("b.c_name"))
+            .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 1)
+            .select(
+                F.col("a.c_name").alias("name_a"),
+                F.col("b.c_name").alias("name_b"),
+            )
+        ).collect()
+    }
+    assert blocked == brute and len(brute) > 0
