@@ -524,3 +524,43 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang") == "en", bucket.isin("0", "1", "2", "3")
     ).otherwise(bucket.isin("0", "1", "2", "3", "4", "5", "6", "7"))
     return d.filter(keep).select("doc_id", "lang", "n_chars")
+
+
+CMS_EPS = 0.001  # ±0.1% of stream length per point estimate
+CMS_CONF = 0.99
+CMS_SEED = 42
+CMS_PROBE_KEYS = list(range(1, 21))
+
+
+@query("agg_count_min_sketch")  # rows-only: CMS layout is engine-specific
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch point-frequency estimates (Cormode-Muthukrishnan):
+    how often does each probe customer appear in orders, answered from a
+    fixed-size mergeable sketch instead of a full groupBy.
+
+    The sketch is built distributed (map-side partial sketches, one
+    byte-matrix merge per partition tree level) and is O(w·d) =
+    O(e/eps · ln(1/conf)) — a few KB regardless of stream length, the
+    state a streaming frequency monitor keeps per window at 100 TB.
+    Only the probe results (20 rows) ever reach the driver... plus the
+    sketch itself, which IS driver-sized by construction.  Estimates
+    are deterministic for a fixed seed; the one-sided error bound
+    (true ≤ est ≤ true + eps·N w.p. conf) is pinned against exact
+    counts in tests/test_extensions.py.  No DuckDB oracle: sketch
+    internals are engine-specific, so the driver records rows-only."""
+    apply_engine_conf(spark)
+    o = _t(spark, sf_dir, "orders")
+    blob = o.agg(
+        F.expr(
+            f"count_min_sketch(o_custkey, {CMS_EPS}d, {CMS_CONF}d, {CMS_SEED})"
+        ).alias("s")
+    ).collect()[0]["s"]
+    jvm = spark._jvm
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(blob))
+    )
+    rows = [
+        (int(k), int(sketch.estimateCount(jvm.java.lang.Long.valueOf(k))))
+        for k in CMS_PROBE_KEYS
+    ]
+    return spark.createDataFrame(rows, "o_custkey bigint, est_orders bigint")

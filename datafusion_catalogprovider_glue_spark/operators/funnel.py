@@ -175,3 +175,45 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@query(
+    "events_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_event
+        FROM events
+    )
+    SELECT COALESCE(prev_event, '^start') AS prev_event,
+           event_type AS next_event,
+           COUNT(*) AS n_transitions
+    FROM seq GROUP BY 1, 2
+    """,
+)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the event-type transition matrix (Markov counts)
+    over each user's time-ordered stream, with '^start' marking
+    first events.  The order key is (ts, event_id) — unique, so
+    same-timestamp events sequence identically on any engine.
+
+    Plan: one shuffle on user_id for the lag window, then a
+    (prev, next) rollup whose output is O(|event types|²) — the fact
+    table never materializes a second copy.  The window state is one
+    row lookback (lag-1), the cheapest window there is; at 100 TB the
+    same shape holds because transitions aggregate before leaving the
+    window stage's partitioning."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            F.coalesce(F.lag("event_type").over(w), F.lit("^start")).alias(
+                "prev_event"
+            ),
+            F.col("event_type").alias("next_event"),
+        )
+        .groupBy("prev_event", "next_event")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

@@ -396,3 +396,24 @@ def test_edit_distance_blocking_is_exact(spark):
         ).collect()
     }
     assert blocked == brute and len(brute) > 0
+
+
+def test_count_min_sketch_error_bound(spark):
+    """CMS estimates are one-sided: never below the true count, and
+    within eps*N above it (fixed seed makes this deterministic)."""
+    from datafusion_catalogprovider_glue_spark.operators import analytics
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    est = {
+        r.o_custkey: r.est_orders
+        for r in analytics.agg_count_min_sketch(spark, SF_CORRECTNESS).collect()
+    }
+    o = load_table(spark, SF_CORRECTNESS, "orders")
+    n = o.count()
+    true = {
+        r.o_custkey: r.n
+        for r in o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for k, e in est.items():
+        t = true.get(k, 0)
+        assert t <= e <= t + analytics.CMS_EPS * n + 1
