@@ -417,3 +417,44 @@ def test_count_min_sketch_error_bound(spark):
     for k, e in est.items():
         t = true.get(k, 0)
         assert t <= e <= t + analytics.CMS_EPS * n + 1
+
+
+def test_zorder_narrows_both_column_ranges(spark):
+    """The z-ordered layout must give BOTH interleaved columns narrow
+    per-file ranges (the data-skipping evidence), which a 1-D sort
+    cannot: under a partkey-only sort every file spans the full
+    suppkey range."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_catalogprovider_glue_spark.operators import layout
+
+    layout.scan_zordered(spark, SF_CORRECTNESS).collect()
+    h = hashlib.md5(SF_CORRECTNESS.encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", f"glue_spark_zorder_{h}", "lineitem_z")
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) > 4
+
+    def ranges(col):
+        spans = []
+        for f in files:
+            md = pq.read_metadata(os.path.join(out, f))
+            idx = md.schema.names.index(col)
+            lo = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            hi = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append(hi - lo)
+        return spans
+
+    import duckdb
+
+    con = duckdb.connect()
+    full_pk, full_sk = con.execute(
+        f"SELECT MAX(l_partkey)-MIN(l_partkey), MAX(l_suppkey)-MIN(l_suppkey) "
+        f"FROM read_parquet('{SF_CORRECTNESS}/lineitem.parquet')"
+    ).fetchone()
+    pk_spans, sk_spans = ranges("l_partkey"), ranges("l_suppkey")
+    # median file covers well under half of each key domain
+    assert sorted(pk_spans)[len(pk_spans) // 2] < full_pk / 2
+    assert sorted(sk_spans)[len(sk_spans) // 2] < full_sk / 2
