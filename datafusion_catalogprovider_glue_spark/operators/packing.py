@@ -168,3 +168,48 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tok_offset") / PACK_CAPACITY).cast("bigint").alias("pack_id"),
         (F.col("tok_offset") % PACK_CAPACITY).alias("pack_pos"),
     )
+
+
+@query(
+    "pipeline_dataset_split",
+    oracle="""
+    WITH labeled AS (
+        SELECT n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('c', 'd') THEN 'val'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('e', 'f') THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    FROM labeled GROUP BY split
+    """,
+)
+def pipeline_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (75/12.5/12.5 by md5 hex
+    bucket of doc_id): every engine, run, and cluster size assigns
+    each document to the SAME split — the property that keeps eval
+    sets honest when the corpus is reprocessed.  Contrast with
+    ``randomSplit``, whose assignment depends on partitioning and
+    seed plumbing.  The label is one scan-stage expression; the
+    returned per-split profile is a single map-side-combined
+    aggregate.  Writing the splits out is ``partitionBy('split')``
+    on the labeled frame — same layout machinery as
+    scan_partitioned_pruned."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "n_chars",
+            F.when(bucket.isin("c", "d"), "val")
+            .when(bucket.isin("e", "f"), "test")
+            .otherwise("train")
+            .alias("split"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -1257,3 +1257,43 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ck")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_last_hour,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20 edge: RANGE frame over event TIME (trailing 1-hour rolling
+    count/sum per user) — the time-series frame ROWS can't express:
+    the window widens and narrows with event density, and
+    same-timestamp events share one frame (RANGE peers), which is
+    exactly why the result is deterministic without a unique
+    tie-break column.  Spark spells it ``orderBy(unix_micros)
+    .rangeBetween(-3600·10⁶, 0)`` — the frame bound is a physical
+    value delta, so the sort key must be numeric, and it must be
+    MICROseconds: second-granular ``unix_timestamp`` would both
+    shift the hour boundary and merge same-second events into false
+    RANGE peers on sub-second data.  One shuffle on user_id; frame
+    state is a sliding deque over each partition,
+    O(events-in-window) like any trailing metric at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(dec(F.col("value"), 4)).over(w).cast("double").alias("value_last_hour"),
+    )
