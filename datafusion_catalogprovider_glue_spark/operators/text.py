@@ -459,3 +459,38 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("containment") >= 0.9)
         .select("src_id", "dst_id", "containment")
     )
+
+
+REGEX_DIGRAPH = "[a-z]*(?:oo|ee|ll|ss)[a-z]*"
+
+
+@query(
+    "text_extract_regex",
+    oracle=f"""
+    SELECT m AS token, COUNT(*) AS n_occurrences
+    FROM (
+        SELECT unnest(regexp_extract_all(text, '{REGEX_DIGRAPH}')) AS m
+        FROM documents
+    ) GROUP BY m
+    """,
+)
+def text_extract_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25 depth: corpus-wide regex extraction — every token containing
+    a double-letter digraph, exploded and counted.  The pattern avoids
+    backreferences deliberately: Java regex (Spark) would accept them
+    but RE2 (DuckDB) has none, and a portable extraction pipeline
+    sticks to the regular subset both engines compile identically
+    (greedy runs + non-capturing alternation).  Extraction and the
+    explode run in the scan's codegen stage; the only shuffle is the
+    final token rollup, whose cardinality is vocabulary-, not
+    corpus-sized."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            F.explode(
+                F.regexp_extract_all("text", F.lit(REGEX_DIGRAPH), 0)
+            ).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )

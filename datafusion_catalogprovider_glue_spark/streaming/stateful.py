@@ -198,3 +198,153 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(sink_name)
+
+
+# ---------------------------------------------------------------------------
+# E5b: streaming funnel — per-user conversion state machine
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+
+_FUNNEL_OUTPUT = StructType(
+    [StructField("user_id", LongType()), StructField("depth", LongType())]
+)
+# (depth, last_matched_us, max_seen_us)
+_FUNNEL_STATE = StructType(
+    [
+        StructField("depth", LongType()),
+        StructField("last_matched_us", LongType()),
+        StructField("max_seen_us", LongType()),
+    ]
+)
+
+
+def _funnel_step(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user funnel accumulator: greedy earliest-match advance of a
+    (depth, last_matched_ts) state machine — identical semantics to
+    the batch ``events_funnel`` fold (operators/funnel.py), held in
+    O(1) state per user and flushed by event-time timeout when the
+    watermark passes the user's last event."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        depth, _last, _seen = state.get
+        state.remove()
+        yield pd.DataFrame([{"user_id": user_id, "depth": depth}])
+        return
+
+    df = (
+        pd.concat(list(pdfs))
+        .sort_values(["ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    if state.exists:
+        depth, last_matched_us, max_seen_us = state.get
+    else:
+        depth, last_matched_us, max_seen_us = 0, -1, -1
+
+    for t, et in zip(df["ts"], df["event_type"]):
+        t_us = _us(t)
+        max_seen_us = max(max_seen_us, t_us)
+        if depth < 3 and et == _FUNNEL_STEPS[depth] and t_us > last_matched_us:
+            depth += 1
+            last_matched_us = t_us
+
+    state.update((depth, last_matched_us, max_seen_us))
+    state.setTimeoutTimestamp(max_seen_us // 1000 + 1)
+    return
+    yield  # pragma: no cover — generator form with no batch-time emission
+
+
+@query(
+    "stream_funnel_stateful",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+        FROM events
+    ),
+    mx AS (SELECT max(ts) AS m FROM e),
+    u1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM e
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+        JOIN u1 ON e.user_id = u1.user_id
+        WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY e.user_id
+    ),
+    u3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+        JOIN u2 ON e.user_id = u2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY e.user_id
+    ),
+    d AS (SELECT user_id, MAX(ts) AS umax FROM e GROUP BY user_id)
+    SELECT d.user_id,
+           CAST(CASE WHEN u3.user_id IS NOT NULL THEN 3
+                     WHEN u2.user_id IS NOT NULL THEN 2
+                     WHEN u1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS depth
+    FROM d
+    LEFT JOIN u1 ON d.user_id = u1.user_id
+    LEFT JOIN u2 ON d.user_id = u2.user_id
+    LEFT JOIN u3 ON d.user_id = u3.user_id, mx
+    WHERE d.umax < mx.m  -- the watermark never passes the max-ts user
+    """,
+)
+def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5b: streaming conversion funnel with arbitrary per-key state —
+    the cart-abandonment-style operator the sessionizer's module
+    docstring promises.  Same stream wiring as
+    stream_stateful_sessionize (parquet source → watermark 0 →
+    applyInPandasWithState with EventTimeTimeout → memory sink,
+    availableNow drain); state per user is THREE numbers (depth,
+    last-matched ts, last-seen ts), never an event buffer, so state
+    size is O(active users) regardless of stream length.  Emission is
+    timeout-only: a user's depth is final once the watermark passes
+    their last event (the one-shot drain flushes everyone except the
+    holder(s) of the global max timestamp — the oracle applies the
+    same cut).  Greedy earliest-match advance equals the cascaded-MIN
+    form, so the oracle is pure SQL over the same events."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream_dir = os.path.join(
+        "/tmp",
+        f"glue_spark_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+    depths = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _funnel_step,
+            outputStructType=_FUNNEL_OUTPUT,
+            stateStructType=_FUNNEL_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    sink_name = "stream_funnel_stateful_sink"
+    q = (
+        depths.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink_name)
