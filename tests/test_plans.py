@@ -330,6 +330,36 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Joining the Hive-partitioned fixture to a filtered parquet dim
+    must inject a dynamicpruning subquery into PartitionFilters —
+    Spark's runtime partition filter (the AQE-era analog of the
+    reference feeding partition_cols to DataFusion, glue.rs:433-447).
+    At 100 TB this is what keeps a fact-dim join from scanning every
+    date partition when the dim filter only selects a few."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.operators import catalog_ops
+
+    catalog_ops.scan_partitioned_pruned(spark, SF_DIR).collect()
+    part_dir = os.path.join(
+        "/tmp",
+        f"glue_spark_part_{hashlib.md5(SF_DIR.encode()).hexdigest()[:12]}",
+        "lineitem_by_year",
+    )
+    dim_dir = str(tmp_path / "year_dim")
+    spark.createDataFrame(
+        [(y, y % 2) for y in range(1992, 1999)], "l_year int, flag int"
+    ).write.mode("overwrite").parquet(dim_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("flag") == 0)
+    j = spark.read.parquet(part_dir).join(dim, "l_year").groupBy("l_year").count()
+    p = plan_str(j, "formatted")
+    assert "dynamicpruningexpression" in p.lower()
+
+
 def test_null_safe_join_stays_hash_family(spark):
     # EqualNullSafe must remain a join KEY (hash-partitionable), not
     # degrade to a nested-loop condition
