@@ -330,6 +330,30 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_transitions_single_window_shuffle(spark):
+    # lag-1 window on user_id then a rollup: exactly two Exchanges,
+    # no join, no second fact scan
+    p = plan_str(q(spark, "events_transitions"), "simple")
+    assert "Join" not in p
+    assert p.count("FileScan") == 1
+    assert p.count("Exchange") == 2
+
+
+def test_extract_regex_shuffle_is_vocab_sized(spark):
+    # extraction+explode stay in the scan stage; the only Exchange is
+    # the token rollup (vocabulary-, not corpus-cardinality)
+    p = plan_str(q(spark, "text_extract_regex"), "simple")
+    assert p.count("Exchange") == 1
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_edit_distance_join_is_hash_partitioned(spark):
+    # FastSS blocking must produce a key equi-join, not a cartesian
+    p = plan_str(q(spark, "dedup_edit_distance"), "simple")
+    assert "CartesianProduct" not in p and "NestedLoop" not in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+
+
 def test_dynamic_partition_pruning_fires(spark, tmp_path):
     """Joining the Hive-partitioned fixture to a filtered parquet dim
     must inject a dynamicpruning subquery into PartitionFilters —
