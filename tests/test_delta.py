@@ -185,3 +185,47 @@ def test_time_travel_version_as_of(spark, tmp_path):
     assert v1 == {(2, "b")} == latest
     with pytest.raises(DeltaError):
         read_delta(spark, t, version=9)
+
+
+def test_schema_evolution_mid_log(spark, tmp_path):
+    """A metaData action AFTER files were added evolves the schema
+    (column add); old files surface NULL for the new column — the
+    Delta schema-evolution contract the deltalake crate implements
+    and Spark's declared-schema parquet read gives us for free."""
+    table_dir = str(tmp_path / "tbl")
+    _write_data_file(spark, tmp_path, table_dir, "a.parquet", [(1, "x"), (2, "y")])
+    df2 = spark.createDataFrame([(3, "z", 30.0)], "id long, v string, score double")
+    staging = tmp_path / "stage_b"
+    df2.coalesce(1).write.parquet(str(staging))
+    part = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(staging)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    shutil.move(part, os.path.join(table_dir, "b.parquet"))
+
+    evolved = json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": "id", "type": "long", "nullable": True, "metadata": {}},
+                {"name": "v", "type": "string", "nullable": True, "metadata": {}},
+                {"name": "score", "type": "double", "nullable": True, "metadata": {}},
+            ],
+        }
+    )
+    _commit(table_dir, 0, [_meta_action(), {"add": {"path": "a.parquet", "partitionValues": {}}}])
+    _commit(
+        table_dir,
+        1,
+        [
+            {"metaData": {"id": "test-table", "schemaString": evolved,
+                          "partitionColumns": [], "format": {"provider": "parquet"}}},
+            {"add": {"path": "b.parquet", "partitionValues": {}}},
+        ],
+    )
+    df = read_delta(spark, table_dir)
+    assert [f.name for f in df.schema.fields] == ["id", "v", "score"]
+    rows = {r.id: (r.v, r.score) for r in df.collect()}
+    assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 30.0)}
