@@ -1297,3 +1297,66 @@ def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.sum(dec(F.col("value"), 4)).over(w).cast("double").alias("value_last_hour"),
     )
+
+
+@query(
+    "scalar_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_discount,
+           CASE WHEN l_tax = 0 THEN NULL
+                ELSE CAST(CAST(l_quantity AS BIGINT) % CAST(l_tax * 100 AS BIGINT)
+                     AS BIGINT) END AS qty_mod_taxpts
+    FROM lineitem
+    """,
+)
+def scalar_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26 edge: error-safe arithmetic under ANSI mode.  The engine
+    runs ANSI (overflow/zero-division are loud errors, not silent
+    wraparounds — the setting every correctness-first deployment
+    uses), so the null-on-failure variants are explicit:
+    ``try_divide`` / ``try_mod`` return NULL where the strict
+    operator would raise.  The oracle spells the same contract as
+    CASE-guarded operations, which is also the portable form.  Each
+    result is one IEEE/integer op per row — bit-identical across
+    engines; everything stays in the scan's codegen stage."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "price_per_discount"
+        ),
+        F.try_mod(
+            F.col("l_quantity").cast("bigint"),
+            (F.col("l_tax") * 100).cast("bigint"),
+        ).alias("qty_mod_taxpts"),
+    )
+
+
+@query(
+    "agg_max_by",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderpriority, o_orderkey) AS latest_priority,
+           arg_min(o_orderstatus, o_orderkey) AS first_status,
+           MAX(o_orderkey) AS last_orderkey
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 edge: argument-extrema aggregates (``max_by``/``min_by``,
+    DuckDB ``arg_max``/``arg_min``) — "the payload of the extreme
+    row" without a self-join or window.  Keyed on the UNIQUE order
+    key: arg-extrema on a tied ordering column are nondeterministic
+    in every engine, so pipelines key them on a tie-free column (or
+    a struct embedding one).  Map-side combinable — each partial
+    carries one (key, payload) pair per group, same cost class as
+    MIN/MAX; the window-function alternative pays a full sort."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderpriority", "o_orderkey").alias("latest_priority"),
+        F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+        F.max("o_orderkey").alias("last_orderkey"),
+    )
