@@ -494,3 +494,91 @@ def text_extract_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
+
+
+BM25_TERMS = ("data", "table", "query")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+@query(
+    "text_bm25_search",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), stats AS (
+        SELECT COUNT(*) AS n, SUM(len(w)) * 1.0 / COUNT(*) AS avgdl FROM d
+    ), tf AS (
+        SELECT doc_id, len(w) AS dl,
+               len(list_filter(w, x -> x = 'data'))  AS tf1,
+               len(list_filter(w, x -> x = 'table')) AS tf2,
+               len(list_filter(w, x -> x = 'query')) AS tf3
+        FROM d
+    ), df AS (
+        SELECT SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2,
+               SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS df3
+        FROM tf
+    )
+    SELECT doc_id,
+           ROUND(
+             tf1 * {BM25_K1 + 1} / (tf1 + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl / avgdl)) * (n + 1.0) / (df1 + 1.0)
+           + tf2 * {BM25_K1 + 1} / (tf2 + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl / avgdl)) * (n + 1.0) / (df2 + 1.0)
+           + tf3 * {BM25_K1 + 1} / (tf3 + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl / avgdl)) * (n + 1.0) / (df3 + 1.0)
+           , 6) AS score
+    FROM tf, stats, df
+    ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: BM25-style top-k for a fixed 3-term query —
+    the inverted-index half of a RAG stack, next to the embedding
+    similarity family (D3).  The idf is the LOG-FREE ratio
+    (N+1)/(df+1), same trick as text_tfidf: rational arithmetic in a
+    fixed evaluation order is bit-identical across engines, where
+    log() differs in the last ulp and poisons a hash compare.  Scores
+    round to 6 dp BEFORE the (score, doc_id) top-k so boundary ties
+    break by key, not by engine.
+
+    Plan: per-doc term frequencies are JVM ``filter`` higher-order
+    fns in the scan stage (no posting-list shuffle at all for a fixed
+    query); corpus stats (N, avgdl, per-term df) are ONE tiny
+    aggregate broadcast back; the top-k is TakeOrderedAndProject.  At
+    100 TB with ad-hoc queries the swap is a materialized inverted
+    index (term → postings), which is `text_tfidf`'s tf table reused
+    — this key pins the scoring math and the no-shuffle scorer."""
+    d = _docs(spark, sf_dir).select("doc_id", _words().alias("w"))
+
+    def _tf(term: str):
+        # factory closure, NOT a default-arg lambda: a second lambda
+        # parameter makes pyspark bind the (element, index) HOF form
+        return F.size(F.filter("w", lambda x: x == term))
+
+    tf_cols = [_tf(t).alias(f"tf{i + 1}") for i, t in enumerate(BM25_TERMS)]
+    tf = d.select("doc_id", F.size("w").alias("dl"), *tf_cols)
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl") * 1.0 / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i + 1}") > 0).cast("bigint")).alias(f"df{i + 1}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats))
+    k1, b = BM25_K1, BM25_B
+    parts = [
+        F.col(f"tf{i}")
+        * (k1 + 1)
+        / (F.col(f"tf{i}") + k1 * ((1 - b) + b * F.col("dl") / F.col("avgdl")))
+        * (F.col("n") + 1.0)
+        / (F.col(f"df{i}") + 1.0)
+        for i in (1, 2, 3)
+    ]
+    return (
+        scored.select(
+            "doc_id", F.round(parts[0] + parts[1] + parts[2], 6).alias("score")
+        )
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
