@@ -217,3 +217,56 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_event", "next_event")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS cnt,
+               CAST(SUM(n_events) AS DOUBLE) AS sn,
+               CAST(SUM(n_events * n_events) AS DOUBLE) AS snn
+        FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n_events,
+           ROUND((d.n_events - sn / cnt)
+                 / sqrt((snn - sn * sn / cnt) / (cnt - 1)), 6) AS z_score
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly scoring: each (event_type, day)'s count as a
+    z-score against that type's daily distribution — the monitoring
+    query behind every "traffic spike" alert.  Variance comes from
+    exact INTEGER power sums (Σn, Σn²) so the per-type statistics are
+    bit-identical on any engine or partitioning (the agg_moment_stats
+    trick); the remaining float work is a fixed-order expression per
+    row (sqrt is IEEE-correctly-rounded, so it's as deterministic as
+    +/-).  Plan: two shrinking aggregations off one scan — daily
+    cells, then per-type sums over ~|days| rows — and a broadcast
+    join back onto the cells.  Nothing scales with raw event count
+    past the first map-side-combined rollup."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum("n_events").cast("double").alias("sn"),
+        F.sum(F.col("n_events") * F.col("n_events")).cast("double").alias("snn"),
+    )
+    sn, cnt, snn = F.col("sn"), F.col("cnt"), F.col("snn")
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(
+            (F.col("n_events") - sn / cnt)
+            / F.sqrt((snn - sn * sn / cnt) / (cnt - 1)),
+            6,
+        ).alias("z_score"),
+    )
