@@ -564,3 +564,71 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         for k in CMS_PROBE_KEYS
     ]
     return spark.createDataFrame(rows, "o_custkey bigint, est_orders bigint")
+
+
+@query(
+    "customer_rfm",
+    oracle="""
+    WITH base AS (
+        SELECT o_custkey,
+               datediff('day', MAX(CAST(o_orderdate AS TIMESTAMP)),
+                        (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) FROM orders))
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, recency_days, frequency, monetary,
+           ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_bucket,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_bucket,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_bucket
+    FROM base
+    """,
+)
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency / frequency / monetary quartiles per
+    customer, the composite every CRM pipeline runs.  One fact pass
+    builds the per-customer base (map-side combined; recency anchors
+    on the corpus max date via a broadcast scalar, not ``now()``,
+    for reproducibility), then three global ``ntile(4)`` windows
+    bucket it, each ordered with the unique custkey tie-break that
+    makes quartile edges engine-deterministic.
+
+    Scale note: a global ntile is a single-partition window over
+    |customers| rows — fine to ~10⁷, and the honest swap past that
+    is approx_percentile cut points (the mergeable-sketch path
+    pinned by agg_approx_percentile) joined back as bucket
+    boundaries; this key pins the exact-quartile semantics."""
+    o = _t(spark, sf_dir, "orders")
+    max_date = o.agg(F.max("o_orderdate").alias("anchor"))
+    base = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum(F.col("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("anchor"), F.col("last_order")).alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    from pyspark.sql.window import Window
+
+    return base.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(Window.orderBy("recency_days", "o_custkey")).alias("r_bucket"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_bucket"),
+        F.ntile(4)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_bucket"),
+    )
