@@ -1,0 +1,130 @@
+"""Iterative graph dataflow: weighted PageRank.
+
+The reference has no graph surface; dedup_clusters (operators/dedup.py)
+already covers unbounded-iteration connected components.  This module
+adds the other canonical iterative-dataflow shape — fixed-iteration
+PageRank — because its convergence loop (join ranks to edges,
+re-aggregate, repeat) is the template for label propagation, belief
+propagation, and embedding-table refinement jobs, and because a FIXED
+iteration count can be exactly unrolled into a DuckDB oracle, making
+the whole loop hash-checkable rather than rows-only.
+
+Determinism: per-edge contributions are computed in double (one
+deterministic rounding each: ``r·w/out_w``), then cast onto a
+decimal(28,15) grid so the per-node SUM is exact integer arithmetic —
+associativity-free under any partitioning, the same trick as
+functions.dsum.  The scalar tail (teleport + damping) runs in a fixed
+order and rounds to 12 dp before feeding the next iteration, so both
+engines iterate on IDENTICAL numbers.
+
+Scale: each iteration is one hash join (ranks ⋈ edges on src — at
+graph scale, pre-partition both on src so iterations reuse the
+exchange) plus a map-side-combined aggregation on dst.  Rank state is
+O(|nodes|); edges stream.  The 25-node trade graph here is tiny, but
+the dataflow is the one GraphX/Pregel lowers to anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+PR_N = 25  # nation count is fixed in the schema (TPC-H invariant)
+
+
+def _oracle() -> str:
+    base = f"""
+    WITH edges AS (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+               COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), outw AS (
+        SELECT src, SUM(w) AS out_w FROM edges GROUP BY src
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ), r0 AS (
+        SELECT node, 1.0 / {PR_N} AS r FROM nodes
+    )"""
+    step = """, r{i} AS (
+        SELECT n.node,
+               ROUND({t} + {d} * CAST(COALESCE(SUM(
+                   CAST(p.r * e.w / ow.out_w AS DECIMAL(28,15))
+               ), 0) AS DOUBLE), 12) AS r
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN r{prev} p ON p.node = e.src
+        LEFT JOIN outw ow ON ow.src = e.src
+        GROUP BY n.node
+    )"""
+    t = f"{1 - PR_DAMP} / {PR_N}"
+    for i in range(1, PR_ITERS + 1):
+        base += step.format(i=i, prev=i - 1, t=t, d=PR_DAMP)
+    return base + f"\n    SELECT node AS nationkey, r AS pagerank FROM r{PR_ITERS}"
+
+
+@query("graph_pagerank", oracle=_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank, {iters} fixed iterations, over the
+    supplier-nation → customer-nation trade graph (edge weight =
+    lineitem count routed between the nations).  See module docstring
+    for the determinism scheme; the oracle is the SAME loop unrolled
+    into chained CTEs, so every iteration's arithmetic is
+    hash-verified, not just the final shape."""
+    apply_engine_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = edges.localCheckpoint()  # graph build runs once, not per iteration
+    outw = (
+        edges.groupBy("src")
+        .agg(F.sum("w").alias("out_w"))
+        .withColumnRenamed("src", "osrc")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", (F.lit(1.0) / PR_N).alias("r"))
+    teleport = (1 - PR_DAMP) / PR_N
+    for _ in range(PR_ITERS):
+        contrib = F.col("r") * F.col("w") / F.col("out_w")
+        ranks = (
+            nodes.join(edges, edges.dst == nodes.node, "left")
+            .join(ranks.withColumnRenamed("node", "rnode"),
+                  F.col("rnode") == F.col("src"), "left")
+            .join(outw, F.col("osrc") == F.col("src"), "left")
+            .groupBy("node")
+            .agg(
+                F.round(
+                    teleport
+                    + PR_DAMP
+                    * F.coalesce(
+                        F.sum(contrib.cast("decimal(28,15)")), F.lit(0)
+                    ).cast("double"),
+                    12,
+                ).alias("r")
+            )
+        )
+    return ranks.select(F.col("node").alias("nationkey"), F.col("r").alias("pagerank"))

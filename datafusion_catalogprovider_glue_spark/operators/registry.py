@@ -45,6 +45,7 @@ def load_all_operator_modules() -> None:
         catalog_ops,
         dedup,
         funnel,
+        graph,
         layout,
         multimodal,
         packing,
