@@ -46,6 +46,9 @@ HEADLINE = [
     "join_bucketed",
     "text_chunk",
     "pipeline_pack_sequences",
+    "scan_iceberg",
+    "customer_rfm",
+    "graph_pagerank",
     # stream_stateful_sessionize is oracle-checked in the correctness
     # gate but excluded here: its wall time is dominated by streaming
     # machinery startup (state store + checkpoint + Python workers),
