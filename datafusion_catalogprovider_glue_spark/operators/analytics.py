@@ -632,3 +632,41 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
         .alias("m_bucket"),
     )
+
+
+HIST_WIDTH = 25000.0
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
+           CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH}
+               AS bucket_lo,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order value — the profiling aggregate
+    behind every distribution dashboard.  The bucket id is
+    ``floor(x / width)`` (one double divide + floor, identical in any
+    engine — no half-way rounding exists for floor), so histogram
+    cells are engine-exact and the whole op is a single
+    map-side-combined aggregation with O(buckets) output.  At 100 TB
+    this is the cheap first look that decides where Z-ordering,
+    skew salting, or quantile sketches are worth pointing."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / HIST_WIDTH).cast("bigint")
+    return (
+        o.groupBy(
+            bucket.alias("bucket"),
+            (bucket * HIST_WIDTH).alias("bucket_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

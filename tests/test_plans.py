@@ -330,6 +330,21 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_pagerank_no_cartesian_edges_checkpointed(spark):
+    # the iterative loop must stay hash joins; the graph build is
+    # checkpointed so iterations don't re-run the 4-way fact join
+    p = plan_str(q(spark, "graph_pagerank"), "simple")
+    assert "CartesianProduct" not in p
+    assert "Scan ExistingRDD" in p  # localCheckpoint'd edge table
+    assert "lineitem" not in p  # fact scan happened once, at build time
+
+
+def test_histogram_single_aggregation(spark):
+    p = plan_str(q(spark, "agg_histogram"), "simple")
+    assert p.count("Exchange") == 1
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
 def test_transitions_single_window_shuffle(spark):
     # lag-1 window on user_id then a rollup: exactly two Exchanges,
     # no join, no second fact scan
