@@ -47,7 +47,11 @@ from pyspark.sql.types import (
 
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
-from datafusion_catalogprovider_glue_spark.tables import table_path
+from datafusion_catalogprovider_glue_spark.tables import (
+    ensure_micros_ts,
+    events_raw_ddl,
+    table_path,
+)
 
 SESSION_GAP_MIN = 30
 _GAP = pd.Timedelta(minutes=SESSION_GAP_MIN)
@@ -158,10 +162,7 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (EventTimeTimeout) → memory sink, drained with availableNow."""
     apply_engine_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    raw_schema = events_raw_ddl(sf_dir)
     stream_dir = os.path.join(
         "/tmp",
         f"glue_spark_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
@@ -172,9 +173,7 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(table_path(sf_dir, "events"), link)
 
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ensure_micros_ts(spark.readStream.schema(raw_schema).parquet(stream_dir))
         .select("user_id", "ts")
     )
     sessions = (
@@ -308,10 +307,7 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     form, so the oracle is pure SQL over the same events."""
     apply_engine_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    raw_schema = events_raw_ddl(sf_dir)
     stream_dir = os.path.join(
         "/tmp",
         f"glue_spark_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
@@ -322,9 +318,7 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(table_path(sf_dir, "events"), link)
 
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ensure_micros_ts(spark.readStream.schema(raw_schema).parquet(stream_dir))
         .select("user_id", "ts", "event_id", "event_type")
     )
     depths = (

@@ -26,7 +26,12 @@ from pyspark.sql import functions as F
 from datafusion_catalogprovider_glue_spark.functions import dsum, sql_dsum
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
-from datafusion_catalogprovider_glue_spark.tables import load_table, table_path
+from datafusion_catalogprovider_glue_spark.tables import (
+    ensure_micros_ts,
+    events_raw_ddl,
+    load_table,
+    table_path,
+)
 
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -149,10 +154,7 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming state-store path end-to-end."""
     apply_engine_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    raw_schema = events_raw_ddl(sf_dir)
     # The file-stream source requires a *directory* to monitor; the
     # events table is a single parquet file (read-only), so stage a
     # directory of symlinks next to it in /tmp (idempotent per sf).
@@ -169,9 +171,7 @@ def stream_tumbling_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.symlink(table_path(sf_dir, "events"), link)
 
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ensure_micros_ts(spark.readStream.schema(raw_schema).parquet(stream_dir))
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -229,10 +229,7 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     path (gap-window state unions, not fixed windows)."""
     apply_engine_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    raw_schema = events_raw_ddl(sf_dir)
     import hashlib as _hashlib
     import os as _os
 
@@ -246,9 +243,7 @@ def stream_session_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.symlink(table_path(sf_dir, "events"), link)
 
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ensure_micros_ts(spark.readStream.schema(raw_schema).parquet(stream_dir))
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -297,10 +292,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     local until the post-join aggregation."""
     apply_engine_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    raw_schema = events_raw_ddl(sf_dir)
     import hashlib as _hashlib
     import os as _os
 
@@ -313,7 +305,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _os.path.exists(link):
         _os.symlink(table_path(sf_dir, "events"), link)
 
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    stream = ensure_micros_ts(spark.readStream.schema(raw_schema).parquet(stream_dir))
     customer = F.broadcast(load_table(spark, sf_dir, "customer"))
     agg = (
         stream.join(customer, stream.user_id == customer.c_custkey)
@@ -354,10 +346,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (users × 5 types) keeps exact dedup cheap."""
     apply_engine_conf(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    raw_schema = events_raw_ddl(sf_dir)
     import hashlib as _hashlib
     import os as _os
 
@@ -370,7 +359,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _os.path.exists(link):
         _os.symlink(table_path(sf_dir, "events"), link)
 
-    stream = spark.readStream.schema(raw_schema).parquet(stream_dir)
+    stream = ensure_micros_ts(spark.readStream.schema(raw_schema).parquet(stream_dir))
     agg = (
         stream.select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
@@ -416,10 +405,7 @@ def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib as _hashlib
     import os as _os
 
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    raw_schema = events_raw_ddl(sf_dir)
     stream_dir = _os.path.join(
         "/tmp",
         f"glue_spark_stream_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
@@ -430,9 +416,7 @@ def stream_sliding_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         _os.symlink(table_path(sf_dir, "events"), link)
 
     stream = (
-        spark.readStream.schema(raw_schema)
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ensure_micros_ts(spark.readStream.schema(raw_schema).parquet(stream_dir))
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -528,10 +512,7 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
     import shutil as _shutil
 
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    raw_schema = events_raw_ddl(sf_dir)
     base = _os.path.join(
         "/tmp",
         f"glue_spark_upsert_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
@@ -547,10 +528,11 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     _merge = make_upsert_merger(state_dir, ["user_id", "event_id", "ts", "event_type"])
 
     stream = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ensure_micros_ts(
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+        )
     )
     q = (
         stream.writeStream.foreachBatch(_merge)
