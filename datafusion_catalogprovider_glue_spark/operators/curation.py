@@ -1,0 +1,265 @@
+"""Corpus-curation operators for LLM training-data pipelines
+(SURVEY.md §2-D extensions; BASELINE.json north_star).
+
+Three classic curation stages re-expressed Spark-first:
+
+* Gopher-style heuristic quality gating (Rae et al. 2021, §A1.1) —
+  word-count / mean-word-length / repetition / stopword rules as one
+  row-local codegen stage, zero shuffle.
+* RefinedWeb-style repeated-n-gram profiling (Penedo et al. 2023) —
+  the fraction of a document's distinct 5-grams that occur in other
+  documents, the signal behind cross-document boilerplate stripping.
+* Dictionary + regex PII redaction (emails, long digit runs, entity
+  dictionary) — a row-local regexp_replace chain that stays inside
+  whole-stage codegen; the counts come from the *original* text so
+  the three measures are independent of chain order.
+
+At 100 TB: the quality gate and the redaction are embarrassingly
+parallel scan-stage maps (no shuffle at all); the n-gram profile is
+the tf/df pattern — one shuffle keyed by n-gram (hot boilerplate
+n-grams are exactly the skew case AQE's skew-join splitting handles;
+a stopword-style frequency cap on the df table is the manual swap),
+one shuffle back on doc_id.  Nothing holds state proportional to
+anything but its own partition.
+
+The reference has no text operators at all — this whole module is a
+north-star extension beyond the catalog surface
+(/root/reference/src/catalog_provider/glue.rs has no query operators;
+see SURVEY.md §0 for how its capability set decomposes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+# Same function-word list as operators/text.py's language-ID heuristic;
+# repeated literally in the SQL oracles.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on")
+_SQL_STOPWORDS = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+# Gopher-adapted thresholds, tuned to the synthetic corpus so every
+# rule actually discriminates (word counts run 10..99, mean word
+# lengths 3.7..5.3, distinct ratios 0.27..1.0 at sf0.01).
+_MIN_WORDS, _MAX_WORDS = 30, 90
+_MIN_MWL, _MAX_MWL = 3.9, 5.1
+_MAX_WORD_LEN = 10
+_MIN_DISTINCT_RATIO = 0.4
+_MIN_STOPWORDS = 2
+
+# PII patterns restricted to the Java∩RE2 regular subset (same
+# portability rule as text_extract_regex): no backreferences, ASCII
+# word boundaries only.
+_EMAIL_PAT = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_NUM_PAT = "[0-9]{4,}"
+_ENT_PAT = "\\b(customer|vector)\\b"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    return load_table(spark, sf_dir, "documents")
+
+
+@query(
+    "quality_gopher_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS wc,
+             len(replace(text, ' ', '')) AS letters
+      FROM documents
+    ), m AS (
+      SELECT doc_id, wc,
+             CAST(letters AS DOUBLE) / wc AS mwl,
+             list_max(list_transform(w, x -> len(x))) AS max_wl,
+             CAST(len(list_distinct(w)) AS DOUBLE) / wc AS dr,
+             len(list_intersect(list_distinct(w), [{_SQL_STOPWORDS}])) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           wc AS word_count,
+           ROUND(mwl, 6) AS mean_word_len,
+           max_wl AS max_word_len,
+           ROUND(dr, 6) AS distinct_ratio,
+           n_stop AS n_stopwords,
+           (wc BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}) AS pass_word_count,
+           (mwl >= {_MIN_MWL} AND mwl <= {_MAX_MWL}) AS pass_mean_word_len,
+           (max_wl <= {_MAX_WORD_LEN}) AS pass_max_word_len,
+           (dr >= {_MIN_DISTINCT_RATIO}) AS pass_distinct_ratio,
+           (n_stop >= {_MIN_STOPWORDS}) AS pass_stopwords,
+           (wc BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+            AND mwl >= {_MIN_MWL} AND mwl <= {_MAX_MWL}
+            AND max_wl <= {_MAX_WORD_LEN}
+            AND dr >= {_MIN_DISTINCT_RATIO}
+            AND n_stop >= {_MIN_STOPWORDS}) AS keep
+    FROM m
+    """,
+)
+def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic quality gate: five rules, each surfaced
+    as its own flag plus the conjunction, so downstream ablations can
+    re-weight rules without re-scanning.
+
+    Every measure is one integer aggregate over the token array plus
+    at most one double divide, so the booleans are bit-identical
+    across engines (no float accumulation order anywhere).  The whole
+    operator is a single scan-stage projection — at 100 TB it
+    pipelines with the parquet read and shuffles nothing.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    wc = F.size(w)
+    mwl = F.length(F.translate("text", " ", "")).cast("double") / wc
+    max_wl = F.array_max(F.transform(w, F.length))
+    dr = F.size(F.array_distinct(w)).cast("double") / wc
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(w), F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    d = d.select(
+        "doc_id",
+        wc.cast("long").alias("word_count"),
+        mwl.alias("_mwl"),
+        max_wl.cast("long").alias("max_word_len"),
+        dr.alias("_dr"),
+        n_stop.cast("long").alias("n_stopwords"),
+    )
+    pass_wc = F.col("word_count").between(_MIN_WORDS, _MAX_WORDS)
+    pass_mwl = (F.col("_mwl") >= _MIN_MWL) & (F.col("_mwl") <= _MAX_MWL)
+    pass_max = F.col("max_word_len") <= _MAX_WORD_LEN
+    pass_dr = F.col("_dr") >= _MIN_DISTINCT_RATIO
+    pass_stop = F.col("n_stopwords") >= _MIN_STOPWORDS
+    return d.select(
+        "doc_id",
+        "word_count",
+        F.round("_mwl", 6).alias("mean_word_len"),
+        "max_word_len",
+        F.round("_dr", 6).alias("distinct_ratio"),
+        "n_stopwords",
+        pass_wc.alias("pass_word_count"),
+        pass_mwl.alias("pass_mean_word_len"),
+        pass_max.alias("pass_max_word_len"),
+        pass_dr.alias("pass_distinct_ratio"),
+        pass_stop.alias("pass_stopwords"),
+        (pass_wc & pass_mwl & pass_max & pass_dr & pass_stop).alias("keep"),
+    )
+
+
+@query(
+    "text_dup_ngram_fraction",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 4),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))) AS ng
+      FROM documents
+    ), df AS (
+      SELECT ng, count(*) AS df FROM g GROUP BY ng
+    )
+    SELECT g.doc_id,
+           count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS dup_fraction
+    FROM g JOIN df ON g.ng = df.ng
+    GROUP BY g.doc_id
+    """,
+)
+def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style repeated-n-gram profile: per document, the
+    fraction of its distinct 5-grams that also appear in at least one
+    other document (document frequency >= 2; each document contributes
+    a 5-gram once, so df counts documents).
+
+    Plan: distinct 5-grams explode in the scan stage; ONE shuffle
+    keyed by n-gram builds the df table; the join back reuses that
+    exchange and the per-doc re-aggregation is the second (doc_id)
+    shuffle — the same tf/df shape as text_tfidf.  Hot boilerplate
+    n-grams are the skew case: AQE skew-join splitting handles them
+    at sf, and the 100 TB swap is capping df counting at a frequency
+    ceiling (a df that is already >= threshold needs no exact count).
+    The fraction is one integer divide, rounded once — engine-exact.
+    """
+    d = _docs(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    # Guard: F.sequence(1, 0) would produce a DESCENDING [1, 0] in
+    # Spark (not an empty list), so short docs need an explicit empty.
+    grams = F.when(
+        n >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 4),
+                lambda i: F.array_join(F.slice(w, i, 5), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(grams).alias("ng"))
+    df_tbl = g.groupBy("ng").agg(F.count(F.lit(1)).alias("df"))
+    shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+    return (
+        g.join(df_tbl, "ng")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            shared.cast("long").alias("n_shared"),
+            F.round(shared.cast("double") / F.count(F.lit(1)), 6).alias("dup_fraction"),
+        )
+    )
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_PAT}')) AS n_email,
+           len(regexp_extract_all(text, '{_NUM_PAT}')) AS n_number,
+           len(regexp_extract_all(text, '{_ENT_PAT}')) AS n_entity,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_EMAIL_PAT}', '<EMAIL>', 'g'),
+               '{_NUM_PAT}', '<NUM>', 'g'),
+             '{_ENT_PAT}', '<ENT>', 'g') AS redacted
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails, long digit runs, and a dictionary
+    of entity terms are replaced with typed placeholders; per-doc hit
+    counts are measured on the ORIGINAL text so the three counters are
+    independent of the replacement order.
+
+    Patterns stay in the Java∩RE2 regular subset so Spark and DuckDB
+    agree byte-for-byte.  Row-local regexp chain → scan-stage codegen,
+    zero shuffle, trivially parallel at any scale; the synthetic
+    corpus has no emails/digits (those patterns exercise the
+    no-match path) and real dictionary hits for the entity rule.
+    """
+    d = _docs(spark, sf_dir)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_PAT, "<EMAIL>"),
+            _NUM_PAT,
+            "<NUM>",
+        ),
+        _ENT_PAT,
+        "<ENT>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_EMAIL_PAT), 0)).cast("long").alias(
+            "n_email"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_NUM_PAT), 0)).cast("long").alias(
+            "n_number"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(_ENT_PAT), 0)).cast("long").alias(
+            "n_entity"
+        ),
+        redacted.alias("redacted"),
+    )

@@ -43,6 +43,7 @@ def load_all_operator_modules() -> None:
     from datafusion_catalogprovider_glue_spark.operators import (  # noqa: F401
         analytics,
         catalog_ops,
+        curation,
         dedup,
         funnel,
         graph,
@@ -56,6 +57,7 @@ def load_all_operator_modules() -> None:
         tpch_rest,
     )
     from datafusion_catalogprovider_glue_spark.streaming import (  # noqa: F401
+        joins,
         stateful,
         windows,
     )

@@ -461,3 +461,28 @@ def test_clean_corpus_pipeline_single_shuffle(spark):
     # normalize, gate, and sample must stay row-local in the scan stage
     p = plan_str(q(spark, "pipeline_clean_corpus"), "simple")
     assert p.count("Exchange") == 1
+
+
+def test_gopher_filters_zero_shuffle(spark):
+    # the quality gate is one scan-stage projection: no exchange, no
+    # Python eval — every rule is a codegen'd array/length expression
+    p = plan_str(q(spark, "quality_gopher_filters"), "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_pii_redact_zero_shuffle(spark):
+    # regexp_replace chain + match counters stay row-local in the scan
+    p = plan_str(q(spark, "text_pii_redact"), "simple")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_dup_ngram_fraction_plan(spark):
+    # tf/df shape: partial+final df aggregation, an equi-join keyed on
+    # the n-gram (never a cartesian), and the per-doc re-aggregation —
+    # three exchanges total (ng probe, ng agg, doc_id agg)
+    p = plan_str(q(spark, "text_dup_ngram_fraction"), "simple")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert p.count("HashAggregate") >= 4  # two partial+final pairs
+    assert p.count("Exchange") == 3
