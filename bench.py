@@ -29,6 +29,7 @@ HEADLINE = [
     "q18_large_orders",
     "join_inner",
     "join_asof",
+    "join_lateral",
     "agg_group",
     "window_rank",
     "topk",
@@ -47,8 +48,15 @@ HEADLINE = [
     "text_chunk",
     "pipeline_pack_sequences",
     "scan_iceberg",
+    "scan_orc",
     "customer_rfm",
     "graph_pagerank",
+    "quality_gopher_filters",
+    "text_dup_ngram_fraction",
+    "text_pii_redact",
+    # stream_stream_join is oracle-checked in the gate but excluded for
+    # the same reason as the stateful streaming keys below: wall time is
+    # streaming-machinery startup, a fixed cost, not throughput.
     # stream_stateful_sessionize is oracle-checked in the correctness
     # gate but excluded here: its wall time is dominated by streaming
     # machinery startup (state store + checkpoint + Python workers),

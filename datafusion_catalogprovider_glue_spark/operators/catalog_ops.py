@@ -902,3 +902,77 @@ def scan_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(read_iceberg(spark, table_dir, snapshot_id=1), "snap1").unionByName(
         _agg(read_iceberg(spark, table_dir), "latest")
     )
+
+
+@query(
+    "scan_orc",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+           MIN(o_orderdate) AS first_order
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8c EXTENSION through the gate: orders materialized once as ORC
+    and registered via the standard Hive ORC SerDe triple
+    (OrcInputFormat / OrcOutputFormat / OrcSerde).
+
+    The reference's dispatch has no ORC arm — a real Glue ORC table
+    falls into its NotImplemented fallback (glue.rs:426-429) — but
+    Spark reads ORC natively (vectorized, predicate pushdown, footer
+    stats), so the rebuild accepts the triple instead of refusing it.
+    Hash-matching the PARQUET original proves the round trip is
+    value-lossless, including the timestamp column (written and read
+    under the engine's pinned UTC session tz; ORC timestamps are
+    wall-clock, so the pin is what makes the trip an identity).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import FakeGlueClient
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+
+    apply_engine_conf(spark)
+    out = _text_scan_dir(sf_dir, "orders_orc")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(out)
+    client = FakeGlueClient(
+        {
+            "orcdb": {
+                "orders_orc": {
+                    "DatabaseName": "orcdb",
+                    "Name": "orders_orc",
+                    "Parameters": {},
+                    "PartitionKeys": [],
+                    "StorageDescriptor": {
+                        "InputFormat": "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat",
+                        "OutputFormat": "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat",
+                        "SerdeInfo": {
+                            "SerializationLibrary": "org.apache.hadoop.hive.ql.io.orc.OrcSerde",
+                            "Parameters": {},
+                        },
+                        "Parameters": {},
+                        "Columns": [
+                            {"Name": n, "Type": t}
+                            for n, t in TESTDATA_GLUE_COLUMNS["orders"]
+                        ],
+                        "Location": out,
+                    },
+                }
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("orcdb", "orders_orc")
+    return (
+        spark.table(entry.view)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2, 18).alias("sum_total"),
+            F.min("o_orderdate").alias("first_order"),
+        )
+    )

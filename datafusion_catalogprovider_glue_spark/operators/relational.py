@@ -1360,3 +1360,39 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
         F.max("o_orderkey").alias("last_orderkey"),
     )
+
+
+@query(
+    "join_lateral",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11b LATERAL correlated-subquery join (top-2 orders by price per
+    customer) — the SQL-standard per-row subquery surface DataFusion 37
+    also exposes on registered tables.
+
+    Catalyst decorrelates the correlated LIMIT into WindowGroupLimit —
+    a PARTIAL top-k per key map-side, a final top-k after the o_custkey
+    shuffle, then one equi-join back to customer (broadcast at this
+    scale).  That is exactly the hand-written row_number()<=k plan, so
+    the declarative form costs nothing at 100 TB: per-key state is
+    O(k), never a per-customer sort of all orders.  Tie-break on
+    o_orderkey makes the top-2 unique → deterministic cross-engine.
+    """
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, o.o_orderkey, o.o_totalprice
+        FROM _lat_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )

@@ -26,6 +26,9 @@ AVRO_SERDE = "org.apache.hadoop.hive.serde2.avro.AvroSerDe"
 HIVE_JSON_SERDE = "org.apache.hive.hcatalog.data.JsonSerDe"
 OPENX_JSON_SERDE = "org.openx.data.jsonserde.JsonSerDe"
 ION_SERDE = "com.amazon.ionhiveserde.IonHiveSerDe"
+ORC_IN = "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat"
+ORC_OUT = "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat"
+ORC_SERDE = "org.apache.hadoop.hive.ql.io.orc.OrcSerde"
 
 
 @dataclass
@@ -83,6 +86,14 @@ def calculate_reader_spec(storage_descriptor: dict) -> ReaderSpec:
         # approximation the reference makes (glue.rs:421-425)
     ):
         return ReaderSpec("json")
+
+    # B8c ORC (EXTENSION — the reference's dispatch has no ORC arm, so
+    # real Glue ORC tables fall through to its NotImplemented fallback,
+    # glue.rs:426-429.  Spark reads ORC natively with vectorization and
+    # predicate pushdown, so the rebuild accepts the standard Hive ORC
+    # triple instead of refusing it.)
+    if triple == (ORC_IN, ORC_OUT, ORC_SERDE):
+        return ReaderSpec("orc")
 
     # B7 fallback (glue.rs:426-429)
     raise NotImplementedYet(

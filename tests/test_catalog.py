@@ -96,6 +96,25 @@ def test_dispatch_json_variants(serde):
     assert calculate_reader_spec(_text_sd(serde)).format == "json"
 
 
+def test_dispatch_orc_extension():
+    # B8c EXTENSION: the reference would refuse this triple
+    # (glue.rs:426-429 fallback); we dispatch it to Spark's native ORC
+    from datafusion_catalogprovider_glue_spark.sources.formats import (
+        ORC_IN,
+        ORC_OUT,
+        ORC_SERDE,
+    )
+
+    spec = calculate_reader_spec(
+        {
+            "InputFormat": ORC_IN,
+            "OutputFormat": ORC_OUT,
+            "SerdeInfo": {"SerializationLibrary": ORC_SERDE},
+        }
+    )
+    assert spec.format == "orc"
+
+
 def test_dispatch_unknown_triple_errors():
     with pytest.raises(NotImplementedYet) as exc:
         calculate_reader_spec(_text_sd("com.example.UnknownSerDe"))

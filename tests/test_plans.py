@@ -479,10 +479,17 @@ def test_pii_redact_zero_shuffle(spark):
 
 
 def test_dup_ngram_fraction_plan(spark):
-    # tf/df shape: partial+final df aggregation, an equi-join keyed on
-    # the n-gram (never a cartesian), and the per-doc re-aggregation —
-    # three exchanges total (ng probe, ng agg, doc_id agg)
+    # group-join shape: NO join operator at all — the n-gram agg
+    # carries the posting list and re-explodes it; exchanges are the
+    # doc_id spread (single-row-group input), ng agg, doc_id agg
     p = plan_str(q(spark, "text_dup_ngram_fraction"), "simple")
-    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
-    assert p.count("HashAggregate") >= 4  # two partial+final pairs
+    assert "Join" not in p
     assert p.count("Exchange") == 3
+
+
+def test_lateral_join_decorrelates_to_window_group_limit(spark):
+    # the correlated LIMIT must become a partial+final per-key top-k
+    # (WindowGroupLimit), never a per-row re-scan or nested loop
+    p = plan_str(q(spark, "join_lateral"), "simple")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
