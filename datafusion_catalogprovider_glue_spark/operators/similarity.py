@@ -451,3 +451,93 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos") >= 0.35)
         .select("query_id", "match_id", "cos")
     )
+
+
+# --- random projection (JL) -------------------------------------------------
+
+_RP_OUT_DIM = 16
+
+
+def _rp_signs() -> list[list[float]]:
+    """Deterministic ±1 sign matrix (16 × 64) for the Johnson-
+    Lindenstrauss sign projection: the parity of the first md5 byte of
+    "j_i".  Hash-derived (not a linear pattern — a (-1)^(i+j) grid
+    would make output dims pairwise identical up to sign) and
+    reproducible everywhere, so the identical literals are inlined in
+    the Spark plan AND the DuckDB oracle text."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{j}_{i}".encode()).digest()[0] % 2 == 0 else -1.0
+            for i in range(_EMBED_DIM)
+        ]
+        for j in range(_RP_OUT_DIM)
+    ]
+
+
+def _rp_sql_values() -> str:
+    """The sign matrix as VALUES rows — a 16-row table the planner
+    materializes ONCE.  (Indexing a nested literal-list expression
+    inside the per-element lambda instead re-built the 1024-literal
+    matrix per element: measured 253 s vs 0.05 s at 500 rows.)"""
+    return ", ".join(
+        f"({j + 1}, [" + ", ".join(f"{x:.1f}" for x in row) + "])"
+        for j, row in enumerate(_rp_signs())
+    )
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH m AS (SELECT * FROM (VALUES {_rp_sql_values()}) t(j, signs)),
+    p AS (
+      SELECT e.vec_id, e.label, m.j,
+             round(list_reduce(
+               list_prepend(0.0, list_transform(range(1, {_EMBED_DIM} + 1), i ->
+                 CAST(e.embedding[i] AS DOUBLE) * m.signs[i])),
+               (a, b) -> a + b) / 4.0, 6) AS pj
+      FROM embeddings e CROSS JOIN m
+    )
+    SELECT vec_id, label, list(pj ORDER BY j) AS proj
+    FROM p GROUP BY vec_id, label
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3i: Johnson-Lindenstrauss sign random projection, 64 → 16 dims
+    (Achlioptas 2003: ±1 entries preserve pairwise distances in
+    expectation) — the cheap dimensionality-reduction pre-step before
+    ANN indexing or clustering, shrinking every downstream distance
+    computation 4×.
+
+    Row-local JVM higher-order folds with the sign matrix UNROLLED —
+    one ``zip_with``+``aggregate`` per output dim against that dim's
+    literal sign row — zero shuffle, whole-stage codegen, no Python.
+    (The tempting 2-D form — ``transform`` over j with nested
+    ``element_at(element_at(signs, j), i)`` — re-evaluates the nested
+    array construction per element: 3.7× slower measured.)  The fold
+    is left-to-right in both engines (Spark ``aggregate`` / DuckDB
+    ``list_reduce`` over ``list_prepend``), scaled by 1/√16, rounded
+    once to 6 dp → the projected vectors hash-match cross-engine.  At
+    100 TB this pipelines with the scan; the sign matrix is O(dims²)
+    driver-side metadata, never data.
+    """
+    e = _emb(spark, sf_dir)
+
+    def _pj(row: list[float]):
+        lit = F.array(*[F.lit(x) for x in row])
+        return F.round(
+            F.aggregate(
+                F.zip_with(F.col("v"), lit, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / 4.0,
+            6,
+        )
+
+    return e.select(
+        "vec_id",
+        "label",
+        F.array(*[_pj(row) for row in _rp_signs()]).alias("proj"),
+    )
