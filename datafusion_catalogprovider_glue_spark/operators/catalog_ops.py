@@ -976,3 +976,116 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("o_orderdate").alias("first_order"),
         )
     )
+
+
+@query(
+    "scan_schema_merge",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           CASE WHEN n_nationkey < 13 THEN NULL ELSE n_name || '-v2' END AS extra_tag,
+           CASE WHEN n_nationkey < 13 THEN 'v1' ELSE 'v2' END AS batch
+    FROM nation
+    """,
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet files in one table directory —
+    the READ-side answer to the reference's schema-inference failure
+    classes (README.md:53-68: its InferSchemaFromData samples files
+    and breaks when they disagree).
+
+    Fixture: nation written as two batches with different schemas —
+    v1 (keys < 13) lacks the ``extra_tag`` column, v2 carries it.
+    ``mergeSchema=true`` unions the footers into one StructType and
+    back-fills NULL for files missing the column (exactly DuckDB's
+    ``union_by_name``, which the oracle emulates on the original
+    table).  At 100 TB this is how years-old partitions coexist with
+    current writers without a rewrite; merge cost is per-FOOTER, not
+    per-row, and scan parallelism is unchanged.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    apply_engine_conf(spark)
+    out = _text_scan_dir(sf_dir, "nation_evolved")
+    if not os.path.exists(os.path.join(out, "_b2", "_SUCCESS")):
+        n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+        v1 = n.filter(F.col("n_nationkey") < 13).withColumn("batch", F.lit("v1"))
+        v2 = (
+            n.filter(F.col("n_nationkey") >= 13)
+            .withColumn("extra_tag", F.concat(F.col("n_name"), F.lit("-v2")))
+            .withColumn("batch", F.lit("v2"))
+        )
+        v1.write.mode("overwrite").parquet(os.path.join(out, "_b1"))
+        v2.write.mode("overwrite").parquet(os.path.join(out, "_b2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "_b1"), os.path.join(out, "_b2")
+    )
+    return merged.select("n_nationkey", "n_name", "extra_tag", "batch")
+
+
+@query(
+    "catalog_column_stats",
+    oracle="""
+    SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS n_distinct,
+           CAST(MIN(o_orderkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_orderkey) AS DOUBLE) AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 surfaced as a query: the reference registers tables with
+    ``collect_stat: true`` so the engine gathers file statistics for
+    planning (glue.rs:448); Spark's analog is ``ANALYZE TABLE ...
+    COMPUTE STATISTICS FOR COLUMNS``.  This key computes the same
+    CBO-shaped column profile (row count, null count, NDV, min/max)
+    for the numeric orders columns as ONE aggregation pass — every
+    metric is map-side combinable, a single row crosses the shuffle
+    per partition, and the per-column rows are a driver-side unpivot
+    of that one row.  (The oracle's three scans express identical
+    semantics; DuckDB just has no single-pass unpivot idiom for it.)
+    At 100 TB the exact NDV term is the cost driver — the swap is
+    `approx_count_distinct`, pinned by `agg_approx_distinct`.
+    """
+    from pyspark.sql import functions as F
+
+    apply_engine_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        ]
+    one = o.agg(*aggs)
+    per_col = [
+        one.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+        )
+        for c in cols
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionByName(p)
+    return out

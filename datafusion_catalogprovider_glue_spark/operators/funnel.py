@@ -270,3 +270,56 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_score"),
     )
+
+
+@query(
+    "events_rolling_dau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS n_dau FROM ud GROUP BY day),
+    c AS (
+      SELECT user_id, day + CAST(x AS INTEGER) AS wday
+      FROM ud, unnest(generate_series(0, 6)) t(x)
+    ),
+    wau AS (SELECT wday AS day, COUNT(DISTINCT user_id) AS n_wau FROM c GROUP BY wday)
+    SELECT dau.day AS day, n_dau, n_wau
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-user curves: exact DAU and exact 7-day rolling distinct
+    users (WAU) per day — the standard growth dashboard, and the thing
+    a naive SUM over daily counts gets WRONG (rolling distinct is not
+    a sum of dailies; returning users must not double-count).
+
+    Plan: events collapse to distinct (user, day) in ONE shuffle that
+    shrinks the data by the per-day event rate; the WAU forward-scatter
+    (each user-day feeds days d..d+6 — a 7× explode of the SHRUNKEN
+    table, never raw events) lands in a countDistinct keyed by day.
+    Nothing after the first aggregation scales with event volume.  At
+    100 TB/day the exact form's distinct state is the cost ceiling;
+    the sketch swap is `agg_hll_partitioned_merge` (per-day HLL union
+    over the window — same curve, bounded memory, documented error).
+    The inner join back to DAU keeps only days that exist in the data
+    (no ghost trailing days from the scatter).
+    """
+    ud = (
+        _events(spark, sf_dir)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("n_dau"))
+    wau = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
+            "day",
+        )
+        .select("user_id", F.date_add(F.col("day"), F.col("x")).alias("day"))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_wau"))
+    )
+    return dau.join(wau, "day").select("day", "n_dau", "n_wau")
