@@ -630,3 +630,55 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.levenshtein("name_a", "name_b") <= 1)
     )
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(text)) AS fingerprint,
+             (doc_id % 5 = 0) AS incoming
+      FROM documents
+    ),
+    existing AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT incoming),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE incoming)
+    SELECT b.fingerprint AS fingerprint,
+           MIN(b.doc_id) AS keep_doc,
+           COUNT(*) AS n_in_batch
+    FROM batch b
+    WHERE b.fingerprint NOT IN (SELECT fingerprint FROM existing)
+    GROUP BY b.fingerprint
+    """,
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1c: incremental-ingestion dedup — the shape every daily
+    pipeline actually runs: dedup a NEW batch both against itself and
+    against the fingerprints of everything already ingested, without
+    re-scanning the corpus text.  (Fixture: doc_id % 5 == 0 plays the
+    incoming batch, the rest the existing corpus.)
+
+    Plan: the batch collapses per-fingerprint first (keep-min + batch
+    count — the within-batch dedup), THEN anti-joins the existing
+    fingerprint set on the 16-byte key.  Per-ingest cost is
+    O(batch + matched keys): the corpus side contributes only its
+    fingerprint column (in production a persisted, bucketed
+    fingerprint table — pay-the-shuffle-once, `join_bucketed`'s
+    layout), text never moves, and nothing rescans history.  The
+    anti join is a hash join on uniformly-distributed hashes: no
+    skew by construction.
+    """
+    fp = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("fingerprint"),
+        (F.col("doc_id") % 5 == 0).alias("incoming"),
+    )
+    existing = fp.filter(~F.col("incoming")).select("fingerprint").distinct()
+    batch = (
+        fp.filter(F.col("incoming"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("n_in_batch"),
+        )
+    )
+    return batch.join(existing, "fingerprint", "left_anti")

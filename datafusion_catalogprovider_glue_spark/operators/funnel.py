@@ -323,3 +323,98 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("n_wau"))
     )
     return dau.join(wau, "day").select("day", "n_dau", "n_wau")
+
+
+@query(
+    "window_merge_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY user_id ORDER BY s, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, MIN(s) AS island_start, MAX(e) AS island_end
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           CAST(SUM(island_end - island_start) AS BIGINT) AS covered_us,
+           CAST(MAX(island_end - island_start) AS BIGINT) AS longest_us
+    FROM merged GROUP BY user_id
+    """,
+)
+def window_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: each event opens a 5-minute
+    activity interval; overlapping/contained intervals per user merge
+    into islands (the classic uptime/coverage computation — distinct
+    from `window_session`, which uses the session-window AGGREGATE;
+    this is the analytic-window formulation that also handles
+    variable-length, fully-contained intervals).
+
+    A new island starts where an interval's start exceeds the running
+    MAX of all preceding interval ends (a plain lag(end) misses
+    containment); the island id is the running sum of those flags.
+    One user_id shuffle carries both windows and the two rollups —
+    per-user state is O(1) (running max + counter), all arithmetic on
+    integer epoch-µs with a unique (ts, event_id) order key, so both
+    engines compute identical islands.  At 100 TB/day the user_id
+    key space is wide and unskewed; nothing downstream of the window
+    scales with raw events (output is one row per user).
+    """
+    iv = _events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "event_id",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    # the SAME unique (s, event_id) order key as the flag window —
+    # ordering by (s, e) would leave same-timestamp rows ambiguous and
+    # island assignment engine-dependent
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    merged = islands.groupBy("user_id", "island").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered_us"),
+        F.max(F.col("island_end") - F.col("island_start")).alias("longest_us"),
+    )

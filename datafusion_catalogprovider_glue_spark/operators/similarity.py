@@ -15,6 +15,10 @@ Three paths, mirroring how ANN systems are actually deployed:
   vectors to cells; queries probe their nprobe nearest cells.  The
   FAISS-style structure, in Spark primitives (rows-only + recall
   test, same reason).
+* product quantization (PQ/ADC + exact re-rank) — per-subspace
+  codebooks compress vectors 64×; queries rank by distance-table
+  lookups, then exactly re-rank a shortlist (rows-only + recall
+  test, same reason).
 """
 
 from __future__ import annotations
@@ -540,4 +544,123 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         F.array(*[_pj(row) for row in _rp_signs()]).alias("proj"),
+    )
+
+
+# --- product quantization ---------------------------------------------------
+
+PQ_SUBSPACES = 4   # 64 dims → 4 × 16-dim subspaces
+PQ_SUBDIM = _EMBED_DIM // PQ_SUBSPACES
+PQ_CODEBOOK = 16   # centroids per subspace → 4 bytes/vector total
+PQ_SHORTLIST = 40  # ADC candidates per query fed to the exact re-rank
+
+
+@query("sim_topk_pq")  # rows-only: codes are trainer/seed-specific
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 scale path #3: product quantization (Jégou et al. 2011) —
+    completes the ANN family next to LSH (`sim_topk_lsh`) and IVF
+    (`sim_topk_ivf`).  Each L2-normalized vector splits into 4
+    subspaces of 16 dims; a per-subspace k-means codebook (MLlib,
+    fixed seeds) turns 256 float bytes into FOUR code bytes (64×
+    compression), and queries rank by asymmetric distance (ADC): a
+    per-query 4×16 lookup table of subspace distances, summed by
+    code — table lookups and 3 adds per corpus vector, no float math
+    against raw vectors at probe time.  The ADC top-PQ_SHORTLIST then
+    gets an EXACT cosine re-rank (the FAISS IndexPQ+refine topology):
+    full vectors are touched only for shortlist × queries rows.
+
+    Normalizing first makes L2 order = cosine order, so the recall
+    test compares directly against the exact cosine brute force
+    (measured 0.62 at shortlist=40 on the near-uniform testdata —
+    ADC alone measured 0.16 here: 4-subspace quantization noise
+    swamps the weak 0.26-0.49-cosine neighbor signal, which is why
+    the re-rank stage is part of the operator, not an afterthought).
+    At 100 TB: codes are built in one map pass after a distributed
+    codebook fit on a sample; the probe side broadcasts queries+tables
+    (O(queries × 64) doubles) and the corpus never shuffles — the same
+    never-move-the-corpus contract as `sim_topk_bruteforce`, but the
+    full-corpus pass reads 4-byte codes, not 256-byte vectors.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = _emb(spark, sf_dir)
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("v"), lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    base = e.select(
+        "vec_id", F.transform(F.col("v"), lambda x: x / nrm).alias("nv")
+    )
+
+    codes = base
+    codebooks: list[list[list[float]]] = []
+    for s in range(PQ_SUBSPACES):
+        sub = F.slice(F.col("nv"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        with_vec = codes.withColumn("features", array_to_vector(sub))
+        model = KMeans(
+            k=PQ_CODEBOOK, seed=11 + s, maxIter=10, featuresCol="features"
+        ).fit(with_vec)
+        codebooks.append([c.tolist() for c in model.clusterCenters()])
+        codes = (
+            model.transform(with_vec)
+            .withColumn(f"code{s}", F.col("prediction").cast("int"))
+            .drop("features", "prediction")
+        )
+
+    def _d2(vcol, center: list[float]):
+        lit_c = F.array(*[F.lit(float(x)) for x in center])
+        return F.aggregate(
+            F.zip_with(vcol, lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    q = base.filter(F.col("vec_id") < N_QUERIES)
+    dt_cols = [
+        F.array(
+            *[
+                _d2(F.slice(F.col("nv"), s * PQ_SUBDIM + 1, PQ_SUBDIM), c)
+                for c in codebooks[s]
+            ]
+        ).alias(f"dt{s}")
+        for s in range(PQ_SUBSPACES)
+    ]
+    queries = q.select(F.col("vec_id").alias("query_id"), *dt_cols)
+
+    approx = sum(
+        F.element_at(F.col(f"dt{s}"), F.col(f"code{s}") + 1)
+        for s in range(PQ_SUBSPACES)
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_d2").asc(), F.col("neighbor_id")
+    )
+    corpus = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[f"code{s}" for s in range(PQ_SUBSPACES)],
+    )
+    shortlist = (
+        corpus.join(F.broadcast(queries))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", approx.alias("approx_d2"))
+        .withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank of the ADC shortlist (the FAISS IndexIVFPQ+refine
+    # topology): full vectors touched only for shortlist × queries rows
+    qv = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    )
+    cv = base.select(F.col("vec_id").alias("neighbor_id"), F.col("nv").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
     )

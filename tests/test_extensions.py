@@ -458,3 +458,21 @@ def test_zorder_narrows_both_column_ranges(spark):
     # median file covers well under half of each key domain
     assert sorted(pk_spans)[len(pk_spans) // 2] < full_pk / 2
     assert sorted(sk_spans)[len(sk_spans) // 2] < full_sk / 2
+
+
+def test_sim_topk_pq_recall(spark):
+    """PQ/ADC with 4×16 codebooks on normalized vectors: recall vs the
+    exact cosine top-k must clear 0.5 (4-byte codes, 64× compression)."""
+    from datafusion_catalogprovider_glue_spark.operators import registry
+
+    registry.load_all_operator_modules()
+    sf = "/root/testdata/sf0.001"
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["sim_topk_bruteforce"](spark, sf).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in registry.QUERIES["sim_topk_pq"](spark, sf).collect()
+    }
+    assert len(bf & pq) / len(bf) >= 0.5

@@ -493,3 +493,21 @@ def test_lateral_join_decorrelates_to_window_group_limit(spark):
     p = plan_str(q(spark, "join_lateral"), "simple")
     assert "WindowGroupLimit" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_merge_intervals_single_shuffle(spark):
+    # both windows AND both rollups ride ONE user_id exchange:
+    # HashPartitioning(user_id) satisfies the (user_id, island) and
+    # user_id groupings downstream, so no further shuffle appears
+    p = plan_str(q(spark, "window_merge_intervals"), "simple")
+    assert p.count("Exchange") == 1
+    assert "Join" not in p
+
+
+def test_dedup_incremental_anti_join_no_text(spark):
+    # the corpus side must reach the anti join as fingerprints only —
+    # no text column crosses the exchange, and the join is never a
+    # nested loop
+    p = plan_str(q(spark, "dedup_incremental"), "simple")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
