@@ -322,3 +322,105 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(win).alias("window_md5"),
         )
     )
+
+
+@query(
+    "multimodal_tar_index",
+    oracle="""
+    WITH ordered AS (
+      SELECT doc_id, text, n_chars,
+             'doc_' || doc_id || '.txt' AS member,
+             512 + CAST(ceil(n_chars / 512.0) AS BIGINT) * 512 AS entry_bytes
+      FROM documents
+    )
+    SELECT member,
+           COALESCE(SUM(entry_bytes) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_bytes,
+           CAST(n_chars AS BIGINT) AS size_bytes,
+           md5(text) AS content_md5
+    FROM ordered
+    """,
+)
+def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5c: WebDataset-style tar-shard indexing — training pipelines
+    ship multimodal samples as tar shards (one tar per task) and need a
+    (member, offset, size) index for random access without re-reading
+    the archive.  Fixture: the documents corpus packed once per sf into
+    a USTAR tar (`doc_<id>.txt`, doc_id order).
+
+    The Spark side REALLY parses the archive: `binaryFile` loads the
+    shard, an Arrow-batched `mapInPandas` walks the tar in the executor
+    (stdlib tarfile over an in-memory buffer), and emits per-member
+    offset/size plus an md5 of the extracted payload.  The oracle
+    recomputes the entire USTAR layout in pure SQL — offset(k) =
+    Σ_{i<k} (512-byte header + ⌈size/512⌉ padded data blocks), a window
+    cumsum — and md5 from the source text, so a hash match proves both
+    the offset arithmetic AND byte-exact payload extraction.
+
+    At 100 TB the unit of parallelism is the SHARD (WebDataset's
+    contract: many ~1 GB tars, `binaryFile` lists them into one task
+    each, every task indexes its own shard independently); within a
+    shard the walk is sequential by format design — that is why shards
+    exist.  One shard here → one task, documented, with the
+    multi-shard path identical code.
+    """
+    import io
+    import os
+    import tarfile
+
+    apply_engine_conf(spark)
+    base = os.path.join(
+        "/tmp",
+        f"glue_spark_tar_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shard = os.path.join(base, "shard-00000.tar")
+    if not os.path.exists(shard):
+        os.makedirs(base, exist_ok=True)
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+        tmp = shard + ".tmp"
+        with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tf:
+            for r in docs:
+                data = r.text.encode("utf-8")
+                info = tarfile.TarInfo(name=f"doc_{r.doc_id}.txt")
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+        os.rename(tmp, shard)
+
+    out_schema = (
+        "member string, offset_bytes long, size_bytes long, content_md5 string"
+    )
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                rows = []
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for info in tf:
+                        payload = tf.extractfile(info).read()
+                        rows.append(
+                            (
+                                info.name,
+                                info.offset,
+                                info.size,
+                                hashlib.md5(payload).hexdigest(),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "member",
+                        "offset_bytes",
+                        "size_bytes",
+                        "content_md5",
+                    ],
+                )
+
+    shards = spark.read.format("binaryFile").load(base)
+    return shards.select("content").mapInPandas(_index, out_schema)
