@@ -418,3 +418,73 @@ def window_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("island_end") - F.col("island_start")).alias("covered_us"),
         F.max(F.col("island_end") - F.col("island_start")).alias("longest_us"),
     )
+
+
+@query(
+    "events_cooccurrence_lift",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT event_type, COUNT(*) AS n_t FROM ut GROUP BY event_type),
+    u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND(CAST(p.n_both * u.n_users AS DOUBLE) / (ta.n_t * tb.n_t), 6)
+             AS lift
+    FROM pairs p
+    JOIN tot ta ON ta.event_type = p.type_a
+    JOIN tot tb ON tb.event_type = p.type_b
+    CROSS JOIN u
+    """,
+)
+def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered co-occurrence association (basket analysis): for each
+    unordered pair of event types, how many users exhibit BOTH, and the
+    lift P(a∧b)/(P(a)·P(b)) — the joint-behavior complement of
+    `events_transitions` (which counts ORDERED lag-1 sequences).
+
+    Plan: events collapse to distinct (user, type) first — the self
+    join runs on that shrunken table and each user fans out to at most
+    |types|² pairs, so the pair stage is bounded by users × 10 here and
+    never by raw events.  The lift is one integer-ratio divide
+    (n_both·n_users / n_a·n_b), rounded once — bit-identical
+    cross-engine, no float accumulation.  Type totals and the user
+    count are O(|types|) / O(1) broadcasts back onto the pair table.
+    At 100 TB/day only the first distinct touches event volume; skew
+    is bounded because per-user output is capped by the type-pair
+    count, not activity.
+    """
+    ev = _events(spark, sf_dir)
+    ut = ev.select("user_id", "event_type").distinct()
+    tot = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    n_users = ev.select(F.countDistinct("user_id").alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ta = tot.select(F.col("event_type").alias("type_a"), F.col("n_t").alias("na"))
+    tb = tot.select(F.col("event_type").alias("type_b"), F.col("n_t").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                (F.col("n_both") * F.col("n_users")).cast("double")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
