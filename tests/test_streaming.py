@@ -121,3 +121,99 @@ def test_upsert_merger_multi_batch(spark, tmp_path):
         for r in spark.read.parquet(f"{state}/current").collect()
     }
     assert got == {1: (11, "purchase"), 2: (20, "view"), 3: (30, "view")}
+
+
+def test_stream_stream_join_pairs_across_batches(spark, tmp_path):
+    """Stream-stream interval join state must carry across micro-batches:
+    a view in batch 1 must still pair with a click arriving in batch 3
+    (inside the 30-min bound), and out-of-bound clicks must not pair."""
+    src = tmp_path / "ss_src"
+    src.mkdir()
+
+    def write_file(name: str, rows, mtime: float):
+        df = spark.createDataFrame(
+            rows, "ts string, user_id bigint, event_id bigint, event_type string"
+        ).select(
+            F.to_timestamp("ts").alias("ts"), "user_id", "event_id", "event_type"
+        )
+        staging = tmp_path / ("staging_" + name)
+        df.coalesce(1).write.parquet(str(staging))
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        dest = src / (name + ".parquet")
+        shutil.move(part, str(dest))
+        os.utime(dest, (mtime, mtime))
+
+    base = time.time()
+    # b1: two views for user 1, one view user 2
+    write_file(
+        "b1",
+        [
+            ("2024-03-01 12:00:00", 1, 10, "view"),
+            ("2024-03-01 12:20:00", 1, 11, "view"),
+            ("2024-03-01 12:00:00", 2, 12, "view"),
+        ],
+        base - 90,
+    )
+    # b2: click user 1 at 12:25 -> pairs with BOTH b1 views (25 and 5 min gaps)
+    write_file("b2", [("2024-03-01 12:25:00", 1, 20, "click")], base - 60)
+    # b3: click user 1 at 12:45 -> pairs ONLY with the 12:20 view (45 > 30 min
+    # from the 12:00 view); click user 2 at 13:00 -> out of bound (60 min), no pair
+    write_file(
+        "b3",
+        [
+            ("2024-03-01 12:45:00", 1, 21, "click"),
+            ("2024-03-01 13:00:00", 2, 22, "click"),
+        ],
+        base - 30,
+    )
+
+    views = (
+        spark.readStream.schema(
+            "ts timestamp, user_id bigint, event_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    clicks = (
+        spark.readStream.schema(
+            "ts timestamp, user_id bigint, event_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("view_id", "click_id")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName("ss_join_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {(r.view_id, r.click_id) for r in spark.table("ss_join_sink").collect()}
+    assert got == {(10, 20), (11, 20), (11, 21)}
