@@ -44,6 +44,9 @@ HEADLINE = [
     "embedding_quantize",
     "window_tumbling",
     "events_funnel",
+    "events_cooccurrence_lift",
+    "window_merge_intervals",
+    "dedup_incremental",
     "join_bucketed",
     "text_chunk",
     "pipeline_pack_sequences",

@@ -488,3 +488,52 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "events_new_vs_returning",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    firsts AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
+    SELECT ud.day AS day,
+           CAST(SUM(CASE WHEN ud.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(SUM(CASE WHEN ud.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_returning
+    FROM ud JOIN firsts f ON ud.user_id = f.user_id
+    GROUP BY ud.day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily split: each active (user, day) is "new"
+    iff the day is that user's first-ever day — the acquisition/
+    retention decomposition of DAU that pairs with
+    `events_rolling_dau` (volume) and `events_retention` (cohort
+    triangles).
+
+    Plan: ONE user_id shuffle serves both the first-day window MIN and
+    the classification (the same carry-via-window trick as
+    events_retention — no |users|-row dimension join), then the day
+    rollup.  Integer counts only, nothing float.  At 100 TB the
+    distinct (user, day) collapse is again the only stage that sees
+    raw events.
+    """
+    ud = (
+        _events(spark, sf_dir)
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id")
+    classified = ud.select(
+        "day",
+        (F.col("day") == F.min("day").over(w)).alias("is_new"),
+    )
+    return classified.groupBy("day").agg(
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("bigint").alias("n_new"),
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).cast("bigint").alias(
+            "n_returning"
+        ),
+    )

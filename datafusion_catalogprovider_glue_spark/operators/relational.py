@@ -1396,3 +1396,34 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@query(
+    "agg_boolean",
+    oracle="""
+    SELECT l_linestatus,
+           bool_and(l_quantity > 1) AS all_multi,
+           bool_or(l_discount > 0.09) AS any_high_discount,
+           count_if(l_returnflag = 'R') AS n_returned,
+           CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12b boolean aggregates: `bool_and` / `bool_or` / `count_if` —
+    the predicate-rollup corner of the aggregate surface (DataFusion
+    exposes the same trio).  All three are map-side combinable
+    (AND/OR/count are associative+commutative), so one row per
+    partition crosses the shuffle; the double comparisons are
+    engine-exact because both engines parse the same literal to the
+    same IEEE double and compare the same stored values — no
+    arithmetic happens before the predicate.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bool_and(F.col("l_quantity") > 1).alias("all_multi"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_discount"),
+        F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
+        F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
+    )
