@@ -1089,3 +1089,91 @@ def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in per_col[1:]:
         out = out.unionByName(p)
     return out
+
+
+@query(
+    "scan_csv_quoted",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text || ', ' || lang)) AS BIGINT) AS tagged_chars,
+           CAST(SUM(CASE WHEN (text || ', ' || lang) LIKE '%,%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_delim
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 robustness: CSV fields that CONTAIN the delimiter must round
+    trip through quoting.  The reference's dispatch only extracts the
+    delimiter byte (glue.rs:389-398) — quote semantics are entirely the
+    engine's problem, and this key proves Spark's writer+reader handle
+    them losslessly: a derived `tagged` column (`text || ', ' || lang`)
+    puts a comma inside every field of a comma-delimited file, forcing
+    the writer to quote; the read-back aggregate hash-matches the same
+    expression recomputed from the parquet original in DuckDB.  Every
+    row carries an embedded delimiter (`n_with_delim` pins it), so an
+    unquoted round trip could not match.  Same 100 TB caveat as
+    `scan_csv`: text formats get no pruning — this exists to prove the
+    path, not to recommend it.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import FakeGlueClient
+
+    apply_engine_conf(spark)
+    out = _text_scan_dir(sf_dir, "documents_quoted_csv")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "doc_id",
+                "lang",
+                F.concat(F.col("text"), F.lit(", "), F.col("lang")).alias("tagged"),
+            )
+            .write.mode("overwrite")
+            .option("sep", ",")
+            .option("header", True)
+            .csv(out)
+        )
+    client = FakeGlueClient(
+        {
+            "textdb": {
+                "documents_quoted": {
+                    "DatabaseName": "textdb",
+                    "Name": "documents_quoted",
+                    "Parameters": {},
+                    "PartitionKeys": [],
+                    "StorageDescriptor": {
+                        "InputFormat": "org.apache.hadoop.mapred.TextInputFormat",
+                        "OutputFormat": "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+                        "SerdeInfo": {
+                            "SerializationLibrary": "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+                            "Parameters": {"field.delim": ","},
+                        },
+                        "Parameters": {"skip.header.line.count": "1"},
+                        "Columns": [
+                            {"Name": "doc_id", "Type": "bigint"},
+                            {"Name": "lang", "Type": "string"},
+                            {"Name": "tagged", "Type": "string"},
+                        ],
+                        "Location": out,
+                    },
+                }
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("textdb", "documents_quoted")
+    return (
+        spark.table(entry.view)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("tagged")).alias("tagged_chars"),
+            F.sum(F.when(F.col("tagged").contains(","), 1).otherwise(0)).alias(
+                "n_with_delim"
+            ),
+        )
+    )
