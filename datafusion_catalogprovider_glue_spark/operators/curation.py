@@ -272,3 +272,78 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         redacted.alias("redacted"),
     )
+
+
+@query(
+    "text_strip_boilerplate_prefix",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS t,
+             array_to_string(string_split(text, ' ')[1:8], ' ') AS pre
+      FROM documents
+    ),
+    counts AS (
+      SELECT source, pre, COUNT(*) AS n
+      FROM toks GROUP BY source, pre
+    ),
+    top AS (
+      SELECT source, pre FROM (
+        SELECT source, pre, n,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n DESC, pre) AS rn
+        FROM counts WHERE n >= 2
+      ) WHERE rn = 1
+    )
+    SELECT k.doc_id,
+           (top.pre IS NOT NULL) AS stripped,
+           CASE WHEN top.pre IS NOT NULL
+                THEN array_to_string(k.t[9:len(k.t)], ' ')
+                ELSE k.text END AS out_text
+    FROM toks k LEFT JOIN top
+      ON k.source = top.source AND k.pre = top.pre
+    """,
+)
+def text_strip_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix stripping (the C4/CCNet header-removal move):
+    per source, the most frequent 8-token leading prefix — if it
+    repeats at all (count >= 2, ties broken by prefix text) — is
+    removed from documents that start with it.  This is the REMOVAL
+    stage downstream of `text_dup_ngram_fraction`'s profiling.
+
+    Plan: prefix extraction is scan-stage; the (source, prefix) count
+    and per-source top-1 aggregate to O(sources) rows, which broadcast
+    back onto the corpus — the fact table never shuffles for the join.
+    The strip itself is a row-local token-slice.  At 100 TB the count
+    table is the only shuffle and it collapses by the duplication
+    factor; everything else pipelines with the scan.
+    """
+    d = _docs(spark, sf_dir)
+    from pyspark.sql import Window
+
+    t = F.split(F.col("text"), " ")
+    toks = d.select(
+        "doc_id",
+        "source",
+        "text",
+        t.alias("t"),
+        F.array_join(F.slice(t, 1, 8), " ").alias("pre"),
+    )
+    counts = toks.groupBy("source", "pre").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("pre"))
+    top = (
+        counts.filter(F.col("n") >= 2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "pre", F.lit(True).alias("is_top"))
+    )
+    joined = toks.join(F.broadcast(top), ["source", "pre"], "left")
+    stripped = F.col("is_top").isNotNull()
+    return joined.select(
+        "doc_id",
+        stripped.alias("stripped"),
+        F.when(
+            stripped, F.array_join(F.slice(F.col("t"), 9, F.size("t") - 8), " ")
+        )
+        .otherwise(F.col("text"))
+        .alias("out_text"),
+    )
