@@ -1427,3 +1427,31 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("l_returnflag") == "R").alias("n_returned"),
         F.count_if(F.col("l_tax") == 0).alias("n_tax_free"),
     )
+
+
+@query(
+    "agg_bitwise",
+    oracle="""
+    SELECT l_linestatus,
+           bit_and(CAST(l_orderkey AS BIGINT)) AS and_keys,
+           bit_or(CAST(l_linenumber AS BIGINT)) AS or_lines,
+           bit_xor(CAST(l_orderkey AS BIGINT)) AS xor_keys
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12c bitwise aggregates (`bit_and`/`bit_or`/`bit_xor`) — the
+    aggregate twin of the scalar bitwise surface (C26b).  XOR-folding a
+    key column is the classic cheap set-digest (two equal multisets
+    XOR to the same value), AND/OR give per-group bit masks.  All
+    three are associative+commutative integer folds → map-side
+    combinable and bit-identical under any merge order, the property
+    the engine's float sums have to work for.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.bit_and(F.col("l_orderkey").cast("bigint")).alias("and_keys"),
+        F.bit_or(F.col("l_linenumber").cast("bigint")).alias("or_lines"),
+        F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("xor_keys"),
+    )
