@@ -1177,3 +1177,84 @@ def scan_csv_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "scan_json_corrupt",
+    oracle="""
+    SELECT lang AS tag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 7 <> 0
+    GROUP BY lang
+    UNION ALL
+    SELECT '_corrupt' AS tag,
+           COUNT(*) AS n_rows,
+           CAST(NULL AS BIGINT) AS sum_chars
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B4 robustness: malformed JSON rows must be QUARANTINED, not
+    fatal — Spark's PERMISSIVE mode + `columnNameOfCorruptRecord`,
+    the production posture for dirty data lakes (the reference's
+    README documents schema-level inference failures, README.md:53-68;
+    this is the row-level analog its DataFusion delegation would
+    surface as a scan error).
+
+    Fixture: documents as NDJSON where every doc_id % 7 == 0 line is
+    truncated mid-object.  The reader parses good rows normally and
+    lands each bad line intact in `_corrupt_record` (null elsewhere) —
+    the per-lang rollup of good rows plus the corrupt count hash-match
+    the oracle's recomputation from the parquet original, proving no
+    row was lost OR double-counted.  At 100 TB the corrupt quarantine
+    is a scan-stage projection (zero extra passes); the alternative
+    modes (DROPMALFORMED/FAILFAST) are one option away.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    apply_engine_conf(spark)
+    out = _text_scan_dir(sf_dir, "documents_corrupt_json")
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang", "n_chars")
+            .orderBy("doc_id")
+            .collect()
+        )
+        path = os.path.join(out, "part-00000.json")
+        with open(path + ".tmp", "w") as fh:
+            for r in rows:
+                line = json.dumps(
+                    {"doc_id": r.doc_id, "lang": r.lang, "n_chars": r.n_chars}
+                )
+                if r.doc_id % 7 == 0:
+                    line = line[: len(line) // 2]  # truncated mid-object
+                fh.write(line + "\n")
+        os.rename(path + ".tmp", path)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    df = (
+        spark.read.schema(
+            "doc_id bigint, lang string, n_chars bigint, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(os.path.join(out, "part-00000.json"))
+    )
+    # ONE aggregation pass: the corrupt bucket is just another group
+    # (its n_chars are all NULL so SUM collapses to NULL) — and
+    # referencing data columns alongside _corrupt_record sidesteps
+    # Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction.
+    tag = F.when(
+        F.col("_corrupt_record").isNotNull(), F.lit("_corrupt")
+    ).otherwise(F.col("lang"))
+    return df.groupBy(tag.alias("tag")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
