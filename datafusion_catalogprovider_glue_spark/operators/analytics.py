@@ -670,3 +670,55 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+_BIN_W = 10  # quantity-domain bin width for the binned range join
+
+
+@query(
+    "join_range_binned",
+    oracle=f"""
+    SELECT b.band, COUNT(*) AS n_items,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+    FROM lineitem l
+    JOIN (VALUES ('low', 1, 15), ('mid', 15, 35), ('high', 35, 51)) b(band, lo, hi)
+      ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`join_range`'s documented 100 TB swap, materialized: the
+    interval join executed as a BIN-GRID EQUI-JOIN.  Each interval
+    [lo, hi) is exploded to the bins it overlaps (floor(lo/W) ..
+    floor((hi-1)/W)); each fact row computes its single bin; the join
+    key becomes the bin (hash join — shuffle- or broadcast-able, AQE
+    skew-splittable) with the exact interval predicate kept as the
+    residual filter.  A nested-loop join dies at a million intervals;
+    the grid join's fan-out is bounded by interval_length/W + 1 per
+    interval and ONE bin per fact row.  The oracle is the PLAIN
+    interval join — the hash match proves binning is result-preserving
+    (same guarantee style as `join_salted` vs the plain join).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band string, lo int, hi int")
+    binned_bands = bands.select(
+        "band",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / _BIN_W),
+                F.floor((F.col("hi") - 1) / _BIN_W),
+            )
+        ).alias("bin"),
+    )
+    fact = li.withColumn("bin", F.floor(F.col("l_quantity") / _BIN_W))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        fact.join(F.broadcast(binned_bands), "bin")
+        .filter(
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi"))
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_items"), dsum(rev, 4).alias("revenue"))
+    )

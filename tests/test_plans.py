@@ -511,3 +511,11 @@ def test_dedup_incremental_anti_join_no_text(spark):
     p = plan_str(q(spark, "dedup_incremental"), "simple")
     assert "LeftAnti" in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_range_binned_is_hash_join(spark):
+    # the binned variant must plan an equi HASH join on the bin key —
+    # the whole point vs the nested-loop plain range join
+    p = plan_str(q(spark, "join_range_binned"), "simple")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
