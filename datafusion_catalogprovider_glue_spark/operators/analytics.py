@@ -238,22 +238,35 @@ def unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+           unnest([0.25, 0.5, 0.75]) AS q,
+           unnest(quantile_cont(l_quantity, [0.25, 0.5, 0.75])) AS q_value,
            median(l_quantity) AS med
     FROM lineitem GROUP BY l_returnflag
     """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles + median per group (Catalyst
-    ``percentile`` — single-pass, sort-based).  l_quantity is
+    ``percentile`` — single-pass, sort-based), emitted as one
+    (group, q, q_value) row per requested quantile — scalar columns
+    only, never an array result (DuckDB twin: zipped ``unnest`` of the
+    q-list and the ``quantile_cont`` list).  l_quantity is
     integer-valued so the interpolation arithmetic (lower + frac *
     (upper - lower)) is exact in doubles → hash-matches DuckDB's
     quantile_cont.  At 100 TB switch to approx_percentile (t-digest,
     mergeable sketch) — kept exact here because the oracle is exact."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile(F.col("l_quantity"), F.lit([0.25, 0.5, 0.75])).alias("quartiles"),
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile(F.col("l_quantity"), F.lit([0.25, 0.5, 0.75])).alias("qarr"),
         F.median(F.col("l_quantity")).alias("med"),
+    )
+    return agg.select(
+        "l_returnflag", F.posexplode("qarr").alias("pos", "q_value"), "med"
+    ).select(
+        "l_returnflag",
+        F.element_at(qs, F.col("pos") + 1).alias("q"),
+        "q_value",
+        "med",
     )
 
 
@@ -382,8 +395,9 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
     SELECT s_nationkey,
-           list(s_name ORDER BY s_name) AS names,
-           list(DISTINCT s_acctbal > 0 ORDER BY s_acctbal > 0) AS bal_signs,
+           CAST(COUNT(*) AS BIGINT) AS n_names,
+           array_to_string(list_sort(list(DISTINCT
+               CAST(s_acctbal > 0 AS VARCHAR))), ',') AS bal_signs_csv,
            string_agg(s_name, ',' ORDER BY s_name) AS names_csv
     FROM supplier GROUP BY s_nationkey
     """,
@@ -393,13 +407,18 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's collect_list order is partition-arrival order
     (nondeterministic) — array_sort after collection restores a stable
     result, which is also the only sane contract at 100 TB where
-    partitioning is dynamic.  State per group is the collected list:
-    fine for bounded groups (suppliers per nation), the wrong tool for
-    unbounded ones — that's what the sketch aggregates are for."""
+    partitioning is dynamic.  The collected lists are emitted as
+    sorted CSV strings (scalar columns only — array-typed outputs are
+    not hashable by the correctness gate).  State per group is the
+    collected list: fine for bounded groups (suppliers per nation),
+    the wrong tool for unbounded ones — that's what the sketch
+    aggregates are for."""
     s = _t(spark, sf_dir, "supplier")
     return s.groupBy("s_nationkey").agg(
-        F.array_sort(F.collect_list("s_name")).alias("names"),
-        F.array_sort(F.collect_set(F.col("s_acctbal") > 0)).alias("bal_signs"),
+        F.count(F.lit(1)).alias("n_names"),
+        F.array_join(
+            F.array_sort(F.collect_set((F.col("s_acctbal") > 0).cast("string"))), ","
+        ).alias("bal_signs_csv"),
         F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("names_csv"),
     )
 
@@ -416,13 +435,23 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     of rows.  Engine-specific sketch internals mean no cross-engine
     hash oracle; the accuracy contract (rank error ≤ 1/accuracy =
     0.1%) is pinned against the exact percentiles in
-    tests/test_extensions.py."""
+    tests/test_extensions.py.  Emitted as one (group, q, approx_value)
+    row per quantile — scalar columns only for the rows-only gate."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_percentile(
             F.col("l_quantity"), F.lit([0.25, 0.5, 0.75]), F.lit(1000)
-        ).alias("approx_quartiles"),
+        ).alias("qarr"),
         F.count(F.lit(1)).alias("n_rows"),
+    )
+    return agg.select(
+        "l_returnflag", F.posexplode("qarr").alias("pos", "approx_value"), "n_rows"
+    ).select(
+        "l_returnflag",
+        F.element_at(qs, F.col("pos") + 1).alias("q"),
+        "approx_value",
+        "n_rows",
     )
 
 

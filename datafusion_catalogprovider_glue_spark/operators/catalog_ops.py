@@ -403,7 +403,8 @@ def scan_ion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_delta",
     oracle="""
-    SELECT r.r_name, COUNT(*) AS n_nations, SUM(n.n_nationkey) AS key_sum
+    SELECT r.r_name, COUNT(*) AS n_nations,
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     """,
@@ -586,12 +587,12 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_delta_time_travel",
     oracle="""
     SELECT 'v1' AS snapshot, r.r_name, COUNT(*) AS n_nations,
-           SUM(n.n_nationkey) AS key_sum
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY r.r_name
     UNION ALL
     SELECT 'latest' AS snapshot, r.r_name, COUNT(*) AS n_nations,
-           SUM(n.n_nationkey) AS key_sum
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
     FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
     WHERE n.n_nationkey < 12
     GROUP BY r.r_name

@@ -120,7 +120,8 @@ TARGET_FILE_BYTES = 1 << 20  # 1 MiB at test scale; 128-512 MiB in production
 @query(
     "pipeline_compact_files",
     oracle="""
-    SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang
     """,
 )

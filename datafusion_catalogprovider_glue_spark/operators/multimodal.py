@@ -328,16 +328,18 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_tar_index",
     oracle="""
     WITH ordered AS (
-      SELECT doc_id, text, n_chars,
+      SELECT doc_id, text, strlen(text) AS n_bytes,
              'doc_' || doc_id || '.txt' AS member,
-             512 + CAST(ceil(n_chars / 512.0) AS BIGINT) * 512 AS entry_bytes
+             512 + CAST(ceil(strlen(text) / 512.0) AS BIGINT) * 512
+               AS entry_bytes
       FROM documents
     )
     SELECT member,
-           COALESCE(SUM(entry_bytes) OVER (
+           CAST(COALESCE(SUM(entry_bytes) OVER (
              ORDER BY doc_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS offset_bytes,
-           CAST(n_chars AS BIGINT) AS size_bytes,
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS offset_bytes,
+           CAST(n_bytes AS BIGINT) AS size_bytes,
            md5(text) AS content_md5
     FROM ordered
     """,

@@ -182,7 +182,8 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'train' END AS split
         FROM documents
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM labeled GROUP BY split
     """,
 )

@@ -1404,7 +1404,7 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_linestatus,
            bool_and(l_quantity > 1) AS all_multi,
            bool_or(l_discount > 0.09) AS any_high_discount,
-           count_if(l_returnflag = 'R') AS n_returned,
+           CAST(count_if(l_returnflag = 'R') AS BIGINT) AS n_returned,
            CAST(count_if(l_tax = 0) AS BIGINT) AS n_tax_free
     FROM lineitem
     GROUP BY l_linestatus

@@ -264,13 +264,14 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_normalize",
     oracle="""
     SELECT vec_id,
-           list_transform(
+           unnest(range(0, len(embedding))) AS pos,
+           unnest(list_transform(
                CAST(embedding AS DOUBLE[]),
                x -> x / sqrt(list_reduce(
                    list_prepend(0.0, list_transform(CAST(embedding AS DOUBLE[]),
                                                     y -> y * y)),
                    (a, b) -> a + b))
-           ) AS nvec
+           )) AS nval
     FROM embeddings
     """,
 )
@@ -279,17 +280,20 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes a plain dot product).  Pure JVM higher-order functions
     (transform/aggregate) — row-local, no shuffle, whole-stage
     codegen; the left-to-right fold order matches DuckDB's
-    list_reduce, so doubles are bit-identical with no rounding."""
+    list_reduce, so doubles are bit-identical with no rounding.  The
+    normalized vector is emitted as (vec_id, pos, nval) scalar rows
+    (posexplode / zipped unnest) — the gate hashes scalars, and the
+    row form is also what a feature-store sink ingests."""
     e = _emb(spark, sf_dir)
     ss = F.aggregate(
         F.transform(F.col("v"), lambda x: x * x),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    nvec = F.transform(F.col("v"), lambda x: x / F.sqrt(ss))
     return e.select(
-        "vec_id",
-        F.transform(F.col("v"), lambda x: x / F.sqrt(ss)).alias("nvec"),
-    )
+        "vec_id", F.posexplode(nvec).alias("pos", "nval")
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 @query(
@@ -298,40 +302,40 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT label,
                unnest(CAST(embedding AS DOUBLE[])) AS val,
-               unnest(range(1, len(embedding) + 1)) AS pos
+               unnest(range(0, len(embedding))) AS pos
         FROM embeddings
-    ),
-    m AS (
-        SELECT label, pos,
-               CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(val) AS av
-        FROM e GROUP BY label, pos
     )
-    SELECT label, COUNT(*) AS dim, list(av ORDER BY pos) AS centroid
-    FROM m GROUP BY label
+    SELECT label, pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(val) AS av
+    FROM e GROUP BY label, pos
     """,
 )
 def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label mean vector (the k-means update step / class
-    prototype).  posexplode → grouped exact-decimal mean per (label,
-    dimension) → reassemble ordered by position.  The explode
-    multiplies rows by dim (64×) but each is 3 narrow columns, and the
+    prototype), emitted as (label, pos, n_vectors, av) scalar rows —
+    the coordinate form a downstream assign-step joins on, and the
+    only form the correctness gate can hash.  posexplode → grouped
+    exact-decimal mean per (label, dimension).  The explode multiplies
+    rows by dim (64×) but each is 3 narrow columns, and the
     aggregation is map-side combined on (label, pos) — at 100 TB this
     beats collecting vectors: state is one accumulator per (label,
     pos), never a vector buffer.  Means use exact decimal sums, so
     centroids are bit-identical across engines/partitionings."""
     e = _emb(spark, sf_dir)
     exploded = e.select("label", F.posexplode(F.col("v")).alias("pos", "val"))
-    means = exploded.groupBy("label", "pos").agg(
-        (
-            F.sum(F.col("val").cast("decimal(18,9)")).cast("decimal(38,9)").cast("double")
-            / F.count("val")
-        ).alias("av")
-    )
-    return means.groupBy("label").agg(
-        F.count(F.lit(1)).alias("dim"),
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
-        ).alias("centroid"),
+    return (
+        exploded.withColumn("pos", F.col("pos").cast("long"))
+        .groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                F.sum(F.col("val").cast("decimal(18,9)"))
+                .cast("decimal(38,9)")
+                .cast("double")
+                / F.count("val")
+            ).alias("av"),
+        )
     )
 
 
@@ -347,9 +351,10 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v
     )
     SELECT vec_id, amax / 127.0 AS scale,
-           CASE WHEN amax = 0.0 THEN list_transform(v, x -> 0)
+           unnest(range(0, len(v))) AS pos,
+           unnest(CASE WHEN amax = 0.0 THEN list_transform(v, x -> 0)
                 ELSE list_transform(v, x -> CAST(round(x / (amax / 127.0)) AS INT))
-           END AS q
+           END) AS qv
     FROM s
     """,
 )
@@ -363,7 +368,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     of dividing by zero.  Determinism: divide and round are
     exactly-rounded IEEE ops with identical formula text on both
     engines; both engines round halves away from zero, and the int
-    cast is exact because round() already produced an integral."""
+    cast is exact because round() already produced an integral.  The
+    code vector is emitted as (vec_id, scale, pos, qv) scalar rows
+    (posexplode / zipped unnest) for the hash gate."""
     e = _emb(spark, sf_dir)
     amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
     q = F.when(
@@ -374,8 +381,8 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id",
         (amax / 127.0).alias("scale"),
-        q.alias("q"),
-    )
+        F.posexplode(q).alias("pos", "qv"),
+    ).withColumn("pos", F.col("pos").cast("long"))
 
 
 @query(
@@ -494,17 +501,13 @@ def _rp_sql_values() -> str:
 @query(
     "embedding_random_projection",
     oracle=f"""
-    WITH m AS (SELECT * FROM (VALUES {_rp_sql_values()}) t(j, signs)),
-    p AS (
-      SELECT e.vec_id, e.label, m.j,
-             round(list_reduce(
-               list_prepend(0.0, list_transform(range(1, {_EMBED_DIM} + 1), i ->
-                 CAST(e.embedding[i] AS DOUBLE) * m.signs[i])),
-               (a, b) -> a + b) / 4.0, 6) AS pj
-      FROM embeddings e CROSS JOIN m
-    )
-    SELECT vec_id, label, list(pj ORDER BY j) AS proj
-    FROM p GROUP BY vec_id, label
+    WITH m AS (SELECT * FROM (VALUES {_rp_sql_values()}) t(j, signs))
+    SELECT e.vec_id, e.label, CAST(m.j AS BIGINT) AS j,
+           round(list_reduce(
+             list_prepend(0.0, list_transform(range(1, {_EMBED_DIM} + 1), i ->
+               CAST(e.embedding[i] AS DOUBLE) * m.signs[i])),
+             (a, b) -> a + b) / 4.0, 6) AS pj
+    FROM embeddings e CROSS JOIN m
     """,
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,9 +525,11 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     array construction per element: 3.7× slower measured.)  The fold
     is left-to-right in both engines (Spark ``aggregate`` / DuckDB
     ``list_reduce`` over ``list_prepend``), scaled by 1/√16, rounded
-    once to 6 dp → the projected vectors hash-match cross-engine.  At
-    100 TB this pipelines with the scan; the sign matrix is O(dims²)
-    driver-side metadata, never data.
+    once to 6 dp → the projected coordinates hash-match cross-engine.
+    Emitted as (vec_id, label, j, pj) scalar rows — one row per output
+    dimension — because the hash gate cannot canonicalize array
+    columns.  At 100 TB this pipelines with the scan; the sign matrix
+    is O(dims²) driver-side metadata, never data.
     """
     e = _emb(spark, sf_dir)
 
@@ -540,10 +545,14 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         )
 
+    proj = F.array(*[_pj(row) for row in _rp_signs()])
     return e.select(
+        "vec_id", "label", F.posexplode(proj).alias("pos", "pj")
+    ).select(
         "vec_id",
         "label",
-        F.array(*[_pj(row) for row in _rp_signs()]).alias("proj"),
+        (F.col("pos") + 1).cast("long").alias("j"),
+        "pj",
     )
 
 

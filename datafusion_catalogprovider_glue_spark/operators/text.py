@@ -41,7 +41,7 @@ def _words(col: str = "text"):
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars

@@ -7,7 +7,7 @@ import pytest
 
 import __spark_entry__ as entry_mod
 from tests.conftest import SF_CORRECTNESS
-from tests.oracle_harness import compare, duckdb_conn
+from tests.oracle_harness import check_rows_only, compare, duckdb_conn
 
 QUERIES = entry_mod.queries()
 ORACLE = entry_mod.oracle_sql()
@@ -26,7 +26,10 @@ def test_query_matches_oracle(name, spark, con):
     if name in ORACLE:
         compare(df, con, ORACLE[name])
     else:
-        assert df.count() >= 0  # rows-only: runs and yields a stable schema
+        # rows-only keys still pass through the driver's canonicalizer,
+        # so the shape lints apply to them too (round-1 lesson:
+        # agg_approx_percentile ERRORED despite having no oracle).
+        assert check_rows_only(df) >= 0
 
 
 def test_entry_smoke(spark):
