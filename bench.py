@@ -106,6 +106,9 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # ambient machine load at measurement time: round-over-round deltas
+    # under ~15% are indistinguishable from background noise unless the
+    # box was comparably quiet — loadavg makes that judgeable.
     print(
         json.dumps(
             {
@@ -114,6 +117,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "loadavg": [round(x, 2) for x in os.getloadavg()],
             }
         )
     )

@@ -513,7 +513,7 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     accuracy (within 5% of exact) is pinned in tests."""
     ev = _t(spark, sf_dir, "events")
     daily = (
-        ev.groupBy(F.to_date("ts").alias("day"))
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.hll_sketch_agg("user_id").alias("sketch"),
             F.count(F.lit(1)).alias("n_events"),

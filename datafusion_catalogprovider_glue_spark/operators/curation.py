@@ -284,7 +284,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     counts AS (
       SELECT source, pre, COUNT(*) AS n
-      FROM toks GROUP BY source, pre
+      FROM toks WHERE len(t) >= 8 GROUP BY source, pre
     ),
     top AS (
       SELECT source, pre FROM (
@@ -328,7 +328,14 @@ def text_strip_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame
         t.alias("t"),
         F.array_join(F.slice(t, 1, 8), " ").alias("pre"),
     )
-    counts = toks.groupBy("source", "pre").agg(F.count(F.lit(1)).alias("n"))
+    # prefix candidates must come from docs that actually have 8 tokens:
+    # a shorter doc's "prefix" is the whole doc, and stripping it would
+    # both empty the row and drive the slice length below zero.
+    counts = (
+        toks.filter(F.size("t") >= 8)
+        .groupBy("source", "pre")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("pre"))
     top = (
         counts.filter(F.col("n") >= 2)
@@ -342,7 +349,10 @@ def text_strip_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id",
         stripped.alias("stripped"),
         F.when(
-            stripped, F.array_join(F.slice(F.col("t"), 9, F.size("t") - 8), " ")
+            stripped,
+            F.array_join(
+                F.slice(F.col("t"), 9, F.greatest(F.size("t") - 8, F.lit(0))), " "
+            ),
         )
         .otherwise(F.col("text"))
         .alias("out_text"),

@@ -265,12 +265,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       count, and the key space fans out for shuffle parallelism when
       neither side broadcasts at 100 TB.  AQE skew splitting covers
       residual imbalance.
+    * **token-hash payload**: the word sets travel the shuffle as
+      xxhash64 longs (8 bytes/token), not raw strings — distinct /
+      intersect / union COUNTS are identical on the hashed sets
+      (64-bit collisions are negligible at corpus vocab sizes), so
+      the Jaccard value is unchanged while shuffle bytes drop by the
+      average-word-length factor.  The oracle recomputes from RAW
+      words — a hash match proves the swap result-preserving.
     """
     import math
 
     _LOG_BASE = math.log(1.25)
     d = _parallelize(_docs(spark, sf_dir), "doc_id").select(
-        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("wset")
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+        ).alias("wset"),
     )
     d = d.withColumn(
         "bucket", F.floor(F.log(F.size("wset").cast("double")) / _LOG_BASE)
@@ -429,16 +440,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph, then keep-one-per-cluster — the step that
     turns pairwise similarity into an actual dedup decision.
 
-    Implemented as hash-min label propagation (the standard large-scale
-    CC algorithm): every doc starts labeled with its own id; each round
-    every node takes the min label among itself and its neighbors;
-    converged when no label changes.  Rounds are driver-side LOOP
-    CONTROL only (one count() per round — never data); per-round state
-    is localCheckpoint()ed so lineage stays flat.  Near-dup graphs are
-    shallow (components are small cliques-ish), so rounds ~ O(component
-    diameter), typically < 5.  The DuckDB twin computes components with
-    a recursive CTE — an independent algorithm, same fixpoint.
+    Implemented as hash-min label propagation WITH pointer doubling
+    (the large-star/small-star family): every doc starts labeled with
+    its own id; each round every node takes the min label among itself
+    and its neighbors, then every label jumps to its label's label
+    (path halving).  Plain hash-min needs O(component diameter)
+    rounds — a pathological 10^6-node chain at 100 TB would blow any
+    practical cap — while the doubling step makes it O(log diameter),
+    so the hard 20-round bound covers diameters up to ~2^20.  Rounds
+    are driver-side LOOP CONTROL only (one count() per round — never
+    data); per-round state is localCheckpoint()ed so lineage stays
+    flat.  If the bound is ever hit before fixpoint, a residual
+    warning reports how many labels were still moving instead of
+    silently returning a half-converged labeling.  The DuckDB twin
+    computes components with a recursive CTE — an independent
+    algorithm, same fixpoint.
     """
+    import warnings
+
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -452,29 +471,48 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint()
     )
-    for _ in range(20):  # hard bound; converges in O(diameter) rounds
+    n_changed = 0
+    for _ in range(20):  # hard bound; doubling converges in O(log diameter)
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        merged = labels.join(neighbor_min, "doc_id", "left").select(
+            "doc_id",
+            F.col("cluster_id").alias("old_cluster"),
+            F.least("cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))).alias(
+                "cluster_id"
+            ),
+        )
+        # pointer doubling: label <- label(label).  Every label is some
+        # doc's id (init + min closure), so the self-join always hits.
+        ptr = merged.select(
+            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
         updated = (
-            labels.join(neighbor_min, "doc_id", "left")
+            merged.join(ptr, merged.cluster_id == ptr.p_id, "left")
             .select(
                 "doc_id",
-                F.least(
-                    "cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))
-                ).alias("cluster_id"),
-                (
-                    F.coalesce("nbr_min", F.col("cluster_id")) < F.col("cluster_id")
-                ).alias("changed"),
+                "old_cluster",
+                F.coalesce("p_label", "cluster_id").alias("cluster_id"),
             )
             .localCheckpoint()
         )
-        n_changed = updated.filter("changed").count()
+        n_changed = updated.filter(
+            F.col("cluster_id") != F.col("old_cluster")
+        ).count()
         labels = updated.select("doc_id", "cluster_id")
         if n_changed == 0:
             break
+    if n_changed:
+        warnings.warn(
+            f"dedup_clusters: round cap hit with {n_changed} labels still "
+            "moving — component diameter exceeds 2^20?! result is not a "
+            "fixpoint",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         "doc_id", "cluster_id", (F.col("cluster_id") == F.col("doc_id")).alias("keep")
     )

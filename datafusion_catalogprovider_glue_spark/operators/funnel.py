@@ -138,8 +138,8 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_retention",
     oracle="""
     WITH daily AS (
-        SELECT user_id, CAST(ts AS DATE) AS day
-        FROM events GROUP BY user_id, CAST(ts AS DATE)
+        SELECT user_id, date_trunc('day', ts) AS day
+        FROM events GROUP BY user_id, date_trunc('day', ts)
     ), coh AS (
         SELECT user_id, day,
                MIN(day) OVER (PARTITION BY user_id) AS cohort_day
@@ -163,7 +163,7 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(days²) cells).  Data volume shrinks at every stage, the shape
     that survives 100 TB of events."""
     ev = _events(spark, sf_dir)
-    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
     w = Window.partitionBy("user_id")
@@ -171,7 +171,9 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("cohort_day", F.min("day").over(w))
         .groupBy(
             "cohort_day",
-            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
@@ -223,7 +225,7 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_anomaly_zscore",
     oracle="""
     WITH daily AS (
-        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n_events
         FROM events GROUP BY 1, 2
     ), stats AS (
         SELECT event_type,
@@ -252,7 +254,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the first map-side-combined rollup."""
     ev = _events(spark, sf_dir)
     daily = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
+        "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     stats = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("double").alias("cnt"),
@@ -276,12 +278,12 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_rolling_dau",
     oracle="""
     WITH ud AS (
-      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
       FROM events
     ),
     dau AS (SELECT day, COUNT(*) AS n_dau FROM ud GROUP BY day),
     c AS (
-      SELECT user_id, day + CAST(x AS INTEGER) AS wday
+      SELECT user_id, day + to_days(CAST(x AS INTEGER)) AS wday
       FROM ud, unnest(generate_series(0, 6)) t(x)
     ),
     wau AS (SELECT wday AS day, COUNT(DISTINCT user_id) AS n_wau FROM c GROUP BY wday)
@@ -308,7 +310,7 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ud = (
         _events(spark, sf_dir)
-        .select("user_id", F.to_date("ts").alias("day"))
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
         .distinct()
     )
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("n_dau"))
@@ -318,7 +320,10 @@ def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.lit(6))).alias("x"),
             "day",
         )
-        .select("user_id", F.date_add(F.col("day"), F.col("x")).alias("day"))
+        .select(
+            "user_id",
+            F.expr("day + make_interval(0, 0, 0, x, 0, 0, 0)").alias("day"),
+        )
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("n_wau"))
     )
@@ -494,7 +499,7 @@ def events_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_new_vs_returning",
     oracle="""
     WITH ud AS (
-      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
       FROM events
     ),
     firsts AS (SELECT user_id, MIN(day) AS first_day FROM ud GROUP BY user_id)
@@ -523,7 +528,7 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ud = (
         _events(spark, sf_dir)
-        .select("user_id", F.to_date("ts").alias("day"))
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
         .distinct()
     )
     w = Window.partitionBy("user_id")

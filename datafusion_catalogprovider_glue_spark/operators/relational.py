@@ -119,7 +119,8 @@ def limit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "filter_range",
     oracle="""
-    SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date
+    SELECT l_orderkey, l_linenumber,
+           date_trunc('day', l_shipdate) AS ship_date
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -130,7 +131,13 @@ def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C7 range predicates (+BETWEEN).  On a date-partitioned layout
     these prune partitions; on raw parquet they prune row-groups via
     min/max stats (glue.rs:447-448 is the reference's equivalent
-    metadata plumbing)."""
+    metadata plumbing).
+
+    Day granularity is emitted as a midnight TIMESTAMP, not DATE:
+    pandas has no date dtype, so DuckDB DATE materializes as
+    datetime64 while Spark DateType stays `datetime.date` objects —
+    the gate's dtype-sensitive hash can never match them (timestamps
+    are gate-proven: join_asof passed round 1)."""
     li = _t(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
@@ -139,7 +146,7 @@ def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.date_trunc("day", F.col("l_shipdate")).alias("ship_date"),
     )
 
 
@@ -735,16 +742,18 @@ def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            EXTRACT(MONTH FROM o_orderdate) AS order_month,
            EXTRACT(DAY FROM o_orderdate) AS order_day,
            EXTRACT(DOY FROM o_orderdate) AS order_doy,
-           CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month_start,
-           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           DATE_TRUNC('day', o_orderdate + INTERVAL 30 DAY) AS due_date,
            STRFTIME(o_orderdate, '%Y-%m') AS order_ym
     FROM orders
     """,
 )
 def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C27 datetime functions (extract / trunc / interval / format).
-    Outputs cast to DATE / int / string so no tz ambiguity reaches the
-    hash compare."""
+    Day/month granularity stays TIMESTAMP (midnight) — DATE outputs
+    are unhashable cross-engine because pandas materializes DuckDB
+    DATE as datetime64 but Spark DateType as `datetime.date`; ints
+    and strings are dtype-stable as before."""
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
@@ -752,8 +761,10 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").cast("long").alias("order_month"),
         F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
         F.dayofyear("o_orderdate").cast("long").alias("order_doy"),
-        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month_start"),
-        F.expr("o_orderdate + INTERVAL 30 DAYS").cast("date").alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.date_trunc("day", F.expr("o_orderdate + INTERVAL 30 DAYS")).alias(
+            "due_date"
+        ),
         F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
     )
 
@@ -943,7 +954,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l.l_orderkey,
            {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 4)} AS revenue,
-           CAST(o.o_orderdate AS DATE) AS orderdate,
+           date_trunc('day', o.o_orderdate) AS orderdate,
            o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -951,7 +962,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.c_mktsegment = 'BUILDING'
       AND o.o_orderdate < TIMESTAMP '1998-03-15'
       AND l.l_shipdate > TIMESTAMP '1998-03-15'
-    GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+    GROUP BY l.l_orderkey, date_trunc('day', o.o_orderdate), o.o_orderpriority
     ORDER BY revenue DESC, l.l_orderkey LIMIT 10
     """,
 )
@@ -968,7 +979,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("orderdate"),
             "o_orderpriority",
         )
         .agg(dsum(revenue, 4).alias("revenue"))

@@ -320,7 +320,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q18_large_orders",
     oracle=f"""
     SELECT c.c_name, c.c_custkey, o.o_orderkey,
-           CAST(o.o_orderdate AS DATE) AS orderdate, o.o_totalprice,
+           date_trunc('day', o.o_orderdate) AS orderdate, o.o_totalprice,
            {sql_dsum("l.l_quantity", 2)} AS sum_qty
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -361,7 +361,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "c_custkey",
             "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("orderdate"),
             "o_totalprice",
             F.col("q").cast("decimal(38,2)").cast("double").alias("sum_qty"),
         )

@@ -149,7 +149,18 @@ def lint_spark_schema(spark_df) -> list[str]:
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
     """Driver-gate replica: schema lints first (fail fast on landmine
     shapes), then rows / column names / dtype-sensitive value hash."""
+    from pyspark.sql import types as T
+
     schema_bad = lint_spark_schema(spark_df)
+    # DateType can NEVER hash-match an oracle: pandas has no date dtype,
+    # so DuckDB DATE materializes as datetime64 (midnight Timestamps)
+    # while Spark DateType stays datetime.date objects.  Emit midnight
+    # timestamps (date_trunc('day', ...)) on both sides instead.
+    schema_bad += [
+        f"{f.name} date (DATE output cannot hash-match: use date_trunc('day',...))"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, T.DateType)
+    ]
     assert not schema_bad, f"spark output shape would crash the driver: {schema_bad}"
     oracle_bad = lint_oracle(con, sql)
     assert not oracle_bad, f"oracle output shape would fail the driver: {oracle_bad}"

@@ -380,3 +380,121 @@ def test_register_nano_timestamp_parquet(spark):
     a = via_catalog.agg(F.min("ts"), F.max("ts")).collect()[0]
     b = expected.agg(F.min("ts"), F.max("ts")).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+# ---------------------------------------------------------------------------
+# FakeGlue <-> boto3 response-shape contract
+# ---------------------------------------------------------------------------
+
+# A real AWS Glue GetTable response for a parquet table, as documented in
+# the public Glue API reference (GetTable -> {"Table": {...}}; the live
+# service adds audit fields like CreateTime/CreatedBy that no consumer
+# here reads).  Recorded once so the FakeGlue double can never drift from
+# the real wire shape without this test going red.
+RECORDED_GET_TABLE_RESPONSE = {
+    "Table": {
+        "Name": "sales",
+        "DatabaseName": "analytics",
+        "Owner": "owner",
+        "CreateTime": 1609459200.0,
+        "UpdateTime": 1609459200.0,
+        "Retention": 0,
+        "StorageDescriptor": {
+            "Columns": [
+                {"Name": "id", "Type": "bigint"},
+                {"Name": "amount", "Type": "double", "Comment": "usd"},
+            ],
+            "Location": "s3://bucket/prefix/sales/",
+            "InputFormat": "org.apache.hadoop.hive.ql.io.parquet.MapredParquetInputFormat",
+            "OutputFormat": "org.apache.hadoop.hive.ql.io.parquet.MapredParquetOutputFormat",
+            "Compressed": False,
+            "NumberOfBuckets": -1,
+            "SerdeInfo": {
+                "SerializationLibrary": "org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe",
+                "Parameters": {"serialization.format": "1"},
+            },
+            "SortColumns": [],
+            "StoredAsSubDirectories": False,
+        },
+        "PartitionKeys": [{"Name": "ds", "Type": "string"}],
+        "TableType": "EXTERNAL_TABLE",
+        "Parameters": {"classification": "parquet"},
+        "IsRegisteredWithLakeFormation": False,
+        "CatalogId": "123456789012",
+    }
+}
+
+# Every (path, type) the catalog layer actually reads from a Table dict:
+# catalog.py:181 (Parameters), :224 (PartitionKeys[].Name/Type),
+# :240/:370-:377 (StorageDescriptor.Columns/Location) and
+# sources/formats.py:51-54 (InputFormat/OutputFormat/
+# SerdeInfo.SerializationLibrary).
+def _read_paths(table: dict) -> dict:
+    sd = table["StorageDescriptor"]
+    return {
+        "Name": table["Name"],
+        "DatabaseName": table["DatabaseName"],
+        "Parameters": table.get("Parameters") or {},
+        "PartitionKeys": [(k["Name"], k["Type"]) for k in table.get("PartitionKeys") or []],
+        "Columns": [(c["Name"], c["Type"]) for c in sd.get("Columns") or []],
+        "Location": sd.get("Location"),
+        "InputFormat": sd.get("InputFormat") or "",
+        "OutputFormat": sd.get("OutputFormat") or "",
+        "SerializationLibrary": (sd.get("SerdeInfo") or {}).get("SerializationLibrary") or "",
+    }
+
+
+def test_fake_glue_matches_recorded_boto3_shape():
+    """Contract: for every key path the catalog layer reads, the
+    FakeGlue double must serve the same structure (same key, same value
+    type) as the recorded live boto3 response — so code tested against
+    the double cannot break against real Glue."""
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+        parquet_table,
+    )
+
+    fake_tbl = parquet_table(
+        "analytics",
+        "sales",
+        "s3://bucket/prefix/sales/",
+        [("id", "bigint"), ("amount", "double")],
+        partition_keys=[("ds", "string")],
+        parameters={"classification": "parquet"},
+    )
+    client = FakeGlueClient({"analytics": {"sales": fake_tbl}})
+    fake_resp = client.get_table(DatabaseName="analytics", Name="sales")
+
+    # top-level envelope matches: {"Table": {...}}
+    assert set(fake_resp) == {"Table"}
+
+    recorded = _read_paths(RECORDED_GET_TABLE_RESPONSE["Table"])
+    fake = _read_paths(fake_resp["Table"])
+    assert fake == recorded
+
+    # and the values the consumer reads are type-identical field by field
+    for key, want in recorded.items():
+        assert type(fake[key]) is type(want), key
+
+
+def test_fake_glue_list_envelopes_match_boto3_shape():
+    """GetDatabases / GetTables envelopes: DatabaseList / TableList
+    keys with optional NextToken pagination, exactly boto3's shape."""
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+        parquet_table,
+    )
+
+    tbls = {
+        f"t{i}": parquet_table("db", f"t{i}", f"s3://b/t{i}/", [("x", "int")])
+        for i in range(3)
+    }
+    client = FakeGlueClient({"db": tbls}, page_size=2)
+    dbs = client.get_databases()
+    assert [d["Name"] for d in dbs["DatabaseList"]] == ["db"]
+    page1 = client.get_tables(DatabaseName="db")
+    assert {t["Name"] for t in page1["TableList"]} == {"t0", "t1"}
+    assert "NextToken" in page1
+    page2 = client.get_tables(DatabaseName="db", NextToken=page1["NextToken"])
+    assert {t["Name"] for t in page2["TableList"]} == {"t2"}
+    assert "NextToken" not in page2

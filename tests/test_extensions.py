@@ -327,7 +327,7 @@ def test_hll_partitioned_merge_accuracy(spark):
     assert abs(rows[0]["total_users"] - exact_total) <= 0.05 * exact_total
     exact_daily = {
         r["day"]: r["n"]
-        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        for r in ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
@@ -474,3 +474,67 @@ def test_sim_topk_pq_recall(spark):
         for r in registry.QUERIES["sim_topk_pq"](spark, sf).collect()
     }
     assert len(bf & pq) / len(bf) >= 0.5
+
+
+def test_strip_boilerplate_short_doc_no_crash(spark):
+    """Regression: a doc shorter than the 8-token prefix must neither
+    crash the token slice (negative length) nor become a prefix
+    candidate (its 'prefix' is the whole doc)."""
+    import datafusion_catalogprovider_glue_spark.operators.curation as mod
+    from datafusion_catalogprovider_glue_spark.operators.curation import (
+        text_strip_boilerplate_prefix,
+    )
+
+    rows = [
+        # two long docs sharing an 8-token prefix -> it is the top prefix
+        (1, "web", "a b c d e f g h tail one", 24),
+        (2, "web", "a b c d e f g h tail two", 24),
+        # a 3-token doc; with unguarded slice len this row would crash if
+        # its text ever matched a top prefix, and with unfiltered counts a
+        # corpus of short dupes would elect a sub-8-token "prefix"
+        (3, "web", "a b c", 5),
+        (4, "web", "a b c", 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string, n_chars int")
+    orig = mod.load_table
+    mod.load_table = lambda s, d, n: df
+    try:
+        out = {r["doc_id"]: r for r in text_strip_boilerplate_prefix(spark, "x").collect()}
+    finally:
+        mod.load_table = orig
+    assert out[1]["stripped"] and out[1]["out_text"] == "tail one"
+    assert out[2]["stripped"] and out[2]["out_text"] == "tail two"
+    # short dupes are NOT prefix candidates and survive untouched
+    assert not out[3]["stripped"] and out[3]["out_text"] == "a b c"
+    assert not out[4]["stripped"]
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    """Pointer-doubling convergence pin: a 60-doc chain (adjacent docs
+    share 9 of 11 distinct words -> jaccard 0.818, non-adjacent fall
+    below 0.8) has component diameter 59 — plain hash-min would need 59
+    rounds and silently miss the 20-round cap; the doubling step must
+    converge the whole chain to cluster 0 within the cap."""
+    import datafusion_catalogprovider_glue_spark.operators.dedup as mod
+    from datafusion_catalogprovider_glue_spark.operators.dedup import dedup_clusters
+
+    n = 60
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(i, i + 10)), "en", "web", 40)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+    orig = mod.load_table
+    mod.load_table = lambda s, d, name: df
+    try:
+        out = dedup_clusters(spark, "ignored").collect()
+    finally:
+        mod.load_table = orig
+    assert len(out) == n
+    assert all(r["cluster_id"] == 0 for r in out), sorted(
+        {r["cluster_id"] for r in out}
+    )
+    keeps = [r["doc_id"] for r in out if r["keep"]]
+    assert keeps == [0]
