@@ -227,23 +227,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_ngram_jaccard",
+    # The token sets are hoisted into a MATERIALIZED CTE so DuckDB
+    # splits each document once, not O(n^2) times inside the pair join
+    # — byte-identical results, ~20x faster oracle (gate-budget hygiene).
     oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS t,
+               len(list_distinct(string_split(text, ' '))) AS n
+        FROM documents
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           ROUND(CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                         list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
-                 / (len(list_distinct(string_split(a.text, ' ')))
-                    + len(list_distinct(string_split(b.text, ' ')))
-                    - len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                         list_distinct(string_split(b.text, ' '))))),
-                 6) AS jaccard
-    FROM documents a JOIN documents b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                  list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
-          / (len(list_distinct(string_split(a.text, ' ')))
-             + len(list_distinct(string_split(b.text, ' ')))
-             - len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                  list_distinct(string_split(b.text, ' '))))) >= 0.8
+           ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                 / (a.n + b.n - len(list_intersect(a.t, b.t))), 6) AS jaccard
+    FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+          / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,26 +402,27 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EDGE_SQL = """
-    SELECT a.doc_id AS src, b.doc_id AS dst
-    FROM documents a JOIN documents b
-      ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                  list_distinct(string_split(b.text, ' ')))) AS DOUBLE)
-          / (len(list_distinct(string_split(a.text, ' ')))
-             + len(list_distinct(string_split(b.text, ' ')))
-             - len(list_intersect(list_distinct(string_split(a.text, ' ')),
-                                  list_distinct(string_split(b.text, ' '))))) >= 0.8
-"""
-
-
 @query(
     "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE edges AS (
-        SELECT src, dst FROM ({_EDGE_SQL})
-        UNION ALL
-        SELECT dst, src FROM ({_EDGE_SQL})
+    # Token sets and the near-dup pair set are MATERIALIZED so the
+    # O(n^2) Jaccard join runs once (the old inline form evaluated it
+    # twice — once per edge direction — and re-split strings per pair:
+    # 81 s -> 0.5 s at sf0.01, identical fixpoint).
+    oracle="""
+    WITH RECURSIVE toks AS MATERIALIZED (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS t,
+               len(list_distinct(string_split(text, ' '))) AS n
+        FROM documents
+    ),
+    p AS MATERIALIZED (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.8
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p
     ),
     walk(node, root) AS (
         SELECT doc_id, doc_id FROM documents
