@@ -357,3 +357,247 @@ def text_strip_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise(F.col("text"))
         .alias("out_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination / LM-frequency bucketing / source mixing
+# ---------------------------------------------------------------------------
+
+# Decontamination n-gram order.  Production pipelines use 8-13-gram
+# overlap (GPT-3 appendix C; Lee et al. 2022); the synthetic corpus has
+# no shared phrases that long, so the knob is 3 here — the plan shape
+# (explode -> broadcast semi vs the benchmark set -> per-doc rollup) is
+# identical at any n.
+_DECON_N = 3
+_BENCH_MOD, _BENCH_REM = 97, 3  # doc_id % 97 == 3 -> the "benchmark" set
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH g AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - {_DECON_N - 1}),
+               i -> array_to_string(string_split(text, ' ')[i:i+{_DECON_N - 1}], ' ')))) AS ng
+      FROM documents
+    ),
+    bench AS MATERIALIZED (
+      SELECT DISTINCT ng FROM g WHERE doc_id % {_BENCH_MOD} = {_BENCH_REM}
+    ),
+    hit AS (
+      SELECT g.doc_id, count(*) AS n
+      FROM g JOIN bench USING (ng)
+      WHERE g.doc_id % {_BENCH_MOD} <> {_BENCH_REM}
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap_ngrams,
+           COALESCE(h.n, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hit h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {_BENCH_MOD} <> {_BENCH_REM}
+    """,
+)
+def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a held-out benchmark/eval set (the GPT-3 /
+    Lee et al. 2022 contamination rule).  The benchmark here is the
+    deterministic hash-slice ``doc_id % 97 == 3`` standing in for an
+    external eval suite.
+
+    Plan: each side's distinct n-grams are one explode; the benchmark
+    gram set is tiny BY CONSTRUCTION (eval suites are a few thousand
+    documents no matter how big the corpus is), so the candidate
+    filter is a broadcast hash join against it — the 100 TB corpus
+    side never shuffles, and the per-doc rollup shuffles only
+    (doc_id, hit) pairs for contaminated docs.  Output is the full
+    train-doc roster with an exact overlap count, left-join-complete
+    so clean docs report 0 rather than vanishing.
+    """
+    d = _docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(t) >= _DECON_N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - F.lit(_DECON_N - 1)),
+                        lambda i: F.array_join(F.slice(t, i, _DECON_N), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("ng"),
+    )
+    is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
+    bench = grams.filter(is_bench).select("ng").distinct()
+    hits = (
+        grams.filter(~is_bench)
+        .join(F.broadcast(bench), "ng")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        d.filter(~is_bench)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_overlap_ngrams"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "quality_unigram_lm",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY tok),
+    doc AS (
+      SELECT doc_id, CAST(sum(t.tf) AS BIGINT) AS s, count(*) AS n
+      FROM tok JOIN tf t USING (tok) GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(s / n, 6) AS lm_score,
+           CASE ntile(3) OVER (ORDER BY s / n DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS lm_bucket
+    FROM doc
+    """,
+)
+def quality_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al.
+    2020) with the corpus itself as the unigram LM: each document is
+    scored by the mean corpus frequency of its token occurrences
+    (the log-free stand-in for unigram log-likelihood — monotone in
+    it for the bucketing's purpose, and exactly reproducible where
+    log() is not), then split into head/middle/tail thirds, the
+    buckets CCNet uses to stage training data.
+
+    Plan: token tf is one map-side-combined shuffle; the per-doc score
+    re-uses the exploded tokens (tf/df pattern shared with
+    text_tfidf); bucketing is NTILE over (score, doc_id) — a unique
+    ordering, so the split is deterministic cross-engine.  The NTILE
+    is the one global order statistic: at 100 TB swap the exact
+    terciles for sampled thresholds (or the hierarchical prefix-sum
+    from pipeline_pack_sequences) — noted rather than hidden.
+    score = SUM(tf)/COUNT(*) is an int/int IEEE divide: bit-identical
+    on both engines, rounded once for display.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    doc = (
+        tok.join(tf, "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    score = F.col("s") / F.col("n")
+    w = Window.orderBy(score.desc(), F.col("doc_id"))
+    tile = F.ntile(3).over(w)
+    return doc.select(
+        "doc_id",
+        F.round(score, 6).alias("lm_score"),
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail").alias(
+            "lm_bucket"
+        ),
+    )
+
+
+_MIX_HEX_SCALE = 16777216  # 16^6: md5 prefix as a 24-bit uniform draw
+
+
+@query(
+    "pipeline_mix_sources",
+    oracle=f"""
+    WITH stats AS MATERIALIZED (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             sum(CAST(ROUND(sqrt(chars), 6) AS DECIMAL(38,6))) AS wsum
+      FROM stats
+    ),
+    rates AS (
+      SELECT s.source,
+             ROUND(LEAST(1.0,
+               CAST(CAST(ROUND(sqrt(s.chars), 6) AS DECIMAL(38,6)) AS DOUBLE)
+               / CAST(t.wsum AS DOUBLE)
+               * (t.n_total // 2) / s.n_docs), 6) AS sample_rate
+      FROM stats s CROSS JOIN tot t
+    )
+    SELECT d.doc_id, d.source, r.sample_rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE CASE WHEN r.sample_rate >= 1.0 THEN TRUE
+          ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6)
+               < lpad(lower(to_hex(CAST(floor(r.sample_rate * {_MIX_HEX_SCALE}) AS BIGINT))), 6, '0')
+          END
+    """,
+)
+def pipeline_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing — the data-mixing step that
+    turns raw per-source corpus sizes into training sampling rates
+    (the multinomial-with-temperature rule from XLM-R / mT5, tau=0.5):
+    source weight w_s = sqrt(total_chars_s), target share p_s = w_s /
+    sum(w), per-source accept rate r_s = min(1, p_s * M / n_s) for a
+    target of M = N/2 sampled docs.  Rows are accepted by a
+    deterministic md5 draw, so the SAME sample comes back on any
+    engine, any cluster size, any run (the sample_hash contract).
+
+    Cross-engine numerics, carefully: sqrt is IEEE-correctly-rounded
+    on both engines (unlike pow — hence tau=1/2, not 0.7); each
+    rounded weight goes onto a DECIMAL(38,6) grid so the SUM is exact
+    and order-free (double summation order differs across engines);
+    the remaining divides/multiplies are correctly-rounded doubles in
+    a pinned evaluation order; the accept test compares 24-bit
+    integers (Spark) against the equivalent lexicographic hex compare
+    (DuckDB) — no float on the accept boundary.
+
+    Plan: per-source stats are one map-side-combined agg over ~10^1-2
+    groups; rates broadcast back; the accept filter runs in the scan's
+    codegen stage.  Corpus rows never shuffle.
+    """
+    d = _docs(spark, sf_dir)
+    stats = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("chars")
+    )
+    w_dec = F.round(F.sqrt(F.col("chars")), 6).cast("decimal(38,6)")
+    stats = stats.select("source", "n_docs", w_dec.alias("w"))
+    tot = stats.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("w").alias("wsum")
+    )
+    rates = (
+        stats.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.col("w").cast("double")
+                    / F.col("wsum").cast("double")
+                    * F.expr("n_total DIV 2")
+                    / F.col("n_docs"),
+                ),
+                6,
+            ).alias("sample_rate"),
+        )
+    )
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    thr = F.floor(F.col("sample_rate") * _MIX_HEX_SCALE).cast("long")
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(rates), "source")
+        .filter((F.col("sample_rate") >= 1.0) | (u < thr))
+        .select("doc_id", "source", "sample_rate")
+    )

@@ -538,3 +538,61 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     keeps = [r["doc_id"] for r in out if r["keep"]]
     assert keeps == [0]
+
+
+# ---------------------------------------------------------------------------
+# curation additions: decontamination / unigram-LM buckets / source mixing
+# ---------------------------------------------------------------------------
+
+
+def test_pipeline_decontaminate_semantics(spark):
+    """Benchmark docs are excluded from the output roster; overlap
+    counts are exact and the contaminated flag is their >0 shadow; on
+    the sf0.01 corpus a nontrivial fraction of train docs actually hit
+    the eval slice (the op discriminates, it is not vacuously false)."""
+    from datafusion_catalogprovider_glue_spark.operators.curation import (
+        _BENCH_MOD,
+        _BENCH_REM,
+        pipeline_decontaminate,
+    )
+
+    rows = pipeline_decontaminate(spark, SF_CORRECTNESS).collect()
+    assert all(r.doc_id % _BENCH_MOD != _BENCH_REM for r in rows)
+    assert all((r.n_overlap_ngrams > 0) == r.contaminated for r in rows)
+    n_cont = sum(r.contaminated for r in rows)
+    assert 0 < n_cont < len(rows)
+
+
+def test_quality_unigram_lm_buckets(spark):
+    """Every doc lands in exactly one bucket; NTILE thirds differ by at
+    most one doc; head docs never score below tail docs."""
+    from datafusion_catalogprovider_glue_spark.operators.curation import (
+        quality_unigram_lm,
+    )
+
+    rows = quality_unigram_lm(spark, SF_CORRECTNESS).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.lm_bucket, []).append(r.lm_score)
+    assert set(by) == {"head", "middle", "tail"}
+    sizes = sorted(len(v) for v in by.values())
+    assert sizes[-1] - sizes[0] <= 1
+    assert min(by["head"]) >= max(by["tail"])
+
+
+def test_pipeline_mix_sources_deterministic(spark):
+    """Rates are valid probabilities, under-represented (short-char)
+    sources get boosted relative to raw share, and the draw is
+    deterministic: two runs return the identical row set."""
+    from datafusion_catalogprovider_glue_spark.operators.curation import (
+        pipeline_mix_sources,
+    )
+
+    a = pipeline_mix_sources(spark, SF_CORRECTNESS)
+    rows = a.collect()
+    assert rows and all(0.0 < r.sample_rate <= 1.0 for r in rows)
+    again = {(r.doc_id, r.source) for r in pipeline_mix_sources(spark, SF_CORRECTNESS).collect()}
+    assert {(r.doc_id, r.source) for r in rows} == again
+    # broadcast pin: the rates side must broadcast, the corpus must not shuffle
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
