@@ -18,8 +18,10 @@ Six strategies, all shuffle-conscious and collect-free:
 100 TB design notes: every pair-generating join goes through a
 *blocking key* (LSH band hash, simhash band, lang, label) so the
 join is an equi-join Catalyst can shuffle-partition — never an
-unblocked cross join.  Banding keys are computed with ``xxhash64``
-(JVM, codegen'd).  Skewed buckets (a band hash shared by millions of
+unblocked cross join.  Banding keys are md5-derived (JVM, codegen'd;
+portable so the DuckDB oracles rebuild identical signatures — swap
+xxhash64 in for raw throughput and the value checks degrade to
+rows-only).  Skewed buckets (a band hash shared by millions of
 docs) are handled by AQE skew-join splitting; in production you'd
 additionally cap bucket sizes.
 """
@@ -132,10 +134,17 @@ def _shingles(words_col):
 
 def minhash_signatures(d: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """(doc_id, shingles, sig: array<bigint>[k]) — each shingle is
-    string-hashed ONCE (xxhash64, folded to 31 bits), then the k family
-    members are integer permutations (a*h+b mod p).  All JVM-side
-    higher-order functions; a*h fits in 62 bits so the arithmetic is
-    ANSI-overflow-safe."""
+    string-hashed ONCE (md5 prefix folded to 31 bits), then the k
+    family members are integer permutations (a*h+b mod p).  All
+    JVM-side higher-order functions; a*h fits in 62 bits so the
+    arithmetic is ANSI-overflow-safe.
+
+    The base hash is md5-derived rather than xxhash64 so the ENTIRE
+    signature family is engine-portable — DuckDB recomputes identical
+    signatures, which is what lets dedup_minhash_lsh carry a full
+    value oracle instead of a rows-only check.  (A throughput-first
+    deployment would swap xxhash64 back in: one line here, and the
+    check degrades to rows-only.)"""
     shingled = d.select(
         "doc_id", _shingles(F.split("text", " ")).alias("shingles")
     )
@@ -143,7 +152,10 @@ def minhash_signatures(d: DataFrame, k: int = MINHASH_K) -> DataFrame:
         "doc_id",
         "shingles",
         F.transform(
-            "shingles", lambda s: F.xxhash64(s).bitwiseAND(F.lit(_MASK_31))
+            "shingles",
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("long")
+            .bitwiseAND(F.lit(_MASK_31)),
         ).alias("hs"),
     )
     def _perm(a: int, b: int):
@@ -158,7 +170,66 @@ def minhash_signatures(d: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return hashed.select("doc_id", "shingles", sig.alias("sig"))
 
 
-@query("dedup_minhash_lsh")  # rows-only: hash family is engine-specific
+_MINHASH_COEFF_VALUES = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(_minhash_coeffs(MINHASH_K))
+)
+
+
+@query(
+    "dedup_minhash_lsh",
+    # Full value oracle: DuckDB recomputes the identical md5-based
+    # 31-bit shingle hashes, the same (a*h+b) mod p permutation family
+    # (coefficients inlined from _minhash_coeffs — one source of
+    # truth), the same 8x4 banding, and the same exact-Jaccard verify.
+    oracle=f"""
+    WITH coeffs(ci, ca, cb) AS (VALUES {_MINHASH_COEFF_VALUES}),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) >= {SHINGLE_WORDS}
+                    THEN list_transform(
+                      generate_series(1, len(w) - {SHINGLE_WORDS - 1}),
+                      i -> array_to_string(w[i:i+{SHINGLE_WORDS - 1}], ' '))
+                    ELSE [array_to_string(w, ' ')] END) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ),
+    hs AS MATERIALIZED (
+      SELECT doc_id, shingles,
+             list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) & {_MASK_31}) AS hs
+      FROM sh
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             list(list_min(list_transform(hs, x -> (x * ca + cb) % {_MERSENNE_PRIME_31}))
+                  ORDER BY ci) AS sig
+      FROM hs CROSS JOIN coeffs
+      GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, b,
+             md5(concat_ws('-', sig[{LSH_ROWS}*b+1], sig[{LSH_ROWS}*b+2],
+                                sig[{LSH_ROWS}*b+3], sig[{LSH_ROWS}*b+4])) AS bh
+      FROM sig, generate_series(0, {LSH_BANDS - 1}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.b = r.b AND l.bh = r.bh AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))), 6)
+          >= {JACCARD_THRESHOLD}
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2: MinHash+LSH near-duplicate pairs.
 
@@ -188,8 +259,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.element_at("sig", b * LSH_ROWS + r + 1) for r in range(LSH_ROWS)]
+                        # md5 of the dash-joined band slice: shrinks the
+                        # shuffle key to 32 bytes AND is recomputable in
+                        # the DuckDB oracle (xxhash64 is not)
+                        F.md5(
+                            F.concat_ws(
+                                "-",
+                                *[
+                                    F.element_at("sig", b * LSH_ROWS + r + 1).cast(
+                                        "string"
+                                    )
+                                    for r in range(LSH_ROWS)
+                                ],
+                            )
                         ).alias("band_hash"),
                     )
                     for b in range(LSH_BANDS)
@@ -317,19 +399,51 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SIMHASH_BITS = 63  # stay in the positive bigint range
+SIMHASH_BITS = 60  # 15 hex chars of md5: positive bigint, 4 clean bands
 
 
-@query("dedup_simhash")  # rows-only: hash family is engine-specific
+_SIMHASH_SIG_SQL = f"""
+    tok AS MATERIALIZED (
+      SELECT doc_id, CAST('0x' || substr(md5(w), 2, 15) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    ),
+    bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok, generate_series(0, {SIMHASH_BITS - 1}) t(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i)
+                           ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "dedup_simhash",
+    # Full value oracle: the signature family is md5-derived, so DuckDB
+    # rebuilds bit-identical 60-bit signatures from scratch.
+    oracle=f"WITH {_SIMHASH_SIG_SQL} SELECT doc_id, simhash FROM sig",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures: per doc, each of 63 bits is the sign of the
-    sum over tokens of ±1 (bit i of xxhash64(token)).  All JVM bit
-    arithmetic via explode + groupBy(doc_id) with 63 conditional sums
-    — one shuffle keyed by doc_id, no skew (docs are the keys)."""
+    """SimHash signatures: per doc, each of 60 bits is the sign of the
+    sum over tokens of ±1 (bit i of an md5-derived 60-bit token hash).
+    All JVM bit arithmetic via explode + groupBy(doc_id) with 60
+    conditional sums — one shuffle keyed by doc_id, no skew (docs are
+    the keys).  The token hash is md5-based (not xxhash64) so the
+    signatures — and therefore the banded pair detection downstream —
+    are engine-portable and fully value-oracled; swap xxhash64 back
+    for raw throughput and the checks degrade to rows-only."""
     d = _parallelize(_docs(spark, sf_dir), "doc_id")
     tok = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
-    ).select("doc_id", F.xxhash64("w").alias("h"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 2, 15), 16, 10).cast("long").alias("h"),
+    )
     bit_sums = tok.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -522,9 +636,31 @@ SIMHASH_BANDS = 4       # Manku-style: r=3 differing bits can't touch all 4 band
 SIMHASH_RADIUS = 3      # near-dup iff hamming(simhash_a, simhash_b) <= 3
 
 
-@query("dedup_simhash_pairs")  # rows-only: hash family is engine-specific
+@query(
+    "dedup_simhash_pairs",
+    # Full value oracle: identical md5-based signatures, identical
+    # 4x15-bit banding, identical xor+bit_count verification.
+    oracle=f"""
+    WITH {_SIMHASH_SIG_SQL},
+    bands AS (
+      SELECT doc_id, b, (simhash >> (b * 15)) & 32767 AS chunk
+      FROM sig, generate_series(0, {SIMHASH_BANDS - 1}) t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.b = r.b AND l.chunk = r.chunk AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sig a ON a.doc_id = c.doc_a
+    JOIN sig b ON b.doc_id = c.doc_b
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-duplicate pairs: band the 63-bit signature into 4
+    """SimHash near-duplicate pairs: band the 60-bit signature into 4
     chunks; any pair within hamming radius 3 leaves at least one band
     untouched (pigeonhole, Manku et al.'s web-dedup design), so the
     band-bucket equi-join finds EVERY such pair — banding is a lossless
@@ -536,7 +672,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    band_width = 16
+    band_width = SIMHASH_BITS // SIMHASH_BANDS  # 15 bits per band
     bands = sigs.select(
         "doc_id",
         F.posexplode(

@@ -222,7 +222,61 @@ def _bucket_assignments(e: DataFrame) -> DataFrame:
     return scored.groupBy("vec_id", "htable").agg(F.sum("bit").alias("bucket"))
 
 
-@query("sim_topk_lsh")  # rows-only: LSH recall is parameter/engine-specific
+_PLANE_VALUES = ", ".join(
+    f"({t}, {i}, [{', '.join(repr(float(x)) for x in plane)}])"
+    for t in range(LSH_TABLES)
+    for i, plane in enumerate(_planes(t))
+)
+
+
+@query(
+    "sim_topk_lsh",
+    # Full value oracle: the hyperplanes are fixed literals (same 6-dp
+    # doubles both engines), the sign test folds the dot product in the
+    # identical left-to-right order (Spark aggregate == DuckDB
+    # list_reduce), and the exact re-rank mirrors sim_topk_bruteforce's
+    # proven cosine/ROUND/row_number idiom — so even the LSH path is
+    # value-checked, not rows-only.
+    oracle=f"""
+    WITH planes(htable, plane_idx, p) AS (VALUES {_PLANE_VALUES}),
+    e AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    scored AS (
+      SELECT vec_id, htable,
+             CASE WHEN list_reduce(list_prepend(0.0,
+                      list_transform(generate_series(1, {_EMBED_DIM}),
+                                     i -> v[i] * p[i])),
+                    (a, b) -> a + b) >= 0
+                  THEN (CAST(1 AS BIGINT) << plane_idx)
+                  ELSE CAST(0 AS BIGINT) END AS bit
+      FROM e CROSS JOIN planes
+    ),
+    buckets AS MATERIALIZED (
+      SELECT vec_id, htable, CAST(SUM(bit) AS BIGINT) AS bucket
+      FROM scored GROUP BY vec_id, htable
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM buckets q JOIN buckets c
+        ON q.htable = c.htable AND q.bucket = c.bucket
+      WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT t.query_id, t.neighbor_id, t.cos,
+             ROW_NUMBER() OVER (PARTITION BY t.query_id
+                                ORDER BY t.cos DESC, t.neighbor_id) AS rank
+      FROM (
+        SELECT cd.query_id, cd.neighbor_id,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos
+        FROM cand cd
+        JOIN embeddings a ON a.vec_id = cd.query_id
+        JOIN embeddings b ON b.vec_id = cd.neighbor_id
+      ) t
+    ) WHERE rank <= {TOP_K}
+    """,
+)
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 scale path: random-hyperplane LSH.  Each vector lands in one
     sign-bucket per hash table (OR-combined over LSH_TABLES tables);
