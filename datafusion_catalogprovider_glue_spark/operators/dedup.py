@@ -856,3 +856,100 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return batch.join(existing, "fingerprint", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# continuation-overlap stitching (crawl-record reassembly)
+# ---------------------------------------------------------------------------
+
+_STITCH_K = 8        # boundary tokens that must match exactly
+_STITCH_PAD = 4      # overlap half-width in the derived record fixture
+
+
+@query(
+    "dedup_stitch_records",
+    # The derived "records" fixture (each >=20-token doc split into two
+    # halves sharing an 8-token overlap) is rebuilt identically in SQL,
+    # so the stitch detection is fully value-oracled.
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, w, len(w) AS n, (len(w) + 1) // 2 AS cut
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      WHERE len(w) >= 20
+    ),
+    recs AS MATERIALIZED (
+      SELECT doc_id * 2 AS rec_id, w[1:cut+{_STITCH_PAD}] AS toks FROM base
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS rec_id, w[cut-{_STITCH_PAD - 1}:n] AS toks FROM base
+    ),
+    keys AS MATERIALIZED (
+      SELECT rec_id,
+             toks[len(toks)-{_STITCH_K - 1}:len(toks)] AS suf,
+             toks[1:{_STITCH_K}] AS pre
+      FROM recs
+    )
+    SELECT s.rec_id AS rec_a, p.rec_id AS rec_b,
+           md5(array_to_string(s.suf, ' ')) AS overlap_key
+    FROM keys s JOIN keys p
+      ON md5(array_to_string(s.suf, ' ')) = md5(array_to_string(p.pre, ' '))
+     AND s.rec_id <> p.rec_id
+    WHERE s.suf = p.pre
+    """,
+)
+def dedup_stitch_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuation-overlap stitching: find record pairs where one
+    record's trailing {K} tokens equal another's leading {K} tokens —
+    the reassembly step for crawl archives (WARC/WET) that split long
+    pages across fetch records, and the guard against training on the
+    same passage twice at a shard boundary.
+
+    The testdata has no naturally split records, so the op derives a
+    deterministic fixture from `documents` (each >=20-token doc becomes
+    two records sharing an 8-token overlap) — the same construction is
+    rebuilt in the oracle, so detection is value-checked end-to-end.
+
+    Plan shape for 100 TB: each record contributes ONE suffix key and
+    ONE prefix key (md5 of the 8-token boundary) — the join is an
+    equi-join on near-unique 32-byte keys (no skew, no pair explosion,
+    AQE-safe), and only the 8-token boundary slices travel through the
+    shuffle, never record bodies.  The exact-equality re-check after
+    the hash match is row-local (md5-collision guard).
+    """
+    d = _docs(spark, sf_dir)
+    t = F.split("text", " ")
+    base = (
+        d.select("doc_id", t.alias("w"), F.size(t).alias("n"))
+        .filter(F.col("n") >= 20)
+        .withColumn("cut", F.floor((F.col("n") + 1) / 2).cast("int"))
+    )
+    rec_a = base.select(
+        (F.col("doc_id") * 2).alias("rec_id"),
+        F.slice("w", 1, F.col("cut") + _STITCH_PAD).alias("toks"),
+    )
+    rec_b = base.select(
+        (F.col("doc_id") * 2 + 1).alias("rec_id"),
+        F.slice(
+            "w", F.col("cut") - (_STITCH_PAD - 1), F.col("n") - F.col("cut") + _STITCH_PAD
+        ).alias("toks"),
+    )
+    recs = rec_a.unionByName(rec_b)
+    keys = recs.select(
+        "rec_id",
+        F.slice("toks", F.size("toks") - (_STITCH_K - 1), _STITCH_K).alias("suf"),
+        F.slice("toks", 1, _STITCH_K).alias("pre"),
+    )
+    s, p = keys.alias("s"), keys.alias("p")
+    skey = F.md5(F.concat_ws(" ", F.col("s.suf")))
+    pkey = F.md5(F.concat_ws(" ", F.col("p.pre")))
+    return (
+        s.join(
+            p,
+            (skey == pkey) & (F.col("s.rec_id") != F.col("p.rec_id")),
+        )
+        .filter(F.col("s.suf") == F.col("p.pre"))
+        .select(
+            F.col("s.rec_id").alias("rec_a"),
+            F.col("p.rec_id").alias("rec_b"),
+            F.md5(F.concat_ws(" ", F.col("s.suf"))).alias("overlap_key"),
+        )
+    )

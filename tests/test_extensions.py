@@ -596,3 +596,24 @@ def test_pipeline_mix_sources_deterministic(spark):
     # broadcast pin: the rates side must broadcast, the corpus must not shuffle
     plan = a._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_stitch_records_finds_every_split(spark):
+    """Every >=20-token doc is split into two records sharing an
+    8-token overlap; the stitcher must recover the (2d, 2d+1) sibling
+    pair for each, and every reported pair must be a true overlap."""
+    from datafusion_catalogprovider_glue_spark.operators.dedup import (
+        dedup_stitch_records,
+    )
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    pairs = {(r.rec_a, r.rec_b) for r in dedup_stitch_records(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents")
+    eligible = [
+        r.doc_id
+        for r in docs.select("doc_id", F.size(F.split("text", " ")).alias("n")).collect()
+        if r.n >= 20
+    ]
+    assert eligible
+    for d in eligible:
+        assert (2 * d, 2 * d + 1) in pairs, f"missing sibling stitch for doc {d}"
