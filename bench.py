@@ -65,6 +65,11 @@ HEADLINE = [
     # machinery startup (state store + checkpoint + Python workers),
     # which is a fixed cost, not a throughput term.
     "multimodal_decode",
+    # round-2 curation additions
+    "pipeline_decontaminate",
+    "quality_unigram_lm",
+    "pipeline_mix_sources",
+    "dedup_stitch_records",
 ]
 
 
