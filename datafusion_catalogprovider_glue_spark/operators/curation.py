@@ -601,3 +601,70 @@ def pipeline_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("sample_rate") >= 1.0) | (u < thr))
         .select("doc_id", "source", "sample_rate")
     )
+
+
+@query(
+    "pipeline_repeat_upsample",
+    # Epochs are exact integer arithmetic on per-source stats; the
+    # repeat fan-out is generate_series — fully value-oracled.
+    oracle="""
+    WITH stats AS MATERIALIZED (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(max(chars) AS BIGINT) AS c_max FROM stats),
+    epochs AS (
+      SELECT s.source,
+             CAST(LEAST((t.c_max + s.chars - 1) // s.chars, 4) AS BIGINT) AS n_epochs
+      FROM stats s CROSS JOIN tot t
+    )
+    SELECT d.doc_id, d.source, e.n_epochs, CAST(r.epoch AS BIGINT) AS epoch
+    FROM documents d
+    JOIN epochs e USING (source)
+    CROSS JOIN LATERAL (SELECT unnest(generate_series(1, e.n_epochs)) AS epoch) r
+    """,
+)
+def pipeline_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-style up-sampling — the other half of data mixing next to
+    `pipeline_mix_sources`' down-sampling: under-represented sources
+    are repeated for multiple epochs (the LLaMA/Gopher recipe reports
+    epochs per subset, e.g. Wikipedia 2.4 epochs), here with
+    n_epochs = ceil(max_source_chars / source_chars) capped at 4 — a
+    char (token-proxy) budget, the unit mixing recipes actually
+    balance.  Every
+    output row carries its epoch index so a downstream shuffle/pack
+    stage can interleave repeats instead of emitting them back-to-back.
+
+    Plan: per-source counts are a map-side-combined agg over O(sources)
+    groups; the epoch table broadcasts back; the fan-out is a row-local
+    explode(sequence) in the scan stage — the corpus never shuffles,
+    and the fan-out factor is bounded by the epoch cap, not by skew.
+    Integer ceil-divide everywhere: no float anywhere in the row set.
+    """
+    d = _docs(spark, sf_dir)
+    stats = d.groupBy("source").agg(F.sum("n_chars").alias("chars"))
+    c_max = stats.agg(F.max("chars").alias("c_max"))
+    epochs = stats.crossJoin(F.broadcast(c_max)).select(
+        "source",
+        # integer ceil-divide via DIV (exact BIGINT arithmetic, same as
+        # DuckDB's // — a double divide could misround at 100 TB char
+        # counts where the quotient sits within an ulp of an integer)
+        F.least(
+            F.expr("(c_max + chars - 1) DIV chars"),
+            F.lit(4),
+        )
+        .cast("long")
+        .alias("n_epochs"),
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(epochs), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_epochs",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_epochs"))).alias(
+                "epoch"
+            ),
+        )
+    )

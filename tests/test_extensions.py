@@ -617,3 +617,23 @@ def test_dedup_stitch_records_finds_every_split(spark):
     assert eligible
     for d in eligible:
         assert (2 * d, 2 * d + 1) in pairs, f"missing sibling stitch for doc {d}"
+
+
+def test_pipeline_repeat_upsample_epochs(spark):
+    """Short-char sources get more epochs; every doc appears exactly
+    n_epochs times with epoch indices 1..n_epochs; cap respected."""
+    from datafusion_catalogprovider_glue_spark.operators.curation import (
+        pipeline_repeat_upsample,
+    )
+
+    rows = pipeline_repeat_upsample(spark, SF_CORRECTNESS).collect()
+    by_doc = {}
+    for r in rows:
+        assert 1 <= r.n_epochs <= 4
+        by_doc.setdefault(r.doc_id, []).append((r.epoch, r.n_epochs))
+    spreads = set()
+    for doc, es in by_doc.items():
+        n = es[0][1]
+        assert sorted(e for e, _ in es) == list(range(1, n + 1)), doc
+        spreads.add(n)
+    assert len(spreads) > 1, "epoch counts must discriminate across sources"
