@@ -219,9 +219,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            length(text) AS n_bytes,
            length(text) - length(replace(text, ' ', '')) AS n_space,
-           ROUND(CAST(list_sum(list_transform(string_split(text, ''),
-                                              c -> ascii(c))) AS DOUBLE)
-                 / length(text), 6) AS mean_byte
+           CAST(list_sum(list_transform(string_split(text, ''),
+                                        c -> ascii(c))) AS DOUBLE)
+               / length(text) AS mean_byte
     FROM documents
     """,
 )
@@ -250,7 +250,12 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         doc_id,
                         n,
                         int((arr == 32).sum()),
-                        round(float(int(arr.sum(dtype=np.int64))) / n, 6),
+                        # UNROUNDED int/int IEEE division: bit-identical
+                        # on every engine.  (A 6-dp round here hit the
+                        # numpy-half-even vs SQL-half-away tie on k/256
+                        # grid values at sf0.1 — exact division has no
+                        # tie to break.)
+                        float(int(arr.sum(dtype=np.int64))) / n,
                     )
                 )
             yield pd.DataFrame(

@@ -515,11 +515,13 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
-             (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_qty,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
-             (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+             (PARTITION BY l_suppkey
+              ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS moving_qty
     FROM lineitem
@@ -527,10 +529,19 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_agg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C20 windowed aggregates with ROWS frames (running + moving sum).
-    Decimal accumulation keeps the running sums engine-exact."""
+    Decimal accumulation keeps the running sums engine-exact.
+
+    The ROWS ordering ends in l_quantity because the synthetic
+    lineitem contains duplicate (l_orderkey, l_linenumber) keys (found
+    at sf0.1): without it, tied rows with different quantities make
+    every prefix sum engine-order-dependent.  With quantity as the
+    final tiebreak, any remaining ties carry EQUAL quantities, so the
+    emitted (row, running, moving) multiset is order-invariant — the
+    general recipe for deterministic running aggregates over non-keyed
+    data at any scale."""
     li = _t(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_suppkey").orderBy(
-        "l_shipdate", "l_orderkey", "l_linenumber"
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_quantity"
     )
     qty = dec(F.col("l_quantity"), 2)
     return li.select(

@@ -432,7 +432,8 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label, pos,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(val) AS av
+           CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / COUNT(val) / 1000000.0 AS av
     FROM e GROUP BY label, pos
     """,
 )
@@ -454,11 +455,18 @@ def embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "pos")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
+            # Mean over a 1e-6 integer grid: round(val*1e6) breaks .5
+            # ties away-from-zero in BOTH engines (Spark HALF_UP ==
+            # DuckDB std::round on the same product double), the
+            # integer SUM is exact and order-free, and the two final
+            # divides are correctly-rounded in a pinned order.  The
+            # previous double->DECIMAL(18,9) cast hit the engines'
+            # DIFFERENT tie rules on vals that are exact 10-digit
+            # decimals (found at sf0.1).
             (
-                F.sum(F.col("val").cast("decimal(18,9)"))
-                .cast("decimal(38,9)")
-                .cast("double")
+                F.sum(F.round(F.col("val") * 1000000.0).cast("long")).cast("double")
                 / F.count("val")
+                / F.lit(1000000.0)
             ).alias("av"),
         )
     )
@@ -519,7 +527,8 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(val) AS mean_val,
+           CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+             / COUNT(val) / 1000000.0 AS mean_val,
            MIN(val) AS min_val, MAX(val) AS max_val
     FROM e GROUP BY dim
     """,
@@ -532,8 +541,10 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-value dim domain, so the shuffle carries 64 accumulator rows
     per map task regardless of corpus size — this is the
     no-vector-buffer pattern from embedding_centroid, global instead
-    of per-label.  Means are exact decimal sums divided once, so
-    stats hash-match under any partitioning."""
+    of per-label.  Means use the same 1e-6 integer-grid sum as
+    embedding_centroid (tie-free quantization, exact order-free
+    integer sum, pinned divides), so stats hash-match under any
+    partitioning AND any engine."""
     e = _emb(spark, sf_dir)
     ex = e.select(F.posexplode(F.col("v")).alias("dim", "val")).withColumn(
         "dim", F.col("dim").cast("long")
@@ -541,8 +552,9 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ex.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
         (
-            F.sum(F.col("val").cast("decimal(18,9)")).cast("decimal(38,9)").cast("double")
+            F.sum(F.round(F.col("val") * 1000000.0).cast("long")).cast("double")
             / F.count("val")
+            / F.lit(1000000.0)
         ).alias("mean_val"),
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
