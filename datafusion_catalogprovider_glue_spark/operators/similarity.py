@@ -806,3 +806,89 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@query(
+    "embedding_whiten",
+    # Stats come from exact integer-grid sums (the embedding_dim_stats
+    # technique); every later step is a correctly-rounded double op in
+    # a pinned order, so the whitened values are bit-identical across
+    # engines with NO output rounding step at all.
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                   x -> CAST(round(x * 1000000.0) AS BIGINT))) AS si,
+             unnest(range(0, len(embedding))) AS dim
+      FROM embeddings
+    ),
+    st AS MATERIALIZED (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(si) AS BIGINT) AS s1,
+             CAST(SUM(CAST(si AS DECIMAL(38,0)) * si) AS DECIMAL(38,0)) AS s2
+      FROM e GROUP BY dim
+    ),
+    par AS (
+      SELECT dim,
+             CAST(s1 AS DOUBLE) / n / 1000000.0 AS mu,
+             CAST(s2 AS DOUBLE) / n / 1000000000000.0 AS ex2
+      FROM st
+    )
+    SELECT e.vec_id, e.dim,
+           (CAST(e.si AS DOUBLE) / 1000000.0 - p.mu)
+             / (CASE WHEN p.ex2 - p.mu * p.mu > 0.0
+                     THEN sqrt(p.ex2 - p.mu * p.mu) ELSE 1.0 END) AS wval
+    FROM e JOIN par p USING (dim)
+    """,
+)
+def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension whitening (standardize to mean 0 / stddev 1) —
+    the preprocessing step the `embedding_dim_stats` profile exists
+    for, applied: (x - mu_d) / sigma_d per coordinate, constant
+    dimensions passed through (sigma := 1).
+
+    Determinism, engineered: values quantize to the 1e-6 integer grid
+    (round ties break away-from-zero in both engines), first and
+    second moments are EXACT integer/decimal sums (order-free under
+    any partitioning; the si^2 sum is DECIMAL(38,0) — at 100 TB row
+    counts a bigint would overflow), and mu / sigma / the whitened
+    value are correctly-rounded double ops in a pinned evaluation
+    order — so the output needs no rounding step and still
+    hash-matches bit-for-bit.
+
+    Plan: one posexplode + a map-side-combined agg over the 64-dim
+    domain (64 accumulator rows per task, no vector buffers), stats
+    broadcast back, whitening itself in the scan's codegen stage.
+    """
+    e = _emb(spark, sf_dir)
+    si_arr = F.transform(
+        F.col("v"), lambda x: F.round(x * 1000000.0).cast("long")
+    )
+    ex = e.select("vec_id", F.posexplode(si_arr).alias("dim", "si")).withColumn(
+        "dim", F.col("dim").cast("long")
+    )
+    st = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("si").alias("s1"),
+        F.sum(F.col("si").cast("decimal(38,0)") * F.col("si")).alias("s2"),
+    )
+    par = st.select(
+        "dim",
+        (F.col("s1").cast("double") / F.col("n") / F.lit(1000000.0)).alias("mu"),
+        (F.col("s2").cast("double") / F.col("n") / F.lit(1000000000000.0)).alias(
+            "ex2"
+        ),
+    )
+    var = F.col("ex2") - F.col("mu") * F.col("mu")
+    sigma = F.when(var > 0.0, F.sqrt(var)).otherwise(F.lit(1.0))
+    return (
+        ex.join(F.broadcast(par), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            ((F.col("si").cast("double") / F.lit(1000000.0) - F.col("mu")) / sigma).alias(
+                "wval"
+            ),
+        )
+    )

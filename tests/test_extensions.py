@@ -637,3 +637,26 @@ def test_pipeline_repeat_upsample_epochs(spark):
         assert sorted(e for e, _ in es) == list(range(1, n + 1)), doc
         spreads.add(n)
     assert len(spreads) > 1, "epoch counts must discriminate across sources"
+
+
+def test_embedding_whiten_standardizes(spark):
+    """Whitened coordinates have (quantized-grid) mean ~0 and unit
+    variance per dimension; constant dims would pass through."""
+    from datafusion_catalogprovider_glue_spark.operators.similarity import (
+        embedding_whiten,
+    )
+
+    rows = embedding_whiten(spark, SF_SMOKE).collect()
+    import collections
+    import math
+
+    by = collections.defaultdict(list)
+    for r in rows:
+        by[r.dim].append(r.wval)
+    assert len(by) == 64
+    for dim, vals in by.items():
+        n = len(vals)
+        m = sum(vals) / n
+        v = sum(x * x for x in vals) / n - m * m
+        assert abs(m) < 1e-9, (dim, m)
+        assert abs(v - 1.0) < 1e-6, (dim, v)
