@@ -7,8 +7,8 @@ Six strategies, all shuffle-conscious and collect-free:
   the form that scales: group 16-byte keys, not documents)
 * MinHash + LSH banding (shingle → minhash signature → band-bucket
   join → exact-Jaccard verification of candidates only)
-* SimHash (63-bit signatures, JVM bit ops) + banded hamming-radius
-  pair detection (exact within radius, Manku-style)
+* SimHash (60-bit md5-derived signatures, JVM bit ops) + banded
+  hamming-radius pair detection (exact within radius, Manku-style)
 * word-n-gram Jaccard with length-ratio + log-size-bucket blocking
   (exact, oracle-checkable)
 * embedding-cosine nearest neighbor within IVF-style label blocks
