@@ -668,3 +668,59 @@ def pipeline_repeat_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TOKEN_BUDGET_CHARS = 4000  # per-source char (token-proxy) budget
+
+
+@query(
+    "pipeline_token_budget",
+    # Hash-ordered prefix selection: deterministic on any engine, any
+    # cluster, any run — the sample_hash contract applied to budgeted
+    # corpus selection.
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, source, n_chars,
+             CAST(SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, cum_chars
+    FROM c WHERE cum_chars <= {_TOKEN_BUDGET_CHARS}
+    """,
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus selection: keep documents per source until a
+    char (token-proxy) budget fills — how a mixing recipe's per-source
+    token quotas actually materialize into a concrete document list.
+    Docs are consumed in md5(doc_id) order, i.e. a deterministic
+    unbiased shuffle: the SAME prefix is selected on any engine, any
+    cluster size, any run (no randomSplit partitioning dependence).
+
+    Plan: one window per source — the prefix sum parallelizes across
+    sources, and a single source's doc list is the only serial unit
+    (the same bound any per-source quota has).  The budget filter is
+    a plain comparison on the running BIGINT sum — integers
+    throughout.  At 100 TB with few giant sources, swap in the
+    hierarchical prefix sum from pipeline_pack_sequences — noted, not
+    hidden.
+    """
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.sum("n_chars").over(w).cast("long").alias("cum_chars"),
+        )
+        .filter(F.col("cum_chars") <= _TOKEN_BUDGET_CHARS)
+    )

@@ -542,3 +542,66 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_returning"
         ),
     )
+
+
+SESSION_GAP_US = 1_800_000_000  # 30 min, in microseconds
+
+
+@query(
+    "events_sessionize",
+    # Gap arithmetic runs on exact integer microseconds (unix_micros /
+    # epoch_us) — no truncation-rule mismatch, no float anywhere.
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the batch twin of
+    stream_stateful_sessionize: per user, a new session starts after a
+    >30-minute silence; sessions get a per-user running index and roll
+    up to (start, end, n_events).
+
+    The lag/cumsum pair is the classic gap-and-island shape: both
+    windows share one (user_id)-partitioned sort, so the whole op is
+    ONE shuffle keyed by user — no skew beyond a single user's event
+    volume (the same bound the streaming state store has).  Gap
+    arithmetic is exact integer microseconds; (ts, event_id) makes
+    the intra-user ordering unique, so session boundaries are
+    engine-deterministic even with simultaneous events.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = (
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    return (
+        ev.select("user_id", "ts", "event_id", sess.alias("session_idx"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -660,3 +660,55 @@ def test_embedding_whiten_standardizes(spark):
         v = sum(x * x for x in vals) / n - m * m
         assert abs(m) < 1e-9, (dim, m)
         assert abs(v - 1.0) < 1e-6, (dim, v)
+
+
+def test_events_sessionize_gap_semantics(spark):
+    """Sessions never contain an internal gap > 30 min, and consecutive
+    sessions of the same user are separated by > 30 min."""
+    from datafusion_catalogprovider_glue_spark.operators.funnel import (
+        events_sessionize,
+    )
+
+    rows = sorted(
+        events_sessionize(spark, SF_SMOKE).collect(),
+        key=lambda r: (r.user_id, r.session_idx),
+    )
+    assert rows
+    by_user = {}
+    for r in rows:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, sess in by_user.items():
+        for a, b in zip(sess, sess[1:]):
+            gap = (b.session_start - a.session_end).total_seconds()
+            assert gap > 1800, (user, a.session_idx, gap)
+
+
+def test_pipeline_token_budget_prefix(spark):
+    """Every source's selection is a budget-respecting prefix of the
+    hash order: cumulative chars <= budget, and adding the next doc
+    (if any were excluded) would exceed it."""
+    from datafusion_catalogprovider_glue_spark.operators.curation import (
+        _TOKEN_BUDGET_CHARS,
+        pipeline_token_budget,
+    )
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+    import hashlib
+
+    kept = pipeline_token_budget(spark, SF_SMOKE).collect()
+    assert kept and all(r.cum_chars <= _TOKEN_BUDGET_CHARS for r in kept)
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_src = {}
+    for r in docs:
+        key = hashlib.md5(str(r.doc_id).encode()).hexdigest()
+        by_src.setdefault(r.source, []).append((key, r.doc_id, r.n_chars))
+    kept_ids = {r.doc_id for r in kept}
+    for src, lst in by_src.items():
+        lst.sort()
+        cum = 0
+        for key, doc_id, n in lst:
+            cum += n
+            assert (cum <= _TOKEN_BUDGET_CHARS) == (doc_id in kept_ids), (src, doc_id)
