@@ -72,6 +72,8 @@ HEADLINE = [
     "dedup_stitch_records",
     "pipeline_repeat_upsample",
     "embedding_whiten",
+    "events_sessionize",
+    "pipeline_token_budget",
 ]
 
 

@@ -95,7 +95,15 @@ def test_theta_join_is_nested_loop_broadcast(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_embedding_nn", "sim_topk_bruteforce"],
+    [
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_embedding_nn",
+        "sim_topk_bruteforce",
+        "text_containment",
+        "dedup_stitch_records",
+        "pipeline_decontaminate",
+    ],
 )
 def test_pair_generators_never_cartesian(spark, name):
     """Every pair-generating extension op goes through a blocking key;
