@@ -964,3 +964,87 @@ def dedup_stitch_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", F.col("s.suf"))).alias("overlap_key"),
         )
     )
+
+
+SPAN_TOKENS = 8  # repeated-span window length (tokens)
+
+
+@query(
+    "dedup_substring_spans",
+    # Token lists are MATERIALIZED so each document splits once; the
+    # span table is built engine-side with list_transform over an
+    # integer range (same unroll the Spark side does with
+    # transform(sequence(...))).
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    spans AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, n - {SPAN_TOKENS - 2}),
+                   i -> array_to_string(t[i:i+{SPAN_TOKENS - 1}], ' ')
+               )) AS span
+        FROM toks
+        WHERE n >= {SPAN_TOKENS}
+    )
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM spans
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring detection (the ExactSubstr
+    pass of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): every {SPAN_TOKENS}-token sliding window
+    that occurs in 2+ distinct documents, with its occurrence counts —
+    the span table a removal pass anti-joins against to cut memorized
+    boilerplate out of a training corpus.
+
+    Plan: tokenize → unroll the sliding windows JVM-side
+    (transform(sequence(...)) + slice, whole-stage codegen — the array
+    is materialized once per doc, each window is a slice view) →
+    explode → one map-side-combined groupBy(span).  No join at all:
+    the heavy operation is a single aggregation keyed by span text.
+
+    100 TB notes: the suffix-array machinery of the paper exists to
+    find VARIABLE-length repeats; the fixed-k span-hash formulation
+    here is the one that distributes — it needs only hash-partitioning
+    on the span.  At scale, shuffle xxhash64(span) longs instead of
+    raw span strings (the ngram-jaccard token-hash trick; counts are
+    hash-identical, 8 bytes/span through the wire) and recover span
+    text for the survivors with one semi join back; boilerplate spans
+    repeated millions of times are exactly AQE's skew-split case.
+    Removal is then `doc anti-join span-table` on the same key.
+    """
+    d = _parallelize(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    k = SPAN_TOKENS
+    spans = (
+        d.where(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
+                )
+            ).alias("span"),
+        )
+    )
+    return (
+        spans.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -128,3 +128,87 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return ranks.select(F.col("node").alias("nationkey"), F.col("r").alias("pagerank"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                        greatest(c.c_nationkey, s.s_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY node
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle participation over the undirected nation
+    trade graph (an edge links two nations with at least one traded
+    lineitem between them).  Triangle counting is the clustering-
+    coefficient / community-density primitive; like PageRank above,
+    the reference has no graph surface, so this extends the engine.
+
+    Algorithm: canonical-orientation enumeration.  Every undirected
+    edge is stored once as (a < b); a triangle {x,y,z} with x<y<z is
+    found exactly once as e(x,y) ⋈ e(y,z) ⋈ e(x,z) — two equi-joins,
+    no post-hoc dedup, integer-only arithmetic (no float determinism
+    risk).  Each found triangle credits all three corners via a
+    3-way UNION ALL + count.
+
+    100 TB notes: canonical orientation already halves the edge list;
+    at web-graph scale you additionally orient edges from lower- to
+    higher-DEGREE endpoint (not id) so the join fan-out per vertex is
+    bounded by O(sqrt(|E|)) arboricity — swap the least/greatest key
+    for a (degree, id) ordering; the plan shape (two shuffles on edge
+    keys) is unchanged.  The nation graph is broadcast-sized, so
+    Catalyst turns both joins into broadcast hash joins here.
+    """
+    apply_engine_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+    )
+    e = e.localCheckpoint()  # edge build (4-way fact join) runs once, not 3x
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+        )
+    )
+    corners = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))

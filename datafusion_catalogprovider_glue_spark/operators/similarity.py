@@ -892,3 +892,199 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Lloyd's k-means + SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8  # coarse-cluster count for the oracle-checkable Lloyd pass
+
+_KMEANS_ORACLE_BODY = f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vv AS cv
+        FROM (SELECT vec_id, vv FROM v ORDER BY vec_id LIMIT {KMEANS_K})
+    ),
+    a1 AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY ROUND(list_cosine_similarity(vv, cv), 6) DESC, cid) AS rn
+        FROM v CROSS JOIN c0
+    ),
+    m1 AS (SELECT vec_id, cid FROM a1 WHERE rn = 1),
+    coords AS (
+        SELECT m1.cid, unnest(vv) AS val, unnest(range(0, len(vv))) AS pos
+        FROM v JOIN m1 USING (vec_id)
+    ),
+    cm AS (
+        SELECT cid, pos,
+               CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS av
+        FROM coords GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(av ORDER BY pos) AS cv FROM cm GROUP BY cid),
+    a2 AS (
+        SELECT vec_id, cid, ROUND(list_cosine_similarity(vv, cv), 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                   ORDER BY ROUND(list_cosine_similarity(vv, cv), 6) DESC, cid) AS rn
+        FROM v CROSS JOIN c1
+    ),
+    asg AS (SELECT vec_id, cid AS cluster, cos FROM a2 WHERE rn = 1)
+"""
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd round of spherical k-means, fully distributed
+    and engine-deterministic: seed → assign → decimal-grid centroid
+    update → re-assign.  Returns (vec_id, cluster, cos) where cos is
+    the similarity to the final centroid.
+
+    Determinism scheme (every float op happens identically in the
+    DuckDB oracle): assignment ranks ROUND(cosine, 6) with ties broken
+    by cluster id; centroid means run on a 1e-6 integer grid (exact,
+    partitioning-free — the embedding_centroid trick); centroid
+    vectors are rebuilt in pos order so the cosine fold visits
+    coordinates in the same sequence on both engines.
+    """
+    v = _emb(spark, sf_dir).select("vec_id", "v")
+    # Seeds: the KMEANS_K smallest vec_ids (deterministic, no RNG; at
+    # scale swap in k-means|| over a bounded sample — the loop below
+    # is unchanged).  The seed table is KMEANS_K rows: broadcast.
+    w = Window.orderBy("vec_id")
+    seeds = (
+        v.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select((F.row_number().over(w) - 1).cast("int").alias("cid"),
+                F.col("v").alias("cv"))
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        pairs = v.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("cos")
+        )
+        rw = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+        return (
+            pairs.withColumn("rn", F.row_number().over(rw))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid", "cos")
+        )
+
+    m1 = assign(seeds)
+    # Centroid update: map-side-combined (cid, pos) decimal-grid means,
+    # then rebuild the centroid vector in pos order.  State is one
+    # accumulator per (cid, pos) — never a vector buffer — so the
+    # update step scales to any corpus size.
+    coords = (
+        v.join(m1.select("vec_id", "cid"), "vec_id")
+        .select("cid", F.posexplode("v").alias("pos", "val"))
+    )
+    cm = coords.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.round(F.col("val") * 1000000.0).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("av")
+    )
+    c1 = cm.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
+        ).alias("cv")
+    )
+    return assign(c1).withColumnRenamed("cid", "cluster")
+
+
+@query(
+    "embedding_kmeans",
+    oracle=_KMEANS_ORACLE_BODY + "\n    SELECT vec_id, cluster, cos FROM asg",
+)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (one hash-verified Lloyd round):
+    the coarse-clustering primitive under IVF indexing, SemDeDup, and
+    topic bucketing.  Unlike sim_topk_ivf's sample-trained codebook
+    (driver-side numpy over a bounded sample, rows-only check), this
+    is the FULLY distributed formulation — assignment is a broadcast
+    cross join (centroid table is K rows), the update is one
+    map-side-combined aggregation keyed (cluster, pos) — and every
+    arithmetic step is mirrored in the DuckDB oracle, so the whole
+    clustering loop is value-checked, not just shape-checked.
+
+    100 TB notes: per iteration the corpus is read once, shuffles only
+    (cluster, pos, grid-val) triples for the update, and never moves
+    vectors through a shuffle for assignment (centroids broadcast).
+    More iterations = repeat the two steps; K beyond broadcast size =
+    partition centroids by a coarse quantizer first (IVF-HNSW shape).
+    """
+    return _kmeans_assign(spark, sf_dir)
+
+
+@query(
+    "dedup_semantic",
+    oracle=_KMEANS_ORACLE_BODY + """,
+    v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    pairs AS (
+        SELECT a.cluster,
+               a.vec_id AS keep_id, b.vec_id AS dup_id,
+               ROUND(list_cosine_similarity(va.vv, vb.vv), 6) AS cos,
+               ROW_NUMBER() OVER (PARTITION BY a.cluster
+                   ORDER BY ROUND(list_cosine_similarity(va.vv, vb.vv), 6) DESC,
+                            a.vec_id, b.vec_id) AS rn
+        FROM asg a
+        JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        JOIN v2 va ON va.vec_id = a.vec_id
+        JOIN v2 vb ON vb.vec_id = b.vec_id
+    )
+    SELECT cluster, keep_id, dup_id, cos, (cos >= 0.5) AS is_near_dup
+    FROM pairs WHERE rn = 1
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings coarsely, then
+    look for near-duplicates ONLY within a cluster — the blocking that
+    makes semantic dedup subquadratic.  Emits each cluster's top
+    candidate pair (highest cosine, deterministic tie-break) with the
+    prune flag a removal pass would act on; on a corpus with planted
+    semantic dups the flagged pairs ARE the removal list (this
+    synthetic testdata has near-orthogonal vectors, so the flag shows
+    false — value-checked either way).
+
+    Plan shape: k-means assignment (see embedding_kmeans) → self
+    equi-join ON cluster — never all-pairs — → per-cluster top-1
+    window.  At 100 TB the within-cluster join is the quadratic-in-
+    cluster-size step, which SemDeDup bounds by choosing K ∝ corpus
+    size (FAISS: sqrt(n) clusters); the plan here inherits that knob
+    directly through KMEANS_K.
+    """
+    asg = _kmeans_assign(spark, sf_dir)
+    v = _emb(spark, sf_dir).select("vec_id", "v")
+    a = asg.join(v, "vec_id").select(
+        F.col("cluster"), F.col("vec_id"), F.col("v")
+    )
+    b = a.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("v").alias("v_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("cluster") == F.col("cluster_b"))
+        & (F.col("vec_id") < F.col("vec_id_b")),
+    ).select(
+        "cluster",
+        F.col("vec_id").alias("keep_id"),
+        F.col("vec_id_b").alias("dup_id"),
+        cosine(F.col("v"), F.col("v_b")).alias("cos"),
+    )
+    rw = Window.partitionBy("cluster").orderBy(
+        F.col("cos").desc(), F.col("keep_id"), F.col("dup_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster", "keep_id", "dup_id", "cos",
+            (F.col("cos") >= 0.5).alias("is_near_dup"),
+        )
+    )

@@ -712,3 +712,145 @@ def test_pipeline_token_budget_prefix(spark):
         for key, doc_id, n in lst:
             cum += n
             assert (cum <= _TOKEN_BUDGET_CHARS) == (doc_id in kept_ids), (src, doc_id)
+
+
+# ---------------------------------------------------------------------------
+# round 2 additions: substring spans, triangle count, k-means, SemDeDup
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_cross_doc_only(spark, planted_docs):
+    """Every reported span occurs in >= 2 distinct docs, is exactly
+    SPAN_TOKENS long, and occurrence count >= doc count.  The planted
+    rotations share long base-sentence runs, so the table is
+    non-empty by construction."""
+    out = dedup.dedup_substring_spans(spark, planted_docs).collect()
+    assert out, "rotated docs share 8-token windows; span table must be non-empty"
+    for r in out:
+        assert r.n_docs >= 2
+        assert r.n_occurrences >= r.n_docs
+        assert len(r.span.split(" ")) == dedup.SPAN_TOKENS
+
+
+def test_substring_spans_match_bruteforce(spark, planted_docs):
+    """Span table equals a driver-side brute-force recount."""
+    rows = spark.read.parquet(planted_docs + "/documents.parquet").collect()
+    k = dedup.SPAN_TOKENS
+    from collections import defaultdict
+
+    occ = defaultdict(list)
+    for r in rows:
+        t = r.text.split(" ")
+        for i in range(len(t) - k + 1):
+            occ[" ".join(t[i:i + k])].append(r.doc_id)
+    want = {
+        s: (len(set(ds)), len(ds), min(ds))
+        for s, ds in occ.items()
+        if len(set(ds)) >= 2
+    }
+    got = {
+        r.span: (r.n_docs, r.n_occurrences, r.first_doc)
+        for r in dedup.dedup_substring_spans(spark, planted_docs).collect()
+    }
+    assert got == want
+
+
+def test_triangle_count_matches_bruteforce(spark):
+    """Per-node triangle counts at sf0.001 equal a brute-force count
+    over the collected edge set."""
+    from datafusion_catalogprovider_glue_spark.operators import graph
+    from itertools import combinations
+
+    li = spark.read.parquet(SF_SMOKE + "/lineitem.parquet")
+    o = spark.read.parquet(SF_SMOKE + "/orders.parquet")
+    c = spark.read.parquet(SF_SMOKE + "/customer.parquet")
+    s = spark.read.parquet(SF_SMOKE + "/supplier.parquet")
+    edges = {
+        (min(r.cn, r.sn), max(r.cn, r.sn))
+        for r in (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .where(F.col("c_nationkey") != F.col("s_nationkey"))
+            .select(F.col("c_nationkey").alias("cn"), F.col("s_nationkey").alias("sn"))
+            .distinct()
+            .collect()
+        )
+    }
+    nodes = sorted({n for e in edges for n in e})
+    want: dict[int, int] = {}
+    for x, y, z in combinations(nodes, 3):
+        if (x, y) in edges and (y, z) in edges and (x, z) in edges:
+            for n in (x, y, z):
+                want[n] = want.get(n, 0) + 1
+    got = {
+        r.node: r.n_triangles
+        for r in graph.graph_triangle_count(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+
+def test_embedding_kmeans_total_assignment(spark):
+    """Every vector is assigned to exactly one of K clusters, cos is a
+    valid similarity, and the assignment is run-to-run deterministic."""
+    n_vec = spark.read.parquet(SF_SMOKE + "/embeddings.parquet").count()
+    a = similarity.embedding_kmeans(spark, SF_SMOKE).collect()
+    assert len(a) == n_vec
+    assert {r.cluster for r in a} <= set(range(similarity.KMEANS_K))
+    assert all(-1.0 <= r.cos <= 1.0 for r in a)
+    b = similarity.embedding_kmeans(spark, SF_SMOKE).collect()
+    assert sorted((r.vec_id, r.cluster, r.cos) for r in a) == sorted(
+        (r.vec_id, r.cluster, r.cos) for r in b
+    )
+
+
+def test_embedding_kmeans_assignment_is_argmax(spark):
+    """Each vector's reported cos is the max over final centroids:
+    rebuild the centroids from the assignment and re-verify one round
+    of assignment driver-side (64-dim, K=8 — trivially small)."""
+    import math
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(SF_SMOKE + "/embeddings.parquet").collect()
+    }
+    asg = {r.vec_id: (r.cluster, r.cos)
+           for r in similarity.embedding_kmeans(spark, SF_SMOKE).collect()}
+    # seeds = KMEANS_K smallest vec_ids; replicate assign->update
+    seed_ids = sorted(vecs)[: similarity.KMEANS_K]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    cents = {i: vecs[v] for i, v in enumerate(seed_ids)}
+    m1 = {
+        v: max(range(similarity.KMEANS_K),
+               key=lambda c: (cos(vecs[v], cents[c]), -c))
+        for v in vecs
+    }
+    upd = {}
+    for c in range(similarity.KMEANS_K):
+        members = [vecs[v] for v in vecs if m1[v] == c]
+        if members:
+            upd[c] = [
+                sum(round(m[j] * 1e6) for m in members) / len(members) / 1e6
+                for j in range(len(members[0]))
+            ]
+    for v, (cl, cv) in asg.items():
+        best = max(upd, key=lambda c: (cos(vecs[v], upd[c]), -c))
+        assert cl == best and cv == cos(vecs[v], upd[best])
+
+
+def test_dedup_semantic_one_candidate_per_cluster(spark):
+    """One top pair per non-singleton cluster, canonical orientation,
+    pair really is within-cluster."""
+    out = similarity.dedup_semantic(spark, SF_SMOKE).collect()
+    asg = {r.vec_id: r.cluster
+           for r in similarity.embedding_kmeans(spark, SF_SMOKE).collect()}
+    assert len({r.cluster for r in out}) == len(out)  # one row per cluster
+    for r in out:
+        assert r.keep_id < r.dup_id
+        assert asg[r.keep_id] == r.cluster == asg[r.dup_id]
