@@ -1259,3 +1259,142 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hudi copy-on-write scans (sources/hudi.py — third open table format)
+# ---------------------------------------------------------------------------
+
+_HUDI_T1 = "20240101000000"
+_HUDI_T2 = "20240102000000"
+
+
+def _hudi_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize a two-commit CoW orders table once per scale factor.
+
+    Commit t1 writes the table as two file groups (even / odd order
+    keys); commit t2 REWRITES the even file group with o_totalprice
+    doubled (the CoW update path: a new base file under a new instant
+    for the same fileId).  Snapshot read must therefore stitch
+    {even@t2, odd@t1}; point-in-time at t1 must see the original."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    table_dir = _text_scan_dir(sf_dir, "orders_hudi")
+    tl_dir = os.path.join(table_dir, ".hoodie")
+    done = os.path.join(tl_dir, f"{_HUDI_T2}.commit")
+    if os.path.exists(done):
+        return table_dir
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _stage(name: str, df) -> int:
+        staging = os.path.join(table_dir, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        shutil.move(part, os.path.join(table_dir, name))
+        shutil.rmtree(staging)
+        return 0
+
+    os.makedirs(tl_dir, exist_ok=True)
+    even = orders.filter(F.col("o_orderkey") % 2 == 0)
+    odd = orders.filter(F.col("o_orderkey") % 2 == 1)
+    f_even_1 = f"fg-even_0-0-0_{_HUDI_T1}.parquet"
+    f_odd_1 = f"fg-odd_0-0-0_{_HUDI_T1}.parquet"
+    f_even_2 = f"fg-even_0-1-0_{_HUDI_T2}.parquet"
+    _stage(f_even_1, even)
+    _stage(f_odd_1, odd)
+    _stage(f_even_2, even.withColumn("o_totalprice", F.col("o_totalprice") * 2))
+    with open(os.path.join(tl_dir, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=orders_hudi\n")
+        fh.write("hoodie.table.type=COPY_ON_WRITE\n")
+    with open(os.path.join(tl_dir, f"{_HUDI_T1}.commit"), "w") as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "fg-even", "path": f_even_1},
+                        {"fileId": "fg-odd", "path": f_odd_1},
+                    ]
+                }
+            },
+            fh,
+        )
+    # an inflight marker that must be ignored by the timeline reader
+    open(os.path.join(tl_dir, f"{_HUDI_T2}.commit.inflight"), "w").close()
+    with open(os.path.join(tl_dir, f"{_HUDI_T2}.commit"), "w") as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": {
+                    "": [{"fileId": "fg-even", "path": f_even_2}]
+                }
+            },
+            fh,
+        )
+    return table_dir
+
+
+@query(
+    "scan_hudi",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 2 = 0
+                              THEN o_totalprice * 2
+                              ELSE o_totalprice END AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CoW snapshot scan through the correctness gate: the
+    two-commit fixture's latest file slices are {even@t2 (price
+    doubled), odd@t1}, so hash-matching SQL that recomputes the update
+    from the ORIGINAL orders table proves timeline replay, file-slice
+    resolution (later instant wins per file group), inflight-marker
+    exclusion, and the multi-file read path end-to-end.  See
+    sources/hudi.py for the 100 TB shape (driver-side KB timeline,
+    executor-side parquet fan-out)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+    from datafusion_catalogprovider_glue_spark.sources.hudi import read_hudi
+
+    apply_engine_conf(spark)
+    df = read_hudi(spark, _hudi_fixture(spark, sf_dir))
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "scan_hudi_time_travel",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi point-in-time query: pin the snapshot to the first commit
+    instant — the even file group's t2 rewrite must be EXCLUDED, so
+    the read reconstructs the original orders table exactly (the
+    oracle is the plain-orders aggregate)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+    from datafusion_catalogprovider_glue_spark.sources.hudi import read_hudi
+
+    apply_engine_conf(spark)
+    df = read_hudi(spark, _hudi_fixture(spark, sf_dir), as_of=_HUDI_T1)
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
