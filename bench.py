@@ -74,6 +74,12 @@ HEADLINE = [
     "embedding_whiten",
     "events_sessionize",
     "pipeline_token_budget",
+    # round-2 final additions
+    "dedup_substring_spans",
+    "embedding_kmeans",
+    "dedup_semantic",
+    "graph_triangle_count",
+    "scan_hudi",
 ]
 
 

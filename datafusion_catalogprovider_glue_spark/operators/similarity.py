@@ -898,7 +898,12 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Distributed Lloyd's k-means + SemDeDup-style semantic dedup
 # ---------------------------------------------------------------------------
 
-KMEANS_K = 8  # coarse-cluster count for the oracle-checkable Lloyd pass
+# Coarse-cluster count for the oracle-checkable Lloyd pass.  This is
+# the SemDeDup cost knob: within-cluster pair work is O(n^2/K), so K
+# grows with the corpus (FAISS rule of thumb: K ~ sqrt(n)).  32 ~=
+# sqrt(5000) at bench scale; the assignment cross join stays broadcast
+# (K rows) for any K below ~1M.
+KMEANS_K = 32
 
 _KMEANS_ORACLE_BODY = f"""
     WITH v AS MATERIALIZED (
@@ -962,14 +967,27 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
+        # argmax(cos, tie -> smaller cid) as ONE map-side-combinable
+        # aggregation (max of a (cos, -cid) struct) — a window rank
+        # here would sort-shuffle every (vec, centroid) pair; the agg
+        # keeps K-1 of every K pairs out of the exchange.
         pairs = v.crossJoin(F.broadcast(centroids)).select(
             "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("cos")
         )
-        rw = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
         return (
-            pairs.withColumn("rn", F.row_number().over(rw))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cid", "cos")
+            pairs.groupBy("vec_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("cos"), (-F.col("cid")).cast("int").alias("ncid")
+                    )
+                ).alias("m")
+            )
+            .select(
+                "vec_id",
+                (-F.col("m.ncid")).cast("int").alias("cid"),
+                F.col("m.cos").alias("cos"),
+            )
         )
 
     m1 = assign(seeds)
@@ -1057,7 +1075,10 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (FAISS: sqrt(n) clusters); the plan here inherits that knob
     directly through KMEANS_K.
     """
-    asg = _kmeans_assign(spark, sf_dir)
+    # localCheckpoint: the a/b sides of the self-join below would each
+    # re-execute the full Lloyd lineage (two cross joins + two windows)
+    # without it — the dedup_clusters trick, ~2x here.
+    asg = _kmeans_assign(spark, sf_dir).localCheckpoint()
     v = _emb(spark, sf_dir).select("vec_id", "v")
     a = asg.join(v, "vec_id").select(
         F.col("cluster"), F.col("vec_id"), F.col("v")
