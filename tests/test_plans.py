@@ -527,3 +527,60 @@ def test_range_binned_is_hash_join(spark):
     p = plan_str(q(spark, "join_range_binned"), "simple")
     assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+# ---------------------------------------------------------------------------
+# round-2 final additions: spans, triangles, k-means, SemDeDup, Hudi
+# ---------------------------------------------------------------------------
+
+
+def test_substring_spans_no_join_partial_agg(spark):
+    """The span table is ONE keyed aggregation: no join anywhere, and
+    the count/min agg must be partial+final (map-side combined) so
+    only combined span states cross the exchange."""
+    p = plan_str(q(spark, "dedup_substring_spans"))
+    assert "Join" not in p
+    assert "partial_count" in p or "HashAggregate" in p
+    # _parallelize spread + the two-phase count-distinct expansion;
+    # anything beyond these would mean an accidental extra shuffle
+    assert p.count("Exchange") <= 4
+
+
+def test_triangle_edges_broadcast_both_joins(spark):
+    """The deduped nation edge list is broadcast-sized: both
+    triangle-closing joins must be broadcast hash joins, never a
+    cartesian product."""
+    df = q(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in plan_str(df)
+    df.collect()  # let AQE finalize: the tiny edge list converts at runtime
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in final
+
+
+def test_kmeans_assignment_no_window_sort(spark):
+    """The argmax-by-struct rewrite: assignment must contain NO window
+    operator (the old rank form sort-shuffled every vec x centroid
+    pair) and the centroid side must broadcast."""
+    p = plan_str(q(spark, "embedding_kmeans"))
+    # exactly ONE Window is allowed: the K-row seed numbering (post
+    # LIMIT K, trivially small).  The two assignment passes must NOT
+    # contribute windows — each would sort-shuffle n*K pair rows.
+    assert p.count(") Window") <= 1  # formatted detail entries, one per op
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_dedup_semantic_pairs_are_equi_join(spark):
+    """Within-cluster pair generation must be an equi-join on the
+    cluster key (SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin with
+    a cluster equality), never an unblocked cartesian pair join."""
+    p = plan_str(q(spark, "dedup_semantic"))
+    assert "CartesianProduct" not in p
+
+
+def test_scan_hudi_plain_multifile_parquet_scan(spark):
+    """The Hudi snapshot read lowers to an ordinary parquet scan over
+    the selected base files — pushdown/pruning intact (one scan, no
+    union of per-file plans)."""
+    p = plan_str(q(spark, "scan_hudi"))
+    assert "Scan parquet" in p
+    assert "Union" not in p
