@@ -416,6 +416,12 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = _docs(spark, sf_dir)
     t = F.split(F.col("text"), " ")
+    # n-grams travel as xxhash64 longs of the token-array slice (the
+    # dedup_ngram_jaccard token-hash trick): no joined gram strings are
+    # ever built, the broadcast hash table holds 8-byte keys, and
+    # overlap COUNTS are hash-identical (64-bit collisions are
+    # negligible at eval-suite sizes).  The oracle recomputes from RAW
+    # gram strings — a hash match proves the swap result-preserving.
     grams = d.select(
         "doc_id",
         F.explode(
@@ -424,9 +430,9 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.size(t) >= _DECON_N,
                     F.transform(
                         F.sequence(F.lit(1), F.size(t) - F.lit(_DECON_N - 1)),
-                        lambda i: F.array_join(F.slice(t, i, _DECON_N), " "),
+                        lambda i: F.xxhash64(F.slice(t, i, _DECON_N)),
                     ),
-                ).otherwise(F.array().cast("array<string>"))
+                ).otherwise(F.array().cast("array<bigint>"))
             )
         ).alias("ng"),
     )

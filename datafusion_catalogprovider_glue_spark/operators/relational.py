@@ -1477,3 +1477,47 @@ def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_or(F.col("l_linenumber").cast("bigint")).alias("or_lines"),
         F.bit_xor(F.col("l_orderkey").cast("bigint")).alias("xor_keys"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT l_returnflag, mode_qty, n_at_mode FROM (
+        SELECT l_returnflag, l_quantity AS mode_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_at_mode,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(*) DESC, l_quantity) AS rn
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 edge: per-group statistical mode with a DETERMINISTIC
+    tie-break (highest count, then smallest value) — engines'
+    built-in ``mode()`` leaves ties unspecified, so pipelines that
+    need reproducible output compute it as a two-level aggregate.
+
+    Plan: count per (group, value) — map-side combinable — then
+    argmax-by-(count, -value) as a second map-side-combinable
+    ``max(struct)`` aggregate; no window, no sort, two narrow
+    shuffles.  The value domain per group bounds state, not row
+    count, so the shape holds at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        counts.groupBy("l_returnflag")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n"), (-F.col("l_quantity")).alias("negq")
+                )
+            ).alias("m")
+        )
+        .select(
+            "l_returnflag",
+            (-F.col("m.negq")).alias("mode_qty"),
+            F.col("m.n").alias("n_at_mode"),
+        )
+    )
