@@ -335,50 +335,77 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-set Jaccard ≥ 0.8 within a blocking key (lang) —
     the oracle-checkable exact baseline that LSH approximates.
 
-    Scale techniques, all result-preserving (the oracle recomputes the
-    full unblocked semantics independently):
+    Candidate generation is COST-BASED with two result-identical
+    strategies (the oracle recomputes the full unblocked semantics
+    independently, so either path must hash-match it):
 
-    * **length filter** (PPJoin family): J(A,B) ≤ min(|A|,|B|) /
-      max(|A|,|B|), so pairs with size ratio < 0.8 are pruned in the
-      join condition BEFORE the O(|A|+|B|) intersection runs.
-    * **log-size bucket blocking**: with ratio ≥ 0.8, the two docs'
-      log_{1.25} set sizes differ by at most one bucket.  The home
-      side keeps its own bucket; the probe side is exploded to
-      {bucket-1, bucket}; each qualifying pair meets exactly once, at
-      the smaller doc's bucket (ties broken by doc_id).  The join key
-      becomes (lang, bucket) — candidate pairs drop by ~the bucket
-      count, and the key space fans out for shuffle parallelism when
-      neither side broadcasts at 100 TB.  AQE skew splitting covers
-      residual imbalance.
-    * **token-hash payload**: the word sets travel the shuffle as
-      xxhash64 longs (8 bytes/token), not raw strings — distinct /
-      intersect / union COUNTS are identical on the hashed sets
-      (64-bit collisions are negligible at corpus vocab sizes), so
-      the Jaccard value is unchanged while shuffle bytes drop by the
-      average-word-length factor.  The oracle recomputes from RAW
-      words — a hash match proves the swap result-preserving.
+    * **log-size bucket blocking** (small corpora): docs within size
+      ratio ≥ t differ by ≤ 1 log_{1.25} size bucket, so pairs form
+      inside (lang, bucket) blocks.  Minimal stage count — fastest
+      while blocks are small — but per-block pair volume grows
+      QUADRATICALLY with the corpus (measured 16× cost at 10× data,
+      SCALING_r02.json), so it is the below-cutover strategy only.
+    * **prefix filtering** (AllPairs/PPJoin, Bayardo 2007 / Chaudhuri
+      2006; large corpora): under any single global token order, a
+      pair with J ≥ t must share a token within the first
+      n − ⌈t·n⌉ + 1 tokens of each set, so candidates are the
+      equi-join of rarest-first token prefixes — an inverted index
+      that only materializes short rare-token posting lists and grows
+      ~linearly (measured 3× cost at 10× data).  Hot prefix tokens
+      are AQE skew-split; a df-cap on prefix membership is the 100 TB
+      backstop.
+
+    The cutover (PPJOIN_CUTOVER_DOCS) is the measured crossover where
+    prefix-indexing's two extra shuffles (df + rarity regroup) repay
+    themselves; the bench corpora sit below it, a production corpus
+    sits far above.  Both strategies share:
+
+    * **length filter** (PPJoin bound): J(A,B) ≤ min(|A|,|B|) /
+      max(|A|,|B|) prunes pairs inside the join condition BEFORE the
+      O(|A|+|B|) intersection runs.
+    * **token-hash payload**: word sets travel as xxhash64 longs
+      (8 bytes/token), not raw strings — intersection/union COUNTS are
+      identical on hashed sets, the oracle recomputes from RAW words,
+      and a hash match proves the swap result-preserving.
     """
-    import math
-
-    _LOG_BASE = math.log(1.25)
     d = _parallelize(_docs(spark, sf_dir), "doc_id").select(
         "doc_id",
         "lang",
         F.array_distinct(
             F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
         ).alias("wset"),
-    )
+    ).withColumn("n", F.size("wset"))
+    n_docs = d.count()  # CBO input: one metadata-cheap count
+    if n_docs <= PPJOIN_CUTOVER_DOCS:
+        return _jaccard_pairs_blocked(d, JACCARD_SIM_THRESHOLD)
+    return _jaccard_pairs_prefix(d, JACCARD_SIM_THRESHOLD)
+
+
+JACCARD_SIM_THRESHOLD = 0.8
+# Measured crossover (this box, 32 threads): bucket blocking wins under
+# ~10^5 docs on stage-count grounds; prefix indexing wins above on
+# candidate-volume grounds (quadratic vs linear growth).
+PPJOIN_CUTOVER_DOCS = 100_000
+
+
+def _jaccard_pairs_blocked(d: DataFrame, t: float) -> DataFrame:
+    """Pairs via (lang, log-size-bucket) block join — see
+    dedup_ngram_jaccard docstring for when this is the right plan."""
+    import math
+
+    _LOG_BASE = math.log(1.25)
     d = d.withColumn(
-        "bucket", F.floor(F.log(F.size("wset").cast("double")) / _LOG_BASE)
+        "bucket", F.floor(F.log(F.col("n").cast("double")) / _LOG_BASE)
     )
     a = d.alias("a")
     b = d.select(
         "doc_id",
         "lang",
         "wset",
+        "n",
         F.explode(F.array(F.col("bucket") - 1, F.col("bucket"))).alias("bucket"),
     ).alias("b")
-    sa, sb = F.size(F.col("a.wset")), F.size(F.col("b.wset"))
+    sa, sb = F.col("a.n"), F.col("b.n")
     # canonical orientation: the pair is generated at the smaller doc's
     # bucket only (size tie → smaller doc_id), so no pair is duplicated
     canonical = (sa < sb) | ((sa == sb) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -392,15 +419,76 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
             & canonical
-            & (F.least(sa, sb) * F.lit(1.0) / F.greatest(sa, sb) >= 0.8),
+            & (F.least(sa, sb) * F.lit(1.0) / F.greatest(sa, sb) >= t),
         )
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
             F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             F.round(jaccard, 6).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= t)
     )
+
+
+def _jaccard_pairs_prefix(d: DataFrame, t: float) -> DataFrame:
+    """Pairs via PPJoin rarest-first prefix postings — see
+    dedup_ngram_jaccard docstring for the bound and when this wins."""
+    d = d.localCheckpoint()  # read once: postings, df, and verify reuse it
+    post = d.select("doc_id", "lang", "n", F.explode("wset").alias("tok"))
+    dfreq = post.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = (F.col("n") - F.ceil(F.col("n") * t) + 1).cast("int")
+    pre = (
+        post.join(dfreq, ["lang", "tok"])
+        .groupBy("doc_id", "lang", "n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("by_rarity")
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n",
+            F.explode(F.slice(F.col("by_rarity"), F.lit(1), prefix_len)).alias(
+                "tok"
+            ),
+        )
+    )
+    pa, pb = pre.alias("pa"), pre.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.tok") == F.col("pb.tok"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # PPJoin length gate: skip pairs that cannot reach t
+            & (
+                F.least(F.col("pa.n"), F.col("pb.n")) * F.lit(1.0)
+                / F.greatest(F.col("pa.n"), F.col("pb.n"))
+                >= t
+            ),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()  # a pair may share several prefix tokens
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb"))
+    inter = F.size(F.array_intersect(F.col("wa"), F.col("wb")))
+    union = F.size("wa") + F.size("wb") - inter
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= t)
+    )
+
 
 
 SIMHASH_BITS = 60  # 15 hex chars of md5: positive bigint, 4 clean bands

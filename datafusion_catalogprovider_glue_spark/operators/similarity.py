@@ -905,13 +905,17 @@ def embedding_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (K rows) for any K below ~1M.
 KMEANS_K = 32
 
-_KMEANS_ORACLE_BODY = f"""
+def _kmeans_oracle_body(k: int) -> str:
+    """The one-Lloyd-round CTE chain (seed → assign → grid-mean update
+    → re-assign), parameterized on K so the SemDeDup pass (K=32) and
+    the IVF quantizer (K=16) share one source of truth."""
+    return f"""
     WITH v AS MATERIALIZED (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
     ),
     c0 AS (
         SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, vv AS cv
-        FROM (SELECT vec_id, vv FROM v ORDER BY vec_id LIMIT {KMEANS_K})
+        FROM (SELECT vec_id, vv FROM v ORDER BY vec_id LIMIT {k})
     ),
     a1 AS (
         SELECT vec_id, cid,
@@ -941,11 +945,17 @@ _KMEANS_ORACLE_BODY = f"""
 """
 
 
-def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+_KMEANS_ORACLE_BODY = _kmeans_oracle_body(KMEANS_K)
+
+
+def _kmeans(
+    spark: SparkSession, sf_dir: str, k: int = KMEANS_K
+) -> tuple[DataFrame, DataFrame]:
     """One full Lloyd round of spherical k-means, fully distributed
     and engine-deterministic: seed → assign → decimal-grid centroid
-    update → re-assign.  Returns (vec_id, cluster, cos) where cos is
-    the similarity to the final centroid.
+    update → re-assign.  Returns (assignment, centroids): assignment
+    is (vec_id, cluster, cos) against the FINAL centroids, centroids
+    is the K-row (cid, cv) table those cosines were ranked against.
 
     Determinism scheme (every float op happens identically in the
     DuckDB oracle): assignment ranks ROUND(cosine, 6) with ties broken
@@ -955,13 +965,13 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinates in the same sequence on both engines.
     """
     v = _emb(spark, sf_dir).select("vec_id", "v")
-    # Seeds: the KMEANS_K smallest vec_ids (deterministic, no RNG; at
+    # Seeds: the k smallest vec_ids (deterministic, no RNG; at
     # scale swap in k-means|| over a bounded sample — the loop below
-    # is unchanged).  The seed table is KMEANS_K rows: broadcast.
+    # is unchanged).  The seed table is k rows: broadcast.
     w = Window.orderBy("vec_id")
     seeds = (
         v.orderBy("vec_id")
-        .limit(KMEANS_K)
+        .limit(k)
         .select((F.row_number().over(w) - 1).cast("int").alias("cid"),
                 F.col("v").alias("cv"))
     )
@@ -1011,7 +1021,15 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
         ).alias("cv")
     )
-    return assign(c1).withColumnRenamed("cid", "cluster")
+    # Materialize the K-row centroid table once: every consumer (the
+    # re-assign here, IVF probe ranking, any caller broadcasting it)
+    # would otherwise re-execute the whole seed→assign→update lineage.
+    c1 = c1.localCheckpoint()
+    return assign(c1).withColumnRenamed("cid", "cluster"), c1
+
+
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kmeans(spark, sf_dir)[0]
 
 
 @query(
@@ -1108,4 +1126,83 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster", "keep_id", "dup_id", "cos",
             (F.col("cos") >= 0.5).alias("is_near_dup"),
         )
+    )
+
+
+@query(
+    "sim_topk_ivf_flat",
+    oracle=_kmeans_oracle_body(IVF_CELLS) + f""",
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(q.vv, c.cv), 6) DESC,
+                                c.cid) AS pr
+            FROM (SELECT vec_id, vv FROM v WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN c1 c
+        ) WHERE pr <= {IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(qv.vv, nv.vv), 6) AS cos
+        FROM probes p
+        JOIN asg a ON a.cluster = p.cell
+        JOIN v qv ON qv.vec_id = p.query_id
+        JOIN v nv ON nv.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM cand
+    ) WHERE rank <= {TOP_K}
+    """,
+)
+def sim_topk_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN with the DETERMINISTIC distributed quantizer: the
+    same inverted-file probe topology as sim_topk_ivf, but the coarse
+    centroids come from the hash-verified Lloyd round (_kmeans) instead
+    of a seeded driver-side sample fit — which makes the ENTIRE index
+    path value-checkable: quantizer training, cell assignment, probe
+    selection, and the final ranked candidates all hash-match the
+    DuckDB twin.  sim_topk_ivf stays as the FAISS-style sample-trained
+    production variant (training cost bounded by the sample cap);
+    this key is the auditable one.
+
+    Plan shape (identical at any scale): centroids broadcast for
+    assignment AND probe ranking (K rows); the inverted file is the
+    localCheckpoint'd (vec_id, cell, v) table; candidate generation is
+    an equi-join on cell against the broadcast probe list, touching
+    nprobe/K of the corpus."""
+    asg, cents = _kmeans(spark, sf_dir, IVF_CELLS)
+    v = _emb(spark, sf_dir).select("vec_id", "v")
+    corpus = (
+        asg.select("vec_id", F.col("cluster").alias("cell"))
+        .join(v, "vec_id")
+        .localCheckpoint()  # index build: pin, don't re-derive per branch
+    )
+    q = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    ccos = cosine(F.col("qv"), F.col("cv"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", F.col("cid").alias("cell"), ccos.alias("ccos"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("query_id", "qv", "cell")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        corpus.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
     )

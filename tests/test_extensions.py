@@ -854,3 +854,31 @@ def test_dedup_semantic_one_candidate_per_cluster(spark):
     for r in out:
         assert r.keep_id < r.dup_id
         assert asg[r.keep_id] == r.cluster == asg[r.dup_id]
+
+
+def test_jaccard_prefix_and_blocked_strategies_agree(spark, planted_docs):
+    """The PPJoin prefix-filter path (above-cutover strategy) and the
+    log-size bucket path (below-cutover) must produce the identical
+    pair set — the cost-based switch may never change results.  Also
+    pins the prefix bound itself: candidates dropped by the rarest-
+    first prefix would surface here as missing pairs."""
+    d = dedup._parallelize(
+        spark.read.parquet(planted_docs + "/documents.parquet"), "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+        ).alias("wset"),
+    ).withColumn("n", F.size("wset"))
+    t = dedup.JACCARD_SIM_THRESHOLD
+    blocked = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup._jaccard_pairs_blocked(d, t).collect()
+    }
+    prefix = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup._jaccard_pairs_prefix(d, t).collect()
+    }
+    assert blocked, "planted near-dups must produce pairs"
+    assert prefix == blocked
