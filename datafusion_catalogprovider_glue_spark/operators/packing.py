@@ -214,3 +214,56 @@ def pipeline_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+N_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "pipeline_global_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, hx,
+               CAST('0x' || substr(hx, 1, 6) AS BIGINT) % {N_SHUFFLE_SHARDS}
+                   AS shard
+        FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+                AS BIGINT) AS shard_pos
+    FROM s
+    """,
+)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards: every
+    doc gets a (shard, shard_pos) drawn from a salted md5 of its id —
+    the reproducible replacement for a random shuffle before packing,
+    so training order is identical on any engine, cluster size, or
+    rerun (the same engine-stability argument as
+    pipeline_dataset_split vs randomSplit; the salt is the epoch
+    knob — change it to reshuffle between epochs).
+
+    Plan: the shard label is one scan-stage hash expression; ordering
+    within a shard is a per-shard window over the hash — shards are
+    the partition key, so the sort is N_SHARDS parallel sorts of
+    corpus/N_SHARDS rows each, never a global sort.  At 100 TB raise
+    N_SHARDS so a shard's (doc_id, hash) pairs fit an executor's sort
+    spill budget — the doc PAYLOAD never enters this sort; it is
+    fetched by a later join on doc_id, or written with
+    partitionBy('shard') using this frame as the manifest."""
+    h = F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string")))
+    s = _docs(spark, sf_dir).select(
+        "doc_id",
+        h.alias("hx"),
+        (F.conv(F.substring(h, 1, 6), 16, 10).cast("long") % N_SHUFFLE_SHARDS)
+        .alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return s.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("shard_pos")
+    )
