@@ -605,3 +605,174 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT et.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) et CROSS JOIN b
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type, g.hour,
+           COALESCE(h.n, 0) AS n_events,
+           COALESCE(h.sv, 0.0) AS sum_value
+    FROM grid g LEFT JOIN hourly h
+      ON g.event_type = h.event_type AND g.hour = h.hour
+    """,
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket densification with zero-fill (the
+    time_bucket_gapfill shape): hourly counts/sums per event type over
+    a COMPLETE hour grid — missing (type, hour) combinations surface
+    as explicit zero rows instead of silently absent buckets, the
+    property charting, anomaly baselines, and window functions over
+    the series all assume.
+
+    Plan: the real aggregation is one map-side-combined groupBy; the
+    grid is (distinct types) × sequence(min_hour, max_hour) — bounds
+    are a broadcast one-row aggregate, so grid construction is a
+    row-local explode, and densification is a left join ON the grid
+    (grid side is |types| × |hours|, independent of event volume).
+    At 100 TB nothing but the first groupBy sees raw events; the
+    grid stays metadata-sized unless cardinality × span explodes,
+    which is the same cliff every gapfill implementation documents.
+    """
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value"), 4, 8).alias("sv"),
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    return grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+        F.coalesce(F.col("sv"), F.lit(0.0)).alias("sum_value"),
+    )
+
+
+EWMA_LOOKBACK = 8  # window length; alpha = 0.5 (exact binary weights)
+
+
+@query(
+    "events_ewma",
+    oracle=f"""
+    WITH b AS (
+      SELECT date_trunc('hour', MIN(CAST(ts AS TIMESTAMP))) AS lo,
+             date_trunc('hour', MAX(CAST(ts AS TIMESTAMP))) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT et.event_type,
+             unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hour
+      FROM (SELECT DISTINCT event_type FROM events) et CROSS JOIN b
+    ),
+    hourly AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT g.event_type, g.hour,
+             CAST(COALESCE(h.n, 0) AS DOUBLE) AS x
+      FROM grid g LEFT JOIN hourly h
+        ON g.event_type = h.event_type AND g.hour = h.hour
+    ),
+    framed AS (
+      SELECT event_type, hour,
+             list(x) OVER (PARTITION BY event_type ORDER BY hour
+                           ROWS BETWEEN {EWMA_LOOKBACK - 1} PRECEDING
+                                    AND CURRENT ROW) AS xs
+      FROM dense
+    )
+    SELECT event_type, hour,
+           ROUND(list_reduce(list_prepend(0.0, xs),
+                             (acc, x) -> acc * 0.5 + x)
+                 / (2.0 - power(0.5, len(xs) - 1)), 6) AS ewma
+    FROM framed
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average (alpha=0.5,
+    {L}-bucket lookback) of hourly event counts per type, over the
+    GAP-FILLED series — the smoothing baseline behind alerting and
+    trend panels, and the op that is WRONG without densification
+    (missing buckets would silently skip decay steps).
+
+    The recurrence is evaluated as a left fold over the frame,
+    oldest→newest: acc·0.5 + x accumulates exactly the
+    sum_k x_(t-k)·2^-k numerator — no per-element weight table, no
+    index arithmetic.  With alpha=1/2 every product is an exponent
+    shift (EXACT in IEEE754) and count magnitudes keep each addition
+    inside the 53-bit mantissa, so both engines compute bit-identical
+    values before the single normalize-divide.  Plan: one grouped agg
+    over raw events, the metadata-sized grid join (see
+    events_gapfill), then a per-type window — the frame list is at
+    most {L} doubles, state O(types x lookback), never event-volume.
+    """
+    e = _events(spark, sf_dir)
+    hourly = e.groupBy(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        e.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 hour"))
+            ).alias("hour"),
+        )
+    )
+    dense = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(EWMA_LOOKBACK - 1), 0)
+    )
+    xs = F.collect_list("x").over(w)
+    num = F.aggregate(xs, F.lit(0.0), lambda acc, x: acc * 0.5 + x)
+    denom = F.lit(2.0) - F.pow(F.lit(0.5), F.size(xs) - 1)
+    return dense.select(
+        "event_type", "hour", F.round(num / denom, 6).alias("ewma")
+    )
