@@ -1398,3 +1398,156 @@ def scan_hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("o_totalprice"), 2).alias("sum_price"),
     )
+
+
+_HUDI_MOR_T1 = "20240201000000"
+_HUDI_MOR_T2 = "20240202000000"
+
+
+def _hudi_mor_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Two-instant MOR orders table: commit t1 writes two base file
+    groups; deltacommit t2 appends an Avro log with PARTIAL records
+    (o_orderkey, o_totalprice tripled) for keys divisible by 10 —
+    snapshot reads must merge the log over the base, read-optimized
+    reads must ignore it."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+
+    table_dir = _text_scan_dir(sf_dir, "orders_hudi_mor")
+    tl_dir = os.path.join(table_dir, ".hoodie")
+    done = os.path.join(tl_dir, f"{_HUDI_MOR_T2}.deltacommit")
+    if os.path.exists(done):
+        return table_dir
+    orders = load_table(spark, sf_dir, "orders")
+
+    def _stage(name: str, df) -> None:
+        staging = os.path.join(table_dir, f"_stage_{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        shutil.move(part, os.path.join(table_dir, name))
+        shutil.rmtree(staging)
+
+    os.makedirs(tl_dir, exist_ok=True)
+    f_even = f"fg-even_0-0-0_{_HUDI_MOR_T1}.parquet"
+    f_odd = f"fg-odd_0-0-0_{_HUDI_MOR_T1}.parquet"
+    _stage(f_even, orders.filter(F.col("o_orderkey") % 2 == 0))
+    _stage(f_odd, orders.filter(F.col("o_orderkey") % 2 == 1))
+    log_name = f".fg-even_{_HUDI_MOR_T1}.log.1_0-1-0.avro"
+    upd = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey", (F.col("o_totalprice") * 3).alias("o_totalprice"))
+        .collect()
+    )
+    write_avro_container(
+        os.path.join(table_dir, log_name),
+        T.StructType(
+            [
+                T.StructField("o_orderkey", T.LongType()),
+                T.StructField("o_totalprice", T.DoubleType()),
+            ]
+        ),
+        [(r.o_orderkey, r.o_totalprice) for r in upd],
+    )
+    with open(os.path.join(tl_dir, "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=orders_hudi_mor\n")
+        fh.write("hoodie.table.type=MERGE_ON_READ\n")
+    with open(os.path.join(tl_dir, f"{_HUDI_MOR_T1}.commit"), "w") as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": {
+                    "": [
+                        {"fileId": "fg-even", "path": f_even},
+                        {"fileId": "fg-odd", "path": f_odd},
+                    ]
+                }
+            },
+            fh,
+        )
+    open(os.path.join(tl_dir, f"{_HUDI_MOR_T2}.deltacommit.inflight"), "w").close()
+    with open(done, "w") as fh:
+        json.dump(
+            {
+                "partitionToWriteStats": {
+                    "": [{"fileId": "fg-even", "path": log_name}]
+                }
+            },
+            fh,
+        )
+    return table_dir
+
+
+@query(
+    "scan_hudi_mor",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
+                              THEN o_totalprice * 3
+                              ELSE o_totalprice END AS DECIMAL(18,2)))
+                AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE-ON-READ snapshot scan: base parquet file groups
+    merged with the t2 delta log (partial-payload price updates
+    decoded executor-side by the built-in Avro codec) — per key the
+    newest log record's non-null columns overwrite the base row.
+    Hash-matching SQL that recomputes the update from the original
+    orders proves timeline union (.commit + .deltacommit), log
+    decode, latest-per-key collapse, and the merge join."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+    from datafusion_catalogprovider_glue_spark.sources.hudi import read_hudi_mor
+
+    apply_engine_conf(spark)
+    df = read_hudi_mor(
+        spark, _hudi_mor_fixture(spark, sf_dir), key_col="o_orderkey"
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "scan_hudi_mor_read_optimized",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def scan_hudi_mor_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MOR read-optimized query type: base files only, delta logs
+    ignored — the stale-but-cheap tradeoff MOR exists to offer.  The
+    oracle is the plain-orders aggregate (no updates visible)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+    from datafusion_catalogprovider_glue_spark.sources.hudi import read_hudi_mor
+
+    apply_engine_conf(spark)
+    df = read_hudi_mor(
+        spark,
+        _hudi_mor_fixture(spark, sf_dir),
+        key_col="o_orderkey",
+        read_optimized=True,
+    )
+    return df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("sum_price"),
+    )

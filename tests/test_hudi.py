@@ -70,3 +70,70 @@ def test_as_of_before_first_instant_refuses(spark, hudi_dir):
 def test_missing_timeline_refuses(spark, tmp_path):
     with pytest.raises(SparkError):
         read_hudi(spark, str(tmp_path))
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read
+# ---------------------------------------------------------------------------
+
+from datafusion_catalogprovider_glue_spark.operators.catalog_ops import (  # noqa: E402
+    _HUDI_MOR_T1,
+    _hudi_mor_fixture,
+)
+from datafusion_catalogprovider_glue_spark.sources.hudi import (  # noqa: E402
+    hudi_mor_instants,
+    read_hudi_mor,
+)
+
+
+@pytest.fixture(scope="module")
+def mor_dir(spark):
+    return _hudi_mor_fixture(spark, SF_SMOKE)
+
+
+def test_mor_timeline_has_both_actions(mor_dir):
+    acts = [a for _t, a in hudi_mor_instants(mor_dir)]
+    assert acts == ["commit", "deltacommit"]  # inflight marker excluded
+
+
+def test_mor_snapshot_merges_log_over_base(spark, mor_dir):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    want = {
+        (r.o_orderkey,
+         round(r.o_totalprice * (3 if r.o_orderkey % 10 == 0 else 1), 2))
+        for r in orders.select("o_orderkey", "o_totalprice").collect()
+    }
+    got = {
+        (r.o_orderkey, round(r.o_totalprice, 2))
+        for r in read_hudi_mor(spark, mor_dir, key_col="o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+    }
+    assert got == want
+
+
+def test_mor_merge_touches_only_price(spark, mor_dir):
+    """Partial-payload merge must leave every non-updated column
+    byte-identical to the base row."""
+    orders = load_table(spark, SF_SMOKE, "orders")
+    base = {r.o_orderkey: (r.o_orderstatus, r.o_custkey) for r in orders.collect()}
+    for r in read_hudi_mor(spark, mor_dir, key_col="o_orderkey").collect():
+        assert (r.o_orderstatus, r.o_custkey) == base[r.o_orderkey]
+
+
+def test_mor_read_optimized_ignores_log(spark, mor_dir):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    ro = read_hudi_mor(spark, mor_dir, key_col="o_orderkey", read_optimized=True)
+    assert {
+        (r.o_orderkey, r.o_totalprice)
+        for r in ro.select("o_orderkey", "o_totalprice").collect()
+    } == {
+        (r.o_orderkey, r.o_totalprice)
+        for r in orders.select("o_orderkey", "o_totalprice").collect()
+    }
+
+
+def test_mor_as_of_before_deltacommit_equals_read_optimized(spark, mor_dir):
+    pinned = read_hudi_mor(spark, mor_dir, key_col="o_orderkey", as_of=_HUDI_MOR_T1)
+    ro = read_hudi_mor(spark, mor_dir, key_col="o_orderkey", read_optimized=True)
+    assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, ro.collect()))
