@@ -882,3 +882,56 @@ def test_jaccard_prefix_and_blocked_strategies_agree(spark, planted_docs):
     }
     assert blocked, "planted near-dups must produce pairs"
     assert prefix == blocked
+
+
+def test_gapfill_grid_complete_and_consistent(spark):
+    """The densified grid is exactly |types| x |hours| contiguous
+    rows; zero rows appear precisely where raw data has no bucket and
+    non-zero rows reproduce the raw aggregation."""
+    from collections import Counter
+    from datafusion_catalogprovider_glue_spark.operators import funnel
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    out = funnel.events_gapfill(spark, SF_SMOKE).collect()
+    e = load_table(spark, SF_SMOKE, "events")
+    raw = Counter(
+        (r.event_type, r.hour)
+        for r in e.select(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        ).collect()
+    )
+    types = {t for t, _h in raw}
+    hours = sorted({h for r in out for h in [r.hour]})
+    assert len(out) == len(types) * len(hours)
+    assert all(
+        (b - a).total_seconds() == 3600 for a, b in zip(hours, hours[1:])
+    ), "hour grid must be contiguous"
+    for r in out:
+        assert r.n_events == raw.get((r.event_type, r.hour), 0)
+        if r.n_events == 0:
+            assert r.sum_value == 0.0
+
+
+def test_ewma_matches_driver_fold(spark):
+    """EWMA equals the exact driver-side fold over the dense series
+    for every type (bit-identical, not approximately)."""
+    from collections import defaultdict
+    from datafusion_catalogprovider_glue_spark.operators import funnel
+
+    dense = defaultdict(dict)
+    for r in funnel.events_gapfill(spark, SF_SMOKE).collect():
+        dense[r.event_type][r.hour] = float(r.n_events)
+    got = {
+        (r.event_type, r.hour): r.ewma
+        for r in funnel.events_ewma(spark, SF_SMOKE).collect()
+    }
+    L = funnel.EWMA_LOOKBACK
+    for typ, series in dense.items():
+        hours = sorted(series)
+        for i, h in enumerate(hours):
+            xs = [series[hh] for hh in hours[max(0, i - L + 1): i + 1]]
+            acc = 0.0
+            for x in xs:
+                acc = acc * 0.5 + x
+            want = round(acc / (2.0 - 0.5 ** (len(xs) - 1)), 6)
+            assert got[(typ, h)] == want
