@@ -935,3 +935,38 @@ def test_ewma_matches_driver_fold(spark):
                 acc = acc * 0.5 + x
             want = round(acc / (2.0 - 0.5 ** (len(xs) - 1)), 6)
             assert got[(typ, h)] == want
+
+
+def test_tar_write_round_trip(spark):
+    """Written shards re-open with stdlib tarfile: every doc appears in
+    its assigned shard, doc_id-ordered, payload byte-exact."""
+    import hashlib as _hashlib
+    import os
+    import tarfile
+
+    from datafusion_catalogprovider_glue_spark.operators import multimodal
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    manifest = {r.shard: r for r in multimodal.multimodal_tar_write(spark, SF_SMOKE).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    }
+    out_dir = os.path.join(
+        "/tmp",
+        f"glue_spark_tarw_{_hashlib.md5(SF_SMOKE.encode()).hexdigest()[:12]}",
+    )
+    seen = 0
+    for shard in manifest:
+        path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
+        assert os.path.getsize(path) == manifest[shard].archive_bytes
+        with tarfile.open(path) as tf:
+            ids = []
+            for info in tf:
+                doc_id = int(info.name.removeprefix("doc_").removesuffix(".txt"))
+                assert doc_id % multimodal.TAR_WRITE_SHARDS == shard
+                assert tf.extractfile(info).read() == docs[doc_id].encode("utf-8")
+                ids.append(doc_id)
+                seen += 1
+            assert ids == sorted(ids), "members must be doc_id-ordered"
+    assert seen == len(docs)
