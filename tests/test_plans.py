@@ -584,3 +584,30 @@ def test_scan_hudi_plain_multifile_parquet_scan(spark):
     p = plan_str(q(spark, "scan_hudi"))
     assert "Scan parquet" in p
     assert "Union" not in p
+
+
+def test_gapfill_grid_bounds_broadcast(spark):
+    """Densification: the one-row bounds aggregate and the grid side
+    must reach the left join via broadcast — raw events only feed the
+    first groupBy."""
+    p = plan_str(q(spark, "events_gapfill"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_tar_write_single_shuffle(spark):
+    """The shard writer pays exactly ONE exchange (the shard-key
+    repartition); ordering is sortWithinPartitions, never a global
+    sort."""
+    p = plan_str(q(spark, "multimodal_tar_write"))
+    assert p.count(") Exchange") == 1
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_hudi_mor_merge_is_equi_join(spark):
+    """The log merge is an equi-join on the record key over a plain
+    parquet scan — no cartesian, no union-per-file plans for the base
+    side."""
+    p = plan_str(q(spark, "scan_hudi_mor"))
+    assert "CartesianProduct" not in p
+    assert "Scan parquet" in p
