@@ -1136,3 +1136,109 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "dedup_remove_spans",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    wins AS MATERIALIZED (
+      SELECT doc_id, w['i'] AS i, w['s'] AS s FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, n - {SPAN_TOKENS - 2}),
+                   i -> {{'i': i,
+                         's': array_to_string(t[i:i+{SPAN_TOKENS - 1}], ' ')}}))
+                 AS w
+        FROM toks WHERE n >= {SPAN_TOKENS})
+    ),
+    flagged AS MATERIALIZED (
+      SELECT s, MIN(doc_id) AS first_doc FROM wins GROUP BY s
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cov AS (
+      SELECT doc_id, list(DISTINCT p) AS cov FROM (
+        SELECT w.doc_id, unnest(range(w.i, w.i + {SPAN_TOKENS})) AS p
+        FROM wins w JOIN flagged f ON w.s = f.s
+        WHERE w.doc_id <> f.first_doc
+      ) GROUP BY doc_id
+    ),
+    rebuilt AS (
+      SELECT tk.doc_id, tk.n,
+             list_filter(list_transform(range(1, tk.n + 1),
+                 idx -> CASE WHEN cov.cov IS NULL
+                                  OR NOT list_contains(cov.cov, idx)
+                             THEN tk.t[idx] END), x -> x IS NOT NULL) AS kept
+      FROM toks tk LEFT JOIN cov ON tk.doc_id = cov.doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(n - len(kept) AS BIGINT) AS n_removed,
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS new_md5
+    FROM rebuilt
+    """,
+)
+def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL stage downstream of dedup_substring_spans (Lee et
+    al. 2022 keep-first semantics): every {SPAN_TOKENS}-token window
+    repeated across 2+ docs is cut from every document EXCEPT the one
+    that saw it first (min doc_id), by deleting the token positions
+    any flagged occurrence covers.  Emits per-doc removal accounting
+    plus an md5 of the rebuilt text (the gate-hashable witness that
+    the surgery is byte-identical cross-engine).
+
+    Plan: window table → one groupBy(span) builds the flagged table →
+    hits = windows ⋈ flagged (equi-join on span; at 100 TB shuffle
+    span hashes, the dedup_substring_spans note) → covered positions
+    collapse per doc (collect_set of at most n positions) → rebuild is
+    a row-local indexed filter in codegen.  Docs without hits never
+    join, never rebuild state — the left join keeps them verbatim.
+    """
+    k = SPAN_TOKENS
+    d = _parallelize(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("n", F.size("t"))
+    d = d.localCheckpoint()  # windows, flagged and rebuild all reuse it
+    wins = d.where(F.col("n") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
+            )
+        ).alias("i0", "s"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "s")
+    flagged = (
+        wins.groupBy("s")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("first_doc")
+        )
+        .where(F.col("nd") >= 2)
+        .select("s", "first_doc")
+    )
+    cov = (
+        wins.join(flagged, "s")
+        .where(F.col("doc_id") != F.col("first_doc"))
+        .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("p"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("cov"))
+    )
+    kept = F.filter(
+        F.col("t"),
+        lambda x, idx: F.coalesce(
+            ~F.array_contains(F.coalesce(F.col("cov"), F.array().cast("array<int>")),
+                              (idx + 1).cast("int")),
+            F.lit(True),
+        ),
+    )
+    return (
+        d.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            (F.col("n") - F.size(kept)).cast("long").alias("n_removed"),
+            F.md5(F.concat_ws(" ", kept)).alias("new_md5"),
+        )
+    )

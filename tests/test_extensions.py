@@ -970,3 +970,41 @@ def test_tar_write_round_trip(spark):
                 seen += 1
             assert ids == sorted(ids), "members must be doc_id-ordered"
     assert seen == len(docs)
+
+
+def test_remove_spans_keep_first_semantics(spark, planted_docs):
+    """Removal matches a driver-side recount: positions covered by any
+    cross-doc span occurrence are cut from every doc EXCEPT the span's
+    first doc; the first doc's text survives verbatim unless covered
+    by someone ELSE's span."""
+    import hashlib as _h
+    from collections import defaultdict
+
+    rows = spark.read.parquet(planted_docs + "/documents.parquet").collect()
+    k = dedup.SPAN_TOKENS
+    first = {}
+    occ = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r.doc_id):
+        t = r.text.split(" ")
+        for i in range(len(t) - k + 1):
+            s = " ".join(t[i:i + k])
+            occ[s].append((r.doc_id, i))
+            first.setdefault(s, r.doc_id)
+    flagged = {s for s, os_ in occ.items() if len({d for d, _ in os_}) >= 2}
+    want = {}
+    for r in rows:
+        t = r.text.split(" ")
+        cov = set()
+        for i in range(len(t) - k + 1):
+            s = " ".join(t[i:i + k])
+            if s in flagged and r.doc_id != first[s]:
+                cov.update(range(i, i + k))
+        kept = [x for j, x in enumerate(t) if j not in cov]
+        want[r.doc_id] = (len(t), len(t) - len(kept),
+                          _h.md5(" ".join(kept).encode()).hexdigest())
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.new_md5)
+        for r in dedup.dedup_remove_spans(spark, planted_docs).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in want.values()), "planted dups must trigger removal"
