@@ -80,6 +80,15 @@ HEADLINE = [
     "dedup_semantic",
     "graph_triangle_count",
     "scan_hudi",
+    "scan_hudi_mor",
+    "scan_iceberg_pos_deletes",
+    "events_gapfill",
+    "events_ewma",
+    "sim_topk_ivf_flat",
+    "multimodal_tar_write",
+    "dedup_remove_spans",
+    "agg_mode",
+    "pipeline_global_shuffle",
 ]
 
 
