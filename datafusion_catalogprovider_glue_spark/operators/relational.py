@@ -1521,3 +1521,29 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m.n").alias("n_at_mode"),
         )
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+             AS segments,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12 edge: ordered string aggregation (LISTAGG / string_agg) —
+    deterministic ONLY with an explicit element order, which is why
+    the grouped collect goes through array_sort before joining
+    (collect_list/set order is partitioning-dependent in every
+    engine).  Distinct + sort keeps per-group state bounded by the
+    value domain, not the row count."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("c_mktsegment")), "|"
+        ).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
