@@ -1712,3 +1712,163 @@ def scan_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(read_iceberg(spark, table_dir, snapshot_id=1), "snap1").unionByName(
         _agg(read_iceberg(spark, table_dir), "latest")
     )
+
+@query(
+    "scan_iceberg_eq_deletes",
+    oracle="""
+    SELECT 'snap1' AS snapshot, s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM supplier GROUP BY s_nationkey
+    UNION ALL
+    SELECT 'latest' AS snapshot, s_nationkey,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM (
+        SELECT * FROM supplier WHERE s_suppkey % 5 <> 0
+        UNION ALL
+        SELECT * FROM supplier WHERE s_suppkey % 35 = 0
+    ) GROUP BY s_nationkey
+    """,
+)
+def scan_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY DELETES through the gate (format spec
+    §equality-delete-files, the kind Flink CDC writers emit): snapshot
+    1 is the plain data file at sequence number 1; snapshot 2 adds an
+    equality delete file on s_suppkey (keys %5 == 0) at sequence 2 AND
+    a re-added data file at sequence 3 carrying the %35 == 0 subset —
+    the spec's strict seq(delete) > seq(data) scoping means the
+    re-added rows SURVIVE the delete.  The reader applies the delete
+    as one sequence-scoped broadcast null-safe anti join
+    (sources/iceberg.py); hash-matching SQL re-derives both the
+    deleted and the re-added key sets from the original table."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import read_iceberg
+
+    apply_engine_conf(spark)
+    table_dir = _text_scan_dir(sf_dir, "supplier_iceberg_eq")
+    meta_dir = os.path.join(table_dir, "metadata")
+    if not os.path.exists(os.path.join(meta_dir, "version-hint.text")):
+        supplier = load_table(spark, sf_dir, "supplier")
+
+        def _stage(name: str, df) -> int:
+            staging = os.path.join(table_dir, f"_stage_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = next(
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(staging)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+            shutil.move(part, os.path.join(table_dir, "data", name))
+            n = df.count()
+            shutil.rmtree(staging)
+            return n
+
+        n_full = _stage("full.parquet", supplier)
+        n_dels = _stage(
+            "eq_deletes.parquet",
+            supplier.filter(F.col("s_suppkey") % 5 == 0).select("s_suppkey"),
+        )
+        n_readd = _stage(
+            "readd.parquet", supplier.filter(F.col("s_suppkey") % 35 == 0)
+        )
+
+        os.makedirs(meta_dir, exist_ok=True)
+        manifest_schema = T.StructType(
+            [
+                T.StructField("status", T.IntegerType()),
+                T.StructField("content", T.IntegerType()),
+                T.StructField("file_path", T.StringType()),
+                T.StructField("file_format", T.StringType()),
+                T.StructField("record_count", T.LongType()),
+                T.StructField("sequence_number", T.LongType()),
+            ]
+        )
+        list_schema = T.StructType(
+            [
+                T.StructField("manifest_path", T.StringType()),
+                T.StructField("manifest_length", T.LongType()),
+                T.StructField("added_snapshot_id", T.LongType()),
+            ]
+        )
+        write_avro_container(
+            os.path.join(meta_dir, "manifest-1.avro"),
+            manifest_schema,
+            [(1, 0, "data/full.parquet", "PARQUET", n_full, 1)],
+        )
+        write_avro_container(
+            os.path.join(meta_dir, "manifest-2.avro"),
+            manifest_schema,
+            [
+                (0, 0, "data/full.parquet", "PARQUET", n_full, 1),
+                (1, 2, "data/eq_deletes.parquet", "PARQUET", n_dels, 2),
+                (1, 0, "data/readd.parquet", "PARQUET", n_readd, 3),
+            ],
+        )
+        for snap, manifest in ((1, "manifest-1.avro"), (2, "manifest-2.avro")):
+            write_avro_container(
+                os.path.join(meta_dir, f"snap-{snap}.avro"),
+                list_schema,
+                [
+                    (
+                        f"metadata/{manifest}",
+                        os.path.getsize(os.path.join(meta_dir, manifest)),
+                        snap,
+                    )
+                ],
+            )
+        to_iceberg = {"bigint": "long", "int": "int", "double": "double",
+                      "string": "string", "float": "float", "boolean": "boolean",
+                      "date": "date", "timestamp_ntz": "timestamp"}
+        schema_fields = [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": to_iceberg[f.dataType.simpleString()],
+            }
+            for i, f in enumerate(supplier.schema.fields)
+        ]
+        meta = {
+            "format-version": 2,
+            "table-uuid": "supplier-iceberg-eq-fixture",
+            "location": table_dir,
+            "current-schema-id": 0,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": schema_fields}],
+            "current-snapshot-id": 2,
+            "snapshots": [
+                {"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"},
+                {"snapshot-id": 2, "manifest-list": "metadata/snap-2.avro"},
+            ],
+        }
+        with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+
+    def _agg(df, tag: str):
+        return df.groupBy("s_nationkey").agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            dsum(F.col("s_acctbal"), 2).alias("sum_acctbal"),
+        ).select(
+            F.lit(tag).alias("snapshot"),
+            "s_nationkey",
+            "n_suppliers",
+            "sum_acctbal",
+        )
+
+    return _agg(read_iceberg(spark, table_dir, snapshot_id=1), "snap1").unionByName(
+        _agg(read_iceberg(spark, table_dir), "latest")
+    )

@@ -118,13 +118,23 @@ def read_hudi_mor(
     read_optimized: bool = False,
 ) -> DataFrame:
     """Snapshot read of a merge-on-read table: base file slices (from
-    ``commit`` instants, CoW resolution rule) merged with the delta
-    log records of later ``deltacommit`` instants — per key, the
-    newest log record wins, and its non-null columns OVERWRITE the
-    base row (Hudi's partial-payload OverwriteNonDefaultsWithLatest
-    shape).  ``read_optimized=True`` is Hudi's read-optimized query
-    type: base files only, no log merging (stale but cheap).
-    ``as_of`` pins both kinds of instants.
+    ``commit`` instants, CoW resolution rule) merged with delta log
+    records — per key, the newest log record wins, and its non-null
+    columns OVERWRITE the base row (Hudi's partial-payload
+    OverwriteNonDefaultsWithLatest shape).  Log records whose key is
+    absent from every base file (log-only inserts) surface as new
+    rows, with base-only columns null — a real MOR snapshot query
+    shows log inserts, not just updates.  ``read_optimized=True`` is
+    Hudi's read-optimized query type: base files only, no log merging
+    (stale but cheap).  ``as_of`` pins both kinds of instants.
+
+    File-slice rule: a log file attaches to the file slice whose base
+    instant it was written AGAINST, so after a compaction/rewrite
+    ``commit`` replaces a file group's base file under a newer
+    instant, earlier deltacommit logs for that group are superseded
+    and must NOT be re-applied over the fresh base.  We track the
+    winning base instant per fileId while replaying the timeline and
+    merge only log files whose instant is greater.
 
     Scale shape: log files are small by design (Hudi compacts them
     into base files on a cadence); each decodes executor-side as one
@@ -145,26 +155,38 @@ def read_hudi_mor(
         instants = [(t, a) for t, a in instants if t <= as_of]
         if not instants:
             raise SparkError(f"no completed instant <= {as_of} at {location}")
-    base_latest: dict[str, str] = {}
-    log_files: list[tuple[str, str]] = []  # (instant, path)
+    # fileId → (winning base instant, path); logs as (fileId, instant, path)
+    base_latest: dict[str, tuple[str, str]] = {}
+    log_files: list[tuple[str, str, str]] = []
     for t, action in instants:
-        files = _commit_files(location, t) if action == "commit" else None
         if action == "commit":
-            base_latest.update(files)
+            for file_id, rel in _commit_files(location, t).items():
+                base_latest[file_id] = (t, rel)
         else:
             for file_id, rel in _commit_files_action(
                 location, t, "deltacommit"
             ).items():
-                log_files.append((t, os.path.join(location, rel)))
-    base_paths = [os.path.join(location, rel) for rel in sorted(base_latest.values())]
+                log_files.append((file_id, t, os.path.join(location, rel)))
+    base_paths = [
+        os.path.join(location, rel)
+        for rel in sorted(rel for _t, rel in base_latest.values())
+    ]
     if not base_paths:
         raise SparkError(f"hudi table at {location} has no base files")
     base = spark.read.parquet(*base_paths)
-    if read_optimized or not log_files:
+    # keep only logs newer than their file group's winning base
+    # instant (logs of log-only file groups have no base and always
+    # apply); a compaction commit at t3 > t2 supersedes the t2 log.
+    live_logs = sorted(
+        (t, path)
+        for file_id, t, path in log_files
+        if file_id not in base_latest or t > base_latest[file_id][0]
+    )
+    if read_optimized or not live_logs:
         return base
 
     logs = None
-    for t, path in sorted(log_files):
+    for t, path in live_logs:
         schema = schema_from_avro_file(path)
         part = read_avro_fallback(spark, path, schema).withColumn(
             "_hoodie_commit_time", F.lit(t)
@@ -183,7 +205,9 @@ def read_hudi_mor(
     renamed = latest.select(
         F.col(key_col), *[F.col(c).alias(f"_u_{c}") for c in upd_cols]
     )
-    merged = base.join(renamed, key_col, "left")
+    # full outer: base-absent log keys become insert rows (base-only
+    # columns null); the string `on` coalesces the key column.
+    merged = base.join(renamed, key_col, "full")
     for c in upd_cols:
         merged = merged.withColumn(c, F.coalesce(F.col(f"_u_{c}"), F.col(c)))
     return merged.drop(*[f"_u_{c}" for c in upd_cols])

@@ -18,9 +18,14 @@ its JSON log.  Scope is a SUBSET of the spec, mirroring the Delta
 reader's scoping: v2 metadata, unpartitioned data files, entry
 ``status`` handling (0=EXISTING / 1=ADDED kept, 2=DELETED dropped),
 flat manifest records carrying the spec's field *names*
-(manifest_path; status, file_path, file_format, record_count) without
-the spec's nested ``data_file`` struct or field-id metadata.  Schema
-comes from the Iceberg schema JSON in the metadata file.
+(manifest_path; status, file_path, file_format, record_count, plus
+the v2 ``content`` discriminator and optional ``sequence_number``)
+without the spec's nested ``data_file`` struct or field-id metadata.
+Both v2 row-level delete kinds are applied merge-on-read: positional
+deletes as a (file_path, pos) anti join, equality deletes as a
+sequence-number-scoped null-safe anti join on the delete file's
+columns.  Schema comes from the Iceberg schema JSON in the metadata
+file.
 
 Scale shape is identical to Delta's: the metadata chain is a
 driver-side read of KB-sized files (manifest lists exist precisely so
@@ -111,6 +116,13 @@ class IcebergSnapshot:
         )
         self.files: list[str] = []
         self.delete_files: list[str] = []  # v2 positional delete files
+        # (path, sequence_number) for data files and v2 EQUALITY
+        # delete files; the spec applies an equality delete only to
+        # data files with a STRICTLY SMALLER sequence number (a file
+        # re-added after the delete keeps its rows).  Entries without
+        # the optional `sequence_number` field default to 0.
+        self.data_seq: list[tuple[str, int]] = []
+        self.eq_deletes: list[tuple[str, int]] = []
         for list_row in list_rows:
             manifest_path = _named(list_schema, list_row)["manifest_path"]
             m_schema, m_rows = decode_container_file(
@@ -126,19 +138,21 @@ class IcebergSnapshot:
                         f"iceberg reader subset: {fmt} data files"
                     )
                 path = os.path.join(table_path, entry["file_path"])
+                seq = int(entry.get("sequence_number") or 0)
                 # spec v2 manifest `content`: 0 = data, 1 = position
-                # deletes, 2 = equality deletes (unsupported subset)
+                # deletes, 2 = equality deletes
                 content = entry.get("content") or 0
                 if content == 0:
                     self.files.append(path)
+                    self.data_seq.append((path, seq))
                 elif content == 1:
                     self.delete_files.append(path)
                 else:
-                    raise NotImplementedYet(
-                        "iceberg reader subset: equality delete files"
-                    )
+                    self.eq_deletes.append((path, seq))
         self.files.sort()
+        self.data_seq.sort()
         self.delete_files.sort()
+        self.eq_deletes.sort()
 
 
 def read_iceberg(
@@ -151,34 +165,84 @@ def read_iceberg(
     those positions).
 
     The merge uses the file source's ``_metadata`` struct: every data
-    row already knows its (file_name, row_index), so applying deletes
+    row already knows its (file_path, row_index), so applying deletes
     is ONE left anti join against the loaded delete set — no
     per-file branching, no row numbering pass, and the delete side is
     small by construction (Iceberg compacts it away over time).  At
     100 TB the anti join broadcasts the delete set per the usual
-    small-side rule."""
+    small-side rule.
+
+    Matching is on the FULL path, normalized scheme-less and resolved
+    against the table root when the delete file records a relative
+    path — two data files sharing a basename in different directories
+    (partitioned or imported layouts) never collide.  Subset
+    exclusion: delete files are not sequence-number scoped (a data
+    file re-added under the same path AFTER a delete file was written
+    would still have those positions removed); the fixtures pin the
+    spec's common append-then-delete ordering."""
     from pyspark.sql import functions as F
 
     snap = IcebergSnapshot(table_path, snapshot_id)
     if not snap.files:
         return spark.createDataFrame([], snap.schema)
     data = spark.read.schema(snap.schema).parquet(*snap.files)
-    if not snap.delete_files:
+    if not snap.delete_files and not snap.eq_deletes:
         return data
     cols = data.columns
+    # Hadoop renders URIs as file:/p, file:///p, s3a://b/p — collapse
+    # any scheme prefix to a single leading "/" so both sides agree.
+    scheme_re = r"^[a-z][a-z0-9+.\-]*:/+"
+    root = os.path.abspath(table_path) + "/"
+
+    def _norm(col):
+        return F.regexp_replace(
+            F.when(
+                col.rlike(scheme_re) | col.startswith("/"), col
+            ).otherwise(F.concat(F.lit(root), col)),
+            scheme_re,
+            "/",
+        )
+
     with_pos = data.select(
         *cols,
-        F.col("_metadata.file_name").alias("_if_file"),
+        _norm(F.col("_metadata.file_path")).alias("_if_file"),
         F.col("_metadata.row_index").alias("_if_pos"),
     )
-    dels = (
-        spark.read.parquet(*snap.delete_files)
-        .select(
-            F.element_at(F.split(F.col("file_path"), "/"), -1).alias("_if_file"),
-            F.col("pos").cast("long").alias("_if_pos"),
+    if snap.delete_files:
+        dels = (
+            spark.read.parquet(*snap.delete_files)
+            .select(
+                _norm(F.col("file_path")).alias("_if_file"),
+                F.col("pos").cast("long").alias("_if_pos"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    return with_pos.join(
-        F.broadcast(dels), ["_if_file", "_if_pos"], "left_anti"
-    ).select(*cols)
+        with_pos = with_pos.join(
+            F.broadcast(dels), ["_if_file", "_if_pos"], "left_anti"
+        )
+    if snap.eq_deletes:
+        # EQUALITY deletes (spec §equality-delete-files): a data row is
+        # dropped when its values null-safe-match a delete row on the
+        # equality-id columns AND the delete file's sequence number is
+        # strictly greater than the data file's — a file (re)added
+        # after the delete keeps its rows.  Data-file sequence numbers
+        # come from a tiny broadcast (path, seq) map; equality ids are
+        # the delete file's own columns (the flat-manifest subset of
+        # the spec's `equality_ids` field list).  One broadcast anti
+        # join per delete file — corpus rows never shuffle.
+        seq_df = F.broadcast(
+            spark.createDataFrame(
+                snap.data_seq, "_if_file string, _if_seq int"
+            ).withColumn("_if_file", _norm(F.col("_if_file")))
+        )
+    for eq_path, eq_seq in snap.eq_deletes:
+        eq = spark.read.parquet(eq_path).distinct()
+        eq_ids = eq.columns
+        with_seq = with_pos.join(seq_df, "_if_file", "left")
+        cond = F.lit(eq_seq) > F.coalesce(F.col("_if_seq"), F.lit(0))
+        for c in eq_ids:
+            cond = cond & with_seq[c].eqNullSafe(eq[c])
+        with_pos = with_seq.join(F.broadcast(eq), cond, "left_anti").drop(
+            "_if_seq"
+        )
+    return with_pos.select(*cols)

@@ -137,3 +137,101 @@ def test_mor_as_of_before_deltacommit_equals_read_optimized(spark, mor_dir):
     pinned = read_hudi_mor(spark, mor_dir, key_col="o_orderkey", as_of=_HUDI_MOR_T1)
     ro = read_hudi_mor(spark, mor_dir, key_col="o_orderkey", read_optimized=True)
     assert sorted(map(tuple, pinned.collect())) == sorted(map(tuple, ro.collect()))
+
+
+# ---------------------------------------------------------------------------
+# file-slice rule: logs attach to their base instant, not to any base
+# ---------------------------------------------------------------------------
+
+
+def _mini_mor_table(spark, root, *, with_compaction):
+    """Hand-built MOR table: t1 commit writes fg-1 = {(1,'a',10.0),
+    (2,'b',20.0)}; t2 deltacommit logs an update for k=1 (v→'A') and a
+    LOG-ONLY INSERT k=99; optional t3 commit compacts fg-1 to
+    {(1,'a3',30.0),(2,'b3',40.0)} which must supersede the t2 log."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+
+    root = str(root)
+    tl = os.path.join(root, ".hoodie")
+    os.makedirs(tl, exist_ok=True)
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+
+    def _base(name, rows):
+        import shutil
+
+        staging = os.path.join(root, f"_stage_{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        shutil.move(part, os.path.join(root, name))
+        shutil.rmtree(staging)
+
+    def _instant(ts, action, file_id, path):
+        with open(os.path.join(tl, f"{ts}.{action}"), "w") as fh:
+            json.dump(
+                {"partitionToWriteStats": {"": [{"fileId": file_id, "path": path}]}},
+                fh,
+            )
+
+    _base("fg1_t1.parquet", [(1, "a", 10.0), (2, "b", 20.0)])
+    _instant("t1", "commit", "fg-1", "fg1_t1.parquet")
+    write_avro_container(
+        os.path.join(root, "log_t2.avro"),
+        T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+        ),
+        [(1, "A"), (99, "new")],
+    )
+    _instant("t2", "deltacommit", "fg-1", "log_t2.avro")
+    if with_compaction:
+        _base("fg1_t3.parquet", [(1, "a3", 30.0), (2, "b3", 40.0)])
+        _instant("t3", "commit", "fg-1", "fg1_t3.parquet")
+    return root
+
+
+def test_mor_log_only_insert_surfaces(spark, tmp_path):
+    """A log record whose key is absent from every base file is an
+    insert: it must appear in the snapshot (base-only columns null),
+    not be silently dropped."""
+    root = _mini_mor_table(spark, tmp_path / "t", with_compaction=False)
+    rows = {r.k: r for r in read_hudi_mor(spark, root, key_col="k").collect()}
+    assert set(rows) == {1, 2, 99}
+    assert rows[1].v == "A" and rows[1].amt == 10.0  # partial update
+    assert rows[2].v == "b" and rows[2].amt == 20.0  # untouched
+    assert rows[99].v == "new" and rows[99].amt is None  # log-only insert
+
+
+def test_mor_compaction_supersedes_earlier_log(spark, tmp_path):
+    """After the t3 compaction rewrites fg-1's base file, the t2 log
+    (written against the t1 base) must NOT be re-applied over the
+    fresher base — the spec's file-slice rule."""
+    root = _mini_mor_table(spark, tmp_path / "t", with_compaction=True)
+    rows = {r.k: r for r in read_hudi_mor(spark, root, key_col="k").collect()}
+    assert set(rows) == {1, 2}, "stale log insert must not resurface"
+    assert rows[1].v == "a3" and rows[1].amt == 30.0
+    assert rows[2].v == "b3" and rows[2].amt == 40.0
+    # pinned before the compaction, the log applies again
+    pinned = {
+        r.k: r
+        for r in read_hudi_mor(spark, root, key_col="k", as_of="t2").collect()
+    }
+    assert pinned[1].v == "A" and 99 in pinned

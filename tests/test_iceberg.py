@@ -93,3 +93,168 @@ def test_pos_deletes_rowlevel(spark):
     }
     assert snap1 == all_keys
     assert latest == {k for k in all_keys if k % 7 != 0}
+
+
+# ---------------------------------------------------------------------------
+# v2 equality deletes + full-path delete matching
+# ---------------------------------------------------------------------------
+
+
+def _mini_iceberg(spark, root, *, manifest_rows, data, deletes=None):
+    """Hand-built single-snapshot table.  ``data`` maps a relative
+    parquet path → rows of (k long, v string); ``deletes`` maps a
+    relative path → (schema_ddl, rows).  ``manifest_rows`` are
+    (status, content, file_path, seq) tuples."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+
+    root = str(root)
+    meta_dir = os.path.join(root, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+
+    def _stage(rel, df):
+        staging = os.path.join(root, "_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        dest = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        shutil.move(part, dest)
+        shutil.rmtree(staging)
+
+    row_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.StringType())]
+    )
+    for rel, rows in data.items():
+        _stage(rel, spark.createDataFrame(rows, row_schema))
+    for rel, (ddl, rows) in (deletes or {}).items():
+        _stage(rel, spark.createDataFrame(rows, ddl))
+
+    manifest_schema = T.StructType(
+        [
+            T.StructField("status", T.IntegerType()),
+            T.StructField("content", T.IntegerType()),
+            T.StructField("file_path", T.StringType()),
+            T.StructField("file_format", T.StringType()),
+            T.StructField("record_count", T.LongType()),
+            T.StructField("sequence_number", T.LongType()),
+        ]
+    )
+    write_avro_container(
+        os.path.join(meta_dir, "manifest-1.avro"),
+        manifest_schema,
+        [(st, c, p, "PARQUET", 0, sq) for st, c, p, sq in manifest_rows],
+    )
+    write_avro_container(
+        os.path.join(meta_dir, "snap-1.avro"),
+        T.StructType(
+            [
+                T.StructField("manifest_path", T.StringType()),
+                T.StructField("manifest_length", T.LongType()),
+                T.StructField("added_snapshot_id", T.LongType()),
+            ]
+        ),
+        [("metadata/manifest-1.avro", 1, 1)],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "mini",
+        "location": root,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "k", "required": False, "type": "long"},
+                    {"id": 2, "name": "v", "required": False, "type": "string"},
+                ],
+            }
+        ],
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"}],
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return root
+
+
+def test_pos_delete_full_path_no_basename_collision(spark, tmp_path):
+    """Two data files share the basename part.parquet in different
+    directories; the delete file names only data/a/part.parquet pos 0
+    — the row at the same position of data/b/part.parquet survives."""
+    root = _mini_iceberg(
+        spark,
+        tmp_path / "t",
+        data={
+            "data/a/part.parquet": [(1, "a")],
+            "data/b/part.parquet": [(2, "b")],
+        },
+        deletes={
+            "data/deletes.parquet": (
+                "file_path string, pos long",
+                [("data/a/part.parquet", 0)],
+            )
+        },
+        manifest_rows=[
+            (1, 0, "data/a/part.parquet", 1),
+            (1, 0, "data/b/part.parquet", 1),
+            (1, 1, "data/deletes.parquet", 2),
+        ],
+    )
+    got = {(r.k, r.v) for r in read_iceberg(spark, root).collect()}
+    assert got == {(2, "b")}
+
+
+def test_eq_delete_sequence_scoping(spark, tmp_path):
+    """Equality delete at seq 2 removes matching rows only from data
+    files with seq < 2: the seq-1 file loses k=1, the seq-3 re-added
+    file keeps it (spec: strict seq(delete) > seq(data))."""
+    root = _mini_iceberg(
+        spark,
+        tmp_path / "t",
+        data={
+            "data/old.parquet": [(1, "old"), (2, "keep")],
+            "data/readd.parquet": [(1, "readded")],
+        },
+        deletes={
+            "data/eq.parquet": ("k long", [(1,)]),
+        },
+        manifest_rows=[
+            (1, 0, "data/old.parquet", 1),
+            (1, 2, "data/eq.parquet", 2),
+            (1, 0, "data/readd.parquet", 3),
+        ],
+    )
+    got = {(r.k, r.v) for r in read_iceberg(spark, root).collect()}
+    assert got == {(2, "keep"), (1, "readded")}
+
+
+def test_eq_delete_multi_column_null_safe(spark, tmp_path):
+    """Multi-column equality ids match null-safely: a delete row with
+    v=NULL removes exactly the data row whose v is NULL."""
+    root = _mini_iceberg(
+        spark,
+        tmp_path / "t",
+        data={"data/d.parquet": [(1, None), (1, "x"), (2, None)]},
+        deletes={"data/eq.parquet": ("k long, v string", [(1, None)])},
+        manifest_rows=[
+            (1, 0, "data/d.parquet", 1),
+            (1, 2, "data/eq.parquet", 2),
+        ],
+    )
+    got = {(r.k, r.v) for r in read_iceberg(spark, root).collect()}
+    assert got == {(1, "x"), (2, None)}

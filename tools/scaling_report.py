@@ -63,6 +63,9 @@ def main() -> int:
         rows[k] = {"lo_s": lo_s, "hi_s": hi_s, "ratio": ratio}
         if ratio is not None and ratio > args.data_ratio:
             flagged.append(k)
+    ratios = sorted(
+        r["ratio"] for r in rows.values() if r["ratio"] is not None
+    )
     report = {
         "lo": {"sf": lo["sf"], "total_s": lo["value"], "loadavg": lo["loadavg"]},
         "hi": {"sf": hi["sf"], "total_s": hi["value"], "loadavg": hi["loadavg"]},
@@ -71,9 +74,7 @@ def main() -> int:
         "flagged_superlinear": flagged,
         "summary": {
             "n_queries": len(rows),
-            "median_ratio": sorted(
-                r["ratio"] for r in rows.values() if r["ratio"] is not None
-            )[len(rows) // 2],
+            "median_ratio": ratios[len(ratios) // 2] if ratios else None,
             "total_ratio": round(hi["value"] / lo["value"], 2),
         },
     }
