@@ -2,12 +2,13 @@
 
 Image/audio/video payloads are opaque ``binary`` columns wrapped in a
 struct with typed metadata — the standard lakehouse layout for
-multimodal training data.  The Spark-side plumbing (schema, struct
-access, Arrow-batched ``mapInPandas`` with batch-shape changes) is
-real and oracle-tested; the actual media decode is STUBBED with a
-deterministic fake because no image/audio libraries ship in this
-container (the ``_decode_media_real`` hook raises
-``NotImplementedError`` and documents where PIL/ffmpeg would plug in).
+multimodal training data.  The decode/resize/frame-sample stages run
+REAL codecs (pure-numpy netpbm P6/P5 and RIFF/WAVE PCM16 —
+functions/media_codecs.py) over deterministically generated media
+fixtures, so the oracle can recompute every pixel/sample from the
+generation formula while the Spark side parses actual format bytes.
+A JPEG/FLAC payload needs only a new codec in media_codecs; the
+operator dataflow is format-agnostic.
 
 100 TB notes: payload bytes travel executor→Python as Arrow batches
 (zero-copy columnar), never through the driver; per-batch work is
@@ -21,15 +22,29 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_catalogprovider_glue_spark.functions.media_codecs import (
+    decode_ppm,
+    decode_ppm_frames,
+    decode_wav_pcm16,
+    encode_ppm,
+    encode_wav_pcm16,
+    resize_nearest,
+)
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
 from datafusion_catalogprovider_glue_spark.tables import load_table
 
-FRAMES_PER_DOC = 3
+FRAMES_PER_DOC = 4
+FRAME_STRIDE = 2  # frame-sample keeps every 2nd frame
+IMG_MIME = "image/x-portable-pixmap"
+WAV_MIME = "audio/wav"
+VID_MIME = "video/x-netpbm-frames"
+WAV_RATE = 16000
 
 
 def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,20 +66,73 @@ def _docs_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_media_real(payload: bytes) -> dict:
-    """Where a real decoder plugs in (PIL.Image.open / soundfile /
-    pyav).  Not available in this container."""
-    raise NotImplementedError(
-        "media decode requires an image/audio library not present in "
-        "this environment; tests use the deterministic fake below"
+# Deterministic media generation, a pure function of doc_id — the SQL
+# oracle re-derives pixels/samples from these same formulas while the
+# Spark side decodes the actual PPM/WAV bytes:
+#   image:  w = 8 + id%16, h = 6 + id%12, pixel(i) = (id*31 + i) % 256
+#   audio:  n = 160 + id%80 samples, s(i) = ((id*7 + i*13) % 2048) - 1024
+#   video:  FRAMES_PER_DOC concatenated P6 frames,
+#           frame k pixel(i) = (id*31 + k*17 + i) % 256
+
+
+def _img_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 16, 6 + doc_id % 12
+
+
+def _make_image(doc_id: int, k: int = 0) -> bytes:
+    w, h = _img_dims(doc_id)
+    raster = ((doc_id * 31 + k * 17 + np.arange(w * h * 3)) % 256).astype(
+        np.uint8
     )
+    return encode_ppm(raster.reshape(h, w, 3))
 
 
-def _decode_media_fake(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic stand-in for a decoder: derives 'dimensions' and a
-    'feature' from the byte length so the full pipeline is testable."""
-    n = len(payload)
-    return n % 640, (n * 7) % 480, round(n / 1000.0, 6)
+def _make_audio(doc_id: int) -> bytes:
+    n = 160 + doc_id % 80
+    samples = ((doc_id * 7 + np.arange(n) * 13) % 2048 - 1024).astype("<i2")
+    return encode_wav_pcm16(samples, WAV_RATE)
+
+
+def _docs_media_real(
+    spark: SparkSession, sf_dir: str, kind: str
+) -> DataFrame:
+    """Documents re-materialized as real media records
+    (struct<bytes: binary, meta: struct<mime, n_bytes>>), generated
+    executor-side per batch — the corpus never touches the driver.
+    ``kind``: 'mixed' (PPM images, every 4th doc a WAV), 'image'
+    (all PPM), 'video' (concatenated P6 frame streams)."""
+    apply_engine_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if kind == "video":
+                    payload = b"".join(
+                        _make_image(doc_id, k) for k in range(FRAMES_PER_DOC)
+                    )
+                    mime = VID_MIME
+                elif kind == "mixed" and doc_id % 4 == 3:
+                    payload, mime = _make_audio(doc_id), WAV_MIME
+                else:
+                    payload, mime = _make_image(doc_id), IMG_MIME
+                rows.append((doc_id, payload, mime, len(payload)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "bytes", "mime", "n_bytes"]
+            )
+
+    flat = d.mapInPandas(
+        gen, "doc_id long, bytes binary, mime string, n_bytes long"
+    )
+    return flat.select(
+        "doc_id",
+        F.struct(
+            F.col("bytes"),
+            F.struct(F.col("mime"), F.col("n_bytes")).alias("meta"),
+        ).alias("media"),
+    )
 
 
 @query(
@@ -93,123 +161,181 @@ def multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
     SELECT doc_id,
-           octet_length(encode(text)) % 640 AS width,
-           (octet_length(encode(text)) * 7) % 480 AS height,
-           ROUND(octet_length(encode(text)) / 1000.0, 6) AS feature
+           CASE WHEN doc_id % 4 = 3 THEN 'audio/wav'
+                ELSE 'image/x-portable-pixmap' END AS mime,
+           CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE CAST(8 + doc_id % 16 AS BIGINT) END AS width,
+           CASE WHEN doc_id % 4 = 3 THEN NULL
+                ELSE CAST(6 + doc_id % 12 AS BIGINT) END AS height,
+           CASE WHEN doc_id % 4 = 3 THEN CAST(160 + doc_id % 80 AS BIGINT)
+                ELSE NULL END AS n_samples,
+           CASE WHEN doc_id % 4 = 3 THEN CAST(16000 AS BIGINT)
+                ELSE NULL END AS sample_rate,
+           CAST(CASE WHEN doc_id % 4 = 3
+                THEN list_sum(list_transform(range(160 + doc_id % 80),
+                              i -> ((doc_id*7 + i*13) % 2048) - 1024))
+                ELSE list_sum(list_transform(
+                              range((8 + doc_id % 16) * (6 + doc_id % 12) * 3),
+                              i -> (doc_id*31 + i) % 256))
+           END AS BIGINT) AS checksum
     FROM documents
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5 decode stage: Arrow-batched ``mapInPandas`` over the packed
-    records.  The decode itself is the deterministic fake (see module
-    docstring) — but the batch transfer, struct unpacking in pandas,
-    and declared output schema are exactly what a real image decode
-    uses, and the oracle independently recomputes the fake from SQL,
-    so the plumbing is value-checked end-to-end."""
-    m = _docs_as_media(spark, sf_dir).select("doc_id", "media")
+    """D5 decode stage, REAL two-format codec dispatch: Arrow-batched
+    ``mapInPandas`` parses each payload's actual bytes — netpbm P6
+    header+raster for images, RIFF/WAVE chunk walk for audio
+    (functions/media_codecs.py) — and emits the decoded dimensions /
+    sample counts plus a full-raster checksum.  The SQL oracle
+    re-derives every pixel and sample from the generation formula, so
+    a hash match proves byte-exact encode→decode round trips for both
+    formats, not just plumbing."""
+    m = _docs_media_real(spark, sf_dir, "mixed").select("doc_id", "media")
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["media"].map(lambda rec: rec["bytes"])
-            decoded = payloads.map(_decode_media_fake)
+            rows = []
+            for doc_id, rec in zip(pdf["doc_id"], pdf["media"]):
+                payload, mime = bytes(rec["bytes"]), rec["meta"]["mime"]
+                if mime == WAV_MIME:
+                    rate, s = decode_wav_pcm16(payload)
+                    rows.append(
+                        (int(doc_id), mime, None, None, int(s.size), rate,
+                         int(s.sum(dtype=np.int64)))
+                    )
+                else:
+                    arr, _ = decode_ppm(payload)
+                    h, w = arr.shape[:2]
+                    rows.append(
+                        (int(doc_id), mime, w, h, None, None,
+                         int(arr.sum(dtype=np.int64)))
+                    )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": decoded.map(lambda t: t[0]),
-                    "height": decoded.map(lambda t: t[1]),
-                    "feature": decoded.map(lambda t: t[2]),
-                }
+                rows,
+                columns=["doc_id", "mime", "width", "height", "n_samples",
+                         "sample_rate", "checksum"],
             )
 
     return m.mapInPandas(
-        decode_batches, "doc_id bigint, width bigint, height bigint, feature double"
+        decode_batches,
+        "doc_id bigint, mime string, width bigint, height bigint, "
+        "n_samples bigint, sample_rate bigint, checksum bigint",
     )
 
 
 @query(
     "multimodal_frame_sample",
     oracle=f"""
-    SELECT doc_id, CAST(f.idx AS BIGINT) AS frame_idx,
-           md5(text || '-' || f.idx) AS frame_hash
-    FROM documents, (SELECT UNNEST(range({FRAMES_PER_DOC})) AS idx) f
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w, h, UNNEST(range({FRAMES_PER_DOC})) AS k FROM p
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS frame_idx,
+           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+           CAST(list_sum(list_transform(range(w*h*3),
+                i -> (doc_id*31 + k*17 + i) % 256)) AS BIGINT) AS frame_sum
+    FROM f WHERE k % {FRAME_STRIDE} = 0
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5 frame sampling: one input record fans out to N output rows
-    inside ``mapInPandas`` (the batch-shape change a video
-    frame-sampler needs).  Frame 'content' is a deterministic hash of
-    (payload, frame index) standing in for the decoded frame."""
-    m = _docs_as_media(spark, sf_dir).select("doc_id", "text")
+    """D5 frame sampling over a REAL frame stream: each payload is
+    {FRAMES_PER_DOC} concatenated P6 images (the raw-video layout);
+    the decoder walks the stream frame by frame, keeps every
+    {FRAME_STRIDE}nd frame, and one input record fans out to N output
+    rows inside ``mapInPandas`` (the batch-shape change a video
+    sampler needs).  Per-frame raster sums are recomputed by the
+    oracle from the generation formula — a hash match proves the
+    stream splitting found exact frame boundaries."""
+    m = _docs_media_real(spark, sf_dir, "video").select("doc_id", "media")
 
     def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                for idx in range(FRAMES_PER_DOC):
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(idx)
-                    out["frame_hash"].append(
-                        hashlib.md5(f"{text}-{idx}".encode()).hexdigest()
+            rows = []
+            for doc_id, rec in zip(pdf["doc_id"], pdf["media"]):
+                frames = decode_ppm_frames(bytes(rec["bytes"]))
+                for k in range(0, len(frames), FRAME_STRIDE):
+                    arr = frames[k]
+                    rows.append(
+                        (int(doc_id), k, arr.shape[1], arr.shape[0],
+                         int(arr.sum(dtype=np.int64)))
                     )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "width", "height", "frame_sum"],
+            )
 
     return m.mapInPandas(
-        sample_frames, "doc_id bigint, frame_idx bigint, frame_hash string"
+        sample_frames,
+        "doc_id bigint, frame_idx bigint, width bigint, height bigint, "
+        "frame_sum bigint",
     )
 
 
-RESIZE_W, RESIZE_H = 224, 224  # the standard vision-model input shape
+RESIZE_W, RESIZE_H = 16, 16  # thumbnail shape (oracle re-derives all pixels)
 
 
 @query(
     "multimodal_resize",
     oracle=f"""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, w, h,
+             CAST(list_sum(flatten(list_transform(range({RESIZE_H}), y ->
+                  flatten(list_transform(range({RESIZE_W}), x ->
+                    list_transform(range(3), c ->
+                      (doc_id*31
+                       + (((y*h)//{RESIZE_H})*w + ((x*w)//{RESIZE_W}))*3 + c)
+                      % 256))))))
+                  AS BIGINT) AS checksum
+      FROM p
+    )
     SELECT doc_id,
-           octet_length(encode(text)) % 640 AS src_w,
-           (octet_length(encode(text)) * 7) % 480 AS src_h,
-           {RESIZE_W} AS dst_w,
-           {RESIZE_H} AS dst_h,
-           ROUND(CAST({RESIZE_W} AS DOUBLE) / GREATEST(octet_length(encode(text)) % 640, 1), 6)
-             AS scale_x,
-           md5(text || '-resized-{RESIZE_W}x{RESIZE_H}') AS content_hash
-    FROM documents
+           CAST(w AS BIGINT) AS src_w, CAST(h AS BIGINT) AS src_h,
+           CAST({RESIZE_W} AS BIGINT) AS dst_w,
+           CAST({RESIZE_H} AS BIGINT) AS dst_h,
+           checksum,
+           CAST(checksum AS DOUBLE) / {RESIZE_W * RESIZE_H * 3} AS mean_pixel
+    FROM r
     """,
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D5 resize stage: decode → resize → re-encode as one Arrow-batched
-    ``mapInPandas`` pass (the fused layout a real image pipeline uses so
-    pixels never cross a stage boundary).  The resize itself is the
-    deterministic fake (real: PIL ``Image.resize``); source dims come
-    from the fake decode, the output carries the target shape, the
-    scale factor, and a content hash standing in for re-encoded bytes —
-    all recomputed independently by the SQL oracle."""
-    m = _docs_as_media(spark, sf_dir).select("doc_id", "text", "media")
+    """D5 resize stage on REAL pixels: decode the P6 payload, apply a
+    genuine nearest-neighbor resample (dst(y,x) = src(y*h//H, x*w//W)
+    — numpy fancy indexing, the same kernel shape PIL's NEAREST
+    uses), and emit the resized raster's checksum and mean.  One
+    fused Arrow-batched ``mapInPandas`` pass so pixels never cross a
+    stage boundary; the oracle recomputes every resized pixel from
+    the generation formula + the same floor-index convention, so a
+    hash match proves the resample touched exactly the right source
+    pixels."""
+    m = _docs_media_real(spark, sf_dir, "image").select("doc_id", "media")
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["media"].map(lambda rec: rec["bytes"])
-            decoded = payloads.map(_decode_media_fake)
-            src_w = decoded.map(lambda t: t[0])
+            rows = []
+            for doc_id, rec in zip(pdf["doc_id"], pdf["media"]):
+                arr, _ = decode_ppm(bytes(rec["bytes"]))
+                h, w = arr.shape[:2]
+                small = resize_nearest(arr, RESIZE_W, RESIZE_H)
+                checksum = int(small.sum(dtype=np.int64))
+                rows.append(
+                    (int(doc_id), w, h, RESIZE_W, RESIZE_H, checksum,
+                     float(checksum) / (RESIZE_W * RESIZE_H * 3))
+                )
             yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "src_w": src_w,
-                    "src_h": decoded.map(lambda t: t[1]),
-                    "dst_w": RESIZE_W,
-                    "dst_h": RESIZE_H,
-                    "scale_x": (RESIZE_W / src_w.clip(lower=1)).round(6),
-                    "content_hash": pdf["text"].map(
-                        lambda t: hashlib.md5(
-                            f"{t}-resized-{RESIZE_W}x{RESIZE_H}".encode()
-                        ).hexdigest()
-                    ),
-                }
+                rows,
+                columns=["doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                         "checksum", "mean_pixel"],
             )
 
     return m.mapInPandas(
         resize_batches,
-        "doc_id bigint, src_w bigint, src_h bigint, dst_w int, dst_h int, "
-        "scale_x double, content_hash string",
+        "doc_id bigint, src_w bigint, src_h bigint, dst_w bigint, "
+        "dst_h bigint, checksum bigint, mean_pixel double",
     )
 
 

@@ -76,13 +76,18 @@ def test_lsh_topk_subset_of_bruteforce_space(spark):
             assert bf_scores[key] == r.cos
 
 
-def test_multimodal_decode_stub_raises(spark):
-    from datafusion_catalogprovider_glue_spark.operators.multimodal import (
-        _decode_media_real,
+def test_multimodal_decode_refuses_unknown_format(spark):
+    """The codecs parse real format bytes and refuse what they can't
+    decode — a PNG payload raises, never silently fakes."""
+    from datafusion_catalogprovider_glue_spark.functions.media_codecs import (
+        decode_ppm,
+        decode_wav_pcm16,
     )
 
-    with pytest.raises(NotImplementedError):
-        _decode_media_real(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_ppm(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"\x89PNG\r\n\x1a\n")
 
 
 def test_minhash_recall_vs_exact_bruteforce(spark):
