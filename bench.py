@@ -89,6 +89,9 @@ HEADLINE = [
     "dedup_remove_spans",
     "agg_mode",
     "pipeline_global_shuffle",
+    # round-3 additions
+    "dedup_minhash_lsh_fast",
+    "scan_iceberg_eq_deletes",
 ]
 
 

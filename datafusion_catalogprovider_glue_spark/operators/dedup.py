@@ -132,31 +132,43 @@ def _shingles(words_col):
     )
 
 
-def minhash_signatures(d: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    d: DataFrame, k: int = MINHASH_K, family: str = "portable"
+) -> DataFrame:
     """(doc_id, shingles, sig: array<bigint>[k]) — each shingle is
-    string-hashed ONCE (md5 prefix folded to 31 bits), then the k
-    family members are integer permutations (a*h+b mod p).  All
-    JVM-side higher-order functions; a*h fits in 62 bits so the
-    arithmetic is ANSI-overflow-safe.
+    string-hashed ONCE (folded to 31 bits), then the k family members
+    are integer permutations (a*h+b mod p).  All JVM-side higher-order
+    functions; a*h fits in 62 bits so the arithmetic is
+    ANSI-overflow-safe.
 
-    The base hash is md5-derived rather than xxhash64 so the ENTIRE
-    signature family is engine-portable — DuckDB recomputes identical
-    signatures, which is what lets dedup_minhash_lsh carry a full
-    value oracle instead of a rows-only check.  (A throughput-first
-    deployment would swap xxhash64 back in: one line here, and the
-    check degrades to rows-only.)"""
+    Two base-hash families behind the same banding:
+
+    * ``portable`` — md5 prefix folded to 31 bits.  Engine-portable:
+      DuckDB recomputes identical signatures, which is what lets
+      dedup_minhash_lsh carry a full value oracle.
+    * ``fast`` — xxhash64 (one JVM intrinsic per shingle vs an md5 +
+      hex-conv chain).  The production default at 100 TB; JVM-only,
+      so its gate check is rows-only — pair-set equality against the
+      portable family is pinned in tests/test_dedup.py instead."""
     shingled = d.select(
         "doc_id", _shingles(F.split("text", " ")).alias("shingles")
     )
+
+    if family == "fast":
+        def _base(s):
+            return F.xxhash64(s).bitwiseAND(F.lit(_MASK_31))
+    else:
+        def _base(s):
+            return (
+                F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+                .cast("long")
+                .bitwiseAND(F.lit(_MASK_31))
+            )
+
     hashed = shingled.select(
         "doc_id",
         "shingles",
-        F.transform(
-            "shingles",
-            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
-            .cast("long")
-            .bitwiseAND(F.lit(_MASK_31)),
-        ).alias("hs"),
+        F.transform("shingles", _base).alias("hs"),
     )
     def _perm(a: int, b: int):
         return lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE_PRIME_31
@@ -231,9 +243,28 @@ _MINHASH_COEFF_VALUES = ", ".join(
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2: MinHash+LSH near-duplicate pairs.
+    """D2: MinHash+LSH near-duplicate pairs (portable md5 hash family
+    — the full-value-oracle key; see _minhash_lsh_pairs)."""
+    return _minhash_lsh_pairs(spark, sf_dir, family="portable")
 
-    shingle(3 words) → 32 minhashes → 8 bands × 4 rows → candidate
+
+@query("dedup_minhash_lsh_fast")  # rows-only: xxhash64 is JVM-internal
+def dedup_minhash_lsh_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2 production path: same shingling, banding, and exact-Jaccard
+    verify as dedup_minhash_lsh, but the base shingle hash is ONE
+    xxhash64 intrinsic and band bucket keys are multi-arg xxhash64
+    longs (8 bytes on the shuffle wire vs md5's 32-hex string) — the
+    family a 100 TB deployment defaults to.  No DuckDB oracle can
+    recompute xxhash64, so this key is rows-only at the gate;
+    tests/test_dedup.py pins pair-set equality against the
+    value-oracled portable key on the planted-duplicate corpus."""
+    return _minhash_lsh_pairs(spark, sf_dir, family="fast")
+
+
+def _minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, family: str
+) -> DataFrame:
+    """shingle(3 words) → 32 minhashes → 8 bands × 4 rows → candidate
     pairs sharing any band bucket → exact Jaccard on shingle sets →
     keep pairs ≥ 0.5.  With these parameters the S-curve gives
     P(candidate) ≈ 1-(1-j^4)^8: ~0.99 at j=0.8, ~0.24 at j=0.4.
@@ -248,9 +279,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = _docs(spark, sf_dir)
-    sigs = minhash_signatures(_parallelize(d, "doc_id")).persist(
+    sigs = minhash_signatures(_parallelize(d, "doc_id"), family=family).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+
+    def _band_key(b: int):
+        rows = [
+            F.element_at("sig", b * LSH_ROWS + r + 1) for r in range(LSH_ROWS)
+        ]
+        if family == "fast":
+            # one multi-arg xxhash64 → 8-byte long bucket key
+            return F.xxhash64(*rows).cast("string")
+        # md5 of the dash-joined band slice: 32-byte key, recomputable
+        # in the DuckDB oracle (xxhash64 is not)
+        return F.md5(F.concat_ws("-", *[r.cast("string") for r in rows]))
 
     bands = sigs.select(
         "doc_id",
@@ -259,20 +301,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        # md5 of the dash-joined band slice: shrinks the
-                        # shuffle key to 32 bytes AND is recomputable in
-                        # the DuckDB oracle (xxhash64 is not)
-                        F.md5(
-                            F.concat_ws(
-                                "-",
-                                *[
-                                    F.element_at("sig", b * LSH_ROWS + r + 1).cast(
-                                        "string"
-                                    )
-                                    for r in range(LSH_ROWS)
-                                ],
-                            )
-                        ).alias("band_hash"),
+                        _band_key(b).alias("band_hash"),
                     )
                     for b in range(LSH_BANDS)
                 ]

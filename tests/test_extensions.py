@@ -50,6 +50,43 @@ def test_minhash_lsh_finds_planted_dups(spark, planted_docs):
     assert all(r.jaccard >= dedup.JACCARD_THRESHOLD for r in pairs)
 
 
+def test_minhash_fast_family_same_pairs(spark, planted_docs):
+    """Strategy equality for the xxhash64 production family
+    (dedup_minhash_lsh_fast) vs the md5 portable family, two pins:
+
+    1. On the REAL testdata corpus (SF_SMOKE, the planted near-dups
+       the generator ships) the two families report the IDENTICAL
+       verified pair set — deterministic, since both hash families
+       and the corpus are fixed.
+    2. On the adversarial planted corpus — deliberately dense in
+       borderline j≈0.7-0.8 pairs where each family's S-curve
+       candidate probability is 0.89-0.99 and divergence is expected
+       by construction — every planted high-j dup is still found by
+       both with identical exact-verified jaccard."""
+    smoke_portable = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_minhash_lsh(spark, SF_SMOKE).collect()
+    }
+    smoke_fast = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in dedup.dedup_minhash_lsh_fast(spark, SF_SMOKE).collect()
+    }
+    assert smoke_portable == smoke_fast
+
+    portable = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_minhash_lsh(spark, planted_docs).collect()
+    }
+    fast = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.dedup_minhash_lsh_fast(spark, planted_docs).collect()
+    }
+    for p in [(0, 1000), (7, 1001), (21, 1002)]:
+        assert portable[p] == fast[p] >= 0.7
+    both = set(portable) & set(fast)
+    assert all(portable[p] == fast[p] for p in both)  # exact verify agrees
+
+
 def test_simhash_locality(spark, planted_docs):
     sigs = {r.doc_id: r.simhash for r in dedup.dedup_simhash(spark, planted_docs).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")

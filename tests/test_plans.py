@@ -98,6 +98,7 @@ def test_theta_join_is_nested_loop_broadcast(spark):
     [
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
+        "dedup_minhash_lsh_fast",
         "dedup_embedding_nn",
         "sim_topk_bruteforce",
         "text_containment",
