@@ -423,7 +423,23 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentile")  # rows-only: sketch internals are engine-specific
+@query(
+    "agg_approx_percentile",
+    # TOLERANCE oracle: the GK-sketch value is engine-specific, but
+    # its rank-error contract is not.  The Spark side brackets the
+    # sketch value between the EXACT quantiles at q ± 2ε (ε =
+    # 1/accuracy — twice the guaranteed rank error) and emits the
+    # exact quantile plus the bracket boolean; DuckDB recomputes the
+    # exact quantile and literal TRUE — the hash covers the envelope.
+    oracle="""
+    SELECT l_returnflag,
+           unnest([0.25, 0.5, 0.75]) AS q,
+           unnest(quantile_cont(l_quantity, [0.25, 0.5, 0.75])) AS exact_value,
+           TRUE AS within_rank_eps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB swap agg_percentile's docstring promises: quantiles
     from a bounded-memory mergeable sketch (Catalyst's
@@ -432,25 +448,36 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's values; the sketch holds O(1/accuracy) state per group
     regardless of row count and merges associatively across
     partitions — the only viable shape when one group spans billions
-    of rows.  Engine-specific sketch internals mean no cross-engine
-    hash oracle; the accuracy contract (rank error ≤ 1/accuracy =
-    0.1%) is pinned against the exact percentiles in
-    tests/test_extensions.py.  Emitted as one (group, q, approx_value)
-    row per quantile — scalar columns only for the rows-only gate."""
+    of rows.  The production operator is the sketch alone; the exact
+    percentiles here anchor the value-hashed accuracy envelope
+    (sketch value between the exact quantiles at q ± 2/accuracy),
+    upgrading the old rows-only check."""
     li = _t(spark, sf_dir, "lineitem")
-    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    qs, eps = [0.25, 0.5, 0.75], 2.0 / 1000
     agg = li.groupBy("l_returnflag").agg(
         F.approx_percentile(
-            F.col("l_quantity"), F.lit([0.25, 0.5, 0.75]), F.lit(1000)
-        ).alias("qarr"),
+            F.col("l_quantity"), F.lit(qs), F.lit(1000)
+        ).alias("approx"),
+        F.percentile(F.col("l_quantity"), F.lit(qs)).alias("exact"),
+        F.percentile(
+            F.col("l_quantity"), F.lit([q - eps for q in qs])
+        ).alias("lo"),
+        F.percentile(
+            F.col("l_quantity"), F.lit([q + eps for q in qs])
+        ).alias("hi"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+    z = F.arrays_zip("approx", "exact", "lo", "hi")
     return agg.select(
-        "l_returnflag", F.posexplode("qarr").alias("pos", "approx_value"), "n_rows"
+        "l_returnflag", F.posexplode(z).alias("pos", "v"), "n_rows"
     ).select(
         "l_returnflag",
-        F.element_at(qs, F.col("pos") + 1).alias("q"),
-        "approx_value",
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias("q"),
+        F.col("v.exact").alias("exact_value"),
+        (
+            (F.col("v.approx") >= F.col("v.lo"))
+            & (F.col("v.approx") <= F.col("v.hi"))
+        ).alias("within_rank_eps"),
         "n_rows",
     )
 

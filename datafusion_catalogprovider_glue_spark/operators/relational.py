@@ -362,15 +362,42 @@ def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
 
 
-@query("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
+@query(
+    "agg_approx_distinct",
+    # TOLERANCE oracle: the HLL++ estimate itself is engine-specific,
+    # but its accuracy contract is not.  The Spark side emits the
+    # exact distinct count plus a boolean asserting the estimate
+    # landed within 3×rsd of it; DuckDB emits the same exact count
+    # and literal TRUE — the value hash covers the envelope.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C15 approx_count_distinct (HyperLogLog++).  The scale path for
     distinct counting: constant memory per group, one shuffle of
-    sketches.  Rows-only check — sketch estimates are engine-specific
-    (SURVEY §2 C15 note)."""
+    sketches.  The production operator is the approx aggregate alone;
+    the exact countDistinct here is the oracle anchor that turns the
+    old rows-only check into a value-hashed accuracy envelope
+    (|est - exact| ≤ 3·rsd·exact, rsd = 0.01)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("est"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            (
+                F.abs(F.col("est") - F.col("exact_parts"))
+                <= 0.03 * F.col("exact_parts")
+            ).alias("within_3rsd"),
+        )
     )
 
 

@@ -1206,3 +1206,264 @@ def sim_topk_ivf_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+# --- deterministic product quantization (full value oracle) -----------------
+
+
+def _d2_pinned(a, b):
+    """Squared L2 distance as a pinned left fold rounded to 6 dp —
+    every float op identical to the DuckDB twin (list_reduce over
+    list_prepend(0.0, ...))."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _ip_pinned(a, b):
+    """Inner product, same pinned-fold + 6 dp discipline."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _kmeans_sub(v: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """One deterministic Lloyd round under the L2 metric on an
+    arbitrary (vec_id, v) table — the subvector twin of _kmeans
+    (which ranks by cosine): seeds = k smallest vec_ids, assignment =
+    min (ROUND(d2,6), cid) as one map-side-combinable struct-min,
+    centroid update on the 1e-6 integer grid, final re-assign.
+    Returns (assignment(vec_id, cid, d2), centroids(cid, cv))."""
+    w = Window.orderBy("vec_id")
+    seeds = (
+        v.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cid"),
+            F.col("v").alias("cv"),
+        )
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        pairs = v.crossJoin(F.broadcast(centroids)).select(
+            "vec_id", "cid", _d2_pinned(F.col("v"), F.col("cv")).alias("d2")
+        )
+        return (
+            pairs.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
+            .select(
+                "vec_id",
+                F.col("m.cid").alias("cid"),
+                F.col("m.d2").alias("d2"),
+            )
+        )
+
+    m1 = assign(seeds)
+    coords = (
+        v.join(m1.select("vec_id", "cid"), "vec_id")
+        .select("cid", F.posexplode("v").alias("pos", "val"))
+    )
+    cm = coords.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.round(F.col("val") * 1000000.0).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("av")
+    )
+    c1 = cm.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda s: s["av"]
+        ).alias("cv")
+    ).localCheckpoint()
+    return assign(c1), c1
+
+
+def _pq_d2_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y), 6)"
+    )
+
+
+def _pq_ip_sql(a: str, b: str) -> str:
+    return (
+        f"ROUND(list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> {a}[i] * {b}[i])), (x, y) -> x + y), 6)"
+    )
+
+
+def _pq_flat_oracle() -> str:
+    """DuckDB twin of the whole deterministic PQ path: per-subspace
+    Lloyd round → codes → per-query IP lookup tables → ADC shortlist
+    → exact cosine re-rank."""
+    parts = [
+        "WITH v AS MATERIALIZED (\n"
+        "    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings\n"
+        ")"
+    ]
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        d2 = _pq_d2_sql("sv", "cv")
+        parts.append(f"""
+    sub{s} AS MATERIALIZED (SELECT vec_id, vv[{lo}:{hi}] AS sv FROM v),
+    c0_{s} AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               sv AS cv
+        FROM (SELECT vec_id, sv FROM sub{s} ORDER BY vec_id LIMIT {PQ_CODEBOOK})
+    ),
+    m1_{s} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {d2} ASC, cid) AS rn
+            FROM sub{s} CROSS JOIN c0_{s}
+        ) WHERE rn = 1
+    ),
+    cm_{s} AS (
+        SELECT cid, pos,
+               CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS av
+        FROM (SELECT m.cid, unnest(sv) AS val, unnest(range(0, len(sv))) AS pos
+              FROM sub{s} JOIN m1_{s} m USING (vec_id))
+        GROUP BY cid, pos
+    ),
+    c1_{s} AS (SELECT cid, list(av ORDER BY pos) AS cv FROM cm_{s} GROUP BY cid),
+    codes_{s} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {d2} ASC, cid) AS rn
+            FROM sub{s} CROSS JOIN c1_{s}
+        ) WHERE rn = 1
+    ),
+    dt_{s} AS (
+        SELECT q.vec_id AS query_id, c.cid, {_pq_ip_sql("q.sv", "c.cv")} AS ip
+        FROM (SELECT vec_id, sv FROM sub{s} WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN c1_{s} c
+    )""")
+    code_joins = " ".join(
+        f"JOIN codes_{s} c{s} USING (vec_id)" for s in range(1, PQ_SUBSPACES)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt_{s} ON dt_{s}.cid = n.code{s} "
+        f"AND dt_{s}.query_id = dt_0.query_id"
+        for s in range(1, PQ_SUBSPACES)
+    )
+    parts.append(f"""
+    codes AS MATERIALIZED (
+        SELECT c0.vec_id, c0.cid AS code0,
+               {", ".join(f"c{s}.cid AS code{s}" for s in range(1, PQ_SUBSPACES))}
+        FROM codes_0 c0 {code_joins}
+    ),
+    adc AS (
+        SELECT dt_0.query_id, n.vec_id AS neighbor_id,
+               ((dt_0.ip + dt_1.ip) + dt_2.ip) + dt_3.ip AS score
+        FROM codes n
+        JOIN dt_0 ON dt_0.cid = n.code0
+        {dt_joins}
+        WHERE n.vec_id <> dt_0.query_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {PQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_cosine_similarity(a.vv, b.vv), 6) AS cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+                    ORDER BY ROUND(list_cosine_similarity(a.vv, b.vv), 6) DESC,
+                             s.neighbor_id) AS BIGINT) AS rank
+        FROM short s
+        JOIN v a ON a.vec_id = s.query_id
+        JOIN v b ON b.vec_id = s.neighbor_id
+    ) WHERE rank <= {TOP_K}""")
+    return ",".join(parts)
+
+
+@query("sim_topk_pq_flat", oracle=_pq_flat_oracle())
+def sim_topk_pq_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN with the DETERMINISTIC distributed quantizer — the
+    sim_topk_ivf_flat treatment applied to product quantization, so
+    the ENTIRE index path is value-checkable: per-subspace codebook
+    training (one L2 Lloyd round, seeds = smallest vec_ids), corpus
+    encoding to {PQ_SUBSPACES} code bytes, the per-query inner-product
+    lookup tables, the ADC shortlist, and the exact cosine re-rank
+    all hash-match the DuckDB twin.  sim_topk_pq stays as the
+    FAISS-style sample-trained production variant; this key is the
+    auditable one.
+
+    Plan shape (identical at any scale): codebooks are K-row
+    broadcasts; encoding is one map over the corpus; the ADC join
+    probes broadcast per-query lookup tables against 4-byte codes —
+    the corpus never shuffles and full vectors are touched only for
+    shortlist × queries rows."""
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    codes = None
+    dts = []
+    for s in range(PQ_SUBSPACES):
+        sub = e.select(
+            "vec_id", F.slice("v", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("v")
+        )
+        asg_s, c1_s = _kmeans_sub(sub, PQ_CODEBOOK)
+        codes_s = asg_s.select("vec_id", F.col("cid").alias(f"code{s}"))
+        codes = codes_s if codes is None else codes.join(codes_s, "vec_id")
+        subq = sub.filter(F.col("vec_id") < N_QUERIES)
+        dts.append(
+            subq.crossJoin(F.broadcast(c1_s)).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("cid").alias(f"code{s}"),
+                _ip_pinned(F.col("v"), F.col("cv")).alias(f"ip{s}"),
+            )
+        )
+    codes = codes.localCheckpoint()  # index build: 4 code bytes per vector
+
+    adc = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[f"code{s}" for s in range(PQ_SUBSPACES)],
+    ).join(F.broadcast(dts[0]), "code0")
+    for s in range(1, PQ_SUBSPACES):
+        adc = adc.join(F.broadcast(dts[s]), ["query_id", f"code{s}"])
+    score = (
+        (F.col("ip0") + F.col("ip1")) + F.col("ip2")
+    ) + F.col("ip3")
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        adc.filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= PQ_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+    )
