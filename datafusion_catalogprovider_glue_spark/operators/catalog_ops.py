@@ -1872,3 +1872,96 @@ def scan_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _agg(read_iceberg(spark, table_dir, snapshot_id=1), "snap1").unionByName(
         _agg(read_iceberg(spark, table_dir), "latest")
     )
+
+@query(
+    "scan_delta_column_mapping",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta columnMapping.mode=name through the gate (PROTOCOL.md
+    §Column Mapping — what every modern writer emits after a RENAME
+    COLUMN): the parquet files carry opaque PHYSICAL names
+    (col-<n> style), the logical schema lives only in metaData's
+    schemaString field metadata (delta.columnMapping.physicalName),
+    and the reader must scan physical and project back to logical —
+    a pure metadata rename Catalyst collapses into the scan's
+    ReadSchema.  Hash-matching the plain-nation aggregate proves the
+    rename layer binds every column correctly (a positional mis-bind
+    would swap key_sum/counts)."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+
+    apply_engine_conf(spark)
+    table_dir = _text_scan_dir(sf_dir, "nation_delta_cm")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.exists(os.path.join(log_dir, f"{0:020d}.json")):
+        nation = load_table(spark, sf_dir, "nation")
+        logical = nation.schema
+        phys_names = [f"col-{i:04d}" for i in range(len(logical.fields))]
+        physical = nation.select(
+            *[F.col(f.name).alias(p) for f, p in zip(logical.fields, phys_names)]
+        )
+
+        staging = os.path.join(table_dir, "_stage")
+        physical.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        os.makedirs(table_dir, exist_ok=True)
+        shutil.move(part, os.path.join(table_dir, "data.parquet"))
+        shutil.rmtree(staging)
+
+        fields = []
+        for i, f in enumerate(logical.fields):
+            fj = f.jsonValue()
+            fj["metadata"] = {
+                "delta.columnMapping.id": i + 1,
+                "delta.columnMapping.physicalName": phys_names[i],
+            }
+            fields.append(fj)
+        schema_string = json.dumps({"type": "struct", "fields": fields})
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": "nation-delta-cm",
+                            "schemaString": schema_string,
+                            "partitionColumns": [],
+                            "format": {"provider": "parquet"},
+                            "configuration": {
+                                "delta.columnMapping.mode": "name",
+                                "delta.columnMapping.maxColumnId": str(
+                                    len(fields)
+                                ),
+                            },
+                        }
+                    }
+                )
+                + "\n"
+            )
+            fh.write(
+                json.dumps(
+                    {"add": {"path": "data.parquet", "partitionValues": {}}}
+                )
+                + "\n"
+            )
+
+    n = read_delta(spark, table_dir)
+    return n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )

@@ -70,6 +70,7 @@ class DeltaSnapshot:
         self.table_path = table_path
         self.schema: Optional[T.StructType] = None
         self.partition_columns: list[str] = []
+        self.configuration: dict[str, str] = {}
         # path -> partitionValues dict
         self._active: dict[str, dict] = {}
 
@@ -118,8 +119,25 @@ class DeltaSnapshot:
             if isinstance(schema_str, str):
                 self.schema = T.StructType.fromJson(json.loads(schema_str))
             self.partition_columns = list(meta.get("partitionColumns") or [])
+            self.configuration = dict(meta.get("configuration") or {})
+            mode = self.configuration.get("delta.columnMapping.mode", "none")
+            if mode not in ("none", "name"):
+                # id mode resolves columns by parquet field ids; refuse
+                # loudly rather than mis-binding columns by position
+                raise DeltaError(
+                    f"delta reader subset: columnMapping.mode={mode!r} "
+                    "(supported: none, name)"
+                )
         elif "add" in action and action["add"]:
             add = action["add"]
+            if add.get("deletionVector"):
+                # protocol §Deletion Vectors: rows masked by a roaring
+                # bitmap sidecar; refuse loudly rather than return
+                # deleted rows as live
+                raise DeltaError(
+                    "delta reader subset: deletion vectors are not "
+                    f"supported (file {add['path']!r})"
+                )
             self._active[add["path"]] = add.get("partitionValues") or {}
         elif "remove" in action and action["remove"]:
             self._active.pop(action["remove"]["path"], None)
@@ -127,6 +145,29 @@ class DeltaSnapshot:
     @property
     def files(self) -> list[str]:
         return [os.path.join(self.table_path, p) for p in sorted(self._active)]
+
+    @property
+    def column_mapping(self) -> bool:
+        return (
+            self.configuration.get("delta.columnMapping.mode", "none")
+            == "name"
+        )
+
+    def physical_schema(self) -> T.StructType:
+        """Schema under PHYSICAL column names (columnMapping name mode:
+        each logical field's metadata carries
+        delta.columnMapping.physicalName — the name actually written in
+        the parquet footers)."""
+        fields = []
+        for f in self.schema.fields:
+            phys = (f.metadata or {}).get("delta.columnMapping.physicalName")
+            if not phys:
+                raise DeltaError(
+                    f"columnMapping.mode=name but field {f.name!r} has "
+                    "no physicalName metadata"
+                )
+            fields.append(T.StructField(phys, f.dataType, f.nullable))
+        return T.StructType(fields)
 
 
 def read_delta(
@@ -136,6 +177,25 @@ def read_delta(
     snap = DeltaSnapshot(table_path, version)
     if not snap._active:
         return spark.createDataFrame([], snap.schema)
+
+    if snap.column_mapping:
+        # name-mode column mapping: scan under physical names, project
+        # back to logical names — a pure metadata rename, zero cost in
+        # the executed plan (Catalyst collapses the alias into the
+        # scan's ReadSchema)
+        if snap.partition_columns:
+            raise DeltaError(
+                "delta reader subset: columnMapping with partition "
+                "columns is not supported"
+            )
+        phys = snap.physical_schema()
+        df = spark.read.schema(phys).parquet(*snap.files)
+        return df.select(
+            *[
+                F.col(p.name).alias(f.name)
+                for p, f in zip(phys.fields, snap.schema.fields)
+            ]
+        )
 
     data_fields = [f for f in snap.schema.fields if f.name not in snap.partition_columns]
     data_schema = T.StructType(data_fields)

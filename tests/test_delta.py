@@ -229,3 +229,115 @@ def test_schema_evolution_mid_log(spark, tmp_path):
     assert [f.name for f in df.schema.fields] == ["id", "v", "score"]
     rows = {r.id: (r.v, r.score) for r in df.collect()}
     assert rows == {1: ("x", None), 2: ("y", None), 3: ("z", 30.0)}
+
+
+# ---------------------------------------------------------------------------
+# column mapping + deletion vectors
+# ---------------------------------------------------------------------------
+
+CM_SCHEMA_JSON = json.dumps(
+    {
+        "type": "struct",
+        "fields": [
+            {
+                "name": "id",
+                "type": "long",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 1,
+                    "delta.columnMapping.physicalName": "col-0001",
+                },
+            },
+            {
+                "name": "v",
+                "type": "string",
+                "nullable": True,
+                "metadata": {
+                    "delta.columnMapping.id": 2,
+                    "delta.columnMapping.physicalName": "col-0002",
+                },
+            },
+        ],
+    }
+)
+
+
+def _cm_meta(mode="name", schema=CM_SCHEMA_JSON):
+    return {
+        "metaData": {
+            "id": "cm-table",
+            "schemaString": schema,
+            "partitionColumns": [],
+            "format": {"provider": "parquet"},
+            "configuration": {"delta.columnMapping.mode": mode},
+        }
+    }
+
+
+def test_column_mapping_name_mode(spark, tmp_path):
+    """Parquet files carry physical names; the snapshot read must
+    project back to the logical names from schemaString metadata."""
+    table_dir = str(tmp_path / "cm")
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "`col-0001` long, `col-0002` string")
+    staging = tmp_path / "stage_cm"
+    df.coalesce(1).write.parquet(str(staging))
+    part = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(staging)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    os.makedirs(table_dir, exist_ok=True)
+    shutil.move(part, os.path.join(table_dir, "a.parquet"))
+    _commit(table_dir, 0, [_cm_meta(), {"add": {"path": "a.parquet", "partitionValues": {}}}])
+    out = read_delta(spark, table_dir)
+    assert [f.name for f in out.schema.fields] == ["id", "v"]
+    assert {(r.id, r.v) for r in out.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    table_dir = str(tmp_path / "cmid")
+    with pytest.raises(DeltaError, match="columnMapping.mode='id'"):
+        _commit(table_dir, 0, [_cm_meta(mode="id")])
+        read_delta(spark, table_dir)
+
+
+def test_column_mapping_missing_physical_name_refused(spark, tmp_path):
+    table_dir = str(tmp_path / "cmmiss")
+    _write_data_file(spark, tmp_path, table_dir, "a.parquet", [(1, "x")])
+    _commit(
+        table_dir,
+        0,
+        [_cm_meta(schema=SCHEMA_JSON), {"add": {"path": "a.parquet", "partitionValues": {}}}],
+    )
+    with pytest.raises(DeltaError, match="physicalName"):
+        read_delta(spark, table_dir).collect()
+
+
+def test_deletion_vector_refused(spark, tmp_path):
+    """An add action carrying a deletionVector must refuse loudly —
+    returning DV-masked rows as live data would be silent corruption."""
+    table_dir = str(tmp_path / "dv")
+    _write_data_file(spark, tmp_path, table_dir, "a.parquet", [(1, "x")])
+    _commit(
+        table_dir,
+        0,
+        [
+            _meta_action(),
+            {
+                "add": {
+                    "path": "a.parquet",
+                    "partitionValues": {},
+                    "deletionVector": {
+                        "storageType": "u",
+                        "pathOrInlineDv": "abc",
+                        "offset": 1,
+                        "sizeInBytes": 40,
+                        "cardinality": 2,
+                    },
+                }
+            },
+        ],
+    )
+    with pytest.raises(DeltaError, match="deletion vector"):
+        read_delta(spark, table_dir)
