@@ -1965,3 +1965,264 @@ def scan_delta_column_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nations"),
         F.sum("n_nationkey").alias("key_sum"),
     )
+
+@query(
+    "scan_delta_cdf",
+    oracle="""
+    SELECT CAST(0 AS INT) AS _commit_version, 'insert' AS _change_type,
+           COUNT(*) AS n_rows, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT CAST(1 AS INT), 'update_preimage', COUNT(*),
+           CAST(SUM(n_nationkey) AS BIGINT)
+    FROM nation WHERE n_nationkey < 5
+    UNION ALL
+    SELECT CAST(1 AS INT), 'update_postimage', COUNT(*),
+           CAST(SUM(n_nationkey) AS BIGINT)
+    FROM nation WHERE n_nationkey < 5
+    UNION ALL
+    SELECT CAST(2 AS INT), 'delete', COUNT(*),
+           CAST(SUM(n_nationkey) AS BIGINT)
+    FROM nation
+    """,
+)
+def scan_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta CHANGE DATA FEED through the gate (PROTOCOL.md §Change
+    Data Files — the `table_changes()` surface CDC consumers read):
+    version 0 inserts the nation table, version 1 is an UPDATE commit
+    whose cdc action carries explicit pre/post-image rows (the reader
+    must prefer the change file and ignore that commit's add/remove),
+    version 2 removes the data file with no cdc action (the reader
+    must DERIVE deletes by re-reading the removed file).  Grouped
+    change counts + key sums per (version, change type) hash-match
+    SQL re-deriving each change set from the original table."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta_cdf
+
+    apply_engine_conf(spark)
+    table_dir = _text_scan_dir(sf_dir, "nation_delta_cdf")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.exists(os.path.join(log_dir, f"{2:020d}.json")):
+        nation = load_table(spark, sf_dir, "nation")
+
+        def _stage(rel: str, df) -> None:
+            staging = os.path.join(table_dir, "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = next(
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(staging)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            dest = os.path.join(table_dir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(part, dest)
+            shutil.rmtree(staging)
+
+        updated = nation.withColumn(
+            "n_regionkey",
+            F.when(
+                F.col("n_nationkey") < 5, F.col("n_regionkey") + 10
+            ).otherwise(F.col("n_regionkey")),
+        )
+        pre = nation.filter(F.col("n_nationkey") < 5).withColumn(
+            "_change_type", F.lit("update_preimage")
+        )
+        post = updated.filter(F.col("n_nationkey") < 5).withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        _stage("full.parquet", nation)
+        _stage("full2.parquet", updated)
+        _stage("_change_data/cdc-1.parquet", pre.unionByName(post))
+
+        os.makedirs(log_dir, exist_ok=True)
+        meta = {
+            "metaData": {
+                "id": "nation-delta-cdf",
+                "schemaString": nation.schema.json(),
+                "partitionColumns": [],
+                "format": {"provider": "parquet"},
+                "configuration": {"delta.enableChangeDataFeed": "true"},
+            }
+        }
+        with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps(meta) + "\n")
+            fh.write(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": "full.parquet",
+                            "partitionValues": {},
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+        with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "add": {
+                            "path": "full2.parquet",
+                            "partitionValues": {},
+                            "dataChange": True,
+                        }
+                    }
+                )
+                + "\n"
+            )
+            fh.write(
+                json.dumps({"remove": {"path": "full.parquet", "dataChange": True}})
+                + "\n"
+            )
+            fh.write(
+                json.dumps(
+                    {
+                        "cdc": {
+                            "path": "_change_data/cdc-1.parquet",
+                            "partitionValues": {},
+                            "dataChange": False,
+                        }
+                    }
+                )
+                + "\n"
+            )
+        with open(os.path.join(log_dir, f"{2:020d}.json"), "w") as fh:
+            fh.write(
+                json.dumps({"remove": {"path": "full2.parquet", "dataChange": True}})
+                + "\n"
+            )
+
+    ch = read_delta_cdf(spark, table_dir)
+    return ch.groupBy("_commit_version", "_change_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+    )
+
+@query(
+    "scan_iceberg_partition_pruned",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM supplier WHERE s_nationkey % 3 = 1 GROUP BY s_nationkey
+    """,
+)
+def scan_iceberg_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg MANIFEST-LEVEL partition pruning (spec §Manifests: each
+    data-file entry carries its partition tuple so planners prune
+    without opening files): supplier is laid out as three identity
+    partitions (bucket = s_nationkey % 3); reading with
+    partition_filter={"bucket": 1} must plan a scan over ONLY that
+    partition's file — pinned by a file-count test — and hash-match
+    SQL re-deriving the partition predicate from the original table."""
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import read_iceberg
+
+    apply_engine_conf(spark)
+    table_dir = _text_scan_dir(sf_dir, "supplier_iceberg_part")
+    meta_dir = os.path.join(table_dir, "metadata")
+    if not os.path.exists(os.path.join(meta_dir, "version-hint.text")):
+        supplier = load_table(spark, sf_dir, "supplier")
+
+        def _stage(rel: str, df) -> int:
+            staging = os.path.join(table_dir, "_stage")
+            df.coalesce(1).write.mode("overwrite").parquet(staging)
+            part = next(
+                os.path.join(r, f)
+                for r, _d, fs in os.walk(staging)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            dest = os.path.join(table_dir, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(part, dest)
+            n = df.count()
+            shutil.rmtree(staging)
+            return n
+
+        manifest_rows = []
+        for b in range(3):
+            n = _stage(
+                f"data/bucket={b}/part.parquet",
+                supplier.filter(F.col("s_nationkey") % 3 == b),
+            )
+            manifest_rows.append(
+                (1, 0, f"data/bucket={b}/part.parquet", "PARQUET", n,
+                 json.dumps({"bucket": b}))
+            )
+        manifest_schema = T.StructType(
+            [
+                T.StructField("status", T.IntegerType()),
+                T.StructField("content", T.IntegerType()),
+                T.StructField("file_path", T.StringType()),
+                T.StructField("file_format", T.StringType()),
+                T.StructField("record_count", T.LongType()),
+                T.StructField("partition", T.StringType()),
+            ]
+        )
+        os.makedirs(meta_dir, exist_ok=True)
+        write_avro_container(
+            os.path.join(meta_dir, "manifest-1.avro"),
+            manifest_schema,
+            manifest_rows,
+        )
+        write_avro_container(
+            os.path.join(meta_dir, "snap-1.avro"),
+            T.StructType(
+                [
+                    T.StructField("manifest_path", T.StringType()),
+                    T.StructField("manifest_length", T.LongType()),
+                    T.StructField("added_snapshot_id", T.LongType()),
+                ]
+            ),
+            [("metadata/manifest-1.avro", 1, 1)],
+        )
+        to_iceberg = {"bigint": "long", "int": "int", "double": "double",
+                      "string": "string", "float": "float", "boolean": "boolean",
+                      "date": "date", "timestamp_ntz": "timestamp"}
+        schema_fields = [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": to_iceberg[f.dataType.simpleString()],
+            }
+            for i, f in enumerate(supplier.schema.fields)
+        ]
+        meta = {
+            "format-version": 2,
+            "table-uuid": "supplier-iceberg-part-fixture",
+            "location": table_dir,
+            "current-schema-id": 0,
+            "schemas": [{"schema-id": 0, "type": "struct", "fields": schema_fields}],
+            "current-snapshot-id": 1,
+            "snapshots": [
+                {"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"},
+            ],
+        }
+        with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+            json.dump(meta, fh)
+        with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+            fh.write("1")
+
+    df = read_iceberg(spark, table_dir, partition_filter={"bucket": 1})
+    return df.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        dsum(F.col("s_acctbal"), 2).alias("sum_acctbal"),
+    )

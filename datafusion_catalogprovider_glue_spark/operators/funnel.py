@@ -776,3 +776,81 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense.select(
         "event_type", "hour", F.round(num / denom, 6).alias("ewma")
     )
+
+
+ATTRIB_WINDOW_DAYS = 7
+_TOUCH_TYPES = ("view", "click")
+
+
+@query(
+    "events_attribution",
+    oracle=f"""
+    WITH conv AS (
+      SELECT c.event_id, c.ts, c.value,
+             (SELECT t.event_type FROM events t
+              WHERE t.user_id = c.user_id
+                AND t.event_type IN ('view', 'click')
+                AND (t.ts < c.ts OR (t.ts = c.ts AND t.event_id < c.event_id))
+                AND t.ts >= c.ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+              ORDER BY t.ts DESC, t.event_id DESC LIMIT 1) AS channel
+      FROM events c WHERE c.event_type = 'purchase'
+    )
+    SELECT COALESCE(channel, 'unattributed') AS channel,
+           COUNT(*) AS n_conversions,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_revenue
+    FROM conv GROUP BY COALESCE(channel, 'unattributed')
+    """,
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent view/click within a 7-day (ATTRIB_WINDOW_DAYS)
+    lookback; purchases with no prior touch in the window are
+    'unattributed'.
+
+    The oracle is the K-correlated-subquery relational form (one
+    indexed lookup per conversion).  The Spark plan is the single-pass
+    event-stream shape: touches and conversions flow through ONE
+    window over (user_id, ts) where ``last(touch, ignorenulls=True)``
+    carries the latest preceding touch's (type, ts) onto every
+    conversion row — one shuffle on user_id, no self-join, no
+    per-conversion probe.  At 100 TB the self-join form re-shuffles
+    the fact table against itself; the carry-forward window touches
+    each event exactly once (the events_sessionize argument, applied
+    to attribution)."""
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    touch = F.when(
+        F.col("event_type").isin(*_TOUCH_TYPES),
+        F.struct("ts", "event_type"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = (
+        ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "value",
+            F.when(
+                F.col("last_touch").isNotNull()
+                & (
+                    F.col("last_touch.ts")
+                    >= F.col("ts") - F.expr(
+                        f"INTERVAL {ATTRIB_WINDOW_DAYS} DAYS"
+                    )
+                ),
+                F.col("last_touch.event_type"),
+            )
+            .otherwise(F.lit("unattributed"))
+            .alias("channel"),
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        dsum(F.col("value"), 2).alias("attributed_revenue"),
+    )

@@ -221,3 +221,94 @@ def read_delta(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_delta_cdf(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int = 0,
+    to_version: Optional[int] = None,
+) -> DataFrame:
+    """Delta CHANGE DATA FEED (PROTOCOL.md §Change Data Files — the
+    `table_changes(...)` surface): row-level change events between two
+    versions, each tagged (_change_type, _commit_version).
+
+    Per the protocol's reader rules, a commit that wrote ``cdc``
+    actions is represented ONLY by its change files (they already
+    carry _change_type = insert / update_preimage / update_postimage /
+    delete); a commit without them derives changes from its
+    ``dataChange`` add/remove actions — added files are inserts,
+    removed files' rows are deletes (the files are still on disk
+    until VACUUM).
+
+    Scale shape: the log walk is driver-side metadata; every change /
+    added / removed file becomes part of one distributed parquet scan
+    per change-type group with two literal columns attached — no
+    shuffle beyond whatever the caller aggregates."""
+    log_dir = os.path.join(table_path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise DeltaError(f"no {_LOG_DIR} at {table_path!r}")
+    # schema from the snapshot machinery (first metaData action)
+    snap_schema = DeltaSnapshot(table_path, version=from_version).schema
+
+    parts: list[DataFrame] = []
+
+    def _chunk(paths: list[str], change_type: Optional[str], version: int):
+        if not paths:
+            return
+        df = spark.read.schema(
+            snap_schema
+            if change_type is not None
+            else T.StructType(
+                snap_schema.fields
+                + [T.StructField("_change_type", T.StringType(), True)]
+            )
+        ).parquet(*[os.path.join(table_path, p) for p in paths])
+        if change_type is not None:
+            df = df.withColumn("_change_type", F.lit(change_type))
+        parts.append(df.withColumn("_commit_version", F.lit(version)))
+
+    for v, path in _commit_files(log_dir):
+        if v < from_version or (to_version is not None and v > to_version):
+            continue
+        cdc, adds, removes = [], [], []
+        with open(path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if action.get("cdc"):
+                    cdc.append(action["cdc"]["path"])
+                elif action.get("add"):
+                    a = action["add"]
+                    if a.get("deletionVector"):
+                        raise DeltaError(
+                            "delta reader subset: deletion vectors are "
+                            f"not supported (file {a['path']!r})"
+                        )
+                    if a.get("dataChange", True):
+                        adds.append(a["path"])
+                elif action.get("remove"):
+                    r = action["remove"]
+                    if r.get("dataChange", True):
+                        removes.append(r["path"])
+        if cdc:
+            _chunk(cdc, None, v)  # change files carry _change_type
+        else:
+            _chunk(adds, "insert", v)
+            _chunk(removes, "delete", v)
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                snap_schema.fields
+                + [
+                    T.StructField("_change_type", T.StringType(), True),
+                    T.StructField("_commit_version", T.IntegerType(), False),
+                ]
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -123,6 +123,12 @@ class IcebergSnapshot:
         # the optional `sequence_number` field default to 0.
         self.data_seq: list[tuple[str, int]] = []
         self.eq_deletes: list[tuple[str, int]] = []
+        # path -> partition-value dict from the manifest's optional
+        # `partition` field (JSON).  Iceberg plans PARTITION PRUNING
+        # from manifest metadata without opening data files — identity
+        # transform subset; the partition columns themselves are also
+        # stored in the data files per spec, so reading is unchanged.
+        self.partitions: dict[str, dict] = {}
         for list_row in list_rows:
             manifest_path = _named(list_schema, list_row)["manifest_path"]
             m_schema, m_rows = decode_container_file(
@@ -145,6 +151,11 @@ class IcebergSnapshot:
                 if content == 0:
                     self.files.append(path)
                     self.data_seq.append((path, seq))
+                    part = entry.get("partition")
+                    if part:
+                        self.partitions[path] = (
+                            json.loads(part) if isinstance(part, str) else part
+                        )
                 elif content == 1:
                     self.delete_files.append(path)
                 else:
@@ -156,7 +167,10 @@ class IcebergSnapshot:
 
 
 def read_iceberg(
-    spark: SparkSession, table_path: str, snapshot_id: Optional[int] = None
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: Optional[int] = None,
+    partition_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Load an Iceberg table snapshot (current, or a pinned
     snapshot-id — time travel), applying v2 POSITIONAL DELETE files
@@ -183,9 +197,22 @@ def read_iceberg(
     from pyspark.sql import functions as F
 
     snap = IcebergSnapshot(table_path, snapshot_id)
-    if not snap.files:
+    files = snap.files
+    if partition_filter:
+        # manifest-level pruning: a file survives only if its manifest
+        # partition tuple matches every filter key (files without
+        # partition metadata are conservatively kept)
+        files = [
+            f
+            for f in files
+            if all(
+                snap.partitions.get(f, {}).get(k, v) == v
+                for k, v in partition_filter.items()
+            )
+        ]
+    if not files:
         return spark.createDataFrame([], snap.schema)
-    data = spark.read.schema(snap.schema).parquet(*snap.files)
+    data = spark.read.schema(snap.schema).parquet(*files)
     if not snap.delete_files and not snap.eq_deletes:
         return data
     cols = data.columns

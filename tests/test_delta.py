@@ -341,3 +341,80 @@ def test_deletion_vector_refused(spark, tmp_path):
     )
     with pytest.raises(DeltaError, match="deletion vector"):
         read_delta(spark, table_dir)
+
+
+def test_cdf_prefers_change_files_and_derives_otherwise(spark, tmp_path):
+    """A commit WITH cdc actions is represented only by its change
+    files (its add/remove are ignored for CDF); a commit WITHOUT them
+    derives inserts from adds and deletes from removed files."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta_cdf
+
+    table_dir = str(tmp_path / "cdf")
+    _write_data_file(spark, tmp_path, table_dir, "a.parquet", [(1, "x"), (2, "y")])
+    _write_data_file(spark, tmp_path, table_dir, "b.parquet", [(1, "X"), (2, "y")])
+    cdc = spark.createDataFrame(
+        [(1, "x", "update_preimage"), (1, "X", "update_postimage")],
+        "id long, v string, _change_type string",
+    )
+    staging = tmp_path / "stage_cdc"
+    cdc.coalesce(1).write.parquet(str(staging))
+    part = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(staging)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    os.makedirs(os.path.join(table_dir, "_change_data"), exist_ok=True)
+    shutil.move(part, os.path.join(table_dir, "_change_data", "c.parquet"))
+
+    _commit(table_dir, 0, [_meta_action(), {"add": {"path": "a.parquet", "partitionValues": {}, "dataChange": True}}])
+    _commit(
+        table_dir,
+        1,
+        [
+            {"add": {"path": "b.parquet", "partitionValues": {}, "dataChange": True}},
+            {"remove": {"path": "a.parquet", "dataChange": True}},
+            {"cdc": {"path": "_change_data/c.parquet", "partitionValues": {}, "dataChange": False}},
+        ],
+    )
+    _commit(table_dir, 2, [{"remove": {"path": "b.parquet", "dataChange": True}}])
+
+    ch = read_delta_cdf(spark, table_dir)
+    got = {
+        (r._commit_version, r._change_type, r.id, r.v) for r in ch.collect()
+    }
+    assert got == {
+        (0, "insert", 1, "x"),
+        (0, "insert", 2, "y"),
+        (1, "update_preimage", 1, "x"),
+        (1, "update_postimage", 1, "X"),
+        (2, "delete", 1, "X"),
+        (2, "delete", 2, "y"),
+    }
+    # version range selection
+    v1 = read_delta_cdf(spark, table_dir, from_version=1, to_version=1)
+    assert {r._change_type for r in v1.collect()} == {
+        "update_preimage",
+        "update_postimage",
+    }
+
+
+def test_cdf_compaction_commit_is_silent(spark, tmp_path):
+    """dataChange=false add/remove (compaction) must produce NO change
+    rows — rewriting files is not a data change."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta_cdf
+
+    table_dir = str(tmp_path / "cdfc")
+    _write_data_file(spark, tmp_path, table_dir, "a.parquet", [(1, "x")])
+    _write_data_file(spark, tmp_path, table_dir, "a2.parquet", [(1, "x")])
+    _commit(table_dir, 0, [_meta_action(), {"add": {"path": "a.parquet", "partitionValues": {}, "dataChange": True}}])
+    _commit(
+        table_dir,
+        1,
+        [
+            {"add": {"path": "a2.parquet", "partitionValues": {}, "dataChange": False}},
+            {"remove": {"path": "a.parquet", "dataChange": False}},
+        ],
+    )
+    ch = read_delta_cdf(spark, table_dir, from_version=1)
+    assert ch.count() == 0

@@ -258,3 +258,21 @@ def test_eq_delete_multi_column_null_safe(spark, tmp_path):
     )
     got = {(r.k, r.v) for r in read_iceberg(spark, root).collect()}
     assert got == {(1, "x"), (2, None)}
+
+
+def test_partition_pruning_file_count(spark):
+    """partition_filter must prune at the MANIFEST level: only the
+    matching partition's file reaches the scan."""
+    from datafusion_catalogprovider_glue_spark.operators import catalog_ops
+
+    catalog_ops.scan_iceberg_partition_pruned(spark, SF_SMOKE).collect()
+    root = catalog_ops._text_scan_dir(SF_SMOKE, "supplier_iceberg_part")
+    snap = IcebergSnapshot(root)
+    assert len(snap.files) == 3
+    assert len(snap.partitions) == 3
+    pruned = read_iceberg(spark, root, partition_filter={"bucket": 2})
+    # the pruned plan reads one file: every surviving row is bucket 2
+    rows = pruned.select("s_nationkey").distinct().collect()
+    assert rows and all(r.s_nationkey % 3 == 2 for r in rows)
+    # filter on a partition value no file has -> empty scan, not error
+    assert read_iceberg(spark, root, partition_filter={"bucket": 99}).count() == 0
