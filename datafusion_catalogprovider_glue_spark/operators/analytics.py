@@ -778,3 +778,71 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n_items"), dsum(rev, 4).alias("revenue"))
     )
+
+
+@query(
+    "agg_linear_regression",
+    # Component sums run on the exact decimal grid (the moment-stats
+    # technique: 2-dp money and quantity values scale to integers, so
+    # sums are exact); the slope/intercept/r² arithmetic then happens
+    # in doubles converted from those exact components in an IDENTICAL
+    # expression tree on both engines — bit-identical without any
+    # output rounding.
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+           ((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)) AS slope,
+           (sy - (((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx))) * sx) / n
+             AS intercept,
+           (((n * sxy) - (sx * sy)) * ((n * sxy) - (sx * sy)))
+             / (((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy))) AS r2
+    FROM s
+    """,
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (price ~ quantity): slope,
+    intercept, r² from the five component sums — the REGR_SLOPE /
+    REGR_INTERCEPT / REGR_R2 surface, built deterministic instead of
+    delegating to the engines' float-order-dependent builtins.
+
+    Component sums are exact (decimal grid — 2-dp inputs scale to
+    integers; map-side combinable, one shuffle of 5 numbers per
+    group), and the closed-form arithmetic happens in doubles derived
+    from those exact sums with the same expression shape the oracle
+    uses.  This is the 100 TB regression recipe: sufficient statistics
+    aggregate; raw points never move."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,2)")
+    y = F.col("l_extendedprice").cast("decimal(18,2)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = (n * sxy) - (sx * sy)
+    var_n = (n * sxx) - (sx * sx)
+    slope = cov_n / var_n
+    return s.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        slope.alias("slope"),
+        ((sy - (slope * sx)) / n).alias("intercept"),
+        ((cov_n * cov_n) / (var_n * ((n * syy) - (sy * sy)))).alias("r2"),
+    )

@@ -854,3 +854,68 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_conversions"),
         dsum(F.col("value"), 2).alias("attributed_revenue"),
     )
+
+
+_EVENT_INITIALS = {"view": "v", "click": "c", "purchase": "p",
+                   "signup": "s", "error": "e"}
+_PATTERN = "vc*p"  # view, any clicks, purchase — the conversion motif
+
+
+@query(
+    "events_pattern_match",
+    oracle=f"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(strlen(seq) AS INT) AS n_events,
+           CAST(len(regexp_extract_all(seq, '{_PATTERN}')) AS INT)
+             AS n_conversions
+    FROM seqs
+    """,
+)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection (the SQL:2016
+    feature Flink CEP implements; Spark has no native operator): each
+    user's event history collapses to a compact symbol string — one
+    char per event, (ts, event_id)-ordered — and pattern occurrences
+    (`vc*p`: view, any clicks, then purchase) are counted with ONE
+    regexp over that string.  Non-overlapping leftmost matching is
+    identical in Java regex and RE2 for this pattern class, so the
+    count is engine-portable.
+
+    Scale shape: one shuffle groups events per user; per-user state is
+    the symbol string (1 byte/event — a 10k-event user is a 10 KB
+    value), and the regexp runs JVM-side in whole-stage codegen.  The
+    general-regex alternative — a cross join against a pattern
+    automaton — never appears.  Power-law users are capped upstream
+    in production (the events_funnel argument)."""
+    ev = _events(spark, sf_dir)
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "ts", "event_id",
+                        F.substring("event_type", 1, 1).alias("ini"),
+                    )
+                )
+            ),
+            lambda s: s["ini"],
+        ),
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").cast("int").alias("n_events"),
+            F.regexp_count(F.col("seq"), F.lit(_PATTERN))
+            .cast("int")
+            .alias("n_conversions"),
+        )
+    )

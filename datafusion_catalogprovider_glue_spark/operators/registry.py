@@ -42,6 +42,7 @@ def load_all_operator_modules() -> None:
     """Import every module that registers queries (idempotent)."""
     from datafusion_catalogprovider_glue_spark.operators import (  # noqa: F401
         analytics,
+        bpe,
         catalog_ops,
         curation,
         dedup,
