@@ -92,6 +92,17 @@ HEADLINE = [
     # round-3 additions
     "dedup_minhash_lsh_fast",
     "scan_iceberg_eq_deletes",
+    "scan_iceberg_partition_pruned",
+    "scan_delta_column_mapping",
+    "scan_delta_cdf",
+    "events_attribution",
+    "events_pattern_match",
+    "agg_linear_regression",
+    "sim_topk_pq_flat",
+    # pipeline_bpe_train / pipeline_bpe_encode are oracle-checked in the
+    # gate but excluded here: wall time is the K-round driver loop's
+    # fixed per-round job overhead (like the streaming keys), not a
+    # data-volume throughput term.
 ]
 
 

@@ -109,17 +109,8 @@ def _bpe_oracle() -> str:
     return ",".join(parts)
 
 
-@query("pipeline_bpe_train", oracle=_bpe_oracle())
-def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the first BPE_MERGES byte-pair merges over the documents
-    corpus; returns the ordered merge table (merge_idx, left_sym,
-    right_sym, pair_count) — the artifact a tokenizer loads.
-
-    One corpus-sized pass (word counting), then K bounded rounds over
-    the capped word-frequency table; each round's argmax is a single
-    collected row (the one scalar a BPE trainer is allowed to bring to
-    the driver), and the merge itself is a literal string replace in
-    whole-stage codegen."""
+def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
+    """The K-round training loop; returns [(idx, left, right, count)]."""
     apply_engine_conf(spark)
     docs = load_table(spark, sf_dir, "documents")
     words = (
@@ -174,7 +165,111 @@ def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_US + best.pa + best.pb + _US),
             ),
         ).localCheckpoint()
+    return merges
+
+
+@query("pipeline_bpe_train", oracle=_bpe_oracle())
+def pipeline_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first BPE_MERGES byte-pair merges over the documents
+    corpus; returns the ordered merge table (merge_idx, left_sym,
+    right_sym, pair_count) — the artifact a tokenizer loads.
+
+    One corpus-sized pass (word counting), then K bounded rounds over
+    the capped word-frequency table; each round's argmax is a single
+    collected row (the one scalar a BPE trainer is allowed to bring to
+    the driver), and the merge itself is a literal string replace in
+    whole-stage codegen."""
     return spark.createDataFrame(
-        merges,
+        _train_merges(spark, sf_dir),
         "merge_idx int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """Train (shared CTE chain) then APPLY the K merges to every
+    distinct word and count per-document BPE tokens."""
+    body = _bpe_oracle()
+    # reuse the training chain up to (but not including) the final
+    # SELECT: keep everything through the last w{K} CTE + bests
+    head = body[: body.rindex("    merges AS (")].rstrip().rstrip(",")
+    seq0 = (
+        "chr(31) || chr(31) || array_to_string("
+        "list_transform(range(1, strlen(word) + 1), i -> substr(word, i, 1)),"
+        " chr(31) || chr(31)) || chr(31) || chr(31)"
+    )
+    parts = [head]
+    parts.append(f"""
+    aw0 AS MATERIALIZED (
+        SELECT word, {seq0} AS seq
+        FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+              FROM documents)
+        WHERE word <> ''
+    )""")
+    for k in range(1, BPE_MERGES + 1):
+        parts.append(f"""
+    aw{k} AS MATERIALIZED (
+        SELECT a.word,
+               replace(a.seq,
+                       chr(31) || b.pa || chr(31) || chr(31) || b.pb || chr(31),
+                       chr(31) || b.pa || b.pb || chr(31)) AS seq
+        FROM aw{k - 1} a CROSS JOIN best{k} b
+    )""")
+    parts.append(f"""
+    wtok AS (
+        SELECT word,
+               len(list_filter(string_split(seq, chr(31) || chr(31)),
+                               x -> x <> '')) AS n_tok
+        FROM aw{BPE_MERGES}
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(w.n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+          FROM documents) d
+    JOIN wtok w USING (word)
+    WHERE d.word <> ''
+    GROUP BY d.doc_id""")
+    return ",".join(parts)
+
+
+@query("pipeline_bpe_encode", oracle=_bpe_encode_oracle())
+def pipeline_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the trained BPE merges: tokenize the corpus with the
+    learned vocabulary and report per-document token counts
+    (n_words, n_bpe_tokens) — the token-budget input every training
+    pipeline computes, with a REAL subword vocabulary instead of the
+    whitespace approximation (text_token_count's production upgrade).
+
+    Scale shape: encoding runs on the DISTINCT-word table (the
+    standard trick — the corpus re-joins by word afterwards), and each
+    merge applies as one literal replace in whole-stage codegen, K
+    replaces chained in a single projection.  The per-doc count is one
+    shuffle join (word) + one groupBy (doc_id); documents never carry
+    symbol sequences."""
+    merges = _train_merges(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    doc_words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.col("word") != "")
+    chars = F.filter(F.split("word", ""), lambda c: c != "")
+    seq = F.concat(
+        F.lit(_US + _US), F.array_join(chars, _US + _US), F.lit(_US + _US)
+    )
+    for _idx, pa, pb, _n in merges:
+        seq = F.replace(
+            seq,
+            F.lit(_US + pa + _US + _US + pb + _US),
+            F.lit(_US + pa + pb + _US),
+        )
+    n_tok = F.size(F.filter(F.split(seq, _US + _US), lambda x: x != ""))
+    wtok = (
+        doc_words.select("word").distinct().select("word", n_tok.alias("n_tok"))
+    )
+    return (
+        doc_words.join(wtok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
     )
