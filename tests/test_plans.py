@@ -612,3 +612,58 @@ def test_hudi_mor_merge_is_equi_join(spark):
     p = plan_str(q(spark, "scan_hudi_mor"))
     assert "CartesianProduct" not in p
     assert "Scan parquet" in p
+
+
+def test_attribution_is_window_not_self_join(spark):
+    """Last-touch attribution must plan as ONE carry-forward window
+    over the events scan — a self-join would re-shuffle the fact
+    table against itself."""
+    p = plan_str(q(spark, "events_attribution"))
+    assert "Window" in p
+    assert "Join" not in p
+
+
+def test_pattern_match_single_shuffle_no_join(spark):
+    """Sequence pattern matching is a groupBy + regexp — no joins, no
+    cartesian automaton products."""
+    p = plan_str(q(spark, "events_pattern_match"), "simple")
+    assert "Join" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_linear_regression_is_single_pass_partial_agg(spark):
+    """OLS from sufficient statistics: one partial+final aggregate
+    over one scan — raw points cross the exchange as five sums, and
+    the plan has exactly one shuffle."""
+    p = plan_str(q(spark, "agg_linear_regression"))
+    assert p.count("Location: InMemoryFileIndex") == 1  # one scan
+    assert p.count(") Exchange") == 1
+    assert "partial_" in p  # map-side combine present
+
+
+def test_delta_column_mapping_prunes_to_physical_read(spark):
+    """The logical→physical rename must fold into the scan: ReadSchema
+    carries the physical col-NNNN names, and no extra Project-induced
+    exchange appears."""
+    p = plan_str(q(spark, "scan_delta_column_mapping"))
+    read_line = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "col-0000" in read_line  # physical names reach the reader
+    assert "n_nationkey" not in read_line
+
+
+def test_delta_cdf_no_shuffle_before_aggregate(spark):
+    """CDF assembly is unions of parquet scans with literal columns —
+    the only exchange is the final aggregate's."""
+    p = plan_str(q(spark, "scan_delta_cdf"))
+    assert "Union" in p
+    assert p.count(") Exchange") == 1
+
+
+def test_pq_flat_corpus_never_shuffles(spark):
+    """ADC probing joins broadcast per-query lookup tables against the
+    code table: every join is a broadcast join, no sort-merge exchange
+    on the corpus side."""
+    p = plan_str(q(spark, "sim_topk_pq_flat"), "simple")
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
