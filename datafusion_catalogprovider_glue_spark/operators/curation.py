@@ -730,3 +730,65 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cum_chars") <= _TOKEN_BUDGET_CHARS)
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, lang, text, n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS n_words
+      FROM documents
+    )
+    SELECT source, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_words) AS BIGINT) AS min_words,
+           CAST(MAX(n_words) AS BIGINT) AS max_words,
+           CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS mean_words,
+           COUNT(DISTINCT md5(text)) AS n_unique_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
+             AS n_exact_dups
+    FROM d GROUP BY source, lang
+    """,
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset DATASHEET: per-(source, lang) composition stats a
+    training run records next to its corpus — doc/word/char volumes,
+    length envelope, and the exact-duplicate rate (datasheet-for-
+    datasets practice; every mixture decision in pipeline_mix_sources
+    starts from exactly this table).
+
+    One pass, one shuffle: word counts are computed in the scan
+    projection (JVM higher-order filter+size, no Python), and
+    everything — including the dup rate, via COUNT(DISTINCT md5) on
+    16-byte fingerprints rather than full texts — aggregates in a
+    single map-side-combined groupBy.  At 100 TB this is the cheapest
+    honest summary of a corpus: documents are read once and never
+    shuffled."""
+    d = _docs(spark, sf_dir)
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    return (
+        d.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.size(words).alias("n_words"),
+            F.md5("text").alias("fp"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_words").cast("bigint").alias("min_words"),
+            F.max("n_words").cast("bigint").alias("max_words"),
+            (F.sum("n_words").cast("double") / F.count(F.lit(1))).alias(
+                "mean_words"
+            ),
+            F.countDistinct("fp").alias("n_unique_docs"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
+        )
+    )
