@@ -342,3 +342,156 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(180)
     return spark.table(sink_name)
+
+
+# ---------------------------------------------------------------------------
+# E5b: streaming CEP — first-conversion pattern detection
+# ---------------------------------------------------------------------------
+
+_CEP_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("conversion_ts", StringType()),
+        StructField("n_clicks_between", LongType()),
+    ]
+)
+# automaton state per user: (armed, done, clicks since arming view)
+_CEP_STATE_SCHEMA = StructType(
+    [
+        StructField("armed", LongType()),
+        StructField("done", LongType()),
+        StructField("clicks", LongType()),
+    ]
+)
+
+
+def _first_conversion(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user CEP automaton for the first `view → click* → purchase`
+    completion: a view ARMS (and resets the click count), clicks
+    accumulate while armed, signup/error DISARM, and the first
+    purchase while armed EMITS once and parks the automaton.  State
+    survives across batches; no timeout — incomplete patterns simply
+    never emit (streaming CEP semantics: results fire on the event
+    that completes the match, not at end of stream)."""
+    (user_id,) = key
+    if state.exists:
+        armed, done, clicks = state.get
+    else:
+        armed = done = clicks = 0
+
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out = []
+    for _, r in rows.iterrows():
+        if done:
+            break
+        et = r["event_type"]
+        if et == "view":
+            armed, clicks = 1, 0
+        elif et == "click":
+            if armed:
+                clicks += 1
+        elif et in ("signup", "error"):
+            armed, clicks = 0, 0
+        elif et == "purchase" and armed:
+            done = 1
+            out.append(
+                {
+                    "user_id": user_id,
+                    "conversion_ts": r["ts"].strftime(_FMT),
+                    "n_clicks_between": clicks,
+                }
+            )
+    state.update((armed, done, clicks))
+    if out:
+        yield pd.DataFrame(out)
+
+
+@query(
+    "stream_first_conversion",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events
+    ), marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END
+                          IGNORE NULLS) OVER w AS v_ts,
+               LAST_VALUE(CASE WHEN event_type IN ('signup', 'error')
+                               THEN ts END IGNORE NULLS) OVER w AS block_ts
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), qualifying AS (
+        SELECT m.user_id, m.ts, m.event_id,
+               (SELECT COUNT(*) FROM e c
+                WHERE c.user_id = m.user_id AND c.event_type = 'click'
+                  AND (c.ts > m.v_ts OR (c.ts = m.v_ts))
+                  AND (c.ts < m.ts OR (c.ts = m.ts AND c.event_id < m.event_id))
+                  AND c.ts >= m.v_ts) AS n_clicks
+        FROM marked m
+        WHERE m.event_type = 'purchase' AND m.v_ts IS NOT NULL
+          AND (m.block_ts IS NULL OR m.block_ts < m.v_ts)
+    ), firsts AS (
+        SELECT user_id, ts, n_clicks,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM qualifying
+    )
+    SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS conversion_ts,
+           CAST(n_clicks AS BIGINT) AS n_clicks_between
+    FROM firsts WHERE rn = 1
+    """,
+)
+def stream_first_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5b: streaming COMPLEX EVENT PROCESSING (the Flink CEP / SQL
+    MATCH_RECOGNIZE ONE ROW PER MATCH shape) as arbitrary stateful
+    processing: per-user automaton for the first view→click*→purchase
+    completion, emitting ON the completing event.  The batch oracle
+    re-derives the same matches relationally: a purchase qualifies iff
+    a prior view exists with no signup/error after it, the click count
+    is the events between that view and the purchase, and only each
+    user's first qualifying purchase survives.
+
+    100 TB notes: state is 3 longs per user (never an event buffer),
+    keyed shuffle on user_id, emission is append-mode and
+    monotone — the combination that keeps state stores bounded and
+    output files immutable."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = events_raw_ddl(sf_dir)
+    stream_dir = os.path.join(
+        "/tmp",
+        f"glue_spark_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(table_path(sf_dir, "events"), link)
+
+    stream = (
+        ensure_micros_ts(spark.readStream.schema(raw_schema).parquet(stream_dir))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    conversions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _first_conversion,
+            outputStructType=_CEP_OUTPUT_SCHEMA,
+            stateStructType=_CEP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    sink_name = "stream_first_conversion_sink"
+    q = (
+        conversions.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(sink_name)
