@@ -846,3 +846,72 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((sy - (slope * sx)) / n).alias("intercept"),
         ((cov_n * cov_n) / (var_n * ((n * syy) - (sy * sy)))).alias("r2"),
     )
+
+
+_WQ_QS = (0.5, 0.9)
+
+
+@query(
+    "agg_weighted_percentile",
+    # Weighted lower-quantile definition: the smallest value whose
+    # cumulative weight reaches q * total_weight.  Everything is
+    # integer arithmetic (weights are word counts) except the final
+    # q * tot product, computed identically on both engines.
+    oracle=f"""
+    WITH d AS (
+      SELECT source, n_chars,
+             len(list_filter(string_split(text, ' '), w -> w <> ''))
+               AS wt
+      FROM documents
+    ), cum AS (
+      SELECT source, n_chars, wt,
+             SUM(wt) OVER (PARTITION BY source ORDER BY n_chars, wt
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY source) AS tot
+      FROM d
+    )
+    SELECT source, q, MIN(n_chars) AS value
+    FROM cum, (SELECT UNNEST([{", ".join(str(q) for q in _WQ_QS)}]) AS q)
+    WHERE cw >= q * tot
+    GROUP BY source, q
+    """,
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-WEIGHTED percentiles of document length per source — the
+    curation statistic that answers "where does the p90 of my TOKENS
+    sit", which the unweighted quantile misrepresents whenever long
+    docs carry most of the mass (they always do).
+
+    Lower-quantile definition: smallest value whose running weight
+    reaches q·total.  One shuffle on the group key; the cumulative
+    window and the threshold filter run in codegen; quantiles fan out
+    from a 2-element literal array, so the plan is one window pass
+    regardless of how many quantiles are requested.  At 100 TB the
+    swap is a fixed-width weighted histogram (agg_histogram's shape)
+    — exact sort-based kept here because the oracle is exact."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).alias("wt"),
+    )
+    from pyspark.sql.window import Window
+
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("n_chars", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt_tot = Window.partitionBy("source")
+    cum = d.select(
+        "source",
+        "n_chars",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt_tot).alias("tot"),
+    )
+    qs = F.explode(F.array(*[F.lit(q) for q in _WQ_QS])).alias("q")
+    return (
+        cum.select("source", "n_chars", "cw", "tot", qs)
+        .filter(F.col("cw") >= F.col("q") * F.col("tot"))
+        .groupBy("source", "q")
+        .agg(F.min("n_chars").alias("value"))
+    )
