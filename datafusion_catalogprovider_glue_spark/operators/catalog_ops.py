@@ -2226,3 +2226,71 @@ def scan_iceberg_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_suppliers"),
         dsum(F.col("s_acctbal"), 2).alias("sum_acctbal"),
     )
+
+@query(
+    "scan_xml",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum,
+           MIN(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8f EXTENSION through the gate: nation materialized once as XML
+    and registered via the Hive XML SerDe triple (hivexmlserde's
+    XmlInputFormat / XmlSerDe — what Glue's XML classifier emits; the
+    reference's dispatch would refuse it at glue.rs:426-429).  Spark 4
+    reads XML natively; the row tag comes from the SerDe's
+    ``xmlinput.start`` parameter, and schema derives from the Glue
+    columns like every other listing table.  Hash-matching the parquet
+    original proves the round trip is value-lossless."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import FakeGlueClient
+
+    apply_engine_conf(spark)
+    out = _text_scan_dir(sf_dir, "nation_xml")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        load_table(spark, sf_dir, "nation").write.mode("overwrite").format(
+            "xml"
+        ).option("rootTag", "nations").option("rowTag", "nation").save(out)
+    client = FakeGlueClient(
+        {
+            "xmldb": {
+                "nation_xml": {
+                    "DatabaseName": "xmldb",
+                    "Name": "nation_xml",
+                    "Parameters": {},
+                    "PartitionKeys": [],
+                    "StorageDescriptor": {
+                        "InputFormat": "com.ibm.spss.hive.serde2.xml.XmlInputFormat",
+                        "OutputFormat": "org.apache.hadoop.hive.ql.io.IgnoreKeyTextOutputFormat",
+                        "SerdeInfo": {
+                            "SerializationLibrary": "com.ibm.spss.hive.serde2.xml.XmlSerDe",
+                            "Parameters": {"xmlinput.start": "<nation>"},
+                        },
+                        "Parameters": {},
+                        "Columns": [
+                            {"Name": n, "Type": t}
+                            for n, t in TESTDATA_GLUE_COLUMNS["nation"]
+                        ],
+                        "Location": out,
+                    },
+                }
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("xmldb", "nation_xml")
+    return (
+        spark.table(entry.view)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            F.min("n_name").alias("first_name"),
+        )
+    )

@@ -29,6 +29,10 @@ ION_SERDE = "com.amazon.ionhiveserde.IonHiveSerDe"
 ORC_IN = "org.apache.hadoop.hive.ql.io.orc.OrcInputFormat"
 ORC_OUT = "org.apache.hadoop.hive.ql.io.orc.OrcOutputFormat"
 ORC_SERDE = "org.apache.hadoop.hive.ql.io.orc.OrcSerde"
+# the Hive XML SerDe family (hivexmlserde), as Glue emits it for XML
+# tables crawled with the XML classifier
+XML_IN = "com.ibm.spss.hive.serde2.xml.XmlInputFormat"
+XML_SERDE = "com.ibm.spss.hive.serde2.xml.XmlSerDe"
 
 
 @dataclass
@@ -94,6 +98,19 @@ def calculate_reader_spec(storage_descriptor: dict) -> ReaderSpec:
     # triple instead of refusing it.)
     if triple == (ORC_IN, ORC_OUT, ORC_SERDE):
         return ReaderSpec("orc")
+
+    # B8f XML (EXTENSION — no reference arm; real Glue XML tables come
+    # from the XML classifier with the hivexmlserde triple and would
+    # hit the reference's NotImplemented fallback.  Spark 4 reads XML
+    # natively; the row tag comes from the SerDe's
+    # xmlinput.start parameter, "<row>"-style, defaulting to "row".)
+    if input_format == XML_IN and serde == XML_SERDE:
+        serde_params = serde_info.get("Parameters") or {}
+        row_tag = (
+            serde_params.get("xmlinput.start", "<row>")
+            .strip("<>")
+        )
+        return ReaderSpec("xml", {"rowTag": row_tag})
 
     # B7 fallback (glue.rs:426-429)
     raise NotImplementedYet(
