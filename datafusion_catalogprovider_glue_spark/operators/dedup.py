@@ -1273,3 +1273,72 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", kept)).alias("new_md5"),
         )
     )
+
+
+@query(
+    "pipeline_corpus_diff",
+    # fixture split: "old" snapshot = docs with doc_id % 3 != 0 plus a
+    # SIMULATED stale text for ids % 7 == 0 (lowercased); "new"
+    # snapshot = docs with doc_id % 3 != 1.  The diff classifies every
+    # id: added (new only), removed (old only), changed (both, text
+    # fingerprint differs), unchanged.
+    oracle="""
+    WITH old AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 7 = 0 THEN lower(text) ELSE text END)
+               AS fp
+      FROM documents WHERE doc_id % 3 <> 0
+    ), new AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 3 <> 1
+    )
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+                ELSE 'unchanged' END AS change,
+           COUNT(*) AS n_docs,
+           CAST(MIN(COALESCE(n.doc_id, o.doc_id)) AS BIGINT) AS min_doc,
+           CAST(MAX(COALESCE(n.doc_id, o.doc_id)) AS BIGINT) AS max_doc
+    FROM old o FULL OUTER JOIN new n USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1d: corpus SNAPSHOT DIFF — the incremental-ingestion audit
+    step: classify every doc_id across two corpus versions as added /
+    removed / changed / unchanged, comparing 16-byte content
+    fingerprints so document text never crosses the join.
+
+    One full-outer join on doc_id between two fingerprint projections
+    (each a scan-stage md5), then one aggregation.  At 100 TB both
+    sides shuffle only (id, 16-byte fp) — the diff costs the same as
+    a count, whatever the documents weigh.  dedup_incremental is the
+    ingest-time twin (anti join of new fingerprints); this is the
+    audit-time one."""
+    d = _docs(spark, sf_dir)
+    old = d.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 0, F.lower("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("fp_old"),
+    )
+    new = d.filter(F.col("doc_id") % 3 != 1).select(
+        "doc_id", F.md5("text").alias("fp_new")
+    )
+    joined = old.join(new, "doc_id", "full")
+    change = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select("doc_id", change.alias("change"))
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+    )
