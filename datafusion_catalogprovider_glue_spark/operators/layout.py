@@ -268,3 +268,56 @@ def scan_zordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_quantity"), 2, 8).alias("sum_qty"),
         )
     )
+
+
+@query(
+    "pipeline_write_partitioned",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def pipeline_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side Hive partitioning with DYNAMIC PARTITION OVERWRITE —
+    the sink layout every incremental corpus pipeline uses (rewrite
+    only the partitions present in this batch, leave the rest).  The
+    op writes documents partitioned by lang twice — the second write
+    overwrites dynamically — then proves three things in one
+    hash-checked result: the partition columns round-trip (Spark drops
+    them from data files and re-derives them from directory names),
+    the re-read agrees with the source per partition, and the
+    double-write did NOT duplicate rows (dynamic overwrite replaced,
+    not appended).
+
+    100 TB notes: partitionBy(lang) writes each partition from the
+    tasks that hold its rows (no pre-shuffle needed beyond the
+    write's own), and readers get directory-level pruning on the
+    partition column for free — the layout IS the index."""
+    apply_engine_conf(spark)
+    out = os.path.join(
+        "/tmp",
+        f"glue_spark_partw_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    d = load_table(spark, sf_dir, "documents")
+    writer_conf = ("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    old = spark.conf.get(writer_conf[0], "static")
+    spark.conf.set(*writer_conf)
+    try:
+        for _ in range(2):  # second pass must REPLACE, not append
+            (
+                d.select("doc_id", "text", "n_chars", "lang")
+                .write.mode("overwrite")
+                .partitionBy("lang")
+                .parquet(out)
+            )
+    finally:
+        spark.conf.set(writer_conf[0], old)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
