@@ -915,3 +915,63 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "q")
         .agg(F.min("n_chars").alias("value"))
     )
+
+
+@query(
+    "agg_pmi_association",
+    # Per-cell POINTWISE mutual information over exact integer
+    # counts, one row per contingency cell — no cross-cell float
+    # summation.  ln() is not correctly-rounded in either engine
+    # (JVM Math.log vs libm differ by 1 ulp on some inputs), so the
+    # value is rounded to 9 dp, far above the ulp and far below any
+    # analytical use of PMI.
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS n_xy FROM documents GROUP BY 1, 2
+    ), margins AS (
+      SELECT c.lang, c.source, c.n_xy,
+             SUM(c.n_xy) OVER (PARTITION BY c.lang) AS n_x,
+             SUM(c.n_xy) OVER (PARTITION BY c.source) AS n_y,
+             SUM(c.n_xy) OVER () AS n
+      FROM cells c
+    )
+    SELECT lang, source, CAST(n_xy AS BIGINT) AS n_xy,
+           ROUND(ln((CAST(n_xy AS DOUBLE) * CAST(n AS DOUBLE))
+                    / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 9) AS pmi
+    FROM margins
+    """,
+)
+def agg_pmi_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between two categorical columns
+    (lang × source) — the association measure behind collocation
+    mining and contamination forensics (is a source over-represented
+    in a language?).  Cells and margins come from ONE aggregation plus
+    three windows over the tiny cell table (|langs|×|sources| rows);
+    the corpus contributes exactly one groupBy.  Per-cell PMI keeps
+    the float work order-free: ln of a ratio of exact counts,
+    bit-identical cross-engine."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
+    m = cells.select(
+        "lang",
+        "source",
+        "n_xy",
+        F.sum("n_xy").over(Window.partitionBy("lang")).alias("n_x"),
+        F.sum("n_xy").over(Window.partitionBy("source")).alias("n_y"),
+        F.sum("n_xy").over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_xy").cast("double") * F.col("n").cast("double"))
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        ),
+        9,
+    )
+    return m.select(
+        "lang", "source", F.col("n_xy").cast("bigint").alias("n_xy"),
+        pmi.alias("pmi"),
+    )
