@@ -1535,3 +1535,61 @@ def sim_topk_pq_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+HARD_NEG_CEIL = 0.7   # semi-hard band: similar, but not a true neighbor
+HARD_NEG_K = 5
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 6)
+                 AS cos,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                            c.vec_id) AS BIGINT) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+          AND ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(c.embedding AS DOUBLE[])), 6)
+              < {HARD_NEG_CEIL}
+    ) WHERE rank <= {HARD_NEG_K}
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-HARD NEGATIVE MINING for contrastive training (the FaceNet
+    recipe): per anchor, the k most-similar corpus vectors BELOW a
+    similarity ceiling — close enough to be informative, far enough to
+    be true negatives.  Same broadcast-anchors / corpus-never-shuffles
+    plan as sim_topk_bruteforce with the ceiling filter fused before
+    the ranking window, so the window ranks only the surviving band.
+    At 100 TB the scale path swaps the scan for the IVF/LSH candidate
+    generators upstream of the identical band-filter + top-k tail."""
+    from datafusion_catalogprovider_glue_spark.operators.dedup import _parallelize
+
+    e = _parallelize(_emb(spark, sf_dir), "vec_id")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+        .filter(F.col("cos") < HARD_NEG_CEIL)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HARD_NEG_K)
+    )

@@ -592,3 +592,83 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+_COVERAGE_KS = (100, 1000, 10000)
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ), ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk,
+             SUM(cnt) OVER () AS total
+      FROM wc
+    ), cum AS (
+      SELECT rnk, total,
+             SUM(cnt) OVER (ORDER BY rnk ROWS UNBOUNDED PRECEDING) AS cw
+      FROM ranked
+    )
+    SELECT k,
+           CAST(MAX(CASE WHEN rnk <= k THEN cw END) AS BIGINT)
+             AS covered_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           CAST(MAX(CASE WHEN rnk <= k THEN cw END) AS DOUBLE)
+             / MAX(total) AS coverage
+    FROM cum, (SELECT UNNEST([{", ".join(str(k) for k in _COVERAGE_KS)}]) AS k)
+    WHERE rnk <= k
+    GROUP BY k
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE curve: what fraction of corpus tokens the
+    top-k most frequent words cover, for several k — the measurement
+    that sizes a tokenizer vocabulary (pipeline_bpe_train's K and
+    VOCAB_WORDS knobs are chosen off exactly this curve).
+
+    One corpus pass (word count), then rank + cumulative windows over
+    the word table only; the k grid fans out from a literal array.
+    Deterministic: ranks tie-break on the word, coverage is one double
+    division of exact counts.  At 100 TB the word table is the only
+    shuffled object, and it is Zipf-small relative to the corpus."""
+    apply_engine_conf(spark)
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), "word")
+    w_cum = Window.orderBy("rnk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = wc.select(
+        "cnt",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"),
+    ).withColumn("cw", F.sum("cnt").over(w_cum))
+    ks = F.explode(F.array(*[F.lit(k) for k in _COVERAGE_KS])).alias("k")
+    return (
+        ranked.select("rnk", "cw", "total", ks)
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.max(F.when(F.col("rnk") <= F.col("k"), F.col("cw")))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.max("total").cast("bigint").alias("total_tokens"),
+            (
+                F.max(
+                    F.when(F.col("rnk") <= F.col("k"), F.col("cw"))
+                ).cast("double")
+                / F.max("total")
+            ).alias("coverage"),
+        )
+    )
