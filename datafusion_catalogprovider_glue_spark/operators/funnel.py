@@ -919,3 +919,79 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_conversions"),
         )
     )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    lat AS (
+        SELECT CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS secs
+        FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    )
+    SELECT unnest([0.25, 0.5, 0.9]) AS q,
+           unnest(quantile_cont(secs, [0.25, 0.5, 0.9])) AS latency_secs,
+           COUNT(*) AS n_conversions
+    FROM lat
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERSION LATENCY distribution: p25/p50/p90 of the seconds
+    between each purchase and the latest prior view of the same user —
+    the product metric behind "how long does the funnel take".
+
+    Composition of two already-value-proven pieces: the as-of pairing
+    runs as the union + carry-forward-window plan (join_asof — one
+    user_id shuffle, no inequality-join explosion) and the quantiles
+    as the exact interpolated percentile (agg_percentile — integer
+    second latencies make the interpolation arithmetic exact in
+    doubles, so values hash-match quantile_cont)."""
+    ev = _events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select("user_id", "ts")
+        .distinct()
+        .select("user_id", "ts", F.lit(0).alias("side"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.lit(1).alias("side")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lat = (
+        views.unionByName(purchases)
+        .withColumn(
+            "v_ts",
+            F.last(
+                F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter((F.col("side") == 1) & F.col("v_ts").isNotNull())
+        .select(
+            (
+                F.unix_timestamp("ts") - F.unix_timestamp("v_ts")
+            ).alias("secs")
+        )
+    )
+    qs = [0.25, 0.5, 0.9]
+    agg = lat.agg(
+        F.percentile(F.col("secs"), F.lit(qs)).alias("qarr"),
+        F.count(F.lit(1)).alias("n_conversions"),
+    )
+    return agg.select(
+        F.posexplode("qarr").alias("pos", "latency_secs"), "n_conversions"
+    ).select(
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias("q"),
+        "latency_secs",
+        "n_conversions",
+    )
