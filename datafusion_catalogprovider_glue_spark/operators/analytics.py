@@ -975,3 +975,84 @@ def agg_pmi_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source", F.col("n_xy").cast("bigint").alias("n_xy"),
         pmi.alias("pmi"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.purchase_value,
+           v.ts AS view_ts, v.view_value
+    FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — each purchase matched to the EARLIEST view
+    at-or-after it (the "next maintenance event" / "next quote after
+    the order" direction; DuckDB: ``ASOF JOIN ... ON p.ts <= v.ts``).
+    Same union + running-window plan as the backward join_asof, with
+    the scan direction reversed: order DESCENDING by (ts, side) and
+    carry the last right-side row forward — which, read against event
+    time, is the nearest FUTURE view.  side orders purchases before
+    views at equal ts under the descending sort, so the match is
+    inclusive like DuckDB's ``<=``.  One user_id shuffle, no
+    inequality-join explosion — identical scale behavior to the
+    backward form."""
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            "view_value",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("view_value"),
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn(
+            "matched_value", F.last("view_value", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "matched_ts",
+            F.last(
+                F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter((F.col("side") == 1) & F.col("matched_value").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "purchase_value",
+            F.col("matched_ts").alias("view_ts"),
+            F.col("matched_value").alias("view_value"),
+        )
+    )

@@ -663,3 +663,54 @@ def multimodal_tar_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         _write,
         "shard long, n_members long, payload_bytes long, archive_bytes long",
     )
+
+
+@query(
+    "multimodal_channel_stats",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h
+      FROM documents
+    ), f AS (
+      SELECT doc_id, w, h, UNNEST(range(3)) AS c FROM p
+    )
+    SELECT doc_id, CAST(c AS INT) AS channel,
+           CAST(list_sum(list_transform(range(w*h),
+                i -> (doc_id*31 + 3*i + c) % 256)) AS BIGINT) AS ch_sum,
+           CAST(list_sum(list_transform(range(w*h),
+                i -> (doc_id*31 + 3*i + c) % 256)) AS DOUBLE)
+             / (w * h) AS ch_mean
+    FROM f
+    """,
+)
+def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-CHANNEL statistics from REAL decoded pixels (the
+    normalization constants a vision preprocessor computes): decode
+    the P6 payload, slice the (h, w, 3) raster per channel with numpy
+    strides, and emit each channel's sum and mean.  The oracle
+    re-derives the strided slice from the generation formula — pixel
+    (i, c) = (id·31 + 3i + c) mod 256 — so a hash match proves the
+    decode AND the channel-axis reshape, not just total sums
+    (a transposed or interleave-confused decode would pass a total
+    checksum but fail per-channel)."""
+    m = _docs_media_real(spark, sf_dir, "image").select("doc_id", "media")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, rec in zip(pdf["doc_id"], pdf["media"]):
+                arr, _ = decode_ppm(bytes(rec["bytes"]))
+                h, w = arr.shape[:2]
+                for c in range(3):
+                    ch = arr[:, :, c]
+                    ch_sum = int(ch.sum(dtype=np.int64))
+                    rows.append(
+                        (int(doc_id), c, ch_sum, float(ch_sum) / (w * h))
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "channel", "ch_sum", "ch_mean"]
+            )
+
+    return m.mapInPandas(
+        stats, "doc_id bigint, channel int, ch_sum bigint, ch_mean double"
+    )
