@@ -114,7 +114,7 @@ def _docs_media_real(
                         _make_image(doc_id, k) for k in range(FRAMES_PER_DOC)
                     )
                     mime = VID_MIME
-                elif kind == "mixed" and doc_id % 4 == 3:
+                elif kind == "audio" or (kind == "mixed" and doc_id % 4 == 3):
                     payload, mime = _make_audio(doc_id), WAV_MIME
                 else:
                     payload, mime = _make_image(doc_id), IMG_MIME
@@ -713,4 +713,63 @@ def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return m.mapInPandas(
         stats, "doc_id bigint, channel int, ch_sum bigint, ch_mean double"
+    )
+
+
+AUDIO_FRAME = 64   # samples per analysis frame
+AUDIO_HOP = 32     # hop (50% overlap)
+
+
+@query(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, 160 + doc_id % 80 AS n FROM documents
+    ), f AS (
+      SELECT doc_id, n,
+             UNNEST(range((n - {AUDIO_FRAME}) // {AUDIO_HOP} + 1)) AS w
+      FROM p WHERE n >= {AUDIO_FRAME}
+    )
+    SELECT doc_id, CAST(w AS BIGINT) AS frame_idx,
+           CAST(list_sum(list_transform(range({AUDIO_FRAME}), j ->
+                CAST(((doc_id*7 + (w*{AUDIO_HOP} + j)*13) % 2048) - 1024
+                     AS BIGINT)
+                * CAST(((doc_id*7 + (w*{AUDIO_HOP} + j)*13) % 2048) - 1024
+                       AS BIGINT)))
+             AS BIGINT) AS energy
+    FROM f
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame ENERGY from REAL decoded audio (the VAD / loudness
+    feature every speech pipeline computes first): decode the
+    RIFF/WAVE payload, frame the sample vector ({AUDIO_FRAME}-sample
+    frames, {AUDIO_HOP}-sample hop — numpy stride tricks, the actual
+    STFT framing kernel), and emit each complete frame's sum of
+    squared samples.  All-integer arithmetic, so the oracle's
+    formula-derived energies must match EXACTLY — a resampled,
+    misaligned, or sign-flipped decode cannot pass."""
+    m = _docs_media_real(spark, sf_dir, "audio").select("doc_id", "media")
+
+    def energies(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, rec in zip(pdf["doc_id"], pdf["media"]):
+                _rate, samples = decode_wav_pcm16(bytes(rec["bytes"]))
+                x = samples.astype(np.int64)
+                n = x.size
+                if n < AUDIO_FRAME:
+                    continue
+                n_frames = (n - AUDIO_FRAME) // AUDIO_HOP + 1
+                idx = (
+                    np.arange(AUDIO_FRAME)[None, :]
+                    + AUDIO_HOP * np.arange(n_frames)[:, None]
+                )
+                frames = x[idx]
+                for w, e in enumerate((frames * frames).sum(axis=1)):
+                    rows.append((int(doc_id), w, int(e)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "energy"])
+
+    return m.mapInPandas(
+        energies, "doc_id bigint, frame_idx bigint, energy bigint"
     )
