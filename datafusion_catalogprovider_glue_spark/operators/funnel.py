@@ -995,3 +995,65 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "latency_secs",
         "n_conversions",
     )
+
+
+@query(
+    "events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP)))
+               AS cohort_week
+      FROM events GROUP BY user_id
+    ), rev AS (
+      SELECT e.user_id, f.cohort_week,
+             CAST(date_diff('week', f.cohort_week,
+                            date_trunc('week', CAST(e.ts AS TIMESTAMP)))
+                  AS INT) AS week_offset,
+             e.value
+      FROM events e JOIN firsts f USING (user_id)
+      WHERE e.event_type = 'purchase'
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM rev GROUP BY 1, 2
+    """,
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE curves: purchase count and revenue per
+    (signup-week cohort, weeks-since-signup offset) — the revenue twin
+    of events_retention's activity triangle, and the table every LTV
+    model fits from.
+
+    Join-light plan: the cohort table is one groupBy over user ids
+    (never a broadcast dependency — events_retention's argument), the
+    fact side joins it on user_id once, and revenue sums on the exact
+    decimal grid.  Week arithmetic happens identically both engines
+    (date_trunc to Monday + week difference)."""
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+
+    ev = _events(spark, sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    rev = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")), F.col("cohort_week")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "value",
+        )
+    )
+    return rev.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum(F.col("value"), 2).alias("revenue"),
+    )

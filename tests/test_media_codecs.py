@@ -121,3 +121,62 @@ def test_resize_upsample():
     assert big.shape == (4, 4, 3)
     np.testing.assert_array_equal(big[0, 0], arr[0, 0])
     np.testing.assert_array_equal(big[3, 3], arr[1, 1])
+
+
+# ---------------------------------------------------------------------------
+# property tests: any raster/sample vector round-trips byte-exactly
+# ---------------------------------------------------------------------------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**32 - 1),
+    gray=st.booleans(),
+)
+def test_ppm_round_trip_property(w, h, seed, gray):
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    decoded, end = decode_ppm(encode_ppm(arr))
+    assert end == len(encode_ppm(arr))
+    np.testing.assert_array_equal(decoded, arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    n=st.integers(0, 2000),
+    seed=st.integers(0, 2**32 - 1),
+    rate=st.sampled_from([8000, 16000, 44100, 48000]),
+)
+def test_wav_round_trip_property(n, seed, rate):
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-(2**15), 2**15, size=n).astype(np.int16)
+    got_rate, decoded = decode_wav_pcm16(encode_wav_pcm16(s, rate))
+    assert got_rate == rate
+    np.testing.assert_array_equal(decoded, s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    frames=st.lists(
+        st.tuples(st.integers(1, 12), st.integers(1, 12), st.integers(0, 255)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_ppm_frame_stream_property(frames):
+    """Concatenated frames of VARYING dimensions split exactly — the
+    parser must derive each frame's length from its own header."""
+    arrs = [
+        ((np.arange(w * h * 3) + s) % 256).astype(np.uint8).reshape(h, w, 3)
+        for w, h, s in frames
+    ]
+    out = decode_ppm_frames(b"".join(encode_ppm(a) for a in arrs))
+    assert len(out) == len(arrs)
+    for got, want in zip(out, arrs):
+        np.testing.assert_array_equal(got, want)
