@@ -1056,3 +1056,88 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("matched_value").alias("view_value"),
         )
     )
+
+
+@query(
+    "join_scd2_point_in_time",
+    # SCD2 dim fixture derived deterministically from customer: version
+    # 1 (original acctbal) valid before 1996-01-01, version 2 (acctbal
+    # + 1000) valid from it on.  Facts join the version whose validity
+    # covers the order date.
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey, c_acctbal AS acctbal,
+             TIMESTAMP '1970-01-01' AS valid_from,
+             TIMESTAMP '1996-01-01' AS valid_to
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal + 1000,
+             TIMESTAMP '1996-01-01', TIMESTAMP '9999-01-01'
+      FROM customer
+    )
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("d.acctbal", 2)} AS sum_acctbal_at_order
+    FROM orders o
+    JOIN dim d ON o.o_custkey = d.c_custkey
+              AND CAST(o.o_orderdate AS TIMESTAMP) >= d.valid_from
+              AND CAST(o.o_orderdate AS TIMESTAMP) < d.valid_to
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION (type 2) point-in-time join: each
+    fact row joins the dimension VERSION that was valid at fact time —
+    the correctness backbone of every warehouse with mutable
+    dimensions (and of feature stores: this is the point-in-time
+    feature join that prevents label leakage).
+
+    The oracle is the textbook BETWEEN-validity range join.  The Spark
+    plan avoids the inequality join entirely: dimension versions and
+    facts union into ONE stream keyed by c_custkey, ordered by
+    (effective_ts, side), and a carry-forward window attaches the
+    latest dimension version at-or-before each fact — the join_asof
+    machinery applied per entity, one shuffle, no range explosion.
+    At 100 TB a BETWEEN join on a billion-row dim is a disaster; this
+    shape is the standard fix."""
+    from pyspark.sql.window import Window
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    v1 = c.select(
+        F.col("c_custkey").alias("key"),
+        F.lit("1970-01-01").cast("timestamp").alias("ts"),
+        F.lit(0).alias("side"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("key"),
+        F.lit("1996-01-01").cast("timestamp").alias("ts"),
+        F.lit(0).alias("side"),
+        (F.col("c_acctbal") + 1000).alias("acctbal"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("double").alias("acctbal"),
+        "o_orderpriority",
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        v1.unionByName(v2)
+        .unionByName(o)
+        .withColumn(
+            "dim_acctbal", F.last("acctbal", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 1)
+    )
+    return matched.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("dim_acctbal"), 2).alias("sum_acctbal_at_order"),
+    )
