@@ -1141,3 +1141,42 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum(F.col("dim_acctbal"), 2).alias("sum_acctbal_at_order"),
     )
+
+
+@query(
+    "agg_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS med
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag, MAX(m.med) AS med,
+           median(abs(l.l_quantity - m.med)) AS mad,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN med m USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEDIAN ABSOLUTE DEVIATION per group — the robust dispersion
+    measure (outlier-resistant where stddev is not; the scale estimate
+    behind robust z-scores).  Two exact median passes: group medians
+    first (tiny result, broadcast back onto the fact scan), then the
+    median of absolute deviations.  Integer-valued quantities keep
+    both interpolations exact in doubles, so values hash-match
+    DuckDB's median.  At 100 TB each pass is one sort-based aggregate;
+    the approx_percentile sketch is the documented swap
+    (agg_approx_percentile's tolerance pattern applies verbatim)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.max("med").alias("med"),
+            F.median(F.abs(F.col("l_quantity") - F.col("med"))).alias("mad"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
