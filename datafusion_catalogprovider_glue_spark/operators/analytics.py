@@ -999,13 +999,14 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     at-or-after it (the "next maintenance event" / "next quote after
     the order" direction; DuckDB: ``ASOF JOIN ... ON p.ts <= v.ts``).
     Same union + running-window plan as the backward join_asof, with
-    the scan direction reversed: order DESCENDING by (ts, side) and
-    carry the last right-side row forward — which, read against event
-    time, is the nearest FUTURE view.  side orders purchases before
-    views at equal ts under the descending sort, so the match is
-    inclusive like DuckDB's ``<=``.  One user_id shuffle, no
-    inequality-join explosion — identical scale behavior to the
-    backward form."""
+    the scan direction reversed: order DESCENDING by ts and carry the
+    last right-side row forward — which, read against event time, is
+    the nearest FUTURE view.  Within equal ts the secondary key is
+    side ASCENDING, so the view (side 0) enters the scan before the
+    purchase (side 1) and the purchase's running frame SEES the
+    equal-ts view — the inclusive ``<=`` semantics of DuckDB's ASOF.
+    One user_id shuffle, no inequality-join explosion — identical
+    scale behavior to the backward form."""
     ev = _t(spark, sf_dir, "events")
     views = (
         ev.filter(F.col("event_type") == "view")
@@ -1032,7 +1033,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").desc(), F.col("side").desc())
+        .orderBy(F.col("ts").desc(), F.col("side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (

@@ -367,12 +367,18 @@ def select_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TOLERANCE oracle: the HLL++ estimate itself is engine-specific,
     # but its accuracy contract is not.  The Spark side emits the
     # exact distinct count plus a boolean asserting the estimate
-    # landed within 3×rsd of it; DuckDB emits the same exact count
-    # and literal TRUE — the value hash covers the envelope.
+    # landed within 5×rsd of it; DuckDB emits the same exact count
+    # and literal TRUE — the value hash covers the envelope.  The
+    # envelope is 5σ (not 3σ) because rsd is a standard deviation,
+    # not a hard bound: ~0.3% of groups can legitimately exceed 3σ,
+    # which would flake the cross-engine gate on other data or a
+    # Spark version with different sketch seeding.  The tighter
+    # empirical bound on THIS data is pinned in
+    # tests/test_extensions.py::test_approx_distinct_accuracy.
     oracle="""
     SELECT l_returnflag,
            COUNT(DISTINCT l_partkey) AS exact_parts,
-           TRUE AS within_3rsd
+           TRUE AS within_5rsd
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -382,7 +388,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches.  The production operator is the approx aggregate alone;
     the exact countDistinct here is the oracle anchor that turns the
     old rows-only check into a value-hashed accuracy envelope
-    (|est - exact| ≤ 3·rsd·exact, rsd = 0.01)."""
+    (|est - exact| ≤ 5·rsd·exact, rsd = 0.01)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
@@ -395,8 +401,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_parts",
             (
                 F.abs(F.col("est") - F.col("exact_parts"))
-                <= 0.03 * F.col("exact_parts")
-            ).alias("within_3rsd"),
+                <= 0.05 * F.col("exact_parts")
+            ).alias("within_5rsd"),
         )
     )
 

@@ -418,21 +418,32 @@ def _first_conversion(
         SELECT user_id, ts, event_id, event_type,
                LAST_VALUE(CASE WHEN event_type = 'view' THEN ts END
                           IGNORE NULLS) OVER w AS v_ts,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END
+                          IGNORE NULLS) OVER w AS v_id,
                LAST_VALUE(CASE WHEN event_type IN ('signup', 'error')
-                               THEN ts END IGNORE NULLS) OVER w AS block_ts
+                               THEN ts END IGNORE NULLS) OVER w AS block_ts,
+               LAST_VALUE(CASE WHEN event_type IN ('signup', 'error')
+                               THEN event_id END IGNORE NULLS) OVER w AS block_id
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ), qualifying AS (
+        -- the automaton runs in (ts, event_id) order, so every
+        -- comparison tie-breaks on event_id: a click counts iff it is
+        -- strictly after the arming view AND strictly before the
+        -- purchase in that total order, and the arm survives iff the
+        -- last blocker precedes the last view in that order.
         SELECT m.user_id, m.ts, m.event_id,
                (SELECT COUNT(*) FROM e c
                 WHERE c.user_id = m.user_id AND c.event_type = 'click'
-                  AND (c.ts > m.v_ts OR (c.ts = m.v_ts))
-                  AND (c.ts < m.ts OR (c.ts = m.ts AND c.event_id < m.event_id))
-                  AND c.ts >= m.v_ts) AS n_clicks
+                  AND (c.ts > m.v_ts
+                       OR (c.ts = m.v_ts AND c.event_id > m.v_id))
+                  AND (c.ts < m.ts
+                       OR (c.ts = m.ts AND c.event_id < m.event_id))) AS n_clicks
         FROM marked m
         WHERE m.event_type = 'purchase' AND m.v_ts IS NOT NULL
-          AND (m.block_ts IS NULL OR m.block_ts < m.v_ts)
+          AND (m.block_ts IS NULL OR m.block_ts < m.v_ts
+               OR (m.block_ts = m.v_ts AND m.block_id < m.v_id))
     ), firsts AS (
         SELECT user_id, ts, n_clicks,
                ROW_NUMBER() OVER (PARTITION BY user_id

@@ -253,11 +253,12 @@ def test_simhash_banding_is_exact_within_radius(spark):
 
 
 def test_approx_distinct_accuracy(spark):
-    """agg_approx_distinct now carries a TOLERANCE oracle: it emits the
-    exact distinct count plus a within-3·rsd boolean.  Pin that the
-    envelope actually holds on real data (the gate only checks the
-    emitted boolean equals literal TRUE) and the exact anchor matches
-    an independent countDistinct."""
+    """agg_approx_distinct carries a TOLERANCE oracle: it emits the
+    exact distinct count plus a within-5·rsd boolean (5σ because rsd
+    is a standard deviation, not a guarantee — the cross-engine gate
+    must never flake).  Pin here that on THIS data the tighter 3·rsd
+    empirical bound also holds, and the exact anchor matches an
+    independent countDistinct."""
     from pyspark.sql import functions as F
 
     from datafusion_catalogprovider_glue_spark.operators import registry
@@ -266,7 +267,14 @@ def test_approx_distinct_accuracy(spark):
     registry.load_all_operator_modules()
     sf = "/root/testdata/sf0.01"
     rows = registry.QUERIES["agg_approx_distinct"](spark, sf).collect()
-    assert rows and all(r.within_3rsd for r in rows)
+    assert rows and all(r.within_5rsd for r in rows)
+    est = {
+        r.l_returnflag: r.est
+        for r in load_table(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_partkey", 0.01).alias("est"))
+        .collect()
+    }
     li = load_table(spark, sf, "lineitem")
     exact = {
         r.l_returnflag: r.n
@@ -275,6 +283,10 @@ def test_approx_distinct_accuracy(spark):
         .collect()
     }
     assert {r.l_returnflag: r.exact_parts for r in rows} == exact
+    # tighter empirical pin: on this data the estimate sits within
+    # 3·rsd of exact (the cross-engine gate only asserts 5·rsd)
+    for flag, n in exact.items():
+        assert abs(est[flag] - n) <= 0.03 * n
 
 
 def test_asof_join_tie_and_order_semantics(spark):
@@ -312,6 +324,50 @@ def test_asof_join_tie_and_order_semantics(spark):
     assert set(out) == {2, 7}
     assert out[2]["view_value"] == 10.0 and out[2]["view_ts"] == t0
     assert out[7]["view_value"] == 2.0
+
+
+def test_asof_forward_join_tie_and_order_semantics(spark):
+    # constructed case for the FORWARD direction: a view exactly AT the
+    # purchase ts must match (inclusive <=, DuckDB ASOF p.ts <= v.ts),
+    # the EARLIEST at-or-after view wins over later ones, and a
+    # purchase with no subsequent view drops (inner asof semantics).
+    # Regression for the tie bug where (ts DESC, side DESC) ordered the
+    # purchase before an equal-ts view so the tie never matched.
+    import datetime as dt
+
+    from datafusion_catalogprovider_glue_spark.operators.analytics import (
+        join_asof_forward,
+    )
+    import datafusion_catalogprovider_glue_spark.operators.analytics as mod
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: purchase@12:00, view@12:00 (tie -> matches), view@12:05 later
+        (1, t0, 1, "purchase", 99.0, None),
+        (2, t0, 1, "view", 10.0, None),
+        (3, t0 + dt.timedelta(minutes=5), 1, "view", 20.0, None),
+        # user 2: purchase with no at-or-after view -> dropped
+        (4, t0, 2, "purchase", 50.0, None),
+        (5, t0 - dt.timedelta(minutes=1), 2, "view", 3.0, None),
+        # user 3: two views after purchase -> EARLIEST wins
+        (6, t0, 3, "purchase", 7.0, None),
+        (7, t0 + dt.timedelta(minutes=1), 3, "view", 1.0, None),
+        (8, t0 + dt.timedelta(minutes=2), 3, "view", 2.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    orig = mod.load_table
+    mod.load_table = lambda s, d, n: df
+    try:
+        out = {
+            r["event_id"]: r for r in join_asof_forward(spark, "ignored").collect()
+        }
+    finally:
+        mod.load_table = orig
+    assert set(out) == {1, 6}
+    assert out[1]["view_value"] == 10.0 and out[1]["view_ts"] == t0
+    assert out[6]["view_value"] == 1.0
 
 
 def test_approx_percentile_within_rank_error(spark):
