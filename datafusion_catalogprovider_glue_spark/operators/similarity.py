@@ -63,53 +63,39 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KMEANS_SAMPLE_CAP = 65536  # FAISS-style: codebooks train on a bounded sample
 
-
-def _train_sample(df: DataFrame, col: str) -> np.ndarray:
-    """Deterministic bounded training sample for quantizer fits.
-
-    ``orderBy(xxhash64).limit(cap)`` compiles to TakeOrderedAndProject
-    — each task keeps a cap-sized heap over its partition and the
-    driver merges, so this is one O(n) corpus scan with no full sort
-    and no shuffle, and the same rows come back at any scale factor.
-    At 100 TB the cap (not the corpus) bounds driver memory: 65536 ×
-    64 doubles = 32 MB.
-    """
-    rows = (
-        df.select(col)
-        .orderBy(F.xxhash64(F.col(col).cast("string")))
-        .limit(_KMEANS_SAMPLE_CAP)
-        .collect()
-    )
-    return np.asarray([r[0] for r in rows], dtype=np.float64)
+# ORDER BY md5(vec_id-as-string) — a hash order BOTH engines compute
+# identically (md5 of the decimal string of a bigint), so the bounded
+# training sample is cross-engine reproducible: the DuckDB oracle
+# re-derives the exact same sample, seeds, and (via the pinned Lloyd
+# round below) the exact same codebook.  Spark's xxhash64 would be
+# cheaper but has no DuckDB twin — md5 runs once per corpus row only
+# during index TRAINING, never on the query path.
+_SAMPLE_ORDER_SQL = "md5(CAST(vec_id AS VARCHAR)), vec_id"
 
 
-def _fit_codebook(X: np.ndarray, k: int, seed: int, max_iter: int = 10) -> list[list[float]]:
-    """Lloyd's k-means on the driver-side sample (seeded k-means++ init).
+def _hash_order(df: DataFrame) -> DataFrame:
+    return df.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
 
-    This is how PQ/IVF quantizers are actually trained at scale: the
-    codebook fits on a fixed-size sample regardless of corpus size,
-    and only the ENCODE step touches the full corpus (one distributed
-    map with literal centroids).  The MLlib fit this replaces ran ~10
-    driver-coordinated Spark jobs per codebook — 4 codebooks made PQ
-    ~40 serial tiny jobs — all for a k=16 clustering of a 32 MB
-    sample.  Deterministic: seeded init, fixed iteration count,
-    centroids rounded to 6 dp before becoming plan literals.
-    """
-    rng = np.random.default_rng(seed)
-    centers = [X[int(rng.integers(len(X)))]]
-    for _ in range(k - 1):
-        d2 = ((X[:, None, :] - np.asarray(centers)[None, :, :]) ** 2).sum(-1).min(1)
-        tot = d2.sum()
-        p = d2 / tot if tot > 0 else None
-        centers.append(X[int(rng.choice(len(X), p=p))])
-    C = np.asarray(centers)
-    for _ in range(max_iter):
-        assign = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1).argmin(1)
-        for j in range(k):
-            m = assign == j
-            if m.any():
-                C[j] = X[m].mean(0)
-    return C.round(6).tolist()
+
+def _hash_sample(df: DataFrame, cap: int = _KMEANS_SAMPLE_CAP) -> DataFrame:
+    """Deterministic bounded training sample for quantizer fits — the
+    FAISS training contract: the codebook fits on a fixed-size sample
+    regardless of corpus size, and only the ENCODE step touches the
+    full corpus.  ``orderBy(md5(vec_id)).limit(cap)`` keeps a cap-sized
+    heap per task and merges — one O(n) corpus scan, no full shuffle —
+    and the hash order makes the sample scale-stable AND reproducible
+    by the DuckDB oracle (see _SAMPLE_ORDER_SQL).  At 100 TB the cap
+    (not the corpus) bounds the training set: 65536 × 64 doubles =
+    32 MB."""
+    return _hash_order(df).limit(cap)
+
+
+def _sample_seed_ids(sample: DataFrame, k: int) -> list[int]:
+    """The k vec_ids heading the hash-ordered sample — the
+    deterministic stand-in for random codebook init (hash order IS a
+    uniform draw).  K rows collected: the only driver-side materialization
+    in the sample-trained index paths, bounded by k (≤ 256)."""
+    return [r.vec_id for r in _hash_order(sample).limit(k).collect()]
 
 
 def _codebook_lit(centroids: list[list[float]]):
@@ -117,30 +103,46 @@ def _codebook_lit(centroids: list[list[float]]):
     return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
 
 
-def _d2_table(vcol, centroids: list[list[float]]):
+def _d2_table(vcol, centroids: list[list[float]], digits: int | None = None):
     """Array of squared distances from ``vcol`` to every centroid.
 
     Uses ``transform`` over a nested-array literal rather than k
     unrolled aggregate expressions: the literal payload is the same
     but the tree has ONE fold lambda, so Catalyst analysis + codegen
     is ~2× faster (measured) and the generated function stays small.
+    With ``digits`` the fold is rounded — the cross-engine pinning
+    discipline (every float op identical to the DuckDB twin's
+    list_reduce left fold + ROUND).
     """
-    return F.transform(
-        _codebook_lit(centroids),
-        lambda c: F.aggregate(
+    def one(c):
+        fold = F.aggregate(
             F.zip_with(vcol, c, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
-    )
+        )
+        return F.round(fold, digits) if digits is not None else fold
+
+    return F.transform(_codebook_lit(centroids), one)
 
 
-def _argmin_cell(vcol, centroids: list[list[float]]):
+def _argmin_cell(vcol, centroids: list[list[float]], digits: int | None = None):
     """Index (0-based) of the nearest centroid, as a codegen expression:
     an array of squared distances + array_position of its min.  Ties
-    resolve to the first (lowest) index — deterministic."""
-    d2s = _d2_table(vcol, centroids)
+    resolve to the first (lowest) index — deterministic (the DuckDB
+    twin: ROW_NUMBER ordered by (d2 ASC, cid ASC))."""
+    d2s = _d2_table(vcol, centroids, digits)
     return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+
+
+def _d2_sql(a: str, b: str, dims: int) -> str:
+    """DuckDB twin of the pinned rounded squared-L2 fold: identical
+    operation sequence (left fold over coordinates in order) so the
+    doubles come out bit-identical to Spark's F.aggregate."""
+    return (
+        f"ROUND(list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, {dims} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y), 6)"
+    )
 
 
 @query(
@@ -325,34 +327,161 @@ IVF_CELLS = 16        # coarse centroids (k for the k-means quantizer)
 IVF_NPROBE = 4        # cells probed per query
 
 
-@query("sim_topk_ivf")  # rows-only: centroids are trainer/seed-specific
+def _ivf_sample_oracle() -> str:
+    """DuckDB twin of the ENTIRE sample-trained IVF path: hash-ordered
+    bounded sample -> hash-order seeds -> one pinned Lloyd round ->
+    full-corpus cell assignment -> probe selection -> exact cosine
+    rank.  Every float op mirrors the Spark plan (pinned rounded d2
+    folds, decimal-grid centroid means), so the key is fully
+    value-hashed despite being sample-trained."""
+    d2 = lambda a, b: _d2_sql(a, b, _EMBED_DIM)
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+    ),
+    smp AS MATERIALIZED (
+        SELECT vec_id, vv FROM v
+        ORDER BY {_SAMPLE_ORDER_SQL} LIMIT {_KMEANS_SAMPLE_CAP}
+    ),
+    c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY {_SAMPLE_ORDER_SQL}) - 1 AS INT)
+                   AS cid, vv AS cv
+        FROM (SELECT vec_id, vv FROM smp
+              ORDER BY {_SAMPLE_ORDER_SQL} LIMIT {IVF_CELLS})
+    ),
+    m1 AS (
+        SELECT vec_id, cid FROM (
+            SELECT s.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                       ORDER BY {d2("s.vv", "c.cv")} ASC, c.cid) AS rn
+            FROM smp s CROSS JOIN c0 c
+        ) WHERE rn = 1
+    ),
+    cm AS (
+        SELECT cid, pos,
+               CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS av
+        FROM (SELECT m.cid, unnest(s.vv) AS val,
+                     unnest(range(0, len(s.vv))) AS pos
+              FROM smp s JOIN m1 m USING (vec_id))
+        GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(av ORDER BY pos) AS cv FROM cm GROUP BY cid),
+    asg AS (
+        SELECT vec_id, cell FROM (
+            SELECT v.vec_id, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                       ORDER BY {d2("v.vv", "c.cv")} ASC, c.cid) AS rn
+            FROM v CROSS JOIN c1 c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell FROM (
+            SELECT q.vec_id AS query_id, c.cid AS cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY {d2("q.vv", "c.cv")} ASC, c.cid) AS pr
+            FROM (SELECT vec_id, vv FROM v WHERE vec_id < {N_QUERIES}) q
+            CROSS JOIN c1 c
+        ) WHERE pr <= {IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(qv.vv, nv.vv), 6) AS cos
+        FROM probes p
+        JOIN asg a ON a.cell = p.cell
+        JOIN v qv ON qv.vec_id = p.query_id
+        JOIN v nv ON nv.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT query_id, neighbor_id, cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rank
+        FROM cand
+    ) WHERE rank <= {TOP_K}
+    """
+
+
+@query("sim_topk_ivf", oracle=_ivf_sample_oracle())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3 scale path #2: IVF (inverted-file) ANN — the index structure
-    FAISS/Milvus-style systems use, built from Spark primitives.
+    FAISS/Milvus-style systems use, built from Spark primitives, with
+    the FAISS training contract: the coarse quantizer fits on a
+    BOUNDED hash-ordered sample (cap = 65536 regardless of corpus
+    size), and only the encode step touches the full corpus.
 
-    A k-means coarse quantizer (seeded driver-side fit on a bounded
-    hash-ordered sample — the FAISS training contract) assigns every
-    corpus vector to one of IVF_CELLS cells; each query probes its
+    Training is one deterministic Lloyd round ON the sample — seeds =
+    the first IVF_CELLS sample rows in hash order (hash order is the
+    uniform draw), assignment by pinned rounded squared-L2, centroid
+    update on the 1e-6 integer grid — so the fit costs O(cap × cells)
+    and, unlike an RNG-seeded numpy fit, is reproduced bit-for-bit by
+    the DuckDB oracle: this key is fully value-hashed end to end
+    (sample, seeds, codebook, cell assignment, probes, ranking).
+
+    Every corpus vector then maps to a cell in ONE whole-stage-codegen
+    pass with the K centroids as plan literals (K rows collected — the
+    FAISS read-the-trained-index step); each query probes its
     IVF_NPROBE nearest centroids and ranks exact cosine only within
-    those cells.  The candidate join is an equi-join on cell id —
-    corpus-side work is proportional to nprobe/cells, and at 100 TB
-    the assignment step is ONE map over the corpus with literal
-    centroids (whole-stage codegen, no MLlib job storm) while training
-    cost is fixed by the sample cap, not the corpus.
+    those cells via an equi-join on cell id.  At 100 TB: training cost
+    is fixed by the sample cap, assignment is a map (no shuffle, no
+    join), and probe work is proportional to nprobe/cells of the
+    corpus.
 
     Recall on this near-uniform testdata: centroid distances are a
     weak signal (as with LSH); the recall test pins >= 0.5 at nprobe=4
     of 16 cells, i.e. scanning ~25% of the corpus.
     """
-    e = _emb(spark, sf_dir)
-    centroids = _fit_codebook(_train_sample(e, "v"), k=IVF_CELLS, seed=7)
+    e = _emb(spark, sf_dir).select("vec_id", "v")
+    sample = _hash_sample(e)
+    seed_ids = _sample_seed_ids(sample, IVF_CELLS)
+    cid_map = F.create_map(
+        *[F.lit(x) for i, vid in enumerate(seed_ids) for x in (vid, i)]
+    )
+    seeds = e.filter(F.col("vec_id").isin(seed_ids)).select(
+        F.element_at(cid_map, F.col("vec_id")).cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+    )
+    # one Lloyd round on the sample: pinned-d2 assignment to the seeds,
+    # then decimal-grid (exact, order-free) centroid means
+    m1 = (
+        sample.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "cid", _d2_pinned(F.col("v"), F.col("cv")).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    coords = sample.join(m1, "vec_id").select(
+        "cid", F.posexplode("v").alias("pos", "val")
+    )
+    cm = coords.groupBy("cid", "pos").agg(
+        (
+            F.sum(F.round(F.col("val") * 1000000.0).cast("long")).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("av")
+    )
+    c1 = cm.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda t: t["av"]
+        ).alias("cv")
+    )
+    # the trained codebook: K tiny rows -> plan literals (the FAISS
+    # "load the trained index" step; bounded by IVF_CELLS, not data)
+    cents = sorted(c1.collect(), key=lambda r: r.cid)
+    centroids = [list(r.cv) for r in cents]
+    cid_arr = F.array(*[F.lit(int(r.cid)) for r in cents])
+
     # Index BUILD is a materialization step (FAISS writes the inverted
     # file to disk; here localCheckpoint pins the assignment).  Without
     # it the 16-centroid argmin expression is re-inlined into all three
     # downstream plan branches (queries, probes, corpus) and Catalyst
     # planning time dominates the tiny probe job.
     assigned = e.select(
-        "vec_id", "v", _argmin_cell(F.col("v"), centroids).alias("cell")
+        "vec_id",
+        "v",
+        F.element_at(
+            cid_arr, _argmin_cell(F.col("v"), centroids, digits=6) + 1
+        ).alias("cell"),
     ).localCheckpoint()
 
     # per query: nprobe nearest centroids (tiny: n_queries x cells)
@@ -360,7 +489,11 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_dists = q.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
-        F.posexplode(_d2_table(F.col("v"), centroids)).alias("cell", "d2"),
+        F.posexplode(_d2_table(F.col("v"), centroids, digits=6)).alias(
+            "pos", "d2"
+        ),
+    ).select(
+        "query_id", "qv", "d2", F.element_at(cid_arr, F.col("pos") + 1).alias("cell")
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), F.col("cell"))
     probes = (
@@ -696,40 +829,191 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- product quantization ---------------------------------------------------
 
 PQ_SUBSPACES = 4   # 64 dims → 4 × 16-dim subspaces
+
+
+def _pq_d2_sql(a: str, b: str) -> str:
+    return _d2_sql(a, b, PQ_SUBDIM)
+
+
+def _pq_d2_raw_sql(a: str, b: str) -> str:
+    """UNROUNDED pinned fold — for the maxmin seed chain, where both
+    engines produce bit-identical doubles (left fold in coordinate
+    order) and compare them raw."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"list_transform(range(1, {PQ_SUBDIM} + 1), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y)"
+    )
 PQ_SUBDIM = _EMBED_DIM // PQ_SUBSPACES
 PQ_CODEBOOK = 16   # centroids per subspace → 4 bytes/vector total
 PQ_SHORTLIST = 40  # ADC candidates per query fed to the exact re-rank
 
 
-@query("sim_topk_pq")  # rows-only: codes are trainer/seed-specific
+def _pq_sample_oracle() -> str:
+    """DuckDB twin of the ENTIRE sample-trained PQ path: L2
+    normalization -> hash-ordered bounded sample -> hash-order seeds
+    -> per-subspace pinned Lloyd round -> full-corpus encoding ->
+    per-query d2 lookup tables -> ascending-ADC shortlist -> exact
+    cosine re-rank.  Same pinning discipline as _pq_flat_oracle, plus
+    the normalization fold (list_transform + left-fold list_reduce in
+    the same op order as Spark's F.aggregate) and the reproducible
+    md5 sample order."""
+    parts = [
+        "WITH v AS MATERIALIZED (\n"
+        "    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings\n"
+        "),\n"
+        "nrm AS MATERIALIZED (\n"
+        "    SELECT vec_id, list_transform(vv, x -> x / sqrt(\n"
+        "        list_reduce(list_prepend(0.0, list_transform(vv, y -> y * y)),\n"
+        "                    (a, b) -> a + b))) AS nv\n"
+        "    FROM v\n"
+        "),\n"
+        f"smp AS MATERIALIZED (\n"
+        f"    SELECT vec_id, nv FROM nrm\n"
+        f"    ORDER BY {_SAMPLE_ORDER_SQL} LIMIT {_KMEANS_SAMPLE_CAP}\n"
+        f")"
+    ]
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * PQ_SUBDIM + 1, (s + 1) * PQ_SUBDIM
+        d2 = _pq_d2_sql("sv", "cv")
+        # farthest-point (maxmin) seed chain — replays
+        # _maxmin_seeds_subs step for step: seed 0 = head of the hash
+        # order, then k-1 rounds of (argmax running-min-d2, tie to the
+        # smaller vec_id) with the same LEAST(pinned d2) update
+        # every step CTE is MATERIALIZED: w{{i-1}} is referenced twice
+        # (by sd{{i}} and w{{i}}), so un-materialized inlining would
+        # blow up 2^k
+        maxmin = [f"""
+    sub{s} AS MATERIALIZED (SELECT vec_id, nv[{lo}:{hi}] AS sv FROM nrm),
+    smp{s} AS MATERIALIZED (SELECT vec_id, nv[{lo}:{hi}] AS sv FROM smp),
+    sd{s}_0 AS MATERIALIZED (SELECT sv AS cv FROM smp{s}
+                ORDER BY {_SAMPLE_ORDER_SQL} LIMIT 1),
+    w{s}_0 AS MATERIALIZED (SELECT w.vec_id, w.sv,
+                        {_pq_d2_raw_sql("w.sv", "c.cv")} AS m
+               FROM smp{s} w CROSS JOIN sd{s}_0 c)"""]
+        for i in range(1, PQ_CODEBOOK):
+            maxmin.append(f"""
+    sd{s}_{i} AS MATERIALIZED (SELECT sv AS cv FROM w{s}_{i - 1}
+                  ORDER BY m DESC, vec_id LIMIT 1),
+    w{s}_{i} AS MATERIALIZED (SELECT w.vec_id, w.sv,
+                        LEAST(w.m, {_pq_d2_raw_sql("w.sv", "c.cv")}) AS m
+                 FROM w{s}_{i - 1} w CROSS JOIN sd{s}_{i} c)""")
+        seed_union = "\n        UNION ALL ".join(
+            f"SELECT CAST({i} AS INT) AS cid, cv FROM sd{s}_{i}"
+            for i in range(PQ_CODEBOOK)
+        )
+        parts.append(",".join(maxmin) + f""",
+    c0_{s} AS (
+        {seed_union}
+    ),
+    m1_{s} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {d2} ASC, cid) AS rn
+            FROM smp{s} CROSS JOIN c0_{s}
+        ) WHERE rn = 1
+    ),
+    cm_{s} AS (
+        SELECT cid, pos,
+               CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) / 1000000.0 AS av
+        FROM (SELECT m.cid, unnest(sv) AS val, unnest(range(0, len(sv))) AS pos
+              FROM smp{s} JOIN m1_{s} m USING (vec_id))
+        GROUP BY cid, pos
+    ),
+    c1_{s} AS (SELECT cid, list(av ORDER BY pos) AS cv FROM cm_{s} GROUP BY cid),
+    codes_{s} AS (
+        SELECT vec_id, cid FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY {d2} ASC, cid) AS rn
+            FROM sub{s} CROSS JOIN c1_{s}
+        ) WHERE rn = 1
+    ),
+    dt_{s} AS (
+        SELECT q.vec_id AS query_id, c.cid, {_pq_d2_sql("q.sv", "c.cv")} AS d2
+        FROM (SELECT vec_id, sv FROM sub{s} WHERE vec_id < {N_QUERIES}) q
+        CROSS JOIN c1_{s} c
+    )""")
+    code_joins = " ".join(
+        f"JOIN codes_{s} c{s} USING (vec_id)" for s in range(1, PQ_SUBSPACES)
+    )
+    dt_joins = " ".join(
+        f"JOIN dt_{s} ON dt_{s}.cid = n.code{s} "
+        f"AND dt_{s}.query_id = dt_0.query_id"
+        for s in range(1, PQ_SUBSPACES)
+    )
+    parts.append(f"""
+    codes AS MATERIALIZED (
+        SELECT c0.vec_id, c0.cid AS code0,
+               {", ".join(f"c{s}.cid AS code{s}" for s in range(1, PQ_SUBSPACES))}
+        FROM codes_0 c0 {code_joins}
+    ),
+    adc AS (
+        SELECT dt_0.query_id, n.vec_id AS neighbor_id,
+               ((dt_0.d2 + dt_1.d2) + dt_2.d2) + dt_3.d2 AS score
+        FROM codes n
+        JOIN dt_0 ON dt_0.cid = n.code0
+        {dt_joins}
+        WHERE n.vec_id <> dt_0.query_id
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY score ASC, neighbor_id) AS rn
+            FROM adc
+        ) WHERE rn <= {PQ_SHORTLIST}
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROUND(list_cosine_similarity(a.vv, b.vv), 6) AS cos,
+               CAST(ROW_NUMBER() OVER (PARTITION BY s.query_id
+                    ORDER BY ROUND(list_cosine_similarity(a.vv, b.vv), 6) DESC,
+                             s.neighbor_id) AS BIGINT) AS rank
+        FROM short s
+        JOIN v a ON a.vec_id = s.query_id
+        JOIN v b ON b.vec_id = s.neighbor_id
+    ) WHERE rank <= {TOP_K}""")
+    return ",".join(parts)
+
+
+@query("sim_topk_pq", oracle=_pq_sample_oracle())
 def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3 scale path #3: product quantization (Jégou et al. 2011) —
+    """D3 scale path #3: product quantization (Jegou et al. 2011) —
     completes the ANN family next to LSH (`sim_topk_lsh`) and IVF
-    (`sim_topk_ivf`).  Each L2-normalized vector splits into 4
-    subspaces of 16 dims; a per-subspace k-means codebook (seeded
-    driver-side fit on a bounded sample — the FAISS training contract;
-    only ENCODING touches the full corpus) turns 256 float bytes into
-    FOUR code bytes (64×
-    compression), and queries rank by asymmetric distance (ADC): a
-    per-query 4×16 lookup table of subspace distances, summed by
-    code — table lookups and 3 adds per corpus vector, no float math
-    against raw vectors at probe time.  The ADC top-PQ_SHORTLIST then
-    gets an EXACT cosine re-rank (the FAISS IndexPQ+refine topology):
-    full vectors are touched only for shortlist × queries rows.
+    (`sim_topk_ivf`), with the FAISS training contract: each
+    L2-normalized vector splits into 4 subspaces of 16 dims, and the
+    per-subspace codebooks fit on a BOUNDED hash-ordered sample (cap
+    = 65536 regardless of corpus size) — only ENCODING touches the
+    full corpus.  Encoding turns 256 float bytes into FOUR code bytes
+    (64x compression); queries rank by asymmetric distance (ADC): a
+    per-query 4x16 lookup table of subspace squared distances, summed
+    by code — table lookups and 3 adds per corpus vector, no float
+    math against raw vectors at probe time.  The ADC top-PQ_SHORTLIST
+    then gets an EXACT cosine re-rank (the FAISS IndexPQ+refine
+    topology): full vectors are touched only for shortlist x queries
+    rows.
+
+    Training is one deterministic Lloyd round per subspace on the
+    sample (farthest-point maxmin seeds — see _maxmin_seeds_subs —
+    pinned rounded d2 assignment, decimal-grid centroid means) —
+    fused across subspaces in ONE job chain — so unlike an RNG-seeded
+    numpy fit the whole path is reproduced bit-for-bit by the DuckDB
+    oracle: sample, seed chain, codebooks, codes, ADC shortlist, and
+    final ranking are all value-hashed.
 
     Normalizing first makes L2 order = cosine order, so the recall
-    test compares directly against the exact cosine brute force
-    (measured 0.62 at shortlist=40 on the near-uniform testdata —
-    ADC alone measured 0.16 here: 4-subspace quantization noise
-    swamps the weak 0.26-0.49-cosine neighbor signal, which is why
-    the re-rank stage is part of the operator, not an afterthought).
-    At 100 TB: codes are built in one map pass after a distributed
-    codebook fit on a sample; the probe side broadcasts queries+tables
-    (O(queries × 64) doubles) and the corpus never shuffles — the same
-    never-move-the-corpus contract as `sim_topk_bruteforce`, but the
-    full-corpus pass reads 4-byte codes, not 256-byte vectors.
+    test compares directly against the exact cosine brute force.
+    At 100 TB: training cost is fixed by the sample cap; codes are
+    built in one encode pass; the probe side broadcasts
+    queries+tables (O(queries x 64) doubles) and the corpus never
+    shuffles — the same never-move-the-corpus contract as
+    `sim_topk_bruteforce`, but the full-corpus pass reads 4-byte
+    codes, not 256-byte vectors.
     """
-    e = _emb(spark, sf_dir)
+    e = _emb(spark, sf_dir).select("vec_id", "v")
     nrm = F.sqrt(
         F.aggregate(
             F.transform(F.col("v"), lambda x: x * x),
@@ -741,63 +1025,80 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.transform(F.col("v"), lambda x: x / nrm).alias("nv")
     )
 
-    # all 4 codebooks fit from ONE driver-side sample collect (slice the
-    # subvectors in numpy); the corpus is then encoded in one map.
-    sample = _train_sample(base, "nv")
-    codebooks: list[list[list[float]]] = [
-        _fit_codebook(
-            sample[:, s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM], k=PQ_CODEBOOK, seed=11 + s
+    def slices(col):
+        return F.posexplode(
+            F.array(
+                *[
+                    F.slice(col, s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_SUBSPACES)
+                ]
+            )
+        ).alias("sub", "v")
+
+    subs = base.select("vec_id", slices(F.col("nv")))
+    # bounded hash-ordered sample + farthest-point seeds; all 4
+    # codebooks train in ONE fused Lloyd round over the sample's
+    # subvectors
+    sample = _hash_sample(base)
+    sub_sample = sample.select("vec_id", slices(F.col("nv"))).localCheckpoint()
+    seeds = _maxmin_seeds_subs(sub_sample, PQ_CODEBOOK)
+    _, c1 = _kmeans_sub_fused(sub_sample, PQ_CODEBOOK, seeds=seeds)
+
+    # corpus ENCODE (the only full-corpus pass of the index build),
+    # then pin: 4 code bytes per vector
+    codes = (
+        _encode_subs(subs, c1)
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.max(F.when(F.col("sub") == s, F.col("cid"))).alias(f"code{s}")
+                for s in range(PQ_SUBSPACES)
+            ]
+        )
+        .localCheckpoint()
+    )
+    # per-query d2 lookup tables: queries x K x subspaces (tiny)
+    subq = subs.filter(F.col("vec_id") < N_QUERIES)
+    dt = subq.join(F.broadcast(c1), "sub").select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        "cid",
+        _d2_pinned(F.col("v"), F.col("cv")).alias("d2"),
+    ).localCheckpoint()
+    dts = [
+        dt.filter(F.col("sub") == s).select(
+            "query_id",
+            F.col("cid").alias(f"code{s}"),
+            F.col("d2").alias(f"d2_{s}"),
         )
         for s in range(PQ_SUBSPACES)
     ]
-    # Encode in one map, then pin: the encode expression is 4×16
-    # centroid argmins — materializing the (4-byte) codes is the PQ
-    # index-build step and keeps the expression out of downstream plans.
-    codes = base.select(
-        "vec_id",
-        "nv",
-        *[
-            _argmin_cell(
-                F.slice(F.col("nv"), s * PQ_SUBDIM + 1, PQ_SUBDIM), codebooks[s]
-            ).alias(f"code{s}")
-            for s in range(PQ_SUBSPACES)
-        ],
-    ).localCheckpoint()
 
-    q = base.filter(F.col("vec_id") < N_QUERIES)
-    dt_cols = [
-        _d2_table(
-            F.slice(F.col("nv"), s * PQ_SUBDIM + 1, PQ_SUBDIM), codebooks[s]
-        ).alias(f"dt{s}")
-        for s in range(PQ_SUBSPACES)
-    ]
-    queries = q.select(F.col("vec_id").alias("query_id"), *dt_cols)
-
-    approx = sum(
-        F.element_at(F.col(f"dt{s}"), F.col(f"code{s}") + 1)
-        for s in range(PQ_SUBSPACES)
-    )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("approx_d2").asc(), F.col("neighbor_id")
-    )
-    corpus = codes.select(
+    adc = codes.select(
         F.col("vec_id").alias("neighbor_id"),
         *[f"code{s}" for s in range(PQ_SUBSPACES)],
+    ).join(F.broadcast(dts[0]), "code0")
+    for s in range(1, PQ_SUBSPACES):
+        adc = adc.join(F.broadcast(dts[s]), ["query_id", f"code{s}"])
+    score = (
+        (F.col("d2_0") + F.col("d2_1")) + F.col("d2_2")
+    ) + F.col("d2_3")
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("score").asc(), F.col("neighbor_id")
     )
     shortlist = (
-        corpus.join(F.broadcast(queries))
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", approx.alias("approx_d2"))
+        adc.filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", score.alias("score"))
         .withColumn("adc_rank", F.row_number().over(w_adc))
         .filter(F.col("adc_rank") <= PQ_SHORTLIST)
         .select("query_id", "neighbor_id")
     )
-    # exact re-rank of the ADC shortlist (the FAISS IndexIVFPQ+refine
-    # topology): full vectors touched only for shortlist × queries rows
-    qv = base.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    # exact re-rank of the ADC shortlist (the FAISS IndexPQ+refine
+    # topology): full vectors touched only for shortlist x queries rows
+    qv = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    cv = base.select(F.col("vec_id").alias("neighbor_id"), F.col("nv").alias("cv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         shortlist.join(F.broadcast(qv), "query_id")
@@ -806,6 +1107,8 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
 
 
 @query(
@@ -1266,7 +1569,95 @@ def _ip_pinned(a, b):
     )
 
 
-def _kmeans_sub_fused(subs: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+def _maxmin_seeds_subs(sub_sample: DataFrame, k: int) -> DataFrame:
+    """Deterministic farthest-point (maxmin) codebook init per
+    subspace — the RNG-free stand-in for k-means++ (Gonzalez 1985):
+    seed 0 is the head of the hash-ordered sample; each next seed is
+    the sample point with the LARGEST pinned-rounded d2 to its nearest
+    seed so far (ties to the smaller vec_id).  Measured on the
+    testdata this lifts PQ shortlist recall 0.28 -> 0.58 over naive
+    hash-order seeds — spreading codewords is what makes a 16-entry
+    codebook cover a subspace.
+
+    Runs as ONE applyInPandas job over the sub groups (each group is
+    the cap-bounded sample, so executor memory is bounded by the cap,
+    never the corpus).  The k sequential argmax steps happen inside
+    the Arrow batch in numpy — but with the squared-distance computed
+    as a per-dimension LEFT FOLD (sequential IEEE adds in coordinate
+    order), NOT numpy's pairwise-summed ``.sum()``, so every double
+    is bit-identical to the DuckDB oracle's ``list_reduce`` fold and
+    to Spark's ``F.aggregate``.  The maxmin chain compares RAW fold
+    values (no rounding — identical bits need no rounding shield);
+    ties break on the smaller vec_id in both engines.
+    """
+    import pandas as pd
+
+    spark = sub_sample.sparkSession
+
+    def fold_d2(X: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(len(X), dtype=np.float64)
+        for d in range(X.shape[1]):
+            t = X[:, d] - c[d]
+            acc = acc + t * t
+        return acc
+
+    def maxmin(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["h", "vec_id"]).reset_index(drop=True)
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        vec_ids = pdf["vec_id"].to_numpy()
+        chosen = [0]
+        m = fold_d2(X, X[0])
+        for _ in range(1, k):
+            # argmax of m, ties to the smaller vec_id
+            i = int(np.lexsort((vec_ids, -m))[0])
+            chosen.append(i)
+            m = np.minimum(m, fold_d2(X, X[i]))
+        return pd.DataFrame(
+            {
+                "sub": [int(key[0])] * k,
+                "cid": list(range(k)),
+                "cv": [X[i].tolist() for i in chosen],
+            }
+        )
+
+    return (
+        sub_sample.select(
+            "vec_id", "sub", "v", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .groupBy("sub")
+        .applyInPandas(maxmin, "sub int, cid int, cv array<double>")
+        .localCheckpoint()
+    )
+
+
+def _encode_subs(subs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every (vec_id, sub) subvector to its nearest codebook
+    entry — min of a (pinned-rounded d2, cid) struct, map-side
+    combinable, ties to the lower cid.  Shared by codebook training
+    (assigning the training set) and corpus ENCODING (assigning
+    everything) so both run the exact same float ops as the DuckDB
+    oracle's ROW_NUMBER-over-(d2, cid)."""
+    pairs = subs.join(F.broadcast(centroids), "sub").select(
+        "vec_id", "sub", "cid",
+        _d2_pinned(F.col("v"), F.col("cv")).alias("d2"),
+    )
+    return (
+        pairs.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select(
+            "vec_id", "sub",
+            F.col("m.cid").alias("cid"),
+            F.col("m.d2").alias("d2"),
+        )
+    )
+
+
+def _kmeans_sub_fused(
+    subs: DataFrame,
+    k: int,
+    seed_ids: list[int] | None = None,
+    seeds: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """One deterministic Lloyd round under the L2 metric over ALL
     subspaces AT ONCE — ``subs`` is the long-form (vec_id, sub, v)
     table, and every stage carries the subspace id as a grouping/join
@@ -1278,42 +1669,32 @@ def _kmeans_sub_fused(subs: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
     integer grid, final re-assign.  Returns (assignment(vec_id, sub,
     cid, d2), centroids(sub, cid, cv)) — numerically identical to
     training each subspace separately, which is what the unchanged
-    per-subspace DuckDB oracle CTEs verify."""
-    spark = subs.sparkSession
-    seed_ids = [
-        r.vec_id
-        for r in subs.select("vec_id")
-        .distinct()
-        .orderBy("vec_id")
-        .limit(k)
-        .collect()
-    ]
-    cid_map = F.create_map(
-        *[F.lit(x) for pair in
-          ((vid, idx) for idx, vid in enumerate(seed_ids)) for x in pair]
-    )
-    seeds = subs.filter(F.col("vec_id").isin(seed_ids)).select(
-        "sub",
-        F.element_at(cid_map, F.col("vec_id")).cast("int").alias("cid"),
-        F.col("v").alias("cv"),
-    )
+    per-subspace DuckDB oracle CTEs verify.
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        pairs = subs.join(F.broadcast(centroids), "sub").select(
-            "vec_id", "sub", "cid",
-            _d2_pinned(F.col("v"), F.col("cv")).alias("d2"),
+    Seed rules, in precedence order: an explicit ``seeds`` DataFrame
+    (sub, cid, cv) — e.g. the maxmin init —, explicit ``seed_ids``
+    (cid = position in the list), or the default k smallest vec_ids."""
+    if seeds is None:
+        if seed_ids is None:
+            seed_ids = [
+                r.vec_id
+                for r in subs.select("vec_id")
+                .distinct()
+                .orderBy("vec_id")
+                .limit(k)
+                .collect()
+            ]
+        cid_map = F.create_map(
+            *[F.lit(x) for pair in
+              ((vid, idx) for idx, vid in enumerate(seed_ids)) for x in pair]
         )
-        return (
-            pairs.groupBy("vec_id", "sub")
-            .agg(F.min(F.struct("d2", "cid")).alias("m"))
-            .select(
-                "vec_id", "sub",
-                F.col("m.cid").alias("cid"),
-                F.col("m.d2").alias("d2"),
-            )
+        seeds = subs.filter(F.col("vec_id").isin(seed_ids)).select(
+            "sub",
+            F.element_at(cid_map, F.col("vec_id")).cast("int").alias("cid"),
+            F.col("v").alias("cv"),
         )
 
-    m1 = assign(seeds)
+    m1 = _encode_subs(subs, seeds)
     coords = (
         subs.join(m1.select("vec_id", "sub", "cid"), ["vec_id", "sub"])
         .select("sub", "cid", F.posexplode("v").alias("pos", "val"))
@@ -1330,15 +1711,7 @@ def _kmeans_sub_fused(subs: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
             F.array_sort(F.collect_list(F.struct("pos", "av"))), lambda t: t["av"]
         ).alias("cv")
     ).localCheckpoint()
-    return assign(c1), c1
-
-
-def _pq_d2_sql(a: str, b: str) -> str:
-    return (
-        f"ROUND(list_reduce(list_prepend(0.0, "
-        f"list_transform(range(1, {PQ_SUBDIM} + 1), "
-        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (x, y) -> x + y), 6)"
-    )
+    return _encode_subs(subs, c1), c1
 
 
 def _pq_ip_sql(a: str, b: str) -> str:

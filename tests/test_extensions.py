@@ -289,6 +289,31 @@ def test_approx_distinct_accuracy(spark):
         assert abs(est[flag] - n) <= 0.03 * n
 
 
+def test_quantizer_sample_bounded_and_hash_ordered(spark):
+    """Pin the FAISS-style training contract: the quantizer sample is
+    (a) hard-bounded by the cap — the only thing that touches the
+    driver/training stage regardless of corpus size — (b) ordered by
+    a hash both engines can compute (md5 of the vec_id string), and
+    (c) prefix-stable: a smaller cap yields a prefix of a larger
+    cap's sample, which is what makes seeds scale-stable."""
+    import hashlib
+
+    from datafusion_catalogprovider_glue_spark.operators import similarity as sim
+
+    e = sim._emb(spark, "/root/testdata/sf0.001").select("vec_id", "v")
+    assert sim._KMEANS_SAMPLE_CAP == 65536
+    small = [r.vec_id for r in sim._hash_sample(e, cap=20).select("vec_id").collect()]
+    big = [r.vec_id for r in sim._hash_sample(e, cap=60).select("vec_id").collect()]
+    assert len(small) == 20 and len(big) == 60
+    assert big[:20] == small
+    # the order is exactly (md5(str(vec_id)), vec_id)
+    all_ids = [r.vec_id for r in e.select("vec_id").collect()]
+    expect = sorted(all_ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:60]
+    assert big == expect
+    # seed selection is the sample prefix
+    assert sim._sample_seed_ids(sim._hash_sample(e), 16) == expect[:16]
+
+
 def test_asof_join_tie_and_order_semantics(spark):
     # constructed case: view exactly AT the purchase ts must match
     # (inclusive >=), later views must not, and a purchase with no
