@@ -525,7 +525,32 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_partitioned_merge")  # rows-only: sketch bytes are engine-specific
+@query(
+    "agg_hll_partitioned_merge",
+    # TOLERANCE oracle (the agg_approx_distinct pattern): the sketch
+    # bytes and the estimate are engine-specific, but the accuracy
+    # contract is not.  Spark emits the EXACT per-day and global
+    # distinct counts plus booleans asserting the sketch estimates
+    # landed within 8% (~5x the lgConfigK=12 rsd of 1.6% — a sigma
+    # multiple wide enough that the cross-engine gate cannot flake);
+    # DuckDB emits the same exact counts and literal TRUE.  The
+    # tighter 5% empirical bound on this data stays pinned in
+    # tests/test_extensions.py::test_hll_partitioned_merge_accuracy.
+    oracle="""
+    WITH d AS (
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS exact_daily_users
+        FROM events GROUP BY 1
+    ),
+    t AS (SELECT COUNT(DISTINCT user_id) AS exact_total_users FROM events)
+    SELECT day, n_events, exact_daily_users,
+           TRUE AS daily_within_8pct,
+           exact_total_users,
+           TRUE AS total_within_8pct
+    FROM d CROSS JOIN t
+    """,
+)
 def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch architecture, end-to-end: per-day HLL sketches
     of the distinct-user set (``hll_sketch_agg``), then a sketch UNION
@@ -535,22 +560,41 @@ def agg_hll_partitioned_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketches are tiny (≤ ~1.5 KB at lgConfigK=12), so incremental
     ingestion keeps one sketch per partition-day and any rollup
     (7-day, monthly, all-time) is a byte-merge, not a scan.  The
-    per-day rows also expose each day's own estimate.  Sketch binary
-    layouts differ per engine → rows-only in the gate; the estimate's
-    accuracy (within 5% of exact) is pinned in tests."""
+    production operator is the sketch pipeline alone; the exact
+    countDistincts here are the oracle anchors that turn the old
+    rows-only check into a value-hashed accuracy envelope."""
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
             F.hll_sketch_agg("user_id").alias("sketch"),
             F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("exact_daily_users"),
         )
     )
     per_day = daily.select(
-        "day", F.hll_sketch_estimate("sketch").alias("daily_users"), "n_events"
+        "day",
+        "n_events",
+        "exact_daily_users",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sketch") - F.col("exact_daily_users")
+            )
+            <= 0.08 * F.col("exact_daily_users")
+        ).alias("daily_within_8pct"),
     )
     total = daily.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("total_users")
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("total_est")
+    ).crossJoin(
+        F.broadcast(
+            ev.agg(F.countDistinct("user_id").alias("exact_total_users"))
+        )
+    ).select(
+        "exact_total_users",
+        (
+            F.abs(F.col("total_est") - F.col("exact_total_users"))
+            <= 0.08 * F.col("exact_total_users")
+        ).alias("total_within_8pct"),
     )
     return per_day.crossJoin(F.broadcast(total)).orderBy("day")
 
@@ -588,7 +632,33 @@ CMS_SEED = 42
 CMS_PROBE_KEYS = list(range(1, 21))
 
 
-@query("agg_count_min_sketch")  # rows-only: CMS layout is engine-specific
+@query(
+    "agg_count_min_sketch",
+    # TOLERANCE oracle (the agg_approx_distinct pattern): the CMS
+    # byte layout and its estimates are engine-specific, but the
+    # Cormode-Muthukrishnan contract is not.  Spark emits, per probe
+    # key, the EXACT count plus two booleans: est >= exact (the HARD
+    # one-sided guarantee — holds for every seed) and est <= exact +
+    # 2·eps·N (double the w.p.-conf bound, so a future Spark hash-seed
+    # change cannot flake the cross-engine gate); DuckDB emits the
+    # same exact counts and literal TRUE.  The tight eps·N bound on
+    # this data stays pinned in test_count_min_sketch_error_bound.
+    oracle=f"""
+    WITH probes AS (
+        SELECT UNNEST(range(1, {max(CMS_PROBE_KEYS) + 1})) AS o_custkey
+    ),
+    exact AS (
+        SELECT o_custkey, COUNT(*) AS n FROM orders
+        WHERE o_custkey BETWEEN 1 AND {max(CMS_PROBE_KEYS)}
+        GROUP BY o_custkey
+    )
+    SELECT CAST(p.o_custkey AS BIGINT) AS o_custkey,
+           CAST(COALESCE(e.n, 0) AS BIGINT) AS exact_orders,
+           TRUE AS ge_exact,
+           TRUE AS within_2eps
+    FROM probes p LEFT JOIN exact e USING (o_custkey)
+    """,
+)
 def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min Sketch point-frequency estimates (Cormode-Muthukrishnan):
     how often does each probe customer appear in orders, answered from a
@@ -600,26 +670,53 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     state a streaming frequency monitor keeps per window at 100 TB.
     Only the probe results (20 rows) ever reach the driver... plus the
     sketch itself, which IS driver-sized by construction.  Estimates
-    are deterministic for a fixed seed; the one-sided error bound
-    (true ≤ est ≤ true + eps·N w.p. conf) is pinned against exact
-    counts in tests/test_extensions.py.  No DuckDB oracle: sketch
-    internals are engine-specific, so the driver records rows-only."""
+    are deterministic for a fixed seed; the exact per-key counts here
+    are the oracle anchors turning the old rows-only check into a
+    value-hashed error envelope (true <= est <= true + 2·eps·N)."""
     apply_engine_conf(spark)
     o = _t(spark, sf_dir, "orders")
-    blob = o.agg(
+    agg = o.agg(
         F.expr(
             f"count_min_sketch(o_custkey, {CMS_EPS}d, {CMS_CONF}d, {CMS_SEED})"
-        ).alias("s")
-    ).collect()[0]["s"]
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    blob, n_orders = agg["s"], agg["n"]
     jvm = spark._jvm
     sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
         jvm.java.io.ByteArrayInputStream(bytes(blob))
     )
-    rows = [
-        (int(k), int(sketch.estimateCount(jvm.java.lang.Long.valueOf(k))))
+    est = {
+        int(k): int(sketch.estimateCount(jvm.java.lang.Long.valueOf(k)))
         for k in CMS_PROBE_KEYS
-    ]
-    return spark.createDataFrame(rows, "o_custkey bigint, est_orders bigint")
+    }
+    probes = spark.createDataFrame(
+        [(k,) for k in CMS_PROBE_KEYS], "o_custkey bigint"
+    )
+    exact = (
+        o.filter(F.col("o_custkey").isin(CMS_PROBE_KEYS))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    est_map = F.create_map(
+        *[F.lit(x) for k in CMS_PROBE_KEYS for x in (k, est[k])]
+    )
+    bound = 2.0 * CMS_EPS * n_orders
+    return (
+        probes.join(exact, "o_custkey", "left")
+        .select(
+            "o_custkey",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("exact_orders"),
+            (
+                F.element_at(est_map, F.col("o_custkey"))
+                >= F.coalesce(F.col("n"), F.lit(0))
+            ).alias("ge_exact"),
+            (
+                F.element_at(est_map, F.col("o_custkey"))
+                <= F.coalesce(F.col("n"), F.lit(0)) + F.lit(bound)
+            ).alias("within_2eps"),
+        )
+    )
 
 
 @query(
