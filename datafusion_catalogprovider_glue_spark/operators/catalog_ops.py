@@ -500,6 +500,71 @@ def scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_delta_dv",
+    oracle="""
+    SELECT r.r_name, COUNT(*) AS n_nations,
+           CAST(SUM(n.n_nationkey) AS BIGINT) AS key_sum
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE n.n_nationkey NOT IN (3, 7, 19)
+    GROUP BY r.r_name
+    """,
+)
+def scan_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B8 DELETION VECTORS through the correctness gate: the fixture
+    (fixtures/delta_dv.py) is a Delta table whose single data file
+    carries a u-type DV sidecar — written by the format-faithful
+    encoder, decoded by the pure-Python codec in sources/dv.py (z85
+    UUID path, big-endian size/CRC framing, portable 64-bit
+    RoaringBitmapArray) — masking nation keys {3, 7, 19}.  The oracle
+    is plain SQL with a NOT IN, so a reader that surfaced masked rows
+    as live (or dropped the wrong positions) hash-mismatches.
+
+    The reference reads DV tables through the deltalake crate
+    (glue.rs:214-240); this path implements the same protocol subset
+    natively.  Scale shape: descriptors parallelize and decode
+    executor-side (sources/delta.py _deleted_rows_df), the decoded
+    (file, row_index) set broadcasts into ONE left-anti join against
+    the scan's ``_metadata`` struct — the Iceberg positional-delete
+    plan, reused."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import FakeGlueClient
+    from datafusion_catalogprovider_glue_spark.fixtures.delta_dv import (
+        build_nation_delta_dv,
+    )
+
+    apply_engine_conf(spark)
+    table_dir = build_nation_delta_dv(spark, sf_dir)
+    client = FakeGlueClient(
+        {
+            "deltadb": {
+                "nation_delta_dv": {
+                    "DatabaseName": "deltadb",
+                    "Name": "nation_delta_dv",
+                    "Parameters": {"table_type": "delta"},
+                    "PartitionKeys": [],
+                    "StorageDescriptor": {"Columns": [], "Location": table_dir},
+                }
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("deltadb", "nation_delta_dv")
+    region = load_table(spark, sf_dir, "region")
+    n = spark.table(entry.view)
+    return (
+        n.join(F.broadcast(region), n.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+    )
+
+
+@query(
     "scan_avro",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n_suppliers,

@@ -18,7 +18,9 @@ capability directly against the OPEN Delta transaction-log protocol
 
 Scope: snapshot reads at the latest version or a pinned one
 (VERSION AS OF) — a superset of the reference's ``load()``, which is
-latest-only.  Log parsing is driver-side metadata work
+latest-only — including DELETION VECTORS (sources/dv.py codec; rows
+masked via one broadcast (file, row_index) anti join against the
+scan's ``_metadata`` struct).  Log parsing is driver-side metadata work
 (KBs; the reference does the same); the data read is a normal
 distributed parquet scan.  Partitioned tables are read per partition
 group with the partition values attached as literal columns — at
@@ -73,6 +75,9 @@ class DeltaSnapshot:
         self.configuration: dict[str, str] = {}
         # path -> partitionValues dict
         self._active: dict[str, dict] = {}
+        # path -> deletionVector descriptor (PROTOCOL.md §Deletion
+        # Vectors) for files whose latest add carries one
+        self._dvs: dict[str, dict] = {}
 
         ckpt_version = _last_checkpoint(log_dir)
         commits = _commit_files(log_dir)
@@ -130,17 +135,17 @@ class DeltaSnapshot:
                 )
         elif "add" in action and action["add"]:
             add = action["add"]
-            if add.get("deletionVector"):
-                # protocol §Deletion Vectors: rows masked by a roaring
-                # bitmap sidecar; refuse loudly rather than return
-                # deleted rows as live
-                raise DeltaError(
-                    "delta reader subset: deletion vectors are not "
-                    f"supported (file {add['path']!r})"
-                )
             self._active[add["path"]] = add.get("partitionValues") or {}
+            # an add REPLACES the file's metadata wholesale: a new DV
+            # supersedes the old one, an add without a DV clears it
+            dv = add.get("deletionVector")
+            if dv:
+                self._dvs[add["path"]] = dv
+            else:
+                self._dvs.pop(add["path"], None)
         elif "remove" in action and action["remove"]:
             self._active.pop(action["remove"]["path"], None)
+            self._dvs.pop(action["remove"]["path"], None)
 
     @property
     def files(self) -> list[str]:
@@ -170,13 +175,79 @@ class DeltaSnapshot:
         return T.StructType(fields)
 
 
+_SCHEME_RE = r"^[a-z][a-z0-9+.\-]*:/+"
+
+
+def _norm_path(col):
+    """Collapse any URI scheme prefix (file:/, file:///, s3a://…) to a
+    single leading "/" so `_metadata.file_path` and log-derived paths
+    agree — same normalization as the Iceberg delete join."""
+    return F.regexp_replace(col, _SCHEME_RE, "/")
+
+
+def _deleted_rows_df(spark: SparkSession, snap: "DeltaSnapshot") -> DataFrame:
+    """Decode every active deletion vector into a (file, row_index)
+    DataFrame — EXECUTOR-side via mapInPandas: the descriptors
+    (KB-sized metadata) parallelize, each sidecar is read and
+    unpacked where the task runs, and the driver never holds the
+    expanded row-index set.  At 100 TB the result is the small side
+    of a broadcast anti join, exactly like Iceberg positional
+    deletes."""
+    import json as _json
+
+    from datafusion_catalogprovider_glue_spark.sources.dv import read_dv
+
+    table_root = snap.table_path
+    descs = [
+        (
+            os.path.abspath(os.path.join(table_root, p)),
+            _json.dumps(dv),
+        )
+        for p, dv in sorted(snap._dvs.items())
+    ]
+    desc_df = spark.createDataFrame(descs, "_dv_file string, _dv_desc string")
+
+    def _explode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            files, positions = [], []
+            for fpath, dv_json in zip(pdf["_dv_file"], pdf["_dv_desc"]):
+                for ri in read_dv(table_root, _json.loads(dv_json)):
+                    files.append(fpath)
+                    positions.append(ri)
+            yield pd.DataFrame({"_dv_file": pd.Series(files, dtype="object"),
+                                "_dv_pos": pd.Series(positions, dtype="int64")})
+
+    return desc_df.mapInPandas(_explode, "_dv_file string, _dv_pos long")
+
+
 def read_delta(
     spark: SparkSession, table_path: str, version: Optional[int] = None
 ) -> DataFrame:
-    """Load a Delta table snapshot (latest, or VERSION AS OF)."""
+    """Load a Delta table snapshot (latest, or VERSION AS OF),
+    applying DELETION VECTORS when the snapshot carries them: every
+    data row knows its (file_path, row_index) through the file
+    source's ``_metadata`` struct, so masking a DV is ONE broadcast
+    left-anti join against the decoded (file, row_index) set — no
+    per-file branching, no row-numbering pass (sources/dv.py holds
+    the sidecar codec)."""
     snap = DeltaSnapshot(table_path, version)
     if not snap._active:
         return spark.createDataFrame([], snap.schema)
+    has_dv = bool(snap._dvs)
+
+    def _with_meta(df: DataFrame, names: list) -> DataFrame:
+        # names: (source column expr, output name) pairs for the
+        # logical projection; meta columns ride along only on the DV
+        # path
+        cols = [expr.alias(n) for expr, n in names]
+        if has_dv:
+            cols += [
+                _norm_path(F.col("_metadata.file_path")).alias("_dv_file"),
+                F.col("_metadata.row_index").alias("_dv_pos"),
+            ]
+        return df.select(*cols)
 
     if snap.column_mapping:
         # name-mode column mapping: scan under physical names, project
@@ -189,37 +260,58 @@ def read_delta(
                 "columns is not supported"
             )
         phys = snap.physical_schema()
-        df = spark.read.schema(phys).parquet(*snap.files)
-        return df.select(
-            *[
-                F.col(p.name).alias(f.name)
+        out = _with_meta(
+            spark.read.schema(phys).parquet(*snap.files),
+            [
+                (F.col(p.name), f.name)
                 for p, f in zip(phys.fields, snap.schema.fields)
-            ]
+            ],
         )
+    else:
+        data_fields = [
+            f for f in snap.schema.fields if f.name not in snap.partition_columns
+        ]
+        data_schema = T.StructType(data_fields)
 
-    data_fields = [f for f in snap.schema.fields if f.name not in snap.partition_columns]
-    data_schema = T.StructType(data_fields)
+        if not snap.partition_columns:
+            out = _with_meta(
+                spark.read.schema(data_schema).parquet(*snap.files),
+                [(F.col(f.name), f.name) for f in data_fields],
+            )
+        else:
+            # group files by partition values; attach values as
+            # literal columns
+            groups: dict[tuple, list[str]] = {}
+            for path, pvals in snap._active.items():
+                key = tuple(pvals.get(c) for c in snap.partition_columns)
+                groups.setdefault(key, []).append(
+                    os.path.join(snap.table_path, path)
+                )
+            parts = []
+            by_name = {f.name: f.dataType for f in snap.schema.fields}
+            for key, files in sorted(groups.items()):
+                df = spark.read.schema(data_schema).parquet(*files)
+                for col_name, raw in zip(snap.partition_columns, key):
+                    # partitionValues are strings (or None) per
+                    # protocol; cast to the declared type like Delta
+                    # does
+                    df = df.withColumn(
+                        col_name, F.lit(raw).cast(by_name[col_name])
+                    )
+                parts.append(
+                    _with_meta(
+                        df, [(F.col(f.name), f.name) for f in snap.schema.fields]
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
 
-    if not snap.partition_columns:
-        return spark.read.schema(data_schema).parquet(*snap.files)
-
-    # group files by partition values; attach values as literal columns
-    groups: dict[tuple, list[str]] = {}
-    for path, pvals in snap._active.items():
-        key = tuple(pvals.get(c) for c in snap.partition_columns)
-        groups.setdefault(key, []).append(os.path.join(snap.table_path, path))
-    parts = []
-    by_name = {f.name: f.dataType for f in snap.schema.fields}
-    for key, files in sorted(groups.items()):
-        df = spark.read.schema(data_schema).parquet(*files)
-        for col_name, raw in zip(snap.partition_columns, key):
-            # partitionValues are strings (or None) per protocol; cast
-            # to the declared type like Delta does
-            df = df.withColumn(col_name, F.lit(raw).cast(by_name[col_name]))
-        parts.append(df.select([f.name for f in snap.schema.fields]))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    if has_dv:
+        deleted = _deleted_rows_df(spark, snap)
+        out = out.join(
+            F.broadcast(deleted), ["_dv_file", "_dv_pos"], "left_anti"
+        ).drop("_dv_file", "_dv_pos")
     return out
 
 

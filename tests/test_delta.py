@@ -314,33 +314,121 @@ def test_column_mapping_missing_physical_name_refused(spark, tmp_path):
         read_delta(spark, table_dir).collect()
 
 
-def test_deletion_vector_refused(spark, tmp_path):
-    """An add action carrying a deletionVector must refuse loudly —
-    returning DV-masked rows as live data would be silent corruption."""
+def test_dv_codec_roundtrip():
+    """Pure codec pins: z85 and the portable RoaringBitmapArray must
+    round-trip through the format-faithful encoder — array containers
+    below the 4096 cutover, 8 KB bitset containers above it, and
+    row indexes above 2^32 spanning multiple 32-bit bitmaps."""
+    from datafusion_catalogprovider_glue_spark.sources.dv import (
+        decode_dv_data,
+        encode_dv_data,
+        z85_decode,
+        z85_encode,
+    )
+
+    assert z85_decode(z85_encode(b"\x00\x01\x02\x03")) == b"\x00\x01\x02\x03"
+    assert z85_decode(z85_encode(bytes(range(16)))) == bytes(range(16))
+    # ZeroMQ RFC test vector
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B])) == "HelloWorld"
+
+    small = [0, 1, 3, 7, 65535, 65536, 100000]
+    assert decode_dv_data(encode_dv_data(small)) == sorted(small)
+    dense = list(range(0, 10000))  # forces a bitset container
+    assert decode_dv_data(encode_dv_data(dense)) == dense
+    wide = [5, (1 << 32) + 9, (2 << 32) + 123456]  # multi-bitmap
+    assert decode_dv_data(encode_dv_data(wide)) == sorted(wide)
+
+
+def test_deletion_vector_file_sidecar(spark, tmp_path):
+    """An add carrying a u-type deletionVector must mask exactly the
+    listed row indexes of that file (and only that file)."""
+    from datafusion_catalogprovider_glue_spark.sources.dv import write_dv_file
+
     table_dir = str(tmp_path / "dv")
-    _write_data_file(spark, tmp_path, table_dir, "a.parquet", [(1, "x")])
+    rows_a = [(i, f"a{i}") for i in range(10)]
+    rows_b = [(100 + i, f"b{i}") for i in range(5)]
+    _write_data_file(spark, tmp_path, table_dir, "a.parquet", rows_a)
+    _write_data_file(spark, tmp_path, table_dir, "b.parquet", rows_b)
+    dv = write_dv_file(table_dir, [1, 3, 7])
     _commit(
         table_dir,
         0,
         [
             _meta_action(),
-            {
-                "add": {
-                    "path": "a.parquet",
-                    "partitionValues": {},
-                    "deletionVector": {
-                        "storageType": "u",
-                        "pathOrInlineDv": "abc",
-                        "offset": 1,
-                        "sizeInBytes": 40,
-                        "cardinality": 2,
-                    },
-                }
-            },
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "deletionVector": dv}},
+            {"add": {"path": "b.parquet", "partitionValues": {}}},
+        ],
+    )
+    got = sorted(r.id for r in read_delta(spark, table_dir).collect())
+    assert got == [0, 2, 4, 5, 6, 8, 9] + [100, 101, 102, 103, 104]
+
+
+def test_deletion_vector_inline_and_supersede(spark, tmp_path):
+    """An i-type (inline z85) DV masks rows; a later add of the same
+    path REPLACES the file's DV (protocol: add actions carry the
+    file's full metadata) — here clearing it resurrects the rows."""
+    from datafusion_catalogprovider_glue_spark.sources.dv import (
+        encode_dv_data,
+        z85_encode,
+    )
+
+    table_dir = str(tmp_path / "dvi")
+    _write_data_file(
+        spark, tmp_path, table_dir, "a.parquet", [(i, f"r{i}") for i in range(6)]
+    )
+    data = encode_dv_data([0, 5])
+    pad = (-len(data)) % 4
+    inline = {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(data + b"\x00" * pad),
+        "sizeInBytes": len(data),
+        "cardinality": 2,
+    }
+    _commit(
+        table_dir,
+        0,
+        [
+            _meta_action(),
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "deletionVector": inline}},
+        ],
+    )
+    assert sorted(r.id for r in read_delta(spark, table_dir).collect()) == [
+        1, 2, 3, 4,
+    ]
+    # version 1: re-add without a DV -> all rows live again
+    _commit(table_dir, 1, [{"add": {"path": "a.parquet", "partitionValues": {}}}])
+    assert sorted(r.id for r in read_delta(spark, table_dir).collect()) == [
+        0, 1, 2, 3, 4, 5,
+    ]
+    # time travel still sees the DV at version 0
+    assert sorted(
+        r.id for r in read_delta(spark, table_dir, version=0).collect()
+    ) == [1, 2, 3, 4]
+
+
+def test_deletion_vector_cdf_still_refused(spark, tmp_path):
+    """The CDF walker does not interpret DV-bearing commits (a DV
+    delete's change rows are not derivable from add/remove alone);
+    it must keep refusing loudly rather than emit wrong change rows."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta_cdf
+    from datafusion_catalogprovider_glue_spark.sources.dv import write_dv_file
+
+    table_dir = str(tmp_path / "dvcdf")
+    _write_data_file(spark, tmp_path, table_dir, "a.parquet", [(1, "x")])
+    dv = write_dv_file(table_dir, [0])
+    _commit(
+        table_dir,
+        0,
+        [
+            _meta_action(),
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "deletionVector": dv}},
         ],
     )
     with pytest.raises(DeltaError, match="deletion vector"):
-        read_delta(spark, table_dir)
+        read_delta_cdf(spark, table_dir)
 
 
 def test_cdf_prefers_change_files_and_derives_otherwise(spark, tmp_path):
