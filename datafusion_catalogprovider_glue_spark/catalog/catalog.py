@@ -207,6 +207,101 @@ class GlueCatalog:
                 ) from exc
         return self._finish(database, name, df, T.StructType(df.schema), "delta", location, {}, [], True)
 
+    def _get_partitions(self, database: str, name: str) -> list[dict]:
+        """A13b: full GetPartitions pagination (live Glue caps pages at
+        1000 partitions).  Clients without the call — or tables with no
+        explicit partitions — fall back to Hive-style directory
+        discovery."""
+        getter = getattr(self.client, "get_partitions", None)
+        if getter is None:
+            return []
+        parts: list[dict] = []
+        token: dict = {}
+        while True:
+            try:
+                response = getter(
+                    DatabaseName=database, TableName=name, **token
+                )
+            except Exception:
+                return []
+            parts.extend(response.get("Partitions") or [])
+            next_token = response.get("NextToken")
+            if not next_token:
+                return parts
+            token = {"NextToken": next_token}
+
+    def _register_explicit_partitions(
+        self,
+        database: str,
+        name: str,
+        sd: dict,
+        spec,
+        options: TableRegistrationOptions,
+        partition_keys: list[tuple[str, str]],
+        partitions: list[dict],
+        location: str,
+    ) -> TableEntry:
+        """Register a table from its EXPLICIT Glue partition list: one
+        scan per partition location with the partition Values attached
+        as literal columns cast to the declared key types (data files
+        do not contain partition columns, per the Hive convention Glue
+        inherits).  Locations may be scattered anywhere — the layout
+        Hive's ALTER TABLE ADD PARTITION ... LOCATION produces — which
+        directory discovery cannot see.
+
+        Scale shape: the partition list is driver-side metadata (KBs
+        per 1000 partitions, exactly what the reference would hold),
+        each partition contributes one multi-file scan branch, and
+        Catalyst prunes branches whose literal partition values fail a
+        query predicate (constant folding turns the filter into
+        true/false per branch).  At very high partition counts the
+        production move is server-side pruning — pushing an expression
+        into GetPartitions — which this method's pagination loop is
+        the hook for."""
+        base_reader = self.spark.read.format(spec.format).options(**spec.options)
+        if options is TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE:
+            columns = sd.get("Columns") or []
+            schema = map_glue_columns_to_spark_schema(columns)
+            if schema.fields:
+                base_reader = base_reader.schema(schema)
+        elif spec.format in ("csv", "json"):
+            base_reader = base_reader.option("inferSchema", "true")
+
+        parts = []
+        for p in partitions:
+            values = p.get("Values") or []
+            if len(values) != len(partition_keys):
+                raise GlueError(
+                    f"partition of {database}.{name} has {len(values)} "
+                    f"values for {len(partition_keys)} partition keys"
+                )
+            p_loc = (p.get("StorageDescriptor") or {}).get("Location")
+            if not p_loc:
+                raise GlueError(
+                    f"partition {values} of {database}.{name} has no "
+                    "StorageDescriptor.Location"
+                )
+            df = base_reader.load(p_loc)
+            for (pk_name, pk_type), raw in zip(partition_keys, values):
+                df = df.withColumn(
+                    pk_name, F.lit(raw).cast(parse_glue_data_type(pk_type))
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return self._finish(
+            database,
+            name,
+            out,
+            T.StructType(out.schema),
+            spec.format,
+            location,
+            dict(spec.options),
+            partition_keys,
+            False,
+        )
+
     def _register_listing_table(
         self,
         database: str,
@@ -224,6 +319,16 @@ class GlueCatalog:
             (k["Name"], k["Type"]) for k in (table.get("PartitionKeys") or [])
         ]
         if partition_keys:
+            # explicit Glue partitions first: real partitioned Glue
+            # tables frequently carry per-partition StorageDescriptors
+            # whose locations are NOT Hive-style dirs under one root —
+            # GetPartitions is the source of truth when it returns any
+            explicit = self._get_partitions(database, name)
+            if explicit:
+                return self._register_explicit_partitions(
+                    database, name, sd, spec, options, partition_keys,
+                    explicit, location,
+                )
             # Hive-style partition dirs: Spark discovers them; basePath
             # keeps the partition columns when loading the root
             # (reference: table_partition_cols, glue.rs:433-447)

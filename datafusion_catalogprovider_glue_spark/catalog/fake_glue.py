@@ -119,12 +119,22 @@ def parquet_table(
 
 class FakeGlueClient:
     """Glue API double: ``{db: {table: TableDict}}`` behind the three
-    calls the reference makes (glue.rs:70-75, 105-110, 146-157)."""
+    calls the reference makes (glue.rs:70-75, 105-110, 146-157), plus
+    ``GetPartitions`` (the call real partitioned Glue tables need when
+    their partitions carry explicit per-partition StorageDescriptors
+    rather than Hive-style directories under one root)."""
 
-    def __init__(self, databases: dict[str, dict[str, dict]], page_size: int = 0):
+    def __init__(
+        self,
+        databases: dict[str, dict[str, dict]],
+        page_size: int = 0,
+        partitions: Optional[dict[tuple[str, str], list[dict]]] = None,
+    ):
         self._databases = databases
         # page_size > 0 emulates live Glue's NextToken pagination
         self._page_size = page_size
+        # (db, table) -> [{"Values": [...], "StorageDescriptor": {...}}]
+        self._partitions = dict(partitions or {})
 
     def _paginate(self, items: list, key: str, token) -> dict:
         start = int(token) if token is not None else 0
@@ -155,6 +165,23 @@ class FakeGlueClient:
             raise AwsError(
                 f"EntityNotFoundException: table {DatabaseName}.{Name}"
             )
+
+    def get_partitions(
+        self, DatabaseName: str, TableName: str, NextToken=None
+    ) -> dict:
+        """Glue GetPartitions shape: each partition carries its Values
+        (one per PartitionKey, in key order) and its own
+        StorageDescriptor whose Location may live ANYWHERE — not
+        necessarily under the table root.  Paginated like the other
+        calls."""
+        if DatabaseName not in self._databases or (
+            TableName not in self._databases[DatabaseName]
+        ):
+            raise AwsError(
+                f"EntityNotFoundException: table {DatabaseName}.{TableName}"
+            )
+        items = self._partitions.get((DatabaseName, TableName), [])
+        return self._paginate(items, "Partitions", NextToken)
 
     @classmethod
     def from_json(cls, path: str) -> "FakeGlueClient":

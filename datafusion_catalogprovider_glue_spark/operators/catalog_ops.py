@@ -500,6 +500,81 @@ def scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_glue_partitions",
+    oracle="""
+    SELECT c_mktsegment AS seg, COUNT(*) AS n_customers,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_glue_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13b through the correctness gate: EXPLICIT GetPartitions
+    registration.  Real partitioned Glue tables frequently carry
+    per-partition StorageDescriptors whose locations are scattered
+    (ALTER TABLE ADD PARTITION ... LOCATION) — nothing lives under the
+    table root, so Hive-style directory discovery sees zero files.
+    The fixture (fixtures/glue_partitions.py) splits customer by
+    market segment into seg_0..seg_4 directories with the partition
+    column REMOVED from the data files; the catalog must page through
+    GetPartitions, scan each location, and re-attach the partition
+    value as a typed literal column.  Hash-matching a plain GROUP BY
+    over the original table proves values bind to the right
+    directories and no partition is dropped or double-counted.
+
+    Scale: the partition list is driver-side metadata (same as the
+    reference's); each partition is one scan branch whose literal
+    partition value Catalyst constant-folds against query predicates
+    — partition pruning for free, with server-side GetPartitions
+    expression pushdown as the documented growth path."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+        parquet_table,
+    )
+    from datafusion_catalogprovider_glue_spark.fixtures.glue_partitions import (
+        build_scattered_partitions,
+    )
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+
+    apply_engine_conf(spark)
+    root, partitions = build_scattered_partitions(spark, sf_dir)
+    data_cols = [
+        (n, t)
+        for n, t in TESTDATA_GLUE_COLUMNS["customer"]
+        if n != "c_mktsegment"
+    ]
+    client = FakeGlueClient(
+        {
+            "partdb": {
+                "customer_scattered": parquet_table(
+                    "partdb",
+                    "customer_scattered",
+                    root,
+                    data_cols,
+                    partition_keys=[("c_mktsegment", "string")],
+                )
+            }
+        },
+        page_size=2,  # force NextToken pagination through the 5 partitions
+        partitions={("partdb", "customer_scattered"): partitions},
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("partdb", "customer_scattered")
+    return (
+        spark.table(entry.view)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_custkey").alias("key_sum"),
+            dsum(F.col("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+@query(
     "scan_delta_dv",
     oracle="""
     SELECT r.r_name, COUNT(*) AS n_nations,

@@ -118,3 +118,55 @@ def test_infer_schema_mode_via_real_boto3(spark, glue_client):
     )
     got = spark.table(entry.view)
     assert "s_suppkey" in [f.name for f in got.schema.fields]
+
+
+def test_explicit_partitions_via_real_boto3(spark, glue_client, tmp_path):
+    """A13b against moto: create_partition with scattered locations,
+    then registration must page GetPartitions, scan each location, and
+    attach typed partition values — directory discovery would see an
+    empty table root."""
+    from pyspark.sql import functions as F
+
+    glue_client.create_database(DatabaseInput={"Name": "motodb4"})
+    nation = load_table(spark, SF_SMOKE, "nation")
+    locs = {}
+    for part_val, pred in (("lo", F.col("n_nationkey") < 12),
+                           ("hi", F.col("n_nationkey") >= 12)):
+        loc = str(tmp_path / f"scattered_{part_val}")
+        nation.filter(pred).write.parquet(loc)
+        locs[part_val] = loc
+    glue_client.create_table(
+        DatabaseName="motodb4",
+        TableInput={
+            "Name": "nation_parts",
+            "StorageDescriptor": {
+                **_PARQUET_SD,
+                "Columns": [
+                    {"Name": n, "Type": t}
+                    for n, t in TESTDATA_GLUE_COLUMNS["nation"]
+                ],
+                "Location": str(tmp_path / "empty_root"),
+            },
+            "Parameters": {},
+            "PartitionKeys": [{"Name": "bucket", "Type": "string"}],
+        },
+    )
+    for part_val, loc in locs.items():
+        glue_client.create_partition(
+            DatabaseName="motodb4",
+            TableName="nation_parts",
+            PartitionInput={
+                "Values": [part_val],
+                "StorageDescriptor": {**_PARQUET_SD, "Location": loc},
+            },
+        )
+    catalog = GlueCatalog(spark, glue_client)
+    entry = catalog.register_table("motodb4", "nation_parts")
+    got = spark.table(entry.view)
+    assert got.count() == nation.count()
+    per_bucket = {r.bucket: r.n for r in got.groupBy("bucket").count()
+                  .withColumnRenamed("count", "n").collect()}
+    assert per_bucket == {
+        "lo": nation.filter(F.col("n_nationkey") < 12).count(),
+        "hi": nation.filter(F.col("n_nationkey") >= 12).count(),
+    }
