@@ -21,11 +21,13 @@ flat manifest records carrying the spec's field *names*
 (manifest_path; status, file_path, file_format, record_count, plus
 the v2 ``content`` discriminator and optional ``sequence_number``)
 without the spec's nested ``data_file`` struct or field-id metadata.
-Both v2 row-level delete kinds are applied merge-on-read: positional
-deletes as a (file_path, pos) anti join, equality deletes as a
-sequence-number-scoped null-safe anti join on the delete file's
-columns.  Schema comes from the Iceberg schema JSON in the metadata
-file.
+Both v2 row-level delete kinds are applied merge-on-read and
+SEQUENCE-NUMBER SCOPED per spec: positional deletes as a (file_path,
+pos) join applying only where delete seq >= data seq (same-commit
+deletes apply, re-added files survive), equality deletes as a
+null-safe anti join on the delete file's columns applying only where
+delete seq > data seq.  Schema comes from the Iceberg schema JSON in
+the metadata file.
 
 Scale shape is identical to Delta's: the metadata chain is a
 driver-side read of KB-sized files (manifest lists exist precisely so
@@ -115,7 +117,11 @@ class IcebergSnapshot:
             os.path.join(table_path, snap["manifest-list"])
         )
         self.files: list[str] = []
-        self.delete_files: list[str] = []  # v2 positional delete files
+        # (path, sequence_number) for v2 POSITIONAL delete files: the
+        # spec applies a position delete to data files with sequence
+        # number <= the delete file's (same-commit deletes apply; a
+        # file re-added at a HIGHER sequence number keeps its rows).
+        self.delete_files: list[tuple[str, int]] = []
         # (path, sequence_number) for data files and v2 EQUALITY
         # delete files; the spec applies an equality delete only to
         # data files with a STRICTLY SMALLER sequence number (a file
@@ -157,7 +163,7 @@ class IcebergSnapshot:
                             json.loads(part) if isinstance(part, str) else part
                         )
                 elif content == 1:
-                    self.delete_files.append(path)
+                    self.delete_files.append((path, seq))
                 else:
                     self.eq_deletes.append((path, seq))
         self.files.sort()
@@ -189,11 +195,11 @@ def read_iceberg(
     Matching is on the FULL path, normalized scheme-less and resolved
     against the table root when the delete file records a relative
     path — two data files sharing a basename in different directories
-    (partitioned or imported layouts) never collide.  Subset
-    exclusion: delete files are not sequence-number scoped (a data
-    file re-added under the same path AFTER a delete file was written
-    would still have those positions removed); the fixtures pin the
-    spec's common append-then-delete ordering."""
+    (partitioned or imported layouts) never collide.  Position deletes
+    are SEQUENCE-NUMBER SCOPED per spec: a delete applies only to data
+    files whose sequence number is <= the delete file's, so a data
+    file re-added at a higher sequence number keeps its rows (gate key
+    scan_iceberg_pos_delete_seq pins exactly that re-add)."""
     from pyspark.sql import functions as F
 
     snap = IcebergSnapshot(table_path, snapshot_id)
@@ -236,16 +242,37 @@ def read_iceberg(
         F.col("_metadata.row_index").alias("_if_pos"),
     )
     if snap.delete_files:
-        dels = (
-            spark.read.parquet(*snap.delete_files)
-            .select(
+        # each delete file carries its sequence number as a literal;
+        # a (file, pos) entry kills a data row only when the delete's
+        # sequence number >= the data file's (spec: <= comparison on
+        # the data side — same-commit deletes apply, re-adds survive).
+        del_parts = [
+            spark.read.parquet(path).select(
                 _norm(F.col("file_path")).alias("_if_file"),
                 F.col("pos").cast("long").alias("_if_pos"),
+                F.lit(seq).alias("_del_seq"),
             )
-            .distinct()
+            for path, seq in snap.delete_files
+        ]
+        dels = del_parts[0]
+        for p in del_parts[1:]:
+            dels = dels.unionByName(p)
+        dels = dels.groupBy("_if_file", "_if_pos").agg(
+            F.max("_del_seq").alias("_del_seq")
         )
-        with_pos = with_pos.join(
-            F.broadcast(dels), ["_if_file", "_if_pos"], "left_anti"
+        seq_map = F.broadcast(
+            spark.createDataFrame(
+                snap.data_seq, "_if_file string, _if_seq int"
+            ).withColumn("_if_file", _norm(F.col("_if_file")))
+        )
+        with_pos = (
+            with_pos.join(seq_map, "_if_file", "left")
+            .join(F.broadcast(dels), ["_if_file", "_if_pos"], "left")
+            .filter(
+                F.col("_del_seq").isNull()
+                | (F.col("_del_seq") < F.coalesce(F.col("_if_seq"), F.lit(0)))
+            )
+            .drop("_del_seq", "_if_seq")
         )
     if snap.eq_deletes:
         # EQUALITY deletes (spec §equality-delete-files): a data row is
