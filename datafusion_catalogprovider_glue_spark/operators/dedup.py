@@ -684,81 +684,128 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph, then keep-one-per-cluster — the step that
     turns pairwise similarity into an actual dedup decision.
 
-    Implemented as hash-min label propagation WITH pointer doubling
-    (the large-star/small-star family): every doc starts labeled with
-    its own id; each round every node takes the min label among itself
-    and its neighbors, then every label jumps to its label's label
-    (path halving).  Plain hash-min needs O(component diameter)
-    rounds — a pathological 10^6-node chain at 100 TB would blow any
-    practical cap — while the doubling step makes it O(log diameter),
-    so the hard 20-round bound covers diameters up to ~2^20.  Rounds
-    are driver-side LOOP CONTROL only (one count() per round — never
-    data); per-round state is localCheckpoint()ed so lineage stays
-    flat.  If the bound is ever hit before fixpoint, a residual
-    warning reports how many labels were still moving instead of
-    silently returning a half-converged labeling.  The DuckDB twin
-    computes components with a recursive CTE — an independent
-    algorithm, same fixpoint.
+    Implemented as hash-min CONTRACTION with map doubling (the
+    large-star/small-star family, Kiveris et al. 2014): each round
+    every super-node takes min(self, min neighbor) as its new label,
+    the label map composes with itself once (doubling — so chains
+    collapse in O(log diameter), not O(diameter)), and THE EDGE SET
+    ITSELF CONTRACTS: endpoints remap through the round's label map,
+    self-loops and duplicate edges drop.  On the near-dup workload's
+    characteristic clique-heavy graphs (this corpus: ~760k pairs over
+    5k duplicate docs at sf0.1) the first round contracts every
+    clique to its min node and the edge table goes EMPTY — later
+    rounds cost nothing, where plain label propagation re-joined the
+    full million-edge table every round.  Termination is exact: no
+    edges left ⇔ every component is a single super-node, and since
+    labels only ever decrease, that super-node is the component min.
+    Rounds are driver-side LOOP CONTROL only (one count() per round —
+    never data); per-round state is localCheckpoint()ed so lineage
+    stays flat.  If the 20-round bound is ever hit first, a residual
+    warning reports the live edge count instead of silently returning
+    a half-contracted labeling.  The DuckDB twin computes components
+    with a recursive CTE — an independent algorithm, same fixpoint.
+
+    The iteration runs ONLY over nodes that appear in the pair graph;
+    singletons (most of any real corpus) join back exactly once at
+    the end with cluster_id = doc_id.  At 100 TB this is the
+    difference between iterating over duplicate groups and iterating
+    over the whole corpus 20 times.
     """
     import warnings
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = (
+    cur = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .localCheckpoint()
     )
+    # symmetric edges: distinct src = every node with at least one edge
     labels = (
-        _docs(spark, sf_dir)
+        cur.select(F.col("src").alias("doc_id"))
+        .distinct()
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint()
     )
-    n_changed = 0
+    n_edges = cur.count()
     for _ in range(20):  # hard bound; doubling converges in O(log diameter)
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        if n_edges == 0:
+            break
+        # this round's label map over current super-nodes: min(self,
+        # min neighbor) — one map-side-combinable aggregation over the
+        # (contracted) edge set; every node appears as a dst, so the
+        # map is total
+        upd = (
+            cur.groupBy(F.col("dst").alias("node"))
+            .agg(F.min("src").alias("m"))
+            .select("node", F.least("node", "m").alias("new"))
         )
-        merged = labels.join(neighbor_min, "doc_id", "left").select(
-            "doc_id",
-            F.col("cluster_id").alias("old_cluster"),
-            F.least("cluster_id", F.coalesce("nbr_min", F.col("cluster_id"))).alias(
-                "cluster_id"
-            ),
-        )
-        # pointer doubling: label <- label(label).  Every label is some
-        # doc's id (init + min closure), so the self-join always hits.
-        ptr = merged.select(
-            F.col("doc_id").alias("p_id"), F.col("cluster_id").alias("p_label")
-        )
-        updated = (
-            merged.join(ptr, merged.cluster_id == ptr.p_id, "left")
-            .select(
-                "doc_id",
-                "old_cluster",
-                F.coalesce("p_label", "cluster_id").alias("cluster_id"),
+        # map doubling: new <- new(new), SIX times — the map is
+        # node-sized (edges are not involved), so each composition is
+        # a tiny self-join, and six of them close pointer chains up to
+        # 2^6 per round; combined with edge contraction the rounds
+        # handle diameter ~64^20.  A 60-node chain converges in ONE
+        # round (pinned in test_dedup_clusters_long_chain_converges).
+        for _ in range(6):
+            hop = upd.select(
+                F.col("node").alias("h_node"), F.col("new").alias("h_new")
             )
+            # lazy checkpoint each composition: the self-join references
+            # upd twice, so an unbroken lineage would double the plan
+            # tree per iteration (2^6 leaves by the end)
+            upd = (
+                upd.join(hop, upd.new == hop.h_node, "left")
+                .select("node", F.coalesce("h_new", "new").alias("new"))
+                .localCheckpoint(eager=False)
+            )
+        # docs remap through the round map (labels always hold current
+        # super-node ids, so the join is total for non-fixed labels)
+        labels = (
+            labels.join(upd, labels.cluster_id == upd.node, "left")
+            .select(
+                "doc_id", F.coalesce("new", "cluster_id").alias("cluster_id")
+            )
+            .localCheckpoint(eager=False)
+        )
+        # CONTRACT the edges: both endpoints through the map, drop
+        # self-loops and duplicates — this is what makes round 2+ free
+        src_map = upd.select(F.col("node").alias("src"), F.col("new").alias("src_new"))
+        dst_map = upd.select(F.col("node").alias("dst"), F.col("new").alias("dst_new"))
+        cur = (
+            cur.join(src_map, "src")
+            .join(dst_map, "dst")
+            .select(
+                F.col("src_new").alias("src"), F.col("dst_new").alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
             .localCheckpoint()
         )
-        n_changed = updated.filter(
-            F.col("cluster_id") != F.col("old_cluster")
-        ).count()
-        labels = updated.select("doc_id", "cluster_id")
-        if n_changed == 0:
-            break
-    if n_changed:
+        n_edges = cur.count()
+    if n_edges:
         warnings.warn(
-            f"dedup_clusters: round cap hit with {n_changed} labels still "
-            "moving — component diameter exceeds 2^20?! result is not a "
+            f"dedup_clusters: round cap hit with {n_edges} edges still "
+            "live — component diameter exceeds 2^20?! result is not a "
             "fixpoint",
             RuntimeWarning,
             stacklevel=2,
         )
-    return labels.select(
-        "doc_id", "cluster_id", (F.col("cluster_id") == F.col("doc_id")).alias("keep")
+    # singletons (no near-dup edge) re-enter once: their own id is
+    # their cluster — the labels side broadcasts (it is pair-sized)
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .join(F.broadcast(labels), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("cluster_id") == F.col("doc_id")).alias("keep"),
+        )
     )
 
 

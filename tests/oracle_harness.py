@@ -146,9 +146,19 @@ def lint_spark_schema(spark_df) -> list[str]:
 # --------------------------------------------------------------------------
 
 
-def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
+def compare(
+    spark_df,
+    con: duckdb.DuckDBPyConnection,
+    sql: str,
+    timings: dict | None = None,
+) -> None:
     """Driver-gate replica: schema lints first (fail fast on landmine
-    shapes), then rows / column names / dtype-sensitive value hash."""
+    shapes), then rows / column names / dtype-sensitive value hash.
+    When ``timings`` is passed, records spark_secs (the toPandas
+    materialization of the Spark plan) and oracle_secs (lint +
+    DuckDB execution) so sweep artifacts can attribute cost."""
+    import time as _time
+
     from pyspark.sql import types as T
 
     schema_bad = lint_spark_schema(spark_df)
@@ -162,11 +172,18 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:
         if isinstance(f.dataType, T.DateType)
     ]
     assert not schema_bad, f"spark output shape would crash the driver: {schema_bad}"
+    t0 = _time.time()
     oracle_bad = lint_oracle(con, sql)
     assert not oracle_bad, f"oracle output shape would fail the driver: {oracle_bad}"
 
+    t1 = _time.time()
     s_pdf = spark_df.toPandas()
+    t2 = _time.time()
     d_pdf = con.execute(sql).df()
+    t3 = _time.time()
+    if timings is not None:
+        timings["spark_secs"] = t2 - t1
+        timings["oracle_secs"] = (t1 - t0) + (t3 - t2)
 
     assert sorted(s_pdf.columns) == sorted(d_pdf.columns), (
         f"column mismatch: spark={sorted(s_pdf.columns)} duckdb={sorted(d_pdf.columns)}"

@@ -61,8 +61,14 @@ def main() -> int:
         rec: dict = {"status": None, "secs": None, "err": None}
         try:
             df = qs[k](spark, args.sf)
+            t_build = time.time() - t0
             if k in osql:
-                compare(df, con, osql[k])
+                timings: dict = {}
+                compare(df, con, osql[k], timings=timings)
+                # spark_secs includes plan/fixture build (some keys do
+                # real Spark work eagerly: localCheckpoint, fixtures)
+                rec["spark_secs"] = round(t_build + timings["spark_secs"], 2)
+                rec["oracle_secs"] = round(timings["oracle_secs"], 2)
                 rec["status"] = "PASS"
                 n_pass += 1
             else:
