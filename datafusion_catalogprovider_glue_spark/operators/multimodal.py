@@ -502,29 +502,12 @@ def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tarfile
 
-    apply_engine_conf(spark)
-    base = os.path.join(
-        "/tmp",
-        f"glue_spark_tar_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    from datafusion_catalogprovider_glue_spark.fixtures.tar_shards import (
+        build_documents_tar_shard,
     )
-    shard = os.path.join(base, "shard-00000.tar")
-    if not os.path.exists(shard):
-        os.makedirs(base, exist_ok=True)
-        docs = (
-            load_table(spark, sf_dir, "documents")
-            .select("doc_id", "text")
-            .orderBy("doc_id")
-            .collect()
-        )
-        tmp = shard + ".tmp"
-        with tarfile.open(tmp, "w", format=tarfile.USTAR_FORMAT) as tf:
-            for r in docs:
-                data = r.text.encode("utf-8")
-                info = tarfile.TarInfo(name=f"doc_{r.doc_id}.txt")
-                info.size = len(data)
-                info.mtime = 0
-                tf.addfile(info, io.BytesIO(data))
-        os.rename(tmp, shard)
+
+    apply_engine_conf(spark)
+    base = build_documents_tar_shard(spark, sf_dir)
 
     out_schema = (
         "member string, offset_bytes long, size_bytes long, content_md5 string"
