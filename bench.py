@@ -99,6 +99,15 @@ HEADLINE = [
     "events_pattern_match",
     "agg_linear_regression",
     "sim_topk_pq_flat",
+    # round-4 additions: the sample-trained ANN pair (now fully
+    # value-anchored: hash-ordered sample + deterministic Lloyd /
+    # maxmin seeding) and the contraction-based duplicate-cluster
+    # formation — the three signature index/graph builds
+    "sim_topk_ivf",
+    "sim_topk_pq",
+    "dedup_clusters",
+    "scan_delta_dv",
+    "agg_weighted_percentile",
     # pipeline_bpe_train / pipeline_bpe_encode are oracle-checked in the
     # gate but excluded here: wall time is the K-round driver loop's
     # fixed per-round job overhead (like the streaming keys), not a

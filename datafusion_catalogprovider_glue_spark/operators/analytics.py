@@ -1278,3 +1278,110 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.purchase_value,
+           b.view_ts, b.view_value
+    FROM p CROSS JOIN LATERAL (
+        SELECT v.ts AS view_ts, v.view_value
+        FROM v WHERE v.user_id = p.user_id
+        ORDER BY ABS(epoch_us(v.ts) - epoch_us(p.ts)) ASC, v.ts ASC
+        LIMIT 1
+    ) b
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — each purchase matched to the view CLOSEST
+    in time, in either direction (ties in distance go to the EARLIER
+    view), completing the asof family next to the backward and
+    forward forms.  The oracle is the obvious LATERAL
+    order-by-absolute-distance; the Spark plan never builds that
+    quadratic candidate set: the nearest view is necessarily either
+    the latest view at-or-before the purchase or the earliest view
+    at-or-after it, so TWO carry-forward window scans over one
+    user-keyed union stream (the backward machinery + its reversed
+    twin) produce both candidates and a row-local comparison on exact
+    epoch-microsecond distances picks the winner.  Two sorts of one
+    shuffle, no inequality join — the same scale shape as join_asof.
+    """
+    ev = _t(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("view_value"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            "view_value",
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("view_value"),
+    )
+    from pyspark.sql.window import Window
+
+    u = views.unionByName(purchases)
+    # backward scan: ts ASC, views first at ties -> inclusive <=
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # forward scan: ts DESC, views first at ties -> inclusive >=
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts_expr = F.when(F.col("side") == 0, F.col("ts"))
+    cand = (
+        u.withColumn("b_value", F.last("view_value", ignorenulls=True).over(wb))
+        .withColumn("b_ts", F.last(view_ts_expr, ignorenulls=True).over(wb))
+        .withColumn("f_value", F.last("view_value", ignorenulls=True).over(wf))
+        .withColumn("f_ts", F.last(view_ts_expr, ignorenulls=True).over(wf))
+        .filter(F.col("side") == 1)
+    )
+    p_us = F.unix_micros(F.col("ts"))
+    b_diff = p_us - F.unix_micros(F.col("b_ts"))
+    f_diff = F.unix_micros(F.col("f_ts")) - p_us
+    pick_back = F.col("b_ts").isNotNull() & (
+        F.col("f_ts").isNull() | (b_diff <= f_diff)
+    )
+    return (
+        cand.withColumn(
+            "view_ts", F.when(pick_back, F.col("b_ts")).otherwise(F.col("f_ts"))
+        )
+        .withColumn(
+            "view_value",
+            F.when(pick_back, F.col("b_value")).otherwise(F.col("f_value")),
+        )
+        .filter(F.col("view_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "purchase_value",
+            "view_ts",
+            "view_value",
+        )
+    )

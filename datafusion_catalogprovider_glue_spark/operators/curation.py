@@ -792,3 +792,118 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dups"),
         )
     )
+
+
+@query(
+    "agg_entropy",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, COUNT(*) AS n_xy
+        FROM documents GROUP BY lang, source
+    ),
+    g AS (
+        SELECT lang, SUM(n_xy) AS n,
+               list(CAST(n_xy AS DOUBLE) ORDER BY source) AS xs
+        FROM cells GROUP BY lang
+    )
+    SELECT lang, CAST(n AS BIGINT) AS n_docs,
+           ROUND(-list_reduce(list_prepend(0.0,
+               list_transform(xs, x ->
+                   (x / CAST(n AS DOUBLE)) * ln(x / CAST(n AS DOUBLE)))),
+               (a, b) -> a + b), 9) AS source_entropy
+    FROM g
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHANNON ENTROPY of the source distribution per language — the
+    diversity measure behind data-mixing dashboards (a lang whose
+    docs all come from one source is a contamination/skew smell).
+
+    One corpus aggregation produces the (lang, source) cell counts;
+    entropy folds over the per-lang cell list SORTED BY SOURCE — the
+    pinned left-fold discipline (float addition is not associative,
+    so both engines visit terms in the same order; the ln() calls see
+    bit-identical ratios of exact counts and the result rounds at
+    9 dp like agg_pmi_association).  At 100 TB: cells are
+    |langs|x|sources| rows — the corpus contributes exactly one
+    map-side-combined groupBy."""
+    d = _docs(spark, sf_dir)
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
+    g = cells.groupBy("lang").agg(
+        F.sum("n_xy").alias("n"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("source", "n_xy"))),
+            lambda s: s["n_xy"].cast("double"),
+        ).alias("xs"),
+    )
+    n_d = F.col("n").cast("double")
+    ent = -F.aggregate(
+        F.transform(F.col("xs"), lambda x: (x / n_d) * F.log(x / n_d)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return g.select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(ent, 9).alias("source_entropy"),
+    )
+
+
+@query(
+    "agg_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS i
+        FROM documents
+    ),
+    g AS (
+        SELECT source, COUNT(*) AS n, SUM(n_chars) AS s1,
+               SUM(i * n_chars) AS s2
+        FROM ranked GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(s1 AS BIGINT) AS sum_chars,
+           ROUND((2.0 * CAST(s2 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 9) AS gini
+    FROM g
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of document length per source — the
+    concentration measure curation dashboards use to spot sources
+    whose token mass hides in a few huge documents (sampling and
+    packing behave differently there).
+
+    Exact arithmetic throughout the heavy part: the rank-weighted sum
+    Sum(i * n_chars) and Sum(n_chars) are BIGINT aggregates over a
+    deterministic (n_chars, doc_id) ranking, so both engines hold
+    identical integers and the final Gini formula is a handful of
+    identical IEEE ops rounded at 9 dp.  One shuffle to rank within
+    source, one aggregation — at 100 TB the rank is the standard
+    per-group sort Spark already distributes."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source", "n_chars", F.row_number().over(w).cast("long").alias("i")
+    )
+    g = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s1"),
+        F.sum(F.col("i") * F.col("n_chars")).alias("s2"),
+    )
+    gini = (
+        (2.0 * F.col("s2").cast("double"))
+        / (F.col("n").cast("double") * F.col("s1").cast("double"))
+        - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    )
+    return g.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("s1").cast("bigint").alias("sum_chars"),
+        F.round(gini, 9).alias("gini"),
+    )

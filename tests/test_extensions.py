@@ -289,6 +289,51 @@ def test_approx_distinct_accuracy(spark):
         assert abs(est[flag] - n) <= 0.03 * n
 
 
+def test_asof_nearest_tie_and_direction_semantics(spark):
+    # nearest view in EITHER direction; equal distances go to the
+    # EARLIER view; a view exactly at the purchase ts wins outright
+    import datetime as dt
+
+    from datafusion_catalogprovider_glue_spark.operators.analytics import (
+        join_asof_nearest,
+    )
+    import datafusion_catalogprovider_glue_spark.operators.analytics as mod
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: views at -2m and +1m -> forward one is closer
+        (1, t0 - 2 * m, 1, "view", 1.0, None),
+        (2, t0 + 1 * m, 1, "view", 2.0, None),
+        (3, t0, 1, "purchase", 99.0, None),
+        # user 2: views at -1m and +1m (equal distance) -> earlier wins
+        (4, t0 - m, 2, "view", 3.0, None),
+        (5, t0 + m, 2, "view", 4.0, None),
+        (6, t0, 2, "purchase", 50.0, None),
+        # user 3: view exactly at purchase ts
+        (7, t0, 3, "view", 5.0, None),
+        (8, t0, 3, "purchase", 7.0, None),
+        (9, t0 + m, 3, "view", 6.0, None),
+        # user 4: no views at all -> dropped
+        (10, t0, 4, "purchase", 8.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    orig = mod.load_table
+    mod.load_table = lambda s, d, n: df
+    try:
+        out = {
+            r["event_id"]: r for r in join_asof_nearest(spark, "x").collect()
+        }
+    finally:
+        mod.load_table = orig
+    assert set(out) == {3, 6, 8}
+    assert out[3]["view_value"] == 2.0          # +1m beats -2m
+    assert out[6]["view_value"] == 3.0          # tie -> earlier
+    assert out[8]["view_value"] == 5.0 and out[8]["view_ts"] == t0
+
+
 def test_quantizer_sample_bounded_and_hash_ordered(spark):
     """Pin the FAISS-style training contract: the quantizer sample is
     (a) hard-bounded by the cap — the only thing that touches the
