@@ -756,3 +756,161 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(
         energies, "doc_id bigint, frame_idx bigint, energy bigint"
     )
+
+
+# --- image NEAR-DUP detection: average-hash over real decoded pixels ---
+AHASH_W, AHASH_H = 10, 6   # 60 bits: positive bigint, 4 clean 15-bit bands
+AHASH_BANDS = 4
+AHASH_BAND_BITS = 15
+AHASH_RADIUS = 6
+_NEARDUP_GROUP = 5    # docs 5g..5g+4 render near-identical images
+_NOISE_STRIDE = 101   # sparse low-amplitude per-doc pixel noise
+
+
+def _make_near_dup_image(doc_id: int) -> bytes:
+    """Group g = doc_id//5*5 renders ONE base raster; the other four
+    docs add amplitude-(doc_id%5) noise on every 101st channel — the
+    imperceptible-perturbation near-duplicate class (re-encodes,
+    steganographic noise, single-pixel watermarks)."""
+    g = doc_id - doc_id % _NEARDUP_GROUP
+    w, h = _img_dims(g)
+    i = np.arange(w * h * 3, dtype=np.int64)
+    noise = np.where(i % _NOISE_STRIDE == 0, doc_id % _NEARDUP_GROUP, 0)
+    raster = ((g * 31 + i + noise) % 256).astype(np.uint8)
+    return encode_ppm(raster.reshape(h, w, 3))
+
+
+def _ahash_oracle() -> str:
+    W, H, G, NS = AHASH_W, AHASH_H, _NEARDUP_GROUP, _NOISE_STRIDE
+    flat3c = (
+        f"(((((k // {W}) * h) // {H}) * w + (((k % {W}) * w) // {W})) * 3 + c)"
+    )
+    luma = (
+        f"list_sum(list_transform(range(3), c -> "
+        f"(g * 31 + {flat3c} + CASE WHEN {flat3c} % {NS} = 0 "
+        f"THEN doc_id % {G} ELSE 0 END) % 256))"
+    )
+    n_cells = W * H
+    return f"""
+    WITH dims AS (
+        SELECT doc_id, doc_id - doc_id % {G} AS g,
+               8 + (doc_id - doc_id % {G}) % 16 AS w,
+               6 + (doc_id - doc_id % {G}) % 12 AS h
+        FROM documents
+    ),
+    lum AS (
+        SELECT doc_id,
+               list_transform(range({n_cells}), k -> {luma}) AS lumas
+        FROM dims
+    ),
+    hh AS (
+        SELECT doc_id,
+               CAST(list_sum(list_transform(range({n_cells}), k ->
+                   CASE WHEN lumas[k + 1] * {n_cells} > list_sum(lumas)
+                        THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT)
+                   AS ahash
+        FROM lum
+    ),
+    bands AS (
+        SELECT doc_id, ahash, b,
+               (ahash >> ({AHASH_BAND_BITS} * b)) & {(1 << AHASH_BAND_BITS) - 1}
+                   AS bval
+        FROM hh, (SELECT UNNEST(range({AHASH_BANDS})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               x.ahash AS ha, y.ahash AS hb
+        FROM bands x JOIN bands y
+          ON x.b = y.b AND x.bval = y.bval AND x.doc_id < y.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {AHASH_RADIUS}
+    """
+
+
+@query("multimodal_image_dedup_ahash", oracle=_ahash_oracle())
+def multimodal_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMAGE near-duplicate detection — the pHash-family pipeline over
+    REAL pixels, fully value-checked: decode the P6 payload, 10x6
+    nearest-neighbor downsample (the resize kernel multimodal_resize
+    pins), integer luma (r+g+b), AVERAGE-HASH bits (cell luma x 60 >
+    raster total — exact integer comparison, no float means), then
+    the dedup_simhash pairing machinery: 4 x 15-bit band equi-join +
+    bit_count(xor) <= radius.  Every quantity is integer arithmetic,
+    so the DuckDB oracle re-derives hashes from the generation
+    formula and the pair set hash-matches — a wrong decode, resample
+    convention, or band slice shows up as a mismatch.
+
+    At 100 TB: hashing is one Arrow-batched mapInPandas pass (60
+    sampled pixels per image regardless of resolution — decode cost
+    dominates, embarrassingly parallel); candidate generation is the
+    banded LSH equi-join, never all-pairs; the radius check touches
+    only banded candidates.  The noise model (amplitude <= 4 on every
+    101st channel) is the imperceptible-perturbation class: pinned in
+    tests, within-group recall stays high because at most ~2 sampled
+    cells are perturbed."""
+    apply_engine_conf(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from datafusion_catalogprovider_glue_spark.functions.media_codecs import (
+            decode_ppm,
+            resize_nearest,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                arr, _ = decode_ppm(_make_near_dup_image(doc_id))
+                small = resize_nearest(arr, AHASH_W, AHASH_H)
+                lumas = small.astype(np.int64).sum(axis=2).reshape(-1)
+                total = int(lumas.sum())
+                hval = 0
+                for k, v in enumerate(lumas):
+                    if int(v) * (AHASH_W * AHASH_H) > total:
+                        hval |= 1 << k
+                rows.append((doc_id, hval))
+            yield pd.DataFrame(rows, columns=["doc_id", "ahash"])
+
+    hashes = d.mapInPandas(
+        hash_batches, "doc_id long, ahash long"
+    ).localCheckpoint()  # index build: 8 bytes per image
+    mask = (1 << AHASH_BAND_BITS) - 1
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("ahash", AHASH_BAND_BITS * b).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("b", "bval"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("x.ahash").alias("ha"),
+            F.col("y.ahash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("CAST(bit_count(ha ^ hb) AS BIGINT)")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= AHASH_RADIUS)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -334,6 +334,31 @@ def test_asof_nearest_tie_and_direction_semantics(spark):
     assert out[8]["view_value"] == 5.0 and out[8]["view_ts"] == t0
 
 
+def test_image_ahash_dedup_recall_and_exactness(spark):
+    """multimodal_image_dedup_ahash must (a) find most within-group
+    near-dup image pairs despite the per-doc pixel noise, (b) emit
+    hamming 0 for pairs whose sampled cells dodge the noise entirely,
+    and (c) never pair images with hamming above the radius."""
+    from datafusion_catalogprovider_glue_spark.operators import multimodal, registry
+
+    registry.load_all_operator_modules()
+    sf = "/root/testdata/sf0.001"
+    rows = registry.QUERIES["multimodal_image_dedup_ahash"](spark, sf).collect()
+    assert rows, "no near-dup image pairs found at all"
+    n_docs = 500
+    same_group = [
+        r for r in rows if r.doc_a // multimodal._NEARDUP_GROUP
+        == r.doc_b // multimodal._NEARDUP_GROUP
+    ]
+    # every group of 5 has C(5,2)=10 pairs; banding + noise may drop a
+    # few, but the operator exists to catch this class: >= 60% recall
+    total_group_pairs = (n_docs // multimodal._NEARDUP_GROUP) * 10
+    assert len(same_group) >= 0.6 * total_group_pairs, (
+        len(same_group), total_group_pairs
+    )
+    assert all(r.hamming <= multimodal.AHASH_RADIUS for r in rows)
+
+
 def test_quantizer_sample_bounded_and_hash_ordered(spark):
     """Pin the FAISS-style training contract: the quantizer sample is
     (a) hard-bounded by the cap — the only thing that touches the
