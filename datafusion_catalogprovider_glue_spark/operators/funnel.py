@@ -1057,3 +1057,65 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         dsum(F.col("value"), 2).alias("revenue"),
     )
+
+
+@query(
+    "events_stickiness",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    mau AS (
+        SELECT d.day, COUNT(DISTINCT u.user_id) AS mau
+        FROM days d JOIN ud u
+          ON u.day <= d.day AND u.day > d.day - INTERVAL 30 DAY
+        GROUP BY d.day
+    ),
+    dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM ud GROUP BY day)
+    SELECT d.day, d.dau, m.mau,
+           ROUND(CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE), 6)
+               AS stickiness
+    FROM dau d JOIN mau m USING (day)
+    """,
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU STICKINESS per day — the engagement ratio product
+    analytics teams track daily (how much of the monthly audience
+    shows up on a given day).
+
+    The corpus contributes exactly one distinct-collapse to
+    (user, day) pairs; the trailing-30-day MAU then joins those pairs
+    against the DAYS dimension — a bounded table (365 rows/year) that
+    BROADCASTS, so the range condition never becomes a shuffle-side
+    inequality join.  All counts are exact BIGINTs; the final ratio
+    is one identical IEEE division rounded at 6 dp.  At 100 TB the
+    (user, day) distinct is the only corpus-sized shuffle, and the
+    day-dimension broadcast pattern is how every trailing-window
+    metric (WAU, rolling retention) scales."""
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct().withColumnRenamed("day", "anchor")
+    mau = (
+        ud.join(
+            F.broadcast(days),
+            (F.col("day") <= F.col("anchor"))
+            & (F.col("day") > F.expr("anchor - INTERVAL 30 DAYS")),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    return (
+        dau.join(mau, dau.day == mau.anchor)
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
