@@ -1119,3 +1119,159 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@query(
+    "events_path_topk",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                         OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                            > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM ordered
+    ),
+    stepped AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                                     ORDER BY ts, event_id) AS rn
+        FROM sessioned
+    ),
+    paths AS (
+        SELECT user_id, session_idx,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM stepped WHERE rn <= 8
+        GROUP BY user_id, session_idx
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+)
+def events_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP SESSION PATHS — the entry-path ("sankey") report: each
+    session's first 8 event types joined into a '>'-delimited path
+    string, counted across sessions, top 20.
+
+    Sessionization reuses the 30-minute-gap rule (one shuffle keyed by
+    user, same as events_sessionize); the path is then built by
+    collecting each session's (ts, event_id, type) triples, sorting
+    INSIDE the aggregation (sort_array on the collected structs — no
+    second window pass), slicing to 8, and joining — all JVM
+    higher-order functions.  The 8-step cap bounds both the collected
+    state per (user, session) and the path-string cardinality, which
+    is what keeps the final path groupBy skew-safe at 100 TB: the
+    distinct-path table is tiny (≤ |event_types|^8 but in practice a
+    few thousand), so the top-20 is a cheap partial-agg + single
+    reducer.  (ts, event_id) makes intra-session order unique, so the
+    path string is engine-deterministic under ties.
+    """
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess = (
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    paths = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            sess.alias("session_idx"),
+        )
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct("ts", "event_id", "event_type")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ROW_NUMBER() OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id) = 1
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    )
+    SELECT user_id, ts, event_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS distinct_types_so_far
+    FROM flagged
+    """,
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING DISTINCT COUNT per user — "how many distinct event
+    types has this user touched as of each event", the breadth-of-
+    engagement curve.  SQL has no COUNT(DISTINCT) OVER a running
+    frame; the standard rewrite (used identically in both engines) is
+    the first-occurrence flag: ROW_NUMBER over (user, type) marks each
+    type's first event, and a running SUM of the flag over (user)
+    yields the exact distinct count.
+
+    Two window passes, each a keyed shuffle — (user_id, event_type)
+    then (user_id) — with no joins and no state beyond one sort run
+    per partition; at 100 TB both shuffles are the same cardinality as
+    the fact table and spill linearly.  (ts, event_id) uniquifies the
+    order so the flag assignment (hence every prefix sum) is
+    engine-deterministic under timestamp ties.
+    """
+    ev = _events(spark, sf_dir)
+    first_w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_new = F.when(F.row_number().over(first_w) == 1, 1).otherwise(0)
+    return (
+        ev.select("user_id", "ts", "event_id", is_new.alias("is_new"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.sum("is_new").over(run_w).cast("long").alias(
+                "distinct_types_so_far"
+            ),
+        )
+    )
