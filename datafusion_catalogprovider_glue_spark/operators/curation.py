@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
@@ -906,4 +907,86 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_docs"),
         F.col("s1").cast("bigint").alias("sum_chars"),
         F.round(gini, 9).alias("gini"),
+    )
+
+
+@query(
+    "pipeline_curriculum_order",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents
+    ),
+    idx AS (
+        SELECT DISTINCT source,
+               CAST(DENSE_RANK() OVER (ORDER BY source) AS BIGINT) - 1
+                   AS src_idx
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n_chars, doc_id)
+                    AS BIGINT) - 1 AS rank_in_source
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.n_chars,
+           r.rank_in_source * s.n_sources + i.src_idx AS global_pos
+    FROM ranked r JOIN idx i USING (source) CROSS JOIN s
+    """,
+)
+def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CURRICULUM ORDERING — a deterministic global training order
+    that is easy-to-hard (short documents first, length as the
+    difficulty proxy) while staying source-interleaved, so no shard of
+    the resulting stream is ever single-source.
+
+    The trick is that the global position is ARITHMETIC, not sorted:
+    rank documents within each source by (n_chars, doc_id), give each
+    source a dense index, and emit global_pos = rank * n_sources +
+    src_idx — a perfect round-robin interleave with no global sort, no
+    single-partition window, no driver collect.  The only shuffles are
+    one per-source window (keyed by source; AQE splits a skewed giant
+    source) and a broadcast of the |sources|-row index table.  The
+    consumer writes with write.partitionBy on global_pos ranges or
+    sorts WITHIN partitions — either way the 100 TB plan never needs
+    a total-order exchange, which is what makes curriculum emission
+    feasible at all at that scale.
+    """
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    n_sources = docs.agg(
+        F.countDistinct("source").cast("bigint").alias("n_sources")
+    )
+    idx = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (
+                F.dense_rank().over(Window.orderBy("source")).cast("bigint")
+                - 1
+            ).alias("src_idx"),
+        )
+    )
+    rank_w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.row_number().over(rank_w).cast("bigint") - 1).alias(
+            "rank_in_source"
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(idx), "source")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            (
+                F.col("rank_in_source") * F.col("n_sources")
+                + F.col("src_idx")
+            ).alias("global_pos"),
+        )
     )

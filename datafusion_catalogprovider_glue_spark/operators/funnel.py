@@ -1275,3 +1275,83 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_user_overlap",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ud GROUP BY event_type
+    ),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ud a JOIN ud b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n_users AS n_a, sb.n_users AS n_b,
+           i.n_both,
+           ROUND(CAST(i.n_both AS DOUBLE)
+                 / CAST(sa.n_users + sb.n_users - i.n_both AS DOUBLE), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.event_type = i.type_a
+    JOIN sz sb ON sb.event_type = i.type_b
+    """,
+)
+def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP — Jaccard similarity between the user sets of
+    every event-type pair ("how much does the purchase audience
+    overlap the search audience"), the set-algebra report behind
+    segment planning.
+
+    The corpus collapses once to distinct (type, user) pairs; the
+    intersection is a SELF-JOIN ON user_id — an equi-join whose
+    per-user fan-out is bounded by |event_types|², a constant, so it
+    is NOT an all-pairs blow-up: at 100 TB the plan is one distinct
+    shuffle plus one co-partitioned join on the same key.  Set sizes
+    join back via broadcast (the size table has |event_types| rows).
+    All set counts are exact BIGINTs; the ratio is one identical IEEE
+    division rounded at 6 dp.
+    """
+    ev = _events(spark, sf_dir)
+    ud = ev.select("event_type", "user_id").distinct()
+    sz = ud.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    a = ud.select(
+        F.col("event_type").alias("type_a"), F.col("user_id").alias("u")
+    )
+    b = ud.select(
+        F.col("event_type").alias("type_b"), F.col("user_id").alias("u")
+    )
+    inter = (
+        a.join(b, (a.u == b.u) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    sa = F.broadcast(sz.select(F.col("event_type").alias("type_a"),
+                               F.col("n_users").alias("n_a")))
+    sb = F.broadcast(sz.select(F.col("event_type").alias("type_b"),
+                               F.col("n_users").alias("n_b")))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
