@@ -667,3 +667,46 @@ def test_pq_flat_corpus_never_shuffles(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_path_topk_is_take_ordered_not_global_sort(spark):
+    # top-20 paths must be TakeOrderedAndProject (per-partition heap +
+    # driver merge), never a full Exchange rangepartitioning sort.
+    p = plan_str(q(spark, "events_path_topk"))
+    assert "TakeOrderedAndProject" in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_stickiness_day_dimension_broadcasts(spark):
+    # the trailing-30-day MAU range join must put the bounded day
+    # dimension on the broadcast side — a shuffle-side inequality
+    # join would be the scale killer.
+    p = plan_str(q(spark, "events_stickiness"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_user_overlap_intersection_is_equi_join(spark):
+    # the type-pair intersection must be a hash equi-join on user_id,
+    # never a nested-loop all-pairs product.
+    p = plan_str(q(spark, "events_user_overlap"))
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or (
+        "BroadcastHashJoin" in p
+    )
+    assert "CartesianProduct" not in p
+
+
+def test_curriculum_order_no_global_sort_no_single_partition_window(spark):
+    # global_pos is arithmetic: the plan must contain no
+    # range-partitioned exchange, and the only single-partition
+    # window may run over the distinct-source table (post-aggregate),
+    # never over the document corpus.
+    df = q(spark, "pipeline_curriculum_order")
+    p = plan_str(df)
+    assert "rangepartitioning" not in p.lower()
+    assert "SinglePartition" not in p.split("HashAggregate")[0]
+
+
+def test_running_distinct_two_keyed_windows_no_join(spark):
+    p = plan_str(q(spark, "window_running_distinct"))
+    assert "Join" not in p
+    assert p.count("Window") >= 2
