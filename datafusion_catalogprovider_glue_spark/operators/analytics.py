@@ -1385,3 +1385,88 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "view_value",
         )
     )
+
+
+@query(
+    "agg_corr_pairs",
+    # Same determinism recipe as agg_linear_regression: component sums
+    # on the exact decimal grid, then one identical double expression
+    # tree (sqrt is IEEE correctly-rounded in both engines), so the
+    # correlations agree bit-for-bit with no output rounding.
+    oracle="""
+    WITH s AS (
+      SELECT l_linestatus,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+      FROM lineitem GROUP BY l_linestatus
+    )
+    SELECT l_linestatus, CAST(n AS BIGINT) AS n_rows,
+           ((n * sqp) - (sq * sp))
+             / SQRT(((n * sqq) - (sq * sq)) * ((n * spp) - (sp * sp)))
+               AS corr_qty_price,
+           ((n * sqd) - (sq * sd))
+             / SQRT(((n * sqq) - (sq * sq)) * ((n * sdd) - (sd * sd)))
+               AS corr_qty_disc,
+           ((n * spd) - (sp * sd))
+             / SQRT(((n * spp) - (sp * sp)) * ((n * sdd) - (sd * sd)))
+               AS corr_price_disc
+    FROM s
+    """,
+)
+def agg_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (quantity, price, discount)
+    per line status — the CORR() surface, built from exact sufficient
+    statistics instead of the engines' float-order-dependent builtin.
+
+    One pass, one shuffle of ten numbers per group (map-side
+    combined); all cross-products are decimal×decimal (exact, widened
+    precision), so at 100 TB the raw fact rows never move and the
+    result is independent of partitioning, task order, and cluster
+    size — the property the builtin CORR gives up."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    s = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("sq"),
+        F.sum(p).cast("double").alias("sp"),
+        F.sum(d).cast("double").alias("sd"),
+        F.sum(q * q).cast("double").alias("sqq"),
+        F.sum(p * p).cast("double").alias("spp"),
+        F.sum(d * d).cast("double").alias("sdd"),
+        F.sum(q * p).cast("double").alias("sqp"),
+        F.sum(q * d).cast("double").alias("sqd"),
+        F.sum(p * d).cast("double").alias("spd"),
+    )
+    n = F.col("n")
+
+    def corr(sx, sy, sxy, sxx, syy):
+        return ((n * sxy) - (sx * sy)) / F.sqrt(
+            ((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy))
+        )
+
+    sq, sp, sd = F.col("sq"), F.col("sp"), F.col("sd")
+    sqq, spp, sdd = F.col("sqq"), F.col("spp"), F.col("sdd")
+    sqp, sqd, spd = F.col("sqp"), F.col("sqd"), F.col("spd")
+    return s.select(
+        "l_linestatus",
+        n.cast("bigint").alias("n_rows"),
+        corr(sq, sp, sqp, sqq, spp).alias("corr_qty_price"),
+        corr(sq, sd, sqd, sqq, sdd).alias("corr_qty_disc"),
+        corr(sp, sd, spd, spp, sdd).alias("corr_price_disc"),
+    )

@@ -1355,3 +1355,79 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "events_lorenz_curve",
+    oracle="""
+    WITH uc AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ev
+        FROM events GROUP BY user_id
+    ),
+    dist AS (
+        SELECT n_ev, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM uc GROUP BY n_ev
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_users) AS BIGINT) AS total_users,
+               CAST(SUM(n_ev * n_users) AS BIGINT) AS total_events
+        FROM dist
+    )
+    SELECT d.n_ev, d.n_users,
+           ROUND(CAST(SUM(d.n_users) OVER w AS DOUBLE)
+                 / CAST(t.total_users AS DOUBLE), 6) AS cum_user_frac,
+           ROUND(CAST(SUM(d.n_ev * d.n_users) OVER w AS DOUBLE)
+                 / CAST(t.total_events AS DOUBLE), 6) AS cum_event_frac
+    FROM dist d CROSS JOIN tot t
+    WINDOW w AS (ORDER BY d.n_ev DESC ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVITY CONCENTRATION (Lorenz curve) — "the top X% of users
+    produce Y% of events", the power-law report behind bot screening
+    and capacity planning.
+
+    Heaviest users first: for each distinct per-user event count, the
+    cumulative fraction of users and of events at or above it.  The
+    corpus reduces twice before any ordering happens — events →
+    per-user counts (one keyed shuffle) → count-value histogram
+    (second keyed shuffle, output bounded by max-events-per-user) —
+    so the single-partition running-sum window at the end runs over
+    the TINY histogram table, never the corpus; same post-aggregate
+    pattern as pipeline_curriculum_order's source index.  All
+    cumulative sums are exact BIGINT arithmetic; the two fractions
+    are identical IEEE divisions rounded at 6 dp.
+    """
+    ev = _events(spark, sf_dir)
+    uc = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev")
+    )
+    dist = uc.groupBy("n_ev").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    tot = dist.agg(
+        F.sum("n_users").cast("bigint").alias("total_users"),
+        F.sum(F.col("n_ev") * F.col("n_users"))
+        .cast("bigint")
+        .alias("total_events"),
+    )
+    w = Window.orderBy(F.desc("n_ev")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        dist.crossJoin(F.broadcast(tot))
+        .select(
+            "n_ev",
+            "n_users",
+            F.round(
+                F.sum("n_users").over(w).cast("double")
+                / F.col("total_users").cast("double"),
+                6,
+            ).alias("cum_user_frac"),
+            F.round(
+                F.sum(F.col("n_ev") * F.col("n_users")).over(w).cast("double")
+                / F.col("total_events").cast("double"),
+                6,
+            ).alias("cum_event_frac"),
+        )
+    )
