@@ -990,3 +990,77 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_pos"),
         )
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - 4),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))))
+                 AS ng
+      FROM documents
+    ),
+    fd AS (
+      SELECT ng, MIN(doc_id) AS first_doc FROM g GROUP BY ng
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN fd.first_doc = g.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM g JOIN fd ON g.ng = fd.ng
+    GROUP BY g.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOVELTY SCORING — per document, the fraction of its distinct
+    5-grams that no EARLIER document (smaller doc_id = earlier in the
+    stream) contains; the dedup-adjacent signal curation pipelines use
+    to rank crawl snapshots and decide what a new batch actually adds
+    on top of the corpus so far.
+
+    Same group-join shape as text_dup_ngram_fraction: the n-gram-keyed
+    aggregation computes the first-introducing doc AND carries the
+    posting list in one pass, then re-explodes for the per-doc rollup
+    — two content shuffles (n-gram, doc_id), no sort-merge join.  The
+    skew swap also carries over: a hot boilerplate gram only needs its
+    MIN doc_id retained, so per-key state is O(1) under a streaming
+    min even before any posting cap.  Counts are exact integers; the
+    fraction is one divide rounded at 6 dp.
+    """
+    from datafusion_catalogprovider_glue_spark.operators.dedup import _parallelize
+
+    d = _parallelize(_docs(spark, sf_dir), "doc_id")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    grams = F.when(
+        n >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - 4),
+                lambda i: F.array_join(F.slice(w, i, 5), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = d.select("doc_id", F.explode(grams).alias("ng"))
+    per_ng = g.groupBy("ng").agg(
+        F.min("doc_id").alias("first_doc"),
+        F.collect_list("doc_id").alias("docs"),
+    )
+    novel = F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0))
+    return (
+        per_ng.select("first_doc", F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            novel.cast("bigint").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty"),
+        )
+    )

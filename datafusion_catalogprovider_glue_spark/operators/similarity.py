@@ -1966,3 +1966,96 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= HARD_NEG_K)
     )
+
+
+_KNN_K = 10
+
+
+@query(
+    "sim_knn_classify",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT q.vec_id AS query_id, q.label AS true_label,
+               c.label AS neighbor_label,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 6) DESC,
+                            c.vec_id) AS BIGINT) AS rank
+        FROM embeddings q JOIN embeddings c ON c.vec_id >= {N_QUERIES}
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    votes AS (
+        SELECT query_id, true_label, neighbor_label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes
+        FROM ranked WHERE rank <= {_KNN_K}
+        GROUP BY 1, 2, 3
+    )
+    SELECT query_id, true_label,
+           neighbor_label AS predicted_label, n_votes
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY n_votes DESC, neighbor_label) AS vr
+        FROM votes
+    ) t WHERE vr = 1
+    """,
+)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN CLASSIFICATION — the canonical consumer of similarity
+    search: each query vector takes the majority label of its k=10
+    nearest corpus neighbors (corpus = the non-query vectors,
+    so the vote is held-out).  Ties break to the smallest label;
+    neighbor rank ties break on vec_id — both engines see the same
+    deterministic ordering because cosine is rounded to 6 dp BEFORE
+    ranking (the sim_topk contract).
+
+    Plan shape is the sim_topk_bruteforce one: the query set
+    BROADCASTS (bounded by construction), the corpus never shuffles,
+    per-query ranking and voting are window + groupBy over
+    |queries|×k rows — driver-side nothing.  Swap the scoring join
+    for sim_topk_ivf's bucketed shortlist at 100 TB and the voting
+    tail is unchanged; that composability is the point of emitting
+    ranked shortlists as DataFrames.
+    """
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("label").alias("neighbor_label"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        "neighbor_label",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("cos"),
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    votes = (
+        scored.withColumn("rank", F.row_number().over(rank_w))
+        .filter(F.col("rank") <= _KNN_K)
+        .groupBy("query_id", "true_label", "neighbor_label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_votes"))
+    )
+    vote_w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("neighbor_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(vote_w))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            "n_votes",
+        )
+    )
