@@ -913,15 +913,12 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pipeline_curriculum_order",
     oracle="""
-    WITH s AS (
-        SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-        FROM documents
-    ),
-    idx AS (
-        SELECT DISTINCT source,
+    WITH idx AS (
+        SELECT source,
                CAST(DENSE_RANK() OVER (ORDER BY source) AS BIGINT) - 1
-                   AS src_idx
-        FROM documents
+                   AS src_idx,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_sources
+        FROM (SELECT DISTINCT source FROM documents)
     ),
     ranked AS (
         SELECT doc_id, source, n_chars,
@@ -931,8 +928,8 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT r.doc_id, r.source, r.n_chars,
-           r.rank_in_source * s.n_sources + i.src_idx AS global_pos
-    FROM ranked r JOIN idx i USING (source) CROSS JOIN s
+           r.rank_in_source * i.n_sources + i.src_idx AS global_pos
+    FROM ranked r JOIN idx i USING (source)
     """,
 )
 def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -947,15 +944,18 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     src_idx — a perfect round-robin interleave with no global sort, no
     single-partition window, no driver collect.  The only shuffles are
     one per-source window (keyed by source; AQE splits a skewed giant
-    source) and a broadcast of the |sources|-row index table.  The
+    source) and a broadcast of the |sources|-row index table, which
+    carries n_sources as a full-frame window count over itself — a
+    separate countDistinct aggregate would make Catalyst scan the
+    corpus a third time (CTEs aren't materialized).  The
     consumer writes with write.partitionBy on global_pos ranges or
     sorts WITHIN partitions — either way the 100 TB plan never needs
     a total-order exchange, which is what makes curriculum emission
     feasible at all at that scale.
     """
     docs = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
-    n_sources = docs.agg(
-        F.countDistinct("source").cast("bigint").alias("n_sources")
+    full = Window.orderBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
     idx = (
         docs.select("source")
@@ -966,6 +966,7 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.dense_rank().over(Window.orderBy("source")).cast("bigint")
                 - 1
             ).alias("src_idx"),
+            F.count(F.lit(1)).over(full).cast("bigint").alias("n_sources"),
         )
     )
     rank_w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
@@ -977,18 +978,13 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank_in_source"
         ),
     )
-    return (
-        ranked.join(F.broadcast(idx), "source")
-        .crossJoin(F.broadcast(n_sources))
-        .select(
-            "doc_id",
-            "source",
-            "n_chars",
-            (
-                F.col("rank_in_source") * F.col("n_sources")
-                + F.col("src_idx")
-            ).alias("global_pos"),
-        )
+    return ranked.join(F.broadcast(idx), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (
+            F.col("rank_in_source") * F.col("n_sources") + F.col("src_idx")
+        ).alias("global_pos"),
     )
 
 

@@ -1367,19 +1367,17 @@ def events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist AS (
         SELECT n_ev, CAST(COUNT(*) AS BIGINT) AS n_users
         FROM uc GROUP BY n_ev
-    ),
-    tot AS (
-        SELECT CAST(SUM(n_users) AS BIGINT) AS total_users,
-               CAST(SUM(n_ev * n_users) AS BIGINT) AS total_events
-        FROM dist
     )
-    SELECT d.n_ev, d.n_users,
-           ROUND(CAST(SUM(d.n_users) OVER w AS DOUBLE)
-                 / CAST(t.total_users AS DOUBLE), 6) AS cum_user_frac,
-           ROUND(CAST(SUM(d.n_ev * d.n_users) OVER w AS DOUBLE)
-                 / CAST(t.total_events AS DOUBLE), 6) AS cum_event_frac
-    FROM dist d CROSS JOIN tot t
-    WINDOW w AS (ORDER BY d.n_ev DESC ROWS UNBOUNDED PRECEDING)
+    SELECT n_ev, n_users,
+           ROUND(CAST(SUM(n_users) OVER w AS DOUBLE)
+                 / CAST(SUM(n_users) OVER t AS DOUBLE), 6) AS cum_user_frac,
+           ROUND(CAST(SUM(n_ev * n_users) OVER w AS DOUBLE)
+                 / CAST(SUM(n_ev * n_users) OVER t AS DOUBLE), 6)
+               AS cum_event_frac
+    FROM dist
+    WINDOW w AS (ORDER BY n_ev DESC ROWS UNBOUNDED PRECEDING),
+           t AS (ORDER BY n_ev DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING)
     """,
 )
 def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1394,9 +1392,14 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (second keyed shuffle, output bounded by max-events-per-user) —
     so the single-partition running-sum window at the end runs over
     the TINY histogram table, never the corpus; same post-aggregate
-    pattern as pipeline_curriculum_order's source index.  All
-    cumulative sums are exact BIGINT arithmetic; the two fractions
-    are identical IEEE divisions rounded at 6 dp.
+    pattern as pipeline_curriculum_order's source index.  The grand
+    totals come from a FULL-FRAME window over that same tiny table —
+    not a separate aggregate-plus-crossJoin, which Catalyst would
+    plan as a SECOND SCAN of the corpus (CTEs aren't materialized;
+    the plan pin test_lorenz_window_runs_post_aggregate guards the
+    single-scan shape).  All cumulative sums are exact BIGINT
+    arithmetic; the two fractions are identical IEEE divisions
+    rounded at 6 dp.
     """
     ev = _events(spark, sf_dir)
     uc = ev.groupBy("user_id").agg(
@@ -1405,29 +1408,24 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = uc.groupBy("n_ev").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users")
     )
-    tot = dist.agg(
-        F.sum("n_users").cast("bigint").alias("total_users"),
-        F.sum(F.col("n_ev") * F.col("n_users"))
-        .cast("bigint")
-        .alias("total_events"),
-    )
     w = Window.orderBy(F.desc("n_ev")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
-        dist.crossJoin(F.broadcast(tot))
-        .select(
-            "n_ev",
-            "n_users",
-            F.round(
-                F.sum("n_users").over(w).cast("double")
-                / F.col("total_users").cast("double"),
-                6,
-            ).alias("cum_user_frac"),
-            F.round(
-                F.sum(F.col("n_ev") * F.col("n_users")).over(w).cast("double")
-                / F.col("total_events").cast("double"),
-                6,
-            ).alias("cum_event_frac"),
-        )
+    t = Window.orderBy(F.desc("n_ev")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ev_weight = F.col("n_ev") * F.col("n_users")
+    return dist.select(
+        "n_ev",
+        "n_users",
+        F.round(
+            F.sum("n_users").over(w).cast("double")
+            / F.sum("n_users").over(t).cast("double"),
+            6,
+        ).alias("cum_user_frac"),
+        F.round(
+            F.sum(ev_weight).over(w).cast("double")
+            / F.sum(ev_weight).over(t).cast("double"),
+            6,
+        ).alias("cum_event_frac"),
     )

@@ -710,3 +710,48 @@ def test_running_distinct_two_keyed_windows_no_join(spark):
     p = plan_str(q(spark, "window_running_distinct"))
     assert "Join" not in p
     assert p.count("Window") >= 2
+
+
+def test_corr_pairs_single_pass_no_join(spark):
+    p = plan_str(q(spark, "agg_corr_pairs"))
+    assert "Join" not in p
+    # one partial + one final aggregate over a single shuffle, and the
+    # fact table is scanned exactly once
+    assert p.count("+- Exchange") == 1
+    assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_knn_classify_query_side_broadcasts(spark):
+    p = plan_str(q(spark, "sim_knn_classify"))
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p  # corpus must never shuffle for scoring
+
+
+def test_ngram_novelty_group_join_no_smj(spark):
+    # first-doc detection is a group-join (posting list re-explode),
+    # not a df-table sort-merge join back onto the gram stream.
+    p = plan_str(q(spark, "text_ngram_novelty"))
+    assert "SortMergeJoin" not in p and "Join" not in p
+
+
+def test_lorenz_window_runs_post_aggregate(spark):
+    # the single-partition running sum must sit ABOVE both reduction
+    # aggregates (events->user counts->histogram), never on the corpus;
+    # totals come from a full-frame window, NOT an aggregate+crossJoin
+    # (which would re-scan events), so: one scan, zero joins.
+    p = plan_str(q(spark, "events_lorenz_curve"))
+    assert "Join" not in p
+    assert p.count("Location: InMemoryFileIndex") == 1
+    # both running-sum frames fold into ONE Window node over the
+    # doubly-reduced histogram
+    assert p.count("+- Window") == 1
+    assert p.count("HashAggregate") >= 4  # 2 aggs x partial+final
+
+
+def test_curriculum_order_two_pruned_scans_only(spark):
+    # ranked + source-index subtrees: exactly two scans, and the
+    # index-side scan must prune to the source column alone.
+    p = plan_str(q(spark, "pipeline_curriculum_order"))
+    assert p.count("Location: InMemoryFileIndex") == 2
+    assert "ReadSchema: struct<source:string>" in p
