@@ -1084,40 +1084,42 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytics teams track daily (how much of the monthly audience
     shows up on a given day).
 
-    The corpus contributes exactly one distinct-collapse to
-    (user, day) pairs; the trailing-30-day MAU then joins those pairs
-    against the DAYS dimension — a bounded table (365 rows/year) that
-    BROADCASTS, so the range condition never becomes a shuffle-side
-    inequality join.  All counts are exact BIGINTs; the final ratio
-    is one identical IEEE division rounded at 6 dp.  At 100 TB the
-    (user, day) distinct is the only corpus-sized shuffle, and the
-    day-dimension broadcast pattern is how every trailing-window
-    metric (WAU, rolling retention) scales."""
+    Same forward-scatter shape as events_rolling_dau, widened to 30
+    days: events collapse once to distinct (user, day), then each
+    user-day FEEDS the 30 target days it belongs to (a 30× explode of
+    the SHRUNKEN table, never raw events) and a per-day countDistinct
+    absorbs the scatter.  This beats a day-dimension range join, whose
+    nested-loop side tests every user-day against every calendar day;
+    the scatter does exactly 30 row-emits per user-day and lands in an
+    equi-keyed aggregation AQE can split on a hot day.  The inner join
+    back to DAU drops the ghost trailing days the scatter invents past
+    the end of data.  All counts are exact BIGINTs; the ratio is one
+    identical IEEE division rounded at 6 dp."""
     ev = _events(spark, sf_dir)
     ud = ev.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
-    days = ud.select("day").distinct().withColumnRenamed("day", "anchor")
     mau = (
-        ud.join(
-            F.broadcast(days),
-            (F.col("day") <= F.col("anchor"))
-            & (F.col("day") > F.expr("anchor - INTERVAL 30 DAYS")),
+        ud.select(
+            "user_id",
+            F.explode(F.sequence(F.lit(0), F.lit(29))).alias("x"),
+            "day",
         )
-        .groupBy("anchor")
+        .select(
+            "user_id",
+            F.expr("day + make_interval(0, 0, 0, x, 0, 0, 0)").alias("day"),
+        )
+        .groupBy("day")
         .agg(F.countDistinct("user_id").alias("mau"))
     )
     dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
-    return (
-        dau.join(mau, dau.day == mau.anchor)
-        .select(
-            "day",
-            "dau",
-            "mau",
-            F.round(
-                F.col("dau").cast("double") / F.col("mau").cast("double"), 6
-            ).alias("stickiness"),
-        )
+    return dau.join(mau, "day").select(
+        "day",
+        "dau",
+        "mau",
+        F.round(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+        ).alias("stickiness"),
     )
 
 

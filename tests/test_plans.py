@@ -677,12 +677,15 @@ def test_path_topk_is_take_ordered_not_global_sort(spark):
     assert "rangepartitioning" not in p.lower()
 
 
-def test_stickiness_day_dimension_broadcasts(spark):
-    # the trailing-30-day MAU range join must put the bounded day
-    # dimension on the broadcast side — a shuffle-side inequality
-    # join would be the scale killer.
+def test_stickiness_scatter_not_range_join(spark):
+    # trailing-30-day MAU must be the forward-scatter (explode over
+    # the shrunken user-day table), never a nested-loop range join
+    # against a day dimension; the only join left is the equi-join
+    # stitching DAU to MAU.
     p = plan_str(q(spark, "events_stickiness"))
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Generate" in p and "explode" in p
 
 
 def test_user_overlap_intersection_is_equi_join(spark):
