@@ -2059,3 +2059,168 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_votes",
         )
     )
+
+
+_SQ8_SHORTLIST = 20  # approximate candidates per query before exact re-rank
+
+
+@query(
+    "sim_topk_sq8",
+    oracle=f"""
+    WITH dims AS (
+        SELECT i,
+               MIN(embedding[i]::DOUBLE) AS mn,
+               MAX(embedding[i]::DOUBLE) AS mx
+        FROM embeddings, range(1, {_EMBED_DIM} + 1) t(i)
+        GROUP BY i
+    ),
+    stats AS (
+        SELECT list(mn ORDER BY i) AS mn,
+               list(mx ORDER BY i) AS mx,
+               list((mx - mn) / 255.0 ORDER BY i) AS stp
+        FROM dims
+    ),
+    codes AS (
+        SELECT c.vec_id AS neighbor_id,
+               list_transform(range(1, {_EMBED_DIM} + 1), i ->
+                   CASE WHEN s.mx[i] = s.mn[i] THEN 0
+                        ELSE LEAST(255, CAST(floor(
+                            ((c.embedding[i]::DOUBLE - s.mn[i])
+                             / (s.mx[i] - s.mn[i])) * 255.0) AS INT))
+                   END) AS code
+        FROM embeddings c CROSS JOIN stats s
+    ),
+    approx AS (
+        SELECT q.vec_id AS query_id, k.neighbor_id,
+               ROUND(list_reduce(list_prepend(0.0,
+                   list_transform(range(1, {_EMBED_DIM} + 1), i ->
+                       q.embedding[i]::DOUBLE
+                       * (s.mn[i] + CAST(k.code[i] AS DOUBLE) * s.stp[i]))),
+                   (x, y) -> x + y), 6) AS adot
+        FROM embeddings q
+        CROSS JOIN stats s
+        JOIN codes k ON k.neighbor_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY adot DESC, neighbor_id) AS ar
+        FROM approx
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM (
+        SELECT sl.query_id, sl.neighbor_id,
+               ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                            c.embedding::DOUBLE[]), 6) AS cos,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY sl.query_id
+                   ORDER BY ROUND(list_cosine_similarity(
+                                q.embedding::DOUBLE[],
+                                c.embedding::DOUBLE[]), 6) DESC,
+                            sl.neighbor_id) AS BIGINT) AS rank
+        FROM shortlist sl
+        JOIN embeddings q ON q.vec_id = sl.query_id
+        JOIN embeddings c ON c.vec_id = sl.neighbor_id
+        WHERE sl.ar <= {_SQ8_SHORTLIST}
+    ) t WHERE rank <= {TOP_K}
+    """,
+)
+def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR-QUANTIZED (SQ8) ANN — the FAISS ``SQ8`` index in Spark
+    primitives: each corpus vector compresses to one byte per
+    dimension against per-dimension [min, max] ranges (4× smaller
+    than float32, 8× than float64), queries score candidates with an
+    ASYMMETRIC dequantized dot product (query stays full-precision —
+    the ADC trick, which roughly halves quantization error vs
+    symmetric), and the top-{_SQ8_SHORTLIST} shortlist is re-ranked
+    by exact cosine.
+
+    Scale shape: the per-dimension stats are ONE corpus pass whose
+    aggregate output is {_EMBED_DIM} rows (map-side combine does the
+    heavy lifting), carried as a broadcast single-row frame — never a
+    driver collect.  Encoding is row-local codegen; scoring is the
+    same broadcast-queries/partitioned-corpus join as
+    sim_topk_bruteforce but over BYTES, which is the point: at 100 TB
+    the quantized corpus is what fits in memory/SSD, and the exact
+    re-rank touches only |queries|×{_SQ8_SHORTLIST} full vectors.
+    Everything is deterministic (floor quantization, left-fold dot
+    rounded at 6 dp, ties on neighbor_id), so the full pipeline —
+    stats, codes, approximate ranking, exact re-rank — hash-matches
+    the DuckDB twin."""
+    e = _emb(spark, sf_dir)
+    dims = (
+        e.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    )
+    stats = dims.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn"))), lambda s: s.mn
+        ).alias("mn"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mx"))), lambda s: s.mx
+        ).alias("mx"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mn", "mx"))),
+            lambda s: (s.mx - s.mn) / F.lit(255.0),
+        ).alias("stp"),
+    )
+    code_expr = F.expr(
+        f"""transform(sequence(1, {_EMBED_DIM}), i ->
+            CASE WHEN element_at(mx, i) = element_at(mn, i) THEN 0
+                 ELSE least(255, cast(floor(
+                     ((element_at(v, i) - element_at(mn, i))
+                      / (element_at(mx, i) - element_at(mn, i))) * 255.0D)
+                     as int))
+            END)"""
+    )
+    codes = (
+        e.crossJoin(F.broadcast(stats))
+        .select(F.col("vec_id").alias("neighbor_id"), code_expr.alias("code"))
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "mn",
+            "stp",
+        )
+    )
+    adot = F.expr(
+        f"""round(aggregate(sequence(1, {_EMBED_DIM}), 0.0D, (acc, i) ->
+            acc + element_at(qv, i)
+                * (element_at(mn, i)
+                   + cast(element_at(code, i) as double) * element_at(stp, i)),
+            acc -> acc), 6)"""
+    )
+    approx = codes.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id", adot.alias("adot"))
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("adot").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        approx.withColumn("ar", F.row_number().over(aw))
+        .filter(F.col("ar") <= _SQ8_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    qv = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cv = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    rw = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+        .withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -672,3 +672,175 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH d AS (
+        SELECT lang, source,
+               len(string_split(text, ' ')) AS n_words,
+               len(regexp_extract_all(text, '[aeiou]+')) AS n_sylls,
+               (len(string_split(text, ' ')) + 14) // 15 AS n_sents
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang, source,
+               ROUND(206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+                     - 84.6 * (CAST(n_sylls AS DOUBLE) / CAST(n_words AS DOUBLE)),
+                     4) AS flesch
+        FROM d
+    )
+    SELECT lang, source,
+           CAST(floor(flesch / 10.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(flesch AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             AS avg_flesch
+    FROM scored GROUP BY lang, source, bucket
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """READABILITY scoring — Flesch reading-ease over a deterministic
+    syllable proxy (vowel-group count) and fixed 15-word
+    pseudo-sentences (the corpus is depunctuated, so sentence
+    segmentation must be convention, not heuristics).  Quality
+    pipelines bucket documents by readability to balance web-scraped
+    corpora; the output is the (lang, source, decile-bucket)
+    histogram plus the exact in-bucket mean.
+
+    All counting is row-local codegen (split + regexp count — no
+    Python); the only shuffle is the final low-cardinality groupBy.
+    Determinism: the score is three exact integers pushed through ONE
+    identical double expression, rounded to 4 dp BEFORE bucketing and
+    averaging; the in-bucket mean is an exact decimal sum over those
+    rounded values divided once."""
+    d = _docs(spark, sf_dir)
+    n_words = F.size(_words())
+    n_sylls = F.size(F.expr("regexp_extract_all(text, '[aeiou]+', 0)"))
+    n_sents = F.expr("(size(split(text, ' ')) + 14) DIV 15")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_sylls.cast("double") / n_words.cast("double")),
+        4,
+    )
+    return (
+        d.select("lang", "source", flesch.alias("flesch"))
+        .groupBy(
+            "lang",
+            "source",
+            F.floor(F.col("flesch") / F.lit(10.0)).cast("bigint").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum(F.col("flesch").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_flesch"),
+        )
+    )
+
+
+_ZIPF_TOP = 100  # ranks entering the log-log fit
+
+
+@query(
+    "text_zipf_fit",
+    # ln() is not cross-engine bit-identical (JVM Math.log vs libm);
+    # each log is rounded to 9 dp and lifted onto an exact decimal
+    # grid, so the OLS component sums are EXACT and the closed-form
+    # slope/r2 arithmetic is one identical double expression tree.
+    # The DECIMAL(38,18)->DOUBLE cast of the sums is NOT identically
+    # rounded across engines (measured: 1-ulp skew), so the outputs
+    # are rounded at 9 dp — 6 orders above the ulp noise.
+    oracle=f"""
+    WITH tf AS (
+        SELECT source, term, COUNT(*) AS freq
+        FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY source, term
+    ),
+    ranked AS (
+        SELECT source, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY freq DESC, term) AS rnk
+        FROM tf
+    ),
+    pts AS (
+        SELECT source,
+               CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+               CAST(ROUND(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ly
+        FROM ranked WHERE rnk <= {_ZIPF_TOP}
+    ),
+    s AS (
+        SELECT source,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(lx) AS DOUBLE) AS sx,
+               CAST(SUM(ly) AS DOUBLE) AS sy,
+               CAST(SUM(lx * ly) AS DOUBLE) AS sxy,
+               CAST(SUM(lx * lx) AS DOUBLE) AS sxx,
+               CAST(SUM(ly * ly) AS DOUBLE) AS syy
+        FROM pts GROUP BY source
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_terms,
+           ROUND(((n * sxy) - (sx * sy)) / ((n * sxx) - (sx * sx)), 9)
+             AS zipf_slope,
+           ROUND((((n * sxy) - (sx * sy)) * ((n * sxy) - (sx * sy)))
+             / (((n * sxx) - (sx * sx)) * ((n * syy) - (sy * sy))), 9) AS r2
+    FROM s
+    """,
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW fit per source: OLS slope of ln(freq) on ln(rank) over
+    the top-{_ZIPF_TOP} terms — natural text sits near slope −1, and a
+    corpus slice that deviates hard (templated spam, tables,
+    boilerplate floods) is exactly what curation wants flagged.  r²
+    reports how clean the power law is.
+
+    Scale shape: one corpus tokenize + (source, term) count shuffle —
+    shared shape with text_tfidf — then a per-source top-{_ZIPF_TOP}
+    window over the term-frequency table (tiny after aggregation),
+    and a sufficient-statistics fold of {_ZIPF_TOP} points per source.
+    Raw tokens never reach the fit; at 100 TB the window input is
+    |vocab| rows, not corpus rows."""
+    d = _docs(spark, sf_dir)
+    tf = (
+        d.select("source", F.explode(_words()).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("freq").desc(), F.col("term"))
+    pts = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ZIPF_TOP)
+        .select(
+            "source",
+            F.round(F.log(F.col("rnk").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("lx"),
+            F.round(F.log(F.col("freq").cast("double")), 9)
+            .cast("decimal(18,9)")
+            .alias("ly"),
+        )
+    )
+    s = pts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).cast("double").alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).cast("double").alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = (n * sxy) - (sx * sy)
+    var_n = (n * sxx) - (sx * sx)
+    return s.select(
+        "source",
+        n.cast("bigint").alias("n_terms"),
+        F.round(cov_n / var_n, 9).alias("zipf_slope"),
+        F.round(
+            (cov_n * cov_n) / (var_n * ((n * syy) - (sy * sy))), 9
+        ).alias("r2"),
+    )

@@ -758,3 +758,15 @@ def test_curriculum_order_two_pruned_scans_only(spark):
     p = plan_str(q(spark, "pipeline_curriculum_order"))
     assert p.count("Location: InMemoryFileIndex") == 2
     assert "ReadSchema: struct<source:string>" in p
+
+
+def test_sq8_queries_broadcast_and_no_cartesian(spark):
+    # quantized scoring joins the partitioned corpus-codes side against
+    # the BROADCAST query set (like bruteforce, but over byte codes);
+    # the per-dim stats row is also broadcast.  Nothing may degenerate
+    # into a cartesian product, and the exact re-rank must stay on the
+    # |queries|*shortlist slice (window, no global sort).
+    p = plan_str(q(spark, "sim_topk_sq8"), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+    assert "rangepartitioning" not in p.lower()
