@@ -1470,3 +1470,165 @@ def agg_corr_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr(sq, sd, sqd, sqq, sdd).alias("corr_qty_disc"),
         corr(sp, sd, spd, spp, sdd).alias("corr_price_disc"),
     )
+
+
+@query(
+    "agg_skyline",
+    # Frontier construction, not dominance anti-join: per distinct
+    # price keep the max size, then a running max over strictly
+    # cheaper prices decides survival.  tests/test_extensions.py pins
+    # equivalence to the quadratic NOT-EXISTS dominance definition.
+    oracle="""
+    WITH best AS (
+        SELECT p_retailprice, MAX(p_size) AS best_size
+        FROM part GROUP BY p_retailprice
+    ),
+    frontier AS (
+        SELECT p_retailprice, best_size,
+               MAX(best_size) OVER (ORDER BY p_retailprice
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING) AS prev_best
+        FROM best
+    )
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    JOIN frontier f
+      ON p.p_retailprice = f.p_retailprice AND p.p_size = f.best_size
+    WHERE f.prev_best IS NULL OR f.best_size > f.prev_best
+    """,
+)
+def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) — parts not dominated on
+    (minimize p_retailprice, maximize p_size); the classic
+    multi-criteria OLAP operator behind "cheapest-for-its-size"
+    shortlists.  A part survives iff no other part is at most as
+    expensive AND at least as large with one strict inequality;
+    equal (price, size) twins don't dominate each other, so ALL rows
+    matching a frontier point are emitted (the join-back).
+
+    Scale shape: the corpus reduces to DISTINCT prices with a
+    map-side-combined max-size (one shuffle); the running max then
+    runs over that shrunken table.  The single-partition window is
+    bounded by PRICE CARDINALITY, not row count — and if even that
+    is too wide, the same running max nests hierarchically
+    (per-bucket max, prefix over buckets, the
+    pipeline_pack_sequences trick).  The join back to part
+    broadcasts the frontier (it's tiny by construction)."""
+    from pyspark.sql.window import Window
+
+    p = _t(spark, sf_dir, "part")
+    best = p.groupBy("p_retailprice").agg(F.max("p_size").alias("best_size"))
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        best.withColumn("prev_best", F.max("best_size").over(w))
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_size") > F.col("prev_best"))
+        )
+        .select("p_retailprice", F.col("best_size").alias("p_size"))
+    )
+    return p.join(
+        F.broadcast(frontier), ["p_retailprice", "p_size"]
+    ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@query(
+    "agg_theil_index",
+    # Per-row entropy terms are rounded at 9 dp and summed on an exact
+    # decimal grid (float-order-free); mu and mu_g are one double
+    # divide over exact 2-dp decimal sums.  Final divides are rounded
+    # at 9 dp: the DECIMAL->DOUBLE cast of wide sums can skew 1 ulp
+    # across engines (measured in text_zipf_fit), and 9 dp sits six
+    # orders above that noise.
+    oracle="""
+    WITH g AS (
+        SELECT o_orderpriority,
+               COUNT(*) AS n_g,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS mu_g
+        FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(*) AS mu
+        FROM orders
+    ),
+    terms AS (
+        SELECT o.o_orderpriority,
+               CAST(ROUND((o.o_totalprice / g.mu_g)
+                          * ln(o.o_totalprice / g.mu_g), 9)
+                    AS DECIMAL(18,9)) AS t
+        FROM orders o JOIN g ON o.o_orderpriority = g.o_orderpriority
+    )
+    SELECT g.o_orderpriority,
+           CAST(g.n_g AS BIGINT) AS n_orders,
+           g.mu_g AS group_mean,
+           ROUND(CAST(SUM(t.t) AS DOUBLE) / g.n_g, 9) AS theil_within,
+           ROUND((CAST(g.n_g AS DOUBLE) / tot.n) * (g.mu_g / tot.mu)
+                 * ROUND(ln(g.mu_g / tot.mu), 9), 9) AS between_term
+    FROM terms t
+    JOIN g ON t.o_orderpriority = g.o_orderpriority
+    CROSS JOIN tot
+    GROUP BY g.o_orderpriority, g.n_g, g.mu_g, tot.n, tot.mu
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-T inequality decomposition of order value by priority —
+    the additive inequality measure (unlike Gini) whose total splits
+    exactly into within-group + between-group parts; data teams use
+    it to answer "is revenue concentration driven inside segments or
+    across them?".  Emits per group: the within-group index and the
+    group's between-component (sum the columns for the decomposition).
+
+    Scale shape: two exact-decimal aggregations (group and global —
+    the global is ONE row, broadcast), then one row-local term per
+    order summed on the decimal grid: the sufficient-statistics
+    recipe again, raw rows shuffle once on the group key.
+    Determinism: ln is the only non-portable op; every ln-bearing
+    term is rounded at 9 dp before the exact sum, and the final
+    divides round at 9 dp (ulp discipline documented in the oracle
+    comment)."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        (F.sum(price).cast("double") / F.count(F.lit(1))).alias("mu_g"),
+    )
+    tot = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(price).cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    ratio = F.col("o_totalprice") / F.col("mu_g")
+    terms = (
+        o.join(F.broadcast(g), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_g",
+            "mu_g",
+            F.round(ratio * F.log(ratio), 9).cast("decimal(18,9)").alias("t"),
+        )
+    )
+    mu_ratio = F.col("mu_g") / F.col("mu")
+    return (
+        terms.groupBy("o_orderpriority", "n_g", "mu_g")
+        .agg(F.sum("t").alias("st"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_orderpriority",
+            F.col("n_g").cast("bigint").alias("n_orders"),
+            F.col("mu_g").alias("group_mean"),
+            F.round(F.col("st").cast("double") / F.col("n_g"), 9).alias(
+                "theil_within"
+            ),
+            F.round(
+                (F.col("n_g").cast("double") / F.col("n"))
+                * mu_ratio
+                * F.round(F.log(mu_ratio), 9),
+                9,
+            ).alias("between_term"),
+        )
+    )

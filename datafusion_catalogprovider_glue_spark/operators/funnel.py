@@ -1431,3 +1431,259 @@ def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cum_event_frac"),
     )
+
+
+@query(
+    "events_markov_chain",
+    # Laplace-smoothed over the FULL K×K grid (unseen transitions get
+    # probability mass — the thing raw counts can't give you);
+    # probabilities are ratios of exact integers rounded at 9 dp, the
+    # per-state entropy sums its K rounded terms on an exact decimal
+    # grid (order-free), and the final cast is a clean small-scale
+    # decimal -> double.
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_event
+        FROM events
+    ),
+    cnt AS (
+        SELECT prev_event, event_type AS next_event, COUNT(*) AS c
+        FROM seq WHERE prev_event IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    grid AS (
+        SELECT a.t AS prev_event, b.t AS next_event,
+               COALESCE(c.c, 0) AS c
+        FROM types a CROSS JOIN types b
+        LEFT JOIN cnt c
+          ON c.prev_event = a.t AND c.next_event = b.t
+    ),
+    k AS (SELECT COUNT(*) AS k FROM types),
+    probs AS (
+        SELECT g.prev_event, g.next_event, g.c,
+               ROUND(CAST(g.c + 1 AS DOUBLE)
+                     / (SUM(g.c) OVER (PARTITION BY g.prev_event) + k.k), 9)
+                 AS prob
+        FROM grid g CROSS JOIN k
+    ),
+    ent AS (
+        SELECT prev_event,
+               CAST(-SUM(CAST(ROUND(prob * ln(prob), 9)
+                              AS DECIMAL(18,9))) AS DOUBLE) AS entropy
+        FROM probs GROUP BY prev_event
+    )
+    SELECT p.prev_event, p.next_event, CAST(p.c AS BIGINT) AS n_trans,
+           p.prob, ROUND(e.entropy, 9) AS prev_entropy
+    FROM probs p JOIN ent e ON p.prev_event = e.prev_event
+    """,
+)
+def events_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKOV-CHAIN model over user journeys: Laplace-smoothed
+    transition probabilities on the full K×K event-type grid plus the
+    per-state transition ENTROPY — the "how predictable is behavior
+    after X" statistic behind journey-simulation and next-event
+    models.  events_transitions gives raw counts; this is the
+    normalized, smoothed model built on the same one-shuffle lag
+    window.
+
+    Scale shape: the corpus collapses to the (prev, next) count table
+    (≤ K² rows) inside the window stage's partitioning; the grid
+    completion, smoothing, and entropy all run on K²-sized data with
+    the type list broadcast.  At 100 TB only the lag window touches
+    fact rows."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_event"),
+            F.col("event_type").alias("next_event"),
+        )
+        .filter(F.col("prev_event").isNotNull())
+        .groupBy("prev_event", "next_event")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    grid = (
+        types.select(F.col("t").alias("prev_event"))
+        .crossJoin(types.select(F.col("t").alias("next_event")))
+        .join(cnt, ["prev_event", "next_event"], "left")
+        .select(
+            "prev_event", "next_event", F.coalesce("c", F.lit(0)).alias("c")
+        )
+    )
+    k = types.agg(F.count(F.lit(1)).alias("k"))
+    row_tot = Window.partitionBy("prev_event")
+    probs = grid.crossJoin(F.broadcast(k)).select(
+        "prev_event",
+        "next_event",
+        "c",
+        F.round(
+            (F.col("c") + 1).cast("double")
+            / (F.sum("c").over(row_tot) + F.col("k")),
+            9,
+        ).alias("prob"),
+    )
+    ent = probs.groupBy("prev_event").agg(
+        (
+            -F.sum(
+                F.round(F.col("prob") * F.log("prob"), 9).cast("decimal(18,9)")
+            )
+        )
+        .cast("double")
+        .alias("entropy")
+    )
+    return probs.join(ent, "prev_event").select(
+        "prev_event",
+        "next_event",
+        F.col("c").cast("bigint").alias("n_trans"),
+        "prob",
+        F.round("entropy", 9).alias("prev_entropy"),
+    )
+
+
+@query(
+    "events_seasonality",
+    # Exact integer cell counts; the chi-square contribution is one
+    # identical double expression per cell (expected = total/24.0).
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, SUM(n_events) AS total FROM cells GROUP BY 1
+    )
+    SELECT c.event_type, c.hour, CAST(c.n_events AS BIGINT) AS n_events,
+           ROUND((c.n_events - t.total / 24.0)
+                 * (c.n_events - t.total / 24.0)
+                 / (t.total / 24.0), 6) AS chi2_term
+    FROM cells c JOIN tot t ON c.event_type = t.event_type
+    """,
+)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONALITY profile: hour-of-day activity per event type with
+    each cell's chi-square contribution against a uniform profile —
+    sum the terms for the classic GoF statistic, read single cells
+    for "which hours drive it".  Bot traffic shows flat profiles
+    (tiny chi²), organic traffic shows diurnal ridges; pipelines use
+    this to stratify or flag sources.
+
+    Plan: one groupBy to the 24×K cell table (map-side combined),
+    a per-type rollup of that tiny table, broadcast join back —
+    fact rows shuffle once, everything after is cell-sized."""
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").cast("bigint").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = cells.groupBy("event_type").agg(F.sum("n_events").alias("total"))
+    exp = F.col("total") / F.lit(24.0)
+    dev = F.col("n_events") - exp
+    return cells.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "hour",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(dev * dev / exp, 6).alias("chi2_term"),
+    )
+
+
+@query(
+    "events_ab_test",
+    # Deterministic 50/50 split on md5(user_id) (the sample_hash
+    # discipline).  The metric is per-user PURCHASE VALUE (a binary
+    # conversion flag saturates at this event density); arm means and
+    # variances come from exact 2-dp decimal power sums, the Welch z
+    # is one identical double expression (sqrt is correctly-rounded
+    # IEEE), rounded at 6 dp, NULL-guarded for the degenerate
+    # zero-variance case on both engines.
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS x
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT
+            SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+            CAST(SUM(CASE WHEN arm = 'A' THEN x END) AS DOUBLE) AS sx_a,
+            CAST(SUM(CASE WHEN arm = 'A' THEN x * x END) AS DOUBLE) AS sxx_a,
+            SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b,
+            CAST(SUM(CASE WHEN arm = 'B' THEN x END) AS DOUBLE) AS sx_b,
+            CAST(SUM(CASE WHEN arm = 'B' THEN x * x END) AS DOUBLE) AS sxx_b
+        FROM per_user
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(sx_a / n_a, 6) AS mean_a,
+           ROUND(sx_b / n_b, 6) AS mean_b,
+           CASE WHEN ((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                     + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b > 0
+                THEN ROUND((sx_a / n_a - sx_b / n_b)
+                     / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                            + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 6)
+           END AS z_score
+    FROM s
+    """,
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-TEST evaluation: users hash deterministically into two
+    arms and the arms' per-user purchase value is compared with a
+    Welch z statistic — the experimentation readout every product
+    analytics stack runs hourly, and the hash split is exactly how
+    real holdout groups are carved (reproducible on any engine, no
+    assignment table to store).
+
+    Plan: one groupBy(user_id) collapses events to a per-user metric
+    (map-side combined), then a single global 6-counter aggregation
+    of exact decimal power sums; the z arithmetic runs on one row.
+    At 100 TB: one user-key shuffle, constant-size everything
+    after."""
+    ev = _events(spark, sf_dir)
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3", "4", "5", "6", "7"
+        ),
+        "A",
+    ).otherwise("B")
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(zero)
+        ).alias("x")
+    ).select(arm.alias("arm"), F.col("x").cast("decimal(18,2)").alias("x"))
+    x = F.col("x")
+    s = per_user.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == "A", x)).cast("double").alias("sx_a"),
+        F.sum(F.when(F.col("arm") == "A", x * x)).cast("double").alias("sxx_a"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == "B", x)).cast("double").alias("sx_b"),
+        F.sum(F.when(F.col("arm") == "B", x * x)).cast("double").alias("sxx_b"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    sx_a, sxx_a = F.col("sx_a"), F.col("sxx_a")
+    sx_b, sxx_b = F.col("sx_b"), F.col("sxx_b")
+    var_term_a = ((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+    var_term_b = ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b
+    denom2 = var_term_a + var_term_b
+    return s.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.round(sx_a / n_a, 6).alias("mean_a"),
+        F.round(sx_b / n_b, 6).alias("mean_b"),
+        F.when(
+            denom2 > 0,
+            F.round((sx_a / n_a - sx_b / n_b) / F.sqrt(denom2), 6),
+        ).alias("z_score"),
+    )

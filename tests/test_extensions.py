@@ -1203,3 +1203,40 @@ def test_remove_spans_keep_first_semantics(spark, planted_docs):
     }
     assert got == want
     assert any(v[1] > 0 for v in want.values()), "planted dups must trigger removal"
+
+
+def test_skyline_matches_quadratic_dominance(spark):
+    """The frontier construction (distinct-price max + running max)
+    must emit exactly the rows the textbook NOT-EXISTS dominance
+    definition keeps — including equal (price, size) twins, which
+    don't dominate each other."""
+    from datafusion_catalogprovider_glue_spark.operators import analytics
+    from datafusion_catalogprovider_glue_spark.operators.registry import QUERIES
+
+    got = {
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in QUERIES["agg_skyline"](spark, SF_SMOKE).collect()
+    }
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    p = load_table(spark, SF_SMOKE, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    q = p.select(
+        F.col("p_retailprice").alias("q_price"), F.col("p_size").alias("q_size")
+    )
+    dominated = p.join(
+        q,
+        (F.col("q_price") <= F.col("p_retailprice"))
+        & (F.col("q_size") >= F.col("p_size"))
+        & (
+            (F.col("q_price") < F.col("p_retailprice"))
+            | (F.col("q_size") > F.col("p_size"))
+        ),
+        "left_semi",
+    )
+    want = {
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in p.subtract(dominated).collect()
+    }
+    assert got == want and len(got) > 0

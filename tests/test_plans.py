@@ -770,3 +770,53 @@ def test_sq8_queries_broadcast_and_no_cartesian(spark):
     assert "CartesianProduct" not in p
     assert "BroadcastExchange" in p
     assert "rangepartitioning" not in p.lower()
+
+
+def test_skyline_window_runs_on_distinct_prices_and_frontier_broadcasts(spark):
+    # the running max must sit above the price-distinct aggregate
+    # (never on raw part rows) and the frontier join-back must
+    # broadcast the tiny frontier side.
+    p = plan_str(q(spark, "agg_skyline"))
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # partial+final agg below the window: distinct-price reduction first
+    assert p.count("HashAggregate") >= 2
+
+
+def test_theil_single_fact_shuffle_and_broadcast_stats(spark):
+    # group stats and the one-row global stats both broadcast; orders
+    # itself shuffles only for its own aggregations.
+    p = plan_str(q(spark, "agg_theil_index"), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
+
+
+def test_markov_chain_grid_stays_tiny_no_fact_cartesian(spark):
+    # the only cross join allowed is the K x K type grid (and the
+    # one-row K count) — the fact table itself must never enter a
+    # nested-loop side; its single shuffle is the user_id lag window.
+    p = plan_str(q(spark, "events_markov_chain"))
+    assert "Window" in p
+    # fact-sized cartesian would show as CartesianProduct; the tiny
+    # type-grid cross joins plan as BroadcastNestedLoopJoin over
+    # aggregated (post-HashAggregate) inputs
+    assert "CartesianProduct" not in plan_str(
+        q(spark, "events_markov_chain"), "simple"
+    )
+
+
+def test_seasonality_single_fact_shuffle(spark):
+    # events reduce to 24 x K cells in one partial+final aggregation;
+    # the per-type totals join must broadcast the tiny side.
+    p = plan_str(q(spark, "events_seasonality"), "simple")
+    assert p.count("HashAggregate") >= 2
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_ab_test_collapses_before_global_agg(spark):
+    # per-user metric first (user_id shuffle), then ONE global
+    # aggregation row — no join at all in the plan.
+    p = plan_str(q(spark, "events_ab_test"), "simple")
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 4  # 2 aggs x partial+final
