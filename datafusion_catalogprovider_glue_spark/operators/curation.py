@@ -1060,3 +1060,53 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "pipeline_tokenizer_fertility",
+    # Ratios of exact integer sums, one double divide each, rounded
+    # at 6 dp — engine-deterministic.
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_words,
+           CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                AS BIGINT) AS bpe_tokens,
+           CAST(SUM(length(text)) AS BIGINT) AS n_bytes,
+           ROUND(CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
+                      AS DOUBLE)
+                 / SUM(len(string_split(text, ' '))), 6) AS fertility,
+           ROUND(CAST(SUM(length(text)) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))),
+                 6) AS bytes_per_token
+    FROM documents GROUP BY lang, source
+    """,
+)
+def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY audit — tokens-per-word and bytes-per-token
+    per (lang, source) slice under the BPE-ish pre-tokenizer (the
+    pipeline_bpe_* pre-tokenization).  Fertility is THE
+    tokenizer-equity metric: a slice whose fertility runs hot pays
+    more compute per word and gets shorter effective context, so
+    multilingual data mixes are rebalanced on exactly this table.
+
+    Plan: one scan, all counting row-local in codegen (split + regexp
+    extraction), one low-cardinality groupBy with map-side combine —
+    the text_stats shape, embarrassingly parallel at any scale."""
+    d = _docs(spark, sf_dir)
+    ws = F.size(F.split("text", " "))
+    bpe = F.size(
+        F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(ws).cast("bigint").alias("ws_words"),
+        F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+        F.sum(F.length("text")).cast("bigint").alias("n_bytes"),
+        F.round(
+            F.sum(bpe).cast("double") / F.sum(ws), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.length("text")).cast("double") / F.sum(bpe), 6
+        ).alias("bytes_per_token"),
+    )

@@ -1389,3 +1389,151 @@ def pipeline_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("bigint").alias("max_doc"),
         )
     )
+
+
+# Bloom prefilter geometry: m = 2^16 bits in 2048 32-bit words, k = 3
+# probes.  Positions come from the proven cross-engine fold (ascii
+# polynomial over md5 substrings, mod 2^31-1 — the
+# text_rolling_fingerprint hash), so both engines compute identical
+# (32-bit words keep every shift < 2^31 — DuckDB checks signed
+# left-shift overflow where Spark silently wraps)
+# bit layouts with zero engine-specific hashing.
+_BLOOM_BITS = 1 << 16
+_BLOOM_K = 3
+_BLOOM_FOLD_MOD = (1 << 31) - 1
+
+
+def _bloom_pos_spark(md5col, j: int):
+    seg = F.substring(md5col, 1 + 8 * j, 8)
+    fold = F.aggregate(
+        F.filter(F.split(seg, ""), lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % _BLOOM_FOLD_MOD,
+    )
+    return fold % _BLOOM_BITS
+
+
+def _bloom_pos_sql(md5expr: str, j: int) -> str:
+    return (
+        f"(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split(substr({md5expr}, {1 + 8 * j}, 8), ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
+        f"(acc, c) -> (acc * 31 + c) % {_BLOOM_FOLD_MOD})) % {_BLOOM_BITS}"
+    )
+
+
+@query(
+    "dedup_bloom_prefilter",
+    oracle=f"""
+    WITH fp AS (
+        SELECT doc_id, md5(lower(text)) AS h, (doc_id % 5 = 0) AS incoming
+        FROM documents
+    ),
+    base_pos AS (
+        SELECT pos FROM (
+            SELECT unnest([{", ".join(_bloom_pos_sql("h", j) for j in range(_BLOOM_K))}]) AS pos
+            FROM fp WHERE NOT incoming
+        )
+    ),
+    bloom AS (
+        SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+        FROM base_pos GROUP BY pos // 32
+    ),
+    probe AS (
+        SELECT doc_id, h,
+               unnest([{", ".join(_bloom_pos_sql("h", j) for j in range(_BLOOM_K))}]) AS pos
+        FROM fp WHERE incoming
+    ),
+    hits AS (
+        SELECT p.doc_id, p.h,
+               SUM(CASE WHEN b.bits IS NOT NULL
+                         AND (b.bits & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0
+                        THEN 1 ELSE 0 END) AS n_set
+        FROM probe p LEFT JOIN bloom b ON b.word = p.pos // 32
+        GROUP BY p.doc_id, p.h
+    ),
+    exact AS (SELECT DISTINCT h FROM fp WHERE NOT incoming)
+    SELECT hits.doc_id, hits.n_set = {_BLOOM_K} AS bloom_hit,
+           exact.h IS NOT NULL AS exact_dup
+    FROM hits LEFT JOIN exact ON exact.h = hits.h
+    """,
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER membership prefilter for incremental dedup — the
+    standard trick that lets a daily ingest skip the full anti-join
+    for the (vast) majority of genuinely-new documents: build a
+    {_BLOOM_BITS}-bit / k={_BLOOM_K} filter over the existing corpus'
+    fingerprints, probe each incoming doc, and only bloom-POSITIVE
+    docs proceed to the exact check.  Output per incoming doc:
+    ``bloom_hit`` (filter says maybe-seen) and ``exact_dup`` (ground
+    truth) — no false negatives by construction (pinned in
+    tests/test_extensions.py), false positives bounded by the
+    (k, m, n) geometry.
+
+    Scale shape: the filter is an aggregation to AT MOST
+    {_BLOOM_BITS // 32} words (one groupBy of 3 positions per base
+    doc — map-side bit_or does nearly all of it), small enough to
+    BROADCAST to the probe side no matter how big the corpus; probing
+    is a broadcast join + bitwise AND, corpus text never moves.  At
+    100 TB you'd size m up and shard the filter by key range; the
+    word-table representation here IS that sharded layout.
+    Determinism: positions derive from an ascii polynomial fold over
+    md5 substrings — cross-engine identical, zero engine-specific
+    hash functions."""
+    d = _docs(spark, sf_dir)
+    fp = d.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("h"),
+        (F.col("doc_id") % 5 == 0).alias("incoming"),
+    )
+    pos_arr = F.array(
+        *[_bloom_pos_spark(F.col("h"), j) for j in range(_BLOOM_K)]
+    )
+    base_pos = (
+        fp.filter(~F.col("incoming"))
+        .select(F.explode(pos_arr).alias("pos"))
+    )
+    bloom = base_pos.groupBy(
+        (F.col("pos") / 32).cast("long").alias("word")
+    ).agg(
+        F.bit_or(
+            F.expr("shiftleft(1L, cast(pos % 32 as int))")
+        ).alias("bits")
+    )
+    probe = fp.filter(F.col("incoming")).select(
+        "doc_id", "h", F.explode(pos_arr).alias("pos")
+    )
+    hits = (
+        probe.join(
+            F.broadcast(bloom),
+            (F.col("pos") / 32).cast("long") == F.col("word"),
+            "left",
+        )
+        .groupBy("doc_id", "h")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("bits").isNotNull()
+                    & (
+                        F.col("bits").bitwiseAND(
+                            F.expr("shiftleft(1L, cast(pos % 32 as int))")
+                        )
+                        != 0
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_set")
+        )
+    )
+    exact = (
+        fp.filter(~F.col("incoming")).select("h").distinct()
+        .withColumnRenamed("h", "eh")
+    )
+    return (
+        hits.join(F.broadcast(exact), hits.h == F.col("eh"), "left")
+        .select(
+            "doc_id",
+            (F.col("n_set") == _BLOOM_K).alias("bloom_hit"),
+            F.col("eh").isNotNull().alias("exact_dup"),
+        )
+    )

@@ -212,3 +212,112 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("node")))
     )
     return corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    base = """
+    WITH raw AS MATERIALIZED (
+        SELECT s.s_nationkey AS src, c.c_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE s.s_nationkey <> c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, dst, SUM(w) AS w FROM (
+            SELECT src, dst, w FROM raw
+            UNION ALL
+            SELECT dst AS src, src AS dst, w FROM raw
+        ) GROUP BY src, dst
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS lbl FROM nodes)"""
+    step = """, l{i} AS MATERIALIZED (
+        SELECT node, lbl FROM (
+            SELECT e.src AS node, p.lbl,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.src
+                       ORDER BY SUM(e.w) DESC, p.lbl) AS rn
+            FROM edges e JOIN l{prev} p ON p.node = e.dst
+            GROUP BY e.src, p.lbl
+        ) t WHERE rn = 1
+    )"""
+    for i in range(1, LPA_ITERS + 1):
+        base += step.format(i=i, prev=i - 1)
+    return (
+        base
+        + f"\n    SELECT CAST(node AS BIGINT) AS nationkey,"
+        f" CAST(lbl AS BIGINT) AS community FROM l{LPA_ITERS}"
+    )
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION community detection over the undirected
+    nation trade graph — the O(E)-per-round community algorithm
+    (Raghavan et al.) that GraphX ships as `labelPropagation`.
+    Synchronous updates, {LPA_ITERS} fixed rounds: each node adopts
+    the label with the highest incident edge weight among its
+    neighbors, ties to the SMALLEST label — fully deterministic, so
+    the whole loop unrolls into chained CTEs and every round is
+    hash-verified (the graph_pagerank discipline; pagerank checks the
+    float path, this checks the argmax/tie path).
+
+    Scale: per round ONE hash join (labels ⋈ edges on dst) + a
+    (node, label) weight rollup + a per-node argmax window — all
+    map-side combinable, label state O(|nodes|), edges stream.  The
+    argmax window partitions by node, so there is no global sort.
+    Self-loops are excluded when the graph is built (they vote for
+    the node's own label and freeze propagation)."""
+    apply_engine_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    raw = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    edges = (
+        raw.unionByName(
+            raw.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint()  # graph build runs once, not per round
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    rn_w = Window.partitionBy("src").orderBy(F.col("sw").desc(), F.col("lbl"))
+    for _ in range(LPA_ITERS):
+        labels = (
+            edges.join(
+                labels.withColumnRenamed("node", "nbr"),
+                F.col("nbr") == F.col("dst"),
+            )
+            .groupBy("src", "lbl")
+            .agg(F.sum("w").alias("sw"))
+            .withColumn("rn", F.row_number().over(rn_w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("node"), "lbl")
+        )
+    return labels.select(
+        F.col("node").cast("bigint").alias("nationkey"),
+        F.col("lbl").cast("bigint").alias("community"),
+    )

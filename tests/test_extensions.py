@@ -1240,3 +1240,24 @@ def test_skyline_matches_quadratic_dominance(spark):
         for r in p.subtract(dominated).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_bloom_prefilter_no_false_negatives_and_bounded_fpr(spark):
+    """Bloom filters never miss a true member: every exact_dup row must be
+    bloom_hit.  The false-positive rate over non-dups must sit under
+    5x the (k, m, n) analytic bound at this corpus size."""
+    import math
+
+    from datafusion_catalogprovider_glue_spark.operators import dedup
+    from datafusion_catalogprovider_glue_spark.operators.registry import QUERIES
+
+    rows = QUERIES["dedup_bloom_prefilter"](spark, SF_CORRECTNESS).collect()
+    assert len(rows) > 0
+    assert all(r.bloom_hit for r in rows if r.exact_dup)
+    non_dups = [r for r in rows if not r.exact_dup]
+    if non_dups:
+        fpr = sum(1 for r in non_dups if r.bloom_hit) / len(non_dups)
+        n_base = 400  # sf0.01: 500 docs, 4/5 in the base split
+        k, m = dedup._BLOOM_K, dedup._BLOOM_BITS
+        bound = (1 - math.exp(-k * n_base / m)) ** k
+        assert fpr <= max(5 * bound, 0.02)

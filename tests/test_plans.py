@@ -820,3 +820,19 @@ def test_ab_test_collapses_before_global_agg(spark):
     p = plan_str(q(spark, "events_ab_test"), "simple")
     assert "Join" not in p
     assert p.count("HashAggregate") >= 4  # 2 aggs x partial+final
+
+
+def test_bloom_filter_table_broadcasts_and_text_never_reshuffles(spark):
+    # the word-bitmap is bounded by filter geometry (never corpus
+    # size) and must BROADCAST to the probe side; document text
+    # reaches no join key.
+    p = plan_str(q(spark, "dedup_bloom_prefilter"), "simple")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_label_propagation_no_cartesian_and_windows_partition_by_node(spark):
+    p = plan_str(q(spark, "graph_label_propagation"), "simple")
+    assert "CartesianProduct" not in p
+    # argmax windows must be hash-partitioned (per-node), not global
+    assert "rangepartitioning" not in p.lower()
