@@ -108,6 +108,19 @@ HEADLINE = [
     "dedup_clusters",
     "scan_delta_dv",
     "agg_weighted_percentile",
+    # round-4 batch 2: quantized ANN, corpus-health stats, the
+    # analytics/graph additions, and the bloom prefilter
+    "sim_topk_sq8",
+    "text_readability",
+    "text_zipf_fit",
+    "agg_skyline",
+    "agg_theil_index",
+    "events_markov_chain",
+    "events_seasonality",
+    "events_ab_test",
+    "graph_label_propagation",
+    "dedup_bloom_prefilter",
+    "pipeline_tokenizer_fertility",
     # pipeline_bpe_train / pipeline_bpe_encode are oracle-checked in the
     # gate but excluded here: wall time is the K-round driver loop's
     # fixed per-round job overhead (like the streaming keys), not a
@@ -117,6 +130,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # optional subset (comma-separated keys) for targeted scaling runs;
+    # the default full headline set is unchanged
+    keys_env = os.environ.get("SPARK_GRAFT_BENCH_KEYS", "").strip()
+    headline = [k for k in keys_env.split(",") if k] or HEADLINE
     from datafusion_catalogprovider_glue_spark.session import get_spark
     from datafusion_catalogprovider_glue_spark.operators import registry
     from datafusion_catalogprovider_glue_spark.tables import load_table
@@ -135,7 +152,7 @@ def main() -> None:
     # that scales with data volume.  Compile time is a constant, not a
     # throughput term.
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
@@ -145,8 +162,18 @@ def main() -> None:
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
         # drop persisted intermediates (e.g. signature tables) so later
-        # queries aren't measured under another query's cache pressure
+        # queries aren't measured under another query's cache pressure.
+        # clearCache alone is NOT enough: operators that localCheckpoint
+        # index artifacts (kmeans centroids, LSH signatures, MMR
+        # shortlists) leave persisted RDD blocks behind, and across a
+        # many-query bench those blocks accumulate until storage
+        # starves execution memory (observed: UNABLE_TO_ACQUIRE_MEMORY
+        # on the 3rd consecutive large-corpus run) — unpersist them too.
         spark.catalog.clearCache()
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist()
 
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:

@@ -1110,3 +1110,123 @@ def pipeline_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).cast("double") / F.sum(bpe), 6
         ).alias("bytes_per_token"),
     )
+
+
+_GATE_STAGES_SQL = """
+    WITH feat AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','a','of','and','to','in','is','on')))
+                    AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio,
+               CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                 / length(text) AS punct_ratio
+        FROM documents
+    ),
+    c AS MATERIALIZED (
+        SELECT COUNT(*) AS n0,
+               SUM(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END) AS n1,
+               SUM(CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.02
+                        THEN 1 ELSE 0 END) AS n2,
+               SUM(CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.02
+                             AND punct_ratio <= 0.3
+                        THEN 1 ELSE 0 END) AS n3
+        FROM feat
+    )
+"""
+
+
+@query(
+    "pipeline_quality_gate_report",
+    oracle=_GATE_STAGES_SQL
+    + """
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'min_length' AS gate,
+               CAST(n0 AS BIGINT) AS n_in, CAST(n1 AS BIGINT) AS n_out,
+               ROUND(CAST(n0 - n1 AS DOUBLE) / n0, 6) AS drop_rate
+        FROM c
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'stopword_ratio', CAST(n1 AS BIGINT),
+               CAST(n2 AS BIGINT), ROUND(CAST(n1 - n2 AS DOUBLE) / n1, 6)
+        FROM c
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'punct_ratio', CAST(n2 AS BIGINT),
+               CAST(n3 AS BIGINT), ROUND(CAST(n2 - n3 AS DOUBLE) / n2, 6)
+        FROM c
+    ) t
+    """,
+)
+def pipeline_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-GATE FUNNEL report: the per-stage survivor counts of a
+    filtering cascade (length → stopword-ratio → punctuation) — the
+    observability table that tells a curation team WHICH gate is
+    eating their corpus before they ship a mix.  Stages apply
+    cumulatively, exactly as the production filter would.
+
+    Plan: one scan computes all per-doc features row-local, one
+    global aggregation emits every stage's counter simultaneously
+    (no per-stage re-scan — the CASE tower is map-side combined),
+    and the 3-row funnel is assembled from that single counter row.
+    At 100 TB this is the cheapest shape a funnel report can have:
+    scan once, count everything in one pass."""
+    d = _docs(spark, sf_dir)
+    words = F.split("text", " ")
+    n_tokens = F.size(words)
+    stop_ratio = (
+        F.size(
+            F.filter(
+                words,
+                lambda w: w.isin(
+                    "the", "a", "of", "and", "to", "in", "is", "on"
+                ),
+            )
+        ).cast("double")
+        / n_tokens
+    )
+    punct_ratio = (
+        F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), 0)).cast(
+            "double"
+        )
+        / F.length("text")
+    )
+    g1 = n_tokens >= 20
+    g2 = g1 & (stop_ratio >= 0.02)
+    g3 = g2 & (punct_ratio <= 0.3)
+    c = d.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(g1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(g2, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(g3, 1).otherwise(0)).alias("n3"),
+    )
+    stages = [
+        (1, "min_length", "n0", "n1"),
+        (2, "stopword_ratio", "n1", "n2"),
+        (3, "punct_ratio", "n2", "n3"),
+    ]
+    # ONE row explodes into the funnel — selecting each stage from the
+    # aggregate separately and unioning would re-run the corpus scan
+    # per stage
+    funnel = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(stage).cast("bigint").alias("stage"),
+                    F.lit(gate).alias("gate"),
+                    F.col(ci).cast("bigint").alias("n_in"),
+                    F.col(co).cast("bigint").alias("n_out"),
+                )
+                for stage, gate, ci, co in stages
+            ]
+        )
+    )
+    return c.select(funnel.alias("s")).select(
+        F.col("s.stage").alias("stage"),
+        F.col("s.gate").alias("gate"),
+        F.col("s.n_in").alias("n_in"),
+        F.col("s.n_out").alias("n_out"),
+        F.round(
+            (F.col("s.n_in") - F.col("s.n_out")).cast("double")
+            / F.col("s.n_in"),
+            6,
+        ).alias("drop_rate"),
+    )

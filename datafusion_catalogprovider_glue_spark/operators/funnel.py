@@ -1687,3 +1687,138 @@ def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((sx_a / n_a - sx_b / n_b) / F.sqrt(denom2), 6),
         ).alias("z_score"),
     )
+
+
+@query(
+    "events_survival_km",
+    # The KM product is a cumulative SUM of per-step ln factors on the
+    # exact decimal grid (order-free), exponentiated once and rounded
+    # at 6 dp; risk/event counts are exact integers.  A zero factor
+    # (everyone at risk churns) would be ln(0): the zero_seen flag
+    # short-circuits survival to 0 from that step on, on both engines.
+    oracle="""
+    WITH horizon AS (
+        SELECT MAX(ts) - INTERVAL 7 DAY AS cutoff FROM events
+    ),
+    users AS (
+        SELECT user_id,
+               date_diff('day', MIN(ts), MAX(ts)) AS duration_days,
+               MAX(ts) < (SELECT cutoff FROM horizon) AS churned
+        FROM events GROUP BY user_id
+    ),
+    steps AS (
+        SELECT duration_days,
+               COUNT(*) AS leaving,
+               SUM(CASE WHEN churned THEN 1 ELSE 0 END) AS n_events
+        FROM users GROUP BY duration_days
+    ),
+    risk AS (
+        SELECT duration_days, n_events,
+               (SELECT COUNT(*) FROM users)
+                 - COALESCE(SUM(leaving) OVER (ORDER BY duration_days
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS n_risk
+        FROM steps
+    ),
+    km AS (
+        SELECT duration_days, n_risk, n_events,
+               SUM(CASE WHEN n_events < n_risk
+                        THEN CAST(ROUND(ln(CAST(n_risk - n_events AS DOUBLE)
+                                           / n_risk), 9) AS DECIMAL(18,9))
+                        ELSE CAST(0 AS DECIMAL(18,9)) END)
+                   OVER (ORDER BY duration_days ROWS UNBOUNDED PRECEDING)
+                 AS lsum,
+               MAX(CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END)
+                   OVER (ORDER BY duration_days ROWS UNBOUNDED PRECEDING)
+                 AS zero_seen
+        FROM risk
+    )
+    SELECT CAST(duration_days AS BIGINT) AS duration_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(n_events AS BIGINT) AS n_events,
+           CASE WHEN zero_seen = 1 THEN 0.0
+                ELSE ROUND(exp(CAST(lsum AS DOUBLE)), 6) END AS survival
+    FROM km
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve for user retention: lifetime = days
+    between a user's first and last event, churn observed when the
+    user went quiet before the 7-day censoring horizon (users still
+    active near the data edge are CENSORED — they leave the risk set
+    without counting as churn, the thing a naive churn-rate query
+    gets wrong).  Output: the classic (t, at-risk, events, S(t))
+    life table.
+
+    Scale shape: events collapse once per user (map-side combined);
+    everything after runs on the distinct-duration table — bounded by
+    the day span, not users.  The cumulative windows are
+    single-partition over that bounded table (hierarchical prefix
+    sums if a calendar ever needs it).  Determinism: the KM product
+    becomes a cumulative decimal sum of 9-dp ln factors, one exp at
+    the end rounded to 6 dp."""
+    ev = _events(spark, sf_dir)
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff")
+    )
+    users = (
+        ev.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_ts", "first_ts").alias("duration_days"),
+            (F.col("last_ts") < F.col("cutoff")).alias("churned"),
+        )
+    )
+    steps = users.groupBy("duration_days").agg(
+        F.count(F.lit(1)).alias("leaving"),
+        F.sum(F.when(F.col("churned"), 1).otherwise(0)).alias("n_events"),
+    )
+    total = users.agg(F.count(F.lit(1)).alias("n_total"))
+    prior = (
+        Window.orderBy("duration_days")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = Window.orderBy("duration_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = steps.crossJoin(F.broadcast(total)).select(
+        "duration_days",
+        "n_events",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(prior), F.lit(0))
+        ).alias("n_risk"),
+    )
+    ln_factor = F.round(
+        F.log(
+            (F.col("n_risk") - F.col("n_events")).cast("double")
+            / F.col("n_risk")
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    km = risk.select(
+        "duration_days",
+        "n_risk",
+        "n_events",
+        F.sum(
+            F.when(F.col("n_events") < F.col("n_risk"), ln_factor).otherwise(
+                F.lit(0).cast("decimal(18,9)")
+            )
+        )
+        .over(cum)
+        .alias("lsum"),
+        F.max(
+            F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(cum)
+        .alias("zero_seen"),
+    )
+    return km.select(
+        F.col("duration_days").cast("bigint").alias("duration_days"),
+        F.col("n_risk").cast("bigint").alias("n_risk"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.when(F.col("zero_seen") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp(F.col("lsum").cast("double")), 6))
+        .alias("survival"),
+    )

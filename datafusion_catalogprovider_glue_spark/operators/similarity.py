@@ -1351,8 +1351,96 @@ def _kmeans_uncached(
     return assign(c1).withColumnRenamed("cid", "cluster"), c1
 
 
+# SemDeDup cost control at scale: the within-cluster pair stage is
+# O(n²/K), so K must grow with the corpus to hold cluster size (and
+# therefore pair volume per doc) constant.  Above _KMEANS_EXACT_MAX
+# vectors the exact oracle-checked Lloyd pass (K = KMEANS_K = 32,
+# sized for the gate corpora — n ≤ 2000 at every oracle scale factor)
+# gives way to the production path: a codebook trained on the bounded
+# hash-ordered sample (the sim_topk_ivf FAISS contract) with
+# K = n / _KMEANS_TARGET_CLUSTER, and a BLAS-vectorized assignment
+# (mapInPandas, one Arrow batch at a time) — brute-force JVM cosine
+# folds at n×K would be the new bottleneck (~5 µs/fold measured).
+# The scale path is deterministic for a fixed platform (numpy argmax
+# on 6-dp-rounded cosines, ties to the smallest cid) but not pinned
+# cross-engine — by construction it never runs on an oracle corpus.
+# At 1000-executor scale the remaining escalation is centroid-ANN
+# (HNSW over the codebook) once K itself outgrows brute-force.
+_KMEANS_EXACT_MAX = 16384
+_KMEANS_TARGET_CLUSTER = 500
+
+
+def _corpus_vec_count(spark: SparkSession, sf_dir: str) -> int:
+    key = ("n", spark.sparkContext.applicationId, sf_dir)
+    if key not in _KMEANS_CACHE:
+        _KMEANS_CACHE[key] = (
+            load_table(spark, sf_dir, "embeddings").count(),
+            None,
+        )
+    return _KMEANS_CACHE[key][0]
+
+
+def _kmeans_scale(
+    spark: SparkSession, sf_dir: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Sample-trained spherical k-means + vectorized assignment — the
+    large-corpus path (see the block comment above)."""
+    import pandas as pd
+
+    v = _emb(spark, sf_dir).select("vec_id", "v")
+    sample = np.array(
+        [r.v for r in _hash_sample(v).select("v").collect()]
+    )
+    k = min(k, len(sample))
+    cent = sample[:k].copy()  # hash order IS the uniform seed draw
+    for _ in range(2):  # bounded Lloyd rounds on the bounded sample
+        cn = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+        sn = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+        asg = np.argmax(np.round(sn @ cn.T, 6), axis=1)
+        for c in range(k):
+            members = sample[asg == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    cent = np.round(cent, 6)
+    cent_norm = np.linalg.norm(cent, axis=1)
+    cent_rows = [(int(i), [float(x) for x in cent[i]]) for i in range(k)]
+    centroids = spark.createDataFrame(
+        cent_rows, "cid int, cv array<double>"
+    ).localCheckpoint()
+
+    cmat, cnorm = cent, cent_norm
+
+    def assign_batches(batches):
+        for pdf in batches:
+            vm = np.stack(pdf["v"].to_numpy())
+            vn = np.linalg.norm(vm, axis=1)
+            cos = np.round(
+                (vm @ cmat.T) / (vn[:, None] * cnorm[None, :]), 6
+            )
+            best = np.argmax(cos, axis=1)  # first max = smallest cid
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cluster": best.astype("int32"),
+                    "cos": cos[np.arange(len(best)), best],
+                }
+            )
+
+    assignment = v.mapInPandas(
+        assign_batches, "vec_id bigint, cluster int, cos double"
+    )
+    return assignment, centroids
+
+
 def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _kmeans(spark, sf_dir)[0]
+    n = _corpus_vec_count(spark, sf_dir)
+    if n <= _KMEANS_EXACT_MAX:
+        return _kmeans(spark, sf_dir)[0]
+    k = max(KMEANS_K, n // _KMEANS_TARGET_CLUSTER)
+    key = (spark.sparkContext.applicationId, sf_dir, ("scale", k))
+    if key not in _KMEANS_CACHE:
+        _KMEANS_CACHE[key] = _kmeans_scale(spark, sf_dir, k)
+    return _KMEANS_CACHE[key][0]
 
 
 @query(
@@ -2223,4 +2311,228 @@ def sim_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rw).cast("long"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+_MMR_SHORTLIST = 10
+_MMR_PICKS = 3
+_MMR_LAMBDA = 0.7
+
+
+def _mmr_oracle() -> str:
+    lam, om = _MMR_LAMBDA, round(1 - _MMR_LAMBDA, 6)
+    base = f"""
+    WITH shortlist AS MATERIALIZED (
+        SELECT query_id, neighbor_id, rel FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                   ROUND(list_cosine_similarity(q.embedding::DOUBLE[],
+                                                c.embedding::DOUBLE[]), 6) AS rel,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(
+                                    q.embedding::DOUBLE[],
+                                    c.embedding::DOUBLE[]), 6) DESC,
+                                c.vec_id) AS rnk
+            FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+            WHERE q.vec_id < {N_QUERIES}
+        ) t WHERE rnk <= {_MMR_SHORTLIST}
+    ),
+    psim AS MATERIALIZED (
+        SELECT a.query_id, a.neighbor_id AS cand, b.neighbor_id AS other,
+               ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                            eb.embedding::DOUBLE[]), 6) AS sim
+        FROM shortlist a
+        JOIN shortlist b
+          ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+        JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+        JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+    ),
+    s1 AS (
+        SELECT query_id, neighbor_id, rel,
+               ROUND({lam} * CAST(rel AS DECIMAL(18,6)), 6)::DOUBLE AS mmr,
+               1 AS pick_rank
+        FROM (
+            SELECT query_id, neighbor_id, rel,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, neighbor_id) AS rn
+            FROM shortlist
+        ) t WHERE rn = 1
+    )"""
+    prev_sel = "s1"
+    for k in range(2, _MMR_PICKS + 1):
+        sel_union = " UNION ALL ".join(
+            f"SELECT query_id, neighbor_id FROM s{j}" for j in range(1, k)
+        )
+        base += f""",
+    sel{k} AS (SELECT * FROM ({sel_union})),
+    s{k} AS (
+        SELECT query_id, neighbor_id, rel, mmr, {k} AS pick_rank
+        FROM (
+            SELECT c.query_id, c.neighbor_id, c.rel,
+                   ROUND({lam} * CAST(c.rel AS DECIMAL(18,6))
+                         - {om} * CAST(MAX(p.sim) AS DECIMAL(18,6)),
+                         6)::DOUBLE AS mmr,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY ROUND({lam} * CAST(c.rel AS DECIMAL(18,6))
+                                      - {om} * CAST(MAX(p.sim)
+                                                    AS DECIMAL(18,6)), 6)
+                                DESC,
+                                c.neighbor_id) AS rn
+            FROM shortlist c
+            JOIN psim p
+              ON p.query_id = c.query_id AND p.cand = c.neighbor_id
+            JOIN sel{k} s
+              ON s.query_id = p.query_id AND s.neighbor_id = p.other
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sel{k} x
+                WHERE x.query_id = c.query_id
+                  AND x.neighbor_id = c.neighbor_id)
+            GROUP BY c.query_id, c.neighbor_id, c.rel
+        ) t WHERE rn = 1
+    )"""
+    final = " UNION ALL ".join(
+        f"SELECT query_id, neighbor_id, rel, mmr, CAST(pick_rank AS BIGINT)"
+        f" AS pick_rank FROM s{j}"
+        for j in range(1, _MMR_PICKS + 1)
+    )
+    return base + f"\n    {final}"
+
+
+@query("sim_mmr_diversify", oracle=_mmr_oracle())
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking — the diversity pass every
+    retrieval stack runs after ANN: from each query's
+    top-{_MMR_SHORTLIST} shortlist, greedily pick {_MMR_PICKS} results
+    maximizing λ·relevance − (1−λ)·max-similarity-to-already-picked
+    (λ={_MMR_LAMBDA}).  Near-duplicate hits collapse to one
+    representative; the oracle UNROLLS the greedy selection (the
+    graph_pagerank discipline), so every pick — argmax, penalty, tie
+    on neighbor_id — is hash-verified.
+
+    Scale shape: relevance scoring is the brute-force broadcast join
+    (swap in any ANN shortlist — the composability argument from
+    sim_knn_classify); everything after operates on
+    |queries|×{_MMR_SHORTLIST} rows: pairwise sims are
+    {_MMR_SHORTLIST}² per query, selection rounds are joins over
+    picked-set-sized tables.  The greedy loop is K fixed DataFrame
+    rounds, never a driver collect."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    shortlist = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("rel"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _MMR_SHORTLIST)
+        .select("query_id", "neighbor_id", "rel")
+        .localCheckpoint()  # selection rounds reuse it; score once
+    )
+    sl_vec = shortlist.join(
+        e.select(F.col("vec_id").alias("neighbor_id"), "v"), "neighbor_id"
+    ).select("query_id", "neighbor_id", "v")
+    a = sl_vec.select(
+        "query_id", F.col("neighbor_id").alias("cand"), F.col("v").alias("va")
+    )
+    b = sl_vec.select(
+        F.col("query_id").alias("qb"),
+        F.col("neighbor_id").alias("other"),
+        F.col("v").alias("vb"),
+    )
+    psim = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("qb"))
+            & (F.col("cand") != F.col("other")),
+        )
+        .select(
+            "query_id",
+            "cand",
+            "other",
+            cosine(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    # λ·rel − (1−λ)·max_sim lives on the EXACT decimal grid: rel/sim
+    # are 6-dp-rounded doubles, so casting them to decimal(18,6)
+    # recovers the grid value exactly, the λ products are exact
+    # scale-7 decimals, and the final 6-dp round is decimal HALF_UP —
+    # identical in both engines even on .xxxxxx5 halves (a float
+    # ROUND flipped one such cell before this).
+    lamd = F.lit(str(_MMR_LAMBDA)).cast("decimal(2,1)")
+    omd = F.lit(str(round(1 - _MMR_LAMBDA, 6))).cast("decimal(2,1)")
+    first_w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    selected = (
+        shortlist.withColumn("rn", F.row_number().over(first_w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            F.round(lamd * F.col("rel").cast("decimal(18,6)"), 6)
+            .cast("double")
+            .alias("mmr"),
+            F.lit(1).alias("pick_rank"),
+        )
+    )
+    for k in range(2, _MMR_PICKS + 1):
+        sel_keys = selected.select(
+            F.col("query_id").alias("sq"), F.col("neighbor_id").alias("sn")
+        )
+        mmr = F.round(
+            lamd * F.col("rel").cast("decimal(18,6)")
+            - omd * F.col("max_sim").cast("decimal(18,6)"),
+            6,
+        ).cast("double")
+        pick_w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("neighbor_id")
+        )
+        next_pick = (
+            shortlist.join(
+                sel_keys,
+                (F.col("query_id") == F.col("sq"))
+                & (F.col("neighbor_id") == F.col("sn")),
+                "left_anti",
+            )
+            .join(
+                psim.join(
+                    sel_keys,
+                    (psim.query_id == F.col("sq"))
+                    & (psim.other == F.col("sn")),
+                    "left_semi",
+                ).withColumnRenamed("query_id", "pq"),
+                (F.col("pq") == F.col("query_id"))
+                & (F.col("cand") == F.col("neighbor_id")),
+            )
+            .groupBy("query_id", "neighbor_id", "rel")
+            .agg(F.max("sim").alias("max_sim"))
+            .withColumn("mmr", mmr)
+            .withColumn("rn", F.row_number().over(pick_w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                "rel",
+                "mmr",
+                F.lit(k).alias("pick_rank"),
+            )
+        )
+        selected = selected.unionByName(next_pick)
+    return selected.select(
+        "query_id",
+        "neighbor_id",
+        "rel",
+        "mmr",
+        F.col("pick_rank").cast("bigint").alias("pick_rank"),
     )

@@ -1261,3 +1261,39 @@ def test_bloom_prefilter_no_false_negatives_and_bounded_fpr(spark):
         k, m = dedup._BLOOM_K, dedup._BLOOM_BITS
         bound = (1 - math.exp(-k * n_base / m)) ** k
         assert fpr <= max(5 * bound, 0.02)
+
+
+def test_kmeans_scale_path_engages_above_exact_max(spark, tmp_path):
+    """Above _KMEANS_EXACT_MAX vectors the SemDeDup assignment must
+    switch to the adaptive-K sample-trained path: K grows to hold
+    cluster size near _KMEANS_TARGET_CLUSTER, every vector gets a
+    cluster, and cluster ids cover far more than the exact path's
+    fixed 32."""
+    import numpy as np
+
+    from datafusion_catalogprovider_glue_spark.operators import similarity as sim
+
+    n = sim._KMEANS_EXACT_MAX + 4000
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)], int(i % 3))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    sf = str(tmp_path / "bigsf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    df.coalesce(4).write.parquet(f"{sf}/embeddings.parquet")
+    asg = sim._kmeans_assign(spark, sf)
+    got = asg.groupBy().agg(
+        F.countDistinct("cluster").alias("k"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    expected_k = max(sim.KMEANS_K, n // sim._KMEANS_TARGET_CLUSTER)
+    assert got.n == n
+    assert got.k > sim.KMEANS_K  # adaptive K engaged
+    assert got.k <= expected_k
+    # average cluster size in the target's neighborhood, not 6000+
+    assert got.n / got.k < 4 * sim._KMEANS_TARGET_CLUSTER

@@ -836,3 +836,37 @@ def test_label_propagation_no_cartesian_and_windows_partition_by_node(spark):
     assert "CartesianProduct" not in p
     # argmax windows must be hash-partitioned (per-node), not global
     assert "rangepartitioning" not in p.lower()
+
+
+def test_mmr_selection_rounds_stay_small_and_shortlist_broadcasts(spark):
+    # relevance scoring is the broadcast brute-force join; the greedy
+    # rounds must run on shortlist-sized tables — no cartesian, no
+    # global sort anywhere.
+    p = plan_str(q(spark, "sim_mmr_diversify"), "simple")
+    assert "CartesianProduct" not in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_survival_km_collapses_users_before_windows(spark):
+    # the cumulative KM windows must sit above the per-duration
+    # aggregate (day-span-bounded), never on raw events; the horizon
+    # and total are broadcast single-row frames.
+    p = plan_str(q(spark, "events_survival_km"), "simple")
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 4
+
+
+def test_quality_gate_report_single_scan(spark):
+    # the funnel must come from ONE corpus pass: a single scan, no
+    # joins, the stage explosion on the one-row counter table.
+    p = plan_str(q(spark, "pipeline_quality_gate_report"))
+    assert "Join" not in p
+    assert p.count("Location: InMemoryFileIndex") == 1
+
+
+def test_shard_manifest_one_shuffle(spark):
+    # shard assignment is row-local; the only shuffle is the
+    # groupBy(shard) with map-side partial aggregation.
+    p = plan_str(q(spark, "pipeline_shard_manifest"), "simple")
+    assert "Join" not in p
+    assert p.count("Exchange") <= 2

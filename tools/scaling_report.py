@@ -27,8 +27,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(sf_dir: str) -> dict:
+def run_bench(sf_dir: str, keys: str = "") -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    if keys:
+        env["SPARK_GRAFT_BENCH_KEYS"] = keys
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
@@ -49,10 +51,14 @@ def main() -> int:
         "--data-ratio", type=float, default=10.0,
         help="hi/lo data-volume ratio; queries scaling worse are flagged",
     )
+    ap.add_argument(
+        "--keys", default="",
+        help="comma-separated bench-key subset (default: full headline)",
+    )
     args = ap.parse_args()
 
-    lo = run_bench(args.lo)
-    hi = run_bench(args.hi)
+    lo = run_bench(args.lo, args.keys)
+    hi = run_bench(args.hi, args.keys)
     rows = {}
     flagged = []
     for k, lo_s in lo["queries"].items():
