@@ -121,6 +121,12 @@ HEADLINE = [
     "graph_label_propagation",
     "dedup_bloom_prefilter",
     "pipeline_tokenizer_fertility",
+    # round-4 batch 3: experimentation stats, streaks, interval joins
+    "events_active_streaks",
+    "events_ab_cuped",
+    "events_ks_test",
+    "join_interval_overlap",
+    "join_asof_tolerance",
     # pipeline_bpe_train / pipeline_bpe_encode are oracle-checked in the
     # gate but excluded here: wall time is the K-round driver loop's
     # fixed per-round job overhead (like the streaming keys), not a

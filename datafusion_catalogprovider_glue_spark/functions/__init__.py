@@ -66,24 +66,40 @@ def _sum_exact(col: Column, scale: int, precision: int) -> Column:
 
 def dsum(col: Column, scale: int = 2, precision: int = 18) -> Column:
     """Deterministic SUM of a double column (exact decimal arithmetic),
-    returned as double.  SQL oracle twin:
-    ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)``."""
+    returned as double.  SQL oracle twin: ``sql_dsum`` below."""
     return _sum_exact(col, scale, precision).cast("double")
 
 
+def sql_dec2dbl(expr: str) -> str:
+    """DECIMAL → DOUBLE conversion that is CORRECTLY ROUNDED in DuckDB.
+
+    DuckDB's direct ``CAST(DECIMAL AS DOUBLE)`` computes
+    ``(double)int128_value / (double)10^scale`` — TWO roundings, which
+    drifts one ulp from the true nearest double once the scaled
+    integer exceeds 2^53 (observed on sf0.1 power sums:
+    1110454735483153.5290 → ...3.6 direct vs ...3.5 correct).  Spark's
+    BigDecimal→double is correctly rounded, so the engines disagree
+    exactly where sums get big — i.e. exactly at scale.  Routing the
+    oracle through VARCHAR (exact digits) → fast_float parse (correctly
+    rounded) restores the single-rounding semantics on both sides."""
+    return f"CAST(CAST({expr} AS VARCHAR) AS DOUBLE)"
+
+
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    return sql_dec2dbl(f"SUM(CAST({expr} AS DECIMAL(18,{scale})))")
 
 
 def davg(col: Column, scale: int = 4, precision: int = 18) -> Column:
     """Deterministic AVG: exact decimal sum / count, one double divide.
-    SQL oracle twin: ``CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)
-    / COUNT(x)``."""
+    SQL oracle twin: ``sql_davg`` below."""
     return _sum_exact(col, scale, precision).cast("double") / F.count(col)
 
 
 def sql_davg(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE) / COUNT({expr})"
+    return (
+        sql_dec2dbl(f"SUM(CAST({expr} AS DECIMAL(18,{scale})))")
+        + f" / COUNT({expr})"
+    )
 
 
 def vec_double(col: Column) -> Column:

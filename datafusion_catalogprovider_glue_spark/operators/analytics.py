@@ -189,9 +189,9 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot",
     oracle="""
     SELECT l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'A') AS DOUBLE) AS "A",
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'N') AS DOUBLE) AS "N",
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'R') AS DOUBLE) AS "R"
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'A') AS VARCHAR) AS DOUBLE) AS "A",
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'N') AS VARCHAR) AS DOUBLE) AS "N",
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (l_returnflag = 'R') AS VARCHAR) AS DOUBLE) AS "R"
     FROM lineitem GROUP BY l_linestatus
     """,
 )
@@ -276,11 +276,11 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
         SELECT l_returnflag,
                COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-               CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-               CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS syy,
-               CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sxy
+               CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -728,7 +728,7 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (SELECT MAX(CAST(o_orderdate AS TIMESTAMP)) FROM orders))
                    AS recency_days,
                COUNT(*) AS frequency,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                    AS monetary
         FROM orders GROUP BY o_custkey
     )
@@ -797,7 +797,7 @@ HIST_WIDTH = 25000.0
            CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH}
                AS bucket_lo,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                AS sum_price
     FROM orders GROUP BY 1, 2
     """,
@@ -889,14 +889,14 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_returnflag,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS syy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
@@ -1397,21 +1397,21 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT l_linestatus,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
-             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sd,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp,
-             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
-                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sdd,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
-                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sqd,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                      * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS spd
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sq,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sp,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sd,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqq,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spp,
+             CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sdd,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqp,
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqd,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spd
       FROM lineitem GROUP BY l_linestatus
     )
     SELECT l_linestatus, CAST(n AS BIGINT) AS n_rows,
@@ -1547,13 +1547,13 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT o_orderpriority,
                COUNT(*) AS n_g,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) AS mu_g
         FROM orders GROUP BY o_orderpriority
     ),
     tot AS (
         SELECT COUNT(*) AS n,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) AS mu
         FROM orders
     ),
@@ -1567,7 +1567,7 @@ def agg_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.o_orderpriority,
            CAST(g.n_g AS BIGINT) AS n_orders,
            g.mu_g AS group_mean,
-           ROUND(CAST(SUM(t.t) AS DOUBLE) / g.n_g, 9) AS theil_within,
+           ROUND(CAST(CAST(SUM(t.t) AS VARCHAR) AS DOUBLE) / g.n_g, 9) AS theil_within,
            ROUND((CAST(g.n_g AS DOUBLE) / tot.n) * (g.mu_g / tot.mu)
                  * ROUND(ln(g.mu_g / tot.mu), 9), 9) AS between_term
     FROM terms t
@@ -1631,4 +1631,160 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
                 9,
             ).alias("between_term"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# interval-overlap join + tolerance as-of join
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP = "INTERVAL 30 MINUTES"
+
+
+def _session_sql(types_pred: str, alias: str) -> str:
+    """Gap-sessionize SQL (lag + flag + running sum), tie-broken on
+    event_id so equal-timestamp rows order identically cross-engine."""
+    return f"""
+    {alias}_flags AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS flag
+        FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+              FROM events WHERE {types_pred})
+    ),
+    {alias}_sess AS (
+        SELECT user_id,
+               SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+               ts
+        FROM {alias}_flags
+    ),
+    {alias} AS (
+        SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM {alias}_sess GROUP BY user_id, sid
+    )"""
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH {_session_sql("event_type IN ('view','click')", "browse")},
+    {_session_sql("event_type = 'purchase'", "buy")[5:]}
+    SELECT b.user_id,
+           b.s_start AS browse_start, b.s_end AS browse_end,
+           p.s_start AS buy_start, p.s_end AS buy_end,
+           CAST(epoch_us(least(b.s_end, p.s_end))
+                - epoch_us(greatest(b.s_start, p.s_start))
+                AS BIGINT) AS overlap_us
+    FROM browse b
+    JOIN buy p
+      ON b.user_id = p.user_id
+     AND b.s_start <= p.s_end AND p.s_start <= b.s_end
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP join — browse sessions (view/click, 30-min
+    gap sessionization) joined to purchase sessions of the same user
+    wherever the two time intervals overlap (inclusive endpoints),
+    with the exact overlap duration in microseconds.  The
+    interval-interval form is a different join family from the
+    point-in-interval joins (join_range / join_range_binned): both
+    sides carry [start, end], and the overlap predicate
+    ``a.start <= b.end AND b.start <= a.end`` cannot become a plain
+    equi-join.
+
+    Plan: both session tables come off ONE user_id window+groupBy
+    each; the join is an equi-join on user_id with the overlap
+    predicate as a residual filter — pairs are bounded per user, never
+    a cartesian.  Keyless interval joins at 100 TB bin both sides to
+    fixed time buckets (the join_range_binned pattern) and dedupe;
+    with a user key, co-partitioning already bounds the work.
+    Sessionization ties are broken on event_id, so equal-timestamp
+    rows sessionize identically in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+
+    def sessions(pred):
+        e = ev.filter(pred).select("user_id", "ts", "event_id")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flag = F.when(
+            F.col("ts")
+            > F.lag("ts").over(w) + F.expr(_SESSION_GAP),
+            1,
+        ).otherwise(0)
+        sid = F.sum(flag).over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            e.withColumn("sid", sid)
+            .groupBy("user_id", "sid")
+            .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        )
+
+    browse = sessions(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("s_start").alias("browse_start"),
+        F.col("s_end").alias("browse_end"),
+    )
+    buy = sessions(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("s_start").alias("buy_start"),
+        F.col("s_end").alias("buy_end"),
+    )
+    overlap_us = F.unix_micros(
+        F.least(F.col("browse_end"), F.col("buy_end"))
+    ) - F.unix_micros(F.greatest(F.col("browse_start"), F.col("buy_start")))
+    return (
+        browse.join(
+            buy,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("browse_start") <= F.col("buy_end"))
+            & (F.col("buy_start") <= F.col("browse_end")),
+        )
+        .select(
+            "user_id",
+            "browse_start",
+            "browse_end",
+            "buy_start",
+            "buy_end",
+            overlap_us.cast("bigint").alias("overlap_us"),
+        )
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS view_value
+        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts AS purchase_ts, p.purchase_value,
+           v.ts AS view_ts, v.view_value
+    FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+    WHERE p.ts - v.ts <= INTERVAL 1 HOUR
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas ``merge_asof(tolerance=...)``
+    semantics): each purchase matches the latest view at-or-before it,
+    but only if that view is within 1 hour — a stale quote/sensor
+    reading must not attribute.  The tolerance is a post-filter on the
+    matched gap: the as-of match itself picks the nearest prior view,
+    so filtering it is equivalent to bounding the search.
+
+    Same single user_id shuffle union+window plan as join_asof; the
+    gap filter runs in codegen on the matched rows."""
+    matched = join_asof(spark, sf_dir)
+    return matched.filter(
+        F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
     )

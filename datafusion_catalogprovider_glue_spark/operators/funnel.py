@@ -230,8 +230,8 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), stats AS (
         SELECT event_type,
                CAST(COUNT(*) AS DOUBLE) AS cnt,
-               CAST(SUM(n_events) AS DOUBLE) AS sn,
-               CAST(SUM(n_events * n_events) AS DOUBLE) AS snn
+               CAST(CAST(SUM(n_events) AS VARCHAR) AS DOUBLE) AS sn,
+               CAST(CAST(SUM(n_events * n_events) AS VARCHAR) AS DOUBLE) AS snn
         FROM daily GROUP BY event_type
     )
     SELECT d.event_type, d.day, d.n_events,
@@ -623,7 +623,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly AS (
       SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
              CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sv
       FROM events GROUP BY 1, 2
     )
     SELECT g.event_type, g.hour,
@@ -797,7 +797,7 @@ _TOUCH_TYPES = ("view", "click")
     )
     SELECT COALESCE(channel, 'unattributed') AS channel,
            COUNT(*) AS n_conversions,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_revenue
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS attributed_revenue
     FROM conv GROUP BY COALESCE(channel, 'unattributed')
     """,
 )
@@ -1016,7 +1016,7 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
            week_offset,
            COUNT(*) AS n_purchases,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM rev GROUP BY 1, 2
     """,
 )
@@ -1614,11 +1614,11 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
         SELECT
             SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
-            CAST(SUM(CASE WHEN arm = 'A' THEN x END) AS DOUBLE) AS sx_a,
-            CAST(SUM(CASE WHEN arm = 'A' THEN x * x END) AS DOUBLE) AS sxx_a,
+            CAST(CAST(SUM(CASE WHEN arm = 'A' THEN x END) AS VARCHAR) AS DOUBLE) AS sx_a,
+            CAST(CAST(SUM(CASE WHEN arm = 'A' THEN x * x END) AS VARCHAR) AS DOUBLE) AS sxx_a,
             SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b,
-            CAST(SUM(CASE WHEN arm = 'B' THEN x END) AS DOUBLE) AS sx_b,
-            CAST(SUM(CASE WHEN arm = 'B' THEN x * x END) AS DOUBLE) AS sxx_b
+            CAST(CAST(SUM(CASE WHEN arm = 'B' THEN x END) AS VARCHAR) AS DOUBLE) AS sx_b,
+            CAST(CAST(SUM(CASE WHEN arm = 'B' THEN x * x END) AS VARCHAR) AS DOUBLE) AS sxx_b
         FROM per_user
     )
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
@@ -1821,4 +1821,343 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("zero_seen") == 1, F.lit(0.0))
         .otherwise(F.round(F.exp(F.col("lsum").cast("double")), 6))
         .alias("survival"),
+    )
+
+
+@query(
+    "events_active_streaks",
+    # Gaps-and-islands: within a user's DISTINCT active days, an
+    # unbroken run keeps day - row_number() constant; grouping on that
+    # anchor yields the streaks.  Everything is exact integer/date
+    # arithmetic — no float anywhere.
+    oracle="""
+    WITH user_days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    islands AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS anchor
+        FROM user_days
+    ),
+    streaks AS (
+        SELECT user_id, anchor, COUNT(*) AS len
+        FROM islands GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY user_id
+    """,
+)
+def events_active_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSECUTIVE-DAY activity streaks per user (gaps-and-islands) —
+    the engagement metric behind "7-day streak" product mechanics and
+    habit-formation cohort cuts.  A run of consecutive active days has
+    a constant ``day − row_number()`` anchor; one groupBy over that
+    anchor materializes every streak without a self-join (the naive
+    form is an interval self-join that explodes quadratically in run
+    length).
+
+    Plan: distinct (user, day) collapses the fact table first (events
+    per user-day never leave the map side), then ONE user_id shuffle
+    serves the row_number window, the streak groupBy, and the per-user
+    rollup — three stages, one partitioning, reused.  At 100 TB state
+    is |user-days|, not |events|."""
+    ev = _events(spark, sf_dir)
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = user_days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("n_active_days"),
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )
+
+
+@query(
+    "events_ab_cuped",
+    # CUPED with view count as the pre-experiment covariate and
+    # purchase value as the metric.  theta and every arm statistic
+    # derive from exact sufficient statistics (BIGINT counts, 2-dp
+    # decimal power sums) cast to double at the SAME points in both
+    # engines; the remaining float arithmetic is one fixed-shape
+    # scalar expression per output cell, rounded at 6 dp.
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS x,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT
+            CAST(COUNT(*) AS DOUBLE) AS n,
+            CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+            CAST(CAST(SUM(CAST(y AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sy,
+            CAST(CAST(SUM(x * CAST(y AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sxy,
+            CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx,
+            SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS n_a,
+            CAST(CAST(SUM(CASE WHEN arm = 'A' THEN x END) AS VARCHAR) AS DOUBLE) AS sx_a,
+            CAST(CAST(SUM(CASE WHEN arm = 'A' THEN CAST(y AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sy_a,
+            CAST(CAST(SUM(CASE WHEN arm = 'A'
+                          THEN x * CAST(y AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sxy_a,
+            CAST(CAST(SUM(CASE WHEN arm = 'A' THEN x * x END) AS VARCHAR) AS DOUBLE) AS sxx_a,
+            CAST(CAST(SUM(CASE WHEN arm = 'A'
+                          THEN CAST(y AS DECIMAL(18,2))
+                               * CAST(y AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS syy_a,
+            SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS n_b,
+            CAST(CAST(SUM(CASE WHEN arm = 'B' THEN x END) AS VARCHAR) AS DOUBLE) AS sx_b,
+            CAST(CAST(SUM(CASE WHEN arm = 'B' THEN CAST(y AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sy_b,
+            CAST(CAST(SUM(CASE WHEN arm = 'B'
+                          THEN x * CAST(y AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS sxy_b,
+            CAST(CAST(SUM(CASE WHEN arm = 'B' THEN x * x END) AS VARCHAR) AS DOUBLE) AS sxx_b,
+            CAST(CAST(SUM(CASE WHEN arm = 'B'
+                          THEN CAST(y AS DECIMAL(18,2))
+                               * CAST(y AS DECIMAL(18,2)) END) AS VARCHAR) AS DOUBLE) AS syy_b
+        FROM per_user
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+           ROUND((sy_a - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                         * (sx_a - (sx / n) * n_a)) / n_a, 6) AS mean_adj_a,
+           ROUND((sy_b - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                         * (sx_b - (sx / n) * n_b)) / n_b, 6) AS mean_adj_b,
+           ROUND(((sy_a - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                          * (sx_a - (sx / n) * n_a)) / n_a
+                  - (sy_b - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                            * (sx_b - (sx / n) * n_b)) / n_b)
+                 / sqrt(
+                   (((syy_a - 2 * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                                  * sxy_a
+                       + ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                         * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                         * sxx_a)
+                     - (sy_a - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                               * sx_a)
+                       * (sy_a - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                                 * sx_a) / n_a) / (n_a - 1)) / n_a
+                   + (((syy_b - 2 * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                                   * sxy_b
+                        + ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                          * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                          * sxx_b)
+                      - (sy_b - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                                * sx_b)
+                        * (sy_b - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                                  * sx_b) / n_b) / (n_b - 1)) / n_b),
+                 6) AS z_cuped
+    FROM s
+    """,
+)
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout (Deng et al., WSDM 2013) —
+    the adjustment every mature experimentation platform applies: the
+    metric (per-user purchase value) is regressed on a pre-experiment
+    covariate (per-user view count), and the Welch z is computed on
+    the adjusted metric y − θ(x − x̄).  θ is the pooled OLS slope;
+    adjusted arm means and variances expand into the same sufficient
+    statistics, so nothing per-user survives the aggregation.
+
+    Plan: one groupBy(user_id) to per-user (x, y), one global
+    16-counter aggregation of exact power sums (map-side combined),
+    and a single-row scalar epilogue.  One shuffle at any scale."""
+    ev = _events(spark, sf_dir)
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3", "4", "5", "6", "7"
+        ),
+        "A",
+    ).otherwise("B")
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.col("value").cast("decimal(18,2)"),
+                ).otherwise(zero)
+            ).alias("y"),
+        )
+        .select(
+            arm.alias("arm"),
+            F.col("x"),
+            F.col("y").cast("decimal(18,2)").alias("y"),
+        )
+    )
+    x, y = F.col("x"), F.col("y")
+    is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(is_a, x)).cast("double").alias("sx_a"),
+        F.sum(F.when(is_a, y)).cast("double").alias("sy_a"),
+        F.sum(F.when(is_a, x * y)).cast("double").alias("sxy_a"),
+        F.sum(F.when(is_a, x * x)).cast("double").alias("sxx_a"),
+        F.sum(F.when(is_a, y * y)).cast("double").alias("syy_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(is_b, x)).cast("double").alias("sx_b"),
+        F.sum(F.when(is_b, y)).cast("double").alias("sy_b"),
+        F.sum(F.when(is_b, x * y)).cast("double").alias("sxy_b"),
+        F.sum(F.when(is_b, x * x)).cast("double").alias("sxx_b"),
+        F.sum(F.when(is_b, y * y)).cast("double").alias("syy_b"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    xbar = sx / n
+
+    def _adj_sum(sy_g, sx_g):
+        return sy_g - theta * sx_g
+
+    def _mean_adj(sy_g, sx_g, n_g):
+        return (sy_g - theta * (sx_g - xbar * n_g)) / n_g
+
+    def _var_term(syy_g, sxy_g, sxx_g, sy_g, sx_g, n_g):
+        ss = (
+            syy_g
+            - 2 * theta * sxy_g
+            + theta * theta * sxx_g
+        )
+        asum = _adj_sum(sy_g, sx_g)
+        return ((ss - asum * asum / n_g) / (n_g - 1)) / n_g
+
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    mean_a = _mean_adj(F.col("sy_a"), F.col("sx_a"), n_a)
+    mean_b = _mean_adj(F.col("sy_b"), F.col("sx_b"), n_b)
+    var_a = _var_term(
+        F.col("syy_a"), F.col("sxy_a"), F.col("sxx_a"),
+        F.col("sy_a"), F.col("sx_a"), n_a,
+    )
+    var_b = _var_term(
+        F.col("syy_b"), F.col("sxy_b"), F.col("sxx_b"),
+        F.col("sy_b"), F.col("sx_b"), n_b,
+    )
+    return s.select(
+        n_a.cast("bigint").alias("n_a"),
+        n_b.cast("bigint").alias("n_b"),
+        F.round(theta, 6).alias("theta"),
+        F.round(mean_a, 6).alias("mean_adj_a"),
+        F.round(mean_b, 6).alias("mean_adj_b"),
+        F.round((mean_a - mean_b) / F.sqrt(var_a + var_b), 6).alias(
+            "z_cuped"
+        ),
+    )
+
+
+@query(
+    "events_ks_test",
+    # Two-sample Kolmogorov-Smirnov distance between the arms'
+    # per-user purchase-value distributions.  EXACT: with c_a/c_b the
+    # cumulative arm counts at each distinct metric value, the KS
+    # numerator max|c_a*n_b - c_b*n_a| is pure BIGINT arithmetic; the
+    # single division happens once, on the final row, rounded at 9 dp.
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3','4','5','6','7')
+                    THEN 'A' ELSE 'B' END AS arm,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS v
+        FROM events GROUP BY user_id
+    ),
+    by_value AS (
+        SELECT v,
+               SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS a_cnt,
+               SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS b_cnt
+        FROM per_user GROUP BY v
+    ),
+    cum AS (
+        SELECT SUM(a_cnt) OVER (ORDER BY v) AS c_a,
+               SUM(b_cnt) OVER (ORDER BY v) AS c_b,
+               (SELECT SUM(a_cnt) FROM by_value) AS n_a,
+               (SELECT SUM(b_cnt) FROM by_value) AS n_b
+        FROM by_value
+    )
+    SELECT CAST(MAX(n_a) AS BIGINT) AS n_a,
+           CAST(MAX(n_b) AS BIGINT) AS n_b,
+           CAST(MAX(ABS(c_a * n_b - c_b * n_a)) AS BIGINT) AS d_num,
+           ROUND(CAST(MAX(ABS(c_a * n_b - c_b * n_a)) AS DOUBLE)
+                 / (CAST(MAX(n_a) AS DOUBLE) * CAST(MAX(n_b) AS DOUBLE)),
+                 9) AS d_stat
+    FROM cum
+    """,
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test between the A/B arms'
+    per-user purchase-value distributions — the distribution-shift
+    readout that catches what a mean test (events_ab_test) cannot:
+    identical means with different shapes.  D = sup|F_A − F_B| is
+    computed EXACTLY: cumulative counts per distinct metric value keep
+    the numerator |c_a·n_b − c_b·n_a| in integers; one division at the
+    end.
+
+    Plan: groupBy(user_id) → per-user metric, groupBy(metric value) →
+    DISTINCT-VALUE table (bounded by metric cardinality, tiny after
+    2-dp quantization), one cumulative window over it, one global max.
+    Two shuffles, both shrinking; at 100 TB the window runs over the
+    value grid, not users."""
+    ev = _events(spark, sf_dir)
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            "0", "1", "2", "3", "4", "5", "6", "7"
+        ),
+        "A",
+    ).otherwise("B")
+    zero = F.lit(0).cast("decimal(18,2)")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(zero)
+        ).alias("v")
+    ).select(arm.alias("arm"), F.col("v").cast("decimal(18,2)").alias("v"))
+    by_value = per_user.groupBy("v").agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0)).alias("a_cnt"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0)).alias("b_cnt"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = by_value.select(
+        F.sum("a_cnt").over(wcum).alias("c_a"),
+        F.sum("b_cnt").over(wcum).alias("c_b"),
+        F.sum("a_cnt").over(wall).alias("n_a"),
+        F.sum("b_cnt").over(wall).alias("n_b"),
+    )
+    d = F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+    return cum.agg(
+        F.max("n_a").cast("bigint").alias("n_a"),
+        F.max("n_b").cast("bigint").alias("n_b"),
+        F.max(d).cast("bigint").alias("d_num"),
+        F.round(
+            F.max(d).cast("double")
+            / (F.max("n_a").cast("double") * F.max("n_b").cast("double")),
+            9,
+        ).alias("d_stat"),
     )

@@ -1297,3 +1297,227 @@ def test_kmeans_scale_path_engages_above_exact_max(spark, tmp_path):
     assert got.k <= expected_k
     # average cluster size in the target's neighborhood, not 6000+
     assert got.n / got.k < 4 * sim._KMEANS_TARGET_CLUSTER
+
+
+def test_active_streaks_gaps_and_islands_semantics(spark):
+    # days {1,2,3}, {5,6}, {10} -> longest 3, 3 streaks, 6 active days;
+    # multiple events on one day collapse to one active day.
+    import datetime as dt
+
+    import datafusion_catalogprovider_glue_spark.operators.funnel as mod
+    from datafusion_catalogprovider_glue_spark.operators.funnel import (
+        events_active_streaks,
+    )
+
+    def ev(i, day, h=9):
+        return (i, dt.datetime(2024, 1, day, h, 0, 0), 1, "view", 1.0, None)
+
+    rows = [
+        ev(1, 1), ev(2, 1, 18),  # duplicate day
+        ev(3, 2), ev(4, 3), ev(5, 5), ev(6, 6), ev(7, 10),
+        # user 2: single day
+        (8, dt.datetime(2024, 1, 4, 9, 0, 0), 2, "click", 1.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = mod.load_table
+    mod.load_table = lambda s, d, n: df
+    try:
+        out = {r.user_id: r for r in events_active_streaks(spark, "x").collect()}
+    finally:
+        mod.load_table = orig
+    assert out[1].n_active_days == 6
+    assert out[1].longest_streak == 3
+    assert out[1].n_streaks == 3
+    assert out[2].n_active_days == 1 and out[2].longest_streak == 1
+
+
+def test_ab_cuped_matches_numpy_reference(spark):
+    # run on the real sf0.001 events and reproduce theta / adjusted
+    # means / z with a plain numpy computation over per-user (x, y)
+    import numpy as np
+
+    from datafusion_catalogprovider_glue_spark.operators import registry
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    registry.load_all_operator_modules()
+    row = registry.QUERIES["events_ab_cuped"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    pdf = ev.toPandas()
+    import hashlib
+
+    per = {}
+    for _, r in pdf.iterrows():
+        u = int(r.user_id)
+        x, y = per.get(u, (0, 0.0))
+        if r.event_type == "view":
+            x += 1
+        if r.event_type == "purchase":
+            y += round(float(r.value), 2)
+        per[u] = (x, y)
+    users = sorted(per)
+    x = np.array([per[u][0] for u in users], dtype=float)
+    y = np.array([round(per[u][1], 2) for u in users], dtype=float)
+    arm_a = np.array(
+        [hashlib.md5(str(u).encode()).hexdigest()[0] in "01234567" for u in users]
+    )
+    theta = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    adj = y - theta * (x - x.mean())
+    a, b = adj[arm_a], adj[~arm_a]
+    assert row.n_a == arm_a.sum() and row.n_b == (~arm_a).sum()
+    assert abs(row.theta - theta) < 1e-4
+    assert abs(row.mean_adj_a - a.mean()) < 1e-4
+    assert abs(row.mean_adj_b - b.mean()) < 1e-4
+    z = (a.mean() - b.mean()) / np.sqrt(
+        a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+    )
+    assert abs(row.z_cuped - z) < 1e-3
+    # (no variance-reduction assert: CUPED's var(adj) <= var(raw)
+    # guarantee is asymptotic — with 3 users per arm at sf0.001 the
+    # sample variance can legitimately tick up)
+
+
+def test_ks_test_identical_and_disjoint_distributions(spark):
+    import datetime as dt
+
+    import datafusion_catalogprovider_glue_spark.operators.funnel as mod
+    from datafusion_catalogprovider_glue_spark.operators.funnel import (
+        events_ks_test,
+    )
+    import hashlib
+
+    # find user ids hashing to each arm
+    arm_of = lambda u: (
+        "A" if hashlib.md5(str(u).encode()).hexdigest()[0] in "01234567" else "B"
+    )
+    a_users = [u for u in range(1, 200) if arm_of(u) == "A"][:3]
+    b_users = [u for u in range(1, 200) if arm_of(u) == "B"][:3]
+    t0 = dt.datetime(2024, 1, 1)
+    # identical per-user purchase totals in both arms -> D = 0
+    rows = []
+    for i, (ua, ub) in enumerate(zip(a_users, b_users)):
+        v = float(10 * (i + 1))
+        rows.append((2 * i, t0, ua, "purchase", v, None))
+        rows.append((2 * i + 1, t0, ub, "purchase", v, None))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = mod.load_table
+    mod.load_table = lambda s, d, n: df
+    try:
+        r = events_ks_test(spark, "x").collect()[0]
+        assert (r.n_a, r.n_b, r.d_num, r.d_stat) == (3, 3, 0, 0.0)
+        # disjoint supports -> D = 1
+        rows2 = [
+            (i, t0, u, "purchase", 5.0, None) for i, u in enumerate(a_users)
+        ] + [
+            (10 + i, t0, u, "purchase", 50.0, None)
+            for i, u in enumerate(b_users)
+        ]
+        df2 = spark.createDataFrame(
+            rows2,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        mod.load_table = lambda s, d, n: df2
+        r2 = events_ks_test(spark, "x").collect()[0]
+        assert r2.d_stat == 1.0 and r2.d_num == 9
+    finally:
+        mod.load_table = orig
+
+
+def test_interval_overlap_semantics(spark):
+    # constructed sessions: overlapping, touching-at-endpoint
+    # (inclusive -> overlap_us 0), and disjoint must not join.
+    import datetime as dt
+
+    import datafusion_catalogprovider_glue_spark.operators.analytics as mod
+    from datafusion_catalogprovider_glue_spark.operators.analytics import (
+        join_interval_overlap,
+    )
+
+    t = lambda m: dt.datetime(2024, 1, 1, 12, 0, 0) + dt.timedelta(minutes=m)
+    rows = [
+        # user 1 browse session [12:00, 12:10]; purchases at 12:05 ->
+        # overlap, and at 13:30 (own session) -> disjoint
+        (1, t(0), 1, "view", 1.0, None),
+        (2, t(10), 1, "click", 1.0, None),
+        (3, t(5), 1, "purchase", 9.0, None),
+        (4, t(90), 1, "purchase", 9.0, None),
+        # user 2: purchase session exactly AT browse end -> touching
+        (5, t(0), 2, "view", 1.0, None),
+        (6, t(0 + 7), 2, "purchase", 9.0, None),
+    ]
+    # user 2 browse = [12:00,12:00] (one view); purchase at 12:07 is
+    # within 30min of nothing browse-side... adjust: purchase session
+    # [12:07,12:07] does NOT overlap [12:00,12:00]; touching case via
+    # user 3 below
+    rows += [
+        (7, t(0), 3, "view", 1.0, None),
+        (8, t(0), 3, "purchase", 9.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = mod.load_table
+    mod.load_table = lambda s, d, n: df
+    try:
+        out = join_interval_overlap(spark, "x").collect()
+    finally:
+        mod.load_table = orig
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    # user 1: exactly one overlapping pair (12:05 purchase)
+    assert len(by_user[1]) == 1
+    assert by_user[1][0].overlap_us == 0  # point purchase inside browse
+    # user 2: disjoint -> no rows
+    assert 2 not in by_user
+    # user 3: touching at the same instant -> inclusive join, overlap 0
+    assert len(by_user[3]) == 1 and by_user[3][0].overlap_us == 0
+
+
+def test_asof_tolerance_drops_stale_matches(spark):
+    import datetime as dt
+
+    import datafusion_catalogprovider_glue_spark.operators.analytics as mod
+    from datafusion_catalogprovider_glue_spark.operators.analytics import (
+        join_asof_tolerance,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: view 30min before purchase -> kept
+        (1, t0, 1, "view", 10.0, None),
+        (2, t0 + dt.timedelta(minutes=30), 1, "purchase", 99.0, None),
+        # user 2: view 2h before purchase -> asof matches, tolerance drops
+        (3, t0, 2, "view", 20.0, None),
+        (4, t0 + dt.timedelta(hours=2), 2, "purchase", 50.0, None),
+        # user 3: view exactly 1h before -> boundary kept (<=)
+        (5, t0, 3, "view", 30.0, None),
+        (6, t0 + dt.timedelta(hours=1), 3, "purchase", 70.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    orig = mod.load_table
+    mod.load_table = lambda s, d, n: df
+    try:
+        out = {r.event_id: r for r in join_asof_tolerance(spark, "x").collect()}
+    finally:
+        mod.load_table = orig
+    assert set(out) == {2, 6}
+    assert out[2].view_value == 10.0
+    assert out[6].view_value == 30.0

@@ -870,3 +870,44 @@ def test_shard_manifest_one_shuffle(spark):
     p = plan_str(q(spark, "pipeline_shard_manifest"), "simple")
     assert "Join" not in p
     assert p.count("Exchange") <= 2
+
+
+def test_active_streaks_single_user_partitioning(spark):
+    # distinct user-days, the island window, the streak groupBy and
+    # the per-user rollup all reuse ONE user_id hash partitioning —
+    # no join, no range partitioning (no global sort).
+    p = plan_str(q(spark, "events_active_streaks"), "simple")
+    assert "Join" not in p
+    assert "rangepartitioning" not in p.lower()
+
+
+def test_ab_cuped_collapses_to_one_row(spark):
+    # per-user covariate/metric first, then ONE 17-counter global
+    # aggregation; the scalar epilogue adds no join or extra shuffle.
+    p = plan_str(q(spark, "events_ab_cuped"), "simple")
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 4
+
+
+def test_ks_test_windows_run_on_value_grid(spark):
+    # the cumulative window runs over the DISTINCT-value table (after
+    # two shrinking aggregations), never over raw events or users.
+    p = plan_str(q(spark, "events_ks_test"), "simple")
+    assert "Join" not in p
+    assert p.count("HashAggregate") >= 4
+
+
+def test_interval_overlap_is_equijoin_on_user(spark):
+    # the overlap predicate must ride a user_id EQUI-join (sort-merge
+    # or hash) as a residual condition — never a cartesian/BNLJ.
+    p = plan_str(q(spark, "join_interval_overlap"), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_asof_tolerance_keeps_single_shuffle_plan(spark):
+    # same union+window single-shuffle shape as join_asof; the
+    # tolerance is a codegen filter, not a join.
+    p = plan_str(q(spark, "join_asof_tolerance"), "simple")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
