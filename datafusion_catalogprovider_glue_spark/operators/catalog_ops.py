@@ -122,7 +122,7 @@ def catalog_register_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INT) AS l_year,
            COUNT(*) AS n_rows,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     WHERE year(CAST(l_shipdate AS TIMESTAMP)) = 1996
     GROUP BY 1
@@ -189,7 +189,7 @@ def _text_scan_dir(sf_dir: str, kind: str) -> str:
     "scan_csv",
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -268,7 +268,7 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_json",
     oracle="""
     SELECT p_brand, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_retail
     FROM part
     GROUP BY p_brand
     """,
@@ -336,7 +336,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_ion",
     oracle="""
     SELECT p_type, COUNT(*) AS n_parts,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_retail
+           CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_retail
     FROM part
     GROUP BY p_type
     """,
@@ -504,7 +504,7 @@ def scan_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment AS seg, COUNT(*) AS n_customers,
            CAST(SUM(c_custkey) AS BIGINT) AS key_sum,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM customer
     GROUP BY c_mktsegment
     """,
@@ -643,7 +643,7 @@ def scan_delta_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_avro",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM supplier
     GROUP BY s_nationkey
     """,
@@ -821,7 +821,7 @@ def scan_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_csv_inferred",
     oracle="""
     SELECT c_nationkey, COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM customer
     GROUP BY c_nationkey
     """,
@@ -905,11 +905,11 @@ def scan_csv_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_iceberg",
     oracle="""
     SELECT 'snap1' AS snapshot, s_nationkey, COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM supplier GROUP BY s_nationkey
     UNION ALL
     SELECT 'latest' AS snapshot, s_nationkey, COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM supplier WHERE s_nationkey < 12 GROUP BY s_nationkey
     """,
 )
@@ -1049,7 +1049,7 @@ def scan_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_orc",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_total,
            MIN(o_orderdate) AS first_order
     FROM orders
     GROUP BY o_orderstatus
@@ -1403,10 +1403,9 @@ from datafusion_catalogprovider_glue_spark.fixtures.hudi_tables import (
     "scan_hudi",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(CASE WHEN o_orderkey % 2 = 0
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 2 = 0
                               THEN o_totalprice * 2
-                              ELSE o_totalprice END AS DECIMAL(18,2)))
-                AS DOUBLE) AS sum_price
+                              ELSE o_totalprice END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -1436,7 +1435,7 @@ def scan_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_hudi_time_travel",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -1462,10 +1461,9 @@ def scan_hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_hudi_mor",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
+           CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
                               THEN o_totalprice * 3
-                              ELSE o_totalprice END AS DECIMAL(18,2)))
-                AS DOUBLE) AS sum_price
+                              ELSE o_totalprice END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -1496,7 +1494,7 @@ def scan_hudi_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_hudi_mor_read_optimized",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -1527,12 +1525,12 @@ def scan_hudi_mor_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'snap1' AS snapshot, s_nationkey,
            COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM supplier GROUP BY s_nationkey
     UNION ALL
     SELECT 'latest' AS snapshot, s_nationkey,
            COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM supplier WHERE s_suppkey % 7 <> 0 GROUP BY s_nationkey
     """,
 )
@@ -1688,12 +1686,12 @@ def scan_iceberg_pos_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'deleted' AS snapshot, s_nationkey,
            COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM supplier WHERE s_suppkey % 7 <> 0 GROUP BY s_nationkey
     UNION ALL
     SELECT 'readded' AS snapshot, s_nationkey,
            COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM supplier GROUP BY s_nationkey
     """,
 )
@@ -1740,12 +1738,12 @@ def scan_iceberg_pos_delete_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'snap1' AS snapshot, s_nationkey,
            COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM supplier GROUP BY s_nationkey
     UNION ALL
     SELECT 'latest' AS snapshot, s_nationkey,
            COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM (
         SELECT * FROM supplier WHERE s_suppkey % 5 <> 0
         UNION ALL
@@ -2131,7 +2129,7 @@ def scan_delta_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_iceberg_partition_pruned",
     oracle="""
     SELECT s_nationkey, COUNT(*) AS n_suppliers,
-           CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
     FROM supplier WHERE s_nationkey % 3 = 1 GROUP BY s_nationkey
     """,
 )
@@ -2316,3 +2314,38 @@ def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_name").alias("first_name"),
         )
     )
+
+
+@query(
+    "scan_iceberg_schema_evolution",
+    oracle="""
+    SELECT p_partkey, p_name AS part_name,
+           p_retailprice, CAST(NULL AS VARCHAR) AS p_brand
+    FROM part WHERE p_partkey % 2 = 0 AND p_partkey <= 200
+    UNION ALL
+    SELECT p_partkey, p_name AS part_name, p_retailprice, p_brand
+    FROM part WHERE p_partkey % 2 = 1 AND p_partkey <= 200
+    """,
+)
+def scan_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg SCHEMA EVOLUTION (spec §column-projection): the fixture
+    (fixtures/iceberg_evolve.py) renames field 2 p_name → part_name
+    and adds field 4 p_brand between two data files; the reader must
+    resolve columns by FIELD ID so the pre-rename file keeps serving
+    part_name and reads null p_brand, while the post-rename file
+    serves both natively.  The reference's deltalake path gets renames
+    via Delta column mapping (scan_delta_column_mapping); this is the
+    Iceberg-side equivalent, resolved from parquet footers +
+    historical schemas (sources/iceberg.py:_resolve_file_projections).
+    Hash-matching the full projected table proves renamed columns
+    carry OLD-file data (a name-only reader nulls them out)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.fixtures.iceberg_evolve import (
+        build_iceberg_schema_evolution,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import read_iceberg
+
+    apply_engine_conf(spark)
+    table_dir = build_iceberg_schema_evolution(spark, sf_dir)
+    return read_iceberg(spark, table_dir).filter(F.col("p_partkey") <= 200)

@@ -748,7 +748,7 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(MIN(n_words) AS BIGINT) AS min_words,
            CAST(MAX(n_words) AS BIGINT) AS max_words,
-           CAST(SUM(n_words) AS DOUBLE) / COUNT(*) AS mean_words,
+           CAST(CAST(SUM(n_words) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_words,
            COUNT(DISTINCT md5(text)) AS n_unique_docs,
            CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT)
              AS n_exact_dups
@@ -1006,8 +1006,8 @@ def pipeline_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_ngrams,
            CAST(SUM(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_novel,
-           ROUND(CAST(SUM(CASE WHEN fd.first_doc = g.doc_id
-                               THEN 1 ELSE 0 END) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CASE WHEN fd.first_doc = g.doc_id
+                               THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
                  / COUNT(*), 6) AS novelty
     FROM g JOIN fd ON g.ng = fd.ng
     GROUP BY g.doc_id
@@ -1073,10 +1073,9 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
                 AS BIGINT) AS bpe_tokens,
            CAST(SUM(length(text)) AS BIGINT) AS n_bytes,
-           ROUND(CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))
-                      AS DOUBLE)
+           ROUND(CAST(CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS VARCHAR) AS DOUBLE)
                  / SUM(len(string_split(text, ' '))), 6) AS fertility,
-           ROUND(CAST(SUM(length(text)) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(length(text)) AS VARCHAR) AS DOUBLE)
                  / SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))),
                  6) AS bytes_per_token
     FROM documents GROUP BY lang, source

@@ -83,7 +83,7 @@ def _bucket_fixture(
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
     """,
@@ -194,7 +194,7 @@ def _z_value(a, b):
     "scan_zordered",
     oracle="""
     SELECT l_partkey, COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     WHERE l_partkey BETWEEN 100 AND 200 AND l_suppkey BETWEEN 10 AND 50
     GROUP BY l_partkey

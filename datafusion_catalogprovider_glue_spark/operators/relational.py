@@ -553,15 +553,15 @@ def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_agg_frame",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
              (PARTITION BY l_suppkey
               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
              AS running_qty,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER
              (PARTITION BY l_suppkey
               ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
              AS moving_qty
     FROM lineitem
     """,

@@ -359,7 +359,7 @@ def _ivf_sample_oracle() -> str:
     ),
     cm AS (
         SELECT cid, pos,
-               CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+               CAST(CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) / 1000000.0 AS av
         FROM (SELECT m.cid, unnest(s.vv) AS val,
                      unnest(range(0, len(s.vv))) AS pos
@@ -565,7 +565,7 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label, pos,
            CAST(COUNT(*) AS BIGINT) AS n_vectors,
-           CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+           CAST(CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
              / COUNT(val) / 1000000.0 AS av
     FROM e GROUP BY label, pos
     """,
@@ -660,7 +660,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     )
     SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+           CAST(CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
              / COUNT(val) / 1000000.0 AS mean_val,
            MIN(val) AS min_val, MAX(val) AS max_val
     FROM e GROUP BY dim
@@ -916,7 +916,7 @@ def _pq_sample_oracle() -> str:
     ),
     cm_{s} AS (
         SELECT cid, pos,
-               CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+               CAST(CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) / 1000000.0 AS av
         FROM (SELECT m.cid, unnest(sv) AS val, unnest(range(0, len(sv))) AS pos
               FROM smp{s} JOIN m1_{s} m USING (vec_id))
@@ -1233,7 +1233,7 @@ def _kmeans_oracle_body(k: int) -> str:
     ),
     cm AS (
         SELECT cid, pos,
-               CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+               CAST(CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) / 1000000.0 AS av
         FROM coords GROUP BY cid, pos
     ),
@@ -1839,7 +1839,7 @@ def _pq_flat_oracle() -> str:
     ),
     cm_{s} AS (
         SELECT cid, pos,
-               CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+               CAST(CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS VARCHAR) AS DOUBLE)
                  / COUNT(*) / 1000000.0 AS av
         FROM (SELECT m.cid, unnest(sv) AS val, unnest(range(0, len(sv))) AS pos
               FROM sub{s} JOIN m1_{s} m USING (vec_id))

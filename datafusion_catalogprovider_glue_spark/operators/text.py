@@ -42,7 +42,7 @@ def _words(col: str = "text"):
     SELECT lang, source,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(CAST(SUM(len(string_split(text, ' '))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_tokens,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars
     FROM documents GROUP BY lang, source
@@ -695,7 +695,7 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, source,
            CAST(floor(flesch / 10.0) AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CAST(flesch AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           CAST(CAST(SUM(CAST(flesch AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*)
              AS avg_flesch
     FROM scored GROUP BY lang, source, bucket
     """,
@@ -776,11 +776,11 @@ _ZIPF_TOP = 100  # ranks entering the log-log fit
     s AS (
         SELECT source,
                CAST(COUNT(*) AS DOUBLE) AS n,
-               CAST(SUM(lx) AS DOUBLE) AS sx,
-               CAST(SUM(ly) AS DOUBLE) AS sy,
-               CAST(SUM(lx * ly) AS DOUBLE) AS sxy,
-               CAST(SUM(lx * lx) AS DOUBLE) AS sxx,
-               CAST(SUM(ly * ly) AS DOUBLE) AS syy
+               CAST(CAST(SUM(lx) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(ly) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(SUM(lx * ly) AS VARCHAR) AS DOUBLE) AS sxy,
+               CAST(CAST(SUM(lx * lx) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(SUM(ly * ly) AS VARCHAR) AS DOUBLE) AS syy
         FROM pts GROUP BY source
     )
     SELECT source, CAST(n AS BIGINT) AS n_terms,

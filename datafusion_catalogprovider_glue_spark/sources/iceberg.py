@@ -102,6 +102,21 @@ class IcebergSnapshot:
             schemas[0],
         )
         self.schema = _iceberg_schema_to_spark(schema_json)
+        # schema-EVOLUTION support: the current fields (id, name, type)
+        # and, per field id, every name the field has carried across
+        # historical schemas (oldest → newest).  Resolution maps a data
+        # file written under an old schema to the current one by field
+        # id — the spec's column-projection rule (renames resolve, adds
+        # read as null).
+        self.current_fields = [
+            (f["id"], f["name"]) for f in schema_json.get("fields", [])
+        ]
+        self.id_names: dict[int, list[str]] = {}
+        for s in sorted(schemas, key=lambda s: s.get("schema-id", 0)):
+            for f in s.get("fields", []):
+                names = self.id_names.setdefault(f["id"], [])
+                if f["name"] not in names:
+                    names.append(f["name"])
 
         want = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
         snap = next(
@@ -172,6 +187,59 @@ class IcebergSnapshot:
         self.eq_deletes.sort()
 
 
+def _resolve_file_projections(
+    snap: "IcebergSnapshot", files: list[str]
+) -> list[tuple[tuple, list[str]]]:
+    """Per-file SCHEMA-EVOLUTION resolution (spec §column-projection):
+    map each data file's physical columns to the CURRENT schema by
+    field id — a renamed column keeps its id, so old files keep
+    serving it; a column added after a file was written reads as null
+    in that file.
+
+    The mapping comes from the parquet footer (a KB-sized driver-side
+    read, the same cost class as the metadata chain — real Iceberg
+    readers open footers for field-id/stat metadata too): when the
+    file carries explicit ``PARQUET:field_id`` metadata (files written
+    by Iceberg writers), ids match directly; otherwise each current
+    field resolves by name against the file, falling back through the
+    field id's HISTORICAL names, newest first (files written before a
+    rename carry the old name).  Files with identical resolutions
+    group into ONE multi-file scan, so an unevolved table — the
+    overwhelmingly common case — stays a single ``spark.read.parquet``
+    with zero extra plan nodes, and K historical schemas cost at most
+    K scan branches in a union."""
+    import pyarrow.parquet as pq
+
+    groups: dict[tuple, list[str]] = {}
+    for path in files:
+        arrow = pq.read_schema(path)
+        file_names = set(arrow.names)
+        file_ids = {}
+        for fld in arrow:
+            fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                file_ids[int(fid)] = fld.name
+        sig = []
+        for fid, name in snap.current_fields:
+            if fid in file_ids:
+                old = file_ids[fid]
+            elif name in file_names:
+                old = name
+            else:
+                old = next(
+                    (
+                        nm
+                        for nm in reversed(snap.id_names.get(fid, []))
+                        if nm in file_names
+                    ),
+                    None,
+                )
+            sig.append((old, name))
+        groups.setdefault(tuple(sig), []).append(path)
+    # deterministic group order (by first file path)
+    return sorted(groups.items(), key=lambda kv: kv[1][0])
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,
@@ -218,10 +286,6 @@ def read_iceberg(
         ]
     if not files:
         return spark.createDataFrame([], snap.schema)
-    data = spark.read.schema(snap.schema).parquet(*files)
-    if not snap.delete_files and not snap.eq_deletes:
-        return data
-    cols = data.columns
     # Hadoop renders URIs as file:/p, file:///p, s3a://b/p — collapse
     # any scheme prefix to a single leading "/" so both sides agree.
     scheme_re = r"^[a-z][a-z0-9+.\-]*:/+"
@@ -236,11 +300,39 @@ def read_iceberg(
             "/",
         )
 
-    with_pos = data.select(
-        *cols,
-        _norm(F.col("_metadata.file_path")).alias("_if_file"),
-        F.col("_metadata.row_index").alias("_if_pos"),
-    )
+    cols = snap.schema.names
+    type_of = {f.name: f.dataType for f in snap.schema.fields}
+    groups = _resolve_file_projections(snap, files)
+    parts = []
+    for sig, paths in groups:
+        read_schema = T.StructType(
+            [
+                T.StructField(old, type_of[new], True)
+                for old, new in sig
+                if old is not None
+            ]
+        )
+        df = spark.read.schema(read_schema).parquet(*paths)
+        proj = [
+            (
+                F.col(old).alias(new)
+                if old is not None
+                else F.lit(None).cast(type_of[new]).alias(new)
+            )
+            for old, new in sig
+        ]
+        parts.append(
+            df.select(
+                *proj,
+                _norm(F.col("_metadata.file_path")).alias("_if_file"),
+                F.col("_metadata.row_index").alias("_if_pos"),
+            )
+        )
+    with_pos = parts[0]
+    for p in parts[1:]:
+        with_pos = with_pos.unionByName(p)
+    if not snap.delete_files and not snap.eq_deletes:
+        return with_pos.select(*cols)
     if snap.delete_files:
         # each delete file carries its sequence number as a literal;
         # a (file, pos) entry kills a data row only when the delete's

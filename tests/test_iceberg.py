@@ -276,3 +276,148 @@ def test_partition_pruning_file_count(spark):
     assert rows and all(r.s_nationkey % 3 == 2 for r in rows)
     # filter on a partition value no file has -> empty scan, not error
     assert read_iceberg(spark, root, partition_filter={"bucket": 99}).count() == 0
+
+
+def _write_meta(tmp_path, schemas, current_schema_id, files_with_seq):
+    """Minimal v2 metadata + single-snapshot manifest chain over
+    already-written parquet files."""
+    import json
+    import os
+
+    from pyspark.sql import types as T
+
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+
+    meta_dir = tmp_path / "metadata"
+    os.makedirs(meta_dir, exist_ok=True)
+    manifest_schema = T.StructType(
+        [
+            T.StructField("status", T.IntegerType()),
+            T.StructField("content", T.IntegerType()),
+            T.StructField("file_path", T.StringType()),
+            T.StructField("file_format", T.StringType()),
+            T.StructField("record_count", T.LongType()),
+            T.StructField("sequence_number", T.LongType()),
+        ]
+    )
+    list_schema = T.StructType(
+        [
+            T.StructField("manifest_path", T.StringType()),
+            T.StructField("manifest_length", T.LongType()),
+            T.StructField("added_snapshot_id", T.LongType()),
+        ]
+    )
+    write_avro_container(
+        str(meta_dir / "manifest-1.avro"),
+        manifest_schema,
+        [(1, 0, fp, "PARQUET", 1, seq) for fp, seq in files_with_seq],
+    )
+    write_avro_container(
+        str(meta_dir / "snap-1.avro"),
+        list_schema,
+        [("metadata/manifest-1.avro",
+          os.path.getsize(meta_dir / "manifest-1.avro"), 1)],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": "evolve-unit",
+        "location": str(tmp_path),
+        "current-schema-id": current_schema_id,
+        "schemas": schemas,
+        "current-snapshot-id": 1,
+        "snapshots": [{"snapshot-id": 1, "manifest-list": "metadata/snap-1.avro"}],
+    }
+    (meta_dir / "v1.metadata.json").write_text(json.dumps(meta))
+    (meta_dir / "version-hint.text").write_text("1")
+
+
+def test_schema_evolution_resolves_rename_by_field_id_metadata(spark, tmp_path):
+    # a file carrying explicit PARQUET:field_id metadata must resolve
+    # by ID even when BOTH its name and the current name diverge from
+    # history (ids beat name matching)
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(tmp_path / "data", exist_ok=True)
+    sch = pa.schema(
+        [
+            pa.field("k", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("legacy", pa.string(), metadata={b"PARQUET:field_id": b"2"}),
+        ]
+    )
+    pq.write_table(
+        pa.table({"k": [1, 2], "legacy": ["a", "b"]}, schema=sch),
+        tmp_path / "data" / "old.parquet",
+    )
+    schemas = [
+        {
+            "schema-id": 0,
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                # history never mentions "legacy": only the id links it
+                {"id": 2, "name": "v0", "required": False, "type": "string"},
+            ],
+        },
+        {
+            "schema-id": 1,
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "v1", "required": False, "type": "string"},
+                {"id": 3, "name": "added", "required": False, "type": "long"},
+            ],
+        },
+    ]
+    _write_meta(tmp_path, schemas, 1, [("data/old.parquet", 1)])
+    out = read_iceberg(spark, str(tmp_path)).orderBy("k").collect()
+    assert [r.v1 for r in out] == ["a", "b"]
+    assert [r.added for r in out] == [None, None]
+
+
+def test_schema_evolution_falls_back_to_historical_names(spark, tmp_path):
+    # files WITHOUT field-id metadata (e.g. written by plain Spark)
+    # resolve through the field id's historical-name chain
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(tmp_path / "data", exist_ok=True)
+    pq.write_table(
+        pa.table({"k": [7], "old_name": ["x"]}),
+        tmp_path / "data" / "old.parquet",
+    )
+    pq.write_table(
+        pa.table({"k": [8], "new_name": ["y"], "extra": [5]}),
+        tmp_path / "data" / "new.parquet",
+    )
+    schemas = [
+        {
+            "schema-id": 0,
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "old_name", "required": False, "type": "string"},
+            ],
+        },
+        {
+            "schema-id": 1,
+            "type": "struct",
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "new_name", "required": False, "type": "string"},
+                {"id": 3, "name": "extra", "required": False, "type": "long"},
+            ],
+        },
+    ]
+    _write_meta(
+        tmp_path, schemas, 1, [("data/old.parquet", 1), ("data/new.parquet", 2)]
+    )
+    out = {r.k: r for r in read_iceberg(spark, str(tmp_path)).collect()}
+    assert out[7].new_name == "x" and out[7].extra is None
+    assert out[8].new_name == "y" and out[8].extra == 5
