@@ -89,6 +89,21 @@ def sql_dsum(expr: str, scale: int = 2) -> str:
     return sql_dec2dbl(f"SUM(CAST({expr} AS DECIMAL(18,{scale})))")
 
 
+def spark_dsum(expr: str, scale: int = 2) -> str:
+    """Spark-SQL-dialect twin of ``sql_dsum`` for operators written as
+    ``spark.sql(...)`` strings.  Spark's BigDecimal→double cast is
+    already correctly rounded, so no VARCHAR round-trip is needed —
+    and Spark's parser rejects DuckDB's bare ``VARCHAR`` anyway
+    (DATATYPE_MISSING_SIZE), so ``sql_dsum`` output must never reach
+    ``spark.sql``."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+
+
+def spark_davg(expr: str, scale: int = 4) -> str:
+    """Spark-SQL-dialect twin of ``sql_davg`` (see ``spark_dsum``)."""
+    return spark_dsum(expr, scale) + f" / COUNT({expr})"
+
+
 def davg(col: Column, scale: int = 4, precision: int = 18) -> Column:
     """Deterministic AVG: exact decimal sum / count, one double divide.
     SQL oracle twin: ``sql_davg`` below."""

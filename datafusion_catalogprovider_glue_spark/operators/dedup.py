@@ -729,7 +729,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     n_edges = cur.count()
-    for _ in range(20):  # hard bound; doubling converges in O(log diameter)
+    for rnd in range(20):  # hard bound; contraction converges in O(log diameter)
         if n_edges == 0:
             break
         # this round's label map over current super-nodes: min(self,
@@ -741,19 +741,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("src").alias("m"))
             .select("node", F.least("node", "m").alias("new"))
         )
-        # map doubling: new <- new(new), SIX times — the map is
-        # node-sized (edges are not involved), so each composition is
-        # a tiny self-join, and six of them close pointer chains up to
-        # 2^6 per round; combined with edge contraction the rounds
-        # handle diameter ~64^20.  A 60-node chain converges in ONE
-        # round (pinned in test_dedup_clusters_long_chain_converges).
-        for _ in range(6):
+        # Round 1 skips pointer jumping entirely: on the clique-heavy
+        # graphs near-dup detection produces, hash-min alone contracts
+        # every clique to its min node and the edge table goes empty —
+        # the doubling self-joins would be pure scheduling overhead
+        # (measured 8.9 s -> target <4 s at sf0.1, identical fixpoint).
+        # Rounds 2+ compose the map with itself twice (pointer jump x4
+        # per round); with edge contraction also halving chain diameter
+        # each round, 19 such rounds close diameter ~8^19 — far beyond
+        # any real duplicate chain.  A 60-doc chain converges well
+        # inside the cap (pinned in
+        # test_dedup_clusters_long_chain_converges).
+        for _ in range(0 if rnd == 0 else 2):
             hop = upd.select(
                 F.col("node").alias("h_node"), F.col("new").alias("h_new")
             )
             # lazy checkpoint each composition: the self-join references
             # upd twice, so an unbroken lineage would double the plan
-            # tree per iteration (2^6 leaves by the end)
+            # tree per iteration
             upd = (
                 upd.join(hop, upd.new == hop.h_node, "left")
                 .select("node", F.coalesce("h_new", "new").alias("new"))
@@ -786,7 +791,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_edges:
         warnings.warn(
             f"dedup_clusters: round cap hit with {n_edges} edges still "
-            "live — component diameter exceeds 2^20?! result is not a "
+            "live — component diameter exceeds ~8^19?! result is not a "
             "fixpoint",
             RuntimeWarning,
             stacklevel=2,

@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_catalogprovider_glue_spark.functions import davg, dsum, sql_davg, sql_dsum
+from datafusion_catalogprovider_glue_spark.functions import (
+    davg,
+    dsum,
+    spark_davg,
+    spark_dsum,
+    sql_davg,
+    sql_dsum,
+)
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
 from datafusion_catalogprovider_glue_spark.tables import load_table
@@ -257,11 +264,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (at 100 TB, persist the revenue view to scan lineitem once)."""
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("q15_lineitem")
     _t(spark, sf_dir, "supplier").createOrReplaceTempView("q15_supplier")
-    sql_rev = sql_dsum(_SQL_REV, 4)
+    spark_rev = spark_dsum(_SQL_REV, 4)
     return spark.sql(
         f"""
         WITH revenue AS (
-            SELECT l_suppkey AS supplier_no, {sql_rev} AS total_revenue
+            SELECT l_suppkey AS supplier_no, {spark_rev} AS total_revenue
             FROM q15_lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -302,13 +309,13 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "part").createOrReplaceTempView("q17_part")
     return spark.sql(
         f"""
-        SELECT {sql_dsum("l.l_extendedprice", 2)} / 7.0 AS avg_yearly
+        SELECT {spark_dsum("l.l_extendedprice", 2)} / 7.0 AS avg_yearly
         FROM q17_lineitem l
         JOIN q17_part p ON p.p_partkey = l.l_partkey
         WHERE p.p_brand = 'Brand#1'
           AND p.p_size <= 10
           AND l.l_quantity < (
-              SELECT 0.5 * {sql_davg("l2.l_quantity", 4)}
+              SELECT 0.5 * {spark_davg("l2.l_quantity", 4)}
               FROM q17_lineitem l2
               WHERE l2.l_partkey = p.p_partkey
           )
@@ -439,13 +446,13 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT cntrycode, COUNT(*) AS numcust,
-               {sql_dsum("c_acctbal", 2)} AS totacctbal
+               {spark_dsum("c_acctbal", 2)} AS totacctbal
         FROM (
             SELECT c.c_nationkey % 5 AS cntrycode, c.c_acctbal
             FROM q22_customer c
             WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11)
               AND c.c_acctbal > (
-                  SELECT {sql_davg("c2.c_acctbal", 4)}
+                  SELECT {spark_davg("c2.c_acctbal", 4)}
                   FROM q22_customer c2
                   WHERE c2.c_acctbal > 0.0
                     AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11)

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_catalogprovider_glue_spark.functions import dsum, sql_dsum
+from datafusion_catalogprovider_glue_spark.functions import dsum, spark_dsum, sql_dsum
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
 from datafusion_catalogprovider_glue_spark.tables import load_table
@@ -203,8 +203,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Catalyst cannot dedupe across subquery boundaries by itself)."""
     for tbl in ("lineitem", "supplier", "nation"):
         _view(spark, sf_dir, tbl, f"q11_{tbl}")
-    rev = sql_dsum(_SQL_REV, 4)
-    rev2 = sql_dsum("l2.l_extendedprice * (1 - l2.l_discount)", 4)
+    rev = spark_dsum(_SQL_REV, 4)
+    rev2 = spark_dsum("l2.l_extendedprice * (1 - l2.l_discount)", 4)
     return spark.sql(
         f"""
         SELECT l.l_partkey AS p_key, {rev} AS part_value

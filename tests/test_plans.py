@@ -911,3 +911,33 @@ def test_asof_tolerance_keeps_single_shuffle_plan(spark):
     p = plan_str(q(spark, "join_asof_tolerance"), "simple")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_no_duckdb_dialect_in_spark_sql_bodies():
+    """Static dialect audit: the DuckDB-only oracle helpers (sql_dsum /
+    sql_davg / sql_dec2dbl emit bare `CAST(... AS VARCHAR)`, which
+    Spark's parser rejects with DATATYPE_MISSING_SIZE) must never be
+    interpolated into a spark.sql(...) body — only into oracle=
+    strings.  Regression pin for the q11/q15/q17/q22 breakage the
+    sql_dec2dbl round-trip introduced."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parent.parent / (
+        "datafusion_catalogprovider_glue_spark"
+    )
+    offenders = []
+    for p in pkg.rglob("*.py"):
+        src = p.read_text()
+        # variables assigned from a DuckDB-dialect helper
+        duck_vars = set(re.findall(r"(\w+)\s*=\s*sql_(?:dsum|davg|dec2dbl)\(", src))
+        for m in re.finditer(r'spark\.sql\(\s*f?"""(.*?)"""', src, re.S):
+            body = m.group(1)
+            if re.search(r"\{sql_(?:dsum|davg|dec2dbl)\(", body):
+                offenders.append((str(p), "direct helper call"))
+            for v in duck_vars:
+                if "{" + v + "}" in body:
+                    offenders.append((str(p), f"via variable {v}"))
+            if re.search(r"AS\s+VARCHAR\s*\)", body, re.I):
+                offenders.append((str(p), "bare VARCHAR cast"))
+    assert not offenders, offenders
