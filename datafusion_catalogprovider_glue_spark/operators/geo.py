@@ -1,0 +1,265 @@
+"""Geospatial grid operators: radius join, nearest neighbor, cell stats.
+
+The reference exposes no spatial surface (it is a catalog provider,
+SURVEY.md §0); these extend the delegated SQL surface (§2-C scoping
+note) with the canonical distributed-spatial shapes — the ones every
+geo workload (store matching, rider dispatch, POI dedup) lowers to:
+
+* **grid-bucketed radius join** — the spatial analogue of the banded
+  LSH join: bucket both sides into cells of side = radius, explode
+  the SMALLER side to its 3x3 cell neighborhood, equi-join on the
+  cell key, verify exact distance.  Correct because any two points
+  within distance R lie within one cell step of each other when the
+  cell side is >= R; never an all-pairs cross join, so the plan is
+  linear in points + true matches, and survives 100 TB where the
+  theta-join form (every pair through a distance predicate) cannot
+  run at all.
+* **nearest neighbor within radius** — same candidate generator, then
+  a per-left-row argmin (min_by on an exact (dist, key) tuple) instead
+  of emitting all matches.
+* **cell stats** — the aggregation-side primitive (density maps,
+  heat tiles): one map-side-combined groupBy on the cell key.
+
+Coordinates: the TPC-H-ish schema has no lat/lon, so each key derives
+a deterministic position via modular arithmetic on PRIME multipliers
+(integer-exact, reproduced verbatim in the oracle).  Geometry is the
+equirectangular plane in degrees — squared Euclidean distance on
+decimal(7,2) coordinates, so every distance and comparison is EXACT
+decimal arithmetic in both engines (no trig, no float drift, no
+antimeridian handling; a production haversine swap keeps the same
+plan shape and moves only the verify expression).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+# Radius (degrees) and grid cell side.  Cell side == radius is the
+# correctness requirement for the 3x3 neighborhood probe.
+GEO_RADIUS = 3
+_R2 = GEO_RADIUS * GEO_RADIUS  # compare against squared distance
+
+# lat in [-90, 90) at 0.01 resolution; lon in [-180, 180).  Distinct
+# primes per (table, axis) so the two point sets are uncorrelated.
+# The outer DECIMAL(9,2) cast is load-bearing: DuckDB evaluates
+# DECIMAL / INTEGER in DOUBLE (89.99 comes back 89.99000000000001),
+# which would make downstream sums order-dependent; re-snapping to the
+# 0.01 grid keeps every coordinate exact in both engines.
+_SQL_CUST_LAT = (
+    "CAST(CAST((c_custkey * 7919 % 18000) AS DECIMAL(7,2)) / 100 - 90"
+    " AS DECIMAL(9,2))"
+)
+_SQL_CUST_LON = (
+    "CAST(CAST((c_custkey * 104729 % 36000) AS DECIMAL(7,2)) / 100 - 180"
+    " AS DECIMAL(9,2))"
+)
+_SQL_SUPP_LAT = (
+    "CAST(CAST((s_suppkey * 7907 % 18000) AS DECIMAL(7,2)) / 100 - 90"
+    " AS DECIMAL(9,2))"
+)
+_SQL_SUPP_LON = (
+    "CAST(CAST((s_suppkey * 104717 % 36000) AS DECIMAL(7,2)) / 100 - 180"
+    " AS DECIMAL(9,2))"
+)
+
+
+def _cust_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    c = load_table(spark, sf_dir, "customer")
+    lat = (
+        ((F.col("c_custkey") * 7919 % 18000).cast("decimal(7,2)") / 100 - 90)
+        .cast("decimal(9,2)")
+        .alias("c_lat")
+    )
+    lon = (
+        ((F.col("c_custkey") * 104729 % 36000).cast("decimal(7,2)") / 100 - 180)
+        .cast("decimal(9,2)")
+        .alias("c_lon")
+    )
+    return c.select("c_custkey", lat, lon)
+
+
+def _supp_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    apply_engine_conf(spark)
+    s = load_table(spark, sf_dir, "supplier")
+    lat = (
+        ((F.col("s_suppkey") * 7907 % 18000).cast("decimal(7,2)") / 100 - 90)
+        .cast("decimal(9,2)")
+        .alias("s_lat")
+    )
+    lon = (
+        ((F.col("s_suppkey") * 104717 % 36000).cast("decimal(7,2)") / 100 - 180)
+        .cast("decimal(9,2)")
+        .alias("s_lon")
+    )
+    return s.select("s_suppkey", lat, lon)
+
+
+def _cell(col_lat, col_lon):
+    return (
+        F.floor(col_lat / GEO_RADIUS).cast("int"),
+        F.floor(col_lon / GEO_RADIUS).cast("int"),
+    )
+
+
+def _dist2(lat_a, lon_a, lat_b, lon_b):
+    """Squared planar distance on the exact decimal grid: decimal(8,2)
+    differences squared to decimal(17,4), summed to decimal(18,4) —
+    every step exact, so the radius comparison is bit-deterministic."""
+    dlat = (lat_a - lat_b).cast("decimal(8,2)")
+    dlon = (lon_a - lon_b).cast("decimal(8,2)")
+    return (dlat * dlat + dlon * dlon).cast("decimal(18,4)")
+
+
+_SQL_POINTS = f"""
+    cpts AS (
+        SELECT c_custkey, {_SQL_CUST_LAT} AS c_lat, {_SQL_CUST_LON} AS c_lon
+        FROM customer
+    ),
+    spts AS (
+        SELECT s_suppkey, {_SQL_SUPP_LAT} AS s_lat, {_SQL_SUPP_LON} AS s_lon
+        FROM supplier
+    )
+"""
+
+_SQL_DIST2 = (
+    "CAST(CAST(c_lat - s_lat AS DECIMAL(8,2)) * CAST(c_lat - s_lat AS DECIMAL(8,2))"
+    " + CAST(c_lon - s_lon AS DECIMAL(8,2)) * CAST(c_lon - s_lon AS DECIMAL(8,2))"
+    " AS DECIMAL(18,4))"
+)
+
+
+@query(
+    "geo_radius_join",
+    # the oracle is the unblocked theta-join definition — the grid
+    # candidate generator must reproduce it exactly
+    oracle=f"""
+    WITH {_SQL_POINTS}
+    SELECT c.c_custkey, s.s_suppkey,
+           CAST({_SQL_DIST2} AS DOUBLE) AS dist2
+    FROM cpts c JOIN spts s ON {_SQL_DIST2} <= {_R2}
+    """,
+)
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All (customer, supplier) pairs within GEO_RADIUS degrees.
+
+    Plan: suppliers (the smaller side) explode to their 3x3 cell
+    neighborhood; customers carry their single home cell; one
+    EQUI-join on (cell_i, cell_j) generates candidates; exact decimal
+    distance verifies.  The oracle recomputes the quadratic theta-join
+    independently, so a hash match proves the grid is lossless.  At
+    100 TB both sides shuffle on the cell key only (spatial
+    co-location), and skewed cells (cities) split under AQE exactly
+    like hot LSH bands."""
+    c = _cust_points(spark, sf_dir)
+    s = _supp_points(spark, sf_dir)
+    ci, cj = _cell(F.col("c_lat"), F.col("c_lon"))
+    c = c.select("c_custkey", "c_lat", "c_lon", ci.alias("gi"), cj.alias("gj"))
+    si, sj = _cell(F.col("s_lat"), F.col("s_lon"))
+    off = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    s = (
+        s.select("s_suppkey", "s_lat", "s_lon", si.alias("si0"), sj.alias("sj0"))
+        .withColumn("di", off)
+        .withColumn("dj", off)
+        .select(
+            "s_suppkey",
+            "s_lat",
+            "s_lon",
+            (F.col("si0") + F.col("di")).alias("gi"),
+            (F.col("sj0") + F.col("dj")).alias("gj"),
+        )
+    )
+    d2 = _dist2(F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon"))
+    return (
+        c.join(s, ["gi", "gj"])
+        .withColumn("dist2", d2)
+        .filter(F.col("dist2") <= _R2)
+        .select("c_custkey", "s_suppkey", F.col("dist2").cast("double"))
+    )
+
+
+@query(
+    "geo_nearest_neighbor",
+    oracle=f"""
+    WITH {_SQL_POINTS},
+    cand AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               CAST({_SQL_DIST2} AS DOUBLE) AS dist2
+        FROM cpts c JOIN spts s ON {_SQL_DIST2} <= {_R2}
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey, dist2
+    FROM (
+        SELECT c_custkey, s_suppkey, dist2,
+               ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                  ORDER BY dist2, s_suppkey) AS rn
+        FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def geo_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier within GEO_RADIUS per customer (customers with
+    no supplier in range are absent — the bounded-radius contract that
+    makes distributed NN tractable; an unbounded NN needs expanding
+    ring probes, same grid).  Same candidate generator as
+    geo_radius_join, then a per-customer argmin via min_by on the
+    exact (dist2, s_suppkey) pair — distance ties break on supplier
+    key, deterministically in both engines because the distances are
+    exact decimals.  One extra map-side-combined aggregation over
+    candidates; no window sort over the full candidate set."""
+    cand = geo_radius_join(spark, sf_dir)
+    pick = F.min_by(
+        F.struct(F.col("s_suppkey"), F.col("dist2")),
+        F.struct(F.col("dist2"), F.col("s_suppkey")),
+    )
+    return (
+        cand.groupBy("c_custkey")
+        .agg(pick.alias("nn"))
+        .select(
+            "c_custkey",
+            F.col("nn.s_suppkey").alias("nearest_suppkey"),
+            F.col("nn.dist2").alias("dist2"),
+        )
+    )
+
+
+@query(
+    "geo_cell_stats",
+    oracle=f"""
+    WITH {_SQL_POINTS}
+    SELECT CAST(FLOOR(c_lat / {GEO_RADIUS}) AS INT) AS gi,
+           CAST(FLOOR(c_lon / {GEO_RADIUS}) AS INT) AS gj,
+           COUNT(*) AS n_points,
+           CAST(CAST(SUM(c_lat) AS VARCHAR) AS DOUBLE) / COUNT(*) AS centroid_lat,
+           CAST(CAST(SUM(c_lon) AS VARCHAR) AS DOUBLE) / COUNT(*) AS centroid_lon
+    FROM cpts
+    GROUP BY gi, gj
+    HAVING COUNT(*) >= 2
+    """,
+)
+def geo_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell density + centroid over the customer point set (the
+    heat-tile primitive).  One map-side-combined groupBy on the cell
+    key; centroids are exact decimal sums with a single double divide
+    (the davg discipline), so values hash-match the oracle.  Cells
+    with a single point are suppressed (density maps bin, they don't
+    echo points)."""
+    c = _cust_points(spark, sf_dir)
+    ci, cj = _cell(F.col("c_lat"), F.col("c_lon"))
+    return (
+        c.groupBy(ci.alias("gi"), cj.alias("gj"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (F.sum("c_lat").cast("double") / F.count(F.lit(1))).alias(
+                "centroid_lat"
+            ),
+            (F.sum("c_lon").cast("double") / F.count(F.lit(1))).alias(
+                "centroid_lon"
+            ),
+        )
+        .filter(F.col("n_points") >= 2)
+    )

@@ -47,6 +47,7 @@ def load_all_operator_modules() -> None:
         curation,
         dedup,
         funnel,
+        geo,
         graph,
         layout,
         multimodal,

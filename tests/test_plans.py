@@ -941,3 +941,18 @@ def test_no_duckdb_dialect_in_spark_sql_bodies():
             if re.search(r"AS\s+VARCHAR\s*\)", body, re.I):
                 offenders.append((str(p), "bare VARCHAR cast"))
     assert not offenders, offenders
+
+
+def test_geo_radius_join_is_grid_equijoin(spark):
+    # the spatial join must ride the (gi, gj) cell EQUI-join — never a
+    # cartesian/BNLJ evaluating the distance predicate on all pairs
+    p = plan_str(q(spark, "geo_radius_join"), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_geo_nearest_neighbor_no_window_sort(spark):
+    # argmin via min_by aggregation, not a row_number window over the
+    # full candidate set (the window form sorts every partition)
+    p = plan_str(q(spark, "geo_nearest_neighbor"), "simple")
+    assert "Window" not in p
