@@ -2161,3 +2161,269 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("d_stat"),
     )
+
+
+ACF_LAGS = [1, 7]  # day and week seasonality probes
+
+
+@query(
+    "events_autocorrelation",
+    # exact integer sufficient statistics over (day, day+k) count
+    # pairs; covariance/variance numerators stay in exact HUGEINT /
+    # DECIMAL arithmetic, so the only float ops are one cast each plus
+    # mul/sqrt/div — bit-identical across engines with no rounding.
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, CAST(l.lag AS INT) AS lag,
+               a.x AS x, b.x AS y
+        FROM daily a
+        JOIN (VALUES {", ".join(f"({k})" for k in ACF_LAGS)}) l(lag) ON TRUE
+        JOIN daily b ON b.event_type = a.event_type
+                    AND b.day = a.day + to_days(CAST(l.lag AS INT))
+    ),
+    s AS (
+        SELECT event_type, lag, COUNT(*) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+           CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+             / SQRT(CAST(CAST(n * sxx - sx * sx AS VARCHAR) AS DOUBLE)
+                    * CAST(CAST(n * syy - sy * sy AS VARCHAR) AS DOUBLE))
+               AS acf
+    FROM s
+    """,
+)
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-k autocorrelation of the daily event-count series per event
+    type (k = 1 day, 7 days) — the seasonality/trend probe behind
+    anomaly baselines.  Pairs align on the CALENDAR (day, day+k), not
+    on row offsets, so missing days never smear lags; days absent from
+    the data drop out of the pair set (observed-pairs ACF).
+
+    One shuffle builds the daily grid (map-side combined, so raw
+    events never move twice); the lag alignment is a self-join of the
+    DAY-sized table with itself — at 100 TB the daily grid is
+    |types|x|days| rows, trivially joinable regardless of event
+    volume.  Covariance/variance numerators n·Σxy − ΣxΣy are computed
+    in EXACT decimal integer arithmetic (counts are integers), so the
+    correlation is three IEEE ops on bit-identical inputs — the
+    stronger form of the agg_corr_pairs recipe."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.explode(F.array(*[F.lit(k) for k in ACF_LAGS])).alias("lag"),
+    ).alias("a")
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day").alias("b_day"),
+        F.col("x").alias("y"),
+    ).alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b_type") == F.col("a.event_type"))
+        & (
+            F.col("b_day")
+            == F.expr("a.day + make_interval(0, 0, 0, a.lag, 0, 0, 0)")
+        ),
+    )
+    d0 = "decimal(38,0)"
+    x, y = F.col("x").cast(d0), F.col("y").cast(d0)
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).cast(d0).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n")
+    cov = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return s.select(
+        "event_type",
+        F.col("lag").cast("int"),
+        n.cast("bigint").alias("n_pairs"),
+        (cov / F.sqrt(vx * vy)).alias("acf"),
+    )
+
+
+@query(
+    "events_psi_drift",
+    # the ln() terms follow the agg_entropy discipline: exact count
+    # ratios into ln on both engines, one pinned expression order,
+    # round at 9 dp
+    oracle="""
+    WITH tagged AS (
+        SELECT event_type,
+               (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') % 2
+                 AS bucket
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, bucket, COUNT(*) AS c
+        FROM tagged GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT bucket, SUM(c) AS t FROM cells GROUP BY 1
+    ),
+    pq AS (
+        SELECT e.event_type,
+               CAST(ce.c AS DOUBLE) / CAST(te.t AS DOUBLE) AS p,
+               CAST(co.c AS DOUBLE) / CAST(to_.t AS DOUBLE) AS q
+        FROM (SELECT DISTINCT event_type FROM cells) e
+        JOIN cells ce ON ce.event_type = e.event_type AND ce.bucket = 0
+        JOIN cells co ON co.event_type = e.event_type AND co.bucket = 1
+        JOIN tot te ON te.bucket = 0
+        JOIN tot to_ ON to_.bucket = 1
+    )
+    SELECT event_type,
+           ROUND(p, 9) AS p_even, ROUND(q, 9) AS q_odd,
+           ROUND((p - q) * ln(p / q), 9) AS psi_term
+    FROM pq
+    """,
+)
+def events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the even-epoch-day and
+    odd-epoch-day halves of the stream — the standard drift monitor
+    for a feature/event distribution (PSI > 0.2 is the classic
+    retrain alarm).  The even/odd split is a deterministic temporal
+    A/B that needs no anchor-date literal.
+
+    One map-side-combined groupBy produces the |types|x2 cell table;
+    totals and the PSI terms are arithmetic on a handful of rows.
+    Event types appearing in only one bucket would need the
+    standard epsilon-floor; this corpus has none, and the inner join
+    makes that precondition explicit rather than silently emitting
+    infinities.  At 100 TB the plan is one aggregation of the fact
+    table — nothing else scales with volume."""
+    e = _events(spark, sf_dir)
+    bucket = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 2
+    ).alias("bucket")
+    cells = (
+        e.select("event_type", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = cells.groupBy("bucket").agg(F.sum("c").alias("t"))
+    ce = cells.filter(F.col("bucket") == 0).select(
+        "event_type", F.col("c").alias("c_even")
+    )
+    co = cells.filter(F.col("bucket") == 1).select(
+        "event_type", F.col("c").alias("c_odd")
+    )
+    te = tot.filter(F.col("bucket") == 0).select(F.col("t").alias("t_even"))
+    to = tot.filter(F.col("bucket") == 1).select(F.col("t").alias("t_odd"))
+    p = F.col("c_even").cast("double") / F.col("t_even").cast("double")
+    q = F.col("c_odd").cast("double") / F.col("t_odd").cast("double")
+    return (
+        ce.join(co, "event_type")
+        .crossJoin(F.broadcast(te))
+        .crossJoin(F.broadcast(to))
+        .select(
+            "event_type",
+            F.round(p, 9).alias("p_even"),
+            F.round(q, 9).alias("q_odd"),
+            F.round((p - q) * F.log(p / q), 9).alias("psi_term"),
+        )
+    )
+
+
+@query(
+    "events_changepoint_cusum",
+    # scaled CUSUM S_k = n*prefix_k - k*total is integer-exact, so the
+    # argmax day is deterministic; ties break to the earliest day
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT event_type, day,
+               SUM(x) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS pfx,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+               SUM(x) OVER (PARTITION BY event_type) AS total,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type, day,
+               CAST(n * pfx - k * total AS BIGINT) AS s_scaled
+        FROM c
+    )
+    SELECT event_type, day AS change_day, s_scaled
+    FROM s
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(s_scaled) DESC, day ASC) = 1
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection per event type: the day where the
+    scaled CUSUM statistic S_k = n·prefix_k − k·total peaks in
+    absolute value (the mean-shift estimator behind monitoring
+    alarms).  The scaling clears the mean division, so S_k is EXACT
+    integer arithmetic end to end — no float comparison decides the
+    argmax, and distance ties break to the earliest day identically
+    in both engines.
+
+    Plan: one map-side-combined daily aggregation (the only pass over
+    raw events), then windows over the |types|x|days| grid, then a
+    per-type argmax via max_by on an exact (|S|, −day) key — no
+    second sort, no join.  Per-type day counts bound the window
+    partitions, so the plan is volume-independent past the first
+    aggregation."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = daily.select(
+        "event_type",
+        "day",
+        F.sum("x").over(wcum).alias("pfx"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("k"),
+        F.sum("x").over(wall).alias("total"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    s = c.select(
+        "event_type",
+        "day",
+        (F.col("n") * F.col("pfx") - F.col("k") * F.col("total"))
+        .cast("bigint")
+        .alias("s_scaled"),
+    )
+    ed = F.datediff(F.to_date("day"), F.lit("1970-01-01"))
+    pick = F.max_by(
+        F.struct(F.col("day"), F.col("s_scaled")),
+        F.struct(F.abs(F.col("s_scaled")).alias("a"), (-ed).alias("d")),
+    )
+    return (
+        s.groupBy("event_type")
+        .agg(pick.alias("best"))
+        .select(
+            "event_type",
+            F.col("best.day").alias("change_day"),
+            F.col("best.s_scaled").alias("s_scaled"),
+        )
+    )
