@@ -1229,3 +1229,52 @@ def pipeline_quality_gate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("drop_rate"),
     )
+
+
+RESAMPLE_CHARS_CAP = 4000  # weight = min(n_chars, cap) / cap
+_U48 = 1 << 48             # md5-derived uniform resolution
+
+
+@query(
+    "pipeline_importance_resample",
+    # keep iff u < w, decided in EXACT integer arithmetic:
+    # u48 * cap < min(n_chars, cap) * 2^48 — no float compare, no
+    # boundary drift; md5 hex parses identically in both engines
+    oracle=f"""
+    SELECT doc_id, n_chars,
+           CAST(LEAST(n_chars, {RESAMPLE_CHARS_CAP}) AS DOUBLE)
+             / {RESAMPLE_CHARS_CAP} AS keep_weight
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT)
+            * {RESAMPLE_CHARS_CAP}
+          < LEAST(n_chars, {RESAMPLE_CHARS_CAP}) * CAST({_U48} AS BIGINT)
+    """,
+)
+def pipeline_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance resampling: keep each document with probability
+    proportional to a quality weight (here min(n_chars, cap)/cap — in
+    production a model-based quality score), decided by a DETERMINISTIC
+    per-document coin: the first 48 bits of md5(doc_id) as a uniform
+    draw.  This is the DoReMi/quality-resampling primitive — reweights
+    a corpus toward its long documents without a shuffle, a sort, or a
+    random() that would make reruns disagree.
+
+    The accept test u < w runs in exact integer arithmetic
+    (u48·cap < min(n_chars,cap)·2^48), so both engines keep exactly
+    the same roster — hash-checkable, and at 100 TB the operator is a
+    stateless scan-stage filter: no aggregation, no join, perfectly
+    parallel, and reproducible across reruns and cluster sizes (the
+    property sample()/rand() surrenders)."""
+    d = _docs(spark, sf_dir)
+    u48 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+    ).cast("bigint")
+    w_num = F.least(F.col("n_chars"), F.lit(RESAMPLE_CHARS_CAP))
+    return (
+        d.filter(u48 * RESAMPLE_CHARS_CAP < w_num * F.lit(_U48))
+        .select(
+            "doc_id",
+            "n_chars",
+            (w_num.cast("double") / RESAMPLE_CHARS_CAP).alias("keep_weight"),
+        )
+    )

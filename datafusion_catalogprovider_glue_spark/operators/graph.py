@@ -321,3 +321,102 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("nationkey"),
         F.col("lbl").cast("bigint").alias("community"),
     )
+
+
+@query(
+    "graph_common_neighbors",
+    oracle="""
+    WITH e AS MATERIALIZED (
+        SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                        greatest(c.c_nationkey, s.s_nationkey) AS b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    nbr AS (
+        SELECT a AS node, b AS nb FROM e
+        UNION ALL SELECT b, a FROM e
+    ),
+    deg AS (SELECT node, COUNT(*) AS d FROM nbr GROUP BY node),
+    cn AS (
+        SELECT n1.node AS u, n2.node AS v, COUNT(*) AS common
+        FROM nbr n1 JOIN nbr n2 ON n1.nb = n2.nb AND n1.node < n2.node
+        GROUP BY 1, 2
+    )
+    SELECT cn.u, cn.v, cn.common,
+           (EXISTS (SELECT 1 FROM e WHERE e.a = cn.u AND e.b = cn.v))
+             AS adjacent,
+           ROUND(CAST(cn.common AS DOUBLE)
+                 / (du.d + dv.d - cn.common), 9) AS nbr_jaccard
+    FROM cn
+    JOIN deg du ON du.node = cn.u
+    JOIN deg dv ON dv.node = cn.v
+    """,
+)
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the undirected nation trade
+    graph: for every node pair sharing at least one neighbor, the
+    common-neighbor count, neighbor-set Jaccard, and whether the pair
+    is ALREADY an edge (non-adjacent high-scoring pairs are the link
+    predictions; adjacent ones measure embeddedness/tie strength).
+
+    Algorithm: wedge enumeration — the symmetric neighbor table joined
+    to itself on the SHARED NEIGHBOR with u < v generates each wedge
+    once, one groupBy counts them; degrees and adjacency attach via
+    joins on the pair-sized result.  Integer counts throughout; the
+    one float (Jaccard) is a single rounded divide.  At 100 TB wedge
+    enumeration is the standard bottleneck — hot nodes (hubs) make
+    |wedges| = sum deg^2; the production guard is degree-capping or
+    hub-sampling, not needed at nation scale and orthogonal to the
+    plan shape."""
+    apply_engine_conf(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    e = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint()  # graph build runs once, feeds three consumers
+    )
+    nbr = e.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionByName(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    n1 = nbr.select(F.col("node").alias("u"), "nb")
+    n2 = nbr.select(F.col("node").alias("v"), F.col("nb").alias("nb2"))
+    cn = (
+        n1.join(n2, (F.col("nb") == F.col("nb2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    adj = e.select(F.col("a").alias("u"), F.col("b").alias("v")).withColumn(
+        "adjacent", F.lit(True)
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    return (
+        cn.join(adj, ["u", "v"], "left")
+        .join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.coalesce("adjacent", F.lit(False)).alias("adjacent"),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                9,
+            ).alias("nbr_jaccard"),
+        )
+    )

@@ -898,3 +898,93 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cov_n * cov_n) / (var_n * ((n * syy) - (sy * sy))), 9
         ).alias("r2"),
     )
+
+
+FREQ_TERM_PHI = 0.002     # support threshold: count >= ceil(phi * N_tokens)
+_MG_COUNTERS = 4096       # per-partition Misra-Gries budget (>= 1/phi x8)
+
+
+def _mg_candidates(tokens, n_counters: int):
+    """Per-partition Misra-Gries pass over a token stream via
+    Arrow-batched mapInPandas: O(n_counters) state, emits the counter
+    survivors per partition.  Guarantee: any token with global count
+    >= phi*N has, in at least one partition, local count >= phi*n_p >
+    n_p/(n_counters+1), so it survives that partition's counters —
+    the union of survivors is a SUPERSET of the true heavy hitters.
+    The decrement step makes per-partition counts unreliable, which is
+    why the exact recount pass exists; only MEMBERSHIP leaves Python."""
+    import pandas as pd
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < n_counters:
+                    counters[tok] = 1
+                else:
+                    dead = [k for k in counters if counters[k] == 1]
+                    for k in counters:
+                        counters[k] -= 1
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    return tokens.mapInPandas(mg, "tok string")
+
+
+@query(
+    "text_frequent_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS total FROM toks)
+    SELECT tok, COUNT(*) AS n_occurrences
+    FROM toks, n
+    GROUP BY tok, n.total
+    HAVING COUNT(*) >= CEIL({FREQ_TERM_PHI} * n.total)
+    """,
+)
+def text_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent terms (support >= {phi} of all tokens) via the
+    two-phase sketch-then-verify plan — the shape that finds heavy
+    hitters WITHOUT shuffling the full key space:
+
+    * phase 1: per-partition Misra-Gries counters (bounded state,
+      Arrow-batched) emit a candidate SUPERSET — the long Zipf tail
+      never leaves its partition, so the shuffle after this pass is
+      |candidates| x |partitions| rows instead of one row per token
+      occurrence key.  Word frequencies are Zipfian (text_zipf_fit
+      measures this corpus), so candidates are a tiny fraction of the
+      vocabulary.
+    * phase 2: exact recount of candidate members only (broadcast hash
+      semi-join against the candidate roster), then the exact
+      ceil(phi*N) support filter.  Result is EXACT — the sketch only
+      prunes, the oracle recomputes the full groupBy independently.
+
+    At 100 TB this is the canonical frequent-items plan (MG/SpaceSaving
+    then verify); the exact one-pass groupBy alternative shuffles every
+    distinct token."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    toks = toks.persist()
+    try:
+        cand = _mg_candidates(toks, _MG_COUNTERS).distinct()
+        n_total = toks.count()  # one number to the driver: the support base
+        support = -(-FREQ_TERM_PHI * n_total // 1)  # ceil
+        return (
+            toks.join(F.broadcast(cand), "tok")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") >= F.lit(int(support)))
+        )
+    finally:
+        toks.unpersist(blocking=False)
+
+
+text_frequent_terms.__doc__ = text_frequent_terms.__doc__.format(
+    phi=FREQ_TERM_PHI
+)
