@@ -2427,3 +2427,164 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("best.s_scaled").alias("s_scaled"),
         )
     )
+
+
+@query(
+    "events_forecast_holt",
+    # alpha = beta = 1/2 makes every recursion step a divide-by-two of
+    # integer-rooted sums: all intermediates are dyadic rationals whose
+    # scaled numerators stay far below 2^53, so the DOUBLE fold is
+    # EXACT (no rounding ever occurs) and both engines' left-folds
+    # agree bit-for-bit with no output rounding.
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT event_type,
+               list(CAST(x AS DOUBLE) ORDER BY day) AS xs,
+               COUNT(*) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    fitted AS (
+        -- list_reduce has no seed argument, so the seed state rides as
+        -- the first element and every x is lifted into a 1-list to
+        -- unify the accumulator/element types
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_prepend(CAST([0.0, 0.0, 0.0] AS DOUBLE[]),
+                                list_transform(xs, x -> [x])),
+                   (acc, xl) -> CASE WHEN acc[3] = 0
+                       THEN [xl[1], 0.0, 1.0]
+                       ELSE [(xl[1] + acc[1] + acc[2]) / 2,
+                             (((xl[1] + acc[1] + acc[2]) / 2) - acc[1]
+                              + acc[2]) / 2,
+                             acc[3] + 1]
+                   END) AS st
+        FROM series
+    )
+    SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+           st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_next
+    FROM fitted
+    """,
+)
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the daily
+    event-count series per event type (level + trend state, one-step
+    forecast) — the baseline forecaster behind capacity planning and
+    anomaly thresholds.  alpha = beta = 1/2:
+    level' = (x + level + trend)/2, trend' = (level' - level + trend)/2.
+
+    The recursion is inherently sequential, so it runs as a JVM-side
+    left-fold (F.aggregate) over each type's day-ordered count array —
+    the same in-codegen fold discipline as agg_entropy, and with
+    halving coefficients the arithmetic is exact dyadic (see oracle
+    note): the cross-engine hash proves all 30 recursion steps, not a
+    rounded tail.  Scale: raw events collapse to the |types|x|days|
+    grid in one map-side-combined pass; each fold's state is two
+    doubles — a per-series O(days) array, the standard bound for
+    sequential smoothers (at 100 TB you shard by series key, which
+    this plan already does)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"].cast("double"),
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    two = F.lit(2.0)
+    st = F.aggregate(
+        F.col("xs"),
+        F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+        lambda acc, x: F.when(
+            acc[2] == 0.0, F.array(x, F.lit(0.0), F.lit(1.0))
+        ).otherwise(
+            F.array(
+                (x + acc[0] + acc[1]) / two,
+                (((x + acc[0] + acc[1]) / two) - acc[0] + acc[1]) / two,
+                acc[2] + 1.0,
+            )
+        ),
+    )
+    return series.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        st[0].alias("level"),
+        st[1].alias("trend"),
+        (st[0] + st[1]).alias("forecast_next"),
+    )
+
+
+@query(
+    "events_bounce_rate",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM o
+    ),
+    sess AS (
+      SELECT user_id, session_idx,
+             date_trunc('day', MIN(ts)) AS day,
+             COUNT(*) AS n_events
+      FROM s GROUP BY 1, 2
+    )
+    SELECT day,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 9) AS bounce_rate
+    FROM sess GROUP BY day
+    """,
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly one
+    event, attributed to the day the session STARTED — the engagement
+    metric every web dashboard pairs with DAU.  Sessions come from the
+    same exact-microsecond gap-and-island shape as events_sessionize
+    (one shuffle keyed by user); sessions then roll up by start day —
+    a second aggregation over the SESSION-sized table, never raw
+    events.  Counts are exact integers; the rate is one rounded
+    divide."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    brk = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    sess_idx = (
+        F.sum(brk)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+    )
+    sess = (
+        ev.select("user_id", "ts", "event_id", sess_idx.alias("session_idx"))
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.date_trunc("day", F.min("ts")).alias("day"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.cast("bigint").alias("n_bounces"),
+        F.round(
+            bounce.cast("double") / F.count(F.lit(1)), 9
+        ).alias("bounce_rate"),
+    )
