@@ -544,3 +544,85 @@ def stream_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(_os.path.join(state_dir, "current")).select(
         "user_id", "event_id", _win_str("ts").alias("ts"), "event_type"
     )
+
+
+@query(
+    "stream_sliding_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, CAST(rk AS INT) AS rank
+    FROM (
+        SELECT window_start, event_type, n_events,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY n_events DESC, event_type) AS rk
+        FROM counts
+    ) WHERE rk <= 3
+    """,
+)
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k: top-3 event types per hourly window.  The
+    production shape for "trending now" dashboards — the STREAM
+    maintains only the windowed counts (per-key state the state store
+    bounds via the watermark); the RANKING runs on the drained,
+    window-sized result, because rank-over-update-stream is not
+    incrementally maintainable in complete generality and the count
+    table is already tiny (|windows| x |types|).  One-shot availableNow
+    drains everything, so the result equals the batch top-k and the
+    oracle verifies both the streaming count path and the rank
+    post-pass.  Ties break on event_type — deterministic in both
+    engines since counts are exact integers."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = events_raw_ddl(sf_dir)
+    import hashlib as _hashlib
+    import os as _os
+
+    stream_dir = _os.path.join(
+        "/tmp",
+        f"glue_spark_stream_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    _os.makedirs(stream_dir, exist_ok=True)
+    link = _os.path.join(stream_dir, "events.parquet")
+    if not _os.path.exists(link):
+        _os.symlink(table_path(sf_dir, "events"), link)
+
+    stream = ensure_micros_ts(
+        spark.readStream.schema(raw_schema).parquet(stream_dir)
+    )
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            _win_str("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    sink_name = "stream_sliding_topk_sink"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from pyspark.sql.window import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col("event_type")
+        )
+    )
+    return (
+        spark.table(sink_name)
+        .withColumn("rank", rk)
+        .filter(F.col("rank") <= 3)
+        .select("window_start", "event_type", "n_events", F.col("rank").cast("int"))
+    )
