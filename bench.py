@@ -127,6 +127,22 @@ HEADLINE = [
     "events_ks_test",
     "join_interval_overlap",
     "join_asof_tolerance",
+    # round-4 batch 4: spatial grid joins, drift/forecast monitors, the
+    # two-phase frequent-items plan, deterministic resampling, and
+    # wedge-based link prediction
+    "geo_radius_join",
+    "geo_nearest_neighbor",
+    "events_autocorrelation",
+    "events_psi_drift",
+    "events_changepoint_cusum",
+    "events_forecast_holt",
+    "events_bounce_rate",
+    "text_frequent_terms",
+    "pipeline_importance_resample",
+    "graph_common_neighbors",
+    # stream_sliding_topk is oracle-checked in the gate but excluded
+    # here for the same streaming-startup-cost reason as the other
+    # stream_* keys.
     # pipeline_bpe_train / pipeline_bpe_encode are oracle-checked in the
     # gate but excluded here: wall time is the K-round driver loop's
     # fixed per-round job overhead (like the streaming keys), not a
