@@ -2431,11 +2431,13 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "events_forecast_holt",
-    # alpha = beta = 1/2 makes every recursion step a divide-by-two of
-    # integer-rooted sums: all intermediates are dyadic rationals whose
-    # scaled numerators stay far below 2^53, so the DOUBLE fold is
-    # EXACT (no rounding ever occurs) and both engines' left-folds
-    # agree bit-for-bit with no output rounding.
+    # alpha = beta = 1/2 keeps every intermediate a dyadic rational
+    # (divides are exact); the denominator doubles twice per step, so
+    # after ~20 steps additions do round — but BOTH engines evaluate
+    # the same expression tree in the same left-fold order, so every
+    # rounding is identical and the fold stays bit-for-bit equal with
+    # no output rounding (exactness for short series is pinned against
+    # rational arithmetic in tests/test_round4_ops.py).
     oracle="""
     WITH daily AS (
         SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS x
@@ -2479,10 +2481,14 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The recursion is inherently sequential, so it runs as a JVM-side
     left-fold (F.aggregate) over each type's day-ordered count array —
-    the same in-codegen fold discipline as agg_entropy, and with
-    halving coefficients the arithmetic is exact dyadic (see oracle
-    note): the cross-engine hash proves all 30 recursion steps, not a
-    rounded tail.  Scale: raw events collapse to the |types|x|days|
+    the same in-codegen fold discipline as agg_entropy.  Halving
+    coefficients keep divides exact and the fold's expression order is
+    pinned identically in both engines, so every rounding (additions
+    start rounding once the dyadic denominator passes the mantissa,
+    ~20 steps in) happens bit-identically — the cross-engine hash
+    proves all 30 recursion steps, not a rounded tail (see oracle
+    note; short-series exactness pinned against rational arithmetic
+    in tests).  Scale: raw events collapse to the |types|x|days|
     grid in one map-side-combined pass; each fold's state is two
     doubles — a per-series O(days) array, the standard bound for
     sequential smoothers (at 100 TB you shard by series key, which

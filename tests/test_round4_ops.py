@@ -1,0 +1,216 @@
+"""Semantic pins for the round-4 batch-4 operators — properties the
+oracle gate can't see (algorithm guarantees on adversarial inputs,
+exactness of the dyadic fold, determinism of the resampling coin)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+from fractions import Fraction
+
+from tests.conftest import SF_CORRECTNESS
+
+
+def _run_holt(spark, xs):
+    import datafusion_catalogprovider_glue_spark.operators.funnel as mod
+    from datafusion_catalogprovider_glue_spark.operators.funnel import (
+        events_forecast_holt,
+    )
+
+    rows = [
+        (0, datetime(2024, 1, 1 + d, 3, 0, 0), 7, "click", 1.0, "{}")
+        for d, x in enumerate(xs)
+        for _ in range(x)
+    ]
+    rows = [(k, r[1], r[2], r[3], r[4], r[5]) for k, r in enumerate(rows)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = mod.load_table
+    mod.load_table = lambda s, d, n: df
+    try:
+        return events_forecast_holt(spark, "ignored").collect()
+    finally:
+        mod.load_table = orig
+
+
+def _holt_fraction(xs):
+    level, trend = Fraction(xs[0]), Fraction(0)
+    for x in xs[1:]:
+        new_level = (Fraction(x) + level + trend) / 2
+        trend = (new_level - level + trend) / 2
+        level = new_level
+    return level, trend
+
+
+def test_holt_fold_exact_on_short_series(spark):
+    """For series short enough that the dyadic denominator stays
+    inside the double mantissa (10 steps -> denom 2^19, values ~2^9:
+    28 bits << 53), the fold must agree EXACTLY with rational
+    arithmetic — no rounding at all."""
+    xs = [431, 380, 402, 455, 390, 410, 433, 401, 388, 420]
+    out = _run_holt(spark, xs)
+    level, trend = _holt_fraction(xs)
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == len(xs)
+    assert Fraction(r["level"]) == level          # exact, not approx
+    assert Fraction(r["trend"]) == trend
+    assert Fraction(r["forecast_next"]) == level + trend
+
+
+def test_holt_fold_tracks_rational_on_long_series(spark):
+    """Past ~20 steps additions round (denominator outgrows the
+    mantissa) but the fold must still track the rational reference to
+    float precision — the cross-engine oracle separately proves both
+    engines round IDENTICALLY."""
+    xs = [431, 380, 402, 455, 390, 410, 433, 401, 388, 420,
+          399, 412, 407, 391, 404, 418, 395, 409, 427, 385,
+          400, 415, 393, 406, 411, 397, 403, 419, 389, 408]
+    out = _run_holt(spark, xs)
+    level, trend = _holt_fraction(xs)
+    r = out[0]
+    assert abs(r["level"] - float(level)) < 1e-9
+    assert abs(r["trend"] - float(trend)) < 1e-9
+
+
+def test_misra_gries_candidates_superset(spark):
+    """MG guarantee on an adversarial split: a token with global
+    support >= phi*N must survive the per-partition counters even when
+    its occurrences are smeared across partitions filled with unique
+    junk tokens."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.operators.text import (
+        _mg_candidates,
+    )
+
+    # 8 partitions x 1200 rows: 1100 unique junk + 100 'hot' each
+    # -> hot global share 100/1200 ~ 8.3%, counters budget 64 >> 12
+    rows = []
+    for p in range(8):
+        rows += [(f"junk_{p}_{i}",) for i in range(1100)]
+        rows += [("hot",)] * 100
+    toks = spark.createDataFrame(rows, "tok string").repartition(8)
+    cand = {r["tok"] for r in _mg_candidates(toks, 64).distinct().collect()}
+    assert "hot" in cand
+    # the sketch prunes: candidates are far fewer than distinct tokens
+    assert len(cand) < 8 * 64 + 1
+
+
+def test_frequent_terms_matches_plain_groupby(spark):
+    """Two-phase sketch-then-verify returns EXACTLY the plain
+    groupBy+filter answer on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.operators.text import (
+        FREQ_TERM_PHI,
+        _docs,
+        text_frequent_terms,
+    )
+
+    got = {
+        (r["tok"], r["n_occurrences"])
+        for r in text_frequent_terms(spark, SF_CORRECTNESS).collect()
+    }
+    toks = _docs(spark, SF_CORRECTNESS).select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    n = toks.count()
+    import math
+
+    support = math.ceil(FREQ_TERM_PHI * n)
+    want = {
+        (r["tok"], r["n"])
+        for r in toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= support)
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_importance_resample_deterministic_and_weighted(spark):
+    """Same roster on rerun; short docs are kept at a visibly lower
+    rate than cap-length docs (the weighting actually bites)."""
+    from datafusion_catalogprovider_glue_spark.operators.curation import (
+        RESAMPLE_CHARS_CAP,
+        _docs,
+        pipeline_importance_resample,
+    )
+
+    a = {r["doc_id"] for r in
+         pipeline_importance_resample(spark, SF_CORRECTNESS).collect()}
+    b = {r["doc_id"] for r in
+         pipeline_importance_resample(spark, SF_CORRECTNESS).collect()}
+    assert a == b and a
+    docs = {r["doc_id"]: r["n_chars"]
+            for r in _docs(spark, SF_CORRECTNESS)
+            .select("doc_id", "n_chars").collect()}
+    short = [d for d, n in docs.items() if n < RESAMPLE_CHARS_CAP // 2]
+    long_ = [d for d, n in docs.items() if n >= RESAMPLE_CHARS_CAP]
+    if short and long_:
+        short_rate = len(a & set(short)) / len(short)
+        long_rate = len(a & set(long_)) / len(long_)
+        assert long_rate > short_rate
+
+
+def test_cusum_finds_injected_shift(spark):
+    """A level shift injected mid-series must be the CUSUM argmax: 10
+    days at 50/day then 10 days at 150/day -> change day = last day of
+    the low regime (prefix deviation peaks at the boundary)."""
+    import datafusion_catalogprovider_glue_spark.operators.funnel as mod
+    from datafusion_catalogprovider_glue_spark.operators.funnel import (
+        events_changepoint_cusum,
+    )
+
+    rows = []
+    k = 0
+    for d in range(20):
+        n = 50 if d < 10 else 150
+        for i in range(n):
+            rows.append((k, datetime(2024, 2, 1 + d, 12, 0, 0), 1,
+                         "view", 1.0, "{}"))
+            k += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    orig = mod.load_table
+    mod.load_table = lambda s, d, n: df
+    try:
+        out = events_changepoint_cusum(spark, "ignored").collect()
+    finally:
+        mod.load_table = orig
+    assert len(out) == 1
+    assert out[0]["change_day"].day == 10  # 2024-02-10: last low day
+
+
+def test_geo_radius_join_matches_bruteforce(spark):
+    """Grid candidates are lossless: equal to the quadratic
+    cross-join filter on the same derived points."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.operators.geo import (
+        _R2,
+        _cust_points,
+        _dist2,
+        _supp_points,
+        geo_radius_join,
+    )
+
+    got = {
+        (r["c_custkey"], r["s_suppkey"])
+        for r in geo_radius_join(spark, SF_CORRECTNESS).collect()
+    }
+    c = _cust_points(spark, SF_CORRECTNESS)
+    s = _supp_points(spark, SF_CORRECTNESS)
+    d2 = _dist2(F.col("c_lat"), F.col("c_lon"), F.col("s_lat"), F.col("s_lon"))
+    want = {
+        (r["c_custkey"], r["s_suppkey"])
+        for r in c.crossJoin(s).filter(d2 <= _R2)
+        .select("c_custkey", "s_suppkey").collect()
+    }
+    assert got == want and got
