@@ -2349,3 +2349,54 @@ def scan_iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame
     apply_engine_conf(spark)
     table_dir = build_iceberg_schema_evolution(spark, sf_dir)
     return read_iceberg(spark, table_dir).filter(F.col("p_partkey") <= 200)
+
+
+@query(
+    "sink_delta_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def sink_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta WRITE path (sources/delta_writer.py): the engine produces
+    a Delta table — two append commits (even/odd doc halves) and an
+    OPTIMIZE-style compaction (remove + add, dataChange=false) — then
+    its own snapshot reader replays the three-commit log and must
+    reproduce the source table exactly.  The reference only READS
+    Delta (glue.rs delta dispatch via the deltalake crate); writing
+    makes the engine a producer too, which is what a pipeline that
+    MATERIALIZES curated corpora needs.
+
+    The data write is the normal distributed parquet sink (per-commit
+    subdirs so rewrites never collide); only file LISTINGS and the
+    JSON log touch the driver — metadata-sized, like every table
+    format's commit protocol.  Hash-matching the round trip proves:
+    append ordering, version-0 protocol/metaData emission, relative
+    add paths, and that compaction changed the physical layout without
+    changing the logical table."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        compact_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        f"glue_spark_delta_sink_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    v0 = append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+    v1 = append_delta(docs.filter(F.col("doc_id") % 2 == 1), table)
+    v2 = compact_delta(spark, table)
+    assert (v0, v1, v2) == (0, 1, 2), (v0, v1, v2)
+    return read_delta(spark, table)

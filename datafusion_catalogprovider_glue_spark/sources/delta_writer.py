@@ -1,0 +1,148 @@
+"""Minimal Delta Lake WRITER: parquet data files + JSON commits.
+
+The reverse of sources/delta.py — closes the round trip so the engine
+can be both a consumer AND a producer of Delta tables (the reference
+reads Delta via the deltalake crate, glue.rs delta dispatch; writing is
+an extension).  Scope: append commits and a compaction (OPTIMIZE-style
+rewrite: remove + add with dataChange=false).  Not in scope: checkpoint
+writing (readers replay JSON commits fine without one until 10 commits,
+the spec's checkpoint interval), deletion-vector writing, column
+mapping.
+
+Format notes (public Delta protocol):
+* ``schemaString`` is Spark's ``StructType.json()`` — Delta adopted
+  Spark's schema JSON verbatim, so no translation layer exists here.
+* each commit ``N`` is ``_delta_log/{N:020d}.json`` of newline-JSON
+  actions; version 0 carries ``protocol`` + ``metaData`` first.
+* data files live under the table root with ``add.path`` RELATIVE;
+  this writer puts each commit's files in a ``commit-N/`` subdir so
+  concurrent rewrites never collide on names.
+
+Determinism: the table id derives from the table path (md5), file
+lists are sorted, and JSON keys are emitted in a fixed order — two
+runs over the same input produce byte-identical logs except for
+modificationTime (which no reader hashes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame
+
+_PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+def _log_dir(table_path: str) -> str:
+    d = os.path.join(table_path, "_delta_log")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _next_version(log_dir: str) -> int:
+    vs = [
+        int(f[:-5])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    ]
+    return max(vs) + 1 if vs else 0
+
+
+def _metadata_action(df: DataFrame, table_path: str) -> dict:
+    return {
+        "metaData": {
+            "id": hashlib.md5(table_path.encode()).hexdigest(),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": df.schema.json(),
+            "partitionColumns": [],
+            "configuration": {},
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+
+
+def _write_data_files(df: DataFrame, table_path: str, subdir: str,
+                      n_files: int) -> list[dict]:
+    """Write the DataFrame as parquet under ``table_path/subdir`` and
+    return one ``add`` action per data file.  The write is the normal
+    distributed parquet sink; only the FILE LISTING (metadata, not
+    rows) happens driver-side."""
+    out_dir = os.path.join(table_path, subdir)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_dir)
+    adds = []
+    for name in sorted(os.listdir(out_dir)):
+        if not name.endswith(".parquet"):
+            continue  # _SUCCESS marker etc.
+        full = os.path.join(out_dir, name)
+        adds.append(
+            {
+                "path": f"{subdir}/{name}",
+                "partitionValues": {},
+                "size": os.path.getsize(full),
+                "modificationTime": int(os.path.getmtime(full) * 1000),
+                "dataChange": True,
+            }
+        )
+    return adds
+
+
+def _commit(log_dir: str, version: int, actions: list[dict]) -> None:
+    path = os.path.join(log_dir, f"{version:020d}.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, sort_keys=True) + "\n")
+    os.rename(tmp, path)  # atomic publish, the Delta commit contract
+
+
+def append_delta(df: DataFrame, table_path: str, n_files: int = 2) -> int:
+    """Append ``df`` to the Delta table at ``table_path`` (creating it
+    with the schema's metaData action on version 0).  Returns the
+    committed version."""
+    log_dir = _log_dir(table_path)
+    version = _next_version(log_dir)
+    adds = _write_data_files(
+        df, table_path, f"commit-{version}", n_files
+    )
+    actions: list[dict] = []
+    if version == 0:
+        actions.append({"protocol": _PROTOCOL})
+        actions.append(_metadata_action(df, table_path))
+    actions.extend({"add": a} for a in adds)
+    _commit(log_dir, version, actions)
+    return version
+
+
+def compact_delta(spark, table_path: str) -> int:
+    """OPTIMIZE-style compaction: rewrite every live data file into one
+    file, committing remove+add with ``dataChange: false`` (readers see
+    the identical logical table before and after — the property the
+    round-trip oracle checks)."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+
+    snap = DeltaSnapshot(table_path)
+    version = _next_version(_log_dir(table_path))
+    old_rel = sorted(snap._active)
+    df = spark.read.schema(snap.schema).parquet(*snap.files)
+    adds = _write_data_files(df, table_path, f"commit-{version}", 1)
+    now = int(time.time() * 1000)
+    actions = [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now,
+                "dataChange": False,
+            }
+        }
+        for p in old_rel
+    ]
+    for a in adds:
+        a["dataChange"] = False
+        actions.append({"add": a})
+    _commit(_log_dir(table_path), version, actions)
+    return version

@@ -214,3 +214,40 @@ def test_geo_radius_join_matches_bruteforce(spark):
         .select("c_custkey", "s_suppkey").collect()
     }
     assert got == want and got
+
+
+def test_delta_writer_time_travel_and_compaction(spark, tmp_path):
+    """The written log must support the reader's time travel: v0 = even
+    half, v1 = full table, v2 (compaction) = logically identical to v1
+    with exactly one live data file."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        compact_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.tables import load_table
+
+    docs = load_table(spark, SF_CORRECTNESS, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = str(tmp_path / "dw")
+    assert append_delta(docs.filter(F.col("doc_id") % 2 == 0), table) == 0
+    assert append_delta(docs.filter(F.col("doc_id") % 2 == 1), table) == 1
+    assert compact_delta(spark, table) == 2
+
+    n_even = docs.filter(F.col("doc_id") % 2 == 0).count()
+    n_all = docs.count()
+    assert read_delta(spark, table, version=0).count() == n_even
+    assert read_delta(spark, table, version=1).count() == n_all
+    v2 = read_delta(spark, table)
+    assert v2.count() == n_all
+    assert len(DeltaSnapshot(table)._active) == 1  # compacted to one file
+    # payload fidelity, not just counts
+    got = {(r["doc_id"], r["lang"], r["n_chars"]) for r in v2.collect()}
+    want = {(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()}
+    assert got == want
