@@ -914,3 +914,70 @@ def multimodal_image_dedup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= AHASH_RADIUS)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+AUDIO_DECIMATE = 4  # 4:1 decimation after the anti-alias prefilter
+
+
+@query(
+    "multimodal_audio_downsample",
+    # the boxcar prefilter + pick-every-Nth pipeline is all-integer
+    # (floor division by the window size), so the oracle re-derives
+    # every output sample from the generation formula — a misaligned
+    # window or an off-by-one phase cannot hash-match
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, 160 + doc_id % 80 AS n FROM documents
+    ), o AS (
+      SELECT doc_id, n, UNNEST(range(n // {AUDIO_DECIMATE})) AS k
+      FROM p
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS out_idx,
+           -- FLOOR, not DuckDB's // (which truncates toward zero and
+           -- disagrees with numpy's floor division on negative sums);
+           -- block sums are < 2^13 so the double divide is exact
+           CAST(FLOOR(
+             CAST(list_sum(list_transform(range({AUDIO_DECIMATE}), j ->
+                  ((doc_id*7 + (k*{AUDIO_DECIMATE} + j)*13) % 2048) - 1024
+             )) AS DOUBLE)
+             / {AUDIO_DECIMATE}
+           ) AS BIGINT) AS sample
+    FROM o
+    """,
+)
+def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DOWNSAMPLING from real decoded PCM16 (16 kHz -> 4 kHz
+    style 4:1 decimation): a boxcar anti-alias prefilter (mean of each
+    {AUDIO_DECIMATE}-sample block, floor division — all-integer) then
+    pick-one-per-block, the standard cheap decimator a speech
+    curation pipeline runs before feature extraction.  One input
+    record fans out to n/{AUDIO_DECIMATE} output samples inside the
+    same Arrow-batched ``mapInPandas`` shape as the other codecs —
+    embarrassingly parallel, zero shuffles.  The trailing partial
+    block is dropped (every output sample is a FULL block's mean), and
+    block means use FLOOR division on negative sums (numpy's
+    convention; the oracle spells it FLOOR() because DuckDB's //
+    truncates toward zero — the integer-exact hash caught exactly that
+    mismatch)."""
+    m = _docs_media_real(spark, sf_dir, "audio").select("doc_id", "media")
+
+    def downsample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, rec in zip(pdf["doc_id"], pdf["media"]):
+                _rate, samples = decode_wav_pcm16(bytes(rec["bytes"]))
+                x = samples.astype(np.int64)
+                n_blocks = x.size // AUDIO_DECIMATE
+                if n_blocks == 0:
+                    continue
+                blocks = x[: n_blocks * AUDIO_DECIMATE].reshape(
+                    n_blocks, AUDIO_DECIMATE
+                )
+                means = blocks.sum(axis=1) // AUDIO_DECIMATE
+                for k, s in enumerate(means):
+                    rows.append((int(doc_id), k, int(s)))
+            yield pd.DataFrame(rows, columns=["doc_id", "out_idx", "sample"])
+
+    return m.mapInPandas(
+        downsample, "doc_id bigint, out_idx bigint, sample bigint"
+    )
