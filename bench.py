@@ -140,6 +140,8 @@ HEADLINE = [
     "text_frequent_terms",
     "pipeline_importance_resample",
     "graph_common_neighbors",
+    "multimodal_audio_downsample",
+    "sink_delta_roundtrip",
     # stream_sliding_topk is oracle-checked in the gate but excluded
     # here for the same streaming-startup-cost reason as the other
     # stream_* keys.
