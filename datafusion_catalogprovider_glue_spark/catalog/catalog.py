@@ -207,6 +207,92 @@ class GlueCatalog:
                 ) from exc
         return self._finish(database, name, df, T.StructType(df.schema), "delta", location, {}, [], True)
 
+    @staticmethod
+    def _projection_partitions(
+        params: dict,
+        partition_keys: list[tuple[str, str]],
+        location: str,
+    ) -> list[dict]:
+        """AWS Glue PARTITION PROJECTION (public Athena/Glue feature):
+        when ``projection.enabled=true``, partition values are
+        ENUMERATED from table parameters instead of calling
+        GetPartitions — the layout teams use to skip partition
+        registration entirely on date/shard-partitioned data lakes.
+
+        Supported projection types (the common three): ``enum``
+        (``projection.<k>.values``), ``integer``
+        (``projection.<k>.range`` lo,hi + optional ``.interval``), and
+        ``date`` (``projection.<k>.range`` + ``.format`` —
+        ``yyyy-MM-dd`` — + optional ``.interval`` in days).  Locations
+        come from ``storage.location.template`` with ``${k}``
+        substitution, falling back to Hive-style ``<root>/k=v`` dirs.
+        The cartesian product across keys is driver-side metadata,
+        exactly like an explicit partition list."""
+        if str(params.get("projection.enabled", "")).lower() != "true":
+            return []
+        from datetime import date, timedelta
+
+        per_key: list[list[str]] = []
+        for key, _ktype in partition_keys:
+            ptype = params.get(f"projection.{key}.type")
+            if ptype == "enum":
+                vals = [
+                    v.strip()
+                    for v in params[f"projection.{key}.values"].split(",")
+                ]
+            elif ptype == "integer":
+                lo, hi = (
+                    int(x)
+                    for x in params[f"projection.{key}.range"].split(",")
+                )
+                step = int(params.get(f"projection.{key}.interval", 1))
+                vals = [str(v) for v in range(lo, hi + 1, step)]
+            elif ptype == "date":
+                fmt = params.get(f"projection.{key}.format", "yyyy-MM-dd")
+                if fmt != "yyyy-MM-dd":
+                    raise SparkError(
+                        f"partition projection: unsupported date format "
+                        f"{fmt!r} (supported: yyyy-MM-dd)"
+                    )
+                lo_s, hi_s = (
+                    x.strip()
+                    for x in params[f"projection.{key}.range"].split(",")
+                )
+                lo_d, hi_d = date.fromisoformat(lo_s), date.fromisoformat(hi_s)
+                step_d = timedelta(
+                    days=int(params.get(f"projection.{key}.interval", 1))
+                )
+                vals, cur = [], lo_d
+                while cur <= hi_d:
+                    vals.append(cur.isoformat())
+                    cur += step_d
+            else:
+                raise SparkError(
+                    f"partition projection: unsupported type {ptype!r} "
+                    f"for key {key!r} (supported: enum, integer, date)"
+                )
+            per_key.append(vals)
+
+        template = params.get("storage.location.template")
+        combos: list[list[str]] = [[]]
+        for vals in per_key:
+            combos = [c + [v] for c in combos for v in vals]
+        partitions = []
+        for values in combos:
+            if template:
+                loc = template
+                for (key, _), v in zip(partition_keys, values):
+                    loc = loc.replace("${" + key + "}", v)
+            else:
+                loc = "/".join(
+                    [location.rstrip("/")]
+                    + [f"{k}={v}" for (k, _), v in zip(partition_keys, values)]
+                )
+            partitions.append(
+                {"Values": values, "StorageDescriptor": {"Location": loc}}
+            )
+        return partitions
+
     def _get_partitions(self, database: str, name: str) -> list[dict]:
         """A13b: full GetPartitions pagination (live Glue caps pages at
         1000 partitions).  Clients without the call — or tables with no
@@ -319,7 +405,33 @@ class GlueCatalog:
             (k["Name"], k["Type"]) for k in (table.get("PartitionKeys") or [])
         ]
         if partition_keys:
-            # explicit Glue partitions first: real partitioned Glue
+            # partition PROJECTION first: projection-enabled tables by
+            # definition have no registered partitions — the parameter
+            # block IS the partition list (skipping GetPartitions is
+            # the feature's point)
+            projected = self._projection_partitions(
+                table.get("Parameters") or {}, partition_keys, location
+            )
+            if projected:
+                # projection enumerates the CONFIGURED value space, not
+                # what exists; Athena semantics read missing projected
+                # partitions as empty, so drop absent local locations
+                # (object-store paths pass through — existence is the
+                # scan's job there)
+                import os as _os
+
+                projected = [
+                    p
+                    for p in projected
+                    if "://" in p["StorageDescriptor"]["Location"]
+                    or _os.path.exists(p["StorageDescriptor"]["Location"])
+                ]
+            if projected:
+                return self._register_explicit_partitions(
+                    database, name, sd, spec, options, partition_keys,
+                    projected, location,
+                )
+            # explicit Glue partitions next: real partitioned Glue
             # tables frequently carry per-partition StorageDescriptors
             # whose locations are NOT Hive-style dirs under one root —
             # GetPartitions is the source of truth when it returns any

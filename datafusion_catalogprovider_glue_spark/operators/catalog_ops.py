@@ -2400,3 +2400,78 @@ def sink_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = compact_delta(spark, table)
     assert (v0, v1, v2) == (0, 1, 2), (v0, v1, v2)
     return read_delta(spark, table)
+
+
+@query(
+    "scan_glue_partition_projection",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS sum_value
+    FROM events
+    GROUP BY dt
+    """,
+)
+def scan_glue_partition_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AWS Glue PARTITION PROJECTION through the correctness gate: the
+    table carries ``projection.enabled`` + a date-typed ``dt`` key
+    (range wider than the data — Jan 2024 minus/plus padding days) and
+    a ``storage.location.template``; NO partitions are registered and
+    the fixture's directory names are non-Hive (``day-2024-01-05``),
+    so neither GetPartitions nor directory discovery can resolve this
+    layout — only projection enumeration can.  Configured-but-absent
+    days must read as EMPTY (Athena semantics), not fail.
+    Hash-matching a per-day rollup recomputed from the raw timestamps
+    proves every day's directory bound to the right literal and the
+    padding days contributed nothing.
+
+    Scale: projection IS the scale feature on the real service — a
+    10-year daily table is 3 650 driver-side template substitutions
+    and zero catalog round-trips; each partition stays one scan branch
+    Catalyst prunes by literal."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+        parquet_table,
+    )
+    from datafusion_catalogprovider_glue_spark.fixtures.glue_projection import (
+        build_projected_days,
+    )
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+
+    apply_engine_conf(spark)
+    root, template = build_projected_days(spark, sf_dir)
+    client = FakeGlueClient(
+        {
+            "projdb": {
+                "events_projected": parquet_table(
+                    "projdb",
+                    "events_projected",
+                    root,
+                    TESTDATA_GLUE_COLUMNS["events"],
+                    partition_keys=[("dt", "string")],
+                    parameters={
+                        "projection.enabled": "true",
+                        "projection.dt.type": "date",
+                        "projection.dt.format": "yyyy-MM-dd",
+                        # deliberately wider than the data: the padding
+                        # days exist in the projection but not on disk
+                        "projection.dt.range": "2023-12-28,2024-02-03",
+                        "storage.location.template": template,
+                    },
+                )
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("projdb", "events_projected")
+    return (
+        spark.table(entry.view)
+        .groupBy("dt")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 4).alias("sum_value"),
+        )
+    )

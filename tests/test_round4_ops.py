@@ -251,3 +251,65 @@ def test_delta_writer_time_travel_and_compaction(spark, tmp_path):
     got = {(r["doc_id"], r["lang"], r["n_chars"]) for r in v2.collect()}
     want = {(r["doc_id"], r["lang"], r["n_chars"]) for r in docs.collect()}
     assert got == want
+
+
+def test_projection_partitions_enum_integer_cartesian():
+    """Projection enumeration: enum x integer cartesian product,
+    template substitution, and the unsupported-type refusal."""
+    import pytest
+
+    from datafusion_catalogprovider_glue_spark.catalog.catalog import (
+        GlueCatalog,
+    )
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+
+    params = {
+        "projection.enabled": "true",
+        "projection.seg.type": "enum",
+        "projection.seg.values": "a,b",
+        "projection.shard.type": "integer",
+        "projection.shard.range": "0,4",
+        "projection.shard.interval": "2",
+        "storage.location.template": "/data/${seg}/s${shard}",
+    }
+    keys = [("seg", "string"), ("shard", "int")]
+    parts = GlueCatalog._projection_partitions(params, keys, "/root")
+    assert [p["Values"] for p in parts] == [
+        ["a", "0"], ["a", "2"], ["a", "4"],
+        ["b", "0"], ["b", "2"], ["b", "4"],
+    ]
+    assert parts[4]["StorageDescriptor"]["Location"] == "/data/b/s2"
+
+    # no template -> Hive-style dirs under the root
+    p2 = GlueCatalog._projection_partitions(
+        {k: v for k, v in params.items() if k != "storage.location.template"},
+        keys,
+        "/root",
+    )
+    assert p2[0]["StorageDescriptor"]["Location"] == "/root/seg=a/shard=0"
+
+    # disabled -> empty; unsupported type -> loud refusal
+    assert GlueCatalog._projection_partitions({}, keys, "/root") == []
+    bad = dict(params)
+    bad["projection.seg.type"] = "injected"
+    with pytest.raises(SparkError, match="unsupported type"):
+        GlueCatalog._projection_partitions(bad, keys, "/root")
+
+
+def test_projection_date_range_enumeration():
+    from datafusion_catalogprovider_glue_spark.catalog.catalog import (
+        GlueCatalog,
+    )
+
+    params = {
+        "projection.enabled": "true",
+        "projection.dt.type": "date",
+        "projection.dt.range": "2024-01-30,2024-02-02",
+        "projection.dt.format": "yyyy-MM-dd",
+    }
+    parts = GlueCatalog._projection_partitions(
+        params, [("dt", "string")], "/r"
+    )
+    assert [p["Values"][0] for p in parts] == [
+        "2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02",
+    ]
