@@ -142,6 +142,7 @@ HEADLINE = [
     "graph_common_neighbors",
     "multimodal_audio_downsample",
     "sink_delta_roundtrip",
+    "scan_glue_partition_projection",
     # stream_sliding_topk is oracle-checked in the gate but excluded
     # here for the same streaming-startup-cost reason as the other
     # stream_* keys.
