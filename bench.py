@@ -143,6 +143,7 @@ HEADLINE = [
     "multimodal_audio_downsample",
     "sink_delta_roundtrip",
     "scan_glue_partition_projection",
+    "scan_regex_serde",
     # stream_sliding_topk is oracle-checked in the gate but excluded
     # here for the same streaming-startup-cost reason as the other
     # stream_* keys.

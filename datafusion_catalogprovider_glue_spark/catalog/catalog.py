@@ -388,6 +388,60 @@ class GlueCatalog:
             False,
         )
 
+    def _load_regex_table(
+        self,
+        database: str,
+        name: str,
+        sd: dict,
+        spec,
+        options: TableRegistrationOptions,
+        location: str,
+    ) -> TableEntry:
+        """Hive RegexSerDe lowering: Spark has no regex datasource, so
+        the table becomes a TEXT scan plus one ``regexp_extract`` per
+        Glue column (capture group i+1 → column i, cast to the declared
+        type) — all scan-stage codegen, zero Python.  Hive semantics:
+        a line that does NOT match the pattern yields an all-NULL row
+        (never an error), which the ``rlike`` guard reproduces.  Schema
+        must come from the Glue columns (a regex carries no types to
+        infer from)."""
+        if options is not TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE:
+            raise SparkError(
+                "RegexSerDe tables require the Glue-schema mode: the "
+                "pattern's capture groups carry no types to infer"
+            )
+        columns = sd.get("Columns") or []
+        if not columns:
+            raise GlueError(
+                f"RegexSerDe table {database}.{name} has no columns"
+            )
+        pattern = spec.options["input.regex"]
+        schema = map_glue_columns_to_spark_schema(columns)
+        raw = self.spark.read.text(location)
+        matched = F.col("value").rlike(pattern)
+        cols = [
+            F.when(
+                matched,
+                F.regexp_extract(F.col("value"), pattern, i + 1),
+            )
+            .otherwise(F.lit(None))
+            .cast(f.dataType)
+            .alias(f.name)
+            for i, f in enumerate(schema.fields)
+        ]
+        df = raw.select(*cols)
+        return self._finish(
+            database,
+            name,
+            df,
+            T.StructType(df.schema),
+            "regex",
+            location,
+            dict(spec.options),
+            [],
+            False,
+        )
+
     def _register_listing_table(
         self,
         database: str,
@@ -399,6 +453,11 @@ class GlueCatalog:
         sd = self._storage_descriptor(database, name, table)
         location = self._table_location(database, name, table)
         spec = calculate_reader_spec(sd)
+
+        if spec.format == "regex":
+            return self._load_regex_table(
+                database, name, sd, spec, options, location
+            )
 
         reader = self.spark.read.format(spec.format).options(**spec.options)
         partition_keys = [

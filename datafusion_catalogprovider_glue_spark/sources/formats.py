@@ -33,6 +33,8 @@ ORC_SERDE = "org.apache.hadoop.hive.ql.io.orc.OrcSerde"
 # tables crawled with the XML classifier
 XML_IN = "com.ibm.spss.hive.serde2.xml.XmlInputFormat"
 XML_SERDE = "com.ibm.spss.hive.serde2.xml.XmlSerDe"
+# Hive RegexSerDe: Glue's model for raw log-line tables
+REGEX_SERDE = "org.apache.hadoop.hive.serde2.RegexSerDe"
 
 
 @dataclass
@@ -111,6 +113,24 @@ def calculate_reader_spec(storage_descriptor: dict) -> ReaderSpec:
             .strip("<>")
         )
         return ReaderSpec("xml", {"rowTag": row_tag})
+
+    # B8g RegexSerDe (EXTENSION — no reference arm; Hive's
+    # RegexSerDe is how Glue models raw log files: one capture group
+    # per column, input.regex required, non-matching lines read as
+    # all-NULL rows.  Spark has no regex datasource, so the catalog
+    # lowers this spec to a text scan + one regexp_extract per column
+    # — see GlueCatalog._load_regex_table.)
+    if input_format == TEXT_IN and serde == REGEX_SERDE:
+        serde_params = serde_info.get("Parameters") or {}
+        pattern = serde_params.get("input.regex")
+        if not pattern:
+            raise NotImplementedYet(
+                "RegexSerDe table without input.regex serde parameter "
+                "is not supported"
+            )
+        return ReaderSpec(
+            "regex", {"input.regex": pattern}, supports_schema_inference=False
+        )
 
     # B7 fallback (glue.rs:426-429)
     raise NotImplementedYet(

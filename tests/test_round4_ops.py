@@ -313,3 +313,73 @@ def test_projection_date_range_enumeration():
     assert [p["Values"][0] for p in parts] == [
         "2024-01-30", "2024-01-31", "2024-02-01", "2024-02-02",
     ]
+
+
+def test_regex_serde_null_row_and_refusals(spark):
+    """Hive RegexSerDe contract: the garbage line parses to an all-NULL
+    row; input.regex is required; infer-schema mode is refused."""
+    import pytest
+
+    from datafusion_catalogprovider_glue_spark.catalog.catalog import (
+        GlueCatalog,
+        TableRegistrationOptions,
+    )
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+    )
+    from datafusion_catalogprovider_glue_spark.errors import (
+        NotImplementedYet,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.fixtures.glue_regex import (
+        REGEX_PATTERN,
+        build_regex_log,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.formats import (
+        REGEX_SERDE,
+        TEXT_IN,
+        TEXT_OUT,
+        calculate_reader_spec,
+    )
+
+    location = build_regex_log(spark, SF_CORRECTNESS)
+    sd = {
+        "Location": location,
+        "InputFormat": TEXT_IN,
+        "OutputFormat": TEXT_OUT,
+        "SerdeInfo": {
+            "SerializationLibrary": REGEX_SERDE,
+            "Parameters": {"input.regex": REGEX_PATTERN},
+        },
+        "Columns": [
+            {"Name": "custkey", "Type": "bigint"},
+            {"Name": "seg", "Type": "string"},
+            {"Name": "nationkey", "Type": "bigint"},
+            {"Name": "bal", "Type": "decimal(12,2)"},
+        ],
+    }
+    table = {
+        "DatabaseName": "logdb", "Name": "customer_log",
+        "Parameters": {}, "StorageDescriptor": sd,
+    }
+    catalog = GlueCatalog(
+        spark, FakeGlueClient({"logdb": {"customer_log": table}})
+    )
+    entry = catalog.register_table("logdb", "customer_log")
+    df = spark.table(entry.view)
+    nulls = df.filter(df.custkey.isNull()).collect()
+    assert len(nulls) == 1  # the garbage line — present, all-NULL
+    assert all(nulls[0][c] is None for c in df.columns)
+
+    # missing input.regex -> refusal at dispatch
+    bad = {**sd, "SerdeInfo": {"SerializationLibrary": REGEX_SERDE,
+                               "Parameters": {}}}
+    with pytest.raises(NotImplementedYet, match="input.regex"):
+        calculate_reader_spec(bad)
+
+    # infer-schema mode -> refusal (a regex carries no types)
+    with pytest.raises(SparkError, match="Glue-schema mode"):
+        catalog.register_table(
+            "logdb", "customer_log",
+            options=TableRegistrationOptions.INFER_SCHEMA_FROM_DATA,
+        )
