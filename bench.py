@@ -132,6 +132,7 @@ HEADLINE = [
     # wedge-based link prediction
     "geo_radius_join",
     "geo_nearest_neighbor",
+    "geo_point_in_polygon",
     "events_autocorrelation",
     "events_psi_drift",
     "events_changepoint_cusum",

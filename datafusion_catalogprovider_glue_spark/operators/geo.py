@@ -263,3 +263,122 @@ def geo_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_points") >= 2)
     )
+
+
+# Test polygons on the SCALED integer grid (coordinates x100, i.e.
+# 0.01-degree units): a pentagon and a triangle, counterclockwise.
+# Integer vertices + integer points make the crossing test EXACT —
+# no epsilon, no engine-dependent convention at boundaries.
+GEO_POLYGONS: dict[int, list[tuple[int, int]]] = {
+    1: [(-3000, -2000), (2000, -3500), (4500, 0), (1000, 3000), (-2500, 1500)],
+    2: [(5000, 5000), (12000, 6000), (8000, 11000)],
+}
+
+
+def _edges_sql(poly: list[tuple[int, int]]) -> str:
+    n = len(poly)
+    rows = []
+    for i in range(n):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % n]
+        rows.append(f"({x1}, {y1}, {x2}, {y2})")
+    return ", ".join(rows)
+
+
+def _sql_pip(poly: list[tuple[int, int]]) -> str:
+    """DuckDB crossing-parity test against one polygon, all-integer:
+    an upward/downward edge crossing flips parity iff the point is
+    strictly left of the edge at its own latitude — the division-free
+    form t = (px−x1)·dy − (x2−x1)·(py−y1) with sign(dy)."""
+    edges = _edges_sql(poly)
+    return f"""(
+        SELECT COUNT(*) % 2 = 1 FROM (VALUES {edges}) e(x1, y1, x2, y2)
+        WHERE (y1 > py) <> (y2 > py)
+          AND CASE WHEN y2 - y1 > 0
+                   THEN (px - x1) * (y2 - y1) - (x2 - x1) * (py - y1) < 0
+                   ELSE (px - x1) * (y2 - y1) - (x2 - x1) * (py - y1) > 0
+              END
+    )"""
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               CAST(({_SQL_CUST_LON}) * 100 AS BIGINT) AS px,
+               CAST(({_SQL_CUST_LAT}) * 100 AS BIGINT) AS py
+        FROM customer
+    ),
+    hits AS (
+        SELECT c_custkey, 1 AS polygon_id FROM pts WHERE {_sql_pip(GEO_POLYGONS[1])}
+        UNION ALL
+        SELECT c_custkey, 2 AS polygon_id FROM pts WHERE {_sql_pip(GEO_POLYGONS[2])}
+    )
+    SELECT polygon_id, COUNT(*) AS n_inside,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM hits GROUP BY polygon_id
+    """,
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon containment (ray casting / crossing parity) —
+    the geofencing primitive — evaluated ENTIRELY in integer
+    arithmetic: coordinates live on the 0.01-degree grid, so scaling
+    by 100 makes points and polygon vertices exact integers and the
+    division-free crossing test t = (px−x1)·dy − (x2−x1)·(py−y1)
+    decides strictly-left with no float anywhere.  Boundary points
+    resolve by the half-open rule identically in both engines because
+    every comparison is integer.
+
+    Plan: the polygon edge list is a literal array folded per point
+    with F.aggregate (scan-stage codegen, no join, no UDF); each
+    polygon is one fold, the rollup is one tiny groupBy.  At 100 TB
+    with many polygons the production shape adds the grid-cell
+    blocking of geo_radius_join (points probe only polygons whose
+    bounding box shares a cell) — the per-pair test stays this
+    fold."""
+    c = _cust_points(spark, sf_dir)
+    pts = c.select(
+        "c_custkey",
+        (F.col("c_lon") * 100).cast("bigint").alias("px"),
+        (F.col("c_lat") * 100).cast("bigint").alias("py"),
+    )
+    px, py = F.col("px"), F.col("py")
+    hits = []
+    for pid, poly in GEO_POLYGONS.items():
+        n = len(poly)
+        edges = F.array(
+            *[
+                F.struct(
+                    F.lit(poly[i][0]).alias("x1"),
+                    F.lit(poly[i][1]).alias("y1"),
+                    F.lit(poly[(i + 1) % n][0]).alias("x2"),
+                    F.lit(poly[(i + 1) % n][1]).alias("y2"),
+                )
+                for i in range(n)
+            ]
+        )
+
+        def crossing(e, px=px, py=py):
+            dy = e["y2"] - e["y1"]
+            t = (px - e["x1"]) * dy - (e["x2"] - e["x1"]) * (py - e["y1"])
+            return (
+                ((e["y1"] > py) != (e["y2"] > py))
+                & F.when(dy > 0, t < 0).otherwise(t > 0)
+            ).cast("int")
+
+        parity = F.aggregate(
+            edges, F.lit(0), lambda acc, e: acc + crossing(e)
+        ) % 2 == 1
+        hits.append(
+            pts.filter(parity).select(
+                "c_custkey", F.lit(pid).alias("polygon_id")
+            )
+        )
+    out = hits[0]
+    for h in hits[1:]:
+        out = out.unionByName(h)
+    return out.groupBy("polygon_id").agg(
+        F.count(F.lit(1)).alias("n_inside"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )
