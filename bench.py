@@ -142,6 +142,8 @@ HEADLINE = [
     "pipeline_importance_resample",
     "graph_common_neighbors",
     "multimodal_audio_downsample",
+    "multimodal_image_histogram",
+    "agg_winsorized_mean",
     "sink_delta_roundtrip",
     "scan_glue_partition_projection",
     "scan_regex_serde",

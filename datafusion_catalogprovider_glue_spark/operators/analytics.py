@@ -1788,3 +1788,98 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.filter(
         F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
     )
+
+
+WINSOR_LO, WINSOR_HI = 0.10, 0.90  # clamp tails at p10 / p90
+
+
+@query(
+    "agg_winsorized_mean",
+    # both engines pick the SAME clamp values — element at rank
+    # ceil(p*n) in (value, then arbitrary-but-irrelevant) order — so
+    # the clamped decimal sums are exact and the one divide matches
+    oracle=f"""
+    WITH v AS (
+        SELECT o_orderpriority AS prio,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS val,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)))
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders
+    ),
+    cuts AS (
+        SELECT prio,
+               MAX(CASE WHEN rn = CAST(CEIL({WINSOR_LO} * n) AS BIGINT)
+                        THEN val END) AS lo,
+               MAX(CASE WHEN rn = CAST(CEIL({WINSOR_HI} * n) AS BIGINT)
+                        THEN val END) AS hi,
+               CAST(MAX(n) AS BIGINT) AS n_rows
+        FROM v GROUP BY prio
+    )
+    SELECT v.prio, cuts.n_rows,
+           CAST(CAST(MAX(cuts.lo) AS VARCHAR) AS DOUBLE) AS p10,
+           CAST(CAST(MAX(cuts.hi) AS VARCHAR) AS DOUBLE) AS p90,
+           -- CASE, not LEAST/GREATEST: DuckDB's LEAST/GREATEST on
+           -- decimals returns DOUBLE, which would float-sum the clamp
+           CAST(CAST(SUM(CASE WHEN v.val < cuts.lo THEN cuts.lo
+                              WHEN v.val > cuts.hi THEN cuts.hi
+                              ELSE v.val END)
+                     AS VARCHAR) AS DOUBLE) / MAX(cuts.n_rows)
+             AS winsorized_mean
+    FROM v JOIN cuts ON v.prio = cuts.prio
+    GROUP BY v.prio, cuts.n_rows
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINSORIZED MEAN per order priority: clamp the bottom/top decile
+    to the exact p10/p90 data values, then average — the
+    outlier-robust mean every metrics platform offers next to the
+    trimmed mean.  Cut points are percentile_disc semantics pinned to
+    ONE convention (element at rank ceil(p*n) under value order) in
+    both engines, so the clamp values are identical exact decimals
+    and the mean is exact-sum / count with a single double divide.
+
+    Plan: one shuffle on the group key serves both the ranking window
+    and the final aggregation; the cut-point table is group-sized and
+    broadcasts back.  Value ties are harmless — ranks may permute
+    equal values but the SELECTED value is the same."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("val"),
+    )
+    w = Window.partitionBy("prio").orderBy("val")
+    v = o.select(
+        "prio",
+        "val",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("prio")).alias("n"),
+    )
+    cuts = v.groupBy("prio").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(WINSOR_LO * F.col("n")), F.col("val")
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(WINSOR_HI * F.col("n")), F.col("val")
+            )
+        ).alias("hi"),
+        F.max("n").cast("bigint").alias("n_rows"),
+    )
+    clamped = F.least(F.greatest(F.col("val"), F.col("lo")), F.col("hi"))
+    return (
+        v.join(F.broadcast(cuts), "prio")
+        .groupBy("prio", "n_rows")
+        .agg(
+            F.first(F.col("lo")).cast("double").alias("p10"),
+            F.first(F.col("hi")).cast("double").alias("p90"),
+            (F.sum(clamped).cast("double") / F.max("n_rows")).alias(
+                "winsorized_mean"
+            ),
+        )
+        .select("prio", "n_rows", "p10", "p90", "winsorized_mean")
+    )

@@ -981,3 +981,52 @@ def multimodal_audio_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.mapInPandas(
         downsample, "doc_id bigint, out_idx bigint, sample bigint"
     )
+
+
+HIST_BUCKETS = 8  # pixel-value histogram: 256 / 32 buckets
+
+
+@query(
+    "multimodal_image_histogram",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, 8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, w, h, UNNEST(range({HIST_BUCKETS})) AS bucket FROM p
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST(list_sum(list_transform(range(w*h*3), i ->
+                CASE WHEN ((doc_id*31 + i) % 256) // 32 = bucket
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS n_pixels
+    FROM b
+    """,
+)
+def multimodal_image_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-intensity HISTOGRAM over real decoded rasters (the
+    exposure/contrast feature an image-quality filter computes): decode
+    the P6 payload, bucket every channel value into {HIST_BUCKETS}
+    32-wide bins with one numpy bincount, emit (doc, bucket, count) —
+    dense rows (zero buckets included) so downstream percentile math
+    never special-cases missing bins.  All-integer counts; the oracle
+    re-derives every bin from the generation formula, so a decoder
+    that dropped a channel, clipped values, or mis-sized the raster
+    cannot hash-match.  Same Arrow-batched mapInPandas codec shape:
+    embarrassingly parallel, zero shuffles."""
+    m = _docs_media_real(spark, sf_dir, "image").select("doc_id", "media")
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, rec in zip(pdf["doc_id"], pdf["media"]):
+                arr, _mx = decode_ppm(bytes(rec["bytes"]))
+                counts = np.bincount(
+                    arr.reshape(-1) // 32, minlength=HIST_BUCKETS
+                )
+                for b in range(HIST_BUCKETS):
+                    rows.append((int(doc_id), b, int(counts[b])))
+            yield pd.DataFrame(rows, columns=["doc_id", "bucket", "n_pixels"])
+
+    return m.mapInPandas(
+        hist, "doc_id bigint, bucket int, n_pixels bigint"
+    )
