@@ -746,13 +746,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         # every clique to its min node and the edge table goes empty —
         # the doubling self-joins would be pure scheduling overhead
         # (measured 8.9 s -> target <4 s at sf0.1, identical fixpoint).
-        # Rounds 2+ compose the map with itself twice (pointer jump x4
-        # per round); with edge contraction also halving chain diameter
-        # each round, 19 such rounds close diameter ~8^19 — far beyond
-        # any real duplicate chain.  A 60-doc chain converges well
-        # inside the cap (pinned in
+        # Rounds 2+ keep the FULL six compositions: plain hash-min only
+        # shifts a chain's labels by ONE per round (the contracted
+        # edge set is the same chain re-rooted), so chains genuinely
+        # need the doubling — six hops square the map to a 2^6-step
+        # jump, closing a 60-doc chain in one doubled round (pinned in
         # test_dedup_clusters_long_chain_converges).
-        for _ in range(0 if rnd == 0 else 2):
+        for _ in range(0 if rnd == 0 else 6):
             hop = upd.select(
                 F.col("node").alias("h_node"), F.col("new").alias("h_new")
             )
