@@ -468,25 +468,39 @@ def _jaccard_pairs_prefix(d: DataFrame, t: float) -> DataFrame:
     post = d.select("doc_id", "lang", "n", F.explode("wset").alias("tok"))
     dfreq = post.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
     prefix_len = (F.col("n") - F.ceil(F.col("n") * t) + 1).cast("int")
-    pre = (
-        post.join(dfreq, ["lang", "tok"])
-        .groupBy("doc_id", "lang", "n")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("df", "tok"))),
-                lambda s: s["tok"],
-            ).alias("by_rarity")
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "n",
-            F.explode(F.slice(F.col("by_rarity"), F.lit(1), prefix_len)).alias(
-                "tok"
-            ),
-        )
+    ranked = post.join(dfreq, ["lang", "tok"]).groupBy(
+        "doc_id", "lang", "n"
+    ).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("df", "tok"))),
+            lambda s: s["tok"],
+        ).alias("by_rarity")
     )
+    pre = ranked.select(
+        "doc_id",
+        "lang",
+        "n",
+        F.posexplode(F.slice(F.col("by_rarity"), F.lit(1), prefix_len)).alias(
+            "pos", "tok"
+        ),
+    ).withColumn("pos", F.col("pos") + 1)  # 1-based prefix position
     pa, pb = pre.alias("pa"), pre.alias("pb")
+    # PPJoin positional bound: a pair with J >= t needs overlap
+    # alpha = ceil(t/(1+t) * (|A|+|B|)); when the shared prefix token
+    # sits at positions (pa.pos, pb.pos) in rarity order, at most
+    # 1 + min(|A|-pa.pos, |B|-pb.pos) tokens can still overlap — pairs
+    # below alpha are pruned BEFORE the distinct shuffle and the
+    # intersection verify.  This is what keeps candidate volume from
+    # growing quadratically when document frequencies scale with the
+    # corpus (the replicated-corpus scaling run measured 13.5x wall at
+    # 10x data without it: every token's df grows linearly, so hot
+    # prefix postings alone generate ~df^2 candidates).  The tiny
+    # epsilon keeps the float ceil from EXCEEDING the exact rational
+    # bound (over-pruning would drop true pairs; under-pruning only
+    # costs a candidate).
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("pa.n") + F.col("pb.n")) - F.lit(1e-9)
+    )
     cand = (
         pa.join(
             pb,
@@ -498,6 +512,15 @@ def _jaccard_pairs_prefix(d: DataFrame, t: float) -> DataFrame:
                 F.least(F.col("pa.n"), F.col("pb.n")) * F.lit(1.0)
                 / F.greatest(F.col("pa.n"), F.col("pb.n"))
                 >= t
+            )
+            # positional upper bound on achievable overlap
+            & (
+                1
+                + F.least(
+                    F.col("pa.n") - F.col("pa.pos"),
+                    F.col("pb.n") - F.col("pb.pos"),
+                )
+                >= alpha
             ),
         )
         .select(
