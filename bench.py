@@ -199,6 +199,15 @@ def main() -> None:
         # starves execution memory (observed: UNABLE_TO_ACQUIRE_MEMORY
         # on the 3rd consecutive large-corpus run) — unpersist them too.
         spark.catalog.clearCache()
+        # the kmeans index cache holds localCheckpointed DataFrames —
+        # their lineage IS their checkpoint blocks, so it must be
+        # invalidated BEFORE the blanket unpersist below frees those
+        # blocks (otherwise a later consumer hits
+        # checkpointRDDBlockIdNotFound); this also makes every bench
+        # key's number a COLD cost, index build included.
+        from datafusion_catalogprovider_glue_spark.operators import similarity
+
+        similarity.invalidate_kmeans_cache()
         for rdd in list(
             spark.sparkContext._jsc.getPersistentRDDs().values()
         ):

@@ -1271,6 +1271,16 @@ def _kmeans(
     return _KMEANS_CACHE[key]
 
 
+def invalidate_kmeans_cache() -> None:
+    """Drop every cached clustering.  REQUIRED before any blanket
+    ``unpersist`` of the session's persistent RDDs (bench.py's per-key
+    cleanup does one): the cache holds localCheckpointed DataFrames
+    whose lineage IS their checkpoint blocks — free the blocks under a
+    live entry and the next consumer dies with
+    checkpointRDDBlockIdNotFound."""
+    _KMEANS_CACHE.clear()
+
+
 def _kmeans_uncached(
     spark: SparkSession, sf_dir: str, k: int = KMEANS_K
 ) -> tuple[DataFrame, DataFrame]:
