@@ -138,6 +138,7 @@ HEADLINE = [
     "events_changepoint_cusum",
     "events_forecast_holt",
     "events_bounce_rate",
+    "events_diff_in_diff",
     "text_frequent_terms",
     "pipeline_importance_resample",
     "graph_common_neighbors",

@@ -2594,3 +2594,93 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             bounce.cast("double") / F.count(F.lit(1)), 9
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "events_diff_in_diff",
+    # arms via the md5 hash-split discipline; periods via the PSI key's
+    # even/odd epoch-day split — all four cell means from exact decimal
+    # sums, the DiD estimate is one fixed double expression at 6 dp
+    oracle="""
+    WITH cell AS (
+        SELECT
+            CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                      IN ('0','1','2','3','4','5','6','7')
+                 THEN 'A' ELSE 'B' END AS arm,
+            (CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01') % 2
+              AS period,
+            CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END AS x
+        FROM events
+    ),
+    s AS (
+        SELECT arm, period, COUNT(*) AS n,
+               CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx
+        FROM cell GROUP BY arm, period
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm='A' AND period=0 THEN sx/n END) AS a0,
+            MAX(CASE WHEN arm='A' AND period=1 THEN sx/n END) AS a1,
+            MAX(CASE WHEN arm='B' AND period=0 THEN sx/n END) AS b0,
+            MAX(CASE WHEN arm='B' AND period=1 THEN sx/n END) AS b1,
+            CAST(SUM(n) AS BIGINT) AS n_events
+        FROM s
+    )
+    SELECT n_events,
+           ROUND(a0, 6) AS mean_a_pre, ROUND(a1, 6) AS mean_a_post,
+           ROUND(b0, 6) AS mean_b_pre, ROUND(b1, 6) AS mean_b_post,
+           ROUND((b1 - b0) - (a1 - a0), 6) AS did_estimate
+    FROM wide
+    """,
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES estimator: treatment effect =
+    (B_post − B_pre) − (A_post − A_pre) over per-event purchase value,
+    with arms carved by the reproducible md5 hash split (events_ab_test
+    discipline) and pre/post periods by the even/odd epoch-day split
+    (events_psi_drift discipline) — the quasi-experimental readout for
+    rollouts that lack a clean randomized holdout.
+
+    One map-side-combined groupBy to the 2x2 (arm, period) cell table;
+    cell sums are exact decimals, the four means and the DiD contrast
+    are one fixed double expression rounded at 6 dp.  Nothing after
+    the first aggregation scales with event volume."""
+    e = _events(spark, sf_dir)
+    arm = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1).isin(
+            *"01234567"
+        ),
+        "A",
+    ).otherwise("B")
+    period = F.datediff(F.to_date("ts"), F.lit("1970-01-01")) % 2
+    x = F.when(
+        F.col("event_type") == "purchase", F.col("value").cast("decimal(18,2)")
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    s = (
+        e.select(arm.alias("arm"), period.alias("period"), x.alias("x"))
+        .groupBy("arm", "period")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx"))
+        .select(
+            "arm",
+            "period",
+            "n",
+            (F.col("sx").cast("double") / F.col("n")).alias("m"),
+        )
+    )
+
+    def cell(a, p):
+        return F.max(
+            F.when((F.col("arm") == a) & (F.col("period") == p), F.col("m"))
+        )
+
+    a0, a1, b0, b1 = cell("A", 0), cell("A", 1), cell("B", 0), cell("B", 1)
+    return s.agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.round(a0, 6).alias("mean_a_pre"),
+        F.round(a1, 6).alias("mean_a_post"),
+        F.round(b0, 6).alias("mean_b_pre"),
+        F.round(b1, 6).alias("mean_b_post"),
+        F.round((b1 - b0) - (a1 - a0), 6).alias("did_estimate"),
+    )
