@@ -2551,3 +2551,46 @@ def scan_regex_serde(spark: SparkSession, sf_dir: str) -> DataFrame:
             "custkey", "seg", "nationkey", F.col("bal").cast("double")
         )
     )
+
+
+@query(
+    "scan_hudi_incremental",
+    # incremental (t1, t2] over the two-commit CoW fixture = exactly
+    # the even file group's rewrite: even keys, doubled price, tagged
+    # with t2's instant
+    oracle="""
+    SELECT o_orderkey,
+           '20240102000000' AS commit_time,
+           CAST(CAST(CAST(o_totalprice * 2 AS DECIMAL(18,2)) AS VARCHAR)
+                AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey % 2 = 0
+    """,
+)
+def scan_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi INCREMENTAL query through the correctness gate (the
+    change-capture query type the reference's Delta-only dispatch has
+    no counterpart for): pulling the instant range (t1, t2] from the
+    two-commit CoW fixture must return exactly the even file group's
+    rewrite — even keys at doubled price — each row tagged with its
+    commit instant.  Hash-matching SQL that recomputes the change set
+    from the ORIGINAL orders table proves range filtering (the t1
+    slices are excluded), in-range file-slice resolution, and the meta
+    column.  IO is proportional to CHANGE volume, not table size —
+    the property that makes incremental ETL at 100 TB viable."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_incremental,
+    )
+
+    apply_engine_conf(spark)
+    table = _hudi_fixture(spark, sf_dir)
+    df = read_hudi_incremental(
+        spark, table, begin="20240101000000", end="20240102000000"
+    )
+    return df.select(
+        "o_orderkey",
+        F.col("_hoodie_commit_time").alias("commit_time"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double")
+        .alias("o_totalprice"),
+    )
