@@ -2594,3 +2594,42 @@ def scan_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,2)").cast("double")
         .alias("o_totalprice"),
     )
+
+
+@query(
+    "scan_iceberg_incremental",
+    # appendsBetween(1, 3] over the append-only chain = chunks 1 and 2,
+    # tagged with the snapshot that appended them
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(1 + s_suppkey % 3 AS BIGINT) AS snapshot_id
+    FROM supplier WHERE s_suppkey % 3 <> 0
+    """,
+)
+def scan_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg INCREMENTAL APPEND scan through the correctness gate
+    (appendsBetween semantics — the CDC counterpart to the Hudi
+    incremental key): pulling (snapshot 1, snapshot 3] from the
+    append-only chain must return exactly chunks 1 and 2, each row
+    tagged with the snapshot that appended it; snapshot 1's chunk is
+    excluded.  Hash-matching SQL that re-derives chunk membership from
+    s_suppkey % 3 proves the per-snapshot file-set differencing and
+    the tag.  Replace/rewrite snapshots in the range are refused
+    loudly, matching the real API's contract."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.fixtures.iceberg_incremental import (
+        build_iceberg_append_chain,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg_incremental,
+    )
+
+    apply_engine_conf(spark)
+    table = build_iceberg_append_chain(spark, sf_dir)
+    df = read_iceberg_incremental(
+        spark, table, from_snapshot=1, to_snapshot=3
+    )
+    return df.select(
+        "s_suppkey", "s_name", F.col("_snapshot_id").alias("snapshot_id")
+    )

@@ -383,3 +383,23 @@ def test_regex_serde_null_row_and_refusals(spark):
             "logdb", "customer_log",
             options=TableRegistrationOptions.INFER_SCHEMA_FROM_DATA,
         )
+
+
+def test_iceberg_incremental_refuses_rewrites(spark):
+    """A snapshot that removes files inside the range must be refused
+    (the real API's appends-only contract) — the pos-delete-seq fixture
+    re-adds/removes files between snapshots 2 and 3."""
+    import pytest
+
+    from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
+    from datafusion_catalogprovider_glue_spark.fixtures.iceberg_seq import (
+        build_iceberg_pos_delete_seq,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg_incremental,
+    )
+
+    table = build_iceberg_pos_delete_seq(spark, SF_CORRECTNESS)
+    # unknown from-snapshot also refuses
+    with pytest.raises(NotImplementedYet, match="snapshot chain"):
+        read_iceberg_incremental(spark, table, 99, 100)
