@@ -139,6 +139,7 @@ HEADLINE = [
     "events_forecast_holt",
     "events_bounce_rate",
     "events_diff_in_diff",
+    "events_bootstrap_ci",
     "text_frequent_terms",
     "pipeline_importance_resample",
     "graph_common_neighbors",

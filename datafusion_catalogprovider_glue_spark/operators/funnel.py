@@ -2684,3 +2684,131 @@ def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(b1, 6).alias("mean_b_post"),
         F.round((b1 - b0) - (a1 - a0), 6).alias("did_estimate"),
     )
+
+
+BOOTSTRAP_B = 32  # bootstrap replicas
+# Poisson(1) CDF breakpoints scaled to the 48-bit uniform grid and
+# truncated at weight 8 (tail mass < 1e-5): replica weight = number of
+# breakpoints at or below the draw — an all-INTEGER quantile transform,
+# so both engines assign identical weights with no float boundary.
+_POIS_T = [
+    103548857136060, 207097714272121, 258872142840152, 276130285696162,
+    280444821410164, 281307728552965, 281451546410098, 281472091818260,
+]
+_SQL_POIS = ", ".join(str(t) for t in _POIS_T)
+
+
+@query(
+    "events_bootstrap_ci",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS x
+        FROM events GROUP BY user_id
+    ),
+    draws AS (
+        SELECT u.user_id, u.x, b.b,
+               CAST('0x' || substr(md5(CAST(u.user_id AS VARCHAR)
+                                       || '_' || CAST(b.b AS VARCHAR)),
+                                   1, 12) AS BIGINT) AS u48
+        FROM per_user u, (SELECT UNNEST(range({BOOTSTRAP_B})) AS b) b
+    ),
+    weighted AS (
+        SELECT b, user_id, x,
+               len(list_filter([{_SQL_POIS}], t -> u48 >= t)) AS w
+        FROM draws
+    ),
+    reps AS (
+        SELECT b,
+               CAST(CAST(SUM(w * x) AS VARCHAR) AS DOUBLE)
+                 / SUM(w) AS rep_mean
+        FROM weighted GROUP BY b
+    ),
+    sorted AS (
+        SELECT list_sort(list(rep_mean)) AS ms FROM reps
+    ),
+    point AS (
+        SELECT COUNT(*) AS n_users,
+               CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) / COUNT(*) AS mean_x
+        FROM per_user
+    )
+    SELECT p.n_users, ROUND(p.mean_x, 6) AS mean_value,
+           ROUND(s.ms[2], 6) AS ci_lo,
+           ROUND(s.ms[{BOOTSTRAP_B - 1}], 6) AS ci_hi
+    FROM point p, sorted s
+    """,
+)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOTSTRAP confidence interval for mean per-user purchase value
+    via the DETERMINISTIC Poisson bootstrap (Chamandy et al. 2012 —
+    the one-pass resampling scheme built for map-reduce): each (user,
+    replica) pair draws a Poisson(1) weight from 48 md5 bits through
+    an all-integer quantile table, replica means are
+    weight-normalized, and the CI is the 2nd / 31st of the 32 sorted
+    replica means.  Unlike rand()-based bootstraps this is
+    reproducible across engines, reruns and cluster sizes — which is
+    what makes the CI itself hash-checkable.
+
+    Plan: one groupBy(user) collapses events; the replica explode is
+    {B}x the USER-level table (never raw events); one
+    map-side-combined groupBy(replica) of exact decimal weighted sums;
+    the final sort is over {B} numbers.  At 100 TB the user collapse
+    dominates and everything downstream is replica-sized."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("x")
+    )
+    per_user = per_user.localCheckpoint()  # two consumers: point + reps
+    draws = per_user.select(
+        "user_id",
+        "x",
+        F.explode(F.array(*[F.lit(b) for b in range(BOOTSTRAP_B)])).alias("b"),
+    ).withColumn(
+        "u48",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("_"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    thresholds = F.array(*[F.lit(t) for t in _POIS_T])
+    w = F.size(F.filter(thresholds, lambda t: F.col("u48") >= t))
+    reps = (
+        draws.withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("x")).cast("double") / F.sum("w")
+            ).alias("rep_mean")
+        )
+    )
+    sorted_means = reps.agg(
+        F.array_sort(F.collect_list("rep_mean")).alias("ms")
+    )
+    point = per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mean_x"),
+    )
+    return point.crossJoin(F.broadcast(sorted_means)).select(
+        "n_users",
+        F.round("mean_x", 6).alias("mean_value"),
+        F.round(F.element_at("ms", 2), 6).alias("ci_lo"),
+        F.round(F.element_at("ms", BOOTSTRAP_B - 1), 6).alias("ci_hi"),
+    )
