@@ -151,6 +151,7 @@ HEADLINE = [
     "scan_regex_serde",
     "scan_hudi_incremental",
     "scan_iceberg_incremental",
+    "scan_delta_incremental",
     # stream_sliding_topk is oracle-checked in the gate but excluded
     # here for the same streaming-startup-cost reason as the other
     # stream_* keys.

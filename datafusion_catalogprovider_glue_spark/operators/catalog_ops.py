@@ -2633,3 +2633,59 @@ def scan_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "s_suppkey", "s_name", F.col("_snapshot_id").alias("snapshot_id")
     )
+
+
+@query(
+    "scan_delta_incremental",
+    # (0, 2] over the sink fixture = commit 1's odd half only: commit 2
+    # is the dataChange=false compaction and must contribute nothing
+    oracle="""
+    SELECT doc_id, lang, n_chars, CAST(1 AS BIGINT) AS commit_version
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def scan_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta INCREMENTAL read through the correctness gate — the third
+    leg of the CDC trio (Hudi instant-range pull, Iceberg
+    appendsBetween): pulling versions (0, 2] from the engine-written
+    sink table must return exactly commit 1's rows (the odd doc half)
+    tagged with their commit version, while commit 2 — the
+    dataChange=false OPTIMIZE compaction — contributes NOTHING, the
+    protocol semantics every Delta change consumer relies on.
+    Delete-bearing commits are refused toward CDF (scan_delta_cdf).
+    Hash-matching the odd half recomputed from the original documents
+    table proves range filtering, the dataChange gate, and the version
+    tag."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta_incremental,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        compact_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_inc_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+    append_delta(docs.filter(F.col("doc_id") % 2 == 1), table)
+    compact_delta(spark, table)
+    return read_delta_incremental(spark, table, begin=0, end=2).select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.col("_commit_version").alias("commit_version"),
+    )

@@ -404,3 +404,59 @@ def read_delta_cdf(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_delta_incremental(
+    spark: SparkSession, table_path: str, begin: int, end: Optional[int] = None
+) -> DataFrame:
+    """INCREMENTAL read of a Delta table: rows added by commits in the
+    version range (begin, end] — the change feed for tables without
+    Change Data Feed enabled.  Honors the protocol's ``dataChange``
+    flag: an OPTIMIZE/compaction commit (dataChange=false) rearranges
+    files without changing the logical table, so its adds contribute
+    NOTHING; a commit that REMOVES data (dataChange=true remove) is
+    refused loudly — file-level diffing cannot represent deletes, that
+    is what CDF is for (scan_delta_cdf).  Each row carries its commit
+    version.  IO touches only the in-range added files."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    versions = sorted(
+        int(f[:-5])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+    in_range = [v for v in versions if v > begin and (end is None or v <= end)]
+    snap = DeltaSnapshot(table_path, version=versions[-1] if versions else None)
+    parts = []
+    for v in in_range:
+        adds = []
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                action = json.loads(line)
+                if action.get("add"):
+                    if action["add"].get("dataChange", True):
+                        adds.append(action["add"]["path"])
+                elif action.get("remove"):
+                    if action["remove"].get("dataChange", True):
+                        raise DeltaError(
+                            f"incremental read: version {v} removes data "
+                            "(dataChange=true) — use CDF for delete-aware "
+                            "change feeds"
+                        )
+        if adds:
+            parts.append(
+                spark.read.schema(snap.schema)
+                .parquet(*[os.path.join(table_path, p) for p in sorted(adds)])
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+    if not parts:
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                snap.schema.fields
+                + [T.StructField("_commit_version", T.LongType())]
+            ),
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
