@@ -140,6 +140,7 @@ HEADLINE = [
     "events_bounce_rate",
     "events_diff_in_diff",
     "events_bootstrap_ci",
+    "events_power_analysis",
     "text_frequent_terms",
     "pipeline_importance_resample",
     "graph_common_neighbors",

@@ -2812,3 +2812,78 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("ms", 2), 6).alias("ci_lo"),
         F.round(F.element_at("ms", BOOTSTRAP_B - 1), 6).alias("ci_hi"),
     )
+
+
+# two-sided alpha=0.05, power=0.80: (z_{0.975} + z_{0.84})^2, a fixed
+# published constant of the standard sample-size formula
+_POWER_Z2 = 7.849
+_POWER_MDE = 0.05  # minimum detectable effect: 5% relative lift
+
+
+@query(
+    "events_power_analysis",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(value AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS x
+        FROM events GROUP BY user_id
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(SUM(x * x) AS VARCHAR) AS DOUBLE) AS sxx
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           ROUND(sx / n, 6) AS mean_x,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_x,
+           CAST(CEIL(2 * {_POWER_Z2} * ((sxx - sx * sx / n) / (n - 1))
+                     / (({_POWER_MDE} * sx / n) * ({_POWER_MDE} * sx / n)))
+                AS BIGINT) AS n_per_arm
+    FROM s
+    """,
+)
+def events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test POWER ANALYSIS: users-per-arm needed to detect a
+    {mde:.0%} relative lift in mean per-user purchase value at
+    alpha=0.05 / power=0.80 — n = 2(z_a+z_b)^2 * sigma^2 / delta^2,
+    the sizing every experiment review asks for before launch.
+    Variance comes from the same exact decimal power sums as
+    events_ab_test, so the only floats are the fixed published z
+    constant and three IEEE ops; the ceil is over a value far from
+    integer boundaries (pinned by the cross-engine hash).
+
+    Plan: one groupBy(user) collapse, one global 3-counter aggregation,
+    scalar epilogue on a single row."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.col("value").cast("decimal(18,2)"),
+            ).otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).alias("x")
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    var = (sxx - sx * sx / n) / (n - 1)
+    delta = _POWER_MDE * sx / n
+    return s.select(
+        n.cast("bigint").alias("n_users"),
+        F.round(sx / n, 6).alias("mean_x"),
+        F.round(var, 6).alias("var_x"),
+        F.ceil(2 * _POWER_Z2 * var / (delta * delta))
+        .cast("bigint")
+        .alias("n_per_arm"),
+    )
+
+
+events_power_analysis.__doc__ = events_power_analysis.__doc__.format(
+    mde=_POWER_MDE
+)
