@@ -227,18 +227,41 @@ def main() -> None:
     # ambient machine load at measurement time: round-over-round deltas
     # under ~15% are indistinguishable from background noise unless the
     # box was comparably quiet — loadavg makes that judgeable.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "loadavg": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
-    )
+    record = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+    # The driver records stdout[-2000:] and parses its LAST line; a
+    # per-query dict over ~100 keys exceeds that window (round-4's line
+    # was ~3.1 kB → head-truncated → `parsed: null`).  Two-part fix:
+    # (1) the COMPLETE record always lands machine-readable in
+    # bench_full.json next to this script; (2) the printed line is
+    # guaranteed to fit the 2000-char tail — full dict when it fits,
+    # else the slowest queries that fit plus a pointer to the file.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "bench_full.json"), "w") as f:
+        json.dump(record, f, indent=1)
+    line = json.dumps(record, separators=(",", ":"))
+    budget = 1900
+    if len(line) > budget:
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+        shown: dict[str, float] = {}
+        base = dict(record)
+        base["queries"] = shown
+        base["queries_total_n"] = len(timings)
+        base["full_file"] = "bench_full.json"
+        for name, secs in slowest:
+            shown[name] = secs
+            if len(json.dumps(base, separators=(",", ":"))) > budget:
+                del shown[name]
+                break
+        base["queries_shown_n"] = len(shown)
+        line = json.dumps(base, separators=(",", ":"))
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

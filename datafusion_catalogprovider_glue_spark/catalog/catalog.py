@@ -415,7 +415,11 @@ class GlueCatalog:
             raise GlueError(
                 f"RegexSerDe table {database}.{name} has no columns"
             )
-        pattern = spec.options["input.regex"]
+        # Hive RegexSerDe matches the FULL line (Pattern.matches), while
+        # rlike/regexp_extract do substring search — anchor as a
+        # non-capturing group so group indices 1..N are unshifted and an
+        # unanchored input.regex can't parse a line Hive would NULL out.
+        pattern = "^(?:" + spec.options["input.regex"] + ")$"
         schema = map_glue_columns_to_spark_schema(columns)
         raw = self.spark.read.text(location)
         matched = F.col("value").rlike(pattern)

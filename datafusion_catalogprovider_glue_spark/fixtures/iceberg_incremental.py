@@ -16,6 +16,12 @@ from pyspark.sql import types as T
 from datafusion_catalogprovider_glue_spark.fixtures import scan_dir
 from datafusion_catalogprovider_glue_spark.tables import load_table
 
+# Deliberately NON-monotonic snapshot IDs (real Iceberg IDs are random
+# longs): sorted order [331, 944273, 6781534021] ≠ commit order, so any
+# reader that orders the chain by ID value scrambles the appends and
+# fails the hash gate.  sequence-number / snapshot-log carry the truth.
+SNAP_IDS = (6781534021, 331, 944273)
+
 
 def build_iceberg_append_chain(spark: SparkSession, sf_dir: str) -> str:
     from pyspark.sql import functions as F
@@ -24,7 +30,7 @@ def build_iceberg_append_chain(spark: SparkSession, sf_dir: str) -> str:
         write_avro_container,
     )
 
-    table_dir = scan_dir(sf_dir, "supplier_iceberg_appends")
+    table_dir = scan_dir(sf_dir, "supplier_iceberg_appends_v2")
     meta_dir = os.path.join(table_dir, "metadata")
     if os.path.exists(os.path.join(meta_dir, "version-hint.text")):
         return table_dir
@@ -69,10 +75,10 @@ def build_iceberg_append_chain(spark: SparkSession, sf_dir: str) -> str:
             T.StructField("added_snapshot_id", T.LongType()),
         ]
     )
-    for snap in (1, 2, 3):
+    for ordinal, snap in enumerate(SNAP_IDS, start=1):
         rows = [
             (0, 0, f"data/chunk{i}.parquet", "PARQUET", counts[i], i + 1)
-            for i in range(snap)  # cumulative: snapshot N holds chunks 0..N-1
+            for i in range(ordinal)  # cumulative: commit N holds chunks 0..N-1
         ]
         manifest = f"manifest-append-s{snap}.avro"
         write_avro_container(
@@ -109,10 +115,18 @@ def build_iceberg_append_chain(spark: SparkSession, sf_dir: str) -> str:
         "location": table_dir,
         "current-schema-id": 0,
         "schemas": [{"schema-id": 0, "type": "struct", "fields": schema_fields}],
-        "current-snapshot-id": 3,
+        "current-snapshot-id": SNAP_IDS[-1],
         "snapshots": [
-            {"snapshot-id": s, "manifest-list": f"metadata/snap-{s}.avro"}
-            for s in (1, 2, 3)
+            {
+                "snapshot-id": s,
+                "sequence-number": k,
+                "manifest-list": f"metadata/snap-{s}.avro",
+            }
+            for k, s in enumerate(SNAP_IDS, start=1)
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": 1700000000000 + k, "snapshot-id": s}
+            for k, s in enumerate(SNAP_IDS, start=1)
         ],
     }
     with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:

@@ -2598,11 +2598,13 @@ def scan_hudi_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "scan_iceberg_incremental",
-    # appendsBetween(1, 3] over the append-only chain = chunks 1 and 2,
-    # tagged with the snapshot that appended them
+    # appendsBetween(first, last] over the append-only chain = chunks 1
+    # and 2, tagged with the RANDOM (non-monotonic) snapshot ID that
+    # appended them — ID-sorting the chain would scramble this
     oracle="""
     SELECT s_suppkey, s_name,
-           CAST(1 + s_suppkey % 3 AS BIGINT) AS snapshot_id
+           CAST(CASE WHEN s_suppkey % 3 = 1 THEN 331
+                     ELSE 944273 END AS BIGINT) AS snapshot_id
     FROM supplier WHERE s_suppkey % 3 <> 0
     """,
 )
@@ -2625,10 +2627,14 @@ def scan_iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_iceberg_incremental,
     )
 
+    from datafusion_catalogprovider_glue_spark.fixtures.iceberg_incremental import (
+        SNAP_IDS,
+    )
+
     apply_engine_conf(spark)
     table = build_iceberg_append_chain(spark, sf_dir)
     df = read_iceberg_incremental(
-        spark, table, from_snapshot=1, to_snapshot=3
+        spark, table, from_snapshot=SNAP_IDS[0], to_snapshot=SNAP_IDS[-1]
     )
     return df.select(
         "s_suppkey", "s_name", F.col("_snapshot_id").alias("snapshot_id")

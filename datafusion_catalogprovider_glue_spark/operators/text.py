@@ -972,16 +972,29 @@ def text_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = toks.persist()
     try:
-        cand = _mg_candidates(toks, _MG_COUNTERS).distinct()
         n_total = toks.count()  # one number to the driver: the support base
+        # materialize the candidate roster WHILE toks is cached — the MG
+        # pass reads the cache, and the roster (bounded: <= counters x
+        # partitions after distinct) comes to the driver so the returned
+        # lazy plan carries it as a broadcast literal instead of
+        # re-running the sketch over an uncached corpus at execution
+        cand_rows = [
+            r.tok for r in _mg_candidates(toks, _MG_COUNTERS).distinct().collect()
+        ]
         support = -(-FREQ_TERM_PHI * n_total // 1)  # ceil
+        spark = toks.sparkSession
+        roster = spark.createDataFrame([(t,) for t in cand_rows], "tok string")
         return (
-            toks.join(F.broadcast(cand), "tok")
+            toks.join(F.broadcast(roster), "tok")
             .groupBy("tok")
             .agg(F.count(F.lit(1)).alias("n_occurrences"))
             .filter(F.col("n_occurrences") >= F.lit(int(support)))
         )
     finally:
+        # the returned plan re-explodes the corpus exactly once (the
+        # recount) — the honest cold cost of phase 2; holding the
+        # exploded token cache across a caller's whole run would starve
+        # execution memory instead
         toks.unpersist(blocking=False)
 
 

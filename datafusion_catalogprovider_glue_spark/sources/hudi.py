@@ -238,6 +238,17 @@ def read_hudi_incremental(
     commit instant as ``_hoodie_commit_time``, the spec's meta column
     consumers checkpoint on.
 
+    Granularity: when the data files carry the spec's per-row
+    ``_hoodie_commit_time`` meta column (real Hudi writers always
+    populate it), rows are filtered on THAT column — rows carried
+    unchanged through a CoW rewrite keep their original commit time
+    and fall outside the range, exactly like Hudi's incremental
+    relation.  Only when the meta column is absent (stripped/external
+    parquet) does the reader degrade to FILE-SLICE granularity,
+    tagging every row of an in-range slice with the slice's commit
+    instant — a documented over-approximation (a rewrite re-reports
+    untouched rows).
+
     Scale: identical to the snapshot reader — driver-side KB timeline,
     executor-side parquet scan of only the in-range slices, which is
     the whole point of incremental pulls (IO ∝ change volume, not
@@ -254,10 +265,19 @@ def read_hudi_incremental(
     for t in in_range:  # ascending: later in-range commits win the slice
         for file_id, rel in _commit_files(location, t).items():
             latest[file_id] = (t, rel)
-    parts = []
     by_instant: dict[str, list[str]] = {}
     for t, rel in latest.values():
         by_instant.setdefault(t, []).append(os.path.join(location, rel))
+    all_paths = sorted(p for ps in by_instant.values() for p in ps)
+    probe = spark.read.parquet(*all_paths)
+    if "_hoodie_commit_time" in probe.columns:
+        # row-level semantics: the writer-populated meta column is the
+        # truth — one scan, range predicate pushed to parquet
+        cond = F.col("_hoodie_commit_time") > F.lit(begin)
+        if end is not None:
+            cond = cond & (F.col("_hoodie_commit_time") <= F.lit(end))
+        return probe.filter(cond)
+    parts = []
     for t, paths in sorted(by_instant.items()):
         parts.append(
             spark.read.parquet(*sorted(paths)).withColumn(

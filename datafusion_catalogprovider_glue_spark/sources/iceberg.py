@@ -418,13 +418,34 @@ def read_iceberg_incremental(
         version = int(f.read().strip())
     with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
         meta = json.load(f)
-    chain = sorted(s["snapshot-id"] for s in meta.get("snapshots") or [])
-    ids = [s for s in chain if from_snapshot <= s <= to_snapshot]
-    if not ids or ids[0] != from_snapshot:
+    snaps = meta.get("snapshots") or []
+    # COMMIT order, never ID order: real Iceberg snapshot IDs are
+    # random longs, so sorting them scrambles the append chain.  v2
+    # metadata carries a monotonically increasing per-snapshot
+    # sequence-number; older metadata records history in snapshot-log
+    # (timestamp-ordered); the snapshots list itself is append-ordered
+    # as a last resort.
+    if snaps and all("sequence-number" in s for s in snaps):
+        chain = [
+            s["snapshot-id"]
+            for s in sorted(snaps, key=lambda s: s["sequence-number"])
+        ]
+    elif meta.get("snapshot-log"):
+        chain = [e["snapshot-id"] for e in meta["snapshot-log"]]
+    else:
+        chain = [s["snapshot-id"] for s in snaps]
+    if from_snapshot not in chain or to_snapshot not in chain:
         raise NotImplementedYet(
             f"incremental scan: from_snapshot {from_snapshot} not in the "
             f"table's snapshot chain {chain}"
         )
+    i0, i1 = chain.index(from_snapshot), chain.index(to_snapshot)
+    if i1 < i0:
+        raise NotImplementedYet(
+            f"incremental scan: to_snapshot {to_snapshot} committed "
+            f"before from_snapshot {from_snapshot}"
+        )
+    ids = chain[i0 : i1 + 1]
     parts = []
     prev = set(IcebergSnapshot(table_path, ids[0]).files)
     for sid in ids[1:]:

@@ -1,0 +1,198 @@
+"""Pins for the round-5 advice fixes: Iceberg incremental commit
+ordering (random snapshot IDs), Hudi row-level incremental semantics,
+and RegexSerDe full-line matching."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+
+from tests.conftest import SF_CORRECTNESS
+
+
+def test_iceberg_incremental_commit_order_not_id_order(spark):
+    """The gate fixture's snapshot IDs are deliberately NON-monotonic
+    (6781534021, 331, 944273): commit order disagrees with ID-sorted
+    order, so a reader that sorts IDs either mis-tags rows or refuses
+    a valid append chain.  appendsBetween(first, mid] must return
+    exactly chunk 1 tagged with the MIDDLE commit's random ID."""
+    from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
+    from datafusion_catalogprovider_glue_spark.fixtures.iceberg_incremental import (
+        SNAP_IDS,
+        build_iceberg_append_chain,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg_incremental,
+    )
+
+    table = build_iceberg_append_chain(spark, SF_CORRECTNESS)
+    df = read_iceberg_incremental(
+        spark, table, from_snapshot=SNAP_IDS[0], to_snapshot=SNAP_IDS[1]
+    )
+    rows = df.collect()
+    assert rows, "middle append must surface"
+    assert {r["_snapshot_id"] for r in rows} == {SNAP_IDS[1]}
+    assert all(r["s_suppkey"] % 3 == 1 for r in rows)
+
+    # a range running AGAINST commit order is refused, even though the
+    # ID values happen to be ascending (944273 -> 6781534021)
+    with pytest.raises(NotImplementedYet, match="committed before"):
+        read_iceberg_incremental(
+            spark, table, from_snapshot=SNAP_IDS[2], to_snapshot=SNAP_IDS[0]
+        )
+
+
+def test_iceberg_incremental_snapshot_log_fallback(spark, tmp_path):
+    """Metadata without per-snapshot sequence-numbers falls back to the
+    snapshot-log (timestamp-ordered history), never to ID sorting."""
+    from datafusion_catalogprovider_glue_spark.fixtures.iceberg_incremental import (
+        SNAP_IDS,
+        build_iceberg_append_chain,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg_incremental,
+    )
+
+    src = build_iceberg_append_chain(spark, SF_CORRECTNESS)
+    table = str(tmp_path / "no_seq")
+    shutil.copytree(src, table)
+    meta_path = os.path.join(table, "metadata", "v1.metadata.json")
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    for s in meta["snapshots"]:
+        del s["sequence-number"]
+    meta["location"] = table
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+
+    df = read_iceberg_incremental(
+        spark, table, from_snapshot=SNAP_IDS[0], to_snapshot=SNAP_IDS[2]
+    )
+    got = {(r["s_suppkey"] % 3, r["_snapshot_id"]) for r in df.collect()}
+    assert got == {(1, SNAP_IDS[1]), (2, SNAP_IDS[2])}
+
+
+def test_hudi_incremental_row_level_when_meta_column_present(spark, tmp_path):
+    """When data files carry the spec's per-row _hoodie_commit_time,
+    the incremental pull filters on IT: a row carried unchanged through
+    a CoW rewrite keeps its original commit time and must NOT be
+    re-reported as a change (ADVICE r4, hudi.py:256)."""
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_incremental,
+    )
+
+    t1, t2 = "20240101000000", "20240102000000"
+    loc = str(tmp_path / "hudi_rowlevel")
+    tl = os.path.join(loc, ".hoodie")
+    os.makedirs(tl)
+
+    def _stage(name, rows):
+        df = spark.createDataFrame(
+            rows, "id long, val string, _hoodie_commit_time string"
+        )
+        staging = os.path.join(loc, "_stage")
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        shutil.move(part, os.path.join(loc, name))
+        shutil.rmtree(staging)
+
+    _stage("g0_t1.parquet", [(1, "a", t1), (2, "b", t1)])
+    # t2 rewrites g0: row 1 carried unchanged (keeps t1), row 2 updated,
+    # row 3 inserted
+    _stage("g0_t2.parquet", [(1, "a", t1), (2, "B", t2), (3, "c", t2)])
+    for inst, files in ((t1, {"g0": "g0_t1.parquet"}),
+                        (t2, {"g0": "g0_t2.parquet"})):
+        with open(os.path.join(tl, f"{inst}.commit"), "w") as fh:
+            json.dump(
+                {
+                    "partitionToWriteStats": {
+                        "": [
+                            {"fileId": fid, "path": p}
+                            for fid, p in files.items()
+                        ]
+                    }
+                },
+                fh,
+            )
+
+    got = {
+        (r["id"], r["val"], r["_hoodie_commit_time"])
+        for r in read_hudi_incremental(spark, loc, begin=t1).collect()
+    }
+    assert got == {(2, "B", t2), (3, "c", t2)}  # row 1 NOT re-reported
+
+
+def test_hudi_incremental_file_slice_fallback_documented(spark):
+    """Without the meta column (the gate fixture's stripped parquet),
+    the reader degrades to file-slice granularity — every row of an
+    in-range slice tagged with the slice's instant."""
+    from datafusion_catalogprovider_glue_spark.fixtures.hudi_tables import (
+        build_hudi_cow,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_completed_instants,
+        read_hudi_incremental,
+    )
+
+    loc = build_hudi_cow(spark, SF_CORRECTNESS)
+    t1, t2 = hudi_completed_instants(loc)[:2]
+    df = read_hudi_incremental(spark, loc, begin=t1, end=t2)
+    assert {r["_hoodie_commit_time"] for r in df.collect()} == {t2}
+
+
+def test_regex_serde_full_line_match(spark, tmp_path):
+    """Hive RegexSerDe uses Pattern.matches (FULL line): an unanchored
+    input.regex must not substring-parse a longer line — Hive renders
+    it all-NULL (ADVICE r4, catalog.py:421)."""
+    from datafusion_catalogprovider_glue_spark.catalog.catalog import (
+        GlueCatalog,
+    )
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.formats import (
+        REGEX_SERDE,
+        TEXT_IN,
+        TEXT_OUT,
+    )
+
+    loc = str(tmp_path / "log")
+    os.makedirs(loc)
+    with open(os.path.join(loc, "part-0.txt"), "w") as fh:
+        fh.write("42|ok\n")          # exact full-line match
+        fh.write("42|ok|TRAILING\n")  # substring-matches, Hive NULLs it
+
+    sd = {
+        "Location": loc,
+        "InputFormat": TEXT_IN,
+        "OutputFormat": TEXT_OUT,
+        "SerdeInfo": {
+            "SerializationLibrary": REGEX_SERDE,
+            # deliberately UNanchored
+            "Parameters": {"input.regex": r"(\d+)\|(\w+)"},
+        },
+        "Columns": [
+            {"Name": "k", "Type": "bigint"},
+            {"Name": "v", "Type": "string"},
+        ],
+    }
+    table = {
+        "DatabaseName": "logdb", "Name": "lines",
+        "Parameters": {}, "StorageDescriptor": sd,
+    }
+    catalog = GlueCatalog(spark, FakeGlueClient({"logdb": {"lines": table}}))
+    entry = catalog.register_table("logdb", "lines")
+    rows = sorted(
+        spark.table(entry.view).collect(),
+        key=lambda r: (r["k"] is None, r["k"]),
+    )
+    assert (rows[0]["k"], rows[0]["v"]) == (42, "ok")
+    assert rows[1]["k"] is None and rows[1]["v"] is None
