@@ -211,9 +211,13 @@ def main() -> None:
         # blocks (otherwise a later consumer hits
         # checkpointRDDBlockIdNotFound); this also makes every bench
         # key's number a COLD cost, index build included.
-        from datafusion_catalogprovider_glue_spark.operators import similarity
+        from datafusion_catalogprovider_glue_spark.operators import (
+            dedup,
+            similarity,
+        )
 
         similarity.invalidate_kmeans_cache()
+        dedup.invalidate_pair_cache()
         for rdd in list(
             spark.sparkContext._jsc.getPersistentRDDs().values()
         ):
