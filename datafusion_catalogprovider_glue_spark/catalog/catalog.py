@@ -630,14 +630,51 @@ class GlueCatalog:
         return self._registry.get(database, {}).get(name)
 
     def df(self, database: str, name: str) -> DataFrame:
+        """LAZY table resolution (the reference's analysis-time
+        ``schema()`` lookup, glue.rs:557-562): an unregistered table is
+        fetched with exactly ONE GetTable on first reference instead of
+        requiring an up-front ``register_all()``.  On a 10k-table Glue
+        catalog that is the difference between one round trip for the
+        one table a query touches and 10k GetTable+read registrations
+        before the first query runs."""
         entry = self.table(database, name)
         if entry is None:
-            raise SparkError(f"table {database}.{name} is not registered")
+            entry = self.register_table(database, name)
         return self.spark.table(entry.view)
 
+    # view names look like {prefix}{db}__{table}; used by sql() to map
+    # an unresolved relation back to the Glue coordinates to fetch
+    def _parse_view_name(self, view: str) -> Optional[tuple[str, str]]:
+        if not view.startswith(self.view_prefix):
+            return None
+        rest = view[len(self.view_prefix):]
+        db, sep, table = rest.partition("__")
+        return (db, table) if sep and db and table else None
+
     def sql(self, text: str) -> DataFrame:
-        """EP2: the SQL entry over registered views (demo.rs:118)."""
-        return self.spark.sql(text)
+        """EP2: the SQL entry over registered views (demo.rs:118), with
+        LAZY resolution: a query referencing an unregistered
+        ``{prefix}db__table`` view triggers one GetTable registration
+        and re-analysis — the Spark-side equivalent of the reference
+        resolving tables at SQL-analysis time instead of eagerly.  Each
+        retry resolves one missing relation; the loop is bounded by the
+        number of distinct relations a query can reference."""
+        from pyspark.errors import AnalysisException
+
+        for _ in range(64):
+            try:
+                return self.spark.sql(text)
+            except AnalysisException as exc:
+                if exc.getErrorClass() != "TABLE_OR_VIEW_NOT_FOUND":
+                    raise
+                missing = (exc.getMessageParameters() or {}).get(
+                    "relationName", ""
+                ).strip("`")
+                coords = self._parse_view_name(missing)
+                if coords is None or self.table(*coords) is not None:
+                    raise  # not ours to resolve, or resolution looped
+                self.register_table(*coords)
+        raise SparkError("sql(): lazy-resolution retry bound exceeded")
 
     def register_schema(self, name: str) -> None:
         """A18: deliberately unsupported — this catalog is read-only,

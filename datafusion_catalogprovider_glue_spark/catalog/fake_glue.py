@@ -135,6 +135,10 @@ class FakeGlueClient:
         self._page_size = page_size
         # (db, table) -> [{"Values": [...], "StorageDescriptor": {...}}]
         self._partitions = dict(partitions or {})
+        # per-API call counts — lets tests pin HOW MANY Glue round
+        # trips a code path costs (lazy resolution: exactly one
+        # GetTable; register_all: databases x tables)
+        self.calls: dict[str, int] = {}
 
     def _paginate(self, items: list, key: str, token) -> dict:
         start = int(token) if token is not None else 0
@@ -146,11 +150,16 @@ class FakeGlueClient:
             out["NextToken"] = str(start + self._page_size)
         return out
 
+    def _count(self, api: str) -> None:
+        self.calls[api] = self.calls.get(api, 0) + 1
+
     def get_databases(self, NextToken=None) -> dict:
+        self._count("GetDatabases")
         items = [{"Name": db} for db in sorted(self._databases)]
         return self._paginate(items, "DatabaseList", NextToken)
 
     def get_tables(self, DatabaseName: str, NextToken=None) -> dict:
+        self._count("GetTables")
         try:
             tables = self._databases[DatabaseName]
         except KeyError:
@@ -159,6 +168,7 @@ class FakeGlueClient:
         return self._paginate(items, "TableList", NextToken)
 
     def get_table(self, DatabaseName: str, Name: str) -> dict:
+        self._count("GetTable")
         try:
             return {"Table": self._databases[DatabaseName][Name]}
         except KeyError:
@@ -174,6 +184,7 @@ class FakeGlueClient:
         StorageDescriptor whose Location may live ANYWHERE — not
         necessarily under the table root.  Paginated like the other
         calls."""
+        self._count("GetPartitions")
         if DatabaseName not in self._databases or (
             TableName not in self._databases[DatabaseName]
         ):

@@ -118,6 +118,48 @@ def catalog_register_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_lazy_resolution",
+    oracle="""
+    SELECT s_nationkey, COUNT(*) AS n_suppliers, MIN(s_name) AS first_name
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def catalog_lazy_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/EXT: LAZY table resolution — the reference resolves tables at
+    SQL-analysis time (``SchemaProvider::table``, glue.rs:557-562); the
+    eager ``register_all()`` path costs a GetTable+registration per
+    catalog table before the first query.  Here a FRESH catalog (zero
+    registrations) runs one SQL query; ``GlueCatalog.sql`` resolves the
+    single unregistered view with exactly ONE GetTable and ZERO
+    GetDatabases/GetTables — asserted IN the key, so the correctness
+    gate itself pins the round-trip budget, and the hash match proves
+    the lazily-registered view serves the same rows."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+
+    apply_engine_conf(spark)
+    client = testdata_fixture(sf_dir)
+    # own view prefix + explicit drop: temp views are session-global,
+    # so a view left by an earlier key (or an earlier run of THIS key)
+    # would let the SQL resolve without any Glue round trip and break
+    # the budget assertion below
+    catalog = GlueCatalog(spark, client, view_prefix="lazyglue__")
+    spark.catalog.dropTempView(catalog.view_name("default", "supplier"))
+    df = catalog.sql(
+        """
+        SELECT s_nationkey, COUNT(*) AS n_suppliers, MIN(s_name) AS first_name
+        FROM lazyglue__default__supplier GROUP BY s_nationkey
+        """
+    )
+    got = dict(client.calls)
+    if got != {"GetTable": 1}:
+        raise SparkError(
+            f"lazy resolution budget violated: expected exactly one "
+            f"GetTable, recorded {got}"
+        )
+    return df
+
+
+@query(
     "scan_partitioned_pruned",
     oracle="""
     SELECT CAST(year(CAST(l_shipdate AS TIMESTAMP)) AS INT) AS l_year,

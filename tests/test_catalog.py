@@ -498,3 +498,45 @@ def test_fake_glue_list_envelopes_match_boto3_shape():
     page2 = client.get_tables(DatabaseName="db", NextToken=page1["NextToken"])
     assert {t["Name"] for t in page2["TableList"]} == {"t2"}
     assert "NextToken" not in page2
+
+
+def test_lazy_df_resolution_one_gettable(spark):
+    """df() on an unregistered table fetches it with exactly ONE
+    GetTable (the reference's analysis-time schema() lookup,
+    glue.rs:557-562) and caches the entry — the second reference makes
+    no Glue call at all."""
+    client = make_testdata_fixture(SF_SMOKE)
+    catalog = GlueCatalog(spark, client, view_prefix="lazydf__")
+    assert catalog.table("default", "nation") is None
+    n = catalog.df("default", "nation").count()
+    assert n == 25
+    assert client.calls == {"GetTable": 1}
+    catalog.df("default", "nation").count()
+    assert client.calls == {"GetTable": 1}  # cached — no second trip
+    # unknown table still refuses through the lazy path
+    with pytest.raises(AwsError):
+        catalog.df("default", "no_such_table")
+
+
+def test_lazy_sql_resolution_budget_and_foreign_views(spark):
+    """sql() resolves each missing {prefix}db__table view with one
+    GetTable; a missing relation OUTSIDE the catalog's namespace is
+    re-raised untouched (not ours to resolve)."""
+    from pyspark.errors import AnalysisException
+
+    client = make_testdata_fixture(SF_SMOKE)
+    catalog = GlueCatalog(spark, client, view_prefix="lazysql__")
+    for t in ("nation", "region"):
+        spark.catalog.dropTempView(catalog.view_name("default", t))
+    row = catalog.sql(
+        """
+        SELECT COUNT(*) AS n
+        FROM lazysql__default__nation n
+        JOIN lazysql__default__region r ON n.n_regionkey = r.r_regionkey
+        """
+    ).collect()[0]
+    assert row.n == 25
+    assert client.calls == {"GetTable": 2}  # one per referenced table
+    with pytest.raises(AnalysisException):
+        catalog.sql("SELECT * FROM some_other_view")
+    assert client.calls == {"GetTable": 2}  # foreign name: no Glue call

@@ -170,3 +170,27 @@ def test_explicit_partitions_via_real_boto3(spark, glue_client, tmp_path):
         "lo": nation.filter(F.col("n_nationkey") < 12).count(),
         "hi": nation.filter(F.col("n_nationkey") >= 12).count(),
     }
+
+
+def test_lazy_sql_resolution_via_real_boto3(spark, glue_client):
+    """Lazy analysis-time resolution against moto: a fresh catalog with
+    ZERO registrations serves a SQL query by resolving the one missing
+    view through a single GetTable round trip."""
+    glue_client.create_database(DatabaseInput={"Name": "motodb4"})
+    _create_parquet_table(
+        glue_client,
+        "motodb4",
+        "region",
+        TESTDATA_GLUE_COLUMNS["region"],
+        os.path.join(SF_SMOKE, "region.parquet"),
+    )
+    catalog = GlueCatalog(spark, glue_client, view_prefix="motolazy__")
+    spark.catalog.dropTempView(catalog.view_name("motodb4", "region"))
+    assert catalog.table("motodb4", "region") is None  # nothing eager
+    df = catalog.sql(
+        "SELECT COUNT(*) AS n FROM motolazy__motodb4__region"
+    )
+    assert df.collect()[0]["n"] == load_table(
+        spark, SF_SMOKE, "region"
+    ).count()
+    assert catalog.table("motodb4", "region") is not None  # now cached
