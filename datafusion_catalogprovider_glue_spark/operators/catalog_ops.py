@@ -2445,6 +2445,53 @@ def sink_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_iceberg_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def sink_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg WRITE path (sources/iceberg_writer.py) — the format-trio
+    symmetry with sink_delta_roundtrip: the engine produces an Iceberg
+    v2 table as two append snapshots (even/odd doc halves; parquet data
+    files + Avro manifest/manifest-list via the built-in encoder +
+    metadata.json), then its own snapshot reader (sources/iceberg.py)
+    replays the metadata chain and must reproduce the source table
+    exactly.  Snapshot IDs are random-looking longs; commit order lives
+    ONLY in sequence-number/snapshot-log, so the hash match also
+    re-proves the reader's commit-order handling on a table this engine
+    wrote.  Time travel to the first snapshot and the incremental
+    appendsBetween scan over the written chain are pinned in
+    tests/test_round5_fixes.py."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        f"glue_spark_iceberg_sink_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    s1 = append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    s2 = append_iceberg(docs.filter(F.col("doc_id") % 2 == 1), table)
+    assert s1 != s2
+    return read_iceberg(spark, table)
+
+
+@query(
     "scan_glue_partition_projection",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,

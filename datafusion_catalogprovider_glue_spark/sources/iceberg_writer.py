@@ -1,0 +1,245 @@
+"""Minimal Apache Iceberg WRITER: parquet data files + Avro manifests
++ metadata.json append snapshots.
+
+The format-trio symmetry with ``sources/delta_writer.py``: the engine
+already READS Iceberg (sources/iceberg.py replays the metadata chain);
+this closes the round trip so a curation pipeline standardized on
+Iceberg can MATERIALIZE results, not just consume them.  Scope: append
+snapshots over an unpartitioned v2 table.  Not in scope: row-level
+deletes, rewrites/compaction, partitioned specs, schema evolution on
+write (reads of evolved tables are handled by the reader).
+
+Format notes (Iceberg spec, https://iceberg.apache.org/spec/):
+* ``metadata/version-hint.text`` → ``metadata/v<N>.metadata.json`` is
+  the HadoopCatalog layout the reader follows.
+* each append commit writes ONE new manifest (Avro) listing the files
+  it added, and a NEW manifest list referencing every prior snapshot's
+  manifests plus the new one — exactly how Iceberg fast-appends reuse
+  existing manifests instead of rewriting them.
+* snapshot IDs are deterministic pseudo-random 63-bit ints derived
+  from (table path, sequence number) — like real Iceberg's random IDs
+  they carry NO ordering; commit order lives in the per-snapshot
+  ``sequence-number`` and the ``snapshot-log``, which is what the
+  reader (and its incremental scan) orders by.
+* manifests carry the flat field-name subset the reader decodes
+  (status/content/file_path/file_format/record_count/sequence_number);
+  the built-in Avro encoder (sources/avro_fallback.py) produces the
+  container files.
+
+Scale shape: the data write is the ordinary distributed parquet sink;
+only file LISTINGS and KB-sized metadata touch the driver — the same
+cost class as every table format's commit protocol.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
+from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+    write_avro_container,
+)
+
+_SPARK_TO_ICEBERG = {
+    "boolean": "boolean",
+    "int": "int",
+    "bigint": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "date": "date",
+    "timestamp_ntz": "timestamp",
+    "binary": "binary",
+}
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("status", T.IntegerType()),
+        T.StructField("content", T.IntegerType()),
+        T.StructField("file_path", T.StringType()),
+        T.StructField("file_format", T.StringType()),
+        T.StructField("record_count", T.LongType()),
+        T.StructField("sequence_number", T.LongType()),
+    ]
+)
+
+_MANIFEST_LIST_SCHEMA = T.StructType(
+    [
+        T.StructField("manifest_path", T.StringType()),
+        T.StructField("manifest_length", T.LongType()),
+        T.StructField("added_snapshot_id", T.LongType()),
+    ]
+)
+
+
+def _snapshot_id(table_path: str, seq: int) -> int:
+    """Deterministic 63-bit pseudo-random snapshot ID.  Real Iceberg
+    IDs are random longs and only need uniqueness WITHIN a table, so
+    deriving them from the sequence number alone keeps the repo's
+    determinism convention (identical input → identical table bytes,
+    wherever it lands) while still exercising the ID-carries-no-order
+    property end to end."""
+    h = hashlib.md5(f"iceberg-snapshot#{seq}".encode()).digest()
+    return int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
+def _iceberg_schema(schema: T.StructType) -> list[dict]:
+    fields = []
+    for i, f in enumerate(schema.fields, start=1):
+        s = f.dataType.simpleString()
+        if s not in _SPARK_TO_ICEBERG:
+            raise NotImplementedYet(
+                f"iceberg writer subset: unsupported type {s!r} for {f.name!r}"
+            )
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": _SPARK_TO_ICEBERG[s],
+            }
+        )
+    return fields
+
+
+def _load_meta(meta_dir: str) -> tuple[int, dict]:
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as fh:
+        return version, json.load(fh)
+
+
+def _write_data_files(
+    df: DataFrame, table_path: str, seq: int, n_files: int
+) -> list[tuple[str, int]]:
+    """Distributed parquet write under ``data/commit-<seq>/``; returns
+    (relative path, row count) per file from the driver-side listing.
+    Per-file row counts come from the parquet FOOTERS (metadata reads,
+    no data scan)."""
+    import pyarrow.parquet as pq
+
+    subdir = f"data/commit-{seq}"
+    out_dir = os.path.join(table_path, subdir)
+    df.coalesce(n_files).write.mode("overwrite").parquet(out_dir)
+    out = []
+    for i, name in enumerate(
+        sorted(n for n in os.listdir(out_dir) if n.endswith(".parquet"))
+    ):
+        # deterministic names: Spark part files embed a random task
+        # UUID, which would leak nondeterminism into the manifests
+        final = f"part-{i:05d}.parquet"
+        os.rename(os.path.join(out_dir, name), os.path.join(out_dir, final))
+        full = os.path.join(out_dir, final)
+        out.append((f"{subdir}/{final}", pq.read_metadata(full).num_rows))
+    return out
+
+
+def append_iceberg(df: DataFrame, table_path: str, n_files: int = 2) -> int:
+    """Append ``df`` to the Iceberg table at ``table_path`` (creating
+    v1 metadata on first call).  Returns the committed SNAPSHOT ID
+    (a random-looking long — order is in sequence-number)."""
+    meta_dir = os.path.join(table_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    hint = os.path.join(meta_dir, "version-hint.text")
+    if os.path.exists(hint):
+        version, meta = _load_meta(meta_dir)
+        fields = _iceberg_schema(df.schema)
+        have = meta["schemas"][0]["fields"]
+        if fields != have:
+            raise NotImplementedYet(
+                "iceberg writer subset: appended schema must match the "
+                f"table schema (table: {have}, append: {fields})"
+            )
+        seq = meta["last-sequence-number"] + 1
+        prior = meta["snapshots"]
+        prior_manifests = []
+        if prior:
+            cur = next(
+                s
+                for s in prior
+                if s["snapshot-id"] == meta["current-snapshot-id"]
+            )
+            from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+                decode_container_file,
+            )
+
+            list_schema, rows = decode_container_file(
+                os.path.join(table_path, cur["manifest-list"])
+            )
+            names = [f["name"] for f in list_schema["fields"]]
+            prior_manifests = [dict(zip(names, r)) for r in rows]
+    else:
+        version, meta = 0, {
+            "format-version": 2,
+            "table-uuid": hashlib.md5(table_path.encode()).hexdigest(),
+            "location": table_path,
+            "current-schema-id": 0,
+            "schemas": [
+                {
+                    "schema-id": 0,
+                    "type": "struct",
+                    "fields": _iceberg_schema(df.schema),
+                }
+            ],
+            "snapshots": [],
+            "snapshot-log": [],
+            "last-sequence-number": 0,
+        }
+        seq = 1
+        prior_manifests = []
+
+    snap_id = _snapshot_id(table_path, seq)
+    data_files = _write_data_files(df, table_path, seq, n_files)
+
+    manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
+    write_avro_container(
+        os.path.join(table_path, manifest_rel),
+        _MANIFEST_SCHEMA,
+        [(1, 0, rel, "PARQUET", n, seq) for rel, n in data_files],
+    )
+    list_rel = f"metadata/snap-{snap_id}.avro"
+    list_rows = [
+        (m["manifest_path"], m["manifest_length"], m["added_snapshot_id"])
+        for m in prior_manifests
+    ] + [
+        (
+            manifest_rel,
+            os.path.getsize(os.path.join(table_path, manifest_rel)),
+            snap_id,
+        )
+    ]
+    write_avro_container(
+        os.path.join(table_path, list_rel), _MANIFEST_LIST_SCHEMA, list_rows
+    )
+
+    meta = dict(meta)
+    meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "manifest-list": list_rel,
+        }
+    ]
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        # deterministic pseudo-timestamp: strictly increasing with seq,
+        # derived (not wall clock) so two runs produce identical bytes
+        {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
+    ]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+
+    new_version = version + 1
+    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
+    tmp_hint = hint + ".tmp"
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(new_version))
+    os.rename(tmp_hint, hint)  # atomic publish, the commit point
+    return snap_id
