@@ -2445,6 +2445,71 @@ def sink_delta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_delta_merge",
+    # independent recomputation of the post-merge state straight from
+    # the source table: evens start in the target; doc_id%3==0 rows
+    # arrive as the merge source with n_chars+1000 (matched -> update,
+    # unmatched -> insert), matched 'de' rows are deleted
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE (doc_id % 2 = 0 AND NOT (doc_id % 3 = 0 AND lang = 'de'))
+       OR (doc_id % 2 = 1 AND doc_id % 3 = 0)
+    """,
+)
+def sink_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO on the engine-WRITTEN Delta table
+    (sources/delta_writer.py:merge_delta) — the keyed upsert the
+    streaming key (stream_upsert_sink) covers only for micro-batches:
+    WHEN MATCHED AND lang='de' THEN DELETE / WHEN MATCHED THEN UPDATE
+    SET * / WHEN NOT MATCHED THEN INSERT *, compiled to one full-outer
+    join + a copy-on-write remove+add commit.  The returned DataFrame
+    replays the POST-MERGE snapshot through the engine's own Delta
+    reader; the oracle recomputes the expected state independently from
+    the source table, so the hash match proves all three clauses AND
+    the commit round trip.  Conflicting-writer refusal (put-if-absent
+    version publish) and the duplicate-source-key refusal are pinned in
+    tests/test_round5_fixes.py."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        f"glue_spark_delta_merge_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    v0 = append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+    source = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    v1 = merge_delta(
+        spark,
+        table,
+        source,
+        on=["doc_id"],
+        matched_delete=F.col("t.lang") == "de",
+        expected_version=v0,
+    )
+    assert (v0, v1) == (0, 1), (v0, v1)
+    return read_delta(spark, table)
+
+
+@query(
     "sink_iceberg_roundtrip",
     oracle="""
     SELECT doc_id, text, lang, source, n_chars FROM documents

@@ -91,6 +91,9 @@ class DeltaSnapshot:
         use_ckpt = ckpt_version is not None and (
             version is None or ckpt_version <= version
         )
+        # the snapshot's resolved version — what an optimistic writer
+        # (delta_writer.merge_delta) validates against before committing
+        self.version: int = ckpt_version if use_ckpt else -1
         if use_ckpt:
             self._apply_checkpoint(log_dir, ckpt_version)
         for v, path in commits:
@@ -102,6 +105,7 @@ class DeltaSnapshot:
                 for line in f:
                     if line.strip():
                         self._apply_action(json.loads(line))
+            self.version = v
         if self.schema is None:
             raise DeltaError(f"no metaData action found in {log_dir!r}")
 

@@ -89,13 +89,29 @@ def _write_data_files(df: DataFrame, table_path: str, subdir: str,
     return adds
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed this version first — the caller must
+    re-read the table and retry (Delta's optimistic concurrency)."""
+
+
 def _commit(log_dir: str, version: int, actions: list[dict]) -> None:
     path = os.path.join(log_dir, f"{version:020d}.json")
-    tmp = path + ".tmp"
+    tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a, sort_keys=True) + "\n")
-    os.rename(tmp, path)  # atomic publish, the Delta commit contract
+    try:
+        # PUT-IF-ABSENT publish (os.link fails on an existing target,
+        # unlike os.rename which silently overwrites): the Delta commit
+        # contract — exactly one writer wins version N, the loser gets
+        # a ConcurrentWriteError instead of clobbering the winner's log
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ConcurrentWriteError(
+            f"version {version} already committed at {path}"
+        ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def append_delta(df: DataFrame, table_path: str, n_files: int = 2) -> int:
@@ -144,5 +160,98 @@ def compact_delta(spark, table_path: str) -> int:
     for a in adds:
         a["dataChange"] = False
         actions.append({"add": a})
+    _commit(_log_dir(table_path), version, actions)
+    return version
+
+
+def merge_delta(
+    spark,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    matched_delete=None,
+    expected_version: int = None,
+) -> int:
+    """Batch MERGE INTO the Delta table at ``table_path`` — the keyed
+    upsert every incremental pipeline materializes with:
+
+    * WHEN MATCHED AND <matched_delete> THEN DELETE  (optional Column
+      over the TARGET pre-image)
+    * WHEN MATCHED THEN UPDATE SET *   (source row wins)
+    * WHEN NOT MATCHED THEN INSERT *
+
+    Compiled to ONE full-outer join on the key columns over the current
+    snapshot + a copy-on-write commit (remove every previous file, add
+    the rewritten state, dataChange=true).  A full rewrite is the
+    simple-and-correct subset — file-pruned rewrites (touch only files
+    with matches) are the production refinement; the COMMIT shape is
+    identical either way.  Spark's MERGE contract is enforced: a source
+    with duplicate keys is refused (a target row must match at most one
+    source row, or the update is ambiguous).
+
+    Concurrency: the merge validates against ``expected_version`` (the
+    snapshot version it read, defaulting to the current one) and
+    publishes version+1 put-if-absent; a racing writer that committed
+    first surfaces as ConcurrentWriteError, never a lost update.
+    """
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+
+    snap = DeltaSnapshot(table_path)
+    if expected_version is not None and snap.version != expected_version:
+        raise ConcurrentWriteError(
+            f"table moved to version {snap.version}; merge read "
+            f"{expected_version} — re-read and retry"
+        )
+    version = snap.version + 1
+    target = spark.read.schema(snap.schema).parquet(*snap.files)
+    cols = [f.name for f in snap.schema.fields]
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != table "
+            f"columns {sorted(cols)}"
+        )
+    # MERGE ambiguity rule: at most one source row per key
+    dups = (
+        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).limit(1).count()
+    )
+    if dups:
+        raise ValueError(
+            "merge source has duplicate keys — a target row may match "
+            "at most one source row"
+        )
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+    joined = t.join(s, cond, "full_outer")
+    matched = F.col(f"t.{on[0]}").isNotNull() & F.col(f"s.{on[0]}").isNotNull()
+    keep = F.lit(True)
+    if matched_delete is not None:
+        keep = ~(matched & matched_delete)
+    merged = joined.filter(keep).select(
+        *[
+            F.when(
+                F.col(f"s.{on[0]}").isNotNull(), F.col(f"s.{c}")
+            ).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ]
+    )
+    adds = _write_data_files(merged, table_path, f"commit-{version}", 2)
+    now = int(time.time() * 1000)
+    actions = [
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now,
+                "dataChange": True,
+            }
+        }
+        for p in sorted(snap._active)
+    ]
+    actions.extend({"add": a} for a in adds)
     _commit(_log_dir(table_path), version, actions)
     return version

@@ -268,3 +268,62 @@ def test_iceberg_writer_deterministic_metadata(spark, tmp_path):
     for f in metas[0]:
         if f.endswith(".avro"):
             assert metas[0][f] == metas[1][f], f
+
+
+def test_delta_merge_conflict_and_dup_refusals(spark, tmp_path):
+    """merge_delta's optimistic-concurrency contract: a merge validated
+    against a stale version refuses (ConcurrentWriteError), a racing
+    commit of the same version loses the put-if-absent publish, and a
+    duplicate-key source is refused per the MERGE ambiguity rule."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        ConcurrentWriteError,
+        _commit,
+        _log_dir,
+        append_delta,
+        merge_delta,
+    )
+
+    table = str(tmp_path / "merge_tbl")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    )
+    v0 = append_delta(df, table)
+    assert v0 == 0
+
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string")
+    # stale read version -> refusal BEFORE any write
+    append_delta(spark.createDataFrame([(9, "z")], "id long, val string"), table)
+    with pytest.raises(ConcurrentWriteError, match="re-read and retry"):
+        merge_delta(spark, table, src, on=["id"], expected_version=v0)
+
+    # racing writer at the COMMIT point: the version file is published
+    # put-if-absent, so the second writer of the same version loses
+    # loudly instead of overwriting the winner's log
+    _commit(_log_dir(table), 2, [{"commitInfo": {"winner": True}}])
+    with pytest.raises(ConcurrentWriteError, match="already committed"):
+        _commit(_log_dir(table), 2, [{"commitInfo": {"loser": True}}])
+    with open(os.path.join(_log_dir(table), f"{2:020d}.json")) as fh:
+        assert "winner" in fh.read()  # the first commit survived intact
+
+    # duplicate source keys -> ambiguity refusal
+    os.remove(os.path.join(_log_dir(table), f"{2:020d}.json"))
+    dup = spark.createDataFrame(
+        [(2, "B"), (2, "BB")], "id long, val string"
+    )
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_delta(spark, table, dup, on=["id"])
+
+    # and a clean merge applies all three clauses
+    v = merge_delta(
+        spark, table, src, on=["id"],
+        matched_delete=F.col("t.val") == "b",
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+
+    got = {(r["id"], r["val"]) for r in read_delta(spark, table).collect()}
+    assert got == {(1, "a"), (3, "c"), (9, "z")}  # 2 deleted (val='b')
+    assert v == 2
