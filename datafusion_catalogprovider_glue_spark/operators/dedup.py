@@ -396,8 +396,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       (8 bytes/token), not raw strings — intersection/union COUNTS are
       identical on hashed sets, the oracle recomputes from RAW words,
       and a hash match proves the swap result-preserving.
+
+    This key deliberately BYPASSES the session pair cache and returns
+    the lazy plan: its bench/scaling numbers must measure the BUILD
+    (the cost a fresh pipeline pays), while index consumers
+    (dedup_clusters) read the cached table via _ngram_pairs.
     """
-    return _ngram_pairs(spark, sf_dir)
+    return _ngram_pairs_plan(spark, sf_dir)
 
 
 # A near-dup pair table is an INDEX the same way a clustering is
@@ -417,39 +422,42 @@ def invalidate_pair_cache() -> None:
     _PAIR_CACHE.clear()
 
 
+def _ngram_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAZY pair plan (tokenize → cost-based candidate strategy →
+    exact verify).  The token-set frame is persisted because both join
+    sides read it; the CBO doc count comes from parquet footer
+    metadata, not d.count() — the row count is transform-invariant and
+    counting d would run the whole tokenize pass just to pick a
+    strategy."""
+    d = _parallelize(_docs(spark, sf_dir), "doc_id").select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+        ).alias("wset"),
+    ).withColumn("n", F.size("wset")).persist()
+    n_docs = _docs(spark, sf_dir).count()
+    return (
+        _jaccard_pairs_blocked(d, JACCARD_SIM_THRESHOLD)
+        if n_docs <= PPJOIN_CUTOVER_DOCS
+        else _jaccard_pairs_prefix(d, JACCARD_SIM_THRESHOLD)
+    )
+
+
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIR_CACHE:
-        d = _parallelize(_docs(spark, sf_dir), "doc_id").select(
-            "doc_id",
-            "lang",
-            F.array_distinct(
-                F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
-            ).alias("wset"),
-        ).withColumn("n", F.size("wset"))
-        # persist the token sets: both join sides read them, so without
-        # the cache the split+hash+distinct pass runs twice
-        d = d.persist()
-        # CBO input from parquet footer metadata, NOT d.count() — the
-        # row count is transform-invariant and counting d would run the
-        # whole tokenize pass just to pick a strategy
-        n_docs = _docs(spark, sf_dir).count()
-        pairs = (
-            _jaccard_pairs_blocked(d, JACCARD_SIM_THRESHOLD)
-            if n_docs <= PPJOIN_CUTOVER_DOCS
-            else _jaccard_pairs_prefix(d, JACCARD_SIM_THRESHOLD)
-        )
+        pairs = _ngram_pairs_plan(spark, sf_dir)
         # persist + eager count so every consumer reads the pair BLOCKS,
         # not the candidate join plan — before this, dedup_clusters'
         # symmetric edge union referenced the plan twice and the
         # O(n·candidates) join executed twice per materialization.
-        # persist (NOT localCheckpoint): the df→RDD path checkpoint
-        # takes compiles the join non-adaptively, losing AQE's skew
-        # split and post-shuffle coalescing (measured 12.9 s vs 4.2 s
-        # for the same pair build at sf0.1)
+        # persist (NOT localCheckpoint): the df→RDD checkpoint path
+        # compiles the join non-adaptively, losing AQE's skew split and
+        # post-shuffle coalescing (measured 12.9 s vs 4.2 s for the
+        # same pair build at sf0.1)
         pairs = pairs.persist()
         pairs.count()
-        d.unpersist(blocking=False)  # pairs are materialized; drop the sets
         _PAIR_CACHE[key] = pairs
     return _PAIR_CACHE[key]
 
@@ -531,11 +539,51 @@ def _jaccard_pairs_blocked(d: DataFrame, t: float) -> DataFrame:
 
 def _jaccard_pairs_prefix(d: DataFrame, t: float) -> DataFrame:
     """Pairs via PPJoin rarest-first prefix postings — see
-    dedup_ngram_jaccard docstring for the bound and when this wins."""
+    dedup_ngram_jaccard docstring for the bound and when this wins.
+
+    The candidate join applies its pruning BEFORE pair enumeration,
+    not in the join condition (a condition prunes rows a sort-merge
+    join has already enumerated — measured Σ df² ≈ 1.7e9 enumerations
+    for 787k true pairs on the 500k-doc scaled corpus, the superlinear
+    term in the round-4 scaling audit):
+
+    * the smaller document of every pair is INDEXED with the Xiao et
+      al. (PPJoin, WWW'08) shortened index prefix
+      n − ⌈2t/(1+t)·n⌉ + 1 (valid because the canonical orientation
+      makes the probe the LARGER document, so overlap ≥ 2t/(1+t)·n_y);
+    * the larger document PROBES with the standard prefix
+      n − ⌈t·n⌉ + 1, and each probe posting carries its PARTNER-SIZE
+      WINDOW: a token at rarity position pos can only witness a pair
+      whose overlap bound α(n_x, n_y) = ⌈t/(1+t)(n_x+n_y)⌉ satisfies
+      α ≤ n_x + 1 − pos, i.e. n_y ≤ (1+t)/t·(n_x+1−pos) − n_x; the
+      window [⌈t·n_x⌉ .. that bound] is exploded into the JOIN KEY
+      (lang, tok, n_y), so deep prefix positions physically cannot
+      reach large partners and the per-token enumeration splits by
+      partner size.
+
+    All bounds use exact integer arithmetic on the rational threshold
+    (t = p/q), so no float-ceil epsilon can over- or under-prune.
+    Every true pair survives: its smallest-α prefix (length n−α+1) is
+    contained in both sides' prefixes, and the witnessing token's
+    position respects the window by construction."""
+    from fractions import Fraction
+
+    frac = Fraction(t).limit_denominator(10**6)
+    P, Q = frac.numerator, frac.denominator  # t = P/Q exactly
+
+    def ceil_div(a, b):  # Column ceil(a/b) for positive ints
+        return F.floor((a + b - 1) / b).cast("int")
+
     d = d.localCheckpoint()  # read once: postings, df, and verify reuse it
     post = d.select("doc_id", "lang", "n", F.explode("wset").alias("tok"))
     dfreq = post.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("df"))
-    prefix_len = (F.col("n") - F.ceil(F.col("n") * t) + 1).cast("int")
+    # probe prefix: n - ceil(t*n) + 1;  index prefix: n - ceil(2t/(1+t)*n) + 1
+    probe_len = (F.col("n") - ceil_div(F.lit(P) * F.col("n"), F.lit(Q)) + 1).cast("int")
+    index_len = (
+        F.col("n")
+        - ceil_div(F.lit(2 * P) * F.col("n"), F.lit(P + Q))
+        + 1
+    ).cast("int")
     ranked = post.join(dfreq, ["lang", "tok"]).groupBy(
         "doc_id", "lang", "n"
     ).agg(
@@ -543,58 +591,128 @@ def _jaccard_pairs_prefix(d: DataFrame, t: float) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("df", "tok"))),
             lambda s: s["tok"],
         ).alias("by_rarity")
-    )
+    ).localCheckpoint(eager=False)  # rank once; probe and index reuse it
     pre = ranked.select(
         "doc_id",
         "lang",
         "n",
-        F.posexplode(F.slice(F.col("by_rarity"), F.lit(1), prefix_len)).alias(
+        F.posexplode(F.slice(F.col("by_rarity"), F.lit(1), probe_len)).alias(
             "pos", "tok"
         ),
     ).withColumn("pos", F.col("pos") + 1)  # 1-based prefix position
-    pa, pb = pre.alias("pa"), pre.alias("pb")
-    # PPJoin positional bound: a pair with J >= t needs overlap
-    # alpha = ceil(t/(1+t) * (|A|+|B|)); when the shared prefix token
-    # sits at positions (pa.pos, pb.pos) in rarity order, at most
-    # 1 + min(|A|-pa.pos, |B|-pb.pos) tokens can still overlap — pairs
-    # below alpha are pruned BEFORE the distinct shuffle and the
-    # intersection verify.  This is what keeps candidate volume from
-    # growing quadratically when document frequencies scale with the
-    # corpus (the replicated-corpus scaling run measured 13.5x wall at
-    # 10x data without it: every token's df grows linearly, so hot
-    # prefix postings alone generate ~df^2 candidates).  The tiny
-    # epsilon keeps the float ceil from EXCEEDING the exact rational
-    # bound (over-pruning would drop true pairs; under-pruning only
-    # costs a candidate).
-    alpha = F.ceil(
-        F.lit(t / (1.0 + t)) * (F.col("pa.n") + F.col("pb.n")) - F.lit(1e-9)
+    # partner-size window for each probe posting: n_y in
+    # [ceil(t*n_x) .. min(n_x, floor((Q+P)/P * (n_x+1-pos)) - n_x)]
+    s_lo = ceil_div(F.lit(P) * F.col("n"), F.lit(Q))
+    s_hi = F.least(
+        F.col("n"),
+        F.floor(F.lit(Q + P) * (F.col("n") + 1 - F.col("pos")) / F.lit(P)).cast("int")
+        - F.col("n"),
+    )
+    probe = pre.select(
+        F.col("doc_id").alias("x_id"),
+        "lang",
+        F.col("n").alias("nx"),
+        F.col("pos").alias("px"),
+        "tok",
+        F.explode(
+            F.when(s_lo <= s_hi, F.sequence(s_lo, s_hi)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("ny"),
+    )
+    index = ranked.select(
+        F.col("doc_id").alias("y_id"),
+        "lang",
+        F.col("n").alias("ny"),
+        F.posexplode(F.slice(F.col("by_rarity"), F.lit(1), index_len)).alias(
+            "py", "tok"
+        ),
+    ).withColumn("py", F.col("py") + 1)
+    alpha = ceil_div(
+        F.lit(P) * (F.col("nx") + F.col("ny")), F.lit(P + Q)
     )
     cand = (
-        pa.join(
-            pb,
-            (F.col("pa.lang") == F.col("pb.lang"))
-            & (F.col("pa.tok") == F.col("pb.tok"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-            # PPJoin length gate: skip pairs that cannot reach t
-            & (
-                F.least(F.col("pa.n"), F.col("pb.n")) * F.lit(1.0)
-                / F.greatest(F.col("pa.n"), F.col("pb.n"))
-                >= t
-            )
-            # positional upper bound on achievable overlap
-            & (
-                1
-                + F.least(
-                    F.col("pa.n") - F.col("pa.pos"),
-                    F.col("pb.n") - F.col("pb.pos"),
-                )
-                >= alpha
-            ),
+        probe.join(index, ["lang", "tok", "ny"])
+        # canonical orientation: probe is the strictly larger side, or
+        # same size with the larger doc_id — each unordered pair is
+        # generated from exactly one direction
+        .filter(
+            (F.col("ny") < F.col("nx"))
+            | ((F.col("ny") == F.col("nx")) & (F.col("y_id") < F.col("x_id")))
+        )
+        # pair-specific positional residuals (cheap row filters on the
+        # already-windowed enumeration)
+        .filter(
+            (1 + F.col("nx") - F.col("px") >= alpha)
+            & (1 + F.col("ny") - F.col("py") >= alpha)
         )
         .select(
-            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+            F.least("x_id", "y_id").alias("doc_a"),
+            F.greatest("x_id", "y_id").alias("doc_b"),
         )
         .distinct()  # a pair may share several prefix tokens
+    )
+    # RANK-SPLIT pre-verify — an EXACT cheap bound that kills the
+    # candidates prefix filtering cannot (pairs sharing one rare token
+    # but far below t overall; the scaled-corpus audit measured 93M of
+    # them against 787k true pairs).  Partition each document's tokens
+    # by document frequency at the per-language posting-mass median
+    # (df is a property of (lang, tok), so a SHARED token lands on the
+    # same side for both docs): |A∩B| = |A_lo∩B_lo| + |A_hi∩B_hi|
+    # <= |A_lo∩B_lo| + min(|A_hi|, |B_hi|).  Stage A joins only the
+    # small lo-arrays (~half the tokens), prunes pairs whose bound
+    # cannot reach alpha, and ONLY survivors pay the full-array verify
+    # join — both the shuffle bytes and the intersect CPU of the
+    # verify drop with the prune rate.  Any cutoff is result-exact;
+    # the posting-mass median just balances the split.
+    from pyspark.sql import Window
+
+    wdf = Window.partitionBy("lang").orderBy("df", "tok")
+    tot = dfreq.groupBy("lang").agg(F.sum("df").alias("tot"))
+    cut = (
+        dfreq.withColumn("cum", F.sum("df").over(wdf))
+        .join(tot, "lang")
+        .filter(F.col("cum") * 2 <= F.col("tot"))
+        .groupBy("lang")
+        .agg(F.max("df").alias("rare_df"))
+    )
+    rare = dfreq.join(cut, "lang").filter(
+        F.col("df") <= F.col("rare_df")
+    ).select("lang", "tok")
+    lo = (
+        post.join(rare, ["lang", "tok"])
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("tok")).alias("wlo"))
+    )
+    dlo = (
+        d.select("doc_id", "n")
+        .join(lo, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n",
+            F.coalesce("wlo", F.array().cast("array<bigint>")).alias("wlo"),
+        )
+    )
+    la = dlo.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("wlo").alias("wlo_a"),
+    )
+    lb = dlo.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("wlo").alias("wlo_b"),
+    )
+    alpha_ab = ceil_div(F.lit(P) * (F.col("na") + F.col("nb")), F.lit(P + Q))
+    i_lo = F.size(F.array_intersect("wlo_a", "wlo_b"))
+    hi_bound = F.least(
+        F.col("na") - F.size("wlo_a"), F.col("nb") - F.size("wlo_b")
+    )
+    cand = (
+        cand.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(i_lo + hi_bound >= alpha_ab)
+        .select("doc_a", "doc_b")
     )
     da = d.select(F.col("doc_id").alias("doc_a"), F.col("wset").alias("wa"))
     db = d.select(F.col("doc_id").alias("doc_b"), F.col("wset").alias("wb"))
