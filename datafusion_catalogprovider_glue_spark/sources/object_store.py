@@ -35,6 +35,10 @@ class S3Credentials:
     session_token: Optional[str] = None
     region: Optional[str] = None
     endpoint: Optional[str] = None  # for S3-compatible stores
+    # S3-compatible stores (MinIO, moto, Ceph RGW) usually serve
+    # path-style URLs (endpoint/bucket/key) instead of AWS's
+    # virtual-hosted style (bucket.endpoint/key)
+    path_style: bool = False
 
 
 class S3StoreRegistry:
@@ -76,6 +80,8 @@ class S3StoreRegistry:
             conf.set(f"{prefix}.endpoint.region", creds.region)
         if creds.endpoint:
             conf.set(f"{prefix}.endpoint", creds.endpoint)
+        if creds.path_style:
+            conf.set(f"{prefix}.path.style.access", "true")
         self._registered.add(bucket)
 
     def register_for_url(self, url: str, creds: S3Credentials) -> str:

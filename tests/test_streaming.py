@@ -217,3 +217,93 @@ def test_stream_stream_join_pairs_across_batches(spark, tmp_path):
     q.awaitTermination(180)
     got = {(r.view_id, r.click_id) for r in spark.table("ss_join_sink").collect()}
     assert got == {(10, 20), (11, 20), (11, 21)}
+
+
+def test_stateful_sessionize_rate_source_multibatch(spark):
+    """Round-4 verdict item 8: the stateful sessionizer on a NON-FILE
+    source — rate-micro-batch (the built-in deterministic streaming
+    source; kafka is wire-identical from the operator's point of view:
+    both feed unbounded micro-batches through the same watermark +
+    applyInPandasWithState plumbing).  Each micro-batch advances event
+    time by 40 min (> the 30-min session gap), so every batch closes
+    the previous batch's per-user session — state must SURVIVE across
+    micro-batches and flush on the event-time timeout, which a
+    single-batch file drain cannot prove."""
+    from datetime import datetime
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def _dt(s):
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    from datafusion_catalogprovider_glue_spark.streaming.stateful import (
+        _OUTPUT_SCHEMA,
+        _STATE_SCHEMA,
+        SESSION_GAP_MIN,
+        _sessionize,
+    )
+
+    stream = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", 20)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 1700000000000)
+        .option("advanceMillisPerBatch", 40 * 60 * 1000)
+        .load()
+        .select(
+            (F.col("value") % 2).alias("user_id"),
+            F.col("timestamp").alias("ts"),
+        )
+    )
+    sessions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    sink = "rate_sessionize_sink"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        rows = []
+        while time.time() < deadline:
+            rows = spark.table(sink).collect()
+            # two users x (>=2 closed sessions each) proves multi-batch
+            # state survival + timeout flushing
+            if len(rows) >= 4:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) >= 4, f"only {len(rows)} sessions closed"
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert set(by_user) == {0, 1}
+    for user_rows in by_user.values():
+        # every closed session saw exactly its batch's 10 rows for the
+        # user, all at one event time (rate-micro-batch semantics), so
+        # the emitted end is start + the session gap
+        assert all(r["n_events"] == 10 for r in user_rows)
+        assert all(
+            (_dt(r["session_end"]) - _dt(r["session_start"])).total_seconds()
+            == SESSION_GAP_MIN * 60
+            for r in user_rows
+        )
+    # sessions close in event-time order, 40 min apart
+    starts = sorted(_dt(r["session_start"]) for r in by_user[0])
+    deltas = {
+        int((b - a).total_seconds()) for a, b in zip(starts, starts[1:])
+    }
+    assert deltas <= {2400}, deltas
