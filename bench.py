@@ -153,6 +153,11 @@ HEADLINE = [
     "scan_hudi_incremental",
     "scan_iceberg_incremental",
     "scan_delta_incremental",
+    # round-5 additions: lazy catalog resolution, the Iceberg write
+    # path, and batch MERGE INTO on the written Delta table
+    "catalog_lazy_resolution",
+    "sink_iceberg_roundtrip",
+    "sink_delta_merge",
     # stream_sliding_topk is oracle-checked in the gate but excluded
     # here for the same streaming-startup-cost reason as the other
     # stream_* keys.
