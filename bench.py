@@ -158,6 +158,7 @@ HEADLINE = [
     "catalog_lazy_resolution",
     "sink_iceberg_roundtrip",
     "sink_delta_merge",
+    "sink_hudi_roundtrip",
     # stream_sliding_topk is oracle-checked in the gate but excluded
     # here for the same streaming-startup-cost reason as the other
     # stream_* keys.

@@ -2557,6 +2557,62 @@ def sink_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_hudi_roundtrip",
+    # independent recomputation: evens inserted at t1; doc_id%3==0
+    # arrives as the t2 upsert with n_chars+1000 (matched -> update in
+    # place, unmatched -> new file group)
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+    """,
+)
+def sink_hudi_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CoW WRITE path (sources/hudi_writer.py) — completes the
+    write-path trio (Delta B10, Iceberg B11): INSERT commit (two file
+    groups) then a keyed UPSERT commit that rewrites ONLY the file
+    groups holding matched keys and routes unmatched keys to a new
+    group, both published put-if-absent on the timeline.  The returned
+    DataFrame replays the post-upsert snapshot through the engine's own
+    timeline reader (sources/hudi.py); the oracle recomputes the
+    expected state independently.  Written files carry the spec's
+    per-row _hoodie_commit_time meta column, so row-level incremental
+    pulls work on engine-written tables — pinned (with untouched-group
+    preservation and duplicate-key refusal) in
+    tests/test_round5_fixes.py."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi import read_hudi
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        f"glue_spark_hudi_sink_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    t1 = append_hudi(docs.filter(F.col("doc_id") % 2 == 0), table)
+    source = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    t2 = upsert_hudi(spark, source, table, key="doc_id")
+    assert int(t2) == int(t1) + 1, (t1, t2)
+    return read_hudi(spark, table).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "scan_glue_partition_projection",
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt,

@@ -327,3 +327,79 @@ def test_delta_merge_conflict_and_dup_refusals(spark, tmp_path):
     got = {(r["id"], r["val"]) for r in read_delta(spark, table).collect()}
     assert got == {(1, "a"), (3, "c"), (9, "z")}  # 2 deleted (val='b')
     assert v == 2
+
+
+def test_hudi_writer_incremental_and_group_preservation(spark, tmp_path):
+    """The Hudi writer's upsert rewrites ONLY touched file groups;
+    carried-over rows keep their original per-row commit time, so a
+    row-level incremental pull over the written table returns exactly
+    the upserted rows — and untouched groups' base files survive
+    byte-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi,
+        read_hudi_incremental,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi,
+    )
+
+    loc = str(tmp_path / "hudi_w")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "id long, val string"
+    )
+    t1 = append_hudi(df, loc, n_groups=4)
+    files_before = {
+        f: os.path.getsize(os.path.join(loc, f))
+        for f in os.listdir(loc)
+        if f.endswith(".parquet")
+    }
+    assert len(files_before) == 4
+
+    # upsert: update ids 0..2 (hits some groups), insert ids 100..101
+    src = spark.createDataFrame(
+        [(0, "V0"), (1, "V1"), (2, "V2"), (100, "n100"), (101, "n101")],
+        "id long, val string",
+    )
+    t2 = upsert_hudi(spark, src, loc, key="id")
+    snap = {
+        (r["id"], r["val"]) for r in read_hudi(spark, loc).select("id", "val").collect()
+    }
+    want = {(i, f"v{i}") for i in range(3, 20)} | {
+        (0, "V0"), (1, "V1"), (2, "V2"), (100, "n100"), (101, "n101")
+    }
+    assert snap == want
+
+    # untouched file groups' base files survive byte-identical
+    touched_groups = set()
+    for f in os.listdir(loc):
+        if f.endswith(".parquet") and f"_{t2}.parquet" in f:
+            touched_groups.add(f.split("_")[0] + "_" + f.split("_")[1])
+    survivors = {
+        f: sz
+        for f, sz in files_before.items()
+        if os.path.exists(os.path.join(loc, f))
+    }
+    assert survivors  # at least one group untouched by ids {0,1,2}
+    for f, sz in survivors.items():
+        assert os.path.getsize(os.path.join(loc, f)) == sz
+
+    # row-level incremental: (t1, t2] returns EXACTLY the upserted rows
+    inc = {
+        (r["id"], r["val"], r["_hoodie_commit_time"])
+        for r in read_hudi_incremental(spark, loc, begin=t1).collect()
+    }
+    assert inc == {
+        (0, "V0", t2), (1, "V1", t2), (2, "V2", t2),
+        (100, "n100", t2), (101, "n101", t2),
+    }
+
+    # duplicate record keys refuse
+    dup = spark.createDataFrame([(5, "a"), (5, "b")], "id long, val string")
+    with pytest.raises(SparkError, match="duplicate record keys"):
+        upsert_hudi(spark, dup, loc, key="id")
