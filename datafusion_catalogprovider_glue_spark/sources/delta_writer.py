@@ -255,3 +255,73 @@ def merge_delta(
     actions.extend({"add": a} for a in adds)
     _commit(_log_dir(table_path), version, actions)
     return version
+
+
+def checkpoint_delta(spark, table_path: str) -> int:
+    """Write a CHECKPOINT for the table's current version — the spec's
+    compaction of the JSON log into one parquet file
+    (``{v:020d}.checkpoint.parquet`` + the ``_last_checkpoint``
+    pointer), letting readers skip replaying every commit (this
+    engine's own reader consumes exactly this layout, and real Delta
+    writers emit one every 10 commits).  After a checkpoint, commits
+    ≤ v are no longer needed for latest-snapshot reads — the spec's
+    log-cleanup precondition.
+
+    Scope matches the writer: unpartitioned tables without deletion
+    vectors (both refuse loudly — a checkpoint that silently dropped a
+    DV would resurrect deleted rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+
+    snap = DeltaSnapshot(table_path)
+    if snap._dvs:
+        raise ValueError(
+            "checkpoint writer subset: table carries deletion vectors"
+        )
+    if any(pv for pv in snap._active.values()):
+        raise ValueError(
+            "checkpoint writer subset: partitioned tables not supported"
+        )
+    meta = {
+        "id": hashlib.md5(table_path.encode()).hexdigest(),
+        "schemaString": snap.schema.json(),
+        "partitionColumns": list(snap.partition_columns),
+        "configuration": dict(snap.configuration),
+    }
+    rows = [{"metaData": meta, "add": None}] + [
+        {"metaData": None, "add": {"path": p, "dataChange": False}}
+        for p in sorted(snap._active)
+    ]
+    schema = pa.schema(
+        [
+            pa.field(
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
+                    ]
+                ),
+            ),
+            pa.field(
+                "add",
+                pa.struct([("path", pa.string()), ("dataChange", pa.bool_())]),
+            ),
+        ]
+    )
+    log_dir = _log_dir(table_path)
+    version = snap.version
+    ckpt = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), ckpt)
+    pointer = os.path.join(log_dir, "_last_checkpoint")
+    tmp = pointer + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.rename(tmp, pointer)  # pointer update is last (readers fall back)
+    return version

