@@ -159,6 +159,7 @@ HEADLINE = [
     "sink_iceberg_roundtrip",
     "sink_delta_merge",
     "sink_hudi_roundtrip",
+    "sink_iceberg_partitioned",
     # stream_sliding_topk is oracle-checked in the gate but excluded
     # here for the same streaming-startup-cost reason as the other
     # stream_* keys.

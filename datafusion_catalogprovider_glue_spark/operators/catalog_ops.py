@@ -2557,6 +2557,58 @@ def sink_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_iceberg_partitioned",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+    """,
+)
+def sink_iceberg_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg IDENTITY-PARTITIONED write + manifest-level pruned read,
+    both engine-side: documents append partitioned by lang (one
+    distributed partitionBy job; each manifest entry stamps its
+    partition tuple), then the read with partition_filter={'lang':'en'}
+    must touch ONLY that partition's files — asserted IN the key from
+    the snapshot's own manifest metadata (every selected file's tuple
+    is 'en' and non-'en' tuples exist to be pruned), so the correctness
+    gate pins pruning, and the hash match pins the values."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        f"glue_spark_iceberg_part_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_iceberg(docs, table, partition_by="lang")
+    snap = IcebergSnapshot(table)
+    tuples = {json.dumps(snap.partitions.get(f)) for f in snap.files}
+    en = [f for f in snap.files if snap.partitions.get(f) == {"lang": "en"}]
+    if not en or len(en) == len(snap.files) or len(tuples) < 2:
+        raise SparkError(
+            f"partitioned layout degenerate: {len(en)}/{len(snap.files)} "
+            f"files, tuples={sorted(tuples)}"
+        )
+    return read_iceberg(spark, table, partition_filter={"lang": "en"})
+
+
+@query(
     "sink_hudi_roundtrip",
     # independent recomputation: evens inserted at t1; doc_id%3==0
     # arrives as the t2 upsert with n_chars+1000 (matched -> update in

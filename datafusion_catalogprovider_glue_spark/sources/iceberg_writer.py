@@ -65,6 +65,9 @@ _MANIFEST_SCHEMA = T.StructType(
         T.StructField("file_format", T.StringType()),
         T.StructField("record_count", T.LongType()),
         T.StructField("sequence_number", T.LongType()),
+        # identity-partition tuple as JSON (None for unpartitioned) —
+        # what the reader's manifest-level pruning consumes
+        T.StructField("partition", T.StringType()),
     ]
 )
 
@@ -116,11 +119,11 @@ def _load_meta(meta_dir: str) -> tuple[int, dict]:
 
 def _write_data_files(
     df: DataFrame, table_path: str, seq: int, n_files: int
-) -> list[tuple[str, int]]:
+) -> list[tuple[str, int, None]]:
     """Distributed parquet write under ``data/commit-<seq>/``; returns
-    (relative path, row count) per file from the driver-side listing.
-    Per-file row counts come from the parquet FOOTERS (metadata reads,
-    no data scan)."""
+    (relative path, row count, partition) per file from the driver-side
+    listing.  Per-file row counts come from the parquet FOOTERS
+    (metadata reads, no data scan)."""
     import pyarrow.parquet as pq
 
     subdir = f"data/commit-{seq}"
@@ -135,14 +138,71 @@ def _write_data_files(
         final = f"part-{i:05d}.parquet"
         os.rename(os.path.join(out_dir, name), os.path.join(out_dir, final))
         full = os.path.join(out_dir, final)
-        out.append((f"{subdir}/{final}", pq.read_metadata(full).num_rows))
+        out.append((f"{subdir}/{final}", pq.read_metadata(full).num_rows, None))
     return out
 
 
-def append_iceberg(df: DataFrame, table_path: str, n_files: int = 2) -> int:
+def _write_partitioned_files(
+    df: DataFrame, table_path: str, seq: int, partition_by: str
+) -> list[tuple[str, int, dict]]:
+    """IDENTITY-partitioned write: one distributed ``partitionBy`` job
+    lays the data out by value (the partition column is DUPLICATED into
+    the layout key so the data files keep it, per the spec's rule that
+    identity-partition source columns are stored in data files); the
+    driver then lists the per-partition directories and stamps each
+    manifest entry with its partition tuple — the metadata Iceberg
+    planners prune on without opening files."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from urllib.parse import unquote
+
+    dtype = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[partition_by]
+    subdir = f"data/commit-{seq}"
+    out_dir = os.path.join(table_path, subdir)
+    (
+        df.withColumn("__p", F.col(partition_by))
+        .write.partitionBy("__p")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    out = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith("__p="):
+            continue
+        raw = unquote(d[len("__p="):])
+        value = int(raw) if dtype in ("int", "bigint") else raw
+        pdir = os.path.join(out_dir, d)
+        for i, name in enumerate(
+            sorted(n for n in os.listdir(pdir) if n.endswith(".parquet"))
+        ):
+            final = f"part-{i:05d}.parquet"
+            os.rename(os.path.join(pdir, name), os.path.join(pdir, final))
+            full = os.path.join(pdir, final)
+            out.append(
+                (
+                    f"{subdir}/{d}/{final}",
+                    pq.read_metadata(full).num_rows,
+                    {partition_by: value},
+                )
+            )
+    return out
+
+
+def append_iceberg(
+    df: DataFrame,
+    table_path: str,
+    n_files: int = 2,
+    partition_by: str = None,
+) -> int:
     """Append ``df`` to the Iceberg table at ``table_path`` (creating
     v1 metadata on first call).  Returns the committed SNAPSHOT ID
-    (a random-looking long — order is in sequence-number)."""
+    (a random-looking long — order is in sequence-number).  With
+    ``partition_by``, the append is IDENTITY-partitioned: files lay
+    out per value and each manifest entry carries its partition tuple,
+    so reads with ``partition_filter`` prune at the manifest level
+    without opening files."""
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     hint = os.path.join(meta_dir, "version-hint.text")
@@ -194,13 +254,28 @@ def append_iceberg(df: DataFrame, table_path: str, n_files: int = 2) -> int:
         prior_manifests = []
 
     snap_id = _snapshot_id(table_path, seq)
-    data_files = _write_data_files(df, table_path, seq, n_files)
+    data_files = (
+        _write_partitioned_files(df, table_path, seq, partition_by)
+        if partition_by
+        else _write_data_files(df, table_path, seq, n_files)
+    )
 
     manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
     write_avro_container(
         os.path.join(table_path, manifest_rel),
         _MANIFEST_SCHEMA,
-        [(1, 0, rel, "PARQUET", n, seq) for rel, n in data_files],
+        [
+            (
+                1,
+                0,
+                rel,
+                "PARQUET",
+                n,
+                seq,
+                json.dumps(part, sort_keys=True) if part else None,
+            )
+            for rel, n, part in data_files
+        ],
     )
     list_rel = f"metadata/snap-{snap_id}.avro"
     list_rows = [
