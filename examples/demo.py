@@ -80,6 +80,35 @@ def main(sf_dir: str) -> None:
         """
     ).show(truncate=False)
 
+    # 5. LAZY resolution (r5): a FRESH catalog serves SQL with one
+    #    GetTable per referenced table — no register_all needed
+    lazy = GlueCatalog(spark, testdata_fixture(sf_dir), view_prefix="lazy__")
+    spark.catalog.dropTempView(lazy.view_name("default", "region"))
+    n = lazy.sql("SELECT COUNT(*) AS n FROM lazy__default__region").collect()[0].n
+    print(f"\nlazy resolution: {n} regions via a single GetTable")
+
+    # 6. the WRITE trio (r5): materialize a curated table as Delta,
+    #    merge a correction in, and round-trip through our own readers
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta,
+    )
+
+    out = tempfile.mkdtemp(prefix="glue_spark_demo_delta_")
+    nation = spark.table(catalog.view_name("default", "nation"))
+    append_delta(nation.select("n_nationkey", "n_name"), out)
+    fix = nation.select("n_nationkey", F.upper("n_name").alias("n_name"))
+    merge_delta(spark, out, fix.limit(5), on=["n_nationkey"])
+    print("post-merge Delta snapshot (first 5 rows):")
+    read_delta(spark, out).orderBy("n_nationkey").show(5, truncate=False)
+    shutil.rmtree(out, ignore_errors=True)
+
     spark.stop()
 
 
