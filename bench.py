@@ -160,6 +160,7 @@ HEADLINE = [
     "sink_delta_merge",
     "sink_hudi_roundtrip",
     "sink_iceberg_partitioned",
+    "sink_iceberg_merge",
     # stream_sliding_topk is oracle-checked in the gate but excluded
     # here for the same streaming-startup-cost reason as the other
     # stream_* keys.

@@ -2557,6 +2557,68 @@ def sink_iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_iceberg_merge",
+    # same independent recomputation shape as sink_delta_merge: evens
+    # start in the table; doc_id%3==0 arrives as the merge source with
+    # n_chars+1000; matched 'de' rows are deleted
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE (doc_id % 2 = 0 AND NOT (doc_id % 3 = 0 AND lang = 'de'))
+       OR (doc_id % 2 = 1 AND doc_id % 3 = 0)
+    """,
+)
+def sink_iceberg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO on the engine-WRITTEN Iceberg table
+    (sources/iceberg_writer.py:merge_iceberg) — the upsert a curation
+    pipeline standardized on Iceberg materializes with: update/insert/
+    delete clauses compiled to one full-outer join + a copy-on-write
+    REPLACE snapshot (new manifest list drops the prior manifests).
+    The returned DataFrame replays the post-merge snapshot through the
+    engine's own reader; prior snapshots stay time-travelable across
+    the rewrite (pinned in tests/test_round5_fixes.py along with the
+    duplicate-key refusal)."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        merge_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        f"glue_spark_iceberg_merge_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    s1 = append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    source = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    s2 = merge_iceberg(
+        spark,
+        table,
+        source,
+        on=["doc_id"],
+        matched_delete=F.col("t.lang") == "de",
+    )
+    assert s1 != s2
+    return read_iceberg(spark, table)
+
+
+@query(
     "sink_iceberg_partitioned",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'

@@ -37,7 +37,7 @@ import hashlib
 import json
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
@@ -317,4 +317,118 @@ def append_iceberg(
     with open(tmp_hint, "w") as fh:
         fh.write(str(new_version))
     os.rename(tmp_hint, hint)  # atomic publish, the commit point
+    return snap_id
+
+
+def merge_iceberg(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    matched_delete=None,
+) -> int:
+    """Batch MERGE INTO the Iceberg table — WHEN MATCHED AND cond THEN
+    DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
+    INSERT *, compiled to one full-outer join over the current snapshot
+    plus a copy-on-write REPLACE snapshot: the new manifest list drops
+    every prior manifest and references one manifest holding the
+    rewritten state (how Iceberg's copy-on-write MERGE commits look
+    after touching every file).  Prior snapshots stay readable — time
+    travel crosses the rewrite — while the incremental appendsBetween
+    scan refuses ranges spanning it, per the append-only contract.
+    Duplicate source keys are refused (MERGE ambiguity rule).  Returns
+    the new snapshot id."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+    )
+
+    snap = IcebergSnapshot(table_path)
+    if snap.delete_files or snap.eq_deletes:
+        raise NotImplementedYet(
+            "iceberg merge subset: table carries row-level delete files"
+        )
+    cols = [f.name for f in snap.schema.fields]
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != table "
+            f"columns {sorted(cols)}"
+        )
+    dups = (
+        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).limit(1).count()
+    )
+    if dups:
+        raise ValueError(
+            "merge source has duplicate keys — a target row may match "
+            "at most one source row"
+        )
+    target = spark.read.schema(snap.schema).parquet(*snap.files)
+    t, s = target.alias("t"), source.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+    joined = t.join(s, cond, "full_outer")
+    matched = (
+        F.col(f"t.{on[0]}").isNotNull() & F.col(f"s.{on[0]}").isNotNull()
+    )
+    keep = F.lit(True)
+    if matched_delete is not None:
+        keep = ~(matched & matched_delete)
+    merged = joined.filter(keep).select(
+        *[
+            F.when(F.col(f"s.{on[0]}").isNotNull(), F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}"))
+            .alias(c)
+            for c in cols
+        ]
+    )
+
+    meta_dir = os.path.join(table_path, "metadata")
+    version, meta = _load_meta(meta_dir)
+    seq = meta["last-sequence-number"] + 1
+    snap_id = _snapshot_id(table_path, seq)
+    data_files = _write_data_files(merged, table_path, seq, 2)
+    manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
+    write_avro_container(
+        os.path.join(table_path, manifest_rel),
+        _MANIFEST_SCHEMA,
+        [(1, 0, rel, "PARQUET", n, seq, None) for rel, n, _ in data_files],
+    )
+    list_rel = f"metadata/snap-{snap_id}.avro"
+    # REPLACE: the new manifest list references ONLY the new manifest —
+    # prior files are logically removed from this snapshot onward
+    write_avro_container(
+        os.path.join(table_path, list_rel),
+        _MANIFEST_LIST_SCHEMA,
+        [
+            (
+                manifest_rel,
+                os.path.getsize(os.path.join(table_path, manifest_rel)),
+                snap_id,
+            )
+        ],
+    )
+    meta = dict(meta)
+    meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "manifest-list": list_rel,
+        }
+    ]
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
+    ]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    new_version = version + 1
+    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp_hint = hint + ".tmp"
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(new_version))
+    os.rename(tmp_hint, hint)
     return snap_id

@@ -444,3 +444,49 @@ def test_delta_checkpoint_write_roundtrip(spark, tmp_path):
         os.remove(os.path.join(log, f"{n:020d}.json"))
     got = {(r["id"], r["val"]) for r in read_delta(spark, table).collect()}
     assert got == {(i, f"v{i}") for i in range(30)} | {(100, "x")}
+
+
+def test_iceberg_merge_time_travel_and_refusals(spark, tmp_path):
+    """merge_iceberg commits a REPLACE snapshot: the post-merge state
+    is current, the pre-merge snapshot stays time-travelable across
+    the rewrite, duplicate-key sources refuse, and the incremental
+    appendsBetween scan refuses ranges spanning the rewrite (the
+    append-only contract)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+        read_iceberg_incremental,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        merge_iceberg,
+    )
+
+    table = str(tmp_path / "ice_merge")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    s1 = append_iceberg(df, table)
+    src = spark.createDataFrame([(2, "B"), (9, "z")], "id long, val string")
+    s2 = merge_iceberg(
+        spark, table, src, on=["id"], matched_delete=F.col("t.val") == "b"
+    )
+    got = {(r["id"], r["val"]) for r in read_iceberg(spark, table).collect()}
+    # id=2 is MATCHED and its pre-image val='b' -> deleted (the delete
+    # clause never touches unmatched rows like id=3); id=9 inserted
+    assert got == {(1, "a"), (3, "c"), (9, "z")}
+    # time travel to the pre-merge snapshot survives the rewrite
+    old = {
+        (r["id"], r["val"])
+        for r in read_iceberg(spark, table, snapshot_id=s1).collect()
+    }
+    assert old == {(1, "a"), (2, "b"), (3, "c")}
+    # incremental across a REPLACE refuses
+    with pytest.raises(NotImplementedYet, match="removes files"):
+        read_iceberg_incremental(spark, table, s1, s2)
+    # duplicate keys refuse
+    dup = spark.createDataFrame([(2, "x"), (2, "y")], "id long, val string")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        merge_iceberg(spark, table, dup, on=["id"])
