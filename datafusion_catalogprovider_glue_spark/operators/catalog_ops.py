@@ -3019,3 +3019,134 @@ def scan_delta_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.col("_commit_version").alias("commit_version"),
     )
+
+
+@query(
+    "scan_iceberg_transform_pruned",
+    oracle="""
+    SELECT event_id, ts, user_id, value FROM events
+    WHERE ts >= '2024-01-10' AND ts < '2024-01-11'
+    """,
+)
+def scan_iceberg_transform_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg NON-IDENTITY partition-transform pruning (spec
+    §partition-transforms; sources/iceberg_transforms.py): a days(ts)-
+    partitioned events table — the most common real-Iceberg layout —
+    written by the engine's own partitioned writer, then read with a
+    partition_filter on the SOURCE column.  The reader folds the
+    filter value through the table's recorded partition spec
+    (``{'name': 'ts_day', 'transform': 'day', 'source': 'ts'}``) into
+    the manifest-tuple day ordinal and keeps only matching files;
+    the file-count pin asserted IN the key proves non-matching days'
+    files NEVER OPEN (manifest-level pruning, not a post-scan filter),
+    and the hash match pins the returned values.  At 100 TB this is
+    the difference between scanning one day and scanning the table."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.fixtures.iceberg_transform import (
+        build_iceberg_days_events,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        apply_transform,
+    )
+
+    apply_engine_conf(spark)
+    table = build_iceberg_days_events(spark, sf_dir)
+    snap = IcebergSnapshot(table)
+    want_day = apply_transform("day", "2024-01-10 00:00:00")
+    matching = [
+        f
+        for f in snap.files
+        if snap.partitions.get(f, {}).get("ts_day") == want_day
+    ]
+    if not matching or len(matching) >= len(snap.files):
+        raise SparkError(
+            f"transform-pruning degenerate: {len(matching)}/"
+            f"{len(snap.files)} files match day {want_day}"
+        )
+    out = read_iceberg(
+        spark, table, partition_filter={"ts": "2024-01-10 00:00:00"}
+    )
+    # the pruned plan reads EXACTLY the matching day's files
+    n_inputs = len(out.inputFiles())
+    if n_inputs != len(matching):
+        raise SparkError(
+            f"pruning leaked: plan reads {n_inputs} files, manifest "
+            f"says {len(matching)} match"
+        )
+    return out
+
+
+@query(
+    "sink_iceberg_days_partitioned",
+    oracle="""
+    SELECT event_id, ts, user_id, value FROM events
+    WHERE ts >= '2024-01-05' AND ts < '2024-01-06'
+    """,
+)
+def sink_iceberg_days_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg days(ts)-partitioned WRITE round trip: events append
+    through the transform-partitioned writer (one distributed
+    partitionBy job over day ordinals; the partition spec lands in
+    ``partition-specs`` metadata and every manifest entry carries its
+    ``ts_day`` tuple), then a second SAME-SPEC append proves spec
+    reuse, and the pruned read of one day must hash-match the
+    independent recomputation.  Unlike sink_iceberg_partitioned
+    (identity on lang), the tuple value here is a TRANSFORM output
+    (day ordinal 19727), so the hash match pins the writer transform
+    == reader fold == spec semantics three ways."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_days_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_iceberg(
+        events.filter(F.col("event_id") % 2 == 0),
+        table,
+        partition_by="ts",
+        transform="day",
+    )
+    append_iceberg(
+        events.filter(F.col("event_id") % 2 == 1),
+        table,
+        partition_by="ts",
+        transform="day",
+    )
+    snap = IcebergSnapshot(table)
+    if snap.partition_spec != [
+        {"name": "ts_day", "transform": "day", "source": "ts"}
+    ]:
+        raise SparkError(f"unexpected partition spec {snap.partition_spec}")
+    tuples = {
+        json.dumps(snap.partitions.get(f), sort_keys=True)
+        for f in snap.files
+    }
+    if len(tuples) < 2:
+        raise SparkError(f"degenerate layout: tuples={sorted(tuples)}")
+    return read_iceberg(
+        spark, table, partition_filter={"ts": "2024-01-05 12:00:00"}
+    )

@@ -139,7 +139,9 @@ class DeltaSnapshot:
                 )
         elif "add" in action and action["add"]:
             add = action["add"]
-            self._active[add["path"]] = add.get("partitionValues") or {}
+            # dict() also normalizes checkpoint-parquet map columns,
+            # which pyarrow deserializes as (key, value) tuple lists
+            self._active[add["path"]] = dict(add.get("partitionValues") or {})
             # an add REPLACES the file's metadata wholesale: a new DV
             # supersedes the old one, an add without a DV clears it
             dv = add.get("deletionVector")

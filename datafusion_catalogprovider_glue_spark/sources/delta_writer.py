@@ -224,18 +224,22 @@ def merge_delta(
             "merge source has duplicate keys — a target row may match "
             "at most one source row"
         )
-    t = target.alias("t")
-    s = source.alias("s")
+    # explicit side markers (not key isNotNull()): the join is
+    # null-safe, so a NULL merge key is legal — a NULL-keyed source row
+    # must still take the matched/insert branch, which key-null tests
+    # would silently misroute
+    t = target.withColumn("__tgt", F.lit(True)).alias("t")
+    s = source.withColumn("__src", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
     joined = t.join(s, cond, "full_outer")
-    matched = F.col(f"t.{on[0]}").isNotNull() & F.col(f"s.{on[0]}").isNotNull()
+    matched = F.col("t.__tgt").isNotNull() & F.col("s.__src").isNotNull()
     keep = F.lit(True)
     if matched_delete is not None:
         keep = ~(matched & matched_delete)
     merged = joined.filter(keep).select(
         *[
             F.when(
-                F.col(f"s.{on[0]}").isNotNull(), F.col(f"s.{c}")
+                F.col("s.__src").isNotNull(), F.col(f"s.{c}")
             ).otherwise(F.col(f"t.{c}")).alias(c)
             for c in cols
         ]
@@ -292,12 +296,40 @@ def checkpoint_delta(spark, table_path: str) -> int:
         "partitionColumns": list(snap.partition_columns),
         "configuration": dict(snap.configuration),
     }
-    rows = [{"metaData": meta, "add": None}] + [
-        {"metaData": None, "add": {"path": p, "dataChange": False}}
-        for p in sorted(snap._active)
+    # spec-complete action rows: the protocol action (readers use it to
+    # gate feature support) and the add fields PROTOCOL.md requires in
+    # checkpoints (size, modificationTime, partitionValues) — stat'd
+    # from the live data files, partition values from the snapshot
+    rows = [
+        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
+        {"protocol": None, "metaData": meta, "add": None},
     ]
+    for p in sorted(snap._active):
+        full = os.path.join(table_path, p)
+        rows.append(
+            {
+                "protocol": None,
+                "metaData": None,
+                "add": {
+                    "path": p,
+                    "partitionValues": dict(snap._active[p]),
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(os.path.getmtime(full) * 1000),
+                    "dataChange": False,
+                },
+            }
+        )
     schema = pa.schema(
         [
+            pa.field(
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
             pa.field(
                 "metaData",
                 pa.struct(
@@ -311,7 +343,15 @@ def checkpoint_delta(spark, table_path: str) -> int:
             ),
             pa.field(
                 "add",
-                pa.struct([("path", pa.string()), ("dataChange", pa.bool_())]),
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
             ),
         ]
     )

@@ -144,6 +144,37 @@ def upsert_hudi(
     src = df.persist()
     if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
         raise SparkError("upsert source has duplicate record keys")
+    # Hudi invariant: a record key lives in exactly ONE file group.
+    # Two appends of the same key violate it (append never tags keys);
+    # an upsert of such a key would rewrite it into EVERY holding
+    # group, duplicating the row — refuse loudly instead.  The check
+    # scans only the key column (parquet column pruning) of files the
+    # rewrite loop reads anyway.
+    key_frames = [
+        spark.read.parquet(os.path.join(location, rel)).select(
+            F.col(key), F.lit(file_id).alias("_fg")
+        )
+        for file_id, rel in sorted(latest.items())
+    ]
+    if key_frames:
+        all_keys = key_frames[0]
+        for kf in key_frames[1:]:
+            all_keys = all_keys.unionByName(kf)
+        multi = (
+            all_keys.join(src.select(key), key, "left_semi")
+            .groupBy(key)
+            .agg(F.countDistinct("_fg").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        )
+        if multi:
+            raise SparkError(
+                "upsert matches a record key present in more than one "
+                "file group — the table violates Hudi's one-key-one-"
+                "file-group invariant (duplicate inserts?); compact or "
+                "dedupe before upserting"
+            )
     stats = []
     remaining = src
     for file_id, rel in sorted(latest.items()):

@@ -58,6 +58,8 @@ _ICEBERG_TO_SPARK = {
     "string": T.StringType(),
     "date": T.DateType(),
     "timestamp": T.TimestampNTZType(),
+    # spec: timestamptz is UTC-adjusted — Spark's session-tz TimestampType
+    "timestamptz": T.TimestampType(),
     "binary": T.BinaryType(),
 }
 
@@ -118,6 +120,23 @@ class IcebergSnapshot:
                 if f["name"] not in names:
                     names.append(f["name"])
 
+        # default PARTITION SPEC (spec §partition-specs): the transform
+        # fields pruning folds filter values through.  Tables written
+        # before spec recording (or by hand) have none — their manifest
+        # tuples are identity-keyed by column name and prune unchanged.
+        id_to_name = {fid: names[-1] for fid, names in self.id_names.items()}
+        self.partition_spec: list[dict] = []
+        for s in meta.get("partition-specs") or []:
+            if s.get("spec-id", 0) == meta.get("default-spec-id", 0):
+                self.partition_spec = [
+                    {
+                        "name": f["name"],
+                        "transform": f.get("transform", "identity"),
+                        "source": id_to_name.get(f.get("source-id")),
+                    }
+                    for f in s.get("fields", [])
+                ]
+
         want = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
         snap = next(
             (s for s in meta["snapshots"] if s["snapshot-id"] == want), None
@@ -145,10 +164,12 @@ class IcebergSnapshot:
         self.data_seq: list[tuple[str, int]] = []
         self.eq_deletes: list[tuple[str, int]] = []
         # path -> partition-value dict from the manifest's optional
-        # `partition` field (JSON).  Iceberg plans PARTITION PRUNING
-        # from manifest metadata without opening data files — identity
-        # transform subset; the partition columns themselves are also
-        # stored in the data files per spec, so reading is unchanged.
+        # `partition` field (JSON), keyed by PARTITION FIELD name.
+        # Iceberg plans PARTITION PRUNING from manifest metadata
+        # without opening data files — all spec transforms (identity /
+        # bucket / truncate / temporal) via partition_spec above; the
+        # source columns themselves are also stored in the data files
+        # per spec, so reading is unchanged.
         self.partitions: dict[str, dict] = {}
         for list_row in list_rows:
             manifest_path = _named(list_schema, list_row)["manifest_path"]
@@ -273,15 +294,38 @@ def read_iceberg(
     snap = IcebergSnapshot(table_path, snapshot_id)
     files = snap.files
     if partition_filter:
-        # manifest-level pruning: a file survives only if its manifest
-        # partition tuple matches every filter key (files without
-        # partition metadata are conservatively kept)
+        # manifest-level pruning: filter keys are SOURCE column values;
+        # each folds through the table's partition-spec transform
+        # (identity / bucket[N] / truncate[W] / year/month/day/hour —
+        # sources/iceberg_transforms.py, driver-side scalar half) into
+        # the manifest-tuple value, then a file survives only if its
+        # tuple matches every folded key (files without partition
+        # metadata are conservatively kept).  This is exactly how real
+        # Iceberg planners skip a days(ts)-partitioned table's
+        # non-matching days without opening any file.
+        from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+            apply_transform,
+        )
+
+        by_source = {f["source"]: f for f in snap.partition_spec}
+        checks = []
+        for k, v in partition_filter.items():
+            spec_field = by_source.get(k)
+            if spec_field is None:
+                checks.append((k, v))  # identity / legacy tuple key
+            else:
+                checks.append(
+                    (
+                        spec_field["name"],
+                        apply_transform(spec_field["transform"], v),
+                    )
+                )
         files = [
             f
             for f in files
             if all(
-                snap.partitions.get(f, {}).get(k, v) == v
-                for k, v in partition_filter.items()
+                snap.partitions.get(f, {}).get(name, want) == want
+                for name, want in checks
             )
         ]
     if not files:

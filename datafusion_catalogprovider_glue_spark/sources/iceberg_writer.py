@@ -5,9 +5,12 @@ The format-trio symmetry with ``sources/delta_writer.py``: the engine
 already READS Iceberg (sources/iceberg.py replays the metadata chain);
 this closes the round trip so a curation pipeline standardized on
 Iceberg can MATERIALIZE results, not just consume them.  Scope: append
-snapshots over an unpartitioned v2 table.  Not in scope: row-level
-deletes, rewrites/compaction, partitioned specs, schema evolution on
-write (reads of evolved tables are handled by the reader).
+snapshots over a v2 table, unpartitioned or partitioned under ONE
+partition spec with any spec transform (identity / bucket[N] /
+truncate[W] / year / month / day / hour —
+sources/iceberg_transforms.py).  Not in scope: row-level deletes,
+rewrites/compaction, spec evolution, schema evolution on write (reads
+of evolved tables are handled by the reader).
 
 Format notes (Iceberg spec, https://iceberg.apache.org/spec/):
 * ``metadata/version-hint.text`` → ``metadata/v<N>.metadata.json`` is
@@ -17,7 +20,7 @@ Format notes (Iceberg spec, https://iceberg.apache.org/spec/):
   manifests plus the new one — exactly how Iceberg fast-appends reuse
   existing manifests instead of rewriting them.
 * snapshot IDs are deterministic pseudo-random 63-bit ints derived
-  from (table path, sequence number) — like real Iceberg's random IDs
+  from the sequence number — like real Iceberg's random IDs
   they carry NO ordering; commit order lives in the per-snapshot
   ``sequence-number`` and the ``snapshot-log``, which is what the
   reader (and its incremental scan) orders by.
@@ -54,6 +57,8 @@ _SPARK_TO_ICEBERG = {
     "string": "string",
     "date": "date",
     "timestamp_ntz": "timestamp",
+    # spec: timestamptz is the UTC-adjusted type — Spark's TimestampType
+    "timestamp": "timestamptz",
     "binary": "binary",
 }
 
@@ -80,13 +85,16 @@ _MANIFEST_LIST_SCHEMA = T.StructType(
 )
 
 
-def _snapshot_id(table_path: str, seq: int) -> int:
-    """Deterministic 63-bit pseudo-random snapshot ID.  Real Iceberg
-    IDs are random longs and only need uniqueness WITHIN a table, so
-    deriving them from the sequence number alone keeps the repo's
-    determinism convention (identical input → identical table bytes,
-    wherever it lands) while still exercising the ID-carries-no-order
-    property end to end."""
+def _snapshot_id(seq: int) -> int:
+    """Deterministic 63-bit pseudo-random snapshot ID, derived from the
+    SEQUENCE NUMBER ONLY — deliberately not the table path.  Real
+    Iceberg IDs are random longs and only need uniqueness WITHIN a
+    table; excluding the path keeps the repo's determinism convention
+    (identical input → identical table bytes, wherever the table
+    lands — pinned by test_iceberg_writer_deterministic_metadata), at
+    the documented cost that all tables share one ID sequence.  The
+    ID still carries no ordering; commit order lives in
+    sequence-number / snapshot-log, which the reader orders by."""
     h = hashlib.md5(f"iceberg-snapshot#{seq}".encode()).digest()
     return int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
 
@@ -143,26 +151,42 @@ def _write_data_files(
 
 
 def _write_partitioned_files(
-    df: DataFrame, table_path: str, seq: int, partition_by: str
+    df: DataFrame,
+    table_path: str,
+    seq: int,
+    partition_by: str,
+    transform: str = "identity",
 ) -> list[tuple[str, int, dict]]:
-    """IDENTITY-partitioned write: one distributed ``partitionBy`` job
-    lays the data out by value (the partition column is DUPLICATED into
-    the layout key so the data files keep it, per the spec's rule that
-    identity-partition source columns are stored in data files); the
-    driver then lists the per-partition directories and stamps each
-    manifest entry with its partition tuple — the metadata Iceberg
-    planners prune on without opening files."""
+    """Partitioned write under a TRANSFORM (spec §partition-transforms;
+    identity / bucket[N] / truncate[W] / year / month / day / hour —
+    sources/iceberg_transforms.py): one distributed ``partitionBy`` job
+    lays the data out by the TRANSFORMED value (the source column stays
+    in the data files untouched, per the spec's rule that partition
+    source columns are stored in data files); the driver then lists the
+    per-partition directories and stamps each manifest entry with its
+    partition tuple — the metadata Iceberg planners prune on without
+    opening files."""
     import pyarrow.parquet as pq
-    from pyspark.sql import functions as F
+    from pyspark.sql import functions as F  # noqa: F401
     from urllib.parse import unquote
 
-    dtype = dict(
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        partition_field_name,
+        transform_column,
+        transformed_dtype,
+    )
+
+    src_dtype = dict(
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
     )[partition_by]
+    dtype = transformed_dtype(transform, src_dtype)
+    field = partition_field_name(partition_by, transform)
     subdir = f"data/commit-{seq}"
     out_dir = os.path.join(table_path, subdir)
     (
-        df.withColumn("__p", F.col(partition_by))
+        df.withColumn(
+            "__p", transform_column(df[partition_by], transform, src_dtype)
+        )
         .write.partitionBy("__p")
         .mode("overwrite")
         .parquet(out_dir)
@@ -172,7 +196,13 @@ def _write_partitioned_files(
         if not d.startswith("__p="):
             continue
         raw = unquote(d[len("__p="):])
-        value = int(raw) if dtype in ("int", "bigint") else raw
+        # Spark writes NULL partition values as the Hive default
+        # sentinel directory; record a null partition tuple value (not
+        # the sentinel string, and never int(<sentinel>))
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            value = None
+        else:
+            value = int(raw) if dtype in ("int", "bigint") else raw
         pdir = os.path.join(out_dir, d)
         for i, name in enumerate(
             sorted(n for n in os.listdir(pdir) if n.endswith(".parquet"))
@@ -184,7 +214,9 @@ def _write_partitioned_files(
                 (
                     f"{subdir}/{d}/{final}",
                     pq.read_metadata(full).num_rows,
-                    {partition_by: value},
+                    # keyed by the PARTITION FIELD name (spec naming:
+                    # ts_day, k_bucket, …; == the column for identity)
+                    {field: value},
                 )
             )
     return out
@@ -195,21 +227,51 @@ def append_iceberg(
     table_path: str,
     n_files: int = 2,
     partition_by: str = None,
+    transform: str = "identity",
 ) -> int:
     """Append ``df`` to the Iceberg table at ``table_path`` (creating
     v1 metadata on first call).  Returns the committed SNAPSHOT ID
     (a random-looking long — order is in sequence-number).  With
-    ``partition_by``, the append is IDENTITY-partitioned: files lay
-    out per value and each manifest entry carries its partition tuple,
-    so reads with ``partition_filter`` prune at the manifest level
-    without opening files."""
+    ``partition_by``, the append is partitioned under ``transform``
+    (spec §partition-transforms: identity / bucket[N] / truncate[W] /
+    year / month / day / hour — how real Iceberg tables actually lay
+    out, e.g. days(ts) on event tables): files lay out per transformed
+    value, the partition spec is recorded in ``partition-specs``
+    metadata, and each manifest entry carries its partition tuple, so
+    reads with ``partition_filter`` prune at the manifest level without
+    opening files.  A later partitioned append must reuse the recorded
+    spec (one spec per table — the writer subset)."""
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        partition_field_name,
+    )
+
     meta_dir = os.path.join(table_path, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     hint = os.path.join(meta_dir, "version-hint.text")
+
+    def _spec_fields():
+        if not partition_by:
+            return []
+        source_id = 1 + [f.name for f in df.schema.fields].index(partition_by)
+        return [
+            {
+                "name": partition_field_name(partition_by, transform),
+                "transform": transform,
+                "source-id": source_id,
+                "field-id": 1000,
+            }
+        ]
+
     if os.path.exists(hint):
         version, meta = _load_meta(meta_dir)
         fields = _iceberg_schema(df.schema)
-        have = meta["schemas"][0]["fields"]
+        # validate against the CURRENT schema (schema-id ==
+        # current-schema-id), not schemas[0] — on a schema-evolved
+        # table (which the reader supports) schemas[0] is the oldest
+        cur_id = meta.get("current-schema-id", 0)
+        have = next(
+            s for s in meta["schemas"] if s.get("schema-id", 0) == cur_id
+        )["fields"]
         if fields != have:
             raise NotImplementedYet(
                 "iceberg writer subset: appended schema must match the "
@@ -246,6 +308,8 @@ def append_iceberg(
                     "fields": _iceberg_schema(df.schema),
                 }
             ],
+            "partition-specs": [{"spec-id": 0, "fields": _spec_fields()}],
+            "default-spec-id": 0,
             "snapshots": [],
             "snapshot-log": [],
             "last-sequence-number": 0,
@@ -253,9 +317,25 @@ def append_iceberg(
         seq = 1
         prior_manifests = []
 
-    snap_id = _snapshot_id(table_path, seq)
+    if partition_by and meta.get("partition-specs"):
+        # one spec per table (writer subset): a partitioned append must
+        # reuse the spec the table was created with — real Iceberg
+        # versioned spec evolution is out of scope
+        default = next(
+            s
+            for s in meta["partition-specs"]
+            if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
+        )
+        if default["fields"] and default["fields"] != _spec_fields():
+            raise NotImplementedYet(
+                "iceberg writer subset: partitioned append must match "
+                f"the table's partition spec {default['fields']} "
+                f"(got {_spec_fields()})"
+            )
+
+    snap_id = _snapshot_id(seq)
     data_files = (
-        _write_partitioned_files(df, table_path, seq, partition_by)
+        _write_partitioned_files(df, table_path, seq, partition_by, transform)
         if partition_by
         else _write_data_files(df, table_path, seq, n_files)
     )
@@ -365,18 +445,20 @@ def merge_iceberg(
             "at most one source row"
         )
     target = spark.read.schema(snap.schema).parquet(*snap.files)
-    t, s = target.alias("t"), source.alias("s")
+    # side markers instead of key isNotNull(): NULL merge keys are
+    # legal under the null-safe join and must still route to the
+    # matched/insert branch (same fix as delta_writer.merge_delta)
+    t = target.withColumn("__tgt", F.lit(True)).alias("t")
+    s = source.withColumn("__src", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
     joined = t.join(s, cond, "full_outer")
-    matched = (
-        F.col(f"t.{on[0]}").isNotNull() & F.col(f"s.{on[0]}").isNotNull()
-    )
+    matched = F.col("t.__tgt").isNotNull() & F.col("s.__src").isNotNull()
     keep = F.lit(True)
     if matched_delete is not None:
         keep = ~(matched & matched_delete)
     merged = joined.filter(keep).select(
         *[
-            F.when(F.col(f"s.{on[0]}").isNotNull(), F.col(f"s.{c}"))
+            F.when(F.col("s.__src").isNotNull(), F.col(f"s.{c}"))
             .otherwise(F.col(f"t.{c}"))
             .alias(c)
             for c in cols
@@ -386,7 +468,7 @@ def merge_iceberg(
     meta_dir = os.path.join(table_path, "metadata")
     version, meta = _load_meta(meta_dir)
     seq = meta["last-sequence-number"] + 1
-    snap_id = _snapshot_id(table_path, seq)
+    snap_id = _snapshot_id(seq)
     data_files = _write_data_files(merged, table_path, seq, 2)
     manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
     write_avro_container(

@@ -421,3 +421,131 @@ def test_schema_evolution_falls_back_to_historical_names(spark, tmp_path):
     out = {r.k: r for r in read_iceberg(spark, str(tmp_path)).collect()}
     assert out[7].new_name == "x" and out[7].extra is None
     assert out[8].new_name == "y" and out[8].extra == 5
+
+
+# ---------------------------------------------------------------------------
+# round 6: partition transforms (spec §partition-transforms)
+# ---------------------------------------------------------------------------
+
+
+def test_transform_spec_vectors():
+    """The Iceberg spec's published transform test vectors (Appendix B
+    hash requirements + transform examples) — external parity, not
+    self-consistency."""
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        _bucket_hash,
+        apply_transform,
+    )
+
+    assert _bucket_hash(34) == 2017239379          # int widens to long
+    assert _bucket_hash("iceberg") == 1210000089   # UTF-8 bytes
+    assert apply_transform("day", "2017-11-16") == 17486
+    assert apply_transform("month", "2017-11-16") == 574
+    assert apply_transform("year", "2017-11-16") == 47
+    assert apply_transform("hour", "2017-11-16 22:31:08") == 419686
+    assert apply_transform("truncate[10]", -1) == -10   # floor, not trunc
+    assert apply_transform("truncate[3]", "iceberg") == "ice"
+    assert apply_transform("bucket[16]", None) is None
+
+
+def test_transform_column_matches_scalar(spark):
+    """transform_column (the executor-side Spark half, including the
+    numpy-vectorized murmur3 long path and the per-row string path)
+    agrees value-for-value with apply_transform (the driver-side scalar
+    half pruning folds through) — the invariant the whole
+    write-then-prune round trip rests on."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        apply_transform,
+        transform_column,
+    )
+
+    longs = [-(2**40), -17, -1, 0, 1, 34, 2**33, None]
+    df = spark.createDataFrame([(v,) for v in longs], "v bigint")
+    for transform in ("bucket[16]", "bucket[7]", "truncate[10]"):
+        got = [
+            r["t"]
+            for r in df.select(
+                transform_column(F.col("v"), transform, "bigint").alias("t")
+            ).collect()
+        ]
+        want = [
+            None if v is None else apply_transform(transform, v)
+            for v in longs
+        ]
+        assert got == want, (transform, got, want)
+
+    strs = ["iceberg", "", "ü-umlaut", "a" * 100, None]
+    sdf = spark.createDataFrame([(v,) for v in strs], "v string")
+    for transform in ("bucket[8]", "truncate[4]"):
+        got = [
+            r["t"]
+            for r in sdf.select(
+                transform_column(F.col("v"), transform, "string").alias("t")
+            ).collect()
+        ]
+        want = [
+            None if v is None else apply_transform(transform, v)
+            for v in strs
+        ]
+        assert got == want, (transform, got, want)
+
+    ts = ["2017-11-16 22:31:08", "1969-12-31 23:00:00", "2024-01-05 00:00:00"]
+    tdf = spark.createDataFrame(
+        [(v,) for v in ts], "v string"
+    ).select(F.col("v").cast("timestamp_ntz").alias("v"))
+    for transform in ("year", "month", "day", "hour"):
+        got = [
+            r["t"]
+            for r in tdf.select(
+                transform_column(F.col("v"), transform, "timestamp_ntz").alias("t")
+            ).collect()
+        ]
+        want = [apply_transform(transform, v) for v in ts]
+        assert got == want, (transform, got, want)
+
+
+def test_transform_write_prune_roundtrip(spark, tmp_path):
+    """bucket[N]-partitioned write → manifest tuples carry bucket
+    ordinals → a source-value partition_filter prunes to exactly the
+    files of that bucket and returns every row of the value."""
+    import json
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        apply_transform,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    table = str(tmp_path / "bkt")
+    df = spark.createDataFrame(
+        [(i, f"name-{i}") for i in range(64)], "k bigint, v string"
+    )
+    append_iceberg(df, table, partition_by="k", transform="bucket[4]")
+    snap = IcebergSnapshot(table)
+    assert snap.partition_spec == [
+        {"name": "k_bucket", "transform": "bucket[4]", "source": "k"}
+    ]
+    buckets = {
+        json.loads(json.dumps(snap.partitions.get(f)))["k_bucket"]
+        for f in snap.files
+    }
+    assert len(buckets) > 1
+    out = read_iceberg(spark, table, partition_filter={"k": 34})
+    rows = {(r["k"], r["v"]) for r in out.collect()}
+    assert (34, "name-34") in rows
+    b34 = apply_transform("bucket[4]", 34)
+    assert all(apply_transform("bucket[4]", k) == b34 for k, _ in rows)
+    # pruned plan touches only that bucket's files
+    expect_files = {
+        f
+        for f in snap.files
+        if snap.partitions.get(f, {}).get("k_bucket") == b34
+    }
+    assert len(out.inputFiles()) == len(expect_files) < len(snap.files)

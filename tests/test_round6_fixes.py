@@ -1,0 +1,238 @@
+"""Pins for the round-6 advice fixes: NULL-key MERGE semantics
+(marker columns, not key isNotNull()), NULL partition values in the
+Iceberg partitioned writer, current-schema-id validation on append,
+spec-complete Delta checkpoints (protocol action + add fields), and
+the Hudi one-key-one-file-group upsert invariant."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+
+def _mk_delta(spark, tmp_path, rows, name="t"):
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+    )
+
+    table = str(tmp_path / name)
+    df = spark.createDataFrame(rows, "k int, v string")
+    append_delta(df, table, n_files=1)
+    return table
+
+
+def test_delta_merge_null_key_insert_and_update(spark, tmp_path):
+    """A NULL merge key is legal input: the null-safe join matches a
+    NULL-keyed source row to a NULL-keyed target row (UPDATE takes the
+    source values), and a NULL-keyed source row with no NULL-keyed
+    target row INSERTS intact — never an all-NULL row or a dropped
+    update (the pre-fix key-isNotNull() misrouting)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        merge_delta,
+    )
+
+    # target holds a NULL-keyed row -> matched/update path
+    table = _mk_delta(
+        spark, tmp_path, [(1, "t1"), (None, "t-null")], name="upd"
+    )
+    src = spark.createDataFrame([(None, "s-null"), (2, "s2")], "k int, v string")
+    merge_delta(spark, table, src, on=["k"])
+    got = {(r["k"], r["v"]) for r in read_delta(spark, table).collect()}
+    assert got == {(1, "t1"), (None, "s-null"), (2, "s2")}
+
+    # target has NO NULL-keyed row -> insert path keeps source values
+    table2 = _mk_delta(spark, tmp_path, [(1, "t1")], name="ins")
+    src2 = spark.createDataFrame([(None, "s-null")], "k int, v string")
+    merge_delta(spark, table2, src2, on=["k"])
+    got2 = {(r["k"], r["v"]) for r in read_delta(spark, table2).collect()}
+    assert got2 == {(1, "t1"), (None, "s-null")}
+
+    # matched_delete still sees the null-keyed pre-image
+    table3 = _mk_delta(
+        spark, tmp_path, [(1, "t1"), (None, "del-me")], name="del"
+    )
+    src3 = spark.createDataFrame([(None, "x")], "k int, v string")
+    merge_delta(
+        spark, table3, src3, on=["k"], matched_delete=F.col("t.v") == "del-me"
+    )
+    got3 = {(r["k"], r["v"]) for r in read_delta(spark, table3).collect()}
+    assert got3 == {(1, "t1")}
+
+
+def test_iceberg_merge_null_key(spark, tmp_path):
+    """Same NULL-key contract for merge_iceberg."""
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        merge_iceberg,
+    )
+
+    table = str(tmp_path / "ice")
+    df = spark.createDataFrame([(1, "t1"), (None, "t-null")], "k int, v string")
+    append_iceberg(df, table, n_files=1)
+    src = spark.createDataFrame(
+        [(None, "s-null"), (2, "s2")], "k int, v string"
+    )
+    merge_iceberg(spark, table, src, on=["k"])
+    got = {(r["k"], r["v"]) for r in read_iceberg(spark, table).collect()}
+    assert got == {(1, "t1"), (None, "s-null"), (2, "s2")}
+
+
+def test_iceberg_partitioned_write_null_partition(spark, tmp_path):
+    """A NULL partition value lands in Spark's __HIVE_DEFAULT_PARTITION__
+    directory; the writer must record a NULL partition tuple (never the
+    sentinel string, and never crash int()-parsing it), and a
+    partition_filter on a real value prunes the null partition out."""
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    # int partition column with NULLs: pre-fix this raised ValueError
+    table = str(tmp_path / "nullpart")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 10), (4, 20)], "k int, p int"
+    )
+    append_iceberg(df, table, partition_by="p")
+    snap = IcebergSnapshot(table)
+    tuples = sorted(
+        json.dumps(snap.partitions.get(f)) for f in snap.files
+    )
+    assert '{"p": null}' in tuples and '{"p": 10}' in tuples
+    got = {
+        (r["k"], r["p"])
+        for r in read_iceberg(
+            spark, table, partition_filter={"p": 10}
+        ).collect()
+    }
+    assert got == {(1, 10), (3, 10)}
+    # the NULL-partition rows are still readable in the full snapshot
+    assert read_iceberg(spark, table).count() == 4
+
+
+def test_iceberg_append_validates_current_schema(spark, tmp_path):
+    """Appends validate against the schema whose schema-id equals
+    current-schema-id, not schemas[0]: on an evolved table the append
+    matching the CURRENT schema succeeds and one matching the OLDEST
+    schema is refused."""
+    from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    table = str(tmp_path / "evolve")
+    old = spark.createDataFrame([(1, "a")], "k int, v string")
+    append_iceberg(old, table, n_files=1)
+
+    # simulate a rename evolution (v -> w) the reader supports: add a
+    # new schema and point current-schema-id at it
+    meta_dir = os.path.join(table, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        version = int(fh.read().strip())
+    mpath = os.path.join(meta_dir, f"v{version}.metadata.json")
+    with open(mpath) as fh:
+        meta = json.load(fh)
+    new_schema = {
+        "schema-id": 1,
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "int"},
+            {"id": 2, "name": "w", "required": False, "type": "string"},
+        ],
+    }
+    meta["schemas"] = meta["schemas"] + [new_schema]
+    meta["current-schema-id"] = 1
+    with open(mpath, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+
+    # append matching the CURRENT (evolved) schema is accepted
+    new = spark.createDataFrame([(2, "b")], "k int, w string")
+    append_iceberg(new, table, n_files=1)
+    assert read_iceberg(spark, table).count() == 2
+
+    # append matching only the OLDEST schema is refused
+    with pytest.raises(NotImplementedYet, match="must match"):
+        append_iceberg(
+            spark.createDataFrame([(3, "c")], "k int, v string"), table
+        )
+
+
+def test_delta_checkpoint_spec_fields(spark, tmp_path):
+    """Engine-written checkpoints carry the spec-required actions: a
+    protocol row and add entries with size / modificationTime /
+    partitionValues — and the engine's own reader still replays the
+    checkpointed snapshot exactly."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        checkpoint_delta,
+    )
+
+    table = str(tmp_path / "ckpt")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k int, v string")
+    append_delta(df.filter("k < 5"), table, n_files=1)
+    append_delta(df.filter("k >= 5"), table, n_files=1)
+    v = checkpoint_delta(spark, table)
+    ckpt = os.path.join(table, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    rows = pq.read_table(ckpt).to_pylist()
+    protocols = [r["protocol"] for r in rows if r.get("protocol")]
+    assert protocols == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    adds = [r["add"] for r in rows if r.get("add")]
+    assert adds, "checkpoint must list the live files"
+    for a in adds:
+        full = os.path.join(table, a["path"])
+        assert a["size"] == os.path.getsize(full)
+        assert a["modificationTime"] > 0
+        assert dict(a["partitionValues"] or {}) == {}
+    # snapshot replay from the checkpoint (drop the JSON commits it
+    # supersedes to prove the checkpoint alone carries the state)
+    log_dir = os.path.join(table, "_delta_log")
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) <= v:
+            os.unlink(os.path.join(log_dir, f))
+    got = {(r["k"], r["v"]) for r in read_delta(spark, table).collect()}
+    assert got == {(i, f"v{i}") for i in range(10)}
+
+
+def test_hudi_upsert_refuses_multi_group_key(spark, tmp_path):
+    """A record key present in two file groups (two appends of the same
+    key) violates Hudi's one-key-one-file-group invariant; an upsert
+    touching it must refuse loudly instead of duplicating the row into
+    every holding group."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi,
+    )
+
+    table = str(tmp_path / "hudi")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    append_hudi(df, table, n_groups=1)
+    append_hudi(
+        spark.createDataFrame([(1, "dup")], "k int, v string"),
+        table,
+        n_groups=1,
+    )
+    src = spark.createDataFrame([(1, "upd")], "k int, v string")
+    with pytest.raises(SparkError, match="more than one"):
+        upsert_hudi(spark, src, table, key="k")
+
+    # an upsert NOT touching the duplicated key still works
+    src_ok = spark.createDataFrame([(2, "b2"), (3, "c")], "k int, v string")
+    upsert_hudi(spark, src_ok, table, key="k")
