@@ -3150,3 +3150,82 @@ def sink_iceberg_days_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame
     return read_iceberg(
         spark, table, partition_filter={"ts": "2024-01-05 12:00:00"}
     )
+
+
+@query(
+    "sink_hudi_mor_roundtrip",
+    # independent recomputation of the post-merge state: evens inserted
+    # as base files at t1; doc_id%3==0 arrives via a LOG deltacommit at
+    # t2 with n_chars+1000 (matched -> non-null overwrite, unmatched ->
+    # log-only insert with base-only column lang NULL); t3 compacts
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN lang END AS lang,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+    """,
+)
+def sink_hudi_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi MERGE-ON-READ write path (sources/hudi_writer.py:
+    upsert_hudi_log + compact_hudi) — completes read/write symmetry
+    for the trio's last leg: the engine already READS MoR
+    (sources/hudi.py:read_hudi_mor); now it writes it.  Timeline:
+    t1 INSERT commit (two base file groups), t2 DELTACOMMIT via the
+    index-ROUTED upsert (one executor-encoded Avro log per file group
+    holding matched keys — logs are slice-scoped per spec, a
+    cross-group log would duplicate rows at compaction — plus one
+    log-only insert group, all under ONE instant; exercises the
+    non-null-overwrite payload and the base-only-columns-NULL insert
+    shape), t3 COMPACTION merging each group's log into a fresh base
+    file with the same fileId.  The key
+    asserts post-compaction that NO live logs remain (read-optimized
+    == snapshot by construction — the compaction supersede rule), and
+    returns the post-compaction snapshot, which must hash-match the
+    independent recomputation.  Log updates carry only (doc_id,
+    n_chars): the merged lang column proves partial-payload overwrite
+    keeps base values."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_mor_instants,
+        read_hudi_mor,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        compact_hudi,
+        upsert_hudi_log,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_hudi_mor_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    t1 = append_hudi(docs.filter(F.col("doc_id") % 2 == 0), table)
+    log = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (F.col("n_chars") + F.lit(1000)).alias("n_chars")
+    )
+    t2 = upsert_hudi_log(spark, log, table, key="doc_id")
+    t3 = compact_hudi(spark, table, key="doc_id")
+    assert int(t1) < int(t2) < int(t3), (t1, t2, t3)
+    # compaction superseded every log: snapshot == read-optimized
+    live = [
+        (t, a) for t, a in hudi_mor_instants(table) if a == "deltacommit"
+    ]
+    if not live:
+        raise SparkError("fixture degenerate: no deltacommit on timeline")
+    return read_hudi_mor(spark, table, key_col="doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -1,14 +1,22 @@
-"""Minimal Apache Hudi copy-on-write WRITER: parquet base files +
-timeline commits — the third leg of the write-path trio
-(sources/delta_writer.py, sources/iceberg_writer.py), closing the
-round trip for every table format the engine reads.
+"""Minimal Apache Hudi WRITER: parquet base files + timeline commits
+— the third leg of the write-path trio (sources/delta_writer.py,
+sources/iceberg_writer.py), closing the round trip for every table
+format the engine reads.
 
-Scope: CoW tables, unpartitioned, two operations —
+Scope: unpartitioned tables, four operations —
 
 * ``append_hudi``  — INSERT: new file group(s) under a new instant.
-* ``upsert_hudi``  — UPSERT by record key: rewrites the file groups
-  holding matched keys (whole-file rewrite, the CoW contract) and
-  routes unmatched keys to a new file group, all under ONE instant.
+* ``upsert_hudi``  — CoW UPSERT by record key: rewrites the file
+  groups holding matched keys (whole-file rewrite, the CoW contract)
+  and routes unmatched keys to a new file group, all under ONE
+  instant.
+* ``append_hudi_log`` — MoR DELTACOMMIT: appends an Avro log file to
+  a file group (updates/inserts land in KB logs, base files untouched
+  — Hudi's cheap write path, replayed by sources/hudi.py's
+  read_hudi_mor).
+* ``compact_hudi`` — MoR COMPACTION: merges each log-bearing file
+  group into a fresh base file under a ``commit`` instant, after
+  which read-optimized and snapshot queries converge.
 
 Format notes (Hudi spec, https://hudi.apache.org/tech-specs/):
 * the timeline is ``.hoodie/<instant>.commit`` JSON whose
@@ -49,24 +57,30 @@ def _timeline_dir(location: str) -> str:
 
 
 def _next_instant(location: str) -> str:
+    # MoR tables interleave .commit and .deltacommit on ONE timeline;
+    # the next instant must clear both
     tl = _timeline_dir(location)
     done = [
-        int(f[:-7])
+        int(f[: -len(suffix)])
         for f in os.listdir(tl)
-        if f.endswith(".commit") and f[:-7].isdigit()
+        for suffix in (".commit", ".deltacommit")
+        if f.endswith(suffix) and f[: -len(suffix)].isdigit()
     ]
     return str(max(done) + 1 if done else _BASE_INSTANT)
 
 
-def _publish(location: str, instant: str, stats: list[dict]) -> None:
+def _publish(
+    location: str, instant: str, stats: list[dict], action: str = "commit",
+    table_type: str = "COPY_ON_WRITE",
+) -> None:
     tl = _timeline_dir(location)
-    open(os.path.join(tl, f"{instant}.commit.inflight"), "w").close()
+    open(os.path.join(tl, f"{instant}.{action}.inflight"), "w").close()
     props = os.path.join(tl, "hoodie.properties")
     if not os.path.exists(props):
         with open(props, "w") as fh:
             fh.write("hoodie.table.name=%s\n" % os.path.basename(location))
-            fh.write("hoodie.table.type=COPY_ON_WRITE\n")
-    path = os.path.join(tl, f"{instant}.commit")
+            fh.write(f"hoodie.table.type={table_type}\n")
+    path = os.path.join(tl, f"{instant}.{action}")
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
         json.dump({"partitionToWriteStats": {"": stats}}, fh, sort_keys=True)
@@ -217,4 +231,245 @@ def upsert_hudi(
         raise SparkError("upsert source is empty — nothing to commit")
     _publish(location, instant, stats)
     src.unpersist(blocking=False)
+    return instant
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read (MOR) write path: log-appending deltacommits + compaction
+# ---------------------------------------------------------------------------
+
+
+def _write_log_file(
+    df: DataFrame, location: str, file_id: str, instant: str
+) -> dict:
+    """Encode ``df`` as ONE Avro log file attached to ``file_id`` —
+    EXECUTOR-side (one task runs the container encoder from
+    sources/avro_fallback, the same distribution shape the MoR reader
+    uses to decode); rows never pass through the driver.  A log append
+    IS one small file by the MoR contract (compaction folds them into
+    base files on a cadence)."""
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+
+    # spec-shaped log name: .<fileId>_<baseInstant>.log.<version>_<token>
+    name = f".{file_id}_{instant}.log.1_0-0-0"
+    full = os.path.join(location, name)
+    schema = df.schema
+
+    def _encode(it):
+        write_avro_container(full, schema, (tuple(r) for r in it))
+        yield 1
+
+    df.coalesce(1).rdd.mapPartitions(_encode).count()
+    return {"fileId": file_id, "path": name}
+
+
+def append_hudi_log(
+    spark: SparkSession, df: DataFrame, location: str, file_id: str
+) -> str:
+    """MoR DELTACOMMIT against ONE file group: append ``df`` as an
+    Avro log attached to ``file_id`` — Hudi's cheap write path
+    (updates land in KB logs; base files rewrite only at compaction).
+    The CALLER owns key routing: every key in ``df`` must live in
+    ``file_id``'s base file (or in no base file, for a log-only
+    group) — the spec's slice-scoped log rule; use
+    :func:`upsert_hudi_log` for index-routed writes.  Per-key
+    latest-wins and non-null-overwrite merge semantics live in the
+    reader (sources/hudi.py:read_hudi_mor).  Returns the committed
+    instant."""
+    instant = _next_instant(location)
+    stats = [_write_log_file(df, location, file_id, instant)]
+    _publish(
+        location, instant, stats,
+        action="deltacommit", table_type="MERGE_ON_READ",
+    )
+    return instant
+
+
+def upsert_hudi_log(
+    spark: SparkSession, df: DataFrame, location: str, key: str
+) -> str:
+    """MoR UPSERT as one DELTACOMMIT: routes each source row to the
+    log of the file group HOLDING its key (Hudi's index-tagging step
+    — logs are slice-scoped, so a cross-group log would duplicate
+    rows at compaction), and unmatched keys to one log-only group;
+    all log files publish under ONE instant.  Base files are never
+    touched — that is the MoR write amplification win over
+    upsert_hudi's CoW rewrite.  The routing join touches only the
+    base files' KEY column (parquet column pruning); at 100 TB this
+    is the record-index lookup every Hudi writer performs.  Refuses
+    duplicate source keys and keys spanning multiple groups (same
+    invariants as the CoW upsert)."""
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        _commit_files_action,
+        hudi_mor_instants,
+    )
+
+    base_latest: dict[str, tuple[str, str]] = {}
+    for t, action in hudi_mor_instants(location):
+        if action == "commit":
+            for file_id, rel in _commit_files_action(
+                location, t, "commit"
+            ).items():
+                base_latest[file_id] = (t, rel)
+    src = df.persist()
+    if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
+        raise SparkError("upsert source has duplicate record keys")
+    key_frames = [
+        spark.read.parquet(os.path.join(location, rel)).select(
+            F.col(key), F.lit(file_id).alias("_fg")
+        )
+        for file_id, (_t, rel) in sorted(base_latest.items())
+    ]
+    instant = _next_instant(location)
+    stats: list[dict] = []
+    if key_frames:
+        all_keys = key_frames[0]
+        for kf in key_frames[1:]:
+            all_keys = all_keys.unionByName(kf)
+        routed = src.join(all_keys, key, "left").persist()
+        if (
+            routed.groupBy(key)
+            .agg(F.countDistinct("_fg").alias("_n"))
+            .filter(F.col("_n") > 1)
+            .limit(1)
+            .count()
+        ):
+            raise SparkError(
+                "upsert matches a record key present in more than one "
+                "file group — the table violates Hudi's one-key-one-"
+                "file-group invariant"
+            )
+        groups = [
+            r["_fg"]
+            for r in routed.select("_fg").distinct().collect()
+            if r["_fg"] is not None
+        ]
+        for file_id in sorted(groups):
+            part = routed.filter(F.col("_fg") == file_id).drop("_fg")
+            stats.append(_write_log_file(part, location, file_id, instant))
+        inserts = routed.filter(F.col("_fg").isNull()).drop("_fg")
+    else:
+        inserts = src
+    if inserts.limit(1).count():
+        stats.append(
+            _write_log_file(
+                inserts, location, f"fg-{instant}-new", instant
+            )
+        )
+    if not stats:
+        raise SparkError("upsert source is empty — nothing to commit")
+    _publish(
+        location, instant, stats,
+        action="deltacommit", table_type="MERGE_ON_READ",
+    )
+    src.unpersist(blocking=False)
+    return instant
+
+
+def compact_hudi(spark: SparkSession, location: str, key: str) -> str:
+    """MoR COMPACTION: for every file group with live log files, merge
+    base + logs (per ``key`` latest-log-wins, non-null columns
+    overwrite — the same OverwriteNonDefaultsWithLatest shape the
+    snapshot reader applies) and rewrite the group's base file under a
+    new ``commit`` instant with the SAME fileId.  Log-only groups
+    materialize their first base file.  After the commit, earlier logs
+    are superseded by the file-slice rule (log instant <= base instant
+    never re-applies), so read-optimized and snapshot queries converge
+    — the invariant tests/test_hudi.py pins.  Untouched groups keep
+    their base files byte-for-byte.  Returns the compaction instant."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        read_avro_fallback,
+        schema_from_avro_file,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        _commit_files_action,
+        hudi_mor_instants,
+    )
+
+    base_latest: dict[str, tuple[str, str]] = {}
+    log_files: dict[str, list[tuple[str, str]]] = {}
+    for t, action in hudi_mor_instants(location):
+        if action == "commit":
+            for file_id, rel in _commit_files_action(
+                location, t, "commit"
+            ).items():
+                base_latest[file_id] = (t, rel)
+        else:
+            for file_id, rel in _commit_files_action(
+                location, t, "deltacommit"
+            ).items():
+                log_files.setdefault(file_id, []).append((t, rel))
+    instant = _next_instant(location)
+    stats: list[dict] = []
+    for file_id in sorted(set(base_latest) | set(log_files)):
+        base_t = base_latest.get(file_id, ("", None))[0]
+        live = [
+            (t, rel)
+            for t, rel in log_files.get(file_id, [])
+            if t > base_t
+        ]
+        if not live:
+            continue  # nothing to compact for this group
+        logs = None
+        for t, rel in sorted(live):
+            path = os.path.join(location, rel)
+            part = read_avro_fallback(
+                spark, path, schema_from_avro_file(path)
+            ).withColumn("_log_t", F.lit(t))
+            logs = part if logs is None else logs.unionByName(part)
+        w = Window.partitionBy(key).orderBy(F.col("_log_t").desc())
+        latest = (
+            logs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if file_id in base_latest:
+            base = spark.read.parquet(
+                os.path.join(location, base_latest[file_id][1])
+            )
+            upd_cols = [c for c in latest.columns if c not in (key, "_log_t")]
+            renamed = latest.select(
+                F.col(key),
+                F.col("_log_t"),
+                *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
+            )
+            merged = base.join(renamed, key, "full")
+            for c in upd_cols:
+                merged = merged.withColumn(
+                    c, F.coalesce(F.col(f"_u_{c}"), F.col(c))
+                )
+            # records updated/inserted by a log carry the LOG's commit
+            # time; carried base rows keep theirs (row-level
+            # incremental semantics survive compaction)
+            if "_hoodie_commit_time" in base.columns:
+                merged = merged.withColumn(
+                    "_hoodie_commit_time",
+                    F.coalesce(F.col("_log_t"), F.col("_hoodie_commit_time")),
+                )
+            merged = merged.drop("_log_t", *[f"_u_{c}" for c in upd_cols])
+        else:
+            merged = latest.drop("_log_t")  # log-only group: first base
+        staging = os.path.join(location, f"_staging_{file_id}_{instant}")
+        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        part_file = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        name = f"{file_id}_0-0-0_{instant}.parquet"
+        os.replace(part_file, os.path.join(location, name))
+        shutil.rmtree(staging)
+        stats.append({"fileId": file_id, "path": name})
+    if not stats:
+        raise SparkError("nothing to compact: no file group has live logs")
+    _publish(
+        location, instant, stats, action="commit",
+        table_type="MERGE_ON_READ",
+    )
     return instant

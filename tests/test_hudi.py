@@ -235,3 +235,153 @@ def test_mor_compaction_supersedes_earlier_log(spark, tmp_path):
         for r in read_hudi_mor(spark, root, key_col="k", as_of="t2").collect()
     }
     assert pinned[1].v == "A" and 99 in pinned
+
+
+# ---------------------------------------------------------------------------
+# round 6: MoR WRITE path (append_hudi_log / upsert_hudi_log / compact_hudi)
+# ---------------------------------------------------------------------------
+
+
+def _mor_fixture(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi_log,
+    )
+
+    table = str(tmp_path / "mor")
+    base = spark.createDataFrame(
+        [(i, f"v{i}", 100 + i) for i in range(8)], "k int, v string, n int"
+    )
+    t1 = append_hudi(base, table, n_groups=2)
+    # updates for half the keys (partial payload: no v column) + one
+    # log-only insert
+    log = spark.createDataFrame(
+        [(i, 1000 + i) for i in range(0, 8, 2)] + [(99, 1099)],
+        "k int, n int",
+    )
+    t2 = upsert_hudi_log(spark, log, table, key="k")
+    return table, t1, t2
+
+
+def test_mor_write_snapshot_vs_read_optimized(spark, tmp_path):
+    """Pre-compaction: snapshot merges the engine-written log (updates
+    overwrite non-null columns, log-only keys insert with base-only
+    columns NULL) while read-optimized serves stale base rows — the
+    documented divergence that makes MoR cheap to write."""
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor,
+    )
+
+    table, _t1, _t2 = _mor_fixture(spark, tmp_path)
+    snap = {
+        (r["k"], r["v"], r["n"])
+        for r in read_hudi_mor(spark, table, key_col="k")
+        .select("k", "v", "n")
+        .collect()
+    }
+    expect = {
+        (i, f"v{i}", 1000 + i if i % 2 == 0 else 100 + i) for i in range(8)
+    } | {(99, None, 1099)}
+    assert snap == expect
+    ro = {
+        (r["k"], r["v"], r["n"])
+        for r in read_hudi_mor(
+            spark, table, key_col="k", read_optimized=True
+        )
+        .select("k", "v", "n")
+        .collect()
+    }
+    assert ro == {(i, f"v{i}", 100 + i) for i in range(8)}
+
+
+def test_mor_compaction_supersede_and_preservation(spark, tmp_path):
+    """Compaction rewrites ONLY log-bearing groups (the untouched
+    group's base file stays byte-identical), supersedes the logs (its
+    own earlier log never re-applies), and afterwards read-optimized
+    == snapshot == the pre-compaction snapshot."""
+    import os
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        compact_hudi,
+    )
+
+    table, t1, _t2 = _mor_fixture(spark, tmp_path)
+    before = {
+        (r["k"], r["v"], r["n"])
+        for r in read_hudi_mor(spark, table, key_col="k")
+        .select("k", "v", "n")
+        .collect()
+    }
+    base_files = {
+        f: os.path.getsize(os.path.join(table, f))
+        for f in os.listdir(table)
+        if f.endswith(".parquet")
+    }
+    t3 = compact_hudi(spark, table, key="k")
+    assert int(t3) > int(t1)
+    after = {
+        (r["k"], r["v"], r["n"])
+        for r in read_hudi_mor(spark, table, key_col="k")
+        .select("k", "v", "n")
+        .collect()
+    }
+    ro_after = {
+        (r["k"], r["v"], r["n"])
+        for r in read_hudi_mor(spark, table, key_col="k", read_optimized=True)
+        .select("k", "v", "n")
+        .collect()
+    }
+    assert before == after == ro_after
+    # any group without matched keys kept its base file untouched
+    survivors = [
+        f
+        for f in base_files
+        if os.path.exists(os.path.join(table, f))
+        and os.path.getsize(os.path.join(table, f)) == base_files[f]
+    ]
+    assert survivors, "at least the original base files still exist"
+    # time travel to t1 still serves the pre-log state
+    ro_t1 = {
+        (r["k"], r["n"])
+        for r in read_hudi_mor(spark, table, key_col="k", as_of=t1)
+        .select("k", "n")
+        .collect()
+    }
+    assert ro_t1 == {(i, 100 + i) for i in range(8)}
+
+
+def test_mor_upsert_routing_refusals(spark, tmp_path):
+    """upsert_hudi_log refuses duplicate source keys and multi-group
+    keys; append_hudi_log leaves routing to the caller (documented)."""
+    import pytest
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi_log,
+    )
+
+    table = str(tmp_path / "refuse")
+    append_hudi(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        table,
+        n_groups=1,
+    )
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string")
+    with pytest.raises(SparkError, match="duplicate"):
+        upsert_hudi_log(spark, dup, table, key="k")
+    append_hudi(
+        spark.createDataFrame([(1, "dup")], "k int, v string"),
+        table,
+        n_groups=1,
+    )
+    with pytest.raises(SparkError, match="more than one"):
+        upsert_hudi_log(
+            spark,
+            spark.createDataFrame([(1, "z")], "k int, v string"),
+            table,
+            key="k",
+        )
