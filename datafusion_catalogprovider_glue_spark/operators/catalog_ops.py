@@ -3229,3 +3229,88 @@ def sink_hudi_mor_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_hudi_mor(spark, table, key_col="doc_id").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "sink_delta_merge_dv",
+    # identical post-merge state to sink_delta_merge — what differs is
+    # the PHYSICAL mechanism (deletion vectors, no file rewrites),
+    # pinned by the byte-identity assertion inside the key
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE (doc_id % 2 = 0 AND NOT (doc_id % 3 = 0 AND lang = 'de'))
+       OR (doc_id % 2 = 1 AND doc_id % 3 = 0)
+    """,
+)
+def sink_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETION-VECTOR MERGE (sources/delta_writer.py:merge_delta_dv +
+    sources/dv.py codec): the same three-clause MERGE as
+    sink_delta_merge, but matched pre-images are masked by roaring-
+    bitmap DV sidecars on their ORIGINAL data files instead of a
+    copy-on-write table rewrite — production Delta's answer to write
+    amplification on point changes.  Asserted IN the key: every
+    pre-merge data file is byte-identical after the merge (md5), the
+    commit carries DV descriptors, and exactly one new data file holds
+    the updated+inserted rows.  The returned DataFrame replays the
+    post-merge snapshot through the engine's own DV-applying reader
+    (sources/delta.py:read_delta -> dv.py decode), so the hash match
+    pins encode -> descriptor -> decode -> anti-join end to end."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta_dv,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_mdv_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    v0 = append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+
+    def _digest(rel):
+        with open(os.path.join(table, rel), "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    before = {p: _digest(p) for p in DeltaSnapshot(table)._active}
+    source = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    v1 = merge_delta_dv(
+        spark,
+        table,
+        source,
+        on=["doc_id"],
+        matched_delete=F.col("t.lang") == "de",
+        expected_version=v0,
+    )
+    assert (v0, v1) == (0, 1), (v0, v1)
+    snap = DeltaSnapshot(table)
+    # write-amplification pin: the pre-merge files never rewrote
+    changed = [p for p, d in before.items() if _digest(p) != d]
+    if changed:
+        raise SparkError(f"DV merge rewrote data files: {changed}")
+    if not snap._dvs:
+        raise SparkError("DV merge committed no deletion vectors")
+    new_files = sorted(set(snap._active) - set(before))
+    if len(new_files) != 1:
+        raise SparkError(f"expected one new data file, got {new_files}")
+    return read_delta(spark, table)

@@ -3,11 +3,12 @@
 The reverse of sources/delta.py — closes the round trip so the engine
 can be both a consumer AND a producer of Delta tables (the reference
 reads Delta via the deltalake crate, glue.rs delta dispatch; writing is
-an extension).  Scope: append commits and a compaction (OPTIMIZE-style
-rewrite: remove + add with dataChange=false).  Not in scope: checkpoint
-writing (readers replay JSON commits fine without one until 10 commits,
-the spec's checkpoint interval), deletion-vector writing, column
-mapping.
+an extension).  Scope: append commits, a compaction (OPTIMIZE-style
+rewrite: remove + add with dataChange=false), copy-on-write MERGE
+(merge_delta), DELETION-VECTOR MERGE (merge_delta_dv — point
+updates/deletes without rewriting data files), and checkpoint writing
+(checkpoint_delta).  Not in scope: column-mapping writes, partitioned
+merge targets.
 
 Format notes (public Delta protocol):
 * ``schemaString`` is Spark's ``StructType.json()`` — Delta adopted
@@ -364,4 +365,153 @@ def checkpoint_delta(spark, table_path: str) -> int:
     with open(tmp, "w") as fh:
         json.dump({"version": version, "size": len(rows)}, fh)
     os.rename(tmp, pointer)  # pointer update is last (readers fall back)
+    return version
+
+
+def merge_delta_dv(
+    spark,
+    table_path: str,
+    source,
+    on: list[str],
+    matched_delete=None,
+    expected_version: int = None,
+) -> int:
+    """Batch MERGE INTO that emits DELETION VECTORS instead of
+    rewriting files — how production Delta avoids write amplification
+    on point updates/deletes (PROTOCOL.md §Deletion Vectors; codec in
+    sources/dv.py):
+
+    * every MATCHED target pre-image is masked by a DV on its own data
+      file (update pre-images and delete-clause rows alike) — the data
+      file itself is NEVER rewritten, its bytes stay identical;
+    * updated + inserted rows land in ONE new data file;
+    * the commit re-adds each touched file with its (merged) DV
+      descriptor — an add replaces file metadata wholesale per
+      protocol, which the engine's own reader (sources/delta.py)
+      already honors — plus the new file's add.
+
+    Contrast with :func:`merge_delta` (copy-on-write): a 1-row update
+    there rewrites the whole table; here it writes one KB-sized DV
+    sidecar and a 1-row file.  The masked (file, row_index) set is
+    collected driver-side to encode the sidecars — it is ∝ the MERGE
+    SOURCE size (the small side by contract; the reader broadcasts the
+    same set on every scan), never ∝ the table.  Tables that already
+    carry DVs merge them (row-index union).  Subset: unpartitioned,
+    no column mapping.  Returns the committed version."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        _norm_path,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.dv import (
+        read_dv,
+        write_dv_file,
+    )
+
+    snap = DeltaSnapshot(table_path)
+    if expected_version is not None and snap.version != expected_version:
+        raise ConcurrentWriteError(
+            f"table moved to version {snap.version}; merge read "
+            f"{expected_version} — re-read and retry"
+        )
+    if snap.partition_columns:
+        raise ValueError("merge_delta_dv subset: unpartitioned tables only")
+    version = snap.version + 1
+    cols = [f.name for f in snap.schema.fields]
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != table "
+            f"columns {sorted(cols)}"
+        )
+    dups = (
+        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).limit(1).count()
+    )
+    if dups:
+        raise ValueError(
+            "merge source has duplicate keys — a target row may match "
+            "at most one source row"
+        )
+    # target scan retaining (file, row_index) identity, with any
+    # EXISTING DVs applied so already-deleted rows can never rematch
+    scan = spark.read.schema(snap.schema).parquet(*snap.files).select(
+        *[F.col(c) for c in cols],
+        _norm_path(F.col("_metadata.file_path")).alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    if snap._dvs:
+        import json as _json
+
+        existing = [
+            (os.path.abspath(os.path.join(table_path, p)), int(pos))
+            for p, dv in sorted(snap._dvs.items())
+            for pos in read_dv(table_path, dv)
+        ]
+        if existing:
+            exist_df = spark.createDataFrame(
+                existing, "_file string, _pos long"
+            )
+            scan = scan.join(
+                F.broadcast(exist_df), ["_file", "_pos"], "left_anti"
+            )
+    t = scan.alias("t")
+    s = source.withColumn("__src", F.lit(True)).alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+    matched = t.join(s, cond, "inner")
+    # all matched pre-images leave their files (updates re-emit from
+    # the source; delete-clause rows just vanish)
+    to_remove = [
+        (r["_file"], int(r["_pos"]))
+        for r in matched.select("t._file", "t._pos").collect()
+    ]
+    if matched_delete is not None:
+        drop_keys = matched.filter(matched_delete).select(
+            *[F.col(f"s.{k}").alias(k) for k in on]
+        )
+        anti_cond = [
+            source[k].eqNullSafe(drop_keys[k]) for k in on
+        ]
+        new_rows = source.join(drop_keys, anti_cond, "left_anti")
+    else:
+        new_rows = source
+    adds_new = []
+    if new_rows.limit(1).count():
+        adds_new = _write_data_files(
+            new_rows.select(*cols), table_path, f"commit-{version}", 1
+        )
+    # one merged DV per touched file (union with any pre-existing DV)
+    by_file: dict[str, set] = {}
+    for fpath, pos in to_remove:
+        by_file.setdefault(fpath, set()).add(pos)
+    abs_to_rel = {
+        os.path.abspath(os.path.join(table_path, p)): p
+        for p in snap._active
+    }
+    actions: list[dict] = []
+    for fpath in sorted(by_file):
+        rel = abs_to_rel[fpath]
+        rows = set(by_file[fpath])
+        if rel in snap._dvs:
+            rows |= set(read_dv(table_path, snap._dvs[rel]))
+        desc = write_dv_file(table_path, sorted(rows))
+        full = os.path.join(table_path, rel)
+        actions.append(
+            {
+                "add": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(
+                        os.path.getmtime(full) * 1000
+                    ),
+                    "dataChange": True,
+                    "deletionVector": desc,
+                }
+            }
+        )
+    actions.extend({"add": a} for a in adds_new)
+    if not actions:
+        raise ValueError("empty merge: source matched nothing and adds nothing")
+    _commit(_log_dir(table_path), version, actions)
     return version

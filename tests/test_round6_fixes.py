@@ -236,3 +236,65 @@ def test_hudi_upsert_refuses_multi_group_key(spark, tmp_path):
     # an upsert NOT touching the duplicated key still works
     src_ok = spark.createDataFrame([(2, "b2"), (3, "c")], "k int, v string")
     upsert_hudi(spark, src_ok, table, key="k")
+
+
+def test_delta_merge_dv_chained_and_null_keys(spark, tmp_path):
+    """merge_delta_dv on a table that ALREADY carries DVs unions the
+    row-index sets (a second point-delete must not resurrect the
+    first's rows), handles NULL merge keys via the marker path, and
+    never rewrites data files across either merge."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta_dv,
+    )
+
+    table = str(tmp_path / "dv")
+    rows = [(i, f"v{i}") for i in range(10)] + [(None, "t-null")]
+    append_delta(
+        spark.createDataFrame(rows, "k int, v string"), table, n_files=2
+    )
+
+    def _digests():
+        out = {}
+        for p in DeltaSnapshot(table)._active:
+            with open(os.path.join(table, p), "rb") as fh:
+                out[p] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    d0 = _digests()
+    # merge 1: update k=2, delete k=4, insert k=100, update NULL key
+    src1 = spark.createDataFrame(
+        [(2, "u2"), (4, "x"), (100, "i100"), (None, "u-null")],
+        "k int, v string",
+    )
+    merge_delta_dv(
+        spark, table, src1, on=["k"], matched_delete=F.col("t.k") == 4
+    )
+    got1 = {(r["k"], r["v"]) for r in read_delta(spark, table).collect()}
+    expect1 = {(i, f"v{i}") for i in range(10) if i not in (2, 4)} | {
+        (2, "u2"),
+        (100, "i100"),
+        (None, "u-null"),
+    }
+    assert got1 == expect1
+    # merge 2 over the DV-bearing table: delete k=6 (same file family)
+    src2 = spark.createDataFrame([(6, "x")], "k int, v string")
+    merge_delta_dv(
+        spark, table, src2, on=["k"], matched_delete=F.lit(True)
+    )
+    got2 = {(r["k"], r["v"]) for r in read_delta(spark, table).collect()}
+    assert got2 == expect1 - {(6, "v6")}
+    # no original data file ever rewrote
+    d2 = _digests()
+    assert all(d2[p] == d0[p] for p in d0 if p in d2)
+    # the second snapshot still carries merged DVs
+    assert DeltaSnapshot(table)._dvs
