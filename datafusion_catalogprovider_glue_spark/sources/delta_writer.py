@@ -171,6 +171,7 @@ def merge_delta(
     source: DataFrame,
     on: list[str],
     matched_delete=None,
+    matched_update=None,
     expected_version: int = None,
 ) -> int:
     """Batch MERGE INTO the Delta table at ``table_path`` — the keyed
@@ -178,7 +179,11 @@ def merge_delta(
 
     * WHEN MATCHED AND <matched_delete> THEN DELETE  (optional Column
       over the TARGET pre-image)
-    * WHEN MATCHED THEN UPDATE SET *   (source row wins)
+    * WHEN MATCHED [AND <matched_update>] THEN UPDATE SET *  (source
+      row wins; with ``matched_update`` — a Column over the t./s.
+      pre-images — a matched row updates ONLY when the condition
+      holds, else the target row is kept: the "merge if newer" shape
+      streaming upserts need to stay order-independent)
     * WHEN NOT MATCHED THEN INSERT *
 
     Compiled to ONE full-outer join on the key columns over the current
@@ -237,11 +242,17 @@ def merge_delta(
     keep = F.lit(True)
     if matched_delete is not None:
         keep = ~(matched & matched_delete)
+    take_source = F.col("s.__src").isNotNull()
+    if matched_update is not None:
+        # a matched row takes the source only when the update condition
+        # holds; inserts (no target) always take the source
+        take_source = take_source & (
+            F.col("t.__tgt").isNull() | matched_update
+        )
     merged = joined.filter(keep).select(
         *[
-            F.when(
-                F.col("s.__src").isNotNull(), F.col(f"s.{c}")
-            ).otherwise(F.col(f"t.{c}")).alias(c)
+            F.when(take_source, F.col(f"s.{c}"))
+            .otherwise(F.col(f"t.{c}")).alias(c)
             for c in cols
         ]
     )

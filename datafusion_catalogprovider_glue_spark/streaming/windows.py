@@ -626,3 +626,119 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("window_start", "event_type", "n_events", F.col("rank").cast("int"))
     )
+
+
+@query(
+    "stream_upsert_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+           event_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def stream_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert landing in a REAL table format: ``foreachBatch``
+    → ``merge_delta`` (sources/delta_writer.py) — the production swap
+    stream_upsert_sink's parquet-swap docstring names, now wired.  Each
+    micro-batch reduces to its latest row per user (one row per touched
+    key — per-batch cost O(batch), not O(state)), then MERGEs into the
+    Delta table with a CONDITIONAL update (``s.ts > t.ts``, event_id
+    tie-break), so the final state is keep-latest-per-key regardless of
+    micro-batch arrival order — the order-independence a replayed /
+    reshuffled stream needs.  Three chunked source files force a real
+    multi-batch drain; each batch commits exactly one Delta version
+    (asserted in-key), and the returned DataFrame replays the final
+    snapshot through the engine's own Delta reader, hash-matched
+    against the batch keep-latest oracle."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql.window import Window as _Window
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta,
+    )
+
+    raw_schema = events_raw_ddl(sf_dir)
+    base = _os.path.join(
+        "/tmp",
+        f"glue_spark_upsdelta_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    stream_dir = _os.path.join(base, "in")
+    table_dir = _os.path.join(base, "delta")
+    if _os.path.exists(base):
+        _shutil.rmtree(base)  # fresh run: the sink is the thing under test
+    _os.makedirs(stream_dir)
+    # three source chunks -> three micro-batches (maxFilesPerTrigger=1)
+    events = ensure_micros_ts(
+        spark.read.schema(raw_schema).parquet(table_path(sf_dir, "events"))
+    )
+    for i in range(3):
+        staging = _os.path.join(base, f"_chunk{i}")
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            staging
+        )
+        part = next(
+            _os.path.join(r, f)
+            for r, _d, fs in _os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        _os.replace(part, _os.path.join(stream_dir, f"chunk-{i}.parquet"))
+        _shutil.rmtree(staging)
+
+    cols = ["user_id", "event_id", "ts", "event_type"]
+    w = _Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    newer = (F.col("s.ts") > F.col("t.ts")) | (
+        (F.col("s.ts") == F.col("t.ts"))
+        & (F.col("s.event_id") > F.col("t.event_id"))
+    )
+
+    def _merge(batch_df, _batch_id):
+        latest = (
+            batch_df.select(*cols)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if not _os.path.exists(_os.path.join(table_dir, "_delta_log")):
+            append_delta(latest, table_dir, n_files=2)
+        else:
+            merge_delta(
+                spark, table_dir, latest, on=["user_id"],
+                matched_update=newer,
+            )
+
+    stream = spark.readStream.schema(raw_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stream_dir)
+    q = (
+        ensure_micros_ts(stream)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # one Delta commit per micro-batch: create (v0) + two merges
+    snap = DeltaSnapshot(table_dir)
+    assert snap.version == 2, f"expected 3 commits, at v{snap.version}"
+    return read_delta(spark, table_dir).select(
+        "user_id", "event_id", _win_str("ts").alias("ts"), "event_type"
+    )

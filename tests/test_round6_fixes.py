@@ -298,3 +298,34 @@ def test_delta_merge_dv_chained_and_null_keys(spark, tmp_path):
     assert all(d2[p] == d0[p] for p in d0 if p in d2)
     # the second snapshot still carries merged DVs
     assert DeltaSnapshot(table)._dvs
+
+
+def test_delta_merge_conditional_update(spark, tmp_path):
+    """matched_update gates WHEN MATCHED THEN UPDATE: a stale source
+    row (condition false) leaves the target untouched while inserts
+    still land — the order-independence contract stream_upsert_delta
+    rides on."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta,
+    )
+
+    table = str(tmp_path / "cond")
+    append_delta(
+        spark.createDataFrame([(1, 10, "new"), (2, 5, "cur")], "k int, seq int, v string"),
+        table,
+        n_files=1,
+    )
+    src = spark.createDataFrame(
+        [(1, 3, "stale"), (2, 9, "fresh"), (3, 1, "ins")],
+        "k int, seq int, v string",
+    )
+    merge_delta(
+        spark, table, src, on=["k"],
+        matched_update=F.col("s.seq") > F.col("t.seq"),
+    )
+    got = {(r["k"], r["seq"], r["v"]) for r in read_delta(spark, table).collect()}
+    assert got == {(1, 10, "new"), (2, 9, "fresh"), (3, 1, "ins")}
