@@ -651,16 +651,50 @@ class GlueCatalog:
         db, sep, table = rest.partition("__")
         return (db, table) if sep and db and table else None
 
+    # identifier atom for the dotted-reference rewrite: a plain SQL
+    # identifier or a backquoted one
+    _IDENT_RE = r"(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)"
+
+    def _rewrite_three_part(self, text: str) -> str:
+        """Rewrite ``glue.db.table`` THREE-PART identifiers (how the
+        reference's users address tables, demo.rs:68-90) onto the
+        ``{prefix}db__table`` view namespace before analysis.  Only
+        segments OUTSIDE single-quoted string literals rewrite, and
+        only references leading with this catalog's name — other
+        catalogs' dotted names pass through to Spark untouched.
+        Backquoted parts unquote (``glue.`my db`.`t` `` is legal).
+        The rewrite is purely textual; resolution/registration stays
+        with sql()'s lazy loop, so the one-GetTable budget holds."""
+        import re
+
+        pat = re.compile(
+            rf"\b{CATALOG_NAME}\.({self._IDENT_RE})\.({self._IDENT_RE})"
+        )
+
+        def _sub(m: "re.Match[str]") -> str:
+            db, table = (g.strip("`") for g in m.groups())
+            return self.view_name(db, table)
+
+        # split on single-quoted literals (with '' escapes) and rewrite
+        # only the code segments
+        parts = re.split(r"('(?:[^']|'')*')", text)
+        return "".join(
+            p if i % 2 else pat.sub(_sub, p) for i, p in enumerate(parts)
+        )
+
     def sql(self, text: str) -> DataFrame:
         """EP2: the SQL entry over registered views (demo.rs:118), with
-        LAZY resolution: a query referencing an unregistered
-        ``{prefix}db__table`` view triggers one GetTable registration
-        and re-analysis — the Spark-side equivalent of the reference
+        THREE-PART IDENTIFIER support (``glue.db.table`` rewrites onto
+        the view namespace — the exact spelling the reference's users
+        write, demo.rs:68-90) and LAZY resolution: a query referencing
+        an unregistered table triggers one GetTable registration and
+        re-analysis — the Spark-side equivalent of the reference
         resolving tables at SQL-analysis time instead of eagerly.  Each
         retry resolves one missing relation; the loop is bounded by the
         number of distinct relations a query can reference."""
         from pyspark.errors import AnalysisException
 
+        text = self._rewrite_three_part(text)
         for _ in range(64):
             try:
                 return self.spark.sql(text)

@@ -3314,3 +3314,46 @@ def sink_delta_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(new_files) != 1:
         raise SparkError(f"expected one new data file, got {new_files}")
     return read_delta(spark, table)
+
+
+@query(
+    "catalog_sql_three_part",
+    oracle="""
+    SELECT n.n_name, COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def catalog_sql_three_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-PART SQL identifiers (catalog/catalog.py:
+    _rewrite_three_part): the query spells tables exactly as the
+    reference's users do — ``glue.default.supplier`` (demo.rs:68-90) —
+    and ``GlueCatalog.sql`` rewrites the dotted references onto the
+    view namespace before analysis, composing with LAZY resolution: on
+    a FRESH catalog both tables resolve with exactly one GetTable EACH
+    and zero list calls — asserted in-key, same budget discipline as
+    catalog_lazy_resolution.  A decoy single-quoted string containing
+    a dotted name proves literals never rewrite."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+
+    apply_engine_conf(spark)
+    client = testdata_fixture(sf_dir)
+    catalog = GlueCatalog(spark, client, view_prefix="tpglue__")
+    for t in ("supplier", "nation"):
+        spark.catalog.dropTempView(catalog.view_name("default", t))
+    df = catalog.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_suppliers
+        FROM glue.default.supplier s
+        JOIN glue.default.nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name <> 'glue.default.not_a_table'
+        GROUP BY n.n_name
+        """
+    )
+    got = dict(client.calls)
+    if got != {"GetTable": 2}:
+        raise SparkError(
+            f"three-part resolution budget violated: expected exactly "
+            f"two GetTable calls, recorded {got}"
+        )
+    return df

@@ -540,3 +540,30 @@ def test_lazy_sql_resolution_budget_and_foreign_views(spark):
     with pytest.raises(AnalysisException):
         catalog.sql("SELECT * FROM some_other_view")
     assert client.calls == {"GetTable": 2}  # foreign name: no Glue call
+
+
+def test_rewrite_three_part_textual():
+    """_rewrite_three_part edge cases: string literals never rewrite,
+    backticks unquote, other catalogs pass through, two-part names
+    untouched."""
+    from datafusion_catalogprovider_glue_spark.catalog.catalog import (
+        GlueCatalog,
+    )
+
+    rw = GlueCatalog.__new__(GlueCatalog)  # no session needed
+    rw.view_prefix = "glue__"
+    f = rw._rewrite_three_part
+    assert f("SELECT * FROM glue.db.t") == "SELECT * FROM glue__db__t"
+    assert (
+        f("SELECT 'glue.db.t' FROM glue.db.t")
+        == "SELECT 'glue.db.t' FROM glue__db__t"
+    )
+    assert f("FROM glue.`my db`.`t-1`") == "FROM glue__my db__t-1"
+    assert f("FROM other.db.t") == "FROM other.db.t"
+    assert f("FROM db.t") == "FROM db.t"
+    assert (
+        f("FROM glue.a.b JOIN glue.c.d ON 1=1")
+        == "FROM glue__a__b JOIN glue__c__d ON 1=1"
+    )
+    # '' escape inside a literal stays literal
+    assert f("SELECT 'it''s glue.db.t here'") == "SELECT 'it''s glue.db.t here'"

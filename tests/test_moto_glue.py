@@ -194,3 +194,32 @@ def test_lazy_sql_resolution_via_real_boto3(spark, glue_client):
         spark, SF_SMOKE, "region"
     ).count()
     assert catalog.table("motodb4", "region") is not None  # now cached
+
+
+def test_three_part_sql_via_real_boto3(spark, glue_client):
+    """Three-part identifiers against moto: ``glue.db.table`` spellings
+    (the reference demo's own SQL shape, demo.rs:68-90) rewrite onto
+    the view namespace and lazily resolve through real botocore
+    GetTable round trips."""
+    glue_client.create_database(DatabaseInput={"Name": "motodb5"})
+    _create_parquet_table(
+        glue_client,
+        "motodb5",
+        "region",
+        TESTDATA_GLUE_COLUMNS["region"],
+        os.path.join(SF_SMOKE, "region.parquet"),
+    )
+    catalog = GlueCatalog(spark, glue_client, view_prefix="moto3p__")
+    spark.catalog.dropTempView(catalog.view_name("motodb5", "region"))
+    df = catalog.sql(
+        "SELECT r_name FROM glue.motodb5.region "
+        "WHERE r_name <> 'glue.motodb5.region' ORDER BY r_name"
+    )
+    rows = [r["r_name"] for r in df.collect()]
+    assert rows == sorted(
+        r["r_name"]
+        for r in load_table(spark, SF_SMOKE, "region").collect()
+    )
+    # backquoted parts unquote to the same view
+    df2 = catalog.sql("SELECT COUNT(*) AS n FROM glue.`motodb5`.`region`")
+    assert df2.collect()[0]["n"] == len(rows)
