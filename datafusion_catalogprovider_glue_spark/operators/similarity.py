@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datafusion_catalogprovider_glue_spark.functions import cosine, dot, vec_double
+from datafusion_catalogprovider_glue_spark.functions import cosine, dot, norm, vec_double
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
 from datafusion_catalogprovider_glue_spark.tables import load_table
@@ -1296,52 +1296,61 @@ def _kmeans_uncached(
     partitioning-free — the embedding_centroid trick); centroid
     vectors are rebuilt in pos order so the cosine fold visits
     coordinates in the same sequence on both engines.
-    """
+
+    Assignment is ZERO-SHUFFLE (r6; was a broadcast cross join + a
+    vec_id re-agg): the K centroids inline as literal arrays into ONE
+    projection — per row, the vector norm is computed once (hoisted),
+    each centroid's norm CONSTANT-FOLDS at optimization time (norm of
+    a literal is foldable), and the argmax is array_position of the
+    rounded-cosine array's max (first occurrence == smallest cid, the
+    same tie-break as the oracle's ROW_NUMBER).  Per n·K pair that is
+    ONE dot fold instead of three, and the n-row exchange + the v⋈m1
+    join disappear — at 10× data the wall now scales with the scan,
+    not a shuffle (SCALING_r06 target ≤5×).  Collecting K≤256
+    centroid rows to build the literals is metadata-sized, the same
+    class as every broadcast seed table."""
     v = _emb(spark, sf_dir).select("vec_id", "v")
     # Seeds: the k smallest vec_ids (deterministic, no RNG; at
     # scale swap in k-means|| over a bounded sample — the loop below
-    # is unchanged).  The seed table is k rows: broadcast.
-    w = Window.orderBy("vec_id")
-    seeds = (
-        v.orderBy("vec_id")
-        .limit(k)
-        .select((F.row_number().over(w) - 1).cast("int").alias("cid"),
-                F.col("v").alias("cv"))
-    )
+    # is unchanged).  The seed table is k rows: metadata.
+    seed_rows = [
+        [float(x) for x in r["v"]]
+        for r in v.orderBy("vec_id").limit(k).collect()
+    ]
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        # argmax(cos, tie -> smaller cid) as ONE map-side-combinable
-        # aggregation (max of a (cos, -cid) struct) — a window rank
-        # here would sort-shuffle every (vec, centroid) pair; the agg
-        # keeps K-1 of every K pairs out of the exchange.
-        pairs = v.crossJoin(F.broadcast(centroids)).select(
-            "vec_id", "cid", cosine(F.col("v"), F.col("cv")).alias("cos")
-        )
-        return (
-            pairs.groupBy("vec_id")
-            .agg(
-                F.max(
-                    F.struct(
-                        F.col("cos"), (-F.col("cid")).cast("int").alias("ncid")
-                    )
-                ).alias("m")
+    def assign(centroid_vecs: list[list[float]]) -> DataFrame:
+        # one projection: array of ROUND(cos, 6) against every literal
+        # centroid, argmax via array_position(max) (ties -> first =
+        # smallest cid, matching the oracle's ORDER BY cos DESC, cid)
+        nv = norm(F.col("v"))
+        cos_exprs = []
+        for c in centroid_vecs:
+            c_lit = F.array(*[F.lit(float(x)) for x in c])
+            # norm(c_lit) is foldable -> evaluated once by Catalyst
+            cos_exprs.append(
+                F.round(dot(F.col("v"), c_lit) / (F.col("_nv") * norm(c_lit)), 6)
             )
+        return (
+            v.withColumn("_nv", nv)
+            .withColumn("_ca", F.array(*cos_exprs))
             .select(
                 "vec_id",
-                (-F.col("m.ncid")).cast("int").alias("cid"),
-                F.col("m.cos").alias("cos"),
+                "v",
+                (
+                    F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
+                    - 1
+                ).cast("int").alias("cid"),
+                F.array_max(F.col("_ca")).alias("cos"),
             )
         )
 
-    m1 = assign(seeds)
+    m1 = assign(seed_rows)
     # Centroid update: map-side-combined (cid, pos) decimal-grid means,
     # then rebuild the centroid vector in pos order.  State is one
     # accumulator per (cid, pos) — never a vector buffer — so the
-    # update step scales to any corpus size.
-    coords = (
-        v.join(m1.select("vec_id", "cid"), "vec_id")
-        .select("cid", F.posexplode("v").alias("pos", "val"))
-    )
+    # update step scales to any corpus size.  (The assignment rides
+    # along on m1's projection — no join.)
+    coords = m1.select("cid", F.posexplode("v").alias("pos", "val"))
     cm = coords.groupBy("cid", "pos").agg(
         (
             F.sum(F.round(F.col("val") * 1000000.0).cast("long")).cast("double")
@@ -1358,7 +1367,14 @@ def _kmeans_uncached(
     # re-assign here, IVF probe ranking, any caller broadcasting it)
     # would otherwise re-execute the whole seed→assign→update lineage.
     c1 = c1.localCheckpoint()
-    return assign(c1).withColumnRenamed("cid", "cluster"), c1
+    c1_rows = [
+        [float(x) for x in r["cv"]]
+        for r in c1.orderBy("cid").collect()  # K rows: metadata
+    ]
+    final = assign(c1_rows).select(
+        "vec_id", F.col("cid").alias("cluster"), "cos"
+    )
+    return final, c1
 
 
 # SemDeDup cost control at scale: the within-cluster pair stage is

@@ -907,17 +907,23 @@ _MG_COUNTERS = 4096       # per-partition Misra-Gries budget (>= 1/phi x8)
 def _mg_candidates(tokens, n_counters: int):
     """Per-partition Misra-Gries pass over a token stream via
     Arrow-batched mapInPandas: O(n_counters) state, emits the counter
-    survivors per partition.  Guarantee: any token with global count
+    survivors per partition PLUS one (tok=NULL, np=<partition token
+    count>) row, so ONE job yields both the candidate roster and the
+    exact global token total (r6: previously a separate count() over a
+    persisted cache).  Guarantee: any token with global count
     >= phi*N has, in at least one partition, local count >= phi*n_p >
     n_p/(n_counters+1), so it survives that partition's counters —
     the union of survivors is a SUPERSET of the true heavy hitters.
     The decrement step makes per-partition counts unreliable, which is
-    why the exact recount pass exists; only MEMBERSHIP leaves Python."""
+    why the exact recount pass exists; only MEMBERSHIP (and the one
+    count) leaves Python."""
     import pandas as pd
 
     def mg(batches):
         counters: dict[str, int] = {}
+        n = 0
         for pdf in batches:
+            n += len(pdf["tok"])
             for tok in pdf["tok"]:
                 if tok in counters:
                     counters[tok] += 1
@@ -929,9 +935,14 @@ def _mg_candidates(tokens, n_counters: int):
                         counters[k] -= 1
                     for k in dead:
                         del counters[k]
-        yield pd.DataFrame({"tok": list(counters.keys())})
+        yield pd.DataFrame(
+            {
+                "tok": list(counters.keys()) + [None],
+                "np": [0] * len(counters) + [n],
+            }
+        )
 
-    return tokens.mapInPandas(mg, "tok string")
+    return tokens.mapInPandas(mg, "tok string, np long")
 
 
 @query(
@@ -970,32 +981,26 @@ def text_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _docs(spark, sf_dir).select(
         F.explode(F.split("text", " ")).alias("tok")
     )
-    toks = toks.persist()
-    try:
-        n_total = toks.count()  # one number to the driver: the support base
-        # materialize the candidate roster WHILE toks is cached — the MG
-        # pass reads the cache, and the roster (bounded: <= counters x
-        # partitions after distinct) comes to the driver so the returned
-        # lazy plan carries it as a broadcast literal instead of
-        # re-running the sketch over an uncached corpus at execution
-        cand_rows = [
-            r.tok for r in _mg_candidates(toks, _MG_COUNTERS).distinct().collect()
-        ]
-        support = -(-FREQ_TERM_PHI * n_total // 1)  # ceil
-        spark = toks.sparkSession
-        roster = spark.createDataFrame([(t,) for t in cand_rows], "tok string")
-        return (
-            toks.join(F.broadcast(roster), "tok")
-            .groupBy("tok")
-            .agg(F.count(F.lit(1)).alias("n_occurrences"))
-            .filter(F.col("n_occurrences") >= F.lit(int(support)))
-        )
-    finally:
-        # the returned plan re-explodes the corpus exactly once (the
-        # recount) — the honest cold cost of phase 2; holding the
-        # exploded token cache across a caller's whole run would starve
-        # execution memory instead
-        toks.unpersist(blocking=False)
+    # ONE sketch job yields the candidate roster AND the exact token
+    # total (the per-partition MG pass counts as it sketches — r6 fix:
+    # the previous persist + count() + collect() pair cost a second
+    # pass and a cache round trip); the roster (bounded: <= counters x
+    # partitions) comes to the driver so the returned lazy plan
+    # carries it as a broadcast literal instead of re-running the
+    # sketch at execution
+    sketch = _mg_candidates(toks, _MG_COUNTERS).collect()
+    n_total = sum(r.np for r in sketch if r.tok is None)
+    cand_rows = sorted({r.tok for r in sketch if r.tok is not None})
+    support = -(-FREQ_TERM_PHI * n_total // 1)  # ceil
+    roster = spark.createDataFrame([(t,) for t in cand_rows], "tok string")
+    # the returned plan re-explodes the corpus exactly once (the
+    # recount) — the honest cold cost of phase 2
+    return (
+        toks.join(F.broadcast(roster), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(int(support)))
+    )
 
 
 text_frequent_terms.__doc__ = text_frequent_terms.__doc__.format(
