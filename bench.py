@@ -167,6 +167,7 @@ HEADLINE = [
     "sink_iceberg_days_partitioned",
     "sink_hudi_mor_roundtrip",
     "sink_delta_merge_dv",
+    "sink_iceberg_compaction",
     "catalog_sql_three_part",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).

@@ -3357,3 +3357,63 @@ def catalog_sql_three_part(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"two GetTable calls, recorded {got}"
         )
     return df
+
+
+@query(
+    "sink_iceberg_compaction",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def sink_iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg COMPACTION (sources/iceberg_writer.py:compact_iceberg —
+    rewrite_data_files as a copy-on-write REPLACE snapshot), completing
+    compaction symmetry across the trio (compact_delta B10,
+    compact_hudi B14): two appends fragment the table into 4+ data
+    files, compaction rewrites them into ONE, and the post-compaction
+    snapshot must still hash-match the source table (physical layout
+    changed, logical table identical).  Asserted in-key: the file count
+    actually shrank to 1, and time travel to the pre-compaction
+    snapshot still serves the first append's half through the rewrite."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        compact_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_compact_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    s1 = append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 1), table)
+    n_before = len(IcebergSnapshot(table).files)
+    s3 = compact_iceberg(spark, table)
+    snap = IcebergSnapshot(table)
+    if not (len(snap.files) == 1 < n_before):
+        raise SparkError(
+            f"compaction did not compact: {n_before} -> {len(snap.files)}"
+        )
+    # time travel crosses the rewrite: snapshot s1 still serves evens
+    n_evens = read_iceberg(spark, table, snapshot_id=s1).count()
+    n_all = docs.count()
+    if n_evens >= n_all or n_evens == 0:
+        raise SparkError(f"pre-compaction time travel broken: {n_evens}")
+    assert s3 != s1
+    return read_iceberg(spark, table)

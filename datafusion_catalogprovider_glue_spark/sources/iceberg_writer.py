@@ -8,9 +8,11 @@ Iceberg can MATERIALIZE results, not just consume them.  Scope: append
 snapshots over a v2 table, unpartitioned or partitioned under ONE
 partition spec with any spec transform (identity / bucket[N] /
 truncate[W] / year / month / day / hour —
-sources/iceberg_transforms.py).  Not in scope: row-level deletes,
-rewrites/compaction, spec evolution, schema evolution on write (reads
-of evolved tables are handled by the reader).
+sources/iceberg_transforms.py), plus copy-on-write MERGE
+(merge_iceberg) and COMPACTION (compact_iceberg, a REPLACE-snapshot
+rewrite_data_files).  Not in scope: row-level delete writing, spec
+evolution, schema evolution on write (reads of evolved tables are
+handled by the reader).
 
 Format notes (Iceberg spec, https://iceberg.apache.org/spec/):
 * ``metadata/version-hint.text`` → ``metadata/v<N>.metadata.json`` is
@@ -479,6 +481,75 @@ def merge_iceberg(
     list_rel = f"metadata/snap-{snap_id}.avro"
     # REPLACE: the new manifest list references ONLY the new manifest —
     # prior files are logically removed from this snapshot onward
+    write_avro_container(
+        os.path.join(table_path, list_rel),
+        _MANIFEST_LIST_SCHEMA,
+        [
+            (
+                manifest_rel,
+                os.path.getsize(os.path.join(table_path, manifest_rel)),
+                snap_id,
+            )
+        ],
+    )
+    meta = dict(meta)
+    meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "manifest-list": list_rel,
+        }
+    ]
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
+    ]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    new_version = version + 1
+    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp_hint = hint + ".tmp"
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(new_version))
+    os.rename(tmp_hint, hint)
+    return snap_id
+
+
+def compact_iceberg(spark: SparkSession, table_path: str) -> int:
+    """COMPACTION (Iceberg's rewrite_data_files): rewrite every live
+    data file into one, committed as a copy-on-write REPLACE snapshot —
+    the same commit shape as merge_iceberg, with the logical table
+    unchanged (the property the gate key's hash match pins).  Prior
+    snapshots stay time-travelable across the rewrite; the incremental
+    appendsBetween scan refuses ranges spanning it, per the append-only
+    contract.  Completes compaction symmetry across the trio
+    (compact_delta, compact_hudi).  Returns the new snapshot id."""
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+    )
+
+    snap = IcebergSnapshot(table_path)
+    if snap.delete_files or snap.eq_deletes:
+        raise NotImplementedYet(
+            "iceberg compaction subset: table carries row-level deletes"
+        )
+    df = spark.read.schema(snap.schema).parquet(*snap.files)
+
+    meta_dir = os.path.join(table_path, "metadata")
+    version, meta = _load_meta(meta_dir)
+    seq = meta["last-sequence-number"] + 1
+    snap_id = _snapshot_id(seq)
+    data_files = _write_data_files(df, table_path, seq, 1)
+    manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
+    write_avro_container(
+        os.path.join(table_path, manifest_rel),
+        _MANIFEST_SCHEMA,
+        [(1, 0, rel, "PARQUET", n, seq, None) for rel, n, _ in data_files],
+    )
+    list_rel = f"metadata/snap-{snap_id}.avro"
     write_avro_container(
         os.path.join(table_path, list_rel),
         _MANIFEST_LIST_SCHEMA,
