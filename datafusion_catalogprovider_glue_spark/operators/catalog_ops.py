@@ -3417,3 +3417,69 @@ def sink_iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise SparkError(f"pre-compaction time travel broken: {n_evens}")
     assert s3 != s1
     return read_iceberg(spark, table)
+
+
+@query(
+    "scan_iceberg_bucket_pruned",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = 42
+    """,
+)
+def scan_iceberg_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup over a bucket[8]-partitioned Iceberg table — the
+    other ubiquitous real-Iceberg layout (bucketed primary keys): the
+    reader folds the LOOKUP KEY through the spec's murmur3 bucket
+    transform (sources/iceberg_transforms.py) and opens ONLY that
+    bucket's files — 1/8 of the table regardless of size, asserted
+    in-key via inputFiles against the manifest's own bucket tuples —
+    then the exact-key filter pushes into the pruned parquet scan.
+    At 100 TB this is how a keyed lookup costs one bucket, not a
+    table scan."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        apply_transform,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_bucket_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(table, "metadata", "version-hint.text")):
+        shutil.rmtree(table, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        append_iceberg(docs, table, partition_by="doc_id", transform="bucket[8]")
+    snap = IcebergSnapshot(table)
+    want = apply_transform("bucket[8]", 42)
+    matching = [
+        f
+        for f in snap.files
+        if snap.partitions.get(f, {}).get("doc_id_bucket") == want
+    ]
+    if not matching or len(matching) >= len(snap.files):
+        raise SparkError(
+            f"bucket layout degenerate: {len(matching)}/{len(snap.files)}"
+        )
+    out = read_iceberg(spark, table, partition_filter={"doc_id": 42})
+    if len(out.inputFiles()) != len(matching):
+        raise SparkError(
+            f"bucket pruning leaked: {len(out.inputFiles())} files read, "
+            f"{len(matching)} in the bucket"
+        )
+    return out.filter(F.col("doc_id") == 42)
