@@ -559,15 +559,18 @@ def test_triangle_edges_broadcast_both_joins(spark):
 
 
 def test_kmeans_assignment_no_window_sort(spark):
-    """The argmax-by-struct rewrite: assignment must contain NO window
-    operator (the old rank form sort-shuffled every vec x centroid
-    pair) and the centroid side must broadcast."""
+    """The r6 zero-shuffle assignment: centroids inline as literals
+    into one projection, so the FINAL assignment plan contains NO
+    window operator, NO join of any kind, and NO exchange — it is a
+    pure projection over the scan (the r4→r6 evolution: window rank →
+    broadcast crossJoin + re-agg → literal argmax projection)."""
     p = plan_str(q(spark, "embedding_kmeans"))
-    # exactly ONE Window is allowed: the K-row seed numbering (post
-    # LIMIT K, trivially small).  The two assignment passes must NOT
-    # contribute windows — each would sort-shuffle n*K pair rows.
-    assert p.count(") Window") <= 1  # formatted detail entries, one per op
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    assert ") Window" not in p
+    for join in ("BroadcastNestedLoopJoin", "SortMergeJoin",
+                 "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct"):
+        assert join not in p, join
+    assert "Exchange" not in p
 
 
 def test_dedup_semantic_pairs_are_equi_join(spark):
