@@ -3483,3 +3483,63 @@ def scan_iceberg_bucket_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{len(matching)} in the bucket"
         )
     return out.filter(F.col("doc_id") == 42)
+
+
+@query(
+    "scan_hudi_mor_incremental",
+    # in-range changes only: the t2 LOG rows (doc_id%3==0, partial
+    # payload n_chars+1000); base rows committed at t1 fall outside
+    # (begin, end] and the log carries no lang column -> lang NULL
+    oracle="""
+    SELECT doc_id,
+           n_chars + 1000 AS n_chars,
+           '20240101000001' AS commit_time
+    FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def scan_hudi_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoR INCREMENTAL query (sources/hudi.py:read_hudi_mor_incremental)
+    on an engine-WRITTEN MoR table: base insert at t1, index-routed
+    log upsert at t2, then the pull (t1, ∞) must return EXACTLY the
+    log-changed records in their newest in-range state — base rows
+    are untouched and never open (IO ∝ change volume, the entire
+    point of MoR incremental pulls).  The log's partial payload
+    (doc_id, n_chars) surfaces as-is: columns the range never touched
+    are NULL, matching Hudi's incremental relation over log blocks."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor_incremental,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi_log,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_hudi_morinc_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    t1 = append_hudi(docs.filter(F.col("doc_id") % 2 == 0), table)
+    log = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (F.col("n_chars") + F.lit(1000)).alias("n_chars")
+    )
+    t2 = upsert_hudi_log(spark, log, table, key="doc_id")
+    assert int(t2) == int(t1) + 1, (t1, t2)
+    return read_hudi_mor_incremental(
+        spark, table, key_col="doc_id", begin=t1
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.col("_hoodie_commit_time").alias("commit_time"),
+    )

@@ -288,3 +288,113 @@ def read_hudi_incremental(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_hudi_mor_incremental(
+    spark: SparkSession,
+    location: str,
+    key_col: str,
+    begin: str,
+    end: Optional[str] = None,
+) -> DataFrame:
+    """INCREMENTAL query on a MERGE-ON-READ table: the latest state of
+    every record CHANGED in the instant range (begin, end] — base-file
+    commits and log deltacommits alike (Hudi's MoR incremental
+    relation reads log blocks for instants past the last compaction).
+    Per changed key, the newest in-range occurrence wins: a log record
+    newer than a base rewrite overrides it, non-null columns
+    overwriting the base row's (the same partial-payload shape the
+    snapshot reader applies); each row carries its instant as
+    ``_hoodie_commit_time``.
+
+    IO ∝ change volume: only in-range base slices and in-range log
+    files open; logs are KB-sized by the MoR contract and base slices
+    obey the same supersede rule as the CoW incremental reader.
+    Scale shape: log decode is executor-side (read_avro_fallback), the
+    latest-per-key collapse is one window over CHANGED rows only, and
+    the base/log combine is a keyed coalesce — never a scan of
+    untouched slices."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        read_avro_fallback,
+        schema_from_avro_file,
+    )
+
+    instants = hudi_mor_instants(location)
+    in_range = [
+        (t, a)
+        for t, a in instants
+        if t > begin and (end is None or t <= end)
+    ]
+    if not in_range:
+        return spark.createDataFrame([], "_hoodie_commit_time string")
+    # in-range winning base slice per file group (CoW supersede rule)
+    base_latest: dict[str, tuple[str, str]] = {}
+    logs: list[tuple[str, str]] = []
+    for t, action in in_range:
+        if action == "commit":
+            for file_id, rel in _commit_files_action(
+                location, t, "commit"
+            ).items():
+                base_latest[file_id] = (t, rel)
+        else:
+            for _fid, rel in _commit_files_action(
+                location, t, "deltacommit"
+            ).items():
+                logs.append((t, rel))
+    parts = []
+    for t, rel in sorted(
+        (t, rel) for t, rel in base_latest.values()
+    ):
+        df = spark.read.parquet(os.path.join(location, rel))
+        if "_hoodie_commit_time" not in df.columns:
+            df = df.withColumn("_hoodie_commit_time", F.lit(t))
+        parts.append(df)
+    for t, rel in sorted(logs):
+        path = os.path.join(location, rel)
+        df = read_avro_fallback(
+            spark, path, schema_from_avro_file(path)
+        ).withColumn("_hoodie_commit_time", F.lit(t))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    # base rows carried through a rewrite keep their ORIGINAL commit
+    # time — rows at or before `begin` are unchanged and drop out
+    cond = F.col("_hoodie_commit_time") > F.lit(begin)
+    if end is not None:
+        cond = cond & (F.col("_hoodie_commit_time") <= F.lit(end))
+    out = out.filter(cond)
+    # newest in-range occurrence per key wins; each column takes its
+    # NEWEST NON-NULL in-range value (partial log payloads merge the
+    # way the snapshot reader merges them) — full frame, newest first
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_hoodie_commit_time").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    val_cols = [
+        c for c in out.columns if c not in (key_col, "_hoodie_commit_time")
+    ]
+    filled = out.select(
+        key_col,
+        "_hoodie_commit_time",
+        *[
+            F.first(c, ignorenulls=True).over(w).alias(c)
+            for c in val_cols
+        ],
+    )
+    return (
+        filled.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy(
+                    F.col("_hoodie_commit_time").desc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -385,3 +385,61 @@ def test_mor_upsert_routing_refusals(spark, tmp_path):
             table,
             key="k",
         )
+
+
+def test_mor_incremental_multi_change_and_bounds(spark, tmp_path):
+    """Two in-range logs for one key merge newest-non-null per column;
+    the (begin, end] bound excludes later instants; untouched base
+    rows never surface."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor_incremental,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi_log,
+    )
+
+    table = str(tmp_path / "morinc")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, v string, n int"
+    )
+    t1 = append_hudi(base, table, n_groups=1)
+    # t2 updates n for k=1; t3 updates v for k=1 and n for k=2
+    t2 = upsert_hudi_log(
+        spark, spark.createDataFrame([(1, 100)], "k int, n int"), table, "k"
+    )
+    t3 = upsert_hudi_log(
+        spark,
+        spark.createDataFrame([(1, "a3")], "k int, v string").join(
+            spark.createDataFrame([(1,)], "k int"), "k"
+        ).select("k", "v"),
+        table,
+        "k",
+    )
+    # full range (t1, t3]: k=1 merges v from t3 with n from t2
+    got = {
+        (r["k"], r["v"], r["n"], r["_hoodie_commit_time"])
+        for r in read_hudi_mor_incremental(
+            spark, table, key_col="k", begin=t1
+        ).collect()
+    }
+    assert got == {(1, "a3", 100, t3)}
+    # bounded range (t1, t2]: only the t2 change, no v column merge
+    got2 = {
+        (r["k"], r["n"], r["_hoodie_commit_time"])
+        for r in read_hudi_mor_incremental(
+            spark, table, key_col="k", begin=t1, end=t2
+        )
+        .select("k", "n", "_hoodie_commit_time")
+        .collect()
+    }
+    assert got2 == {(1, 100, t2)}
+    # empty range
+    assert (
+        read_hudi_mor_incremental(
+            spark, table, key_col="k", begin=t3
+        ).count()
+        == 0
+    )
