@@ -1319,28 +1319,72 @@ def _kmeans_uncached(
     ]
 
     def assign(centroid_vecs: list[list[float]]) -> DataFrame:
-        # one projection: array of ROUND(cos, 6) against every literal
-        # centroid, argmax via array_position(max) (ties -> first =
-        # smallest cid, matching the oracle's ORDER BY cos DESC, cid)
-        nv = norm(F.col("v"))
-        cos_exprs = []
-        for c in centroid_vecs:
-            c_lit = F.array(*[F.lit(float(x)) for x in c])
-            # norm(c_lit) is foldable -> evaluated once by Catalyst
-            cos_exprs.append(
-                F.round(dot(F.col("v"), c_lit) / (F.col("_nv") * norm(c_lit)), 6)
-            )
+        # Arrow-batched numpy for the RAW folds, JVM for round+argmax.
+        # Why not pure-JVM: higher-order-function folds sit outside
+        # whole-stage codegen (~5 µs per (vec, centroid) pair — the r5
+        # scaling long pole); why numpy is still ORACLE-EXACT: the
+        # accumulation below runs COORDINATE-ORDERED (one j-step at a
+        # time across the whole batch), so every (row, centroid) pair
+        # sees the identical IEEE-754 binary64 op sequence as the
+        # JVM/DuckDB left fold — elementwise numpy float64 ops are the
+        # same hardware ops, so the raw cosines are bit-equal, and the
+        # 6-dp ROUND (the only decimal-semantics op) stays JVM-side.
+        # The oracle gate itself pins this path at every scale factor.
+        # argmax via array_position(max): ties -> first = smallest
+        # cid, matching the oracle's ORDER BY cos DESC, cid.
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def _py_norm(c: list[float]) -> float:
+            acc = 0.0
+            for x in c:  # left fold, same order as F.aggregate
+                acc = acc + x * x
+            return math.sqrt(acc)
+
+        cb = np.asarray(centroid_vecs, dtype=np.float64)  # K x d
+        ncs = np.asarray(
+            [_py_norm(c) for c in centroid_vecs], dtype=np.float64
+        )
+        n_k, dims = cb.shape
+
+        def _cos_batches(batches):
+            for pdf in batches:
+                m = len(pdf)
+                vv = np.empty((m, dims), dtype=np.float64)
+                for i, arr in enumerate(pdf["v"]):
+                    vv[i, :] = arr
+                dot_acc = np.zeros((m, n_k), dtype=np.float64)
+                nv_acc = np.zeros(m, dtype=np.float64)
+                for j in range(dims):  # the left fold, vectorized
+                    vj = vv[:, j]
+                    dot_acc += vj[:, None] * cb[None, :, j]
+                    nv_acc += vj * vj
+                raw = dot_acc / (np.sqrt(nv_acc)[:, None] * ncs[None, :])
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "v": pdf["v"],
+                        "_ca": list(raw),
+                    }
+                )
+
+        with_raw = v.mapInPandas(
+            _cos_batches,
+            "vec_id long, v array<double>, _ca array<double>",
+        )
+        rounded = F.transform(F.col("_ca"), lambda x: F.round(x, 6))
         return (
-            v.withColumn("_nv", nv)
-            .withColumn("_ca", F.array(*cos_exprs))
+            with_raw.withColumn("_cr", rounded)
             .select(
                 "vec_id",
                 "v",
                 (
-                    F.array_position(F.col("_ca"), F.array_max(F.col("_ca")))
+                    F.array_position(F.col("_cr"), F.array_max(F.col("_cr")))
                     - 1
                 ).cast("int").alias("cid"),
-                F.array_max(F.col("_ca")).alias("cos"),
+                F.array_max(F.col("_cr")).alias("cos"),
             )
         )
 
