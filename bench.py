@@ -170,6 +170,7 @@ HEADLINE = [
     "sink_iceberg_compaction",
     "scan_iceberg_bucket_pruned",
     "scan_hudi_mor_incremental",
+    "sink_delta_partitioned",
     "catalog_sql_three_part",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).

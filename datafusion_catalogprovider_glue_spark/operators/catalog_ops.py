@@ -3543,3 +3543,67 @@ def scan_hudi_mor_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.col("_hoodie_commit_time").alias("commit_time"),
     )
+
+
+@query(
+    "sink_delta_partitioned",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'
+    """,
+)
+def sink_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta HIVE-PARTITIONED write + file-pruned read, both
+    engine-side (sources/delta_writer.py:_write_partitioned_data_files
+    + sources/delta.py partition_filter) — closing the write trio's
+    last asymmetry: the reader handled partitioned tables since r3,
+    now the writer produces them.  Per protocol, data files EXCLUDE
+    the partition column (the reader re-attaches it from each add's
+    partitionValues), so the hash match proves the column round-trips
+    purely through log metadata.  Two appends prove the
+    partitioning-compatibility check; the read with
+    partition_filter={'lang':'en'} must touch ONLY that partition's
+    files — asserted in-key from the snapshot's own add metadata."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_part_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), table, partition_by="lang"
+    )
+    append_delta(
+        docs.filter(F.col("doc_id") % 2 == 1), table, partition_by="lang"
+    )
+    snap = DeltaSnapshot(table)
+    en = [p for p, pv in snap._active.items() if pv.get("lang") == "en"]
+    if not en or len(en) >= len(snap._active):
+        raise SparkError(
+            f"partitioned layout degenerate: {len(en)}/{len(snap._active)}"
+        )
+    out = read_delta(spark, table, partition_filter={"lang": "en"})
+    n_inputs = len(out.inputFiles())
+    if n_inputs != len(en):
+        raise SparkError(
+            f"pruning leaked: {n_inputs} files read, {len(en)} in partition"
+        )
+    return out

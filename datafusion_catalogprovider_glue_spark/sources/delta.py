@@ -229,7 +229,10 @@ def _deleted_rows_df(spark: SparkSession, snap: "DeltaSnapshot") -> DataFrame:
 
 
 def read_delta(
-    spark: SparkSession, table_path: str, version: Optional[int] = None
+    spark: SparkSession,
+    table_path: str,
+    version: Optional[int] = None,
+    partition_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Load a Delta table snapshot (latest, or VERSION AS OF),
     applying DELETION VECTORS when the snapshot carries them: every
@@ -237,8 +240,30 @@ def read_delta(
     source's ``_metadata`` struct, so masking a DV is ONE broadcast
     left-anti join against the decoded (file, row_index) set — no
     per-file branching, no row-numbering pass (sources/dv.py holds
-    the sidecar codec)."""
+    the sidecar codec).
+
+    ``partition_filter`` prunes FILE-level on the log's per-add
+    ``partitionValues`` (the protocol's string form — how Delta
+    planners skip partitions without listing or opening them): a file
+    survives only if its recorded value equals the filter value's
+    string form for every filter key."""
     snap = DeltaSnapshot(table_path, version)
+    if partition_filter:
+        unknown = set(partition_filter) - set(snap.partition_columns)
+        if unknown:
+            raise DeltaError(
+                f"partition_filter on non-partition columns: {sorted(unknown)}"
+            )
+        want = {
+            k: (None if v is None else str(v))
+            for k, v in partition_filter.items()
+        }
+        snap._active = {
+            p: pvals
+            for p, pvals in snap._active.items()
+            if all(pvals.get(k) == w for k, w in want.items())
+        }
+        snap._dvs = {p: d for p, d in snap._dvs.items() if p in snap._active}
     if not snap._active:
         return spark.createDataFrame([], snap.schema)
     has_dv = bool(snap._dvs)
@@ -295,7 +320,13 @@ def read_delta(
                 )
             parts = []
             by_name = {f.name: f.dataType for f in snap.schema.fields}
-            for key, files in sorted(groups.items()):
+            # None-safe deterministic order (NULL partitions sort first)
+            for key, files in sorted(
+                groups.items(),
+                key=lambda kv: tuple(
+                    (v is not None, v or "") for v in kv[0]
+                ),
+            ):
                 df = spark.read.schema(data_schema).parquet(*files)
                 for col_name, raw in zip(snap.partition_columns, key):
                     # partitionValues are strings (or None) per

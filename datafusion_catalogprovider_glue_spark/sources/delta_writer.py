@@ -52,13 +52,15 @@ def _next_version(log_dir: str) -> int:
     return max(vs) + 1 if vs else 0
 
 
-def _metadata_action(df: DataFrame, table_path: str) -> dict:
+def _metadata_action(
+    df: DataFrame, table_path: str, partition_columns: list[str] = ()
+) -> dict:
     return {
         "metaData": {
             "id": hashlib.md5(table_path.encode()).hexdigest(),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": df.schema.json(),
-            "partitionColumns": [],
+            "partitionColumns": list(partition_columns),
             "configuration": {},
             "createdTime": int(time.time() * 1000),
         }
@@ -115,19 +117,83 @@ def _commit(log_dir: str, version: int, actions: list[dict]) -> None:
         os.unlink(tmp)
 
 
-def append_delta(df: DataFrame, table_path: str, n_files: int = 2) -> int:
+def _write_partitioned_data_files(
+    df: DataFrame, table_path: str, subdir: str, partition_by: str
+) -> list[dict]:
+    """HIVE-partitioned distributed write: Spark's ``partitionBy`` lays
+    the data out per value and — per the Delta protocol's rule —
+    EXCLUDES the partition column from the data files (the reader
+    re-attaches it from ``add.partitionValues``).  Values are recorded
+    as the protocol's string form (None for the Hive NULL sentinel)."""
+    from urllib.parse import unquote
+
+    out_dir = os.path.join(table_path, subdir)
+    df.write.partitionBy(partition_by).mode("overwrite").parquet(out_dir)
+    adds = []
+    for d in sorted(os.listdir(out_dir)):
+        if not d.startswith(f"{partition_by}="):
+            continue
+        raw = unquote(d[len(partition_by) + 1:])
+        value = None if raw == "__HIVE_DEFAULT_PARTITION__" else raw
+        pdir = os.path.join(out_dir, d)
+        for name in sorted(os.listdir(pdir)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(pdir, name)
+            adds.append(
+                {
+                    "path": f"{subdir}/{d}/{name}",
+                    "partitionValues": {partition_by: value},
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(os.path.getmtime(full) * 1000),
+                    "dataChange": True,
+                }
+            )
+    return adds
+
+
+def append_delta(
+    df: DataFrame,
+    table_path: str,
+    n_files: int = 2,
+    partition_by: str = None,
+) -> int:
     """Append ``df`` to the Delta table at ``table_path`` (creating it
-    with the schema's metaData action on version 0).  Returns the
-    committed version."""
+    with the schema's metaData action on version 0).  With
+    ``partition_by``, the table is HIVE-PARTITIONED per protocol:
+    metaData records the partition column, data files exclude it, and
+    each add carries its ``partitionValues`` — which is what
+    ``read_delta``'s ``partition_filter`` prunes on file-level without
+    opening anything.  A later append must match the table's recorded
+    partitioning.  Returns the committed version."""
     log_dir = _log_dir(table_path)
     version = _next_version(log_dir)
-    adds = _write_data_files(
-        df, table_path, f"commit-{version}", n_files
+    if version > 0:
+        from datafusion_catalogprovider_glue_spark.sources.delta import (
+            DeltaSnapshot,
+        )
+
+        have = DeltaSnapshot(table_path).partition_columns
+        want = [partition_by] if partition_by else []
+        if have != want:
+            raise ValueError(
+                f"append partitioning {want} != table partitioning {have}"
+            )
+    adds = (
+        _write_partitioned_data_files(
+            df, table_path, f"commit-{version}", partition_by
+        )
+        if partition_by
+        else _write_data_files(df, table_path, f"commit-{version}", n_files)
     )
     actions: list[dict] = []
     if version == 0:
         actions.append({"protocol": _PROTOCOL})
-        actions.append(_metadata_action(df, table_path))
+        actions.append(
+            _metadata_action(
+                df, table_path, [partition_by] if partition_by else ()
+            )
+        )
     actions.extend({"add": a} for a in adds)
     _commit(log_dir, version, actions)
     return version
@@ -143,6 +209,11 @@ def compact_delta(spark, table_path: str) -> int:
     )
 
     snap = DeltaSnapshot(table_path)
+    if snap.partition_columns:
+        raise ValueError(
+            "compact_delta subset: partitioned tables not supported "
+            "(data files lack the partition columns)"
+        )
     version = _next_version(_log_dir(table_path))
     old_rel = sorted(snap._active)
     df = spark.read.schema(snap.schema).parquet(*snap.files)
@@ -212,6 +283,8 @@ def merge_delta(
             f"table moved to version {snap.version}; merge read "
             f"{expected_version} — re-read and retry"
         )
+    if snap.partition_columns:
+        raise ValueError("merge_delta subset: unpartitioned tables only")
     version = snap.version + 1
     target = spark.read.schema(snap.schema).parquet(*snap.files)
     cols = [f.name for f in snap.schema.fields]

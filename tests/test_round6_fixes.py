@@ -329,3 +329,41 @@ def test_delta_merge_conditional_update(spark, tmp_path):
     )
     got = {(r["k"], r["seq"], r["v"]) for r in read_delta(spark, table).collect()}
     assert got == {(1, 10, "new"), (2, 9, "fresh"), (3, 1, "ins")}
+
+
+def test_delta_partitioned_write_guards(spark, tmp_path):
+    """Partitioned Delta writes: NULL partition values round-trip as
+    None partitionValues; a mismatched-partitioning append refuses;
+    merge/compact refuse partitioned targets (data files lack the
+    partition column)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        compact_delta,
+        merge_delta,
+    )
+
+    table = str(tmp_path / "dpart")
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 20), (3, "de", 30)],
+        "k int, lang string, n int",
+    )
+    append_delta(df, table, partition_by="lang")
+    got = {(r["k"], r["lang"], r["n"]) for r in read_delta(spark, table).collect()}
+    assert got == {(1, "en", 10), (2, None, 20), (3, "de", 30)}
+    # pruned read
+    en = read_delta(spark, table, partition_filter={"lang": "en"})
+    assert {(r["k"],) for r in en.select("k").collect()} == {(1,)}
+    with pytest.raises(Exception, match="non-partition columns"):
+        read_delta(spark, table, partition_filter={"k": 1})
+    # partitioning mismatch refusals
+    with pytest.raises(ValueError, match="partitioning"):
+        append_delta(df, table)  # unpartitioned append onto partitioned
+    with pytest.raises(ValueError, match="unpartitioned|partitioned"):
+        merge_delta(spark, table, df, on=["k"])
+    with pytest.raises(ValueError, match="partitioned"):
+        compact_delta(spark, table)
