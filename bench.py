@@ -171,6 +171,7 @@ HEADLINE = [
     "scan_iceberg_bucket_pruned",
     "scan_hudi_mor_incremental",
     "sink_delta_partitioned",
+    "scan_iceberg_multi_partition_pruned",
     "catalog_sql_three_part",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).

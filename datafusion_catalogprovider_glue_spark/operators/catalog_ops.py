@@ -3607,3 +3607,86 @@ def sink_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"pruning leaked: {n_inputs} files read, {len(en)} in partition"
         )
     return out
+
+
+@query(
+    "scan_iceberg_multi_partition_pruned",
+    oracle="""
+    SELECT event_id, ts, user_id, value FROM events
+    WHERE ts >= '2024-01-07' AND ts < '2024-01-08' AND user_id = 8
+    """,
+)
+def scan_iceberg_multi_partition_pruned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MULTI-FIELD Iceberg partition spec — days(ts) + bucket[4](user),
+    the canonical event-table layout: the writer lays files out by the
+    (day ordinal, user bucket) tuple and records a two-field
+    ``partition-specs`` entry; a read filtering BOTH source columns
+    folds each through its own transform and prunes to the
+    intersection — asserted in-key via inputFiles (the pruned plan
+    reads only the one (day, bucket) cell's files, 1/(days*4) of the
+    table), then the exact user filter pushes into the pruned scan."""
+    import hashlib
+    import json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        apply_transform,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_multi_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(table, "metadata", "version-hint.text")):
+        shutil.rmtree(table, ignore_errors=True)
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "value"
+        )
+        append_iceberg(
+            events,
+            table,
+            partition_by=[("ts", "day"), ("user_id", "bucket[4]")],
+        )
+    snap = IcebergSnapshot(table)
+    if [f["name"] for f in snap.partition_spec] != ["ts_day", "user_id_bucket"]:
+        raise SparkError(f"unexpected spec {snap.partition_spec}")
+    want = {
+        "ts_day": apply_transform("day", "2024-01-07 00:00:00"),
+        "user_id_bucket": apply_transform("bucket[4]", 8),
+    }
+    matching = [
+        f
+        for f in snap.files
+        if all(snap.partitions.get(f, {}).get(k) == v for k, v in want.items())
+    ]
+    if not matching or len(matching) * 4 >= len(snap.files):
+        raise SparkError(
+            f"multi-partition layout degenerate: "
+            f"{len(matching)}/{len(snap.files)} (want={json.dumps(want)})"
+        )
+    out = read_iceberg(
+        spark,
+        table,
+        partition_filter={"ts": "2024-01-07 00:00:00", "user_id": 8},
+    )
+    if len(out.inputFiles()) != len(matching):
+        raise SparkError(
+            f"pruning leaked: {len(out.inputFiles())} files read, "
+            f"{len(matching)} in the (day, bucket) cell"
+        )
+    return out.filter(F.col("user_id") == 8)

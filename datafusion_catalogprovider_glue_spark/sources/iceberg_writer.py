@@ -152,24 +152,36 @@ def _write_data_files(
     return out
 
 
+def _norm_spec(partition_by, transform: str = "identity") -> list[tuple[str, str]]:
+    """Normalize the partitioning argument to [(source col, transform)]:
+    a bare column string (with the separate ``transform`` arg) or a
+    list of (col, transform) pairs for MULTI-FIELD specs — the common
+    real layout days(ts) + bucket(user)."""
+    if partition_by is None:
+        return []
+    if isinstance(partition_by, str):
+        return [(partition_by, transform)]
+    return [(c, t) for c, t in partition_by]
+
+
 def _write_partitioned_files(
     df: DataFrame,
     table_path: str,
     seq: int,
-    partition_by: str,
+    partition_by,
     transform: str = "identity",
 ) -> list[tuple[str, int, dict]]:
-    """Partitioned write under a TRANSFORM (spec §partition-transforms;
-    identity / bucket[N] / truncate[W] / year / month / day / hour —
-    sources/iceberg_transforms.py): one distributed ``partitionBy`` job
-    lays the data out by the TRANSFORMED value (the source column stays
-    in the data files untouched, per the spec's rule that partition
-    source columns are stored in data files); the driver then lists the
-    per-partition directories and stamps each manifest entry with its
+    """Partitioned write under one or more TRANSFORM fields (spec
+    §partition-transforms; identity / bucket[N] / truncate[W] / year /
+    month / day / hour — sources/iceberg_transforms.py): one
+    distributed ``partitionBy`` job lays the data out by the
+    TRANSFORMED value tuple (the source columns stay in the data files
+    untouched, per the spec's rule that partition source columns are
+    stored in data files); the driver then walks the per-partition
+    directory tree and stamps each manifest entry with its full
     partition tuple — the metadata Iceberg planners prune on without
     opening files."""
     import pyarrow.parquet as pq
-    from pyspark.sql import functions as F  # noqa: F401
     from urllib.parse import unquote
 
     from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
@@ -178,47 +190,60 @@ def _write_partitioned_files(
         transformed_dtype,
     )
 
-    src_dtype = dict(
+    spec = _norm_spec(partition_by, transform)
+    dtype_of = dict(
         (f.name, f.dataType.simpleString()) for f in df.schema.fields
-    )[partition_by]
-    dtype = transformed_dtype(transform, src_dtype)
-    field = partition_field_name(partition_by, transform)
+    )
+    fields = []  # (layout col, spec field name, output dtype)
+    out_df = df
+    for i, (col, tf) in enumerate(spec):
+        layout = f"__p{i}"
+        out_df = out_df.withColumn(
+            layout, transform_column(df[col], tf, dtype_of[col])
+        )
+        fields.append(
+            (layout, partition_field_name(col, tf),
+             transformed_dtype(tf, dtype_of[col]))
+        )
     subdir = f"data/commit-{seq}"
     out_dir = os.path.join(table_path, subdir)
     (
-        df.withColumn(
-            "__p", transform_column(df[partition_by], transform, src_dtype)
-        )
-        .write.partitionBy("__p")
+        out_df.write.partitionBy(*[f[0] for f in fields])
         .mode("overwrite")
         .parquet(out_dir)
     )
-    out = []
-    for d in sorted(os.listdir(out_dir)):
-        if not d.startswith("__p="):
-            continue
-        raw = unquote(d[len("__p="):])
+
+    def _parse(raw: str, dtype: str):
         # Spark writes NULL partition values as the Hive default
         # sentinel directory; record a null partition tuple value (not
         # the sentinel string, and never int(<sentinel>))
         if raw == "__HIVE_DEFAULT_PARTITION__":
-            value = None
-        else:
-            value = int(raw) if dtype in ("int", "bigint") else raw
-        pdir = os.path.join(out_dir, d)
-        for i, name in enumerate(
-            sorted(n for n in os.listdir(pdir) if n.endswith(".parquet"))
-        ):
+            return None
+        return int(raw) if dtype in ("int", "bigint") else raw
+
+    out = []
+    for root, _dirs, names in sorted(os.walk(out_dir)):
+        parquets = sorted(n for n in names if n.endswith(".parquet"))
+        if not parquets:
+            continue
+        rel_dir = os.path.relpath(root, out_dir)
+        comps = rel_dir.split(os.sep)
+        tup = {}
+        for comp in comps:
+            layout, _, raw = comp.partition("=")
+            fld = next(f for f in fields if f[0] == layout)
+            tup[fld[1]] = _parse(unquote(raw), fld[2])
+        for i, name in enumerate(parquets):
             final = f"part-{i:05d}.parquet"
-            os.rename(os.path.join(pdir, name), os.path.join(pdir, final))
-            full = os.path.join(pdir, final)
+            os.rename(os.path.join(root, name), os.path.join(root, final))
+            full = os.path.join(root, final)
             out.append(
                 (
-                    f"{subdir}/{d}/{final}",
+                    f"{subdir}/{rel_dir}/{final}",
                     pq.read_metadata(full).num_rows,
-                    # keyed by the PARTITION FIELD name (spec naming:
+                    # keyed by PARTITION FIELD names (spec naming:
                     # ts_day, k_bucket, …; == the column for identity)
-                    {field: value},
+                    dict(tup),
                 )
             )
     return out
@@ -228,7 +253,7 @@ def append_iceberg(
     df: DataFrame,
     table_path: str,
     n_files: int = 2,
-    partition_by: str = None,
+    partition_by=None,
     transform: str = "identity",
 ) -> int:
     """Append ``df`` to the Iceberg table at ``table_path`` (creating
@@ -241,8 +266,12 @@ def append_iceberg(
     value, the partition spec is recorded in ``partition-specs``
     metadata, and each manifest entry carries its partition tuple, so
     reads with ``partition_filter`` prune at the manifest level without
-    opening files.  A later partitioned append must reuse the recorded
-    spec (one spec per table — the writer subset)."""
+    opening files.  ``partition_by`` is a column name (with
+    ``transform``) or, for MULTI-FIELD specs, a list of (column,
+    transform) pairs — e.g. ``[("ts", "day"), ("user_id",
+    "bucket[4]")]``, the canonical event-table layout.  A later
+    partitioned append must reuse the recorded spec (one spec per
+    table — the writer subset)."""
     from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
         partition_field_name,
     )
@@ -252,16 +281,15 @@ def append_iceberg(
     hint = os.path.join(meta_dir, "version-hint.text")
 
     def _spec_fields():
-        if not partition_by:
-            return []
-        source_id = 1 + [f.name for f in df.schema.fields].index(partition_by)
+        names = [f.name for f in df.schema.fields]
         return [
             {
-                "name": partition_field_name(partition_by, transform),
-                "transform": transform,
-                "source-id": source_id,
-                "field-id": 1000,
+                "name": partition_field_name(col, tf),
+                "transform": tf,
+                "source-id": 1 + names.index(col),
+                "field-id": 1000 + i,
             }
+            for i, (col, tf) in enumerate(_norm_spec(partition_by, transform))
         ]
 
     if os.path.exists(hint):
