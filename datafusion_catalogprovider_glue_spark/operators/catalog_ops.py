@@ -3613,7 +3613,7 @@ def sink_delta_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_iceberg_multi_partition_pruned",
     oracle="""
     SELECT event_id, ts, user_id, value FROM events
-    WHERE ts >= '2024-01-07' AND ts < '2024-01-08' AND user_id = 8
+    WHERE ts >= '2024-01-07' AND ts < '2024-01-08' AND user_id = 1
     """,
 )
 def scan_iceberg_multi_partition_pruned(
@@ -3667,7 +3667,7 @@ def scan_iceberg_multi_partition_pruned(
         raise SparkError(f"unexpected spec {snap.partition_spec}")
     want = {
         "ts_day": apply_transform("day", "2024-01-07 00:00:00"),
-        "user_id_bucket": apply_transform("bucket[4]", 8),
+        "user_id_bucket": apply_transform("bucket[4]", 1),
     }
     matching = [
         f
@@ -3682,11 +3682,15 @@ def scan_iceberg_multi_partition_pruned(
     out = read_iceberg(
         spark,
         table,
-        partition_filter={"ts": "2024-01-07 00:00:00", "user_id": 8},
+        partition_filter={"ts": "2024-01-07 00:00:00", "user_id": 1},
     )
     if len(out.inputFiles()) != len(matching):
         raise SparkError(
             f"pruning leaked: {len(out.inputFiles())} files read, "
             f"{len(matching)} in the (day, bucket) cell"
         )
-    return out.filter(F.col("user_id") == 8)
+    res = out.filter(F.col("user_id") == 1)
+    # guard against a silently-trivial (empty == empty) oracle match
+    if res.limit(1).count() == 0:
+        raise SparkError("degenerate key: no rows for the probed cell")
+    return res
