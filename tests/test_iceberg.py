@@ -549,3 +549,66 @@ def test_transform_write_prune_roundtrip(spark, tmp_path):
         if snap.partitions.get(f, {}).get("k_bucket") == b34
     }
     assert len(out.inputFiles()) == len(expect_files) < len(snap.files)
+
+
+def test_multi_field_partition_spec_roundtrip(spark, tmp_path):
+    """Multi-field spec (truncate[2](grp) + bucket[2](k)): tuples carry
+    BOTH fields, pruning composes per filter key, single-field filters
+    prune on their dimension only, and the same-spec re-append is
+    accepted while a different spec refuses."""
+    import json
+
+    import pytest
+
+    from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        apply_transform,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    table = str(tmp_path / "multi")
+    df = spark.createDataFrame(
+        [(i, f"g{i % 3}x") for i in range(24)], "k bigint, grp string"
+    )
+    spec = [("grp", "truncate[2]"), ("k", "bucket[2]")]
+    append_iceberg(df, table, partition_by=spec)
+    append_iceberg(df, table, partition_by=spec)  # same-spec re-append
+    snap = IcebergSnapshot(table)
+    assert snap.partition_spec == [
+        {"name": "grp_trunc", "transform": "truncate[2]", "source": "grp"},
+        {"name": "k_bucket", "transform": "bucket[2]", "source": "k"},
+    ]
+    tuples = {
+        json.dumps(snap.partitions.get(f), sort_keys=True) for f in snap.files
+    }
+    assert all('"grp_trunc"' in t and '"k_bucket"' in t for t in tuples)
+    # two-key filter prunes to one cell; rows are exactly that cell's
+    out = read_iceberg(
+        spark, table, partition_filter={"grp": "g1x", "k": 7}
+    )
+    b7 = apply_transform("bucket[2]", 7)
+    rows = {(r["k"], r["grp"]) for r in out.collect()}
+    assert (7, "g1x") in rows
+    assert all(
+        g.startswith("g1") and apply_transform("bucket[2]", k) == b7
+        for k, g in rows
+    )
+    cell = [
+        f
+        for f in snap.files
+        if snap.partitions.get(f, {}).get("grp_trunc") == "g1"
+        and snap.partitions.get(f, {}).get("k_bucket") == b7
+    ]
+    assert len(out.inputFiles()) == len(cell) < len(snap.files)
+    # single-key filter prunes only its dimension
+    out_g = read_iceberg(spark, table, partition_filter={"grp": "g0x"})
+    assert {r["grp"] for r in out_g.select("grp").distinct().collect()} == {"g0x"}
+    # different spec refuses
+    with pytest.raises(NotImplementedYet, match="partition spec"):
+        append_iceberg(df, table, partition_by=[("grp", "identity")])
