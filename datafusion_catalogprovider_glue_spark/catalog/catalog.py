@@ -659,12 +659,19 @@ class GlueCatalog:
         """Rewrite ``glue.db.table`` THREE-PART identifiers (how the
         reference's users address tables, demo.rs:68-90) onto the
         ``{prefix}db__table`` view namespace before analysis.  Only
-        segments OUTSIDE single-quoted string literals rewrite, and
-        only references leading with this catalog's name — other
-        catalogs' dotted names pass through to Spark untouched.
-        Backquoted parts unquote (``glue.`my db`.`t` `` is legal).
-        The rewrite is purely textual; resolution/registration stays
-        with sql()'s lazy loop, so the one-GetTable budget holds."""
+        segments OUTSIDE string literals ('…' with '' escapes AND
+        Spark's default "…" double-quoted literal form) and outside
+        ``--``/``/* */`` comments rewrite, and only references
+        leading with this catalog's name — other catalogs' dotted
+        names pass through to Spark untouched.  Backquoted parts
+        unquote, and a rewritten name whose segments were quoted is
+        RE-backquoted (``glue.`my db`.`t-1``` must stay one legal
+        identifier after the rewrite).  The rewrite is purely
+        textual; resolution/registration stays with sql()'s lazy
+        loop, so the one-GetTable budget holds.  Known textual
+        limit: a struct access through a table alias literally named
+        ``glue`` (``glue.col.field``) is indistinguishable from a
+        three-part reference without a full parse."""
         import re
 
         pat = re.compile(
@@ -672,12 +679,20 @@ class GlueCatalog:
         )
 
         def _sub(m: "re.Match[str]") -> str:
+            quoted = any(g.startswith("`") for g in m.groups())
             db, table = (g.strip("`") for g in m.groups())
-            return self.view_name(db, table)
+            name = self.view_name(db, table)
+            return f"`{name}`" if quoted else name
 
-        # split on single-quoted literals (with '' escapes) and rewrite
-        # only the code segments
-        parts = re.split(r"('(?:[^']|'')*')", text)
+        # split out every literal/comment span; only even (code)
+        # segments rewrite
+        mask = (
+            r"('(?:[^']|'')*'"          # '…' with '' escape
+            r"|\"(?:[^\"]|\"\")*\""     # "…" literal (default parser mode)
+            r"|--[^\n]*"                # line comment
+            r"|/\*.*?\*/)"              # block comment
+        )
+        parts = re.split(mask, text, flags=re.S)
         return "".join(
             p if i % 2 else pat.sub(_sub, p) for i, p in enumerate(parts)
         )

@@ -228,6 +228,69 @@ def _deleted_rows_df(spark: SparkSession, snap: "DeltaSnapshot") -> DataFrame:
     return desc_df.mapInPandas(_explode, "_dv_file string, _dv_pos long")
 
 
+def _scan_with_identity(
+    spark: SparkSession, snap: "DeltaSnapshot", apply_dvs: bool = True
+) -> DataFrame:
+    """Snapshot scan that RETAINS physical row identity: the logical
+    columns plus ``_file`` (normalized path) and ``_pos``
+    (``_metadata.row_index``), partition columns re-attached from the
+    log per protocol, and — with ``apply_dvs`` — rows masked by
+    existing deletion vectors anti-joined out, decoded EXECUTOR-side
+    (:func:`_deleted_rows_df`).  merge_delta_dv addresses the rows it
+    masks through exactly this frame, so the driver never holds a
+    row-index set ∝ the table's accumulated deletes."""
+    if snap.column_mapping:
+        raise DeltaError(
+            "identity scan subset: columnMapping tables not supported"
+        )
+    data_fields = [
+        f for f in snap.schema.fields if f.name not in snap.partition_columns
+    ]
+    data_schema = T.StructType(data_fields)
+    meta = [
+        _norm_path(F.col("_metadata.file_path")).alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    ]
+    if not snap.partition_columns:
+        out = spark.read.schema(data_schema).parquet(*snap.files).select(
+            *[F.col(f.name) for f in data_fields], *meta
+        )
+    else:
+        groups: dict[tuple, list[str]] = {}
+        for path, pvals in snap._active.items():
+            key = tuple(pvals.get(c) for c in snap.partition_columns)
+            groups.setdefault(key, []).append(
+                os.path.join(snap.table_path, path)
+            )
+        by_name = {f.name: f.dataType for f in snap.schema.fields}
+        parts = []
+        for key, files in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is not None, v or "") for v in kv[0]),
+        ):
+            df = spark.read.schema(data_schema).parquet(*files)
+            for col_name, raw in zip(snap.partition_columns, key):
+                df = df.withColumn(
+                    col_name, F.lit(raw).cast(by_name[col_name])
+                )
+            parts.append(
+                df.select(
+                    *[F.col(f.name) for f in snap.schema.fields], *meta
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    if apply_dvs and snap._dvs:
+        deleted = (
+            _deleted_rows_df(spark, snap)
+            .withColumnRenamed("_dv_file", "_file")
+            .withColumnRenamed("_dv_pos", "_pos")
+        )
+        out = out.join(F.broadcast(deleted), ["_file", "_pos"], "left_anti")
+    return out
+
+
 def read_delta(
     spark: SparkSession,
     table_path: str,

@@ -208,16 +208,28 @@ def compact_delta(spark, table_path: str) -> int:
         DeltaSnapshot,
     )
 
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        _scan_with_identity,
+    )
+
     snap = DeltaSnapshot(table_path)
-    if snap.partition_columns:
+    if len(snap.partition_columns) > 1:
         raise ValueError(
-            "compact_delta subset: partitioned tables not supported "
-            "(data files lack the partition columns)"
+            "compact_delta subset: at most one partition column"
         )
     version = _next_version(_log_dir(table_path))
     old_rel = sorted(snap._active)
-    df = spark.read.schema(snap.schema).parquet(*snap.files)
-    adds = _write_data_files(df, table_path, f"commit-{version}", 1)
+    # logical snapshot: partition columns re-attached, existing DVs
+    # APPLIED (a compaction folds deletion vectors away — the rewritten
+    # files carry no masked rows, so the sidecars retire with the adds)
+    df = _scan_with_identity(spark, snap).drop("_file", "_pos")
+    adds = (
+        _write_partitioned_data_files(
+            df, table_path, f"commit-{version}", snap.partition_columns[0]
+        )
+        if snap.partition_columns
+        else _write_data_files(df, table_path, f"commit-{version}", 1)
+    )
     now = int(time.time() * 1000)
     actions = [
         {
@@ -275,6 +287,7 @@ def merge_delta(
 
     from datafusion_catalogprovider_glue_spark.sources.delta import (
         DeltaSnapshot,
+        _scan_with_identity,
     )
 
     snap = DeltaSnapshot(table_path)
@@ -283,10 +296,15 @@ def merge_delta(
             f"table moved to version {snap.version}; merge read "
             f"{expected_version} — re-read and retry"
         )
-    if snap.partition_columns:
-        raise ValueError("merge_delta subset: unpartitioned tables only")
+    if len(snap.partition_columns) > 1:
+        raise ValueError(
+            "merge_delta subset: at most one partition column"
+        )
     version = snap.version + 1
-    target = spark.read.schema(snap.schema).parquet(*snap.files)
+    # logical snapshot with partition columns re-attached and existing
+    # DVs applied — a CoW merge over a DV-bearing or hive-partitioned
+    # table starts from the TRUE logical table
+    target = _scan_with_identity(spark, snap).drop("_file", "_pos")
     cols = [f.name for f in snap.schema.fields]
     if sorted(source.columns) != sorted(cols):
         raise ValueError(
@@ -329,7 +347,14 @@ def merge_delta(
             for c in cols
         ]
     )
-    adds = _write_data_files(merged, table_path, f"commit-{version}", 2)
+    adds = (
+        _write_partitioned_data_files(
+            merged, table_path, f"commit-{version}",
+            snap.partition_columns[0],
+        )
+        if snap.partition_columns
+        else _write_data_files(merged, table_path, f"commit-{version}", 2)
+    )
     now = int(time.time() * 1000)
     actions = [
         {
@@ -476,20 +501,26 @@ def merge_delta_dv(
 
     Contrast with :func:`merge_delta` (copy-on-write): a 1-row update
     there rewrites the whole table; here it writes one KB-sized DV
-    sidecar and a 1-row file.  The masked (file, row_index) set is
-    collected driver-side to encode the sidecars — it is ∝ the MERGE
-    SOURCE size (the small side by contract; the reader broadcasts the
-    same set on every scan), never ∝ the table.  Tables that already
-    carry DVs merge them (row-index union).  Subset: unpartitioned,
-    no column mapping.  Returns the committed version."""
+    sidecar and a 1-row file.  Scale shape: EXISTING DVs are decoded
+    executor-side (the reader's `_deleted_rows_df` pattern) and the
+    new per-file sidecars are ENCODED executor-side too (one
+    applyInPandas group per touched file) — the driver only ever
+    collects one descriptor row per touched FILE, never a row-index
+    set ∝ the table's accumulated deletes.  Tables that already
+    carry DVs merge them (row-index union).  Partitioned (hive,
+    single-column) and unpartitioned tables are both supported —
+    touched files re-add with their ORIGINAL partitionValues, new
+    rows land hive-partitioned; column mapping is not.  Returns the
+    committed version."""
+    import json as _json
+
     from pyspark.sql import functions as F
 
     from datafusion_catalogprovider_glue_spark.sources.delta import (
         DeltaSnapshot,
-        _norm_path,
+        _scan_with_identity,
     )
     from datafusion_catalogprovider_glue_spark.sources.dv import (
-        read_dv,
         write_dv_file,
     )
 
@@ -499,8 +530,10 @@ def merge_delta_dv(
             f"table moved to version {snap.version}; merge read "
             f"{expected_version} — re-read and retry"
         )
-    if snap.partition_columns:
-        raise ValueError("merge_delta_dv subset: unpartitioned tables only")
+    if len(snap.partition_columns) > 1:
+        raise ValueError(
+            "merge_delta_dv subset: at most one partition column"
+        )
     version = snap.version + 1
     cols = [f.name for f in snap.schema.fields]
     if sorted(source.columns) != sorted(cols):
@@ -517,38 +550,18 @@ def merge_delta_dv(
             "merge source has duplicate keys — a target row may match "
             "at most one source row"
         )
-    # target scan retaining (file, row_index) identity, with any
-    # EXISTING DVs applied so already-deleted rows can never rematch
-    scan = spark.read.schema(snap.schema).parquet(*snap.files).select(
-        *[F.col(c) for c in cols],
-        _norm_path(F.col("_metadata.file_path")).alias("_file"),
-        F.col("_metadata.row_index").alias("_pos"),
-    )
-    if snap._dvs:
-        import json as _json
-
-        existing = [
-            (os.path.abspath(os.path.join(table_path, p)), int(pos))
-            for p, dv in sorted(snap._dvs.items())
-            for pos in read_dv(table_path, dv)
-        ]
-        if existing:
-            exist_df = spark.createDataFrame(
-                existing, "_file string, _pos long"
-            )
-            scan = scan.join(
-                F.broadcast(exist_df), ["_file", "_pos"], "left_anti"
-            )
-    t = scan.alias("t")
+    # target scan retaining (file, row_index) identity, partition
+    # columns re-attached, EXISTING DVs applied (executor-decoded) so
+    # already-deleted rows can never rematch
+    t = _scan_with_identity(spark, snap).alias("t")
     s = source.withColumn("__src", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
     matched = t.join(s, cond, "inner")
     # all matched pre-images leave their files (updates re-emit from
     # the source; delete-clause rows just vanish)
-    to_remove = [
-        (r["_file"], int(r["_pos"]))
-        for r in matched.select("t._file", "t._pos").collect()
-    ]
+    removed = matched.select(
+        F.col("t._file").alias("_file"), F.col("t._pos").alias("_pos")
+    ).persist()
     if matched_delete is not None:
         drop_keys = matched.filter(matched_delete).select(
             *[F.col(f"s.{k}").alias(k) for k in on]
@@ -561,36 +574,72 @@ def merge_delta_dv(
         new_rows = source
     adds_new = []
     if new_rows.limit(1).count():
-        adds_new = _write_data_files(
-            new_rows.select(*cols), table_path, f"commit-{version}", 1
+        if snap.partition_columns:
+            adds_new = _write_partitioned_data_files(
+                new_rows.select(*cols), table_path,
+                f"commit-{version}", snap.partition_columns[0],
+            )
+        else:
+            adds_new = _write_data_files(
+                new_rows.select(*cols), table_path, f"commit-{version}", 1
+            )
+    # union the new masks with each touched file's EXISTING DV rows
+    # (untouched files keep their old descriptors); then encode one
+    # sidecar per file WHERE THE GROUP'S TASK RUNS — only the
+    # (file, descriptor) rows come back to the driver
+    masked = removed
+    if snap._dvs:
+        from datafusion_catalogprovider_glue_spark.sources.delta import (
+            _deleted_rows_df,
         )
-    # one merged DV per touched file (union with any pre-existing DV)
-    by_file: dict[str, set] = {}
-    for fpath, pos in to_remove:
-        by_file.setdefault(fpath, set()).add(pos)
+
+        carried = (
+            _deleted_rows_df(spark, snap)
+            .withColumnRenamed("_dv_file", "_file")
+            .withColumnRenamed("_dv_pos", "_pos")
+            .join(
+                F.broadcast(removed.select("_file").distinct()),
+                "_file",
+                "semi",
+            )
+        )
+        masked = masked.unionByName(carried)
+
+    def _encode_group(pdf):
+        import pandas as pd
+
+        fpath = pdf["_file"].iloc[0]
+        rows = sorted({int(x) for x in pdf["_pos"]})
+        desc = write_dv_file(table_path, rows)
+        return pd.DataFrame(
+            {"_file": [fpath], "_desc": [_json.dumps(desc)]}
+        )
+
+    descs = (
+        masked.groupBy("_file")
+        .applyInPandas(_encode_group, "_file string, _desc string")
+        .collect()
+    )
+    removed.unpersist(blocking=False)
     abs_to_rel = {
         os.path.abspath(os.path.join(table_path, p)): p
         for p in snap._active
     }
     actions: list[dict] = []
-    for fpath in sorted(by_file):
-        rel = abs_to_rel[fpath]
-        rows = set(by_file[fpath])
-        if rel in snap._dvs:
-            rows |= set(read_dv(table_path, snap._dvs[rel]))
-        desc = write_dv_file(table_path, sorted(rows))
+    for r in sorted(descs, key=lambda r: r["_file"]):
+        rel = abs_to_rel[r["_file"]]
         full = os.path.join(table_path, rel)
         actions.append(
             {
                 "add": {
                     "path": rel,
-                    "partitionValues": {},
+                    "partitionValues": dict(snap._active[rel]),
                     "size": os.path.getsize(full),
                     "modificationTime": int(
                         os.path.getmtime(full) * 1000
                     ),
                     "dataChange": True,
-                    "deletionVector": desc,
+                    "deletionVector": _json.loads(r["_desc"]),
                 }
             }
         )

@@ -120,22 +120,30 @@ class IcebergSnapshot:
                 if f["name"] not in names:
                     names.append(f["name"])
 
-        # default PARTITION SPEC (spec §partition-specs): the transform
-        # fields pruning folds filter values through.  Tables written
-        # before spec recording (or by hand) have none — their manifest
-        # tuples are identity-keyed by column name and prune unchanged.
+        # PARTITION SPECS (spec §partition-specs): ALL of them, keyed
+        # by spec-id — a long-lived table's spec EVOLVES (day → hour,
+        # add bucket), and each manifest prunes through the spec it
+        # was written under, not the current default.  Tables written
+        # before spec recording (or by hand) have none — their
+        # manifest tuples are identity-keyed by column name and prune
+        # unchanged.
         id_to_name = {fid: names[-1] for fid, names in self.id_names.items()}
-        self.partition_spec: list[dict] = []
+        self.partition_specs: dict[int, list[dict]] = {}
         for s in meta.get("partition-specs") or []:
-            if s.get("spec-id", 0) == meta.get("default-spec-id", 0):
-                self.partition_spec = [
-                    {
-                        "name": f["name"],
-                        "transform": f.get("transform", "identity"),
-                        "source": id_to_name.get(f.get("source-id")),
-                    }
-                    for f in s.get("fields", [])
-                ]
+            self.partition_specs[s.get("spec-id", 0)] = [
+                {
+                    "name": f["name"],
+                    "transform": f.get("transform", "identity"),
+                    "source": id_to_name.get(f.get("source-id")),
+                }
+                for f in s.get("fields", [])
+            ]
+        self.default_spec_id: int = meta.get("default-spec-id", 0)
+        # the default spec — the fold for files whose manifest predates
+        # spec-id recording
+        self.partition_spec: list[dict] = self.partition_specs.get(
+            self.default_spec_id, []
+        )
 
         want = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
         snap = next(
@@ -171,8 +179,16 @@ class IcebergSnapshot:
         # source columns themselves are also stored in the data files
         # per spec, so reading is unchanged.
         self.partitions: dict[str, dict] = {}
+        # path -> spec-id of the MANIFEST that listed the file (spec
+        # §manifest-lists `partition_spec_id`); pruning folds each
+        # file's filter through ITS spec.  Lists written before spec
+        # evolution landed lack the field — their files fold through
+        # the default spec, the pre-evolution behavior.
+        self.spec_of: dict[str, int] = {}
         for list_row in list_rows:
-            manifest_path = _named(list_schema, list_row)["manifest_path"]
+            named_row = _named(list_schema, list_row)
+            manifest_path = named_row["manifest_path"]
+            m_spec_id = named_row.get("partition_spec_id")
             m_schema, m_rows = decode_container_file(
                 os.path.join(table_path, manifest_path)
             )
@@ -193,6 +209,8 @@ class IcebergSnapshot:
                 if content == 0:
                     self.files.append(path)
                     self.data_seq.append((path, seq))
+                    if m_spec_id is not None:
+                        self.spec_of[path] = int(m_spec_id)
                     part = entry.get("partition")
                     if part:
                         self.partitions[path] = (
@@ -307,25 +325,42 @@ def read_iceberg(
             apply_transform,
         )
 
-        by_source = {f["source"]: f for f in snap.partition_spec}
-        checks = []
-        for k, v in partition_filter.items():
-            spec_field = by_source.get(k)
-            if spec_field is None:
-                checks.append((k, v))  # identity / legacy tuple key
-            else:
-                checks.append(
-                    (
-                        spec_field["name"],
-                        apply_transform(spec_field["transform"], v),
-                    )
+        # per-SPEC fold cache: each file folds the filter through the
+        # spec ITS manifest was written under (spec evolution — a
+        # days(ts) file and an hours(ts) file of the same table prune
+        # through different transforms); files from pre-evolution
+        # lists fold through the default spec.
+        checks_by_spec: dict[int, list[tuple]] = {}
+
+        def _checks_for(spec_id: int) -> list[tuple]:
+            if spec_id not in checks_by_spec:
+                spec_fields = snap.partition_specs.get(
+                    spec_id, snap.partition_spec
                 )
+                by_source = {f["source"]: f for f in spec_fields}
+                checks = []
+                for k, v in partition_filter.items():
+                    spec_field = by_source.get(k)
+                    if spec_field is None:
+                        checks.append((k, v))  # identity / legacy key
+                    else:
+                        checks.append(
+                            (
+                                spec_field["name"],
+                                apply_transform(spec_field["transform"], v),
+                            )
+                        )
+                checks_by_spec[spec_id] = checks
+            return checks_by_spec[spec_id]
+
         files = [
             f
             for f in files
             if all(
                 snap.partitions.get(f, {}).get(name, want) == want
-                for name, want in checks
+                for name, want in _checks_for(
+                    snap.spec_of.get(f, snap.default_spec_id)
+                )
             )
         ]
     if not files:

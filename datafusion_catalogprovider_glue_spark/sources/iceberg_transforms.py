@@ -145,6 +145,11 @@ def apply_transform(transform: str, value):
         return v - (v % w)  # python % is floor-mod: negatives round down
     if transform in ("year", "month", "day", "hour"):
         dt = _to_datetime(value)
+        if dt.tzinfo is not None:
+            # tz-aware instant → UTC wall clock (the spec's evaluation
+            # frame for timestamptz); naive datetimes are interpreted
+            # as UTC wall time, matching transform_column's epoch fold
+            dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         if transform == "year":
             return dt.year - 1970
         if transform == "month":
@@ -168,6 +173,9 @@ def _bucket_column(col: Column, n: int, dtype: str) -> Column:
 
         @pandas_udf("int")
         def _bucket_long(s: pd.Series) -> pd.Series:
+            # NULLs are gated JVM-side (F.when below), so the batch
+            # arrives as pure int64 — never float64, which would
+            # corrupt longs with |v| > 2^53 (r6 advisor finding)
             u = s.to_numpy(dtype="int64", na_value=0).view(np.uint64)
             k1 = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             k2 = (u >> np.uint64(32)).astype(np.uint32)
@@ -186,14 +194,15 @@ def _bucket_column(col: Column, n: int, dtype: str) -> Column:
             h = h * np.uint32(0xC2B2AE35)
             h = h ^ (h >> np.uint32(16))
             out = (h & np.uint32(0x7FFFFFFF)) % np.uint32(n)
-            res = pd.Series(out.astype("int32"))
-            res[s.isna().to_numpy()] = None
-            return res
+            return pd.Series(pd.array(out.astype("int32"), dtype="Int32"))
 
         if dtype == "date":
             # spec: dates hash as their days-from-epoch int (widened)
             col = F.datediff(col, F.lit("1970-01-01"))
-        return _bucket_long(col.cast("long"))
+        # NULL stays NULL; non-null rows reach the UDF as exact int64
+        return F.when(
+            col.isNull(), F.lit(None).cast("int")
+        ).otherwise(_bucket_long(F.coalesce(col.cast("long"), F.lit(0))))
 
     if dtype == "string":
 
@@ -226,15 +235,37 @@ def transform_column(col: Column, transform: str, dtype: str) -> Column:
             return F.substring(col, 1, w)
         # v - pmod(v, w): floor-to-width, negatives round toward -inf
         return (col - F.pmod(col, F.lit(w))).cast(dtype)
-    if transform == "year":
-        return F.year(col) - F.lit(1970)
-    if transform == "month":
-        return (F.year(col) - F.lit(1970)) * F.lit(12) + F.month(col) - F.lit(1)
-    if transform == "day":
-        return F.datediff(F.to_date(col), F.lit("1970-01-01"))
-    if transform == "hour":
-        # date-part arithmetic, not an epoch cast: works identically on
-        # timestamp and timestamp_ntz (ntz refuses numeric casts)
+    if transform in ("year", "month", "day", "hour"):
+        if dtype == "timestamp":
+            # session-tz TIMESTAMP is an INSTANT; Iceberg declares it
+            # timestamptz and evaluates temporal transforms in UTC
+            # (spec §partition-transforms).  unix_timestamp() reads
+            # the instant's epoch seconds independent of the session
+            # timezone, so these fold identically under ANY session tz
+            # — F.year/F.to_date/F.hour would instead use the session
+            # calendar (r6 advisor finding).
+            epoch = F.unix_timestamp(col)
+            if transform == "hour":
+                return F.floor(epoch / F.lit(3600)).cast("int")
+            days = F.floor(epoch / F.lit(86400)).cast("int")
+            if transform == "day":
+                return days
+            d = F.date_add(F.to_date(F.lit("1970-01-01")), days)
+            if transform == "year":
+                return (F.year(d) - F.lit(1970)).cast("int")
+            return (
+                (F.year(d) - F.lit(1970)) * F.lit(12) + F.month(d) - F.lit(1)
+            ).cast("int")
+        # date / timestamp_ntz: tz-free calendar values — date-part
+        # arithmetic IS the spec fold (ntz refuses numeric casts)
+        if transform == "year":
+            return F.year(col) - F.lit(1970)
+        if transform == "month":
+            return (
+                (F.year(col) - F.lit(1970)) * F.lit(12) + F.month(col) - F.lit(1)
+            )
+        if transform == "day":
+            return F.datediff(F.to_date(col), F.lit("1970-01-01"))
         return (
             F.datediff(F.to_date(col), F.lit("1970-01-01")) * F.lit(24)
             + F.hour(col)

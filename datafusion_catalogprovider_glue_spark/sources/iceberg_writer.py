@@ -5,14 +5,16 @@ The format-trio symmetry with ``sources/delta_writer.py``: the engine
 already READS Iceberg (sources/iceberg.py replays the metadata chain);
 this closes the round trip so a curation pipeline standardized on
 Iceberg can MATERIALIZE results, not just consume them.  Scope: append
-snapshots over a v2 table, unpartitioned or partitioned under ONE
-partition spec with any spec transform (identity / bucket[N] /
-truncate[W] / year / month / day / hour —
-sources/iceberg_transforms.py), plus copy-on-write MERGE
+snapshots over a v2 table, unpartitioned or partitioned with any spec
+transform (identity / bucket[N] / truncate[W] / year / month / day /
+hour — sources/iceberg_transforms.py), PARTITION SPEC EVOLUTION (an
+append under a new partitioning adds a versioned spec; each manifest
+records its spec-id so readers prune per-manifest — how long-lived
+tables migrate day → hour layouts), plus copy-on-write MERGE
 (merge_iceberg) and COMPACTION (compact_iceberg, a REPLACE-snapshot
-rewrite_data_files).  Not in scope: row-level delete writing, spec
-evolution, schema evolution on write (reads of evolved tables are
-handled by the reader).
+rewrite_data_files).  Not in scope: row-level delete writing, schema
+evolution on write (reads of evolved tables are handled by the
+reader).
 
 Format notes (Iceberg spec, https://iceberg.apache.org/spec/):
 * ``metadata/version-hint.text`` → ``metadata/v<N>.metadata.json`` is
@@ -83,6 +85,11 @@ _MANIFEST_LIST_SCHEMA = T.StructType(
         T.StructField("manifest_path", T.StringType()),
         T.StructField("manifest_length", T.LongType()),
         T.StructField("added_snapshot_id", T.LongType()),
+        # spec §manifest-lists: each manifest records the PARTITION
+        # SPEC it was written under — how a reader prunes a table
+        # whose spec EVOLVED (each manifest folds through ITS spec,
+        # not the current default)
+        T.StructField("partition_spec_id", T.IntegerType()),
     ]
 )
 
@@ -270,8 +277,10 @@ def append_iceberg(
     ``transform``) or, for MULTI-FIELD specs, a list of (column,
     transform) pairs — e.g. ``[("ts", "day"), ("user_id",
     "bucket[4]")]``, the canonical event-table layout.  A later
-    partitioned append must reuse the recorded spec (one spec per
-    table — the writer subset)."""
+    append under a DIFFERENT partitioning (including unpartitioned ↔
+    partitioned in either direction) EVOLVES the spec: a new
+    versioned spec is recorded and becomes the default, and the
+    commit's manifest carries its spec-id for per-manifest pruning."""
     from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
         partition_field_name,
     )
@@ -347,21 +356,43 @@ def append_iceberg(
         seq = 1
         prior_manifests = []
 
-    if partition_by and meta.get("partition-specs"):
-        # one spec per table (writer subset): a partitioned append must
-        # reuse the spec the table was created with — real Iceberg
-        # versioned spec evolution is out of scope
-        default = next(
-            s
-            for s in meta["partition-specs"]
-            if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
-        )
-        if default["fields"] and default["fields"] != _spec_fields():
-            raise NotImplementedYet(
-                "iceberg writer subset: partitioned append must match "
-                f"the table's partition spec {default['fields']} "
-                f"(got {_spec_fields()})"
-            )
+    # PARTITION SPEC resolution with EVOLUTION (spec §partition-specs):
+    # an append whose partitioning matches a recorded spec (by name /
+    # transform / source-id — field-ids are assignment artifacts)
+    # reuses that spec's id; any other partitioning — including
+    # unpartitioned-onto-partitioned and the reverse — ADDS a new spec
+    # with a fresh spec-id and fresh field-ids and becomes the
+    # default, exactly how long-lived tables migrate day → hour
+    # layouts.  The manifest this commit writes records its spec-id in
+    # the manifest list, so the reader folds EACH manifest through ITS
+    # OWN spec when pruning.
+    req = _spec_fields()
+    specs = list(meta.get("partition-specs") or [])
+    if not specs:
+        specs = [{"spec-id": 0, "fields": []}]
+
+    def _spec_key(fields: list[dict]) -> list[tuple]:
+        return [
+            (f["name"], f.get("transform", "identity"), f.get("source-id"))
+            for f in fields
+        ]
+
+    match = next(
+        (s for s in specs if _spec_key(s["fields"]) == _spec_key(req)), None
+    )
+    if match is None:
+        next_id = max(s.get("spec-id", 0) for s in specs) + 1
+        base = 1000 + sum(len(s["fields"]) for s in specs)
+        match = {
+            "spec-id": next_id,
+            "fields": [
+                dict(f, **{"field-id": base + i}) for i, f in enumerate(req)
+            ],
+        }
+        specs = specs + [match]
+    spec_id = match.get("spec-id", 0)
+    meta["partition-specs"] = specs
+    meta["default-spec-id"] = spec_id
 
     snap_id = _snapshot_id(seq)
     data_files = (
@@ -389,13 +420,22 @@ def append_iceberg(
     )
     list_rel = f"metadata/snap-{snap_id}.avro"
     list_rows = [
-        (m["manifest_path"], m["manifest_length"], m["added_snapshot_id"])
+        (
+            m["manifest_path"],
+            m["manifest_length"],
+            m["added_snapshot_id"],
+            # manifests carried from lists written before spec
+            # evolution landed default to spec 0 (the only spec such
+            # tables can have)
+            int(m.get("partition_spec_id") or 0),
+        )
         for m in prior_manifests
     ] + [
         (
             manifest_rel,
             os.path.getsize(os.path.join(table_path, manifest_rel)),
             snap_id,
+            spec_id,
         )
     ]
     write_avro_container(
@@ -517,6 +557,7 @@ def merge_iceberg(
                 manifest_rel,
                 os.path.getsize(os.path.join(table_path, manifest_rel)),
                 snap_id,
+                int(meta.get("default-spec-id") or 0),
             )
         ],
     )
@@ -586,6 +627,7 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int:
                 manifest_rel,
                 os.path.getsize(os.path.join(table_path, manifest_rel)),
                 snap_id,
+                int(meta.get("default-spec-id") or 0),
             )
         ],
     )

@@ -558,9 +558,6 @@ def test_multi_field_partition_spec_roundtrip(spark, tmp_path):
     accepted while a different spec refuses."""
     import json
 
-    import pytest
-
-    from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
     from datafusion_catalogprovider_glue_spark.sources.iceberg import (
         IcebergSnapshot,
         read_iceberg,
@@ -609,6 +606,26 @@ def test_multi_field_partition_spec_roundtrip(spark, tmp_path):
     # single-key filter prunes only its dimension
     out_g = read_iceberg(spark, table, partition_filter={"grp": "g0x"})
     assert {r["grp"] for r in out_g.select("grp").distinct().collect()} == {"g0x"}
-    # different spec refuses
-    with pytest.raises(NotImplementedYet, match="partition spec"):
-        append_iceberg(df, table, partition_by=[("grp", "identity")])
+    # r7: a different spec EVOLVES the table (new versioned spec, new
+    # default) instead of refusing; old files still prune through
+    # their original spec
+    extra = spark.createDataFrame([(100, "g9x")], "k bigint, grp string")
+    append_iceberg(extra, table, partition_by=[("grp", "identity")])
+    snap2 = IcebergSnapshot(table)
+    assert len(snap2.partition_specs) == 2
+    assert snap2.partition_spec == [
+        {"name": "grp", "transform": "identity", "source": "grp"}
+    ]
+    # files span both spec ids
+    assert len({snap2.spec_of[f] for f in snap2.files}) == 2
+    # the SAME two-key filter still prunes the old-spec files through
+    # the OLD spec; the new-spec file (different grp) is pruned by its
+    # identity tuple
+    out2 = read_iceberg(
+        spark, table, partition_filter={"grp": "g1x", "k": 7}
+    )
+    assert {(r["k"], r["grp"]) for r in out2.collect()} == rows
+    assert len(out2.inputFiles()) == len(cell)
+    # a filter matching the NEW spec's identity value reads the new file
+    out3 = read_iceberg(spark, table, partition_filter={"grp": "g9x"})
+    assert {(r["k"], r["grp"]) for r in out3.collect()} == {(100, "g9x")}
