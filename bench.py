@@ -298,5 +298,53 @@ def main() -> None:
     print(line, flush=True)
 
 
+def _run_isolated() -> int:
+    """Run main() in a CHILD process with stdout captured, then print
+    ONLY the metric line.  setLogLevel(OFF) silences log4j, but Spark
+    4's Python-side structured loggers (DataFrameQueryContextLogger)
+    can still drop a JSON record onto stdout mid-run — the r5/r6
+    artifact blemish.  Capturing the child's stream and re-emitting
+    just the metric line makes the one-line contract MECHANICAL:
+    everything else forwards to stderr for debuggability."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL if env.get("SPARK_GRAFT_BENCH_QUIET")
+        else sys.stderr,
+        text=True,
+    )
+    metric_line = None
+    for raw in proc.stdout.splitlines():
+        s = raw.strip()
+        if not s.startswith("{"):
+            print(raw, file=sys.stderr)
+            continue
+        try:
+            rec = json.loads(s)
+        except ValueError:
+            print(raw, file=sys.stderr)
+            continue
+        if isinstance(rec, dict) and rec.get("metric"):
+            metric_line = s
+        else:
+            print(raw, file=sys.stderr)
+    if metric_line is None:
+        print(
+            f"bench child produced no metric line (rc={proc.returncode})",
+            file=sys.stderr,
+        )
+        return proc.returncode or 1
+    print(metric_line, flush=True)
+    return proc.returncode
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        main()
+    else:
+        raise SystemExit(_run_isolated())
