@@ -3918,3 +3918,103 @@ def sink_delta_merge_dv_partitioned(
             f"{len(de.inputFiles())} read, {len(de_files)} in partition"
         )
     return read_delta(spark, table)
+
+
+@query(
+    "scan_delta_column_mapping_id",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+           CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def scan_delta_column_mapping_id(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta columnMapping.mode=id (PROTOCOL.md §Column Mapping — the
+    DEFAULT for tables created by current Delta writers): physical
+    columns carry opaque names AND ``PARQUET:field_id`` footer
+    metadata; the reader must bind logical → physical by FIELD ID
+    (``delta.columnMapping.id``), not by name or position.  The
+    fixture stores the physical columns in REVERSED order with
+    shuffled names, so a positional or name-based bind would swap
+    every column — the hash match proves the id resolution
+    (sources/delta.py:physical_schema_by_id)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import read_delta
+
+    apply_engine_conf(spark)
+    table_dir = _text_scan_dir(sf_dir, "nation_delta_cm_id")
+    log_dir = os.path.join(table_dir, "_delta_log")
+    if not os.path.exists(os.path.join(log_dir, f"{0:020d}.json")):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        src = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        n_cols = len(src.schema)
+        # physical layout: REVERSED column order, opaque names, field
+        # ids = logical position + 1
+        order = list(range(n_cols))[::-1]
+        phys_fields = []
+        for pos_out, pos_in in enumerate(order):
+            f = src.schema[pos_in]
+            phys_fields.append(
+                pa.field(
+                    f"c-{pos_out:03d}-x",
+                    f.type,
+                    f.nullable,
+                    metadata={
+                        b"PARQUET:field_id": str(pos_in + 1).encode()
+                    },
+                )
+            )
+        phys = pa.table(
+            [src.column(i) for i in order], schema=pa.schema(phys_fields)
+        )
+        os.makedirs(table_dir, exist_ok=True)
+        pq.write_table(phys, os.path.join(table_dir, "data.parquet"))
+
+        logical = load_table(spark, sf_dir, "nation").schema
+        fields = []
+        for i, f in enumerate(logical.fields):
+            fj = f.jsonValue()
+            fj["metadata"] = {"delta.columnMapping.id": i + 1}
+            fields.append(fj)
+        schema_string = json.dumps({"type": "struct", "fields": fields})
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "metaData": {
+                            "id": "nation-delta-cm-id",
+                            "schemaString": schema_string,
+                            "partitionColumns": [],
+                            "format": {"provider": "parquet"},
+                            "configuration": {
+                                "delta.columnMapping.mode": "id",
+                                "delta.columnMapping.maxColumnId": str(
+                                    len(fields)
+                                ),
+                            },
+                        }
+                    }
+                )
+                + "\n"
+            )
+            fh.write(
+                json.dumps(
+                    {"add": {"path": "data.parquet", "partitionValues": {}}}
+                )
+                + "\n"
+            )
+
+    n = read_delta(spark, table_dir)
+    return n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )

@@ -1579,29 +1579,100 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster-size step, which SemDeDup bounds by choosing K ∝ corpus
     size (FAISS: sqrt(n) clusters); the plan here inherits that knob
     directly through KMEANS_K.
+
+    The pair stage is ONE ``applyInPandas`` PER CLUSTER (r7; the r6
+    plan materialized every within-cluster pair through a self-join +
+    JVM fold — ~n·target_size/2 pair rows, the SCALING_r06 long pole):
+    each cluster's cosine matrix is computed in-task with the
+    COORDINATE-ORDERED j-loop (bit-identical to the
+    F.aggregate/DuckDB left fold — the r6 embedding_kmeans scheme),
+    and only the pairs within a 2e-6 RAW margin of the cluster's raw
+    maximum are emitted — a superset of every pair that can win the
+    6-dp-rounded ordering (round is monotone, so a winner's raw value
+    is ≥ raw_max − 1e-6).  The 6-dp ROUND (decimal semantics) and the
+    deterministic top-1 window stay JVM-side over that tiny candidate
+    set.  Pair volume never materializes: the shuffle is one n-row
+    exchange keyed by cluster, and per-cluster compute is
+    O(size² · d) vectorized adds — row-chunked so a skewed cluster
+    streams in bounded memory.
     """
-    # localCheckpoint: the a/b sides of the self-join below would each
-    # re-execute the full Lloyd lineage (two cross joins + two windows)
-    # without it — the dedup_clusters trick, ~2x here.
+    import numpy as np
+    import pandas as pd
+
+    # localCheckpoint: the pair stage re-derives the assignment
+    # lineage otherwise — the dedup_clusters trick, ~2x here.
     asg = _kmeans_assign(spark, sf_dir).localCheckpoint()
     v = _emb(spark, sf_dir).select("vec_id", "v")
     a = asg.join(v, "vec_id").select(
         F.col("cluster"), F.col("vec_id"), F.col("v")
     )
-    b = a.select(
-        F.col("cluster").alias("cluster_b"),
-        F.col("vec_id").alias("vec_id_b"),
-        F.col("v").alias("v_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("cluster") == F.col("cluster_b"))
-        & (F.col("vec_id") < F.col("vec_id_b")),
+
+    def _top_pairs(pdf):
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "cluster": pd.Series([], dtype="int32"),
+                    "keep_id": pd.Series([], dtype="int64"),
+                    "dup_id": pd.Series([], dtype="int64"),
+                    "_raw": pd.Series([], dtype="float64"),
+                }
+            )
+        cluster = int(pdf["cluster"].iloc[0])
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)  # ascending ids: row i < row k ⇒ id_i < id_k
+        ids = ids[order]
+        dims = len(pdf["v"].iloc[0])
+        vv = np.empty((m, dims), dtype=np.float64)
+        for out_i, src_i in enumerate(order):
+            vv[out_i, :] = pdf["v"].iloc[src_i]
+        ns_acc = np.zeros(m, dtype=np.float64)
+        for j in range(dims):  # the left fold, vectorized
+            ns_acc += vv[:, j] * vv[:, j]
+        ns = np.sqrt(ns_acc)
+        best = -np.inf
+        cand: list[tuple[int, int, float]] = []
+        CH = 4096  # row-chunk: bounds memory to CH×m doubles
+        for s0 in range(0, m, CH):
+            s1 = min(s0 + CH, m)
+            blk = np.zeros((s1 - s0, m), dtype=np.float64)
+            for j in range(dims):  # coordinate-ordered pairwise fold
+                cj = vv[:, j]
+                blk += cj[s0:s1, None] * cj[None, :]
+            raw = blk / (ns[s0:s1, None] * ns[None, :])
+            ii, kk = np.nonzero(
+                np.arange(s0, s1)[:, None] < np.arange(m)[None, :]
+            )
+            vals = raw[ii, kk]
+            if not len(vals):
+                continue
+            best = max(best, float(vals.max()))
+            keep = vals >= best - 2e-6
+            cand.extend(
+                zip(
+                    (ii + s0)[keep].tolist(),
+                    kk[keep].tolist(),
+                    vals[keep].tolist(),
+                )
+            )
+        cand = [(i, k, r) for i, k, r in cand if r >= best - 2e-6]
+        return pd.DataFrame(
+            {
+                "cluster": pd.Series([cluster] * len(cand), dtype="int32"),
+                "keep_id": pd.Series(
+                    [int(ids[i]) for i, _k, _r in cand], dtype="int64"
+                ),
+                "dup_id": pd.Series(
+                    [int(ids[k]) for _i, k, _r in cand], dtype="int64"
+                ),
+                "_raw": pd.Series([r for _i, _k, r in cand], dtype="float64"),
+            }
+        )
+
+    pairs = a.groupBy("cluster").applyInPandas(
+        _top_pairs, "cluster int, keep_id bigint, dup_id bigint, _raw double"
     ).select(
-        "cluster",
-        F.col("vec_id").alias("keep_id"),
-        F.col("vec_id_b").alias("dup_id"),
-        cosine(F.col("v"), F.col("v_b")).alias("cos"),
+        "cluster", "keep_id", "dup_id", F.round(F.col("_raw"), 6).alias("cos")
     )
     rw = Window.partitionBy("cluster").orderBy(
         F.col("cos").desc(), F.col("keep_id"), F.col("dup_id")

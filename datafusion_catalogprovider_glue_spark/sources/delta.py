@@ -130,12 +130,10 @@ class DeltaSnapshot:
             self.partition_columns = list(meta.get("partitionColumns") or [])
             self.configuration = dict(meta.get("configuration") or {})
             mode = self.configuration.get("delta.columnMapping.mode", "none")
-            if mode not in ("none", "name"):
-                # id mode resolves columns by parquet field ids; refuse
-                # loudly rather than mis-binding columns by position
+            if mode not in ("none", "name", "id"):
                 raise DeltaError(
                     f"delta reader subset: columnMapping.mode={mode!r} "
-                    "(supported: none, name)"
+                    "(supported: none, name, id)"
                 )
         elif "add" in action and action["add"]:
             add = action["add"]
@@ -159,10 +157,11 @@ class DeltaSnapshot:
 
     @property
     def column_mapping(self) -> bool:
-        return (
-            self.configuration.get("delta.columnMapping.mode", "none")
-            == "name"
-        )
+        return self.column_mapping_mode != "none"
+
+    @property
+    def column_mapping_mode(self) -> str:
+        return self.configuration.get("delta.columnMapping.mode", "none")
 
     def physical_schema(self) -> T.StructType:
         """Schema under PHYSICAL column names (columnMapping name mode:
@@ -176,6 +175,51 @@ class DeltaSnapshot:
                 raise DeltaError(
                     f"columnMapping.mode=name but field {f.name!r} has "
                     "no physicalName metadata"
+                )
+            fields.append(T.StructField(phys, f.dataType, f.nullable))
+        return T.StructType(fields)
+
+    def physical_schema_by_id(self) -> T.StructType:
+        """Schema under PHYSICAL column names resolved by PARQUET FIELD
+        ID (columnMapping id mode — the default for tables created by
+        current Delta writers): each logical field's
+        ``delta.columnMapping.id`` matches the ``PARQUET:field_id``
+        footer metadata of exactly one physical column.  One footer
+        READ (metadata-sized, driver-side) binds the mapping; every
+        active file must agree on its physical column set — a
+        heterogeneous mix (files written across renames) is refused
+        rather than mis-bound."""
+        import pyarrow.parquet as pq
+
+        def _id_map(path: str) -> dict[int, str]:
+            out = {}
+            for fld in pq.read_schema(path):
+                md = fld.metadata or {}
+                fid = md.get(b"PARQUET:field_id")
+                if fid is not None:
+                    out[int(fid)] = fld.name
+            return out
+
+        first = _id_map(self.files[0])
+        for other in self.files[1:]:
+            if _id_map(other) != first:
+                raise DeltaError(
+                    "columnMapping.mode=id subset: data files disagree "
+                    "on their field-id → column binding"
+                )
+        fields = []
+        for f in self.schema.fields:
+            cid = (f.metadata or {}).get("delta.columnMapping.id")
+            if cid is None:
+                raise DeltaError(
+                    f"columnMapping.mode=id but field {f.name!r} has "
+                    "no delta.columnMapping.id metadata"
+                )
+            phys = first.get(int(cid))
+            if phys is None:
+                raise DeltaError(
+                    f"no physical column carries field id {cid} "
+                    f"for logical field {f.name!r}"
                 )
             fields.append(T.StructField(phys, f.dataType, f.nullable))
         return T.StructType(fields)
@@ -344,16 +388,21 @@ def read_delta(
         return df.select(*cols)
 
     if snap.column_mapping:
-        # name-mode column mapping: scan under physical names, project
-        # back to logical names — a pure metadata rename, zero cost in
-        # the executed plan (Catalyst collapses the alias into the
-        # scan's ReadSchema)
+        # column mapping: scan under physical names, project back to
+        # logical names — a pure metadata rename, zero cost in the
+        # executed plan (Catalyst collapses the alias into the scan's
+        # ReadSchema).  name mode binds by physicalName metadata; id
+        # mode binds by parquet footer field ids.
         if snap.partition_columns:
             raise DeltaError(
                 "delta reader subset: columnMapping with partition "
                 "columns is not supported"
             )
-        phys = snap.physical_schema()
+        phys = (
+            snap.physical_schema_by_id()
+            if snap.column_mapping_mode == "id"
+            else snap.physical_schema()
+        )
         out = _with_meta(
             spark.read.schema(phys).parquet(*snap.files),
             [

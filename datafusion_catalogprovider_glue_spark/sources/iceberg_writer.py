@@ -476,6 +476,7 @@ def merge_iceberg(
     source: DataFrame,
     on: list[str],
     matched_delete=None,
+    matched_update=None,
 ) -> int:
     """Batch MERGE INTO the Iceberg table — WHEN MATCHED AND cond THEN
     DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
@@ -526,9 +527,18 @@ def merge_iceberg(
     keep = F.lit(True)
     if matched_delete is not None:
         keep = ~(matched & matched_delete)
+    take_source = F.col("s.__src").isNotNull()
+    if matched_update is not None:
+        # conditional UPDATE (merge-if-newer): a matched row takes the
+        # source only when the condition holds; inserts always do —
+        # same shape as delta_writer.merge_delta, what foreachBatch
+        # upserts need to stay micro-batch-order-independent
+        take_source = take_source & (
+            F.col("t.__tgt").isNull() | matched_update
+        )
     merged = joined.filter(keep).select(
         *[
-            F.when(F.col("s.__src").isNotNull(), F.col(f"s.{c}"))
+            F.when(take_source, F.col(f"s.{c}"))
             .otherwise(F.col(f"t.{c}"))
             .alias(c)
             for c in cols
