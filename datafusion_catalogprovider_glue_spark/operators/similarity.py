@@ -1633,28 +1633,25 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         best = -np.inf
         cand: list[tuple[int, int, float]] = []
         CH = 4096  # row-chunk: bounds memory to CH×m doubles
+        tmp = np.empty((min(CH, m), m), dtype=np.float64)
         for s0 in range(0, m, CH):
             s1 = min(s0 + CH, m)
-            blk = np.zeros((s1 - s0, m), dtype=np.float64)
+            rows = s1 - s0
+            blk = np.zeros((rows, m), dtype=np.float64)
+            t = tmp[:rows]
             for j in range(dims):  # coordinate-ordered pairwise fold
                 cj = vv[:, j]
-                blk += cj[s0:s1, None] * cj[None, :]
-            raw = blk / (ns[s0:s1, None] * ns[None, :])
-            ii, kk = np.nonzero(
-                np.arange(s0, s1)[:, None] < np.arange(m)[None, :]
-            )
-            vals = raw[ii, kk]
-            if not len(vals):
-                continue
-            best = max(best, float(vals.max()))
-            keep = vals >= best - 2e-6
-            cand.extend(
-                zip(
-                    (ii + s0)[keep].tolist(),
-                    kk[keep].tolist(),
-                    vals[keep].tolist(),
-                )
-            )
+                np.multiply(cj[s0:s1, None], cj[None, :], out=t)
+                blk += t
+            np.multiply(ns[s0:s1, None], ns[None, :], out=t)
+            raw = np.divide(blk, t, out=blk)
+            # mask the non-pairs (k <= i): only i < k survives
+            raw[np.arange(m)[None, :] <= np.arange(s0, s1)[:, None]] = -np.inf
+            mx = float(raw.max()) if raw.size else -np.inf
+            if mx > best:
+                best = mx
+            for i, k in np.argwhere(raw >= best - 2e-6):
+                cand.append((int(i) + s0, int(k), float(raw[i, k])))
         cand = [(i, k, r) for i, k, r in cand if r >= best - 2e-6]
         return pd.DataFrame(
             {

@@ -14,12 +14,13 @@ tuples and reads prune on them without opening data files:
 * ``year/month/day/hour`` — signed offsets from the Unix epoch
   (2024-01-05 → day 19727), exactly the spec's integer encoding
 * ``bucket[N]``         — ``(murmur3_x86_32(bytes) & Int.MAX) % N``
-  with the spec's byte layouts: int/long/date hash as the 8-byte
-  little-endian LONG value (dates as days from epoch), strings as
-  UTF-8 bytes (spec test vectors: 34 → 2017239379,
-  "iceberg" → 1210000089 — pinned in tests/test_iceberg.py);
-  timestamp bucketing is refused (subset — ntz epoch extraction is
-  session-tz-dependent)
+  with the spec's byte layouts: int/long/date/timestamp hash as the
+  8-byte little-endian LONG value (dates as days from epoch,
+  timestamps as UTC microseconds from epoch), strings as UTF-8 bytes
+  (spec test vectors: 34 → 2017239379, "iceberg" → 1210000089,
+  2017-11-16T22:31:08 → −2047944441 — pinned in
+  tests/test_iceberg.py); bucketing on timestamp_ntz stays refused
+  (no tz-free epoch-micros builtin)
 * ``truncate[W]``       — floor-to-width for ints/longs (negative
   values round toward -inf), prefix-of-W for strings
 
@@ -89,15 +90,27 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
 
 
 def _bucket_hash(value) -> int:
-    """Spec byte layout: int/long/date widen to a LONG and hash its
-    8-byte little-endian form (dates as days from epoch); strings hash
-    their UTF-8."""
+    """Spec byte layout: int/long/date/timestamp widen to a LONG and
+    hash its 8-byte little-endian form (dates as days from epoch,
+    timestamps as MICROSECONDS from epoch — spec vector
+    2017-11-16T22:31:08 → −2047944441, pinned in tests); strings hash
+    their UTF-8.  tz-aware datetimes fold to UTC; naive ones are UTC
+    wall time (the spec's timestamptz frame — same convention as the
+    temporal transforms)."""
     if isinstance(value, str):
         data = value.encode("utf-8")
     else:
-        if isinstance(value, datetime.date) and not isinstance(
-            value, datetime.datetime
-        ):
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(datetime.timezone.utc).replace(
+                    tzinfo=None
+                )
+            delta = value - datetime.datetime(1970, 1, 1)
+            value = (
+                (delta.days * 86400 + delta.seconds) * 1_000_000
+                + delta.microseconds
+            )
+        elif isinstance(value, datetime.date):
             value = (value - _EPOCH).days
         data = int(value).to_bytes(8, "little", signed=True)
     return murmur3_32(data)
@@ -203,6 +216,15 @@ def _bucket_column(col: Column, n: int, dtype: str) -> Column:
         return F.when(
             col.isNull(), F.lit(None).cast("int")
         ).otherwise(_bucket_long(F.coalesce(col.cast("long"), F.lit(0))))
+
+    if dtype == "timestamp":
+        # spec: timestamptz hashes its MICROSECONDS-from-epoch long;
+        # unix_micros reads the instant independent of the session tz
+        # (same UTC frame as the temporal transforms).  ntz stays
+        # refused: extracting exact epoch micros from a wall-clock
+        # value has no tz-free builtin.
+        inner = _bucket_column(F.unix_micros(col), n, "bigint")
+        return F.when(col.isNull(), F.lit(None).cast("int")).otherwise(inner)
 
     if dtype == "string":
 

@@ -437,8 +437,19 @@ def test_transform_spec_vectors():
         apply_transform,
     )
 
+    import datetime
+
     assert _bucket_hash(34) == 2017239379          # int widens to long
     assert _bucket_hash("iceberg") == 1210000089   # UTF-8 bytes
+    # spec Appendix B: timestamps hash their epoch MICROSECONDS as a
+    # long (vector is the signed-int32 view of the murmur output)
+    ts_hash = _bucket_hash(datetime.datetime(2017, 11, 16, 22, 31, 8))
+    assert ts_hash - (1 << 32) == -2047944441
+    # the same instant tz-aware (UTC-8) must hash identically
+    tz = datetime.timezone(datetime.timedelta(hours=-8))
+    assert _bucket_hash(
+        datetime.datetime(2017, 11, 16, 14, 31, 8, tzinfo=tz)
+    ) == ts_hash
     assert apply_transform("day", "2017-11-16") == 17486
     assert apply_transform("month", "2017-11-16") == 574
     assert apply_transform("year", "2017-11-16") == 47
@@ -629,3 +640,62 @@ def test_multi_field_partition_spec_roundtrip(spark, tmp_path):
     # a filter matching the NEW spec's identity value reads the new file
     out3 = read_iceberg(spark, table, partition_filter={"grp": "g9x"})
     assert {(r["k"], r["grp"]) for r in out3.collect()} == {(100, "g9x")}
+
+
+def test_bucket_on_timestamp_column_and_prune(spark, tmp_path):
+    """bucket[N] on a timestamptz column (r7; was refused): the column
+    half hashes unix_micros identically to the scalar half under ANY
+    session timezone, and a bucketed-timestamp write prunes to the
+    probe key's bucket."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        apply_transform,
+        transform_column,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + datetime.timedelta(hours=7 * i, microseconds=13 * i))
+        for i in range(48)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp")
+    got = [
+        r["b"]
+        for r in df.select(
+            transform_column(F.col("ts"), "bucket[8]", "timestamp").alias("b")
+        ).collect()
+    ]
+    want = [apply_transform("bucket[8]", ts) for _k, ts in rows]
+    assert got == want
+    # NULL stays NULL
+    dfn = spark.createDataFrame([(1, None)], "k int, ts timestamp")
+    assert dfn.select(
+        transform_column(F.col("ts"), "bucket[8]", "timestamp").alias("b")
+    ).collect()[0]["b"] is None
+    # write-prune round trip
+    table = str(tmp_path / "tsbucket")
+    append_iceberg(df, table, partition_by="ts", transform="bucket[8]")
+    snap = IcebergSnapshot(table)
+    probe = rows[5][1]
+    bval = apply_transform("bucket[8]", probe)
+    cell = [
+        f
+        for f in snap.files
+        if snap.partitions.get(f, {}).get("ts_bucket") == bval
+    ]
+    out = read_iceberg(spark, table, partition_filter={"ts": probe})
+    assert 0 < len(cell) < len(snap.files)
+    assert len(out.inputFiles()) == len(cell)
+    got_keys = {r["k"] for r in out.collect()}
+    assert rows[5][0] in got_keys
+    assert all(apply_transform("bucket[8]", rows[k][1]) == bval for k in got_keys)
