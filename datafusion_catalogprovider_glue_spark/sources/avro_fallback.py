@@ -25,6 +25,7 @@ arrays, maps, enums) raises ``NotImplementedYet`` loudly.
 
 from __future__ import annotations
 
+import datetime
 import io
 import json
 import os
@@ -68,6 +69,15 @@ def _decode_datum(buf: io.BufferedIOBase, schema) -> object:
         if schema.get("type") == "record":
             return tuple(
                 _decode_datum(buf, f["type"]) for f in schema["fields"]
+            )
+        lt = schema.get("logicalType")
+        if lt == "timestamp-micros":
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                microseconds=_read_long(buf)
+            )
+        if lt == "date":
+            return datetime.date(1970, 1, 1) + datetime.timedelta(
+                days=_read_long(buf)
             )
         schema = schema.get("type", schema)
     if schema == "null":
@@ -180,6 +190,11 @@ def _avro_type_to_spark(avro_type) -> T.DataType:
             raise NotImplementedYet(f"unsupported avro union: {avro_type!r}")
         return _avro_type_to_spark(non_null[0])
     if isinstance(avro_type, dict):
+        lt = avro_type.get("logicalType")
+        if lt == "timestamp-micros":
+            return T.TimestampType()
+        if lt == "date":
+            return T.DateType()
         avro_type = avro_type.get("type", avro_type)
     if isinstance(avro_type, str) and avro_type in _AVRO_TO_SPARK:
         return _AVRO_TO_SPARK[avro_type]
@@ -261,15 +276,34 @@ _SPARK_TO_AVRO = {
     "string": "string",
     "boolean": "boolean",
     "binary": "bytes",
+    # Avro LOGICAL types (spec §logical-types): the annotated
+    # primitive carries the encoding; datetimes round-trip as epoch
+    # micros / days without tz reinterpretation (naive wall values)
+    "timestamp": {"type": "long", "logicalType": "timestamp-micros"},
+    "timestamp_ntz": {"type": "long", "logicalType": "timestamp-micros"},
+    "date": {"type": "int", "logicalType": "date"},
 }
 
 
-def _encode_datum(out: io.BufferedIOBase, avro_type: str, value) -> None:
+def _encode_datum(out: io.BufferedIOBase, avro_type, value) -> None:
     # every field is a ["null", T] union: branch index first
     if value is None:
         _write_long(out, 0)
         return
     _write_long(out, 1)
+    if isinstance(avro_type, dict):
+        lt = avro_type.get("logicalType")
+        if lt == "timestamp-micros":
+            d = value - datetime.datetime(1970, 1, 1)
+            _write_long(
+                out,
+                (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds,
+            )
+            return
+        if lt == "date":
+            _write_long(out, (value - datetime.date(1970, 1, 1)).days)
+            return
+        raise NotImplementedYet(f"avro writer: logicalType {lt!r}")
     if avro_type in ("long", "int"):
         _write_long(out, int(value))
     elif avro_type == "double":

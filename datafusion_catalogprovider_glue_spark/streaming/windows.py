@@ -870,3 +870,135 @@ def stream_upsert_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_iceberg(spark, table_dir).select(
         "user_id", "event_id", _win_str("ts").alias("ts"), "event_type"
     )
+
+
+@query(
+    "stream_upsert_hudi",
+    oracle="""
+    SELECT user_id, event_id,
+           strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS ts,
+           event_type
+    FROM (
+        SELECT user_id, event_id, ts, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def stream_upsert_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert landing in HUDI MERGE-ON-READ — completes the
+    foreachBatch sink trio (stream_upsert_delta / _iceberg): each
+    micro-batch reduces to latest-per-key, anti-filters against the
+    CURRENT snapshot with the same merge-if-newer predicate (Hudi's
+    log-replay merge is latest-INSTANT-wins, so order independence
+    must come from the writer — exactly Hudi's preCombine field
+    semantics), then lands as ONE routed log DELTACOMMIT
+    (upsert_hudi_log — base files never rewrite mid-stream).  A final
+    compaction folds the logs; asserted in-key: one deltacommit per
+    upserting batch, snapshot == read-optimized after compaction, and
+    the returned DataFrame replays the table through the engine's own
+    MoR reader."""
+    apply_engine_conf(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql.window import Window as _Window
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_mor_instants,
+        read_hudi_mor,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        compact_hudi,
+        upsert_hudi_log,
+    )
+
+    raw_schema = events_raw_ddl(sf_dir)
+    base = _os.path.join(
+        "/tmp",
+        f"glue_spark_upshudi_{_hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    stream_dir = _os.path.join(base, "in")
+    table_dir = _os.path.join(base, "hudi")
+    if _os.path.exists(base):
+        _shutil.rmtree(base)  # fresh run: the sink is the thing under test
+    _os.makedirs(stream_dir)
+    events = ensure_micros_ts(
+        spark.read.schema(raw_schema).parquet(table_path(sf_dir, "events"))
+    )
+    for i in range(3):
+        staging = _os.path.join(base, f"_chunk{i}")
+        events.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            staging
+        )
+        part = next(
+            _os.path.join(r, f)
+            for r, _d, fs in _os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        _os.replace(part, _os.path.join(stream_dir, f"chunk-{i}.parquet"))
+        _shutil.rmtree(staging)
+
+    cols = ["user_id", "event_id", "ts", "event_type"]
+    w = _Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def _merge(batch_df, _batch_id):
+        latest = (
+            batch_df.select(*cols)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if not _os.path.exists(_os.path.join(table_dir, ".hoodie")):
+            append_hudi(latest, table_dir, n_groups=2)
+            return
+        cur = read_hudi_mor(spark, table_dir, key_col="user_id").select(
+            F.col("user_id"),
+            F.col("ts").alias("_t_ts"),
+            F.col("event_id").alias("_t_eid"),
+        )
+        newer = latest.join(cur, "user_id", "left").filter(
+            F.col("_t_ts").isNull()
+            | (F.col("ts") > F.col("_t_ts"))
+            | (
+                (F.col("ts") == F.col("_t_ts"))
+                & (F.col("event_id") > F.col("_t_eid"))
+            )
+        ).select(*cols)
+        if newer.limit(1).count():
+            upsert_hudi_log(spark, newer, table_dir, key="user_id")
+
+    stream = spark.readStream.schema(raw_schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(stream_dir)
+    q = (
+        ensure_micros_ts(stream)
+        .writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", _os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    instants = hudi_mor_instants(table_dir)
+    n_delta = sum(1 for _t, a in instants if a == "deltacommit")
+    if not (1 <= n_delta <= 2):
+        raise SparkError(
+            f"expected 1-2 log deltacommits (one per upserting batch), "
+            f"got {n_delta}: {instants}"
+        )
+    compact_hudi(spark, table_dir, key="user_id")
+    snap = read_hudi_mor(spark, table_dir, key_col="user_id")
+    ro = read_hudi_mor(spark, table_dir, key_col="user_id", read_optimized=True)
+    if snap.count() != ro.count():
+        raise SparkError("post-compaction snapshot != read-optimized")
+    return snap.select(
+        "user_id", "event_id", _win_str("ts").alias("ts"), "event_type"
+    )

@@ -262,3 +262,46 @@ def test_distributed_sink_roundtrip(spark, tmp_path):
     a = sup.agg(F.sum(F.col("s_acctbal").cast("decimal(18,2)"))).collect()[0][0]
     b = back.agg(F.sum(F.col("s_acctbal").cast("decimal(18,2)"))).collect()[0][0]
     assert a == b
+
+
+def test_avro_logical_types_roundtrip(spark, tmp_path):
+    """timestamp-micros / date logical types (r7, what Hudi MoR logs
+    over event tables need): datetimes round-trip through the
+    container codec as epoch micros/days with no tz reinterpretation,
+    and schema inference maps them back to timestamp/date."""
+    import datetime
+    import os
+
+    from pyspark.sql import types as T
+
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        read_avro_fallback,
+        schema_from_avro_file,
+        write_avro_container,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("d", T.DateType()),
+        ]
+    )
+    rows = [
+        (1, datetime.datetime(2024, 1, 7, 22, 31, 8, 123456),
+         datetime.date(2024, 1, 7)),
+        (2, None, None),
+        (3, datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
+         datetime.date(1969, 12, 31)),
+    ]
+    path = os.path.join(str(tmp_path), "lt.avro")
+    write_avro_container(path, schema, rows)
+    inferred = schema_from_avro_file(path)
+    assert [f.dataType.simpleString() for f in inferred.fields] == [
+        "bigint", "timestamp", "date"
+    ]
+    got = sorted(
+        (r["k"], r["ts"], r["d"])
+        for r in read_avro_fallback(spark, path, schema).collect()
+    )
+    assert got == sorted(rows)
