@@ -173,6 +173,12 @@ HEADLINE = [
     "sink_delta_partitioned",
     "scan_iceberg_multi_partition_pruned",
     "catalog_sql_three_part",
+    # round 7: spec evolution, partitioned DV merge, id-mode column
+    # mapping (the streaming upsert trio stays excluded with the
+    # other stream_* keys)
+    "scan_iceberg_spec_evolution",
+    "sink_delta_merge_dv_partitioned",
+    "scan_delta_column_mapping_id",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

@@ -482,10 +482,20 @@ def read_delta_cdf(
     removed files' rows are deletes (the files are still on disk
     until VACUUM).
 
+    DELETION-VECTOR commits (r7; previously refused): a commit that
+    re-ADDS an existing file with a (grown) DV masks rows in place —
+    the derived deletes are the rows at the NEW-minus-OLD mask
+    positions, decoded EXECUTOR-side and joined back to the file scan
+    by ``_metadata.row_index``; and a removed file that carried a DV
+    contributes only its LIVE rows as deletes (the already-masked
+    rows died in an earlier commit).  This is exactly the commit
+    shape merge_delta_dv publishes.
+
     Scale shape: the log walk is driver-side metadata; every change /
     added / removed file becomes part of one distributed parquet scan
-    per change-type group with two literal columns attached — no
-    shuffle beyond whatever the caller aggregates."""
+    per change-type group with two literal columns attached; DV diffs
+    travel as KB descriptors and expand where the tasks run — IO and
+    shuffle stay ∝ change volume."""
     log_dir = os.path.join(table_path, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise DeltaError(f"no {_LOG_DIR} at {table_path!r}")
@@ -509,10 +519,88 @@ def read_delta_cdf(
             df = df.withColumn("_change_type", F.lit(change_type))
         parts.append(df.withColumn("_commit_version", F.lit(version)))
 
+    def _masked_rows(
+        triples: list[tuple[str, Optional[dict], Optional[dict]]],
+        version: int,
+        live_side: bool,
+    ) -> None:
+        """Rows of each (path, dv_new, dv_old) triple, as deletes:
+        with ``live_side`` False the rows at NEW−OLD mask positions
+        (a DV grew — those rows just died); with ``live_side`` True
+        the rows NOT in dv_new (a masked file was removed — only its
+        live rows die now).  Descriptors expand executor-side."""
+        import json as _json
+
+        import pandas as pd
+
+        from datafusion_catalogprovider_glue_spark.sources.dv import (
+            read_dv,
+        )
+
+        rows = [
+            (
+                os.path.abspath(os.path.join(table_path, p)),
+                _json.dumps(new) if new else None,
+                _json.dumps(old) if old else None,
+            )
+            for p, new, old in triples
+        ]
+        desc_df = spark.createDataFrame(
+            rows, "_f string, _new string, _old string"
+        )
+
+        def _expand(batches):
+            for pdf in batches:
+                fs, ps = [], []
+                for fp, n_, o_ in zip(pdf["_f"], pdf["_new"], pdf["_old"]):
+                    new_pos = (
+                        set(read_dv(table_path, _json.loads(n_)))
+                        if n_ is not None
+                        else set()
+                    )
+                    old_pos = (
+                        set(read_dv(table_path, _json.loads(o_)))
+                        if o_ is not None
+                        else set()
+                    )
+                    for pos in sorted(new_pos - old_pos):
+                        fs.append(fp)
+                        ps.append(pos)
+                yield pd.DataFrame(
+                    {
+                        "_f": pd.Series(fs, dtype="object"),
+                        "_pos": pd.Series(ps, dtype="int64"),
+                    }
+                )
+
+        diff = desc_df.mapInPandas(_expand, "_f string, _pos long")
+        scan = spark.read.schema(snap_schema).parquet(
+            *[os.path.join(table_path, p) for p, _n, _o in triples]
+        ).select(
+            *[F.col(f.name) for f in snap_schema.fields],
+            _norm_path(F.col("_metadata.file_path")).alias("_f"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+        joined = scan.join(
+            F.broadcast(diff),
+            ["_f", "_pos"],
+            "left_anti" if live_side else "semi",
+        ).drop("_f", "_pos")
+        parts.append(
+            joined.withColumn("_change_type", F.lit("delete")).withColumn(
+                "_commit_version", F.lit(version)
+            )
+        )
+
+    # full log replay from version 0: DV derivation needs each file's
+    # PRE-commit mask and the active-file set (a re-add with a DV is a
+    # masking operation, not an insert)
+    active: set = set()
+    dv_state: dict = {}
     for v, path in _commit_files(log_dir):
-        if v < from_version or (to_version is not None and v > to_version):
-            continue
-        cdc, adds, removes = [], [], []
+        if to_version is not None and v > to_version:
+            break
+        cdc, adds, removes, dv_grows = [], [], [], []
         with open(path) as f:
             for line in f:
                 if not line.strip():
@@ -522,22 +610,38 @@ def read_delta_cdf(
                     cdc.append(action["cdc"]["path"])
                 elif action.get("add"):
                     a = action["add"]
-                    if a.get("deletionVector"):
-                        raise DeltaError(
-                            "delta reader subset: deletion vectors are "
-                            f"not supported (file {a['path']!r})"
-                        )
+                    p = a["path"]
+                    dv = a.get("deletionVector")
+                    is_new = p not in active
+                    old_dv = dv_state.get(p)
+                    active.add(p)
+                    dv_state[p] = dv
                     if a.get("dataChange", True):
-                        adds.append(a["path"])
+                        if is_new:
+                            adds.append(p)
+                        if dv is not None and dv != old_dv:
+                            dv_grows.append((p, dv, old_dv))
                 elif action.get("remove"):
                     r = action["remove"]
+                    p = r["path"]
+                    active.discard(p)
+                    old_dv = dv_state.pop(p, None)
                     if r.get("dataChange", True):
-                        removes.append(r["path"])
+                        removes.append((p, old_dv))
+        if v < from_version:
+            continue
         if cdc:
             _chunk(cdc, None, v)  # change files carry _change_type
         else:
             _chunk(adds, "insert", v)
-            _chunk(removes, "delete", v)
+            plain = [p for p, d in removes if d is None]
+            _chunk(plain, "delete", v)
+            masked = [(p, d, None) for p, d in removes if d is not None]
+            if masked:
+                # removed files that carried DVs: only live rows die
+                _masked_rows(masked, v, live_side=True)
+            if dv_grows:
+                _masked_rows(dv_grows, v, live_side=False)
     if not parts:
         return spark.createDataFrame(
             [],

@@ -295,10 +295,49 @@ def test_column_mapping_name_mode(spark, tmp_path):
     assert {(r.id, r.v) for r in out.collect()} == {(1, "x"), (2, "y")}
 
 
-def test_column_mapping_id_mode_refused(spark, tmp_path):
+def test_column_mapping_id_mode_binds_by_field_id(spark, tmp_path):
+    """r7: id mode READS (was a loud refusal) — logical columns bind to
+    physical parquet columns by PARQUET:field_id, not name or
+    position.  The fixture's physical order is REVERSED and its names
+    are unrelated to the physicalName metadata, so any non-id binding
+    would swap or miss columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     table_dir = str(tmp_path / "cmid")
-    with pytest.raises(DeltaError, match="columnMapping.mode='id'"):
-        _commit(table_dir, 0, [_cm_meta(mode="id")])
+    os.makedirs(table_dir, exist_ok=True)
+    # physical file: (string col with field_id 2) BEFORE (long col, id 1)
+    t = pa.table(
+        {
+            "zz-str": pa.array(["x", "y"], pa.string()),
+            "aa-long": pa.array([1, 2], pa.int64()),
+        }
+    )
+    fields = [
+        pa.field("zz-str", pa.string(), True,
+                 metadata={b"PARQUET:field_id": b"2"}),
+        pa.field("aa-long", pa.int64(), True,
+                 metadata={b"PARQUET:field_id": b"1"}),
+    ]
+    pq.write_table(t.cast(pa.schema(fields)), os.path.join(table_dir, "a.parquet"))
+    _commit(
+        table_dir,
+        0,
+        [
+            _cm_meta(mode="id"),
+            {"add": {"path": "a.parquet", "partitionValues": {}}},
+        ],
+    )
+    got = sorted(
+        (r["id"], r["v"]) for r in read_delta(spark, table_dir).collect()
+    )
+    assert got == [(1, "x"), (2, "y")]
+
+
+def test_column_mapping_unknown_mode_refused(spark, tmp_path):
+    table_dir = str(tmp_path / "cmweird")
+    with pytest.raises(DeltaError, match="columnMapping.mode"):
+        _commit(table_dir, 0, [_cm_meta(mode="banana")])
         read_delta(spark, table_dir)
 
 
@@ -408,27 +447,71 @@ def test_deletion_vector_inline_and_supersede(spark, tmp_path):
     ) == [1, 2, 3, 4]
 
 
-def test_deletion_vector_cdf_still_refused(spark, tmp_path):
-    """The CDF walker does not interpret DV-bearing commits (a DV
-    delete's change rows are not derivable from add/remove alone);
-    it must keep refusing loudly rather than emit wrong change rows."""
+def test_deletion_vector_cdf_derivation(spark, tmp_path):
+    """r7 (was a loud refusal): CDF over DV commits — a re-add with a
+    grown DV derives deletes at the NEW−OLD mask positions; a removed
+    file that carried a DV contributes only its LIVE rows as deletes;
+    the masked rows never double-count."""
     from datafusion_catalogprovider_glue_spark.sources.delta import read_delta_cdf
     from datafusion_catalogprovider_glue_spark.sources.dv import write_dv_file
 
     table_dir = str(tmp_path / "dvcdf")
-    _write_data_file(spark, tmp_path, table_dir, "a.parquet", [(1, "x")])
-    dv = write_dv_file(table_dir, [0])
+    _write_data_file(
+        spark, tmp_path, table_dir, "a.parquet", [(1, "x"), (2, "y"), (3, "z")]
+    )
+    _write_data_file(spark, tmp_path, table_dir, "b.parquet", [(1, "X")])
     _commit(
         table_dir,
         0,
+        [_meta_action(), {"add": {"path": "a.parquet", "partitionValues": {}}}],
+    )
+    # v1: the merge_delta_dv shape — mask row 0 of a, insert b
+    dv1 = write_dv_file(table_dir, [0])
+    _commit(
+        table_dir,
+        1,
         [
-            _meta_action(),
             {"add": {"path": "a.parquet", "partitionValues": {},
-                     "deletionVector": dv}},
+                     "deletionVector": dv1}},
+            {"add": {"path": "b.parquet", "partitionValues": {}}},
         ],
     )
-    with pytest.raises(DeltaError, match="deletion vector"):
-        read_delta_cdf(spark, table_dir)
+    # v2: the DV grows to {0, 2} — only row 2 newly dies
+    dv2 = write_dv_file(table_dir, [0, 2])
+    _commit(
+        table_dir,
+        2,
+        [
+            {"add": {"path": "a.parquet", "partitionValues": {},
+                     "deletionVector": dv2}},
+        ],
+    )
+    # v3: the masked file is removed — only its LIVE row (2,"y") dies
+    _commit(
+        table_dir,
+        3,
+        [{"remove": {"path": "a.parquet", "deletionTimestamp": 1,
+                     "dataChange": True}}],
+    )
+    got = {
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in read_delta_cdf(spark, table_dir).collect()
+    }
+    assert got == {
+        (0, "insert", 1, "x"),
+        (0, "insert", 2, "y"),
+        (0, "insert", 3, "z"),
+        (1, "delete", 1, "x"),
+        (1, "insert", 1, "X"),
+        (2, "delete", 3, "z"),
+        (3, "delete", 2, "y"),
+    }
+    # range selection still honors DV state accumulated BEFORE the range
+    tail = {
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in read_delta_cdf(spark, table_dir, from_version=2).collect()
+    }
+    assert tail == {(2, "delete", 3, "z"), (3, "delete", 2, "y")}
 
 
 def test_cdf_prefers_change_files_and_derives_otherwise(spark, tmp_path):
