@@ -478,7 +478,15 @@ def compact_hudi(spark: SparkSession, location: str, key: str) -> str:
             ).items():
                 log_files.setdefault(file_id, []).append((t, rel))
     instant = _next_instant(location)
-    stats: list[dict] = []
+    # one pass over the timeline picks the groups with LIVE logs; the
+    # whole compaction then runs as ONE distributed job — logs union
+    # (tagged by group), one (group, key) window, one full join
+    # against the union of touched bases, one partitionBy-the-group
+    # write (all rows of a group land in one task → exactly one base
+    # file per group) — instead of one driver-orchestrated job per
+    # group, which at 10^4 groups is 10^4 sequential jobs (the same
+    # restructure as upsert_hudi_log's grouped log write).
+    work: list[tuple[str, list[tuple[str, str]]]] = []
     for file_id in sorted(set(base_latest) | set(log_files)):
         base_t = base_latest.get(file_id, ("", None))[0]
         live = [
@@ -486,61 +494,89 @@ def compact_hudi(spark: SparkSession, location: str, key: str) -> str:
             for t, rel in log_files.get(file_id, [])
             if t > base_t
         ]
-        if not live:
-            continue  # nothing to compact for this group
-        logs = None
-        for t, rel in sorted(live):
+        if live:
+            work.append((file_id, sorted(live)))
+    if not work:
+        raise SparkError("nothing to compact: no file group has live logs")
+    logs = None
+    for file_id, live in work:
+        for t, rel in live:
             path = os.path.join(location, rel)
-            part = read_avro_fallback(
-                spark, path, schema_from_avro_file(path)
-            ).withColumn("_log_t", F.lit(t))
-            logs = part if logs is None else logs.unionByName(part)
-        w = Window.partitionBy(key).orderBy(F.col("_log_t").desc())
-        latest = (
-            logs.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+            part = (
+                read_avro_fallback(spark, path, schema_from_avro_file(path))
+                .withColumn("_log_t", F.lit(t))
+                .withColumn("_fg", F.lit(file_id))
+            )
+            logs = (
+                part
+                if logs is None
+                else logs.unionByName(part, allowMissingColumns=True)
+            )
+    w = Window.partitionBy("_fg", key).orderBy(F.col("_log_t").desc())
+    latest = (
+        logs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    bases = None
+    for file_id, _live in work:
         if file_id in base_latest:
-            base = spark.read.parquet(
+            b = spark.read.parquet(
                 os.path.join(location, base_latest[file_id][1])
+            ).withColumn("_fg", F.lit(file_id))
+            bases = (
+                b
+                if bases is None
+                else bases.unionByName(b, allowMissingColumns=True)
             )
-            upd_cols = [c for c in latest.columns if c not in (key, "_log_t")]
-            renamed = latest.select(
-                F.col(key),
-                F.col("_log_t"),
-                *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
+    if bases is None:
+        merged = latest.drop("_log_t")  # every group is log-only
+    else:
+        upd_cols = [
+            c for c in latest.columns if c not in (key, "_log_t", "_fg")
+        ]
+        renamed = latest.select(
+            F.col("_fg"),
+            F.col(key),
+            F.col("_log_t"),
+            *[F.col(c).alias(f"_u_{c}") for c in upd_cols],
+        )
+        merged = bases.join(renamed, ["_fg", key], "full")
+        for c in upd_cols:
+            merged = merged.withColumn(
+                c,
+                F.coalesce(F.col(f"_u_{c}"), F.col(c))
+                if c in bases.columns
+                else F.col(f"_u_{c}"),
             )
-            merged = base.join(renamed, key, "full")
-            for c in upd_cols:
-                merged = merged.withColumn(
-                    c, F.coalesce(F.col(f"_u_{c}"), F.col(c))
-                )
-            # records updated/inserted by a log carry the LOG's commit
-            # time; carried base rows keep theirs (row-level
-            # incremental semantics survive compaction)
-            if "_hoodie_commit_time" in base.columns:
-                merged = merged.withColumn(
-                    "_hoodie_commit_time",
-                    F.coalesce(F.col("_log_t"), F.col("_hoodie_commit_time")),
-                )
-            merged = merged.drop("_log_t", *[f"_u_{c}" for c in upd_cols])
-        else:
-            merged = latest.drop("_log_t")  # log-only group: first base
-        staging = os.path.join(location, f"_staging_{file_id}_{instant}")
-        merged.coalesce(1).write.mode("overwrite").parquet(staging)
+        # records updated/inserted by a log carry the LOG's commit
+        # time; carried base rows keep theirs (row-level incremental
+        # semantics survive compaction)
+        if "_hoodie_commit_time" in bases.columns:
+            merged = merged.withColumn(
+                "_hoodie_commit_time",
+                F.coalesce(F.col("_log_t"), F.col("_hoodie_commit_time")),
+            )
+        merged = merged.drop("_log_t", *[f"_u_{c}" for c in upd_cols])
+    staging = os.path.join(location, f"_staging_compact_{instant}")
+    (
+        merged.repartition(F.col("_fg"))
+        .write.partitionBy("_fg")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    stats: list[dict] = []
+    for file_id, _live in work:
+        pdir = os.path.join(staging, f"_fg={file_id}")
         part_file = next(
-            os.path.join(r, f)
-            for r, _d, fs in os.walk(staging)
-            for f in fs
+            os.path.join(pdir, f)
+            for f in sorted(os.listdir(pdir))
             if f.endswith(".parquet")
         )
         name = f"{file_id}_0-0-0_{instant}.parquet"
         os.replace(part_file, os.path.join(location, name))
-        shutil.rmtree(staging)
         stats.append({"fileId": file_id, "path": name})
-    if not stats:
-        raise SparkError("nothing to compact: no file group has live logs")
+    shutil.rmtree(staging)
     _publish(
         location, instant, stats, action="commit",
         table_type="MERGE_ON_READ",

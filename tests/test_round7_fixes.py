@@ -187,3 +187,52 @@ def test_dv_merge_never_decodes_dvs_driver_side(spark, tmp_path, monkeypatch):
     want = {(i, f"v{i}", 10 * i) for i in range(20) if i not in (2, 5, 7)}
     want |= {(2, "w2", 999), (5, "u5", 888), (7, "w7", 111)}
     assert got == want
+
+
+def test_mor_compaction_write_phase_is_one_job(spark, tmp_path):
+    """compact_hudi runs ONE distributed merge+write over all
+    log-bearing groups (r7; was ≥2 sequential driver-orchestrated
+    jobs PER group).  AQE still materializes each union leaf's map
+    stage as a small concurrent job, so the pin is the sublinear
+    budget groups+4 — the old per-group loop sat at ~2×groups and
+    would fail this immediately."""
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        compact_hudi,
+        upsert_hudi_log,
+    )
+
+    table = str(tmp_path / "compactjobs")
+    append_hudi(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(16)], "k int, v string"
+        ),
+        table,
+        n_groups=4,
+    )
+    upsert_hudi_log(
+        spark,
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(16)], "k int, v string"
+        ),
+        table,
+        key="k",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("r7-compact", "pin")
+    try:
+        compact_hudi(spark, table, key="k")
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("r7-compact")
+    assert len(jobs) <= 8, f"compaction ran {len(jobs)} jobs for 4 groups"
+    got = {
+        (r["k"], r["v"])
+        for r in read_hudi_mor(spark, table, key_col="k", read_optimized=True)
+        .select("k", "v")
+        .collect()
+    }
+    assert got == {(i, f"u{i}") for i in range(16)}
