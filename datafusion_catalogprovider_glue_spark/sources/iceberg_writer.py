@@ -470,6 +470,37 @@ def append_iceberg(
     return snap_id
 
 
+def _default_spec_partition_by(meta: dict) -> list:
+    """Resolve the table's DEFAULT partition spec into the
+    [(source column, transform)] form the partitioned writer takes —
+    how a REPLACE commit (merge/compact) PRESERVES the table's layout
+    instead of degrading it to unpartitioned files that can never
+    prune again."""
+    specs = meta.get("partition-specs") or []
+    default = next(
+        (
+            s
+            for s in specs
+            if s.get("spec-id", 0) == meta.get("default-spec-id", 0)
+        ),
+        None,
+    )
+    if not default or not default.get("fields"):
+        return []
+    cur_id = meta.get("current-schema-id", 0)
+    schema = next(
+        s
+        for s in (meta.get("schemas") or [meta.get("schema")])
+        if s.get("schema-id", 0) == cur_id
+    )
+    id_to_name = {f["id"]: f["name"] for f in schema.get("fields", [])}
+    return [
+        (id_to_name[f["source-id"]], f.get("transform", "identity"))
+        for f in default["fields"]
+    ]
+
+
+
 def merge_iceberg(
     spark: SparkSession,
     table_path: str,
@@ -549,12 +580,23 @@ def merge_iceberg(
     version, meta = _load_meta(meta_dir)
     seq = meta["last-sequence-number"] + 1
     snap_id = _snapshot_id(seq)
-    data_files = _write_data_files(merged, table_path, seq, 2)
+    part_by = _default_spec_partition_by(meta)
+    data_files = (
+        _write_partitioned_files(merged, table_path, seq, part_by)
+        if part_by
+        else _write_data_files(merged, table_path, seq, 2)
+    )
     manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
     write_avro_container(
         os.path.join(table_path, manifest_rel),
         _MANIFEST_SCHEMA,
-        [(1, 0, rel, "PARQUET", n, seq, None) for rel, n, _ in data_files],
+        [
+            (
+                1, 0, rel, "PARQUET", n, seq,
+                json.dumps(part, sort_keys=True) if part else None,
+            )
+            for rel, n, part in data_files
+        ],
     )
     list_rel = f"metadata/snap-{snap_id}.avro"
     # REPLACE: the new manifest list references ONLY the new manifest —
@@ -621,12 +663,23 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int:
     version, meta = _load_meta(meta_dir)
     seq = meta["last-sequence-number"] + 1
     snap_id = _snapshot_id(seq)
-    data_files = _write_data_files(df, table_path, seq, 1)
+    part_by = _default_spec_partition_by(meta)
+    data_files = (
+        _write_partitioned_files(df, table_path, seq, part_by)
+        if part_by
+        else _write_data_files(df, table_path, seq, 1)
+    )
     manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
     write_avro_container(
         os.path.join(table_path, manifest_rel),
         _MANIFEST_SCHEMA,
-        [(1, 0, rel, "PARQUET", n, seq, None) for rel, n, _ in data_files],
+        [
+            (
+                1, 0, rel, "PARQUET", n, seq,
+                json.dumps(part, sort_keys=True) if part else None,
+            )
+            for rel, n, part in data_files
+        ],
     )
     list_rel = f"metadata/snap-{snap_id}.avro"
     write_avro_container(

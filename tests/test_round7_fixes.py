@@ -236,3 +236,64 @@ def test_mor_compaction_write_phase_is_one_job(spark, tmp_path):
         .collect()
     }
     assert got == {(i, f"u{i}") for i in range(16)}
+
+
+# ------------------------------------------------------------- Iceberg spec
+
+
+def test_iceberg_merge_preserves_partition_layout(spark, tmp_path):
+    """A REPLACE commit (merge/compact) re-lays the rewritten state
+    under the table's DEFAULT partition spec (r7; previously degraded
+    to unpartitioned files that could never prune again): post-merge
+    manifests carry partition tuples and a filtered read still prunes
+    at the manifest level."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_transforms import (
+        apply_transform,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        compact_iceberg,
+        merge_iceberg,
+    )
+
+    table = str(tmp_path / "mergepart")
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + datetime.timedelta(hours=6 * i), f"v{i}")
+         for i in range(16)],
+        "k int, ts timestamp, v string",
+    )
+    append_iceberg(df, table, partition_by="ts", transform="day")
+    src = spark.createDataFrame(
+        [(2, base + datetime.timedelta(hours=12), "UPD"),
+         (99, base + datetime.timedelta(days=9), "NEW")],
+        "k int, ts timestamp, v string",
+    )
+    merge_iceberg(spark, table, src, on=["k"])
+    snap = IcebergSnapshot(table)
+    assert snap.partitions, "post-merge manifests lost partition tuples"
+    probe = base + datetime.timedelta(days=9)
+    want_day = apply_transform("day", probe)
+    cell = [
+        f for f in snap.files
+        if snap.partitions.get(f, {}).get("ts_day") == want_day
+    ]
+    out = read_iceberg(spark, table, partition_filter={"ts": probe})
+    assert 0 < len(cell) < len(snap.files)
+    assert len(out.inputFiles()) == len(cell)
+    assert {(r["k"], r["v"]) for r in out.collect()} == {(99, "NEW")}
+    # compaction keeps the layout too
+    compact_iceberg(spark, table)
+    snap2 = IcebergSnapshot(table)
+    assert snap2.partitions
+    out2 = read_iceberg(spark, table, partition_filter={"ts": probe})
+    assert {(r["k"], r["v"]) for r in out2.collect()} == {(99, "NEW")}
+    assert len(out2.inputFiles()) < len(snap2.files)
