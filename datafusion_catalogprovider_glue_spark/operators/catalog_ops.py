@@ -4079,3 +4079,114 @@ def scan_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta_cdf(spark, table).select(
         "_commit_version", "_change_type", "doc_id", "lang", "n_chars"
     )
+
+
+@query(
+    "sink_iceberg_merge_dv",
+    # same chained-merge algebra as sink_delta_merge_dv_partitioned —
+    # what differs is the physical mechanism (v2 position deletes)
+    oracle="""
+    WITH t1 AS (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND lang <> 'de'
+      UNION ALL
+      SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+      WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+    ),
+    s2 AS (
+      SELECT doc_id, lang, n_chars + 2000 AS n_chars FROM documents
+      WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, lang, n_chars FROM t1 WHERE doc_id % 5 <> 0
+    UNION ALL
+    SELECT s2.doc_id, s2.lang, s2.n_chars
+    FROM s2 JOIN t1 ON s2.doc_id = t1.doc_id WHERE t1.lang <> 'en'
+    UNION ALL
+    SELECT s2.doc_id, s2.lang, s2.n_chars
+    FROM s2 LEFT JOIN t1 ON s2.doc_id = t1.doc_id WHERE t1.doc_id IS NULL
+    """,
+)
+def sink_iceberg_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-DELETE MERGE (iceberg_writer.merge_iceberg_pos_delete)
+    — the Iceberg analog of Delta's DV merge, completing the
+    low-write-amplification merge across the trio: matched pre-images
+    land as (file_path, pos) rows in a v2 delete parquet (content=1
+    fast-append manifest), original data files never rewrite.  TWO
+    CHAINED merges: merge 2 runs against a table already carrying a
+    delete file, exercising the seq-scoped identity scan (an
+    already-deleted row can never rematch) and delete-over-new-file
+    scoping.  Asserted in-key: every pre-merge data file is
+    byte-identical after both merges, both snapshots carry delete
+    files, and time travel to the pre-merge snapshot still serves the
+    original rows.  The replay goes through the engine's own
+    seq-scoped pos-delete reader (sources/iceberg.py:440)."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        merge_iceberg_pos_delete,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_mdv_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    snap0 = append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+
+    def _digest(rel):
+        with open(os.path.join(table, rel), "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    pre = IcebergSnapshot(table)
+    before = {
+        os.path.relpath(f, table): _digest(os.path.relpath(f, table))
+        for f in pre.files
+    }
+    s1 = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    merge_iceberg_pos_delete(
+        spark, table, s1, on=["doc_id"],
+        matched_delete=F.col("t.lang") == "de",
+    )
+    mid = IcebergSnapshot(table)
+    if not mid.delete_files:
+        raise SparkError("merge 1 committed no position deletes")
+    s2 = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(2000)
+    )
+    merge_iceberg_pos_delete(
+        spark, table, s2, on=["doc_id"],
+        matched_delete=F.col("t.lang") == "en",
+    )
+    fin = IcebergSnapshot(table)
+    if len(fin.delete_files) < 2:
+        raise SparkError(
+            f"expected chained delete files, got {fin.delete_files}"
+        )
+    changed = [p for p, d in before.items() if _digest(p) != d]
+    if changed:
+        raise SparkError(f"pos-delete merge rewrote data files: {changed}")
+    # time travel: the pre-merge snapshot still serves the original rows
+    n0 = read_iceberg(spark, table, snapshot_id=snap0).count()
+    if n0 != docs.filter(F.col("doc_id") % 2 == 0).count():
+        raise SparkError("time travel across pos-delete merges broke")
+    return read_iceberg(spark, table)

@@ -718,3 +718,247 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int:
         fh.write(str(new_version))
     os.rename(tmp_hint, hint)
     return snap_id
+
+
+def merge_iceberg_pos_delete(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    matched_delete=None,
+) -> int:
+    """MERGE that emits V2 POSITION DELETES instead of rewriting files
+    — the Iceberg analog of delta_writer.merge_delta_dv (spec
+    §position-delete-files), completing the low-write-amplification
+    merge across the trio (Delta DVs / Hudi MoR logs / Iceberg pos
+    deletes):
+
+    * every MATCHED target pre-image lands as one (file_path, pos)
+      row in ONE delete parquet committed at this sequence number —
+      it applies to data files with sequence <= its own, per the
+      reader's scoping (sources/iceberg.py:440-446), so the original
+      data files stay byte-identical;
+    * updated + inserted rows land as new data files (under the
+      table's default partition spec, like merge_iceberg);
+    * the commit is a FAST-APPEND: prior manifests carry forward, one
+      new manifest lists the delete file (content=1) and the adds.
+
+    CHAINED merges work: the identity scan applies the table's live
+    position deletes (seq-scoped) before matching, so an
+    already-deleted row can never rematch.  Equality deletes are
+    refused (their scoping interacts with the new data files).
+    Duplicate source keys are refused (MERGE ambiguity rule).
+    Returns the new snapshot id."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+    )
+
+    snap = IcebergSnapshot(table_path)
+    if snap.eq_deletes:
+        raise NotImplementedYet(
+            "iceberg pos-delete merge subset: table carries equality "
+            "deletes"
+        )
+    cols = [f.name for f in snap.schema.fields]
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != table "
+            f"columns {sorted(cols)}"
+        )
+    dups = (
+        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).limit(1).count()
+    )
+    if dups:
+        raise ValueError(
+            "merge source has duplicate keys — a target row may match "
+            "at most one source row"
+        )
+    root = os.path.abspath(table_path) + "/"
+    scheme_re = r"^[a-z][a-z0-9+.\-]*:/+"
+
+    def _norm(col):
+        return F.regexp_replace(
+            F.when(
+                col.rlike(scheme_re) | col.startswith("/"), col
+            ).otherwise(F.concat(F.lit(root), col)),
+            scheme_re,
+            "/",
+        )
+
+    scan = spark.read.schema(snap.schema).parquet(*snap.files).select(
+        *[F.col(c) for c in cols],
+        _norm(F.col("_metadata.file_path")).alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    if snap.delete_files:
+        del_parts = [
+            spark.read.parquet(path).select(
+                _norm(F.col("file_path")).alias("_file"),
+                F.col("pos").cast("long").alias("_pos"),
+                F.lit(seq).alias("_del_seq"),
+            )
+            for path, seq in snap.delete_files
+        ]
+        dels = del_parts[0]
+        for p in del_parts[1:]:
+            dels = dels.unionByName(p)
+        dels = dels.groupBy("_file", "_pos").agg(
+            F.max("_del_seq").alias("_del_seq")
+        )
+        seq_map = F.broadcast(
+            spark.createDataFrame(
+                snap.data_seq, "_file string, _if_seq int"
+            ).withColumn("_file", _norm(F.col("_file")))
+        )
+        scan = (
+            scan.join(seq_map, "_file", "left")
+            .join(F.broadcast(dels), ["_file", "_pos"], "left")
+            .filter(
+                F.col("_del_seq").isNull()
+                | (F.col("_del_seq") < F.coalesce(F.col("_if_seq"), F.lit(0)))
+            )
+            .drop("_del_seq", "_if_seq")
+        )
+    t = scan.alias("t")
+    s = source.withColumn("__src", F.lit(True)).alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+    matched = t.join(s, cond, "inner")
+    removed = matched.select(
+        F.col("t._file").alias("_file"), F.col("t._pos").alias("_pos")
+    ).persist()
+    if matched_delete is not None:
+        drop_keys = matched.filter(matched_delete).select(
+            *[F.col(f"s.{k}").alias(k) for k in on]
+        )
+        anti_cond = [source[k].eqNullSafe(drop_keys[k]) for k in on]
+        new_rows = source.join(drop_keys, anti_cond, "left_anti")
+    else:
+        new_rows = source
+
+    meta_dir = os.path.join(table_path, "metadata")
+    version, meta = _load_meta(meta_dir)
+    seq = meta["last-sequence-number"] + 1
+    snap_id = _snapshot_id(seq)
+
+    manifest_entries = []
+    # ONE delete parquet for all matched pre-images (table-relative
+    # file paths — the reader normalizes either form)
+    del_rel = None
+    if removed.limit(1).count():
+        del_df = removed.select(
+            F.replace(
+                F.col("_file"), F.lit(root), F.lit("")
+            ).alias("file_path"),
+            F.col("_pos").cast("long").alias("pos"),
+        ).orderBy("file_path", "pos")
+        staging = os.path.join(table_path, f"_staging_del_{seq}")
+        del_df.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        del_rel = f"data/deletes-{seq}.parquet"
+        os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+        os.replace(part, os.path.join(table_path, del_rel))
+        import shutil as _shutil
+
+        _shutil.rmtree(staging)
+        n_del = pq.read_metadata(
+            os.path.join(table_path, del_rel)
+        ).num_rows
+        manifest_entries.append((1, 1, del_rel, "PARQUET", n_del, seq, None))
+    removed.unpersist(blocking=False)
+
+    if new_rows.limit(1).count():
+        part_by = _default_spec_partition_by(meta)
+        data_files = (
+            _write_partitioned_files(
+                new_rows.select(*cols), table_path, seq, part_by
+            )
+            if part_by
+            else _write_data_files(new_rows.select(*cols), table_path, seq, 1)
+        )
+        manifest_entries.extend(
+            (
+                1, 0, rel, "PARQUET", n, seq,
+                json.dumps(part, sort_keys=True) if part else None,
+            )
+            for rel, n, part in data_files
+        )
+    if not manifest_entries:
+        raise ValueError("empty merge: source matched nothing and adds nothing")
+
+    manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
+    write_avro_container(
+        os.path.join(table_path, manifest_rel),
+        _MANIFEST_SCHEMA,
+        manifest_entries,
+    )
+    # FAST-APPEND list: every prior manifest carries forward
+    prior = meta["snapshots"]
+    prior_manifests = []
+    if prior:
+        from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+            decode_container_file,
+        )
+
+        cur = next(
+            s for s in prior if s["snapshot-id"] == meta["current-snapshot-id"]
+        )
+        list_schema, rows = decode_container_file(
+            os.path.join(table_path, cur["manifest-list"])
+        )
+        names = [f["name"] for f in list_schema["fields"]]
+        prior_manifests = [dict(zip(names, r)) for r in rows]
+    list_rel = f"metadata/snap-{snap_id}.avro"
+    write_avro_container(
+        os.path.join(table_path, list_rel),
+        _MANIFEST_LIST_SCHEMA,
+        [
+            (
+                m["manifest_path"],
+                m["manifest_length"],
+                m["added_snapshot_id"],
+                int(m.get("partition_spec_id") or 0),
+            )
+            for m in prior_manifests
+        ]
+        + [
+            (
+                manifest_rel,
+                os.path.getsize(os.path.join(table_path, manifest_rel)),
+                snap_id,
+                int(meta.get("default-spec-id") or 0),
+            )
+        ],
+    )
+    meta = dict(meta)
+    meta["snapshots"] = list(meta["snapshots"]) + [
+        {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "manifest-list": list_rel,
+        }
+    ]
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
+    ]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    new_version = version + 1
+    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp_hint = hint + ".tmp"
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(new_version))
+    os.rename(tmp_hint, hint)
+    return snap_id
