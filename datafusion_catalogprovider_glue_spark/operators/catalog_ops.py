@@ -4190,3 +4190,87 @@ def sink_iceberg_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n0 != docs.filter(F.col("doc_id") % 2 == 0).count():
         raise SparkError("time travel across pos-delete merges broke")
     return read_iceberg(spark, table)
+
+
+@query(
+    "sink_delta_checkpoint_dv",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND lang <> 'de'
+    UNION ALL
+    SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+    """,
+)
+def sink_delta_checkpoint_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT over a DV-bearing hive-partitioned table (r7; the
+    checkpoint writer previously refused both): the spec's parquet
+    log compaction must carry each add's deletionVector descriptor
+    and partitionValues, or deleted rows RESURRECT after log cleanup.
+    Asserted in-key: every pre-checkpoint commit is DELETED after the
+    checkpoint (the reader has only the parquet to replay), the
+    rebuilt snapshot still carries DVs + the partition column, and a
+    partition-filtered read prunes file-level.  The returned frame
+    replays the post-cleanup snapshot — hash-matching it proves the
+    checkpoint is state-complete."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        checkpoint_delta,
+        merge_delta_dv,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_ckdv_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), table, partition_by="lang"
+    )
+    s1 = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    merge_delta_dv(
+        spark, table, s1, on=["doc_id"],
+        matched_delete=F.col("t.lang") == "de",
+    )
+    v = checkpoint_delta(spark, table)
+    log_dir = os.path.join(table, "_delta_log")
+    removed = 0
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) <= v:
+            os.remove(os.path.join(log_dir, f))
+            removed += 1
+    if removed < 2:
+        raise SparkError(f"expected to drop >=2 commits, dropped {removed}")
+    snap = DeltaSnapshot(table)
+    if not snap._dvs:
+        raise SparkError("checkpoint dropped the deletion vectors")
+    if snap.partition_columns != ["lang"]:
+        raise SparkError(f"checkpoint lost partitioning: {snap.partition_columns}")
+    de = read_delta(spark, table, partition_filter={"lang": "de"})
+    de_files = {
+        p for p, pv in snap._active.items() if pv.get("lang") == "de"
+    }
+    if len(de.inputFiles()) != len(de_files):
+        raise SparkError("post-checkpoint partition pruning leaked")
+    return read_delta(spark, table)

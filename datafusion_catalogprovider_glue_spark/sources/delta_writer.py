@@ -7,8 +7,9 @@ an extension).  Scope: append commits, a compaction (OPTIMIZE-style
 rewrite: remove + add with dataChange=false), copy-on-write MERGE
 (merge_delta), DELETION-VECTOR MERGE (merge_delta_dv — point
 updates/deletes without rewriting data files), and checkpoint writing
-(checkpoint_delta).  Not in scope: column-mapping writes, partitioned
-merge targets.
+(checkpoint_delta — r7: DV descriptors and hive partitions
+checkpoint too).  MERGE/compaction compose with single-column hive
+partitioning as of r7.  Not in scope: column-mapping writes.
 
 Format notes (public Delta protocol):
 * ``schemaString`` is Spark's ``StructType.json()`` — Delta adopted
@@ -381,9 +382,11 @@ def checkpoint_delta(spark, table_path: str) -> int:
     ≤ v are no longer needed for latest-snapshot reads — the spec's
     log-cleanup precondition.
 
-    Scope matches the writer: unpartitioned tables without deletion
-    vectors (both refuse loudly — a checkpoint that silently dropped a
-    DV would resurrect deleted rows)."""
+    r7: DELETION VECTORS and HIVE PARTITIONS checkpoint too — each
+    add row carries its descriptor struct and partitionValues map, so
+    a post-checkpoint snapshot read reconstructs the exact masked /
+    partitioned state (a checkpoint that silently dropped a DV would
+    resurrect deleted rows — pinned in tests/test_round7_fixes.py)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -392,14 +395,6 @@ def checkpoint_delta(spark, table_path: str) -> int:
     )
 
     snap = DeltaSnapshot(table_path)
-    if snap._dvs:
-        raise ValueError(
-            "checkpoint writer subset: table carries deletion vectors"
-        )
-    if any(pv for pv in snap._active.values()):
-        raise ValueError(
-            "checkpoint writer subset: partitioned tables not supported"
-        )
     meta = {
         "id": hashlib.md5(table_path.encode()).hexdigest(),
         "schemaString": snap.schema.json(),
@@ -426,6 +421,7 @@ def checkpoint_delta(spark, table_path: str) -> int:
                     "size": os.path.getsize(full),
                     "modificationTime": int(os.path.getmtime(full) * 1000),
                     "dataChange": False,
+                    "deletionVector": snap._dvs.get(p),
                 },
             }
         )
@@ -460,6 +456,18 @@ def checkpoint_delta(spark, table_path: str) -> int:
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
