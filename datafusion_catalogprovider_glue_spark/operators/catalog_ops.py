@@ -4274,3 +4274,262 @@ def sink_delta_checkpoint_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     if len(de.inputFiles()) != len(de_files):
         raise SparkError("post-checkpoint partition pruning leaked")
     return read_delta(spark, table)
+
+
+@query(
+    "sink_iceberg_eq_delete",
+    # evens minus the deleted %3 keys, plus ALL odds (appended AFTER
+    # the delete — strictly-greater sequence scoping keeps them)
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def sink_iceberg_eq_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY-DELETE write (iceberg_writer.delete_iceberg_eq — the
+    streaming-CDC delete primitive, spec §equality-delete-files): a
+    key-only delete file commits in O(keys) with NO table scan; rows
+    appended AFTER the delete survive because an equality delete
+    applies only to strictly-smaller data sequence numbers.  Asserted
+    in-key: the delete file is content=2 metadata, pre-delete data
+    files stay byte-identical, and the post-delete append's %3 keys
+    are present in the replay (sequence scoping, not value filtering).
+    The replay goes through the engine's own eq-delete reader."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        delete_iceberg_eq,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_eqdel_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+
+    def _digest(rel):
+        with open(os.path.join(table, rel), "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    pre = IcebergSnapshot(table)
+    before = {
+        os.path.relpath(f, table): _digest(os.path.relpath(f, table))
+        for f in pre.files
+    }
+    delete_iceberg_eq(
+        spark, table, docs.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    )
+    # appended AFTER the delete: all odds, including odd %3 keys
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 1), table)
+    snap = IcebergSnapshot(table)
+    if not snap.eq_deletes:
+        raise SparkError("no equality delete file committed")
+    changed = [p for p, d in before.items() if _digest(p) != d]
+    if changed:
+        raise SparkError(f"eq delete rewrote data files: {changed}")
+    out = read_iceberg(spark, table)
+    surviving_mod3 = out.filter(
+        (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 2 == 1)
+    )
+    if surviving_mod3.limit(1).count() == 0:
+        raise SparkError(
+            "sequence scoping broken: post-delete appends were deleted"
+        )
+    return out
+
+
+@query(
+    "sink_delta_restore",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def sink_delta_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION AS OF (delta_writer.restore_delta) — the
+    standard recovery from a bad merge: a NEW commit diffs the head
+    back to the target's file set (adds carry the target's
+    partitionValues AND DV descriptors), so history keeps every
+    intermediate version.  Asserted in-key: after restoring across a
+    CoW merge, time travel to the merged version still serves the
+    merged state while the head serves the original — the restore is
+    additive, not a log rewrite."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta,
+        restore_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_restore_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    v0 = append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+    src = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    merge_delta(spark, table, src, on=["doc_id"])
+    v2 = restore_delta(spark, table, v0)
+    if v2 != 2:
+        raise SparkError(f"restore should be commit 2, got {v2}")
+    # the merged intermediate version is still time-travelable
+    merged_n = read_delta(spark, table, version=1).filter(
+        F.col("n_chars") > 1000
+    ).limit(1).count()
+    if merged_n == 0:
+        raise SparkError("restore rewrote history instead of appending")
+    return read_delta(spark, table)
+
+
+@query(
+    "sink_delta_vacuum",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def sink_delta_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM (delta_writer.vacuum_delta): after an OPTIMIZE
+    compaction, the superseded data files are physically deleted —
+    storage reclaim, the op every long-lived Delta deployment runs on
+    a schedule.  Asserted in-key: the vacuum deletes at least the
+    pre-compaction files, the latest snapshot replays identically
+    afterwards (hash match), and time travel to the pre-compaction
+    version now fails at scan time — the documented trade."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        compact_delta,
+        vacuum_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_vacuum_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_delta(
+        docs.filter(F.col("doc_id") % 2 == 0).repartition(3), table, n_files=3
+    )
+    compact_delta(spark, table)
+    deleted = vacuum_delta(spark, table)
+    if len(deleted) < 3 or any(not p.startswith("commit-0/") for p in deleted):
+        raise SparkError(
+            f"vacuum should drop exactly the pre-compaction files, got {deleted}"
+        )
+    try:
+        read_delta(spark, table, version=0).count()
+        raise SparkError("time travel to a vacuumed version must fail")
+    except SparkError:
+        raise
+    except Exception:
+        pass  # the vacuumed scan fails loudly, as documented
+    return read_delta(spark, table)
+
+
+@query(
+    "sink_iceberg_expire",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+    """,
+)
+def sink_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPIRE SNAPSHOTS (iceberg_writer.expire_iceberg_snapshots): a
+    REPLACE merge leaves the whole pre-merge file set pinned by the
+    old snapshot; expiry drops the old snapshot from the metadata and
+    physically deletes every file only it referenced.  Asserted
+    in-key: files deleted, time travel to the expired snapshot id
+    refuses, and the retained head replays hash-identically."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        NotImplementedYet,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        expire_iceberg_snapshots,
+        merge_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_expire_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    snap0 = append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    src = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    merge_iceberg(spark, table, src, on=["doc_id"])
+    deleted = expire_iceberg_snapshots(table, keep_last=1)
+    if not deleted:
+        raise SparkError("expiry deleted nothing despite a REPLACE merge")
+    try:
+        read_iceberg(spark, table, snapshot_id=snap0).count()
+        raise SparkError("time travel to an expired snapshot must refuse")
+    except NotImplementedYet:
+        pass  # "snapshot N not in table" — the documented refusal
+    return read_iceberg(spark, table)

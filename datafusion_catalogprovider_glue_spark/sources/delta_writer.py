@@ -656,3 +656,89 @@ def merge_delta_dv(
         raise ValueError("empty merge: source matched nothing and adds nothing")
     _commit(_log_dir(table_path), version, actions)
     return version
+
+
+def restore_delta(spark, table_path: str, version: int) -> int:
+    """RESTORE TABLE ... TO VERSION AS OF — a NEW commit whose actions
+    rewrite the CURRENT state back to ``version``'s file set (adds for
+    files the target had and the head lost — with their original
+    partitionValues and DV descriptors — removes for files the head
+    gained; dataChange=true).  History is preserved: the restore is
+    one more commit, so time travel still reaches every intermediate
+    version — exactly Delta's RESTORE semantics, and the standard
+    recovery from a bad merge.  Returns the committed version."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+
+    target = DeltaSnapshot(table_path, version=version)
+    head = DeltaSnapshot(table_path)
+    new_version = head.version + 1
+    actions: list[dict] = []
+    now = int(time.time() * 1000)
+    for p in sorted(set(head._active) - set(target._active)):
+        actions.append(
+            {"remove": {"path": p, "deletionTimestamp": now,
+                        "dataChange": True}}
+        )
+    for p in sorted(target._active):
+        # re-add everything the target referenced: an add replaces file
+        # metadata wholesale, which also RESETS a DV that grew after
+        # the target version (restoring masked rows)
+        full = os.path.join(table_path, p)
+        if not os.path.exists(full):
+            raise ValueError(
+                f"cannot restore to version {version}: data file {p!r} "
+                "was vacuumed"
+            )
+        add = {
+            "path": p,
+            "partitionValues": dict(target._active[p]),
+            "size": os.path.getsize(full),
+            "modificationTime": int(os.path.getmtime(full) * 1000),
+            "dataChange": True,
+        }
+        dv = target._dvs.get(p)
+        if dv:
+            add["deletionVector"] = dv
+        actions.append({"add": add})
+    _commit(_log_dir(table_path), new_version, actions)
+    return new_version
+
+
+def vacuum_delta(spark, table_path: str) -> list[str]:
+    """VACUUM: physically delete every data file and DV sidecar under
+    the table that the LATEST snapshot no longer references — the
+    storage-reclaim step after compaction / CoW merges (this
+    simplified retention window is "latest only"; production Delta
+    parameterizes by age).  After a vacuum, time travel to versions
+    that referenced the removed files fails loudly at scan time — the
+    documented trade VACUUM makes.  Returns the deleted paths
+    (relative), sorted."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.dv import (
+        dv_absolute_path,
+    )
+
+    snap = DeltaSnapshot(table_path)
+    keep = {os.path.abspath(os.path.join(table_path, p)) for p in snap._active}
+    for dv in snap._dvs.values():
+        keep.add(os.path.abspath(dv_absolute_path(table_path, dv)))
+    deleted = []
+    for root, dirs, names in os.walk(table_path):
+        if "_delta_log" in dirs:
+            dirs.remove("_delta_log")
+        for n in names:
+            if not (n.endswith(".parquet") or n.startswith("deletion_vector_")):
+                continue  # never touch _SUCCESS markers etc.
+            full = os.path.abspath(os.path.join(root, n))
+            if full not in keep:
+                os.remove(full)
+                deleted.append(os.path.relpath(full, table_path))
+    # prune now-empty commit dirs (cosmetic; readers never list)
+    for root, dirs, names in os.walk(table_path, topdown=False):
+        if root != table_path and not dirs and not names:
+            os.rmdir(root)
+    return sorted(deleted)

@@ -894,13 +894,30 @@ def merge_iceberg_pos_delete(
     if not manifest_entries:
         raise ValueError("empty merge: source matched nothing and adds nothing")
 
+    return _commit_fast_append(
+        table_path, version, meta, seq, snap_id, manifest_entries
+    )
+
+
+def _commit_fast_append(
+    table_path: str,
+    version: int,
+    meta: dict,
+    seq: int,
+    snap_id: int,
+    manifest_entries: list[tuple],
+) -> int:
+    """Publish ONE new manifest under a FAST-APPEND manifest list
+    (every prior manifest carries forward with its spec-id) and the
+    next metadata.json — the commit tail shared by the row-level
+    delete writers."""
+    meta_dir = os.path.join(table_path, "metadata")
     manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
     write_avro_container(
         os.path.join(table_path, manifest_rel),
         _MANIFEST_SCHEMA,
         manifest_entries,
     )
-    # FAST-APPEND list: every prior manifest carries forward
     prior = meta["snapshots"]
     prior_manifests = []
     if prior:
@@ -962,3 +979,135 @@ def merge_iceberg_pos_delete(
         fh.write(str(new_version))
     os.rename(tmp_hint, hint)
     return snap_id
+
+
+def delete_iceberg_eq(
+    spark: SparkSession, table_path: str, keys: DataFrame
+) -> int:
+    """EQUALITY DELETE commit (spec §equality-delete-files): every
+    table row whose values null-safe-match a ``keys`` row on the
+    keys' columns is deleted — the streaming-CDC delete primitive
+    (Flink's Iceberg sink emits exactly these): no scan of the table
+    is needed AT WRITE TIME, the (tiny) key file commits in O(keys)
+    and the match cost moves to read time.  The delete file's columns
+    ARE its equality ids (the reader's flat-manifest subset); it
+    applies to data files with STRICTLY SMALLER sequence numbers, so
+    rows appended after the delete survive — the reader's scoping
+    (sources/iceberg.py:448-473).  Returns the new snapshot id."""
+    import pyarrow.parquet as pq
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+    )
+
+    snap = IcebergSnapshot(table_path)
+    cols = {f.name for f in snap.schema.fields}
+    missing = [c for c in keys.columns if c not in cols]
+    if missing:
+        raise ValueError(
+            f"equality-delete columns {missing} not in table schema"
+        )
+    meta_dir = os.path.join(table_path, "metadata")
+    version, meta = _load_meta(meta_dir)
+    seq = meta["last-sequence-number"] + 1
+    snap_id = _snapshot_id(seq)
+    staging = os.path.join(table_path, f"_staging_eqdel_{seq}")
+    keys.distinct().coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(staging)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    del_rel = f"data/eq-deletes-{seq}.parquet"
+    os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+    os.replace(part, os.path.join(table_path, del_rel))
+    import shutil as _shutil
+
+    _shutil.rmtree(staging)
+    n = pq.read_metadata(os.path.join(table_path, del_rel)).num_rows
+    if not n:
+        raise ValueError("empty equality delete: no key rows")
+    return _commit_fast_append(
+        table_path, version, meta, seq, snap_id,
+        [(1, 2, del_rel, "PARQUET", n, seq, None)],
+    )
+
+
+def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
+    """EXPIRE SNAPSHOTS (the Iceberg maintenance API): drop all but
+    the last ``keep_last`` snapshots from the metadata and DELETE
+    every data file, delete file, manifest and manifest list no
+    retained snapshot references — how long-lived tables reclaim the
+    storage their REPLACE/merge history pins.  The current snapshot
+    is always retained.  After expiry, time travel to an expired
+    snapshot id refuses (it is no longer in the table).  Driver-side
+    metadata work only (file listings + KB JSON).  Returns the
+    deleted paths (relative), sorted."""
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        decode_container_file,
+    )
+
+    meta_dir = os.path.join(table_path, "metadata")
+    version, meta = _load_meta(meta_dir)
+    snaps = meta.get("snapshots") or []
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(snaps) <= keep_last:
+        return []
+    ordered = sorted(snaps, key=lambda s: s.get("sequence-number", 0))
+    kept, expired = ordered[-keep_last:], ordered[:-keep_last]
+    if not any(
+        s["snapshot-id"] == meta["current-snapshot-id"] for s in kept
+    ):
+        raise ValueError("expiry would drop the current snapshot")
+
+    def _referenced(snap_list) -> set:
+        refs = set()
+        for s in snap_list:
+            list_rel = s["manifest-list"]
+            refs.add(list_rel)
+            list_schema, rows = decode_container_file(
+                os.path.join(table_path, list_rel)
+            )
+            names = [f["name"] for f in list_schema["fields"]]
+            for r in rows:
+                m = dict(zip(names, r))
+                refs.add(m["manifest_path"])
+                m_schema, m_rows = decode_container_file(
+                    os.path.join(table_path, m["manifest_path"])
+                )
+                for mr in m_rows:
+                    entry = dict(
+                        zip([f["name"] for f in m_schema["fields"]], mr)
+                    )
+                    refs.add(entry["file_path"])
+        return refs
+
+    live = _referenced(kept)
+    dead = _referenced(expired) - live
+    deleted = []
+    for rel in sorted(dead):
+        full = os.path.join(table_path, rel)
+        if os.path.exists(full):
+            os.remove(full)
+            deleted.append(rel)
+    kept_ids = {s["snapshot-id"] for s in kept}
+    meta = dict(meta)
+    meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in kept_ids]
+    meta["snapshot-log"] = [
+        e
+        for e in (meta.get("snapshot-log") or [])
+        if e["snapshot-id"] in kept_ids
+    ]
+    new_version = version + 1
+    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp_hint = hint + ".tmp"
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(new_version))
+    os.rename(tmp_hint, hint)
+    return deleted
