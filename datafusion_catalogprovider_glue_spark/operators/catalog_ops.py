@@ -4533,3 +4533,105 @@ def sink_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     except NotImplementedYet:
         pass  # "snapshot N not in table" — the documented refusal
     return read_iceberg(spark, table)
+
+
+@query(
+    "scan_hudi_partitioned_pruned",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0 AND lang = 'de'
+    UNION ALL
+    SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+    WHERE doc_id % 3 = 0 AND lang = 'de'
+    """,
+)
+def scan_hudi_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVE-PARTITIONED Hudi CoW (r7 — closes the trio's last
+    partitioning asymmetry): the writer lays file groups under
+    ``lang=<val>/`` directories in one distributed job with commit
+    stats keyed by partition path (the spec's partitionToWriteStats
+    shape), the partition column STAYS in the data files (Hudi's
+    layout, unlike Delta), an upsert rewrites matched slices IN their
+    partition directories and routes inserts partitioned, and a
+    ``partition_filter`` read prunes on the commit metadata alone.
+    Asserted in-key: the pruned plan's inputFiles == exactly the
+    'de' partition's live slices, and untouched partitions' files are
+    byte-identical across the upsert."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_completed_instants,
+        _commit_files_partitioned,
+        read_hudi,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_hudi_part_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_hudi(
+        docs.filter(F.col("doc_id") % 2 == 0), table, partition_by="lang"
+    )
+
+    def _digest(rel):
+        with open(os.path.join(table, rel), "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    pre = {}
+    for t in hudi_completed_instants(table):
+        pre.update(_commit_files_partitioned(table, t))
+    pre_digests = {rel: _digest(rel) for _fid, (_pp, rel) in pre.items()}
+    src = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    upsert_hudi(spark, src, table, key="doc_id")
+    post = {}
+    for t in hudi_completed_instants(table):
+        post.update(_commit_files_partitioned(table, t))
+    # untouched slices (not superseded by the upsert) byte-identical
+    # — CoW rewrites only the touched groups
+    stale = [
+        rel
+        for fid, (ppath, rel) in pre.items()
+        if post.get(fid) == (ppath, rel) and _digest(rel) != pre_digests[rel]
+    ]
+    if stale:
+        raise SparkError(f"upsert mutated untouched slices: {stale}")
+    out = read_hudi(spark, table, partition_filter={"lang": "de"})
+    de_files = {
+        os.path.join(table, rel)
+        for _fid, (ppath, rel) in post.items()
+        if ppath == "lang=de"
+    }
+    got_files = set(out.inputFiles())
+    norm = {p.split("://")[-1].replace("file:", "") for p in got_files}
+    if len(got_files) != len(de_files):
+        raise SparkError(
+            f"partition pruning leaked: read {len(got_files)} files, "
+            f"{len(de_files)} in lang=de ({sorted(norm)[:3]})"
+        )
+    if not de_files or len(de_files) >= len(post):
+        raise SparkError("degenerate partitioned layout")
+    # the wrong-column refusal
+    try:
+        read_hudi(spark, table, partition_filter={"doc_id": 1})
+        raise SparkError("partition_filter on a data column must refuse")
+    except SparkError as exc:
+        if "non-partition" not in str(exc):
+            raise
+    return out.select("doc_id", "lang", "n_chars")

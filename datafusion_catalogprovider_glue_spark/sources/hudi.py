@@ -54,6 +54,37 @@ def hudi_completed_instants(location: str) -> list[str]:
     )
 
 
+def table_partition_field(location: str) -> str:
+    """The recorded hive partition column (hoodie.properties
+    ``hoodie.table.partition.fields``), or None for unpartitioned
+    tables."""
+    props = os.path.join(location, ".hoodie", "hoodie.properties")
+    if not os.path.exists(props):
+        return None
+    with open(props) as fh:
+        for line in fh:
+            if line.startswith("hoodie.table.partition.fields="):
+                return line.split("=", 1)[1].strip() or None
+    return None
+
+
+def _commit_files_partitioned(
+    location: str, instant: str
+) -> dict[str, tuple[str, str]]:
+    """fileId → (partition path, relative path) from one commit's
+    partitionToWriteStats — the partition key is what reads prune on
+    without listing directories."""
+    with open(
+        os.path.join(location, ".hoodie", f"{instant}.commit")
+    ) as fh:
+        meta = json.load(fh)
+    out = {}
+    for ppath, stats in meta.get("partitionToWriteStats", {}).items():
+        for s in stats:
+            out[s["fileId"]] = (ppath, s["path"])
+    return out
+
+
 def _commit_files(location: str, instant: str) -> dict[str, str]:
     """fileId → relative base-file path written by one commit."""
     with open(os.path.join(location, ".hoodie", f"{instant}.commit")) as fh:
@@ -66,14 +97,23 @@ def _commit_files(location: str, instant: str) -> dict[str, str]:
 
 
 def read_hudi(
-    spark: SparkSession, location: str, as_of: Optional[str] = None
+    spark: SparkSession,
+    location: str,
+    as_of: Optional[str] = None,
+    partition_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Snapshot (or point-in-time, via ``as_of``) read of a CoW table.
 
     Replays the completed timeline in instant order, keeping the last
     base file written per file group — the file-slice resolution rule
     of the spec — then scans the surviving parquet files.
-    """
+
+    ``partition_filter`` ({column: value}) prunes PARTITION-level on
+    the commits' partitionToWriteStats keys (r7, hive-partitioned
+    tables): only file slices whose partition path matches are
+    scanned — no directory listing, no file open.  The partition
+    column itself is stored IN the data files (Hudi's layout, unlike
+    Delta), so the scan needs no re-attachment."""
     instants = hudi_completed_instants(location)
     if as_of is not None:
         instants = [t for t in instants if t <= as_of]
@@ -81,10 +121,31 @@ def read_hudi(
             raise SparkError(
                 f"no completed instant <= {as_of} at {location}"
             )
-    latest: dict[str, str] = {}
+    latest: dict[str, tuple[str, str]] = {}
     for t in instants:  # ascending: later commits overwrite the slice
-        latest.update(_commit_files(location, t))
-    paths = [os.path.join(location, rel) for rel in sorted(latest.values())]
+        latest.update(_commit_files_partitioned(location, t))
+    if partition_filter:
+        pf = table_partition_field(location)
+        unknown = set(partition_filter) - ({pf} if pf else set())
+        if unknown:
+            raise SparkError(
+                f"partition_filter on non-partition columns: "
+                f"{sorted(unknown)} (table partitioned on {pf!r})"
+            )
+        val = partition_filter[pf]
+        want = (
+            "__HIVE_DEFAULT_PARTITION__" if val is None else str(val)
+        )
+        want_path = f"{pf}={want}"
+        latest = {
+            fid: (ppath, rel)
+            for fid, (ppath, rel) in latest.items()
+            if ppath == want_path
+        }
+    paths = [
+        os.path.join(location, rel)
+        for _ppath, rel in sorted(latest.values())
+    ]
     if not paths:
         raise SparkError(f"hudi table at {location} has no base files")
     return spark.read.parquet(*paths)

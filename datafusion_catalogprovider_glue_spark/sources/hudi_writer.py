@@ -47,6 +47,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datafusion_catalogprovider_glue_spark.errors import SparkError
+from datafusion_catalogprovider_glue_spark.sources.hudi import (
+    table_partition_field,
+)
 
 _BASE_INSTANT = 20240101000000
 
@@ -71,9 +74,13 @@ def _next_instant(location: str) -> str:
 
 
 def _publish(
-    location: str, instant: str, stats: list[dict], action: str = "commit",
-    table_type: str = "COPY_ON_WRITE",
+    location: str, instant: str, stats, action: str = "commit",
+    table_type: str = "COPY_ON_WRITE", partition_field: str = None,
 ) -> None:
+    """``stats`` is a flat list (unpartitioned: recorded under the
+    spec's empty partition path) or a dict of partition path →
+    stats list (hive-partitioned tables — the spec's
+    partitionToWriteStats shape)."""
     tl = _timeline_dir(location)
     open(os.path.join(tl, f"{instant}.{action}.inflight"), "w").close()
     props = os.path.join(tl, "hoodie.properties")
@@ -81,16 +88,30 @@ def _publish(
         with open(props, "w") as fh:
             fh.write("hoodie.table.name=%s\n" % os.path.basename(location))
             fh.write(f"hoodie.table.type={table_type}\n")
+            if partition_field:
+                fh.write(
+                    f"hoodie.table.partition.fields={partition_field}\n"
+                )
+    by_part = stats if isinstance(stats, dict) else {"": stats}
     path = os.path.join(tl, f"{instant}.{action}")
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
-        json.dump({"partitionToWriteStats": {"": stats}}, fh, sort_keys=True)
+        json.dump({"partitionToWriteStats": by_part}, fh, sort_keys=True)
     try:
         os.link(tmp, path)  # put-if-absent: one writer wins the instant
     except FileExistsError:
         raise SparkError(f"instant {instant} already committed") from None
     finally:
         os.unlink(tmp)
+
+
+def _refuse_partitioned(location: str, op: str) -> None:
+    pf = table_partition_field(location)
+    if pf:
+        raise SparkError(
+            f"{op} subset: table is hive-partitioned on {pf!r} — "
+            "MoR log operations support unpartitioned tables only"
+        )
 
 
 def _write_file_group(
@@ -119,11 +140,31 @@ def _write_file_group(
 
 
 def append_hudi(
-    df: DataFrame, location: str, n_groups: int = 2
+    df: DataFrame, location: str, n_groups: int = 2,
+    partition_by: str = None,
 ) -> str:
-    """INSERT ``df`` as ``n_groups`` new file groups under a new
-    instant.  Returns the committed instant."""
+    """INSERT ``df`` as new file groups under a new instant.  With
+    ``partition_by``, the table is HIVE-PARTITIONED: data lays out
+    under ``<col>=<val>/`` directories in ONE distributed partitionBy
+    job, the partition column STAYS in the data files (Hudi's
+    default, unlike Delta's exclusion rule), commit stats key by
+    partition path (the spec's partitionToWriteStats shape), and
+    reads prune partition-level on those keys.  A later append must
+    match the recorded partitioning.  Returns the committed
+    instant."""
+    have = table_partition_field(location)
+    want = partition_by
+    if os.path.isdir(os.path.join(location, ".hoodie")) and have != want:
+        raise SparkError(
+            f"append partitioning {want!r} != table partitioning {have!r}"
+        )
     instant = _next_instant(location)
+    if partition_by:
+        stats = _write_partitioned_file_groups(
+            df, location, instant, partition_by
+        )
+        _publish(location, instant, stats, partition_field=partition_by)
+        return instant
     splits = df.withColumn(
         "_g", F.pmod(F.xxhash64(*df.columns[:1]), F.lit(n_groups))
     )
@@ -135,6 +176,64 @@ def append_hudi(
         )
     _publish(location, instant, stats)
     return instant
+
+
+def _write_partitioned_file_groups(
+    df: DataFrame, location: str, instant: str, partition_by: str
+) -> dict:
+    """ONE distributed partitionBy job lays every partition out; the
+    driver then renames each part file into its ``<col>=<val>/``
+    directory under a file-group name.  The layout key ``__hp``
+    duplicates the partition column's STRING form (so the column
+    itself stays in the data files) and NULL maps to the Hive
+    sentinel directory."""
+    from urllib.parse import unquote
+
+    staging = os.path.join(location, f"_staging_append_{instant}")
+    (
+        df.withColumn(
+            "__hp",
+            F.coalesce(
+                F.col(partition_by).cast("string"),
+                F.lit("__HIVE_DEFAULT_PARTITION__"),
+            ),
+        )
+        .withColumn("_hoodie_commit_time", F.lit(instant))
+        .write.partitionBy("__hp")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    stats: dict[str, list[dict]] = {}
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("__hp="):
+            continue
+        raw = unquote(d[len("__hp="):])
+        ppath = f"{partition_by}={raw}"
+        os.makedirs(os.path.join(location, ppath), exist_ok=True)
+        names = sorted(
+            n
+            for n in os.listdir(os.path.join(staging, d))
+            if n.endswith(".parquet")
+        )
+        for j, n in enumerate(names):
+            fid = f"fg-{instant}-{_part_slug(raw)}-{j}"
+            name = f"{fid}_0-0-0_{instant}.parquet"
+            os.replace(
+                os.path.join(staging, d, n),
+                os.path.join(location, ppath, name),
+            )
+            stats.setdefault(ppath, []).append(
+                {"fileId": fid, "path": f"{ppath}/{name}"}
+            )
+    shutil.rmtree(staging)
+    return stats
+
+
+def _part_slug(raw: str) -> str:
+    import hashlib as _hashlib
+
+    safe = "".join(c if c.isalnum() else "-" for c in raw)[:24]
+    return f"{safe}-{_hashlib.md5(raw.encode()).hexdigest()[:6]}"
 
 
 def upsert_hudi(
@@ -190,7 +289,10 @@ def upsert_hudi(
                 "file-group invariant (duplicate inserts?); compact or "
                 "dedupe before upserting"
             )
-    stats = []
+    # stats key by partition path (dirname of the slice — "" for
+    # unpartitioned tables), the spec's partitionToWriteStats shape;
+    # a rewritten slice stays IN ITS partition directory
+    by_part: dict[str, list[dict]] = {}
     remaining = src
     for file_id, rel in sorted(latest.items()):
         base = spark.read.parquet(os.path.join(location, rel))
@@ -216,21 +318,34 @@ def upsert_hudi(
             for f in fs
             if f.endswith(".parquet")
         )
+        ppath = os.path.dirname(rel)
         name = f"{file_id}_0-0-0_{instant}.parquet"
-        os.replace(part, os.path.join(location, name))
+        os.replace(part, os.path.join(location, ppath, name))
         shutil.rmtree(staging)
-        stats.append({"fileId": file_id, "path": name})
+        by_part.setdefault(ppath, []).append(
+            {
+                "fileId": file_id,
+                "path": os.path.join(ppath, name) if ppath else name,
+            }
+        )
         remaining = remaining.join(updates.select(key), key, "left_anti")
     inserts = remaining
+    pf = table_partition_field(location)
     if inserts.limit(1).count():
-        stats.append(
-            _write_file_group(
-                inserts, location, instant, f"fg-{instant}-new"
+        if pf:
+            for ppath, entries in _write_partitioned_file_groups(
+                inserts, location, instant, pf
+            ).items():
+                by_part.setdefault(ppath, []).extend(entries)
+        else:
+            by_part.setdefault("", []).append(
+                _write_file_group(
+                    inserts, location, instant, f"fg-{instant}-new"
+                )
             )
-        )
-    if not stats:
+    if not by_part:
         raise SparkError("upsert source is empty — nothing to commit")
-    _publish(location, instant, stats)
+    _publish(location, instant, by_part, partition_field=pf)
     src.unpersist(blocking=False)
     return instant
 
@@ -318,6 +433,7 @@ def append_hudi_log(
     latest-wins and non-null-overwrite merge semantics live in the
     reader (sources/hudi.py:read_hudi_mor).  Returns the committed
     instant."""
+    _refuse_partitioned(location, "append_hudi_log")
     instant = _next_instant(location)
     stats = [_write_log_file(df, location, file_id, instant)]
     _publish(
@@ -350,6 +466,7 @@ def upsert_hudi_log(
     per-group partition; each partition encodes its group's log),
     so an upsert touching 10^4 groups at 100 TB is one shuffle, not
     10^4 driver-orchestrated jobs."""
+    _refuse_partitioned(location, "upsert_hudi_log")
     from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
         read_avro_fallback,
         schema_from_avro_file,
@@ -452,6 +569,7 @@ def compact_hudi(spark: SparkSession, location: str, key: str) -> str:
     never re-applies), so read-optimized and snapshot queries converge
     — the invariant tests/test_hudi.py pins.  Untouched groups keep
     their base files byte-for-byte.  Returns the compaction instant."""
+    _refuse_partitioned(location, "compact_hudi")
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
