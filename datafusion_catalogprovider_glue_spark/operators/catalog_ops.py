@@ -4635,3 +4635,90 @@ def scan_hudi_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         if "non-partition" not in str(exc):
             raise
     return out.select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "sink_iceberg_schema_evolution",
+    # file 1 written pre-evolution (3 cols, old names), file 2 after a
+    # rename + add — the reader's field-id projection serves both
+    oracle="""
+    SELECT doc_id, lang AS language, n_chars,
+           CAST(NULL AS BIGINT) AS n_tokens
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang AS language, n_chars,
+           CAST(n_chars // 4 AS BIGINT) AS n_tokens
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def sink_iceberg_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCHEMA EVOLUTION round trip — the ENGINE authors what
+    scan_iceberg_schema_evolution's hand-built fixture simulates
+    (iceberg_writer.evolve_iceberg_schema): append under schema v0,
+    evolve (rename lang → language, add n_tokens) as a metadata-only
+    commit, append under the new schema, replay.  Field ids persist
+    across the rename, so the pre-evolution file serves ``language``
+    with its old ``lang`` data and reads n_tokens as null; a
+    name-based reader would null the renamed column — the hash match
+    catches exactly that."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        NotImplementedYet,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        evolve_iceberg_schema,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_sevolve_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    new_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("language", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+        ]
+    )
+    evolve_iceberg_schema(table, new_schema, renames={"lang": "language"})
+    # the OLD spelling now refuses (appends validate the new schema)
+    try:
+        append_iceberg(docs.filter(F.col("doc_id") % 2 == 1), table)
+        raise SparkError("append under the superseded schema must refuse")
+    except NotImplementedYet:
+        pass
+    evolved = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .withColumnRenamed("lang", "language")
+        .withColumn(
+            "n_tokens", F.floor(F.col("n_chars") / F.lit(4)).cast("long")
+        )
+    )
+    append_iceberg(evolved, table)
+    out = read_iceberg(spark, table)
+    if out.schema.fieldNames() != [
+        "doc_id", "language", "n_chars", "n_tokens",
+    ]:
+        raise SparkError(f"evolved projection wrong: {out.schema}")
+    return out

@@ -1111,3 +1111,86 @@ def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
         fh.write(str(new_version))
     os.rename(tmp_hint, hint)
     return deleted
+
+
+def evolve_iceberg_schema(
+    table_path: str,
+    new_schema: T.StructType,
+    renames: dict = None,
+) -> int:
+    """SCHEMA EVOLUTION commit (the write half of the reader's
+    §column-projection support): record ``new_schema`` as a NEW
+    versioned schema and make it current.  Columns keep their FIELD
+    IDs — matched by name, or through ``renames`` ({old: new}) for
+    renamed columns — so data files written under prior schemas keep
+    resolving (renamed columns carry old-file data, added columns
+    read as null there).  Added columns take fresh ids above every id
+    any historical schema used; type changes are refused (widening is
+    out of scope).  Appends after the evolution validate against the
+    NEW schema.  Metadata-only: no data file is touched.  Returns the
+    new schema-id."""
+    meta_dir = os.path.join(table_path, "metadata")
+    version, meta = _load_meta(meta_dir)
+    schemas = meta.get("schemas") or [meta.get("schema")]
+    cur_id = meta.get("current-schema-id", 0)
+    cur = next(s for s in schemas if s.get("schema-id", 0) == cur_id)
+    by_name = {f["name"]: f for f in cur["fields"]}
+    inv = {new: old for old, new in (renames or {}).items()}
+    unknown = [old for old in (renames or {}) if old not in by_name]
+    if unknown:
+        raise ValueError(f"rename of unknown columns: {unknown}")
+    next_id = max(
+        f["id"] for s in schemas for f in s.get("fields", [])
+    )
+    fields = []
+    for f in new_schema.fields:
+        simple = f.dataType.simpleString()
+        if simple not in _SPARK_TO_ICEBERG:
+            raise NotImplementedYet(
+                f"iceberg writer subset: unsupported type {simple!r} "
+                f"for {f.name!r}"
+            )
+        src_name = inv.get(f.name, f.name)
+        old = by_name.get(src_name)
+        if old is not None:
+            if old["type"] != _SPARK_TO_ICEBERG[simple]:
+                raise NotImplementedYet(
+                    f"schema evolution subset: type change "
+                    f"{old['type']} -> {_SPARK_TO_ICEBERG[simple]} for "
+                    f"{src_name!r} (promotion not supported)"
+                )
+            fields.append(
+                {
+                    "id": old["id"],
+                    "name": f.name,
+                    "required": False,
+                    "type": old["type"],
+                }
+            )
+        else:
+            next_id += 1
+            fields.append(
+                {
+                    "id": next_id,
+                    "name": f.name,
+                    "required": False,
+                    "type": _SPARK_TO_ICEBERG[simple],
+                }
+            )
+    new_sid = max(s.get("schema-id", 0) for s in schemas) + 1
+    meta = dict(meta)
+    meta["schemas"] = list(schemas) + [
+        {"schema-id": new_sid, "type": "struct", "fields": fields}
+    ]
+    meta["current-schema-id"] = new_sid
+    new_version = version + 1
+    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp_hint = hint + ".tmp"
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(new_version))
+    os.rename(tmp_hint, hint)
+    return new_sid
