@@ -4722,3 +4722,71 @@ def sink_iceberg_schema_evolution(
     ]:
         raise SparkError(f"evolved projection wrong: {out.schema}")
     return out
+
+
+@query(
+    "sink_delta_schema_merge",
+    oracle="""
+    SELECT doc_id, lang, n_chars, CAST(NULL AS BIGINT) AS n_tokens
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars,
+           CAST(n_chars // 4 AS BIGINT) AS n_tokens
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def sink_delta_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SCHEMA EVOLUTION on append (the mergeSchema option): a
+    column-ADDING append commits an updated metaData action alongside
+    its adds; earlier files read the new column as null through the
+    by-name parquet scan.  Asserted in-key: the same append WITHOUT
+    merge_schema refuses (r7 also adds schema validation to plain
+    appends — silent drift was previously possible), and a
+    type-changing append refuses outright."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_smerge_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+    wider = docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+        "n_tokens", F.floor(F.col("n_chars") / F.lit(4)).cast("long")
+    )
+    try:
+        append_delta(wider, table)
+        raise SparkError("column-adding append without mergeSchema must refuse")
+    except ValueError:
+        pass
+    try:
+        append_delta(
+            wider.withColumn("n_chars", F.col("n_chars").cast("string")),
+            table,
+            merge_schema=True,
+        )
+        raise SparkError("type-changing append must refuse")
+    except ValueError:
+        pass
+    append_delta(wider, table, merge_schema=True)
+    out = read_delta(spark, table)
+    if out.schema.fieldNames() != ["doc_id", "lang", "n_chars", "n_tokens"]:
+        raise SparkError(f"evolved schema wrong: {out.schema.fieldNames()}")
+    return out

@@ -158,6 +158,7 @@ def append_delta(
     table_path: str,
     n_files: int = 2,
     partition_by: str = None,
+    merge_schema: bool = False,
 ) -> int:
     """Append ``df`` to the Delta table at ``table_path`` (creating it
     with the schema's metaData action on version 0).  With
@@ -166,19 +167,53 @@ def append_delta(
     each add carries its ``partitionValues`` — which is what
     ``read_delta``'s ``partition_filter`` prunes on file-level without
     opening anything.  A later append must match the table's recorded
-    partitioning.  Returns the committed version."""
+    partitioning AND schema — with ``merge_schema`` (Delta's
+    mergeSchema option), a pure column-ADDING superset instead
+    commits an updated metaData action alongside the adds (schema
+    evolution; earlier files read the new columns as null through the
+    by-name parquet scan).  Returns the committed version."""
     log_dir = _log_dir(table_path)
     version = _next_version(log_dir)
+    evolved_meta = None
     if version > 0:
         from datafusion_catalogprovider_glue_spark.sources.delta import (
             DeltaSnapshot,
         )
 
-        have = DeltaSnapshot(table_path).partition_columns
+        snap = DeltaSnapshot(table_path)
+        have = snap.partition_columns
         want = [partition_by] if partition_by else []
         if have != want:
             raise ValueError(
                 f"append partitioning {want} != table partitioning {have}"
+            )
+        have_types = {f.name: f.dataType for f in snap.schema.fields}
+        new_types = {f.name: f.dataType for f in df.schema.fields}
+        changed = [
+            n for n in have_types
+            if n in new_types and new_types[n] != have_types[n]
+        ]
+        if changed:
+            raise ValueError(
+                f"append schema changes column types for {changed} — "
+                "not supported"
+            )
+        missing = [n for n in have_types if n not in new_types]
+        added = [n for n in new_types if n not in have_types]
+        if missing:
+            raise ValueError(
+                f"append schema drops table columns {missing}"
+            )
+        if added:
+            if not merge_schema:
+                raise ValueError(
+                    f"append schema adds columns {added}; pass "
+                    "merge_schema=True to evolve the table schema"
+                )
+            evolved_meta = _metadata_action(df, table_path, have)
+            # carry the table's configuration through the evolution
+            evolved_meta["metaData"]["configuration"] = dict(
+                snap.configuration
             )
     adds = (
         _write_partitioned_data_files(
@@ -195,6 +230,8 @@ def append_delta(
                 df, table_path, [partition_by] if partition_by else ()
             )
         )
+    elif evolved_meta is not None:
+        actions.append(evolved_meta)
     actions.extend({"add": a} for a in adds)
     _commit(log_dir, version, actions)
     return version
