@@ -173,12 +173,23 @@ HEADLINE = [
     "sink_delta_partitioned",
     "scan_iceberg_multi_partition_pruned",
     "catalog_sql_three_part",
-    # round 7: spec evolution, partitioned DV merge, id-mode column
-    # mapping (the streaming upsert trio stays excluded with the
-    # other stream_* keys)
+    # round 7: spec/schema evolution, partitioned DV merge + Hudi
+    # partitions, row-level delete writes, CDF-over-DV, maintenance
+    # trio, id-mode column mapping (the streaming upsert trio stays
+    # excluded with the other stream_* keys)
     "scan_iceberg_spec_evolution",
     "sink_delta_merge_dv_partitioned",
     "scan_delta_column_mapping_id",
+    "scan_delta_cdf_dv",
+    "sink_iceberg_merge_dv",
+    "sink_iceberg_eq_delete",
+    "sink_delta_checkpoint_dv",
+    "sink_delta_restore",
+    "sink_delta_vacuum",
+    "sink_iceberg_expire",
+    "scan_hudi_partitioned_pruned",
+    "sink_iceberg_schema_evolution",
+    "sink_delta_schema_merge",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded
