@@ -499,36 +499,85 @@ def read_delta_cdf(
     log_dir = os.path.join(table_path, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise DeltaError(f"no {_LOG_DIR} at {table_path!r}")
-    # schema from the snapshot machinery (first metaData action)
-    snap_schema = DeltaSnapshot(table_path, version=from_version).schema
+    # schema + partitioning from the snapshot machinery
+    head = DeltaSnapshot(table_path, version=from_version)
+    snap_schema = head.schema
+    part_cols = head.partition_columns
+    type_of = {f.name: f.dataType for f in snap_schema.fields}
+    data_schema = T.StructType(
+        [f for f in snap_schema.fields if f.name not in part_cols]
+    )
 
     parts: list[DataFrame] = []
 
-    def _chunk(paths: list[str], change_type: Optional[str], version: int):
-        if not paths:
-            return
-        df = spark.read.schema(
-            snap_schema
-            if change_type is not None
-            else T.StructType(
-                snap_schema.fields
-                + [T.StructField("_change_type", T.StringType(), True)]
+    def _scan_attached(path_pvals: list[tuple[str, dict]], keep_meta: bool):
+        """Scan files under the DATA schema, re-attaching partition
+        columns from the log's partitionValues per protocol (data
+        files exclude them — a raw snap_schema scan silently NULLs
+        the partition column on partitioned tables).  Files group by
+        partition tuple; one literal-attached scan per group."""
+        groups: dict[tuple, list[str]] = {}
+        for pth, pvals in path_pvals:
+            key = tuple((pvals or {}).get(c) for c in part_cols)
+            groups.setdefault(key, []).append(
+                os.path.join(table_path, pth)
             )
-        ).parquet(*[os.path.join(table_path, p) for p in paths])
-        if change_type is not None:
-            df = df.withColumn("_change_type", F.lit(change_type))
+        out = None
+        meta_cols = (
+            [
+                _norm_path(F.col("_metadata.file_path")).alias("_f"),
+                F.col("_metadata.row_index").alias("_pos"),
+            ]
+            if keep_meta
+            else []
+        )
+        for key, paths in sorted(
+            groups.items(),
+            key=lambda kv: tuple((v is not None, v or "") for v in kv[0]),
+        ):
+            df = spark.read.schema(data_schema).parquet(*paths)
+            for col_name, raw in zip(part_cols, key):
+                df = df.withColumn(
+                    col_name, F.lit(raw).cast(type_of[col_name])
+                )
+            df = df.select(
+                *[F.col(f.name) for f in snap_schema.fields], *meta_cols
+            )
+            out = df if out is None else out.unionByName(df)
+        return out
+
+    def _chunk(
+        path_pvals: list, change_type: Optional[str], version: int
+    ):
+        if not path_pvals:
+            return
+        if change_type is None:
+            # cdc change files carry ALL columns incl. partitions
+            df = spark.read.schema(
+                T.StructType(
+                    snap_schema.fields
+                    + [T.StructField("_change_type", T.StringType(), True)]
+                )
+            ).parquet(
+                *[os.path.join(table_path, p) for p, _pv in path_pvals]
+            )
+        else:
+            df = _scan_attached(path_pvals, keep_meta=False).withColumn(
+                "_change_type", F.lit(change_type)
+            )
         parts.append(df.withColumn("_commit_version", F.lit(version)))
 
     def _masked_rows(
-        triples: list[tuple[str, Optional[dict], Optional[dict]]],
+        quads: list,
         version: int,
         live_side: bool,
     ) -> None:
-        """Rows of each (path, dv_new, dv_old) triple, as deletes:
-        with ``live_side`` False the rows at NEW−OLD mask positions
-        (a DV grew — those rows just died); with ``live_side`` True
-        the rows NOT in dv_new (a masked file was removed — only its
-        live rows die now).  Descriptors expand executor-side."""
+        """Rows of each (path, pvals, dv_new, dv_old) entry, as
+        deletes: with ``live_side`` False the rows at NEW−OLD mask
+        positions (a DV grew — those rows just died); with
+        ``live_side`` True the rows NOT in dv_new (a masked file was
+        removed — only its live rows die now).  Descriptors expand
+        executor-side; partition columns re-attach from the log."""
         import json as _json
 
         import pandas as pd
@@ -543,7 +592,7 @@ def read_delta_cdf(
                 _json.dumps(new) if new else None,
                 _json.dumps(old) if old else None,
             )
-            for p, new, old in triples
+            for p, _pv, new, old in quads
         ]
         desc_df = spark.createDataFrame(
             rows, "_f string, _new string, _old string"
@@ -574,12 +623,8 @@ def read_delta_cdf(
                 )
 
         diff = desc_df.mapInPandas(_expand, "_f string, _pos long")
-        scan = spark.read.schema(snap_schema).parquet(
-            *[os.path.join(table_path, p) for p, _n, _o in triples]
-        ).select(
-            *[F.col(f.name) for f in snap_schema.fields],
-            _norm_path(F.col("_metadata.file_path")).alias("_f"),
-            F.col("_metadata.row_index").alias("_pos"),
+        scan = _scan_attached(
+            [(p, pv) for p, pv, _n, _o in quads], keep_meta=True
         )
         joined = scan.join(
             F.broadcast(diff),
@@ -597,6 +642,7 @@ def read_delta_cdf(
     # masking operation, not an insert)
     active: set = set()
     dv_state: dict = {}
+    pv_state: dict = {}
     for v, path in _commit_files(log_dir):
         if to_version is not None and v > to_version:
             break
@@ -607,36 +653,41 @@ def read_delta_cdf(
                     continue
                 action = json.loads(line)
                 if action.get("cdc"):
-                    cdc.append(action["cdc"]["path"])
+                    cdc.append((action["cdc"]["path"], {}))
                 elif action.get("add"):
                     a = action["add"]
                     p = a["path"]
                     dv = a.get("deletionVector")
+                    pv = dict(a.get("partitionValues") or {})
                     is_new = p not in active
                     old_dv = dv_state.get(p)
                     active.add(p)
                     dv_state[p] = dv
+                    pv_state[p] = pv
                     if a.get("dataChange", True):
                         if is_new:
-                            adds.append(p)
+                            adds.append((p, pv))
                         if dv is not None and dv != old_dv:
-                            dv_grows.append((p, dv, old_dv))
+                            dv_grows.append((p, pv, dv, old_dv))
                 elif action.get("remove"):
                     r = action["remove"]
                     p = r["path"]
                     active.discard(p)
                     old_dv = dv_state.pop(p, None)
+                    old_pv = pv_state.pop(p, {})
                     if r.get("dataChange", True):
-                        removes.append((p, old_dv))
+                        removes.append((p, old_pv, old_dv))
         if v < from_version:
             continue
         if cdc:
             _chunk(cdc, None, v)  # change files carry _change_type
         else:
             _chunk(adds, "insert", v)
-            plain = [p for p, d in removes if d is None]
+            plain = [(p, pv) for p, pv, d in removes if d is None]
             _chunk(plain, "delete", v)
-            masked = [(p, d, None) for p, d in removes if d is not None]
+            masked = [
+                (p, pv, d, None) for p, pv, d in removes if d is not None
+            ]
             if masked:
                 # removed files that carried DVs: only live rows die
                 _masked_rows(masked, v, live_side=True)

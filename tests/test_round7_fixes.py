@@ -343,3 +343,36 @@ def test_checkpoint_preserves_dvs_and_partitions(spark, tmp_path):
     assert got == want
     a_only = read_delta(spark, table, partition_filter={"g": "a"})
     assert {r["k"] for r in a_only.collect()} == {0, 2, 4, 6, 8, 10}
+
+
+def test_cdf_partitioned_reattaches_partition_values(spark, tmp_path):
+    """CDF over a hive-partitioned table must re-attach partition
+    columns from the log's partitionValues (r7 fix; the raw
+    snap_schema scan silently NULLed them), including through DV
+    deletes and NULL partitions."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta_cdf,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta_dv,
+    )
+
+    table = str(tmp_path / "cdfpart")
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30)], "k int, g string, n int"
+    )
+    append_delta(df, table, partition_by="g")
+    src = spark.createDataFrame([(2, "b", 99)], "k int, g string, n int")
+    merge_delta_dv(spark, table, src, on=["k"])
+    got = {
+        (r["_commit_version"], r["_change_type"], r["k"], r["g"], r["n"])
+        for r in read_delta_cdf(spark, table).collect()
+    }
+    assert got == {
+        (0, "insert", 1, "a", 10),
+        (0, "insert", 2, "b", 20),
+        (0, "insert", 3, None, 30),
+        (1, "delete", 2, "b", 20),
+        (1, "insert", 2, "b", 99),
+    }
