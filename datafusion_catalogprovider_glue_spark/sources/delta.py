@@ -730,6 +730,26 @@ def read_delta_incremental(
     )
     in_range = [v for v in versions if v > begin and (end is None or v <= end)]
     snap = DeltaSnapshot(table_path, version=versions[-1] if versions else None)
+    part_cols = snap.partition_columns
+    type_of = {f.name: f.dataType for f in snap.schema.fields}
+    data_schema = T.StructType(
+        [f for f in snap.schema.fields if f.name not in part_cols]
+    )
+    # replay the pre-range log so a RE-add (a DV masking commit or a
+    # restore) is distinguishable from a genuinely new file — before
+    # r7 a merge_delta_dv commit re-emitted its whole re-added file
+    # as inserts
+    active: set = set()
+    for v in versions:
+        if v > begin:
+            break
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                action = json.loads(line)
+                if action.get("add"):
+                    active.add(action["add"]["path"])
+                elif action.get("remove"):
+                    active.discard(action["remove"]["path"])
     parts = []
     for v in in_range:
         adds = []
@@ -737,9 +757,21 @@ def read_delta_incremental(
             for line in fh:
                 action = json.loads(line)
                 if action.get("add"):
-                    if action["add"].get("dataChange", True):
-                        adds.append(action["add"]["path"])
+                    a = action["add"]
+                    p = a["path"]
+                    is_new = p not in active
+                    active.add(p)
+                    if not a.get("dataChange", True):
+                        continue
+                    if not is_new:
+                        raise DeltaError(
+                            f"incremental read: version {v} re-adds "
+                            f"{p!r} (deletion-vector mask or restore) — "
+                            "use CDF for delete-aware change feeds"
+                        )
+                    adds.append((p, dict(a.get("partitionValues") or {})))
                 elif action.get("remove"):
+                    active.discard(action["remove"]["path"])
                     if action["remove"].get("dataChange", True):
                         raise DeltaError(
                             f"incremental read: version {v} removes data "
@@ -747,11 +779,32 @@ def read_delta_incremental(
                             "change feeds"
                         )
         if adds:
-            parts.append(
-                spark.read.schema(snap.schema)
-                .parquet(*[os.path.join(table_path, p) for p in sorted(adds)])
-                .withColumn("_commit_version", F.lit(v).cast("long"))
-            )
+            # group by partition tuple, attach the values as typed
+            # literals (data files exclude partition columns)
+            groups: dict[tuple, list[str]] = {}
+            for pth, pv in adds:
+                key = tuple(pv.get(c) for c in part_cols)
+                groups.setdefault(key, []).append(
+                    os.path.join(table_path, pth)
+                )
+            for key, paths in sorted(
+                groups.items(),
+                key=lambda kv: tuple(
+                    (x is not None, x or "") for x in kv[0]
+                ),
+            ):
+                df = spark.read.schema(data_schema).parquet(*sorted(paths))
+                for col_name, raw in zip(part_cols, key):
+                    df = df.withColumn(
+                        col_name, F.lit(raw).cast(type_of[col_name])
+                    )
+                parts.append(
+                    df.select(
+                        *[F.col(f.name) for f in snap.schema.fields]
+                    ).withColumn(
+                        "_commit_version", F.lit(v).cast("long")
+                    )
+                )
     if not parts:
         return spark.createDataFrame(
             [],

@@ -376,3 +376,49 @@ def test_cdf_partitioned_reattaches_partition_values(spark, tmp_path):
         (1, "delete", 2, "b", 20),
         (1, "insert", 2, "b", 99),
     }
+
+
+def test_incremental_read_partitioned_and_dv_refusal(spark, tmp_path):
+    """read_delta_incremental (r7 fixes): partition values re-attach
+    from the log, and a DV-masking re-add in range REFUSES (it is a
+    delete, not an insert — previously the whole re-added file
+    re-emitted as new rows)."""
+    import pytest
+
+    from datafusion_catalogprovider_glue_spark.errors import DeltaError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta_incremental,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta_dv,
+    )
+
+    table = str(tmp_path / "incpart")
+    append_delta(
+        spark.createDataFrame([(1, "a", 10)], "k int, g string, n int"),
+        table,
+        partition_by="g",
+    )
+    append_delta(
+        spark.createDataFrame([(2, "b", 20)], "k int, g string, n int"),
+        table,
+        partition_by="g",
+    )
+    got = {
+        (r["k"], r["g"], r["n"], r["_commit_version"])
+        for r in read_delta_incremental(spark, table, begin=0).collect()
+    }
+    assert got == {(2, "b", 20, 1)}  # partition value attached, not NULL
+    merge_delta_dv(
+        spark,
+        table,
+        spark.createDataFrame([(1, "a", 99)], "k int, g string, n int"),
+        on=["k"],
+    )
+    with pytest.raises(DeltaError, match="re-adds"):
+        read_delta_incremental(spark, table, begin=1)
+    # pre-DV ranges still read fine
+    assert {
+        r["k"] for r in read_delta_incremental(spark, table, begin=0, end=1).collect()
+    } == {2}
