@@ -526,15 +526,28 @@ def read_iceberg_incremental(
         )
     ids = chain[i0 : i1 + 1]
     parts = []
-    prev = set(IcebergSnapshot(table_path, ids[0]).files)
+    prev_snap = IcebergSnapshot(table_path, ids[0])
+    prev = set(prev_snap.files)
+    prev_dels = set(prev_snap.delete_files) | set(prev_snap.eq_deletes)
     for sid in ids[1:]:
-        cur = set(IcebergSnapshot(table_path, sid).files)
+        cur_snap = IcebergSnapshot(table_path, sid)
+        cur = set(cur_snap.files)
+        cur_dels = set(cur_snap.delete_files) | set(cur_snap.eq_deletes)
         if prev - cur:
             raise NotImplementedYet(
                 f"incremental scan: snapshot {sid} removes files "
                 "(rewrite/compaction) — appends-only ranges are supported"
             )
+        if cur_dels - prev_dels:
+            # real appendsBetween refuses non-append snapshots too: a
+            # row-level delete commit in range would silently drop its
+            # deletes from a files-only diff
+            raise NotImplementedYet(
+                f"incremental scan: snapshot {sid} adds row-level "
+                "delete files — appends-only ranges are supported"
+            )
         added = sorted(cur - prev)
+        prev_dels = cur_dels
         if added:
             parts.append(
                 spark.read.parquet(*added).withColumn(
