@@ -652,12 +652,16 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int:
         IcebergSnapshot,
     )
 
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+
     snap = IcebergSnapshot(table_path)
-    if snap.delete_files or snap.eq_deletes:
-        raise NotImplementedYet(
-            "iceberg compaction subset: table carries row-level deletes"
-        )
-    df = spark.read.schema(snap.schema).parquet(*snap.files)
+    # read through the ENGINE's own reader: position/equality deletes
+    # apply (this is how accumulated row-level deletes FOLD AWAY —
+    # the rewritten files carry no masked rows and the delete files
+    # retire with the REPLACE), schema evolution resolves per file
+    df = read_iceberg(spark, table_path)
 
     meta_dir = os.path.join(table_path, "metadata")
     version, meta = _load_meta(meta_dir)

@@ -422,3 +422,38 @@ def test_incremental_read_partitioned_and_dv_refusal(spark, tmp_path):
     assert {
         r["k"] for r in read_delta_incremental(spark, table, begin=0, end=1).collect()
     } == {2}
+
+
+def test_iceberg_compaction_folds_row_level_deletes(spark, tmp_path):
+    """rewrite_data_files over a table carrying position deletes (r7;
+    was a refusal): the rewrite applies the deletes, the new snapshot
+    carries NO delete files, and the logical state is unchanged."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        compact_iceberg,
+        merge_iceberg_pos_delete,
+    )
+
+    table = str(tmp_path / "foldpd")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k int, v string"
+    )
+    append_iceberg(df, table)
+    src = spark.createDataFrame([(3, "U3"), (7, "U7")], "k int, v string")
+    merge_iceberg_pos_delete(spark, table, src, on=["k"])
+    before = {
+        (r["k"], r["v"]) for r in read_iceberg(spark, table).collect()
+    }
+    assert (3, "U3") in before and (7, "U7") in before
+    assert IcebergSnapshot(table).delete_files
+    compact_iceberg(spark, table)
+    snap = IcebergSnapshot(table)
+    assert not snap.delete_files and not snap.eq_deletes
+    after = {(r["k"], r["v"]) for r in read_iceberg(spark, table).collect()}
+    assert after == before
