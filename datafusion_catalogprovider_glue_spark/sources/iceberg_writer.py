@@ -526,11 +526,11 @@ def merge_iceberg(
         IcebergSnapshot,
     )
 
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+
     snap = IcebergSnapshot(table_path)
-    if snap.delete_files or snap.eq_deletes:
-        raise NotImplementedYet(
-            "iceberg merge subset: table carries row-level delete files"
-        )
     cols = [f.name for f in snap.schema.fields]
     if sorted(source.columns) != sorted(cols):
         raise ValueError(
@@ -546,7 +546,11 @@ def merge_iceberg(
             "merge source has duplicate keys — a target row may match "
             "at most one source row"
         )
-    target = spark.read.schema(snap.schema).parquet(*snap.files)
+    # the ENGINE's own reader: row-level deletes apply (a CoW merge
+    # over a pos/eq-delete-bearing table starts from the TRUE logical
+    # table; the REPLACE retires the delete files), schema evolution
+    # resolves per file
+    target = read_iceberg(spark, table_path)
     # side markers instead of key isNotNull(): NULL merge keys are
     # legal under the null-safe join and must still route to the
     # matched/insert branch (same fix as delta_writer.merge_delta)

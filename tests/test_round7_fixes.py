@@ -457,3 +457,52 @@ def test_iceberg_compaction_folds_row_level_deletes(spark, tmp_path):
     assert not snap.delete_files and not snap.eq_deletes
     after = {(r["k"], r["v"]) for r in read_iceberg(spark, table).collect()}
     assert after == before
+
+
+def test_iceberg_cow_merge_over_pos_deletes(spark, tmp_path):
+    """merge_iceberg over a table carrying position deletes (r7; was a
+    refusal): the CoW rewrite starts from the TRUE logical table — an
+    already-deleted row can never resurrect or rematch — and the
+    REPLACE retires the delete files."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        merge_iceberg,
+        merge_iceberg_pos_delete,
+    )
+
+    table = str(tmp_path / "cowpd")
+    append_iceberg(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(8)], "k int, v string"
+        ),
+        table,
+    )
+    # pos-delete merge DELETES key 2 (matched_delete always true)
+    merge_iceberg_pos_delete(
+        spark,
+        table,
+        spark.createDataFrame([(2, "dead")], "k int, v string"),
+        on=["k"],
+        matched_delete=F.lit(True),
+    )
+    assert IcebergSnapshot(table).delete_files
+    # CoW merge: key 2 must come back as an INSERT (it is logically
+    # absent), key 3 updates
+    merge_iceberg(
+        spark,
+        table,
+        spark.createDataFrame([(2, "back"), (3, "U3")], "k int, v string"),
+        on=["k"],
+    )
+    snap = IcebergSnapshot(table)
+    assert not snap.delete_files and not snap.eq_deletes
+    got = {(r["k"], r["v"]) for r in read_iceberg(spark, table).collect()}
+    want = {(i, f"v{i}") for i in range(8) if i not in (2, 3)}
+    want |= {(2, "back"), (3, "U3")}
+    assert got == want
