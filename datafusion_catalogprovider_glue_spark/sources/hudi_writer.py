@@ -382,7 +382,8 @@ def _write_log_file(
 
 
 def _write_log_files_grouped(
-    routed: DataFrame, location: str, groups: list[str], instant: str
+    routed: DataFrame, location: str, groups: list[str], instant: str,
+    dir_of: dict = None,
 ) -> list[dict]:
     """Write ONE Avro log per file group for ALL groups in a single
     distributed job: rows are routed by an exact partitioner (group →
@@ -400,7 +401,19 @@ def _write_log_files_grouped(
         [f for f in routed.schema.fields if f.name != "_fg"]
     )
     idx = {fg: i for i, fg in enumerate(groups)}
-    names = [f".{fg}_{instant}.log.1_0-0-0" for fg in groups]
+    # logs live NEXT TO their group's base file — on partitioned
+    # tables that is the group's partition directory
+    dirs = dir_of or {}
+    rels = [
+        os.path.join(dirs.get(fg, ""), f".{fg}_{instant}.log.1_0-0-0")
+        if dirs.get(fg)
+        else f".{fg}_{instant}.log.1_0-0-0"
+        for fg in groups
+    ]
+    for fg in groups:
+        d = dirs.get(fg)
+        if d:
+            os.makedirs(os.path.join(location, d), exist_ok=True)
 
     kv = routed.rdd.map(
         lambda r: (idx[r["_fg"]], tuple(r[c] for c in data_cols))
@@ -408,7 +421,7 @@ def _write_log_files_grouped(
 
     def _encode(pid, it):
         write_avro_container(
-            os.path.join(location, names[pid]),
+            os.path.join(location, rels[pid]),
             schema,
             (v for _k, v in it),
         )
@@ -416,7 +429,7 @@ def _write_log_files_grouped(
 
     kv.mapPartitionsWithIndex(_encode).count()
     return [
-        {"fileId": fg, "path": names[idx[fg]]} for fg in groups
+        {"fileId": fg, "path": rels[idx[fg]]} for fg in groups
     ]
 
 
@@ -466,7 +479,6 @@ def upsert_hudi_log(
     per-group partition; each partition encodes its group's log),
     so an upsert touching 10^4 groups at 100 TB is one shuffle, not
     10^4 driver-orchestrated jobs."""
-    _refuse_partitioned(location, "upsert_hudi_log")
     from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
         read_avro_fallback,
         schema_from_avro_file,
@@ -537,22 +549,79 @@ def upsert_hudi_log(
     else:
         routed = src.withColumn("_fg", F.lit(None).cast("string")).persist()
     # ONE metadata job: the per-group presence map (replaces the old
-    # per-group filter jobs + the separate inserts-nonempty probe)
+    # per-group filter jobs + the separate inserts-nonempty probe).
+    # On PARTITIONED tables, unmatched keys group per partition value
+    # (a log-only group lives in its partition directory); the
+    # distinct collect also carries the insert rows' partition value,
+    # so no extra job runs.
+    pf = table_partition_field(location)
+    pv_expr = (
+        F.when(
+            F.col("_fg").isNull(),
+            F.coalesce(
+                F.col(pf).cast("string"),
+                F.lit("__HIVE_DEFAULT_PARTITION__"),
+            ),
+        )
+        if pf
+        else F.lit(None).cast("string")
+    )
     present = [
-        r["_fg"] for r in routed.select("_fg").distinct().collect()
+        (r["_fg"], r["_pv"])
+        for r in routed.withColumn("_pv", pv_expr)
+        .select("_fg", "_pv")
+        .distinct()
+        .collect()
     ]
-    groups = sorted(g for g in present if g is not None)
-    if None in present:
-        groups.append(f"fg-{instant}-new")
+    groups = sorted({g for g, _pv in present if g is not None})
+    # every group's log lands next to its base (or earlier log)
+    dir_of = {
+        fid: os.path.dirname(rel)
+        for fid, (_t, rel) in base_latest.items()
+    }
+    for fid, logs in log_files.items():
+        dir_of.setdefault(fid, os.path.dirname(logs[0][1]))
+    insert_pvs = sorted({pv for g, pv in present if g is None and pv is not None})
+    has_plain_inserts = any(g is None for g, _pv in present)
+    if has_plain_inserts and not pf:
+        fg = f"fg-{instant}-new"
+        groups.append(fg)
+        dir_of[fg] = ""
         routed = routed.withColumn(
-            "_fg", F.coalesce(F.col("_fg"), F.lit(f"fg-{instant}-new"))
+            "_fg", F.coalesce(F.col("_fg"), F.lit(fg))
+        )
+    elif insert_pvs:
+        ins_rows = []
+        for v in insert_pvs:
+            fg = f"fg-{instant}-new-{_part_slug(v)}"
+            groups.append(fg)
+            dir_of[fg] = f"{pf}={v}"
+            ins_rows.append((v, fg))
+        ins_map = spark.createDataFrame(ins_rows, "_pv string, _newfg string")
+        routed = (
+            routed.withColumn(
+                "_pv",
+                F.coalesce(
+                    F.col(pf).cast("string"),
+                    F.lit("__HIVE_DEFAULT_PARTITION__"),
+                ),
+            )
+            .join(F.broadcast(ins_map), "_pv", "left")
+            .withColumn("_fg", F.coalesce(F.col("_fg"), F.col("_newfg")))
+            .drop("_pv", "_newfg")
         )
     if not groups:
         raise SparkError("upsert source is empty — nothing to commit")
-    stats = _write_log_files_grouped(routed, location, groups, instant)
+    stats = _write_log_files_grouped(
+        routed, location, groups, instant, dir_of=dir_of
+    )
+    by_part: dict[str, list[dict]] = {}
+    for s in stats:
+        by_part.setdefault(os.path.dirname(s["path"]), []).append(s)
     _publish(
-        location, instant, stats,
+        location, instant, by_part,
         action="deltacommit", table_type="MERGE_ON_READ",
+        partition_field=pf,
     )
     src.unpersist(blocking=False)
     return instant
@@ -569,7 +638,6 @@ def compact_hudi(spark: SparkSession, location: str, key: str) -> str:
     never re-applies), so read-optimized and snapshot queries converge
     — the invariant tests/test_hudi.py pins.  Untouched groups keep
     their base files byte-for-byte.  Returns the compaction instant."""
-    _refuse_partitioned(location, "compact_hudi")
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -683,20 +751,36 @@ def compact_hudi(spark: SparkSession, location: str, key: str) -> str:
         .mode("overwrite")
         .parquet(staging)
     )
-    stats: list[dict] = []
-    for file_id, _live in work:
+    # each group's new base file lands in ITS directory (the
+    # partition dir on hive-partitioned tables — from the old base's
+    # path, or the logs' for log-only groups); stats key by partition
+    # path per the spec
+    by_part: dict[str, list[dict]] = {}
+    for file_id, live in work:
         pdir = os.path.join(staging, f"_fg={file_id}")
         part_file = next(
             os.path.join(pdir, f)
             for f in sorted(os.listdir(pdir))
             if f.endswith(".parquet")
         )
+        if file_id in base_latest:
+            ppath = os.path.dirname(base_latest[file_id][1])
+        else:
+            ppath = os.path.dirname(live[0][1])
         name = f"{file_id}_0-0-0_{instant}.parquet"
-        os.replace(part_file, os.path.join(location, name))
-        stats.append({"fileId": file_id, "path": name})
+        if ppath:
+            os.makedirs(os.path.join(location, ppath), exist_ok=True)
+        os.replace(part_file, os.path.join(location, ppath, name))
+        by_part.setdefault(ppath, []).append(
+            {
+                "fileId": file_id,
+                "path": os.path.join(ppath, name) if ppath else name,
+            }
+        )
     shutil.rmtree(staging)
     _publish(
-        location, instant, stats, action="commit",
+        location, instant, by_part, action="commit",
         table_type="MERGE_ON_READ",
+        partition_field=table_partition_field(location),
     )
     return instant

@@ -506,3 +506,86 @@ def test_iceberg_cow_merge_over_pos_deletes(spark, tmp_path):
     want = {(i, f"v{i}") for i in range(8) if i not in (2, 3)}
     want |= {(2, "back"), (3, "U3")}
     assert got == want
+
+
+def test_mor_partitioned_log_upsert_and_compaction(spark, tmp_path):
+    """Partitioned MoR (r7; log ops previously refused partitioned
+    tables): routed logs land NEXT TO their group's base file in its
+    partition directory, log-only inserts group per partition value,
+    and compaction materializes every group's new base inside its
+    partition dir — snapshot == read-optimized afterwards."""
+    import os
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        compact_hudi,
+        upsert_hudi_log,
+    )
+
+    table = str(tmp_path / "morpart")
+    append_hudi(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "a", 30)],
+            "k int, g string, n int",
+        ),
+        table,
+        partition_by="g",
+    )
+    # updates (keys 1, 3 in g=a; 2 in g=b) + an insert in a NEW partition
+    upsert_hudi_log(
+        spark,
+        spark.createDataFrame(
+            [(1, "a", 11), (2, "b", 21), (9, "c", 90)],
+            "k int, g string, n int",
+        ),
+        table,
+        key="k",
+    )
+    # logs live inside partition dirs, never the table root
+    root_logs = [f for f in os.listdir(table) if ".log." in f]
+    assert not root_logs, root_logs
+    assert any(
+        ".log." in f for f in os.listdir(os.path.join(table, "g=a"))
+    )
+    assert any(
+        ".log." in f for f in os.listdir(os.path.join(table, "g=c"))
+    )
+    want = {(1, "a", 11), (2, "b", 21), (3, "a", 30), (9, "c", 90)}
+    snap = {
+        (r["k"], r["g"], r["n"])
+        for r in read_hudi_mor(spark, table, key_col="k")
+        .select("k", "g", "n")
+        .collect()
+    }
+    assert snap == want
+    compact_hudi(spark, table, key="k")
+    ro = {
+        (r["k"], r["g"], r["n"])
+        for r in read_hudi_mor(spark, table, key_col="k", read_optimized=True)
+        .select("k", "g", "n")
+        .collect()
+    }
+    assert ro == want
+    # compacted bases landed inside their partition dirs
+    assert any(
+        f.endswith(".parquet") and ".log." not in f
+        for f in os.listdir(os.path.join(table, "g=c"))
+    )
+    # a second upsert of the log-only key routes back to its group
+    upsert_hudi_log(
+        spark,
+        spark.createDataFrame([(9, "c", 91)], "k int, g string, n int"),
+        table,
+        key="k",
+    )
+    compact_hudi(spark, table, key="k")
+    snap2 = {
+        (r["k"], r["g"], r["n"])
+        for r in read_hudi_mor(spark, table, key_col="k")
+        .select("k", "g", "n")
+        .collect()
+    }
+    assert snap2 == (want - {(9, "c", 90)}) | {(9, "c", 91)}
