@@ -1,0 +1,312 @@
+"""Table-METADATA queries over the trio of open table formats —
+DESCRIBE HISTORY (Delta), the snapshots/files metadata tables
+(Iceberg), and the timeline view (Hudi).
+
+The reference exposes table *metadata* through DataFusion's
+information_schema over Glue-registered tables (demo.rs:46-64); these
+keys extend that inspection surface to the table formats' own commit
+metadata, the way every production engine does (Delta's DESCRIBE
+HISTORY, Iceberg's ``tbl.snapshots`` / ``tbl.files``, Hudi's
+``show_commits``).  All four are PURE METADATA reads — commit JSONs,
+manifest avros, timeline files — so their cost is independent of table
+size; that is the entire point of the underlying specs storing counts
+in metadata, and what makes these the right health checks at 100 TB.
+
+Fixtures are engine-written tables built from the ``documents``
+testdata table with deterministic layouts (explicit repartitioning so
+file counts are pinned), so every numeric column is re-derivable by
+the DuckDB oracle from the source rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.operators.registry import query
+from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+
+def _tmp_table(prefix: str, sf_dir: str) -> str:
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join("/tmp", f"glue_spark_{prefix}_{h}")
+    shutil.rmtree(path, ignore_errors=True)  # idempotent per run
+    return path
+
+
+def _docs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "meta_delta_history",
+    # every number re-derives from the source rows: v0 appends the
+    # evens, v1 CoW-merges the mod-3 docs (full rewrite → union count),
+    # v2 OPTIMIZE rewrites the union.  File counts are deliberately NOT
+    # projected: AQE's post-shuffle coalescing legitimately varies the
+    # file count of shuffle-derived writes with data volume (1 file at
+    # sf0.01, 2 at sf0.1) — row sums are the volume-invariant part.
+    oracle="""
+    WITH a AS (SELECT count(*) AS c FROM documents WHERE doc_id % 2 = 0),
+         u AS (SELECT count(*) AS c FROM documents
+               WHERE doc_id % 2 = 0 OR doc_id % 3 = 0)
+    SELECT CAST(0 AS BIGINT) AS version, 'WRITE' AS operation,
+           a.c AS rows_added
+    FROM a
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), 'MERGE', u.c FROM u
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'OPTIMIZE', u.c FROM u
+    """,
+)
+def meta_delta_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY (delta.delta_history): per-commit operation
+    name from the protocol's ``commitInfo`` action plus add/remove
+    tallies and ``stats.numRecords`` row sums — the audit query every
+    Delta deployment runs.  The fixture drives one commit of each
+    write shape (WRITE / MERGE / OPTIMIZE) and the oracle re-derives
+    every row count from the source table, proving the writer's
+    footer-derived stats match the data that actually landed."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        delta_history,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        compact_delta,
+        merge_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("meta_delta_history", sf_dir)
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0).repartition(2), table)
+    src = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    merge_delta(spark, table, src, on=["doc_id"])
+    compact_delta(spark, table)
+    return delta_history(spark, table).select(
+        "version", "operation", "rows_added"
+    )
+
+
+@query(
+    "meta_iceberg_snapshots",
+    oracle="""
+    WITH a AS (SELECT count(*) AS c FROM documents WHERE doc_id % 2 = 0),
+         b AS (SELECT count(*) AS c FROM documents WHERE doc_id % 3 = 0)
+    SELECT CAST(1 AS BIGINT) AS seq, 'append' AS operation,
+           a.c AS added_rows, a.c AS live_rows FROM a
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'append', b.c, a.c + b.c FROM a, b
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'replace', a.c + b.c, a.c + b.c FROM a, b
+    """,
+)
+def meta_iceberg_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``snapshots`` metadata table (iceberg.iceberg_snapshots_df):
+    per-snapshot operation (spec §snapshots summary) and
+    manifest-statistic row counts — added rows per commit, live rows
+    visible at it.  Two appends then a REPLACE compaction; the oracle
+    recomputes each count from the source rows, pinning that manifest
+    ``record_count`` statistics agree with the data files' contents
+    without this query ever opening one."""
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        iceberg_snapshots_df,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        compact_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("meta_iceberg_snaps", sf_dir)
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    append_iceberg(docs.filter(F.col("doc_id") % 3 == 0), table)
+    compact_iceberg(spark, table)
+    return iceberg_snapshots_df(spark, table).select(
+        "seq", "operation", "added_rows", "live_rows"
+    )
+
+
+@query(
+    "meta_iceberg_files",
+    oracle="""
+    SELECT lang, CAST(1 AS BIGINT) AS file_count,
+           count(*) AS record_count
+    FROM documents GROUP BY lang
+    """,
+)
+def meta_iceberg_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``files`` metadata table (iceberg.iceberg_files_df) rolled
+    up per partition — files and rows per partition value, the
+    small-files health check every Iceberg table owner schedules.
+    The fixture pre-shuffles by the partition column so each lang
+    lands in exactly one task → exactly one data file, making
+    ``file_count`` oracle-derivable; ``record_count`` comes from the
+    manifests' per-file statistics, never a data-file read."""
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        iceberg_files_df,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("meta_iceberg_files", sf_dir)
+    append_iceberg(docs.repartition("lang"), table, partition_by="lang")
+    files = iceberg_files_df(spark, table)
+    return (
+        files.withColumn("lang", F.get_json_object("partition", "$.lang"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("file_count"),
+            F.sum("record_count").alias("record_count"),
+        )
+    )
+
+
+@query(
+    "meta_hudi_timeline",
+    oracle="""
+    WITH a AS (SELECT count(*) AS c, count(DISTINCT lang) AS p
+               FROM documents WHERE doc_id % 2 = 0),
+         b AS (SELECT count(*) AS c, count(DISTINCT lang) AS p
+               FROM documents WHERE doc_id % 2 = 1)
+    SELECT CAST(1 AS INTEGER) AS seq, 'commit' AS action,
+           CAST(a.p AS INTEGER) AS n_partitions, a.c AS rows_written
+    FROM a
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), 'commit', CAST(b.p AS INTEGER), b.c FROM b
+    """,
+)
+def meta_hudi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TIMELINE view (hudi.hudi_timeline_df — Hudi's
+    ``show_commits``): completed instants with their action, touched
+    partition count, and the writer-recorded ``numWrites`` row totals.
+    Two hive-partitioned inserts; the oracle re-derives rows and
+    partition counts per commit from the source halves, pinning the
+    write-stat bookkeeping end to end."""
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_timeline_df,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("meta_hudi_timeline", sf_dir)
+    append_hudi(
+        docs.filter(F.col("doc_id") % 2 == 0).repartition("lang"),
+        table, partition_by="lang",
+    )
+    append_hudi(
+        docs.filter(F.col("doc_id") % 2 == 1).repartition("lang"),
+        table, partition_by="lang",
+    )
+    return hudi_timeline_df(spark, table).select(
+        "seq", "action", "n_partitions", "rows_written"
+    )
+
+
+@query(
+    "scan_iceberg_tag",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def scan_iceberg_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TAG-pinned read (spec §refs; iceberg_writer.tag_iceberg +
+    read_iceberg(ref=...)): tag the audited snapshot, keep writing to
+    main, and the tag still serves the audited bytes — how production
+    tables pin "the Q3 training snapshot" by NAME instead of a raw
+    snapshot id.  Asserted in-key: after the post-tag CoW merge, main
+    serves the merged rows while the tag does not, and re-creating an
+    existing tag refuses (tags are immutable per spec)."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        merge_iceberg,
+        tag_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("iceberg_tag", sf_dir)
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    tag_iceberg(table, "audited-v1")
+    src = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(100000)
+    )
+    merge_iceberg(spark, table, src, on=["doc_id"])
+    if read_iceberg(spark, table).filter(
+        F.col("n_chars") >= 100000
+    ).limit(1).count() == 0:
+        raise SparkError("main did not advance past the tag")
+    try:
+        tag_iceberg(table, "audited-v1")
+        raise SparkError("re-creating an existing tag must refuse")
+    except ValueError:
+        pass
+    return read_iceberg(spark, table, ref="audited-v1")
+
+
+@query(
+    "sink_iceberg_wap",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 3 = 0
+    """,
+)
+def sink_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (iceberg_writer: append_iceberg(branch=...)
+    → read_iceberg(ref=...) → publish_iceberg_branch): the staged
+    append lands on a BRANCH ref, the audit step queries the branch
+    while main still serves the pre-stage data to every consumer, and
+    the publish is a verified-ancestor FAST-FORWARD of main — the
+    exact pattern Iceberg deployments use to gate bad data out of
+    production tables.  Asserted in-key: main is byte-stable during
+    staging (row count unchanged) and the audit read sees the staged
+    rows before publish."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        publish_iceberg_branch,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("iceberg_wap", sf_dir)
+    n_base = docs.filter(F.col("doc_id") % 2 == 0).count()
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    # WRITE: stage onto the branch (auto-created at the main head)
+    append_iceberg(
+        docs.filter(F.col("doc_id") % 3 == 0), table, branch="audit"
+    )
+    # main is untouched while staged
+    if read_iceberg(spark, table).count() != n_base:
+        raise SparkError("staged branch append leaked into main")
+    # AUDIT: the gate queries the BRANCH
+    staged = read_iceberg(spark, table, ref="audit")
+    if staged.count() <= n_base:
+        raise SparkError("audit read does not see the staged rows")
+    # PUBLISH: verified-ancestor fast-forward
+    publish_iceberg_branch(table, "audit")
+    return read_iceberg(spark, table)

@@ -50,6 +50,7 @@ def load_all_operator_modules() -> None:
         geo,
         graph,
         layout,
+        meta_ops,
         multimodal,
         packing,
         relational,

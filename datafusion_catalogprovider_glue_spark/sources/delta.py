@@ -817,3 +817,55 @@ def read_delta_incremental(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def delta_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """DESCRIBE HISTORY: one row per commit, projected from the JSON
+    log's ``commitInfo`` actions plus per-commit add/remove tallies
+    (``rows_added`` sums each add's ``stats.numRecords``, the footer
+    counts the writer records at write time).  This is a pure METADATA
+    read — only the commit JSONs are opened, never a data file — the
+    same contract as Delta's own history command, which serves from
+    the log regardless of table size.  Commits written by engines that
+    omit ``commitInfo`` surface operation=``UNKNOWN`` rather than
+    failing (the protocol makes commitInfo optional)."""
+    log_dir = os.path.join(table_path, _LOG_DIR)
+    if not os.path.isdir(log_dir):
+        raise DeltaError(f"not a delta table (no {_LOG_DIR}): {table_path}")
+    rows = []
+    for version, path in _commit_files(log_dir):
+        operation = "UNKNOWN"
+        n_added = n_removed = 0
+        rows_added = 0
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                info = action.get("commitInfo")
+                if info:
+                    operation = info.get("operation", "UNKNOWN")
+                add = action.get("add")
+                if add:
+                    n_added += 1
+                    stats = add.get("stats")
+                    if stats:
+                        rows_added += int(
+                            json.loads(stats).get("numRecords") or 0
+                        )
+                if action.get("remove"):
+                    n_removed += 1
+        rows.append((version, operation, n_added, n_removed, rows_added))
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("version", T.LongType(), False),
+                T.StructField("operation", T.StringType(), False),
+                T.StructField("n_added_files", T.IntegerType(), False),
+                T.StructField("n_removed_files", T.IntegerType(), False),
+                T.StructField("rows_added", T.LongType(), False),
+            ]
+        ),
+    )

@@ -53,6 +53,30 @@ def _next_version(log_dir: str) -> int:
     return max(vs) + 1 if vs else 0
 
 
+def _num_records(path: str) -> int:
+    """Row count from the parquet FOOTER (no data pages touched) — the
+    per-file ``stats.numRecords`` every Delta writer records so that
+    DESCRIBE HISTORY and stats-based skipping work without scans."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(path).metadata.num_rows)
+
+
+def _commit_info(operation: str) -> dict:
+    """The protocol's ``commitInfo`` action (PROTOCOL.md §commit
+    provenance): best-effort commit metadata every real writer
+    emits — DESCRIBE HISTORY is a projection of these.  Readers that
+    don't know the action ignore it (ours does, delta.py
+    _apply_action's elif chain)."""
+    return {
+        "commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": operation,
+            "engineInfo": "datafusion-catalogprovider-glue-spark",
+        }
+    }
+
+
 def _metadata_action(
     df: DataFrame, table_path: str, partition_columns: list[str] = ()
 ) -> dict:
@@ -88,6 +112,8 @@ def _write_data_files(df: DataFrame, table_path: str, subdir: str,
                 "size": os.path.getsize(full),
                 "modificationTime": int(os.path.getmtime(full) * 1000),
                 "dataChange": True,
+                # stats is a JSON *string* per the protocol
+                "stats": json.dumps({"numRecords": _num_records(full)}),
             }
         )
     return adds
@@ -148,6 +174,7 @@ def _write_partitioned_data_files(
                     "size": os.path.getsize(full),
                     "modificationTime": int(os.path.getmtime(full) * 1000),
                     "dataChange": True,
+                    "stats": json.dumps({"numRecords": _num_records(full)}),
                 }
             )
     return adds
@@ -222,7 +249,7 @@ def append_delta(
         if partition_by
         else _write_data_files(df, table_path, f"commit-{version}", n_files)
     )
-    actions: list[dict] = []
+    actions: list[dict] = [_commit_info("WRITE")]
     if version == 0:
         actions.append({"protocol": _PROTOCOL})
         actions.append(
@@ -269,7 +296,8 @@ def compact_delta(spark, table_path: str) -> int:
         else _write_data_files(df, table_path, f"commit-{version}", 1)
     )
     now = int(time.time() * 1000)
-    actions = [
+    actions = [_commit_info("OPTIMIZE")]
+    actions.extend(
         {
             "remove": {
                 "path": p,
@@ -278,7 +306,7 @@ def compact_delta(spark, table_path: str) -> int:
             }
         }
         for p in old_rel
-    ]
+    )
     for a in adds:
         a["dataChange"] = False
         actions.append({"add": a})
@@ -394,7 +422,8 @@ def merge_delta(
         else _write_data_files(merged, table_path, f"commit-{version}", 2)
     )
     now = int(time.time() * 1000)
-    actions = [
+    actions = [_commit_info("MERGE")]
+    actions.extend(
         {
             "remove": {
                 "path": p,
@@ -403,7 +432,7 @@ def merge_delta(
             }
         }
         for p in sorted(snap._active)
-    ]
+    )
     actions.extend({"add": a} for a in adds)
     _commit(_log_dir(table_path), version, actions)
     return version
@@ -691,6 +720,7 @@ def merge_delta_dv(
     actions.extend({"add": a} for a in adds_new)
     if not actions:
         raise ValueError("empty merge: source matched nothing and adds nothing")
+    actions.insert(0, _commit_info("MERGE"))
     _commit(_log_dir(table_path), version, actions)
     return version
 
@@ -711,7 +741,7 @@ def restore_delta(spark, table_path: str, version: int) -> int:
     target = DeltaSnapshot(table_path, version=version)
     head = DeltaSnapshot(table_path)
     new_version = head.version + 1
-    actions: list[dict] = []
+    actions: list[dict] = [_commit_info("RESTORE")]
     now = int(time.time() * 1000)
     for p in sorted(set(head._active) - set(target._active)):
         actions.append(
@@ -734,6 +764,7 @@ def restore_delta(spark, table_path: str, version: int) -> int:
             "size": os.path.getsize(full),
             "modificationTime": int(os.path.getmtime(full) * 1000),
             "dataChange": True,
+            "stats": json.dumps({"numRecords": _num_records(full)}),
         }
         dv = target._dvs.get(p)
         if dv:

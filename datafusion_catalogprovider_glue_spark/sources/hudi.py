@@ -459,3 +459,54 @@ def read_hudi_mor_incremental(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def hudi_timeline_df(spark: SparkSession, location: str) -> DataFrame:
+    """The TIMELINE metadata query (Hudi's ``.hoodie`` instants — what
+    ``call show_commits`` serves): one row per COMPLETED instant with
+    its action (commit / deltacommit / replacecommit), the file-group
+    write-stat count, and total ``numWrites`` rows recorded by the
+    writer.  Driver-side work is the KB-sized commit JSONs only —
+    Hudi's own timeline view has the same shape (the spec bounds the
+    active timeline via archival), so the query costs the same at
+    100 TB as at 100 MB."""
+    from pyspark.sql import types as T
+
+    tl = os.path.join(location, ".hoodie")
+    if not os.path.isdir(tl):
+        raise SparkError(f"not a hudi table (no .hoodie): {location}")
+    rows = []
+    for name in os.listdir(tl):
+        stem, ext = os.path.splitext(name)
+        action = ext.lstrip(".")
+        if action not in ("commit", "deltacommit", "replacecommit"):
+            continue
+        if not stem.isdigit():
+            continue
+        with open(os.path.join(tl, name)) as fh:
+            meta = json.load(fh)
+        n_files = 0
+        n_rows = 0
+        n_parts = 0
+        for _part, stats in sorted(
+            meta.get("partitionToWriteStats", {}).items()
+        ):
+            n_parts += 1
+            for st in stats:
+                n_files += 1
+                n_rows += int(st.get("numWrites") or 0)
+        rows.append((stem, action, n_parts, n_files, n_rows))
+    rows.sort()
+    return spark.createDataFrame(
+        [(i + 1, *r) for i, r in enumerate(rows)],
+        T.StructType(
+            [
+                T.StructField("seq", T.IntegerType(), False),
+                T.StructField("instant", T.StringType(), False),
+                T.StructField("action", T.StringType(), False),
+                T.StructField("n_partitions", T.IntegerType(), False),
+                T.StructField("n_files", T.IntegerType(), False),
+                T.StructField("rows_written", T.LongType(), False),
+            ]
+        ),
+    )

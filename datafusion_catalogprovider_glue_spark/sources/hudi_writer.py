@@ -93,6 +93,19 @@ def _publish(
                     f"hoodie.table.partition.fields={partition_field}\n"
                 )
     by_part = stats if isinstance(stats, dict) else {"": stats}
+    # HoodieWriteStat.numWrites: footer row count per written BASE
+    # file (metadata-only; log files carry no parquet footer and
+    # keep whatever the writer recorded).  The timeline metadata
+    # query (sources/hudi.hudi_timeline_df) projects these.
+    for stat_list in by_part.values():
+        for st in stat_list:
+            p = st.get("path")
+            if "numWrites" not in st and p and p.endswith(".parquet"):
+                import pyarrow.parquet as pq
+
+                st["numWrites"] = int(
+                    pq.ParquetFile(os.path.join(location, p)).metadata.num_rows
+                )
     path = os.path.join(tl, f"{instant}.{action}")
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:

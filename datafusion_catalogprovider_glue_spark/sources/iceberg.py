@@ -279,11 +279,27 @@ def _resolve_file_projections(
     return sorted(groups.items(), key=lambda kv: kv[1][0])
 
 
+def iceberg_ref_snapshot(table_path: str, name: str) -> int:
+    """Resolve a named REF (spec §refs — tag or branch) to its
+    snapshot id.  Metadata-only."""
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        refs = json.load(f).get("refs") or {}
+    if name not in refs:
+        raise NotImplementedYet(
+            f"no ref {name!r} in table (refs: {sorted(refs)})"
+        )
+    return int(refs[name]["snapshot-id"])
+
+
 def read_iceberg(
     spark: SparkSession,
     table_path: str,
     snapshot_id: Optional[int] = None,
     partition_filter: Optional[dict] = None,
+    ref: Optional[str] = None,
 ) -> DataFrame:
     """Load an Iceberg table snapshot (current, or a pinned
     snapshot-id — time travel), applying v2 POSITIONAL DELETE files
@@ -309,6 +325,10 @@ def read_iceberg(
     scan_iceberg_pos_delete_seq pins exactly that re-add)."""
     from pyspark.sql import functions as F
 
+    if ref is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id OR ref, not both")
+        snapshot_id = iceberg_ref_snapshot(table_path, ref)
     snap = IcebergSnapshot(table_path, snapshot_id)
     files = snap.files
     if partition_filter:
@@ -568,3 +588,148 @@ def read_iceberg_incremental(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def _decode_manifests(table_path: str, manifest_list_rel: str):
+    """Yield (manifest_row, entry_row) named dicts for one snapshot's
+    manifest list — shared by the metadata tables below.  Metadata
+    only: manifest lists and manifests are the avro sidecars, never a
+    data file."""
+    list_schema, list_rows = decode_container_file(
+        os.path.join(table_path, manifest_list_rel)
+    )
+    for list_row in list_rows:
+        named_m = _named(list_schema, list_row)
+        m_schema, m_rows = decode_container_file(
+            os.path.join(table_path, named_m["manifest_path"])
+        )
+        for m_row in m_rows:
+            yield named_m, _named(m_schema, m_row)
+
+
+def iceberg_snapshots_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``snapshots`` METADATA TABLE (Iceberg spec §snapshots;
+    ``SELECT * FROM tbl.snapshots`` in engines): one row per snapshot,
+    ordered by sequence number, with the summary operation and
+    manifest-derived counts — ``added_*`` from entries whose manifest
+    was added by THIS snapshot, ``live_*`` from every non-deleted data
+    entry visible in the snapshot.  Everything comes from manifest
+    statistics (record_count), so the table answers "how big is each
+    commit" without opening one data file — exactly why the spec
+    stores the counts."""
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    rows = []
+    for snap in sorted(
+        meta.get("snapshots") or [], key=lambda s: s["sequence-number"]
+    ):
+        sid = snap["snapshot-id"]
+        op = (snap.get("summary") or {}).get("operation", "unknown")
+        added_files = added_rows = live_files = live_rows = 0
+        added_deletes = 0
+        for named_m, entry in _decode_manifests(
+            table_path, snap["manifest-list"]
+        ):
+            if entry["status"] == STATUS_DELETED:
+                continue
+            content = entry.get("content") or 0
+            mine = named_m.get("added_snapshot_id") == sid
+            if content == 0:
+                n = int(entry.get("record_count") or 0)
+                live_files += 1
+                live_rows += n
+                if mine:
+                    added_files += 1
+                    added_rows += n
+            elif mine:
+                added_deletes += 1
+        rows.append(
+            (
+                int(snap["sequence-number"]), sid, op,
+                added_files, added_rows, added_deletes,
+                live_files, live_rows,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("seq", T.LongType(), False),
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("operation", T.StringType(), False),
+                T.StructField("added_data_files", T.IntegerType(), False),
+                T.StructField("added_rows", T.LongType(), False),
+                T.StructField("added_delete_files", T.IntegerType(), False),
+                T.StructField("live_data_files", T.IntegerType(), False),
+                T.StructField("live_rows", T.LongType(), False),
+            ]
+        ),
+    )
+
+
+def iceberg_files_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``files`` METADATA TABLE: one row per LIVE data file of the
+    current snapshot — path, partition tuple (the manifest's JSON,
+    verbatim), footer-free record count, sequence number, and the
+    spec id the file prunes through.  The manifest stats make
+    partition-level capacity queries (rows per partition, files per
+    partition — the small-files health check every table owner runs)
+    pure metadata reads."""
+    snap = IcebergSnapshot(table_path)
+    rows = []
+    for path, seq in snap.data_seq:
+        rel = os.path.relpath(path, table_path)
+        part = snap.partitions.get(path)
+        rows.append(
+            (
+                rel,
+                json.dumps(part, sort_keys=True) if part else None,
+                int(seq),
+                int(snap.spec_of.get(path, snap.default_spec_id)),
+            )
+        )
+    counts = {}
+    for named_m, entry in _decode_manifests(
+        table_path,
+        next(
+            s for s in _snapshots_meta(table_path)
+            if s["snapshot-id"] == snap_current_id(table_path)
+        )["manifest-list"],
+    ):
+        if entry["status"] == STATUS_DELETED or (entry.get("content") or 0):
+            continue
+        counts[entry["file_path"]] = int(entry.get("record_count") or 0)
+    return spark.createDataFrame(
+        [
+            (rel, part, counts.get(rel, 0), seq, spec_id)
+            for rel, part, seq, spec_id in rows
+        ],
+        T.StructType(
+            [
+                T.StructField("file_path", T.StringType(), False),
+                T.StructField("partition", T.StringType(), True),
+                T.StructField("record_count", T.LongType(), False),
+                T.StructField("sequence_number", T.LongType(), False),
+                T.StructField("spec_id", T.IntegerType(), False),
+            ]
+        ),
+    )
+
+
+def _snapshots_meta(table_path: str) -> list[dict]:
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        return json.load(f).get("snapshots") or []
+
+
+def snap_current_id(table_path: str) -> int:
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        return json.load(f)["current-snapshot-id"]

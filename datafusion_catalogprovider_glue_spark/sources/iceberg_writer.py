@@ -262,6 +262,7 @@ def append_iceberg(
     n_files: int = 2,
     partition_by=None,
     transform: str = "identity",
+    branch: str = None,
 ) -> int:
     """Append ``df`` to the Iceberg table at ``table_path`` (creating
     v1 metadata on first call).  Returns the committed SNAPSHOT ID
@@ -319,11 +320,25 @@ def append_iceberg(
         seq = meta["last-sequence-number"] + 1
         prior = meta["snapshots"]
         prior_manifests = []
-        if prior:
+        # spec §refs: a BRANCH append stacks on the branch head (the
+        # ref auto-creates at the main head on first use — Iceberg's
+        # write-audit-publish staging pattern); a plain append stacks
+        # on the current (main) snapshot
+        parent_id = meta.get("current-snapshot-id")
+        if branch is not None:
+            ref = (meta.get("refs") or {}).get(branch)
+            if ref is not None:
+                if ref.get("type") != "branch":
+                    raise ValueError(
+                        f"ref {branch!r} is a {ref.get('type')}, not a "
+                        "branch — tags are immutable"
+                    )
+                parent_id = ref["snapshot-id"]
+        if prior and parent_id is not None:
             cur = next(
                 s
                 for s in prior
-                if s["snapshot-id"] == meta["current-snapshot-id"]
+                if s["snapshot-id"] == parent_id
             )
             from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
                 decode_container_file,
@@ -355,6 +370,7 @@ def append_iceberg(
         }
         seq = 1
         prior_manifests = []
+        parent_id = None
 
     # PARTITION SPEC resolution with EVOLUTION (spec §partition-specs):
     # an append whose partitioning matches a recorded spec (by name /
@@ -448,14 +464,29 @@ def append_iceberg(
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "manifest-list": list_rel,
+            # spec §snapshots: parent linkage is what lets a publish
+            # verify fast-forward safety (ancestor walk)
+            "parent-snapshot-id": parent_id,
+            # spec §snapshots: the summary's REQUIRED field is
+            # `operation` — what the snapshots metadata table projects
+            "summary": {"operation": "append"},
         }
     ]
-    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
-        # deterministic pseudo-timestamp: strictly increasing with seq,
-        # derived (not wall clock) so two runs produce identical bytes
-        {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
-    ]
-    meta["current-snapshot-id"] = snap_id
+    if branch is not None:
+        # branch commit: only the ref moves — main (current-snapshot-id
+        # and its snapshot-log) is untouched, which is the entire point
+        # of write-audit-publish staging
+        refs = dict(meta.get("refs") or {})
+        refs[branch] = {"snapshot-id": snap_id, "type": "branch"}
+        meta["refs"] = refs
+    else:
+        meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+            # deterministic pseudo-timestamp: strictly increasing with
+            # seq, derived (not wall clock) so two runs produce
+            # identical bytes
+            {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
+        ]
+        meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
 
     new_version = version + 1
@@ -623,6 +654,9 @@ def merge_iceberg(
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "manifest-list": list_rel,
+            # spec §snapshots: the summary's REQUIRED field is
+            # `operation` — what the snapshots metadata table projects
+            "summary": {"operation": "overwrite"},
         }
     ]
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
@@ -708,6 +742,9 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int:
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "manifest-list": list_rel,
+            # spec §snapshots: the summary's REQUIRED field is
+            # `operation` — what the snapshots metadata table projects
+            "summary": {"operation": "replace"},
         }
     ]
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
@@ -914,6 +951,7 @@ def _commit_fast_append(
     seq: int,
     snap_id: int,
     manifest_entries: list[tuple],
+    operation: str = "overwrite",
 ) -> int:
     """Publish ONE new manifest under a FAST-APPEND manifest list
     (every prior manifest carries forward with its spec-id) and the
@@ -969,6 +1007,9 @@ def _commit_fast_append(
             "snapshot-id": snap_id,
             "sequence-number": seq,
             "manifest-list": list_rel,
+            # spec §snapshots: the summary's REQUIRED field is
+            # `operation` — what the snapshots metadata table projects
+            "summary": {"operation": operation},
         }
     ]
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
@@ -1039,6 +1080,7 @@ def delete_iceberg_eq(
     return _commit_fast_append(
         table_path, version, meta, seq, snap_id,
         [(1, 2, del_rel, "PARQUET", n, seq, None)],
+        operation="delete",
     )
 
 
@@ -1202,3 +1244,100 @@ def evolve_iceberg_schema(
         fh.write(str(new_version))
     os.rename(tmp_hint, hint)
     return new_sid
+
+
+def _read_current_meta(table_path: str) -> tuple[str, int, dict]:
+    meta_dir = os.path.join(table_path, "metadata")
+    version, meta = _load_meta(meta_dir)
+    return meta_dir, version, dict(meta)
+
+
+def _publish_metadata(meta_dir: str, version: int, meta: dict) -> None:
+    """Metadata-only commit: next metadata.json + hint swap (the same
+    atomic publish tail every data commit uses)."""
+    new_version = version + 1
+    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
+    hint = os.path.join(meta_dir, "version-hint.text")
+    tmp_hint = hint + ".tmp"
+    with open(tmp_hint, "w") as fh:
+        fh.write(str(new_version))
+    os.rename(tmp_hint, hint)
+
+
+def tag_iceberg(
+    table_path: str, name: str, snapshot_id: int = None,
+    ref_type: str = "tag",
+) -> int:
+    """Create a REF (spec §refs): a named, immutable TAG (default) or
+    a mutable BRANCH pointing at ``snapshot_id`` (default: the current
+    snapshot).  Pure metadata commit — no data file moves.  Tags are
+    how production tables pin audited versions ("the Q3 training
+    snapshot") without freezing physical files; reads resolve them via
+    ``read_iceberg(..., ref=name)``.  Refuses to move an existing tag
+    (tags are immutable per spec; drop-and-recreate is the explicit
+    escape hatch real engines require too)."""
+    meta_dir, version, meta = _read_current_meta(table_path)
+    refs = dict(meta.get("refs") or {})
+    sid = snapshot_id if snapshot_id is not None else meta["current-snapshot-id"]
+    known = [s["snapshot-id"] for s in meta.get("snapshots") or []]
+    if sid not in known:
+        raise ValueError(f"snapshot {sid} not in table (snapshots: {known})")
+    have = refs.get(name)
+    if have is not None and have.get("type") == "tag":
+        raise ValueError(f"tag {name!r} exists (tags are immutable)")
+    refs[name] = {"snapshot-id": sid, "type": ref_type}
+    meta["refs"] = refs
+    _publish_metadata(meta_dir, version, meta)
+    return sid
+
+
+def branch_iceberg(
+    table_path: str, name: str, snapshot_id: int = None
+) -> int:
+    """Create (or reset) a BRANCH ref — the staging pointer of the
+    write-audit-publish pattern.  ``append_iceberg(..., branch=name)``
+    then stacks commits on the branch without touching main."""
+    return tag_iceberg(table_path, name, snapshot_id, ref_type="branch")
+
+
+def publish_iceberg_branch(table_path: str, branch: str) -> int:
+    """FAST-FORWARD main to a branch head (Iceberg's
+    ``fast_forward('main', branch)`` — the PUBLISH step of
+    write-audit-publish): verified-ancestor move of
+    ``current-snapshot-id`` to the branch's snapshot.  Refuses unless
+    main's head is an ancestor of the branch head (walked over the
+    snapshots' ``parent-snapshot-id`` linkage) — a diverged main must
+    be merged by a data commit, not silently overwritten; that
+    refusal is exactly what makes the audit step trustworthy.  The
+    branch ref stays (subsequent stages keep appending to it).
+    Returns the published snapshot id."""
+    meta_dir, version, meta = _read_current_meta(table_path)
+    refs = dict(meta.get("refs") or {})
+    ref = refs.get(branch)
+    if ref is None or ref.get("type") != "branch":
+        raise ValueError(f"no branch ref {branch!r} (refs: {sorted(refs)})")
+    head = ref["snapshot-id"]
+    main_head = meta.get("current-snapshot-id")
+    by_id = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    cursor = head
+    seen = set()
+    while cursor is not None and cursor not in seen:
+        if cursor == main_head:
+            break
+        seen.add(cursor)
+        cursor = (by_id.get(cursor) or {}).get("parent-snapshot-id")
+    else:
+        raise ValueError(
+            f"cannot fast-forward: main ({main_head}) is not an ancestor "
+            f"of branch {branch!r} head ({head})"
+        )
+    meta["current-snapshot-id"] = head
+    seq = by_id[head]["sequence-number"]
+    meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
+        {"timestamp-ms": 1600000000000 + seq, "snapshot-id": head}
+    ]
+    _publish_metadata(meta_dir, version, meta)
+    return head

@@ -1,0 +1,256 @@
+"""Table-metadata queries: Delta DESCRIBE HISTORY, Iceberg
+snapshots/files metadata tables, Hudi timeline view — plus the
+writer-side bookkeeping they project (commitInfo actions, add stats,
+snapshot summaries, numWrites)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.sources.delta import (
+    delta_history,
+    read_delta,
+)
+from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+    append_delta,
+    compact_delta,
+    merge_delta,
+    restore_delta,
+)
+from datafusion_catalogprovider_glue_spark.sources.hudi import (
+    hudi_timeline_df,
+)
+from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+    append_hudi,
+    upsert_hudi,
+)
+from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+    iceberg_files_df,
+    iceberg_snapshots_df,
+)
+from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+    append_iceberg,
+    compact_iceberg,
+    delete_iceberg_eq,
+    merge_iceberg,
+    merge_iceberg_pos_delete,
+)
+
+
+def _frame(spark, n=20):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 10).alias("n"),
+    )
+
+
+def test_delta_history_operations_and_stats(spark, tmp_path):
+    t = str(tmp_path / "dh")
+    df = _frame(spark)
+    append_delta(df.repartition(2), t)
+    merge_delta(
+        spark, t,
+        df.filter(F.col("k") < 5).withColumn("n", F.col("n") + 1),
+        on=["k"],
+    )
+    compact_delta(spark, t)
+    restore_delta(spark, t, 0)
+    hist = {r["version"]: r for r in delta_history(spark, t).collect()}
+    assert [hist[v]["operation"] for v in sorted(hist)] == [
+        "WRITE", "MERGE", "OPTIMIZE", "RESTORE",
+    ]
+    assert hist[0]["rows_added"] == 20
+    assert hist[1]["rows_added"] == 20  # full CoW rewrite of 20 keys
+    assert hist[2]["rows_added"] == 20
+    assert hist[0]["n_added_files"] == 2
+    assert hist[2]["n_removed_files"] >= 1
+    # history is a metadata projection: the table itself is untouched
+    assert read_delta(spark, t).count() == 20
+
+
+def test_delta_history_unknown_commitinfo(spark, tmp_path):
+    """Commits from writers that omit commitInfo surface as UNKNOWN."""
+    t = str(tmp_path / "dh_unknown")
+    append_delta(_frame(spark), t)
+    log = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    actions = [
+        json.loads(line) for line in open(log) if line.strip()
+    ]
+    stripped = [a for a in actions if "commitInfo" not in a]
+    with open(log, "w") as fh:
+        for a in stripped:
+            fh.write(json.dumps(a) + "\n")
+    hist = delta_history(spark, t).collect()
+    assert hist[0]["operation"] == "UNKNOWN"
+    assert hist[0]["rows_added"] == 20  # stats survive independently
+
+
+def test_iceberg_snapshots_counts_and_ops(spark, tmp_path):
+    t = str(tmp_path / "isnap")
+    df = _frame(spark)
+    append_iceberg(df.filter(F.col("k") < 12), t)          # 12 rows
+    append_iceberg(df.filter(F.col("k") >= 12), t)         # 8 rows
+    merge_iceberg(
+        spark, t, df.withColumn("n", F.col("n") + 1), on=["k"]
+    )                                                      # overwrite
+    compact_iceberg(spark, t)                              # replace
+    snaps = iceberg_snapshots_df(spark, t).orderBy("seq").collect()
+    assert [s["operation"] for s in snaps] == [
+        "append", "append", "overwrite", "replace",
+    ]
+    assert [s["added_rows"] for s in snaps] == [12, 8, 20, 20]
+    assert [s["live_rows"] for s in snaps] == [12, 20, 20, 20]
+    assert snaps[0]["added_delete_files"] == 0
+
+
+def test_iceberg_snapshots_delete_ops(spark, tmp_path):
+    t = str(tmp_path / "isnap_del")
+    df = _frame(spark)
+    append_iceberg(df, t)
+    merge_iceberg_pos_delete(
+        spark, t, df.filter(F.col("k") < 3).withColumn("n", F.lit(0)),
+        on=["k"],
+    )
+    delete_iceberg_eq(spark, t, _frame(spark).select("k").filter(F.col("k") == 19))
+    snaps = iceberg_snapshots_df(spark, t).orderBy("seq").collect()
+    assert snaps[1]["operation"] == "overwrite"
+    assert snaps[1]["added_delete_files"] == 1  # the pos-delete file
+    assert snaps[2]["operation"] == "delete"
+    assert snaps[2]["added_delete_files"] == 1  # the eq-delete file
+
+
+def test_iceberg_files_partition_rollup(spark, tmp_path):
+    t = str(tmp_path / "ifiles")
+    df = _frame(spark, 30)
+    append_iceberg(df.repartition("g"), t, partition_by="g")
+    files = iceberg_files_df(spark, t)
+    rows = {
+        json.loads(r["partition"])["g"]: (r["record_count"],)
+        for r in files.collect()
+    }
+    assert sum(v[0] for v in rows.values()) == 30
+    assert set(rows) == {"0", "1", "2"}
+    # one file per partition (pre-shuffled by the partition column)
+    assert files.count() == 3
+    assert files.filter(F.col("record_count") <= 0).count() == 0
+
+
+def test_hudi_timeline_rows_written(spark, tmp_path):
+    t = str(tmp_path / "htl")
+    df = _frame(spark)
+    append_hudi(df.filter(F.col("k") < 15).repartition("g"), t,
+                partition_by="g")
+    append_hudi(df.filter(F.col("k") >= 15).repartition("g"), t,
+                partition_by="g")
+    tl = hudi_timeline_df(spark, t).orderBy("seq").collect()
+    assert [r["action"] for r in tl] == ["commit", "commit"]
+    assert [r["rows_written"] for r in tl] == [15, 5]
+    assert tl[0]["n_partitions"] == 3
+    # 15..19 → g in {0,1,2}: 15,18→0? 15%3=0,16→1,17→2,18→0,19→1 → 3
+    assert tl[1]["n_partitions"] == 3
+
+
+def test_hudi_timeline_upsert_instant(spark, tmp_path):
+    t = str(tmp_path / "htl_up")
+    df = _frame(spark).drop("g")
+    append_hudi(df, t)
+    upsert_hudi(spark, df.filter(F.col("k") < 4).withColumn(
+        "n", F.col("n") + 1), t, key="k")
+    tl = hudi_timeline_df(spark, t).orderBy("seq").collect()
+    assert len(tl) == 2
+    assert tl[0]["rows_written"] == 20
+    # the upsert rewrites the touched groups wholesale (CoW): its
+    # numWrites is the rewritten-group row count, at least the 4
+    # matched rows
+    assert tl[1]["rows_written"] >= 4
+
+
+def test_hudi_timeline_refuses_non_table(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+
+    with pytest.raises(SparkError):
+        hudi_timeline_df(spark, str(tmp_path / "nope"))
+
+
+# ---- refs: tags, branches, write-audit-publish ----
+
+from datafusion_catalogprovider_glue_spark.sources.iceberg import (  # noqa: E402
+    iceberg_ref_snapshot,
+    read_iceberg,
+)
+from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (  # noqa: E402
+    branch_iceberg,
+    publish_iceberg_branch,
+    tag_iceberg,
+)
+
+
+def test_iceberg_tag_pins_snapshot(spark, tmp_path):
+    t = str(tmp_path / "tag")
+    df = _frame(spark)
+    append_iceberg(df.filter(F.col("k") < 10), t)
+    tag_iceberg(t, "v1")
+    append_iceberg(df.filter(F.col("k") >= 10), t)
+    assert read_iceberg(spark, t, ref="v1").count() == 10
+    assert read_iceberg(spark, t).count() == 20
+    with pytest.raises(ValueError):
+        tag_iceberg(t, "v1")  # immutable
+    with pytest.raises(Exception):
+        read_iceberg(spark, t, ref="nope")
+
+
+def test_iceberg_branch_stacks_and_publishes(spark, tmp_path):
+    t = str(tmp_path / "wap")
+    df = _frame(spark)
+    append_iceberg(df.filter(F.col("k") < 10), t)
+    append_iceberg(
+        df.filter((F.col("k") >= 10) & (F.col("k") < 15)), t, branch="stage"
+    )
+    append_iceberg(df.filter(F.col("k") >= 15), t, branch="stage")
+    # two stacked branch commits; main untouched
+    assert read_iceberg(spark, t).count() == 10
+    assert read_iceberg(spark, t, ref="stage").count() == 20
+    publish_iceberg_branch(t, "stage")
+    assert read_iceberg(spark, t).count() == 20
+    # the ref survives the publish and equals main
+    assert iceberg_ref_snapshot(t, "stage") is not None
+
+
+def test_iceberg_publish_refuses_diverged_main(spark, tmp_path):
+    t = str(tmp_path / "wap_diverge")
+    df = _frame(spark)
+    append_iceberg(df.filter(F.col("k") < 10), t)
+    append_iceberg(df.filter(F.col("k") >= 15), t, branch="stage")
+    # main advances past the branch point → fast-forward must refuse
+    append_iceberg(df.filter((F.col("k") >= 10) & (F.col("k") < 15)), t)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        publish_iceberg_branch(t, "stage")
+
+
+def test_iceberg_branch_append_refuses_tag(spark, tmp_path):
+    t = str(tmp_path / "tag_not_branch")
+    df = _frame(spark)
+    append_iceberg(df, t)
+    tag_iceberg(t, "pinned")
+    with pytest.raises(ValueError, match="tags are immutable"):
+        append_iceberg(df, t, branch="pinned")
+    with pytest.raises(ValueError, match="no branch ref"):
+        publish_iceberg_branch(t, "pinned")
+
+
+def test_iceberg_branch_time_travel_composes(spark, tmp_path):
+    """A branch commit is a real snapshot: snapshot-id time travel and
+    the snapshots metadata table both see it."""
+    t = str(tmp_path / "branch_meta")
+    df = _frame(spark)
+    append_iceberg(df.filter(F.col("k") < 10), t)
+    branch_iceberg(t, "b")
+    append_iceberg(df.filter(F.col("k") >= 10), t, branch="b")
+    sid = iceberg_ref_snapshot(t, "b")
+    assert read_iceberg(spark, t, snapshot_id=sid).count() == 20
+    snaps = iceberg_snapshots_df(spark, t).orderBy("seq").collect()
+    assert len(snaps) == 2
+    assert snaps[1]["live_rows"] == 20
