@@ -310,3 +310,68 @@ def sink_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PUBLISH: verified-ancestor fast-forward
     publish_iceberg_branch(table, "audit")
     return read_iceberg(spark, table)
+
+
+@query(
+    "sink_delta_constraint",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id % 3 = 0
+    """,
+)
+def sink_delta_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraints (delta_writer.add_delta_constraint — the
+    protocol's ``delta.constraints.*`` configuration keys): adding a
+    constraint validates existing rows first; every later append and
+    merge gates its incoming batch, refusing the WHOLE commit on one
+    violating row — the write-time quality gate production Delta
+    pipelines rely on.  Asserted in-key: a violating append refuses
+    and leaves NO new version behind (atomicity), a constraint the
+    existing data violates refuses at ADD time, and the history shows
+    the ADD CONSTRAINT commit."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        delta_history,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        add_delta_constraint,
+        append_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("delta_constraint", sf_dir)
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+    add_delta_constraint(spark, table, "chars_nonneg", "n_chars >= 0")
+    try:
+        add_delta_constraint(spark, table, "tiny", "n_chars < 0")
+        raise SparkError("constraint violated by existing rows must refuse")
+    except ValueError:
+        pass
+    # a conforming append passes the gate
+    append_delta(
+        docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0)),
+        table,
+    )
+    # a violating append refuses atomically
+    versions_before = delta_history(spark, table).count()
+    try:
+        append_delta(
+            docs.filter(F.col("doc_id") % 2 == 1)
+            .withColumn("n_chars", F.lit(-1)),
+            table,
+        )
+        raise SparkError("violating append must refuse")
+    except ValueError:
+        pass
+    if delta_history(spark, table).count() != versions_before:
+        raise SparkError("refused append left a commit behind")
+    ops = [
+        r["operation"] for r in delta_history(spark, table).collect()
+    ]
+    if "ADD CONSTRAINT" not in ops:
+        raise SparkError(f"history missing ADD CONSTRAINT: {ops}")
+    return read_delta(spark, table)

@@ -50,6 +50,14 @@ def _next_version(log_dir: str) -> int:
         for f in os.listdir(log_dir)
         if f.endswith(".json") and f[:-5].isdigit()
     ]
+    # a checkpoint supersedes the JSON commits ≤ its version, and the
+    # spec allows deleting them — the next version must clear the
+    # checkpoint too, or a post-cleanup append would restart at 0 and
+    # silently shadow the table
+    ckpt = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ckpt):
+        with open(ckpt) as fh:
+            vs.append(int(json.load(fh)["version"]))
     return max(vs) + 1 if vs else 0
 
 
@@ -231,6 +239,7 @@ def append_delta(
             raise ValueError(
                 f"append schema drops table columns {missing}"
             )
+        _check_constraints(snap.configuration, df, "the append batch")
         if added:
             if not merge_schema:
                 raise ValueError(
@@ -377,6 +386,9 @@ def merge_delta(
             f"merge source columns {sorted(source.columns)} != table "
             f"columns {sorted(cols)}"
         )
+    # CHECK constraints gate the incoming rows (updates/inserts take
+    # source values; surviving target rows satisfy by induction)
+    _check_constraints(snap.configuration, source, "the merge source")
     # MERGE ambiguity rule: at most one source row per key
     dups = (
         source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
@@ -615,6 +627,7 @@ def merge_delta_dv(
             f"merge source columns {sorted(source.columns)} != table "
             f"columns {sorted(cols)}"
         )
+    _check_constraints(snap.configuration, source, "the merge source")
     dups = (
         source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1).limit(1).count()
@@ -810,3 +823,98 @@ def vacuum_delta(spark, table_path: str) -> list[str]:
         if root != table_path and not dirs and not names:
             os.rmdir(root)
     return sorted(deleted)
+
+
+def _check_constraints(configuration: dict, df: DataFrame, where: str) -> None:
+    """Enforce every ``delta.constraints.<name>`` CHECK expression on
+    the rows about to land.  Delta's rule: a row violates when the
+    expression is NOT TRUE (false or NULL) — the writer refuses the
+    whole commit.  Cost is one filter+limit(1) scan of the BATCH (not
+    the table), the same work real Delta fuses into its write job; at
+    100 TB the check stays ∝ batch size because it never touches
+    existing files."""
+    from pyspark.sql import functions as F
+
+    for conf_key, expr in sorted((configuration or {}).items()):
+        if not conf_key.startswith("delta.constraints."):
+            continue
+        name = conf_key[len("delta.constraints."):]
+        bad = df.filter(
+            ~F.coalesce(F.expr(expr), F.lit(False))
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by a row "
+                f"in {where}: {bad[0].asDict()}"
+            )
+
+
+def add_delta_constraint(
+    spark, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT ... CHECK (expr): records the
+    constraint in the table configuration (the protocol's
+    ``delta.constraints.<name>`` key — exactly where real Delta stores
+    them, so the metaData action round-trips through checkpoints) and
+    validates the EXISTING rows first, refusing if any violates — the
+    same order real Delta enforces.  Subsequent appends and merges
+    check every incoming batch against it.  Returns the committed
+    version."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+
+    snap = DeltaSnapshot(table_path)
+    conf_key = f"delta.constraints.{name}"
+    if conf_key in snap.configuration:
+        raise ValueError(f"constraint {name!r} already exists")
+    _check_constraints(
+        {conf_key: expr}, read_delta(spark, table_path), "the existing table"
+    )
+    version = _next_version(_log_dir(table_path))
+    meta = {
+        "metaData": {
+            "id": hashlib.md5(table_path.encode()).hexdigest(),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap.schema.json(),
+            "partitionColumns": list(snap.partition_columns),
+            "configuration": {**snap.configuration, conf_key: expr},
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+    _commit(
+        _log_dir(table_path), version,
+        [_commit_info("ADD CONSTRAINT"), meta],
+    )
+    return version
+
+
+def drop_delta_constraint(spark, table_path: str, name: str) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT: removes the configuration key
+    in a new metaData commit (history keeps the constrained era)."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+
+    snap = DeltaSnapshot(table_path)
+    conf_key = f"delta.constraints.{name}"
+    if conf_key not in snap.configuration:
+        raise ValueError(f"no constraint {name!r}")
+    conf = {k: v for k, v in snap.configuration.items() if k != conf_key}
+    version = _next_version(_log_dir(table_path))
+    meta = {
+        "metaData": {
+            "id": hashlib.md5(table_path.encode()).hexdigest(),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": snap.schema.json(),
+            "partitionColumns": list(snap.partition_columns),
+            "configuration": conf,
+            "createdTime": int(time.time() * 1000),
+        }
+    }
+    _commit(
+        _log_dir(table_path), version,
+        [_commit_info("DROP CONSTRAINT"), meta],
+    )
+    return version

@@ -254,3 +254,74 @@ def test_iceberg_branch_time_travel_composes(spark, tmp_path):
     snaps = iceberg_snapshots_df(spark, t).orderBy("seq").collect()
     assert len(snaps) == 2
     assert snaps[1]["live_rows"] == 20
+
+
+# ---- Delta CHECK constraints ----
+
+from datafusion_catalogprovider_glue_spark.sources.delta_writer import (  # noqa: E402
+    add_delta_constraint,
+    drop_delta_constraint,
+)
+
+
+def test_delta_constraint_gates_appends_and_merges(spark, tmp_path):
+    t = str(tmp_path / "ck")
+    df = _frame(spark)
+    append_delta(df, t)
+    add_delta_constraint(spark, t, "n_nonneg", "n >= 0")
+    with pytest.raises(ValueError, match="violated"):
+        append_delta(df.withColumn("n", F.lit(-5).cast("long")), t)
+    with pytest.raises(ValueError, match="violated"):
+        merge_delta(
+            spark, t, df.limit(3).withColumn("n", F.lit(-5).cast("long")), on=["k"]
+        )
+    # NULL is a violation (expression must be TRUE)
+    with pytest.raises(ValueError, match="violated"):
+        append_delta(df.withColumn("n", F.lit(None).cast("long")), t)
+    # conforming writes pass, constraint survives the metaData commit
+    append_delta(df.withColumn("k", F.col("k") + 100), t)
+    assert read_delta(spark, t).count() == 40
+
+
+def test_delta_constraint_add_validates_existing(spark, tmp_path):
+    t = str(tmp_path / "ck_existing")
+    append_delta(_frame(spark), t)
+    with pytest.raises(ValueError, match="violated"):
+        add_delta_constraint(spark, t, "impossible", "n > 1000")
+    add_delta_constraint(spark, t, "ok", "n >= 0")
+    with pytest.raises(ValueError, match="already exists"):
+        add_delta_constraint(spark, t, "ok", "n >= 0")
+
+
+def test_delta_constraint_drop_reopens(spark, tmp_path):
+    t = str(tmp_path / "ck_drop")
+    df = _frame(spark)
+    append_delta(df, t)
+    add_delta_constraint(spark, t, "n_nonneg", "n >= 0")
+    drop_delta_constraint(spark, t, "n_nonneg")
+    append_delta(df.withColumn("n", F.lit(-5).cast("long")).withColumn(
+        "k", F.col("k") + 100), t)  # allowed again
+    assert read_delta(spark, t).count() == 40
+    hist = [r["operation"] for r in delta_history(spark, t).collect()]
+    assert "ADD CONSTRAINT" in hist and "DROP CONSTRAINT" in hist
+    with pytest.raises(ValueError, match="no constraint"):
+        drop_delta_constraint(spark, t, "n_nonneg")
+
+
+def test_delta_constraint_survives_checkpoint(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        checkpoint_delta,
+    )
+
+    t = str(tmp_path / "ck_ckpt")
+    df = _frame(spark)
+    append_delta(df, t)
+    add_delta_constraint(spark, t, "n_nonneg", "n >= 0")
+    v = checkpoint_delta(spark, t)
+    log_dir = os.path.join(t, "_delta_log")
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) <= v:
+            os.remove(os.path.join(log_dir, f))
+    # the configuration (and thus enforcement) must survive the replay
+    with pytest.raises(ValueError, match="violated"):
+        append_delta(df.withColumn("n", F.lit(-5).cast("long")), t)
