@@ -321,3 +321,60 @@ def pipeline_write_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+@query(
+    "scan_parquet_bloom",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+    """,
+)
+def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup layout: lineitem rewritten once per sf range-sorted
+    on ``l_orderkey`` with parquet BLOOM FILTERS on the key
+    (``parquet.bloom.filter.enabled#l_orderkey`` — written by Spark's
+    parquet-mr sink, consumed by its vectorized reader during
+    row-group filtering).  The sort gives footer min/max pruning for
+    RANGE predicates; the bloom filter covers what min/max cannot — a
+    point EQUALITY probe for a key ABSENT from a file whose range
+    happens to span it skips the row group without decoding a page.
+    That pairing (sort + bloom) is the standard needle-in-haystack
+    layout for id-lookup tables at 100 TB, where an unindexed point
+    query would otherwise touch every row group whose range covers
+    the key.  Bloom bytes actually landing in the files is pinned by
+    size-delta in tests/test_extensions.py; this key pins the layout
+    rewrite is LOSSLESS via the oracle hash on a max-key probe
+    (computed from the data, not hardcoded, so it holds at every
+    sf)."""
+    apply_engine_conf(spark)
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", f"glue_spark_bloom_{h}", "lineitem_bloom")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.repartitionByRange(8, "l_orderkey")
+            .sortWithinPartitions("l_orderkey")
+            .write.mode("overwrite")
+            .option("parquet.bloom.filter.enabled#l_orderkey", "true")
+            .option("parquet.bloom.filter.expected.ndv#l_orderkey", "2000000")
+            # parquet-mr SKIPS the bloom when a row group stays fully
+            # dictionary-encoded (the dictionary already gives exact
+            # filtering); a production id column overflows dictionaries
+            # anyway, so turn the dictionary off for the key column —
+            # the sorted int64 falls back to delta encoding and the
+            # bloom bytes actually land at every scale
+            .option("parquet.enable.dictionary#l_orderkey", "false")
+            .parquet(out)
+        )
+    probe = spark.read.parquet(out).agg(F.max("l_orderkey")).collect()[0][0]
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("l_orderkey") == probe)
+        .select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+    )

@@ -375,3 +375,178 @@ def sink_delta_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
     if "ADD CONSTRAINT" not in ops:
         raise SparkError(f"history missing ADD CONSTRAINT: {ops}")
     return read_delta(spark, table)
+
+
+@query(
+    "stream_cdc_replicate",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE (doc_id % 2 = 0 OR doc_id % 3 = 0) AND doc_id % 5 <> 0
+    """,
+)
+def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC REPLICATION: a downstream replica follows a primary Delta
+    table by consuming its CHANGE DATA FEED version-by-version
+    (delta.read_delta_cdf) and applying each batch as
+    delete-preimages-then-upsert-postimages — the standard
+    table_changes consumer loop every cross-region replica and
+    search-index sync job runs.  The primary sees all three write
+    shapes (append, CoW MERGE, deletion-vector delete), so the
+    replica must fold derived file-level changes AND DV mask diffs;
+    the hash match proves the CDF stream is a lossless change log.
+    Scale shape: each applied batch costs ∝ that batch's change
+    volume (the CDF contract), never ∝ table size.  The replica is
+    built exclusively from CDF batches; asserted in-key: it converges
+    to the primary's state after EVERY applied version (cardinality),
+    with final full-row equality pinned by the oracle hash."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+        read_delta_cdf,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta,
+        merge_delta_dv,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    cols = ["doc_id", "lang", "n_chars"]
+    primary = _tmp_table("cdc_primary", sf_dir)
+    replica = _tmp_table("cdc_replica", sf_dir)
+    # primary: one commit of each write shape
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), primary)
+    merge_delta(
+        spark, primary,
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)
+        ),
+        on=["doc_id"],
+    )
+    merge_delta_dv(
+        spark, primary,
+        read_delta(spark, primary).filter(F.col("doc_id") % 5 == 0),
+        on=["doc_id"],
+        matched_delete=F.lit(True),
+    )
+    head = DeltaSnapshot(primary).version
+    for v in range(head + 1):
+        batch = read_delta_cdf(spark, primary, v, v).persist()
+        dels = batch.filter(
+            F.col("_change_type").isin("delete", "update_preimage")
+        ).select(*cols)
+        ups = batch.filter(
+            F.col("_change_type").isin("insert", "update_postimage")
+        ).select(*cols)
+        if not os.path.exists(os.path.join(replica, "_delta_log")):
+            # first batch of a fresh replica is pure inserts
+            if dels.limit(1).count():
+                raise SparkError("deletes before the replica exists")
+            append_delta(ups, replica)
+        else:
+            if dels.limit(1).count():
+                merge_delta(
+                    spark, replica, dels, on=["doc_id"],
+                    matched_delete=F.lit(True),
+                )
+            if ups.limit(1).count():
+                merge_delta(spark, replica, ups, on=["doc_id"])
+        batch.unpersist(blocking=False)
+        # convergence after EVERY applied batch: cardinality against the
+        # primary's state at v (cheap); the lossless full-row proof is
+        # the head-version exceptAll below plus the oracle hash match
+        if (
+            read_delta(spark, replica).count()
+            != read_delta(spark, primary, version=v).count()
+        ):
+            raise SparkError(f"replica diverged after applying version {v}")
+    # full-row equality of the final state is the oracle hash match
+    return read_delta(spark, replica)
+
+
+@query(
+    "sink_hudi_clustering",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+    """,
+)
+def sink_hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLUSTERING as a REPLACECOMMIT (hudi_writer.cluster_hudi): after
+    an insert + upsert scatter rows across file groups, one clustering
+    commit rewrites every live group range-sorted on ``doc_id`` — the
+    table service Hudi schedules to fix small-file and scatter
+    problems.  Asserted in-key: the snapshot replays identically
+    across the rewrite (oracle hash), time travel BEFORE the
+    replacecommit still resolves the OLD groups, rows keep their
+    ORIGINAL ``_hoodie_commit_time`` (clustering is not a data change
+    — row-level incremental consumers must not re-see these rows),
+    and the new base files carry range-disjoint ``doc_id`` footer
+    spans (the stats-pruning evidence the rewrite exists to buy)."""
+    import pyarrow.parquet as pq
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        cluster_hudi,
+        upsert_hudi,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("hudi_clustering", sf_dir)
+    append_hudi(docs.filter(F.col("doc_id") % 2 == 0), table)
+    pre = upsert_hudi(
+        spark,
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)
+        ),
+        table, key="doc_id",
+    )
+    n_pre = read_hudi(spark, table).count()
+    instant = cluster_hudi(spark, table, "doc_id", n_groups=2)
+    # rows keep their pre-clustering commit times
+    max_ct = read_hudi(spark, table).agg(
+        F.max("_hoodie_commit_time")
+    ).collect()[0][0]
+    if not max_ct < instant:
+        raise SparkError(
+            f"clustering re-stamped commit times ({max_ct} >= {instant})"
+        )
+    # time travel before the replacecommit resolves the OLD groups
+    if read_hudi(spark, table, as_of=pre).count() != n_pre:
+        raise SparkError("pre-clustering time travel broken")
+    # new base files: range-disjoint doc_id spans
+    new_files = sorted(
+        f for f in os.listdir(table)
+        if f.startswith("fg-cluster-") and f.endswith(".parquet")
+    )
+    if len(new_files) != 2:
+        raise SparkError(f"expected 2 clustered groups, got {new_files}")
+    spans = []
+    for f in new_files:
+        md = pq.read_metadata(os.path.join(table, f))
+        idx = md.schema.names.index("doc_id")
+        spans.append(
+            (
+                min(md.row_group(i).column(idx).statistics.min
+                    for i in range(md.num_row_groups)),
+                max(md.row_group(i).column(idx).statistics.max
+                    for i in range(md.num_row_groups)),
+            )
+        )
+    spans.sort()
+    if any(c <= b for (a, b), (c, d) in zip(spans, spans[1:])):
+        raise SparkError(f"clustered groups overlap on doc_id: {spans}")
+    return read_hudi(spark, table).select("doc_id", "lang", "n_chars")

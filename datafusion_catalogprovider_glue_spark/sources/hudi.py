@@ -69,13 +69,13 @@ def table_partition_field(location: str) -> str:
 
 
 def _commit_files_partitioned(
-    location: str, instant: str
+    location: str, instant: str, action: str = "commit"
 ) -> dict[str, tuple[str, str]]:
     """fileId → (partition path, relative path) from one commit's
     partitionToWriteStats — the partition key is what reads prune on
     without listing directories."""
     with open(
-        os.path.join(location, ".hoodie", f"{instant}.commit")
+        os.path.join(location, ".hoodie", f"{instant}.{action}")
     ) as fh:
         meta = json.load(fh)
     out = {}
@@ -83,6 +83,20 @@ def _commit_files_partitioned(
         for s in stats:
             out[s["fileId"]] = (ppath, s["path"])
     return out
+
+
+def _replaced_file_ids(location: str, instant: str) -> set[str]:
+    """The file groups a REPLACECOMMIT retires
+    (partitionToReplaceFileIds — Hudi's clustering commit shape)."""
+    with open(
+        os.path.join(location, ".hoodie", f"{instant}.replacecommit")
+    ) as fh:
+        meta = json.load(fh)
+    return {
+        fid
+        for ids in meta.get("partitionToReplaceFileIds", {}).values()
+        for fid in ids
+    }
 
 
 def _commit_files(location: str, instant: str) -> dict[str, str]:
@@ -114,16 +128,28 @@ def read_hudi(
     scanned — no directory listing, no file open.  The partition
     column itself is stored IN the data files (Hudi's layout, unlike
     Delta), so the scan needs no re-attachment."""
-    instants = hudi_completed_instants(location)
+    tl = os.path.join(location, ".hoodie")
+    if not os.path.isdir(tl):
+        raise SparkError(f"no .hoodie timeline under {location}")
+    timeline = sorted(
+        (f.rsplit(".", 1)[0], f.rsplit(".", 1)[1])
+        for f in os.listdir(tl)
+        if f.endswith((".commit", ".replacecommit"))
+    )
     if as_of is not None:
-        instants = [t for t in instants if t <= as_of]
-        if not instants:
+        timeline = [(t, a) for t, a in timeline if t <= as_of]
+        if not timeline:
             raise SparkError(
                 f"no completed instant <= {as_of} at {location}"
             )
     latest: dict[str, tuple[str, str]] = {}
-    for t in instants:  # ascending: later commits overwrite the slice
-        latest.update(_commit_files_partitioned(location, t))
+    for t, action in timeline:  # ascending: later commits win the slice
+        latest.update(_commit_files_partitioned(location, t, action))
+        if action == "replacecommit":
+            # clustering retires the replaced groups from this instant
+            # on; time travel before it still resolves them above
+            for fid in _replaced_file_ids(location, t):
+                latest.pop(fid, None)
     if partition_filter:
         pf = table_partition_field(location)
         unknown = set(partition_filter) - ({pf} if pf else set())

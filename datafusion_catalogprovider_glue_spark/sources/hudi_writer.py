@@ -61,13 +61,13 @@ def _timeline_dir(location: str) -> str:
 
 
 def _next_instant(location: str) -> str:
-    # MoR tables interleave .commit and .deltacommit on ONE timeline;
-    # the next instant must clear both
+    # one timeline interleaves .commit, .deltacommit, and
+    # .replacecommit; the next instant must clear all three
     tl = _timeline_dir(location)
     done = [
         int(f[: -len(suffix)])
         for f in os.listdir(tl)
-        for suffix in (".commit", ".deltacommit")
+        for suffix in (".commit", ".deltacommit", ".replacecommit")
         if f.endswith(suffix) and f[: -len(suffix)].isdigit()
     ]
     return str(max(done) + 1 if done else _BASE_INSTANT)
@@ -76,6 +76,7 @@ def _next_instant(location: str) -> str:
 def _publish(
     location: str, instant: str, stats, action: str = "commit",
     table_type: str = "COPY_ON_WRITE", partition_field: str = None,
+    extra: dict = None,
 ) -> None:
     """``stats`` is a flat list (unpartitioned: recorded under the
     spec's empty partition path) or a dict of partition path →
@@ -108,8 +109,12 @@ def _publish(
                 )
     path = os.path.join(tl, f"{instant}.{action}")
     tmp = path + f".tmp.{os.getpid()}"
+    payload = {"partitionToWriteStats": by_part}
+    if extra:
+        # replacecommits add the spec's partitionToReplaceFileIds
+        payload.update(extra)
     with open(tmp, "w") as fh:
-        json.dump({"partitionToWriteStats": by_part}, fh, sort_keys=True)
+        json.dump(payload, fh, sort_keys=True)
     try:
         os.link(tmp, path)  # put-if-absent: one writer wins the instant
     except FileExistsError:
@@ -797,3 +802,102 @@ def compact_hudi(spark: SparkSession, location: str, key: str) -> str:
         partition_field=table_partition_field(location),
     )
     return instant
+
+
+def cluster_hudi(
+    spark: SparkSession, location: str, sort_col: str, n_groups: int = 2
+) -> str:
+    """CLUSTERING (Hudi's clustering table service, committed as the
+    spec's REPLACECOMMIT): rewrite every live file group into
+    ``n_groups`` new groups RANGE-SORTED on ``sort_col``, so point /
+    range queries on that column prune by parquet footer stats — the
+    layout rewrite Hudi schedules to fix small-file + scatter problems
+    without blocking writers.
+
+    Semantics the spec requires, pinned in tests/test_meta_tables.py:
+
+    * rows keep their ORIGINAL ``_hoodie_commit_time`` (clustering is
+      a layout change, not a data change — row-level incremental
+      consumers must not re-see clustered rows), which is why this
+      writes the snapshot's rows verbatim instead of re-stamping;
+    * the commit's ``partitionToReplaceFileIds`` lists every replaced
+      group; snapshot reads from this instant on use only the new
+      groups, while time travel BEFORE it still resolves the old ones
+      (the old base files stay on disk);
+    * ONE distributed job writes all groups (repartitionByRange lays
+      out the ranges; part files rename to file-group names in range
+      order) — no per-group driver loop at 10⁴ groups.
+
+    Scope: CoW tables without pending MoR logs (a MoR clustering must
+    first fold logs — that is compaction's job).  Returns the
+    committed instant."""
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi,
+    )
+
+    _refuse_partitioned(location, "cluster_hudi")
+    tl = _timeline_dir(location)
+    if any(f.endswith(".deltacommit") for f in os.listdir(tl)):
+        raise SparkError(
+            "cluster_hudi subset: table has MoR delta logs — run "
+            "compact_hudi first (clustering does not fold logs)"
+        )
+    snapshot = read_hudi(spark, location)  # includes _hoodie_commit_time
+    # every live group is replaced
+    replaced = sorted(
+        {
+            fid
+            for t in _live_instants(location)
+            for fid in _commit_file_ids(location, t)
+        }
+    )
+    instant = _next_instant(location)
+    staging = os.path.join(location, f"_staging_cluster_{instant}")
+    (
+        snapshot.repartitionByRange(n_groups, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    parts = sorted(
+        n for n in os.listdir(staging) if n.endswith(".parquet")
+    )
+    stats = []
+    for i, part in enumerate(parts):
+        fid = f"fg-cluster-{instant}-{i}"
+        name = f"{fid}_0-0-0_{instant}.parquet"
+        os.replace(
+            os.path.join(staging, part), os.path.join(location, name)
+        )
+        stats.append({"fileId": fid, "path": name})
+    shutil.rmtree(staging)
+    _publish(
+        location, instant, stats, action="replacecommit",
+        extra={"partitionToReplaceFileIds": {"": replaced}},
+    )
+    return instant
+
+
+def _live_instants(location: str) -> list[str]:
+    """Completed instants that can still contribute live file groups
+    (commit + replacecommit), ascending."""
+    tl = _timeline_dir(location)
+    return sorted(
+        f.rsplit(".", 1)[0]
+        for f in os.listdir(tl)
+        if f.endswith((".commit", ".replacecommit"))
+    )
+
+
+def _commit_file_ids(location: str, instant: str) -> list[str]:
+    for suffix in ("commit", "replacecommit"):
+        p = os.path.join(_timeline_dir(location), f"{instant}.{suffix}")
+        if os.path.exists(p):
+            with open(p) as fh:
+                meta = json.load(fh)
+            return [
+                st["fileId"]
+                for stats in meta.get("partitionToWriteStats", {}).values()
+                for st in stats
+            ]
+    return []

@@ -1521,3 +1521,62 @@ def test_asof_tolerance_drops_stale_matches(spark):
     assert set(out) == {2, 6}
     assert out[2].view_value == 10.0
     assert out[6].view_value == 30.0
+
+
+def test_parquet_bloom_bytes_present_and_sorted(spark):
+    """The bloom-layout rewrite must (a) actually embed bloom-filter
+    bytes (pinned by size delta against an identical bloom-less
+    write — pyarrow 16 doesn't expose bloom offsets) and (b) sort by
+    the key so footer min/max ranges are file-disjoint."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from datafusion_catalogprovider_glue_spark.operators import layout
+
+    layout.scan_parquet_bloom(spark, SF_CORRECTNESS).collect()
+    h = hashlib.md5(SF_CORRECTNESS.encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", f"glue_spark_bloom_{h}", "lineitem_bloom")
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    assert len(files) >= 8
+
+    # same rows, same layout, NO bloom option → strictly smaller files
+    plain = out + "_nobloom"
+    shutil.rmtree(plain, ignore_errors=True)
+    (
+        spark.read.parquet(out)
+        .repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(plain)
+    )
+    bloom_bytes = sum(
+        os.path.getsize(os.path.join(out, f)) for f in files
+    )
+    plain_bytes = sum(
+        os.path.getsize(os.path.join(plain, f))
+        for f in os.listdir(plain)
+        if f.endswith(".parquet")
+    )
+    assert bloom_bytes > plain_bytes * 1.01, (bloom_bytes, plain_bytes)
+
+    # range-sorted: per-file [min,max] on l_orderkey barely overlap —
+    # a point probe hits ~one file by stats alone; bloom covers the
+    # within-range misses
+    spans = []
+    for f in files:
+        md = pq.read_metadata(os.path.join(out, f))
+        idx = md.schema.names.index("l_orderkey")
+        lo = min(md.row_group(i).column(idx).statistics.min
+                 for i in range(md.num_row_groups))
+        hi = max(md.row_group(i).column(idx).statistics.max
+                 for i in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    overlaps = sum(
+        1 for (a, b), (c, d) in zip(spans, spans[1:]) if c < b
+    )
+    assert overlaps <= 1, spans
+    shutil.rmtree(plain)

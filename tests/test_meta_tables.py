@@ -325,3 +325,72 @@ def test_delta_constraint_survives_checkpoint(spark, tmp_path):
     # the configuration (and thus enforcement) must survive the replay
     with pytest.raises(ValueError, match="violated"):
         append_delta(df.withColumn("n", F.lit(-5).cast("long")), t)
+
+
+# ---- Hudi clustering (replacecommit) ----
+
+from datafusion_catalogprovider_glue_spark.sources.hudi import (  # noqa: E402
+    read_hudi,
+    read_hudi_incremental,
+)
+from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (  # noqa: E402
+    append_hudi_log,
+    cluster_hudi,
+)
+
+
+def test_hudi_clustering_replaces_groups(spark, tmp_path):
+    t = str(tmp_path / "clu")
+    df = _frame(spark).drop("g")
+    append_hudi(df, t, n_groups=3)
+    pre = sorted(f for f in os.listdir(t) if f.endswith(".parquet"))
+    instant = cluster_hudi(spark, t, "k", n_groups=2)
+    got = {(r["k"], r["n"]) for r in
+           read_hudi(spark, t).select("k", "n").collect()}
+    assert got == {(i, i * 10) for i in range(20)}
+    # old base files survive on disk for time travel
+    for f in pre:
+        assert os.path.exists(os.path.join(t, f))
+    assert read_hudi(spark, t, as_of=str(int(instant) - 1)).count() == 20
+    # timeline shows the replacecommit
+    tl = hudi_timeline_df(spark, t).orderBy("seq").collect()
+    assert [r["action"] for r in tl] == ["commit", "replacecommit"]
+    assert tl[1]["rows_written"] == 20
+
+
+def test_hudi_clustering_preserves_commit_times(spark, tmp_path):
+    """Clustering is a layout change: rows keep their original
+    _hoodie_commit_time, so incremental consumers don't re-see them."""
+    t = str(tmp_path / "clu_ct")
+    df = _frame(spark).drop("g")
+    i1 = append_hudi(df.filter(F.col("k") < 10), t)
+    i2 = append_hudi(df.filter(F.col("k") >= 10), t)
+    instant = cluster_hudi(spark, t, "k")
+    cts = {
+        r["_hoodie_commit_time"]
+        for r in read_hudi(spark, t).select("_hoodie_commit_time").collect()
+    }
+    assert cts == {i1, i2}
+    # row-level incremental from i1: only i2's rows, despite clustering
+    inc = read_hudi_incremental(spark, t, begin=i1)
+    assert {r["k"] for r in inc.select("k").collect()} == set(range(10, 20))
+
+
+def test_hudi_clustering_refuses_pending_logs(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+
+    t = str(tmp_path / "clu_mor")
+    df = _frame(spark).drop("g")
+    append_hudi(df, t, n_groups=1)
+    fid = json.load(
+        open(os.path.join(t, ".hoodie", sorted(
+            f for f in os.listdir(os.path.join(t, ".hoodie"))
+            if f.endswith(".commit")
+        )[0]))
+    )["partitionToWriteStats"][""][0]["fileId"]
+    append_hudi_log(
+        spark, df.filter(F.col("k") < 2).withColumn("n", F.lit(0).cast("long")),
+        t, file_id=fid,
+    )
+    with pytest.raises(SparkError, match="delta logs"):
+        cluster_hudi(spark, t, "k")
