@@ -190,6 +190,18 @@ HEADLINE = [
     "scan_hudi_partitioned_pruned",
     "sink_iceberg_schema_evolution",
     "sink_delta_schema_merge",
+    # round-7 second wave: metadata queries, refs/WAP, constraints,
+    # point-lookup layout, CDC replication, Hudi clustering
+    "meta_delta_history",
+    "meta_iceberg_snapshots",
+    "meta_iceberg_files",
+    "meta_hudi_timeline",
+    "scan_iceberg_tag",
+    "sink_iceberg_wap",
+    "sink_delta_constraint",
+    "scan_parquet_bloom",
+    "stream_cdc_replicate",
+    "sink_hudi_clustering",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

@@ -381,11 +381,17 @@ def merge_delta(
     # table starts from the TRUE logical table
     target = _scan_with_identity(spark, snap).drop("_file", "_pos")
     cols = [f.name for f in snap.schema.fields]
-    if sorted(source.columns) != sorted(cols):
+    missing = [c for c in cols if c not in source.columns]
+    if missing:
         raise ValueError(
-            f"merge source columns {sorted(source.columns)} != table "
-            f"columns {sorted(cols)}"
+            f"merge source lacks table columns {missing} "
+            f"(source: {sorted(source.columns)})"
         )
+    # EXTRA source columns are allowed and never land in the table:
+    # they exist so matched_delete/matched_update conditions can
+    # reference them — the CDC-apply shape (an _op / _change_type
+    # column riding along the change rows) every table_changes
+    # consumer uses
     # CHECK constraints gate the incoming rows (updates/inserts take
     # source values; surviving target rows satisfy by induction)
     _check_constraints(snap.configuration, source, "the merge source")

@@ -394,3 +394,32 @@ def test_hudi_clustering_refuses_pending_logs(spark, tmp_path):
     )
     with pytest.raises(SparkError, match="delta logs"):
         cluster_hudi(spark, t, "k")
+
+
+def test_merge_delta_extra_source_columns_cdc_shape(spark, tmp_path):
+    """merge_delta allows EXTRA source columns (they never land in the
+    table) so matched conditions can read a CDC _op column — and still
+    refuses a source MISSING table columns."""
+    t = str(tmp_path / "cdc_shape")
+    df = _frame(spark)
+    append_delta(df, t)
+    src = (
+        df.filter(F.col("k") < 6)
+        .withColumn("n", F.col("n") + 1)
+        .withColumn(
+            "_op",
+            F.when(F.col("k") < 3, F.lit("delete")).otherwise(F.lit("upsert")),
+        )
+    )
+    merge_delta(
+        spark, t, src, on=["k"],
+        matched_delete=F.col("s._op") == "delete",
+    )
+    out = {(r["k"], r["n"]) for r in read_delta(spark, t).collect()}
+    assert out == (
+        {(k, k * 10 + 1) for k in range(3, 6)}          # updated
+        | {(k, k * 10) for k in range(6, 20)}           # untouched
+    )
+    assert "_op" not in read_delta(spark, t).columns
+    with pytest.raises(ValueError, match="lacks table columns"):
+        merge_delta(spark, t, df.drop("n"), on=["k"])
