@@ -202,6 +202,7 @@ HEADLINE = [
     "scan_parquet_bloom",
     "stream_cdc_replicate",
     "sink_hudi_clustering",
+    "sink_delta_cm_write",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

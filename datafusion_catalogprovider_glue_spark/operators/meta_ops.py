@@ -591,3 +591,53 @@ def sink_hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     if any(c <= b for (a, b), (c, d) in zip(spans, spans[1:])):
         raise SparkError(f"clustered groups overlap on doc_id: {spans}")
     return read_hudi(spark, table).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "sink_delta_cm_write",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def sink_delta_cm_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN-MAPPING WRITES (delta_writer.append_delta(
+    column_mapping=True) — name mode, the protocol current Delta
+    writers default to): the table creates under protocol (2,5) with
+    per-field delta.columnMapping.id/physicalName metadata, data files
+    carry the PHYSICAL names, and a later plain append detects the
+    mode from the table and renames automatically — closing the
+    reader/writer asymmetry (the reader has resolved name/id mode
+    since r3/r7).  Asserted in-key: the parquet footers contain ONLY
+    physical ``col-…`` names (a reader without the mapping cannot even
+    see the logical schema — the rename really happened), and the
+    engine's own reader round-trips the logical rows (oracle hash)."""
+    import pyarrow.parquet as pq
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("delta_cm_write", sf_dir)
+    append_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), table, column_mapping=True
+    )
+    # a plain append follows the table's recorded mode
+    append_delta(docs.filter(F.col("doc_id") % 2 == 1), table)
+    snap = DeltaSnapshot(table)
+    for path in snap.files:
+        names = set(pq.read_schema(path).names)
+        if any(not n.startswith("col-") for n in names):
+            raise SparkError(
+                f"data file {path} leaks logical names: {sorted(names)}"
+            )
+    logical = {f.name for f in snap.schema.fields}
+    if logical != {"doc_id", "lang", "n_chars"}:
+        raise SparkError(f"logical schema lost: {sorted(logical)}")
+    return read_delta(spark, table)

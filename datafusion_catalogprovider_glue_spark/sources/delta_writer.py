@@ -9,7 +9,10 @@ rewrite: remove + add with dataChange=false), copy-on-write MERGE
 updates/deletes without rewriting data files), and checkpoint writing
 (checkpoint_delta — r7: DV descriptors and hive partitions
 checkpoint too).  MERGE/compaction compose with single-column hive
-partitioning as of r7.  Not in scope: column-mapping writes.
+partitioning as of r7.  Column-mapping (name mode) table CREATION and
+appends land in r7b (``append_delta(column_mapping=True)`` — physical
+file names, logical schemaString metadata, (2,5) protocol); merges and
+compaction on column-mapped tables refuse loudly.
 
 Format notes (public Delta protocol):
 * ``schemaString`` is Spark's ``StructType.json()`` — Delta adopted
@@ -36,6 +39,8 @@ import time
 from pyspark.sql import DataFrame
 
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
+# columnMapping requires the (2, 5) protocol per PROTOCOL.md
+_CM_PROTOCOL = {"minReaderVersion": 2, "minWriterVersion": 5}
 
 
 def _log_dir(table_path: str) -> str:
@@ -188,12 +193,34 @@ def _write_partitioned_data_files(
     return adds
 
 
+def _physical_name(logical: str) -> str:
+    """Deterministic physical column name for columnMapping name mode
+    (real writers mint UUIDs; the repo's determinism convention derives
+    from the logical name — stable for this writer's scope, which
+    refuses renames)."""
+    return f"col-{hashlib.md5(logical.encode()).hexdigest()[:16]}"
+
+
+def _cm_schema_json(schema) -> str:
+    """Spark schema JSON with the protocol's columnMapping field
+    metadata (delta.columnMapping.id / .physicalName) attached."""
+    d = json.loads(schema.json())
+    for i, f in enumerate(d["fields"], start=1):
+        f["metadata"] = {
+            **(f.get("metadata") or {}),
+            "delta.columnMapping.id": i,
+            "delta.columnMapping.physicalName": _physical_name(f["name"]),
+        }
+    return json.dumps(d)
+
+
 def append_delta(
     df: DataFrame,
     table_path: str,
     n_files: int = 2,
     partition_by: str = None,
     merge_schema: bool = False,
+    column_mapping: bool = False,
 ) -> int:
     """Append ``df`` to the Delta table at ``table_path`` (creating it
     with the schema's metaData action on version 0).  With
@@ -206,7 +233,18 @@ def append_delta(
     mergeSchema option), a pure column-ADDING superset instead
     commits an updated metaData action alongside the adds (schema
     evolution; earlier files read the new columns as null through the
-    by-name parquet scan).  Returns the committed version."""
+    by-name parquet scan).
+
+    ``column_mapping=True`` CREATES the table under the protocol's
+    columnMapping **name mode** (reader/writer features real current
+    writers default to): the metaData schema carries per-field
+    ``delta.columnMapping.id`` / ``.physicalName`` metadata, the
+    protocol action advertises (2, 5), and data files are written
+    under the PHYSICAL names — later appends detect the mode from the
+    table and rename automatically.  Subset: no partitioning and no
+    merge/compact on column-mapped tables (those paths refuse loudly);
+    reads, time travel, and history compose.  Returns the committed
+    version."""
     log_dir = _log_dir(table_path)
     version = _next_version(log_dir)
     evolved_meta = None
@@ -246,11 +284,49 @@ def append_delta(
                     f"append schema adds columns {added}; pass "
                     "merge_schema=True to evolve the table schema"
                 )
+            if snap.column_mapping:
+                raise ValueError(
+                    "append subset: mergeSchema on a column-mapped "
+                    "table is not supported"
+                )
             evolved_meta = _metadata_action(df, table_path, have)
             # carry the table's configuration through the evolution
             evolved_meta["metaData"]["configuration"] = dict(
                 snap.configuration
             )
+        if snap.column_mapping_mode == "name":
+            # the table dictates the mode: rename to the metaData's
+            # physical names before the write
+            from pyspark.sql import functions as F
+
+            phys_of = {
+                f.name: (f.metadata or {})[
+                    "delta.columnMapping.physicalName"
+                ]
+                for f in snap.schema.fields
+            }
+            df = df.select(
+                *[F.col(n).alias(phys_of[n]) for n in
+                  [f.name for f in snap.schema.fields]]
+            )
+        elif snap.column_mapping:
+            raise ValueError(
+                "append subset: columnMapping.mode="
+                f"{snap.column_mapping_mode!r} tables are read-only here"
+            )
+    logical_schema = df.schema
+    if version == 0 and column_mapping:
+        if partition_by:
+            raise ValueError(
+                "append subset: column_mapping with partitioning is "
+                "not supported"
+            )
+        from pyspark.sql import functions as F
+
+        df = df.select(
+            *[F.col(f.name).alias(_physical_name(f.name))
+              for f in df.schema.fields]
+        )
     adds = (
         _write_partitioned_data_files(
             df, table_path, f"commit-{version}", partition_by
@@ -260,12 +336,25 @@ def append_delta(
     )
     actions: list[dict] = [_commit_info("WRITE")]
     if version == 0:
-        actions.append({"protocol": _PROTOCOL})
         actions.append(
-            _metadata_action(
-                df, table_path, [partition_by] if partition_by else ()
-            )
+            {"protocol": _CM_PROTOCOL if column_mapping else _PROTOCOL}
         )
+        meta_action = _metadata_action(
+            df, table_path, [partition_by] if partition_by else ()
+        )
+        if column_mapping:
+            # schemaString keeps the LOGICAL names + mapping metadata;
+            # the physical rename above only affects the data files
+            meta_action["metaData"]["schemaString"] = _cm_schema_json(
+                logical_schema
+            )
+            meta_action["metaData"]["configuration"] = {
+                "delta.columnMapping.mode": "name",
+                "delta.columnMapping.maxColumnId": str(
+                    len(df.schema.fields)
+                ),
+            }
+        actions.append(meta_action)
     elif evolved_meta is not None:
         actions.append(evolved_meta)
     actions.extend({"add": a} for a in adds)
@@ -287,6 +376,10 @@ def compact_delta(spark, table_path: str) -> int:
     )
 
     snap = DeltaSnapshot(table_path)
+    if snap.column_mapping:
+        raise ValueError(
+            "compact_delta subset: column-mapped tables not supported"
+        )
     if len(snap.partition_columns) > 1:
         raise ValueError(
             "compact_delta subset: at most one partition column"
@@ -370,6 +463,10 @@ def merge_delta(
         raise ConcurrentWriteError(
             f"table moved to version {snap.version}; merge read "
             f"{expected_version} — re-read and retry"
+        )
+    if snap.column_mapping:
+        raise ValueError(
+            "merge_delta subset: column-mapped tables not supported"
         )
     if len(snap.partition_columns) > 1:
         raise ValueError(
@@ -621,6 +718,10 @@ def merge_delta_dv(
         raise ConcurrentWriteError(
             f"table moved to version {snap.version}; merge read "
             f"{expected_version} — re-read and retry"
+        )
+    if snap.column_mapping:
+        raise ValueError(
+            "merge_delta_dv subset: column-mapped tables not supported"
         )
     if len(snap.partition_columns) > 1:
         raise ValueError(

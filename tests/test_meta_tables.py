@@ -423,3 +423,53 @@ def test_merge_delta_extra_source_columns_cdc_shape(spark, tmp_path):
     assert "_op" not in read_delta(spark, t).columns
     with pytest.raises(ValueError, match="lacks table columns"):
         merge_delta(spark, t, df.drop("n"), on=["k"])
+
+
+# ---- Delta column-mapping writes (name mode) ----
+
+import pyarrow.parquet as _pq  # noqa: E402
+
+from datafusion_catalogprovider_glue_spark.sources.delta import (  # noqa: E402
+    DeltaSnapshot,
+)
+
+
+def test_delta_cm_write_roundtrip_and_protocol(spark, tmp_path):
+    t = str(tmp_path / "cm")
+    df = _frame(spark)
+    append_delta(df.filter(F.col("k") < 10), t, column_mapping=True)
+    append_delta(df.filter(F.col("k") >= 10), t)  # mode auto-detected
+    snap = DeltaSnapshot(t)
+    assert snap.column_mapping_mode == "name"
+    for p in snap.files:
+        assert all(n.startswith("col-") for n in _pq.read_schema(p).names)
+    out = {(r["k"], r["g"], r["n"]) for r in read_delta(spark, t).collect()}
+    assert out == {(i, str(i % 3), i * 10) for i in range(20)}
+    # protocol advertises (2, 5)
+    log0 = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    protos = [
+        json.loads(line)["protocol"]
+        for line in open(log0)
+        if '"protocol"' in line and json.loads(line).get("protocol")
+    ]
+    assert protos == [{"minReaderVersion": 2, "minWriterVersion": 5}]
+    # time travel composes (logical names at every version)
+    assert read_delta(spark, t, version=0).count() == 10
+
+
+def test_delta_cm_write_refusals(spark, tmp_path):
+    t = str(tmp_path / "cm_refuse")
+    df = _frame(spark)
+    with pytest.raises(ValueError, match="partitioning"):
+        append_delta(df, t + "_p", column_mapping=True, partition_by="g")
+    append_delta(df, t, column_mapping=True)
+    with pytest.raises(ValueError, match="column-mapped"):
+        merge_delta(spark, t, df, on=["k"])
+    with pytest.raises(ValueError, match="column-mapped"):
+        compact_delta(spark, t)
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        merge_delta_dv,
+    )
+
+    with pytest.raises(ValueError, match="column-mapped"):
+        merge_delta_dv(spark, t, df, on=["k"], matched_delete=F.lit(True))
