@@ -203,6 +203,7 @@ HEADLINE = [
     "stream_cdc_replicate",
     "sink_hudi_clustering",
     "sink_delta_cm_write",
+    "sink_delta_generated",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

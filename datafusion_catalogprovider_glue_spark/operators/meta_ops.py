@@ -641,3 +641,75 @@ def sink_delta_cm_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     if logical != {"doc_id", "lang", "n_chars"}:
         raise SparkError(f"logical schema lost: {sorted(logical)}")
     return read_delta(spark, table)
+
+
+@query(
+    "sink_delta_generated",
+    oracle="""
+    SELECT doc_id, lang, n_chars,
+           CAST(FLOOR(n_chars / 1000) AS BIGINT) AS n_kchars
+    FROM documents
+    """,
+)
+def sink_delta_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GENERATED COLUMNS (the protocol's
+    ``delta.generationExpression`` field metadata —
+    delta_writer.append_delta(generated=...)): the table records a
+    column as derived; a batch that OMITS it gets the value computed
+    at write time, a batch that SUPPLIES it is validated row-by-row
+    against the expression, and a mismatch refuses the whole commit —
+    how production Delta keeps derived partitioning/rollup columns
+    trustworthy without trusting every writer.  Asserted in-key: the
+    omitted-column append computes, the supplied-correct append
+    passes, the supplied-WRONG append refuses atomically, and the
+    expression metadata survives in the schema."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("delta_generated", sf_dir)
+    expr = "CAST(FLOOR(n_chars / 1000) AS BIGINT)"
+    # creation: n_kchars omitted → computed
+    append_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), table,
+        generated={"n_kchars": expr},
+    )
+    # later append SUPPLIES the column correctly → validated, passes
+    append_delta(
+        docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+            "n_kchars", F.expr(expr)
+        ),
+        table,
+    )
+    # a wrong supplied value refuses atomically
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        delta_history,
+    )
+
+    n_versions = delta_history(spark, table).count()
+    try:
+        append_delta(
+            docs.filter(F.col("doc_id") % 2 == 1).withColumn(
+                "n_kchars", F.lit(-1).cast("long")
+            ).withColumn("doc_id", F.col("doc_id") + 1000000),
+            table,
+        )
+        raise SparkError("wrong generated value must refuse")
+    except ValueError:
+        pass
+    if delta_history(spark, table).count() != n_versions:
+        raise SparkError("refused append left a commit behind")
+    meta = {
+        f.name: (f.metadata or {}).get("delta.generationExpression")
+        for f in DeltaSnapshot(table).schema.fields
+    }
+    if meta.get("n_kchars") != expr:
+        raise SparkError(f"generation expression lost: {meta}")
+    return read_delta(spark, table)

@@ -214,6 +214,55 @@ def _cm_schema_json(schema) -> str:
     return json.dumps(d)
 
 
+def _generated_of(schema) -> dict[str, str]:
+    """logical column → generation expression from the schema's
+    ``delta.generationExpression`` field metadata (the protocol's
+    generated-columns feature)."""
+    return {
+        f.name: (f.metadata or {})["delta.generationExpression"]
+        for f in schema.fields
+        if (f.metadata or {}).get("delta.generationExpression")
+    }
+
+
+def _apply_generated(df: DataFrame, schema, where: str) -> DataFrame:
+    """Enforce the protocol's generated-column writer contract on one
+    batch: a generated column ABSENT from the batch is COMPUTED from
+    its expression; one PRESENT must MATCH the expression on every row
+    (null-safe), else the whole commit refuses.  Cost ∝ batch."""
+    from pyspark.sql import functions as F
+
+    gen = _generated_of(schema)
+    if not gen:
+        return df
+    types = {f.name: f.dataType for f in schema.fields}
+    for name, expr in sorted(gen.items()):
+        col = F.expr(expr).cast(types[name])
+        if name not in df.columns:
+            df = df.withColumn(name, col)
+        else:
+            bad = df.filter(~F.col(name).eqNullSafe(col)).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"generated column {name!r} (= {expr}) does not "
+                    f"match the provided values in {where}: "
+                    f"{bad[0].asDict()}"
+                )
+    # keep the table's column order
+    return df.select(*[f.name for f in schema.fields])
+
+
+def _gen_schema_json(schema, generated: dict[str, str]) -> str:
+    d = json.loads(schema.json())
+    for f in d["fields"]:
+        if f["name"] in generated:
+            f["metadata"] = {
+                **(f.get("metadata") or {}),
+                "delta.generationExpression": generated[f["name"]],
+            }
+    return json.dumps(d)
+
+
 def append_delta(
     df: DataFrame,
     table_path: str,
@@ -221,6 +270,7 @@ def append_delta(
     partition_by: str = None,
     merge_schema: bool = False,
     column_mapping: bool = False,
+    generated: dict = None,
 ) -> int:
     """Append ``df`` to the Delta table at ``table_path`` (creating it
     with the schema's metaData action on version 0).  With
@@ -254,6 +304,10 @@ def append_delta(
         )
 
         snap = DeltaSnapshot(table_path)
+        # generated columns: compute-if-absent / validate-if-present,
+        # BEFORE the schema checks (an omitted generated column is the
+        # normal write shape, not a schema drop)
+        df = _apply_generated(df, snap.schema, "the append batch")
         have = snap.partition_columns
         want = [partition_by] if partition_by else []
         if have != want:
@@ -314,6 +368,28 @@ def append_delta(
                 "append subset: columnMapping.mode="
                 f"{snap.column_mapping_mode!r} tables are read-only here"
             )
+    if version == 0 and generated:
+        if column_mapping:
+            raise ValueError(
+                "append subset: generated columns with column_mapping "
+                "is not supported"
+            )
+        from pyspark.sql import functions as F
+
+        types = {f.name: f.dataType for f in df.schema.fields}
+        for name, expr in sorted(generated.items()):
+            col = F.expr(expr)
+            if name not in df.columns:
+                df = df.withColumn(name, col)
+            else:
+                bad = df.filter(
+                    ~F.col(name).eqNullSafe(col.cast(types[name]))
+                ).limit(1).collect()
+                if bad:
+                    raise ValueError(
+                        f"generated column {name!r} (= {expr}) does not "
+                        f"match the provided values: {bad[0].asDict()}"
+                    )
     logical_schema = df.schema
     if version == 0 and column_mapping:
         if partition_by:
@@ -342,6 +418,10 @@ def append_delta(
         meta_action = _metadata_action(
             df, table_path, [partition_by] if partition_by else ()
         )
+        if generated:
+            meta_action["metaData"]["schemaString"] = _gen_schema_json(
+                logical_schema, generated
+            )
         if column_mapping:
             # schemaString keeps the LOGICAL names + mapping metadata;
             # the physical rename above only affects the data files
@@ -492,6 +572,19 @@ def merge_delta(
     # CHECK constraints gate the incoming rows (updates/inserts take
     # source values; surviving target rows satisfy by induction)
     _check_constraints(snap.configuration, source, "the merge source")
+    # generated columns: the source must already satisfy the recorded
+    # expressions (a merge source carries all table columns, so there
+    # is nothing to compute — only to validate)
+    gen_types = {f.name: f.dataType for f in snap.schema.fields}
+    for gname, gexpr in sorted(_generated_of(snap.schema).items()):
+        bad = source.filter(
+            ~F.col(gname).eqNullSafe(F.expr(gexpr).cast(gen_types[gname]))
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"generated column {gname!r} (= {gexpr}) does not match "
+                f"the merge source: {bad[0].asDict()}"
+            )
     # MERGE ambiguity rule: at most one source row per key
     dups = (
         source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))

@@ -473,3 +473,46 @@ def test_delta_cm_write_refusals(spark, tmp_path):
 
     with pytest.raises(ValueError, match="column-mapped"):
         merge_delta_dv(spark, t, df, on=["k"], matched_delete=F.lit(True))
+
+
+# ---- Delta generated columns ----
+
+
+def test_delta_generated_compute_validate_merge(spark, tmp_path):
+    t = str(tmp_path / "gen")
+    df = _frame(spark)
+    append_delta(
+        df.filter(F.col("k") < 10), t,
+        generated={"n2": "n * 2"},
+    )
+    out = read_delta(spark, t)
+    assert {(r["k"], r["n2"]) for r in out.select("k", "n2").collect()} == {
+        (i, i * 20) for i in range(10)
+    }
+    # append supplying a WRONG value refuses
+    with pytest.raises(ValueError, match="generated column"):
+        append_delta(
+            df.filter(F.col("k") >= 10)
+            .withColumn("n2", F.lit(0).cast("long")),
+            t,
+        )
+    # append omitting it computes
+    append_delta(df.filter(F.col("k") >= 10), t)
+    assert read_delta(spark, t).count() == 20
+    # merge validates the source expression too
+    good = (
+        df.filter(F.col("k") < 3)
+        .withColumn("n", F.col("n") + 1)
+        .withColumn("n2", (F.col("n") * 2))
+    )
+    merge_delta(spark, t, good, on=["k"])
+    bad = good.withColumn("n2", F.lit(7).cast("long"))
+    with pytest.raises(ValueError, match="generated column"):
+        merge_delta(spark, t, bad, on=["k"])
+    # NULL-safe: expression over a NULL input matches a NULL value
+    nulls = spark.createDataFrame(
+        [(100, "x", None)], "k long, g string, n long"
+    )
+    append_delta(nulls, t)
+    row = read_delta(spark, t).filter(F.col("k") == 100).collect()[0]
+    assert row["n2"] is None
