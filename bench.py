@@ -204,6 +204,7 @@ HEADLINE = [
     "sink_hudi_clustering",
     "sink_delta_cm_write",
     "sink_delta_generated",
+    "scan_delta_stats_pruned",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

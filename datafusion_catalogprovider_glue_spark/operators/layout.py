@@ -378,3 +378,55 @@ def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").cast("double").alias("l_quantity"),
         )
     )
+
+
+@query(
+    "scan_delta_stats_pruned",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+    """,
+)
+def scan_delta_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELTA DATA SKIPPING (delta_writer._file_stats +
+    read_delta(stats_filter=...)): lineitem lands in a Delta table
+    range-sorted on ``l_orderkey`` whose adds carry per-file
+    minValues/maxValues in the LOG; a point lookup then prunes to the
+    ONE file whose recorded range covers the key — asserted in-key via
+    inputFiles — without opening any parquet footer.  This is the
+    log-level half of the skipping story (scan_zordered proved the
+    footer-level half): at 100 TB the planner reads KBs of commit JSON
+    and schedules a single-file scan.  The probe key is computed from
+    the data (max l_orderkey), so the hash match holds at every sf."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+    )
+
+    apply_engine_conf(spark)
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table = os.path.join("/tmp", f"glue_spark_dstats_{h}", "lineitem_delta")
+    if not os.path.exists(os.path.join(table, "_delta_log")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+        append_delta(
+            li.repartitionByRange(8, "l_orderkey")
+            .sortWithinPartitions("l_orderkey"),
+            table, n_files=8,
+        )
+    full = read_delta(spark, table)
+    n_files = len(full.inputFiles())
+    probe = full.agg(F.max("l_orderkey")).collect()[0][0]
+    pruned = read_delta(spark, table, stats_filter={"l_orderkey": probe})
+    n_pruned = len(pruned.inputFiles())
+    if not (n_pruned < n_files and n_pruned <= 2):
+        raise ValueError(
+            f"stats skipping did not prune: {n_pruned} of {n_files} files"
+        )
+    return pruned.filter(F.col("l_orderkey") == probe)

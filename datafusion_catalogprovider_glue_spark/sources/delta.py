@@ -78,6 +78,11 @@ class DeltaSnapshot:
         # path -> deletionVector descriptor (PROTOCOL.md §Deletion
         # Vectors) for files whose latest add carries one
         self._dvs: dict[str, dict] = {}
+        # path -> parsed add.stats (numRecords/minValues/maxValues/
+        # nullCount) — what stats_filter data skipping prunes on;
+        # checkpointed adds (which drop stats here) simply fall back
+        # to keep-the-file, never to wrong pruning
+        self._stats: dict[str, dict] = {}
 
         ckpt_version = _last_checkpoint(log_dir)
         commits = _commit_files(log_dir)
@@ -147,9 +152,20 @@ class DeltaSnapshot:
                 self._dvs[add["path"]] = dv
             else:
                 self._dvs.pop(add["path"], None)
+            stats = add.get("stats")
+            if stats:
+                try:
+                    self._stats[add["path"]] = (
+                        json.loads(stats) if isinstance(stats, str) else stats
+                    )
+                except (ValueError, TypeError):
+                    self._stats.pop(add["path"], None)
+            else:
+                self._stats.pop(add["path"], None)
         elif "remove" in action and action["remove"]:
             self._active.pop(action["remove"]["path"], None)
             self._dvs.pop(action["remove"]["path"], None)
+            self._stats.pop(action["remove"]["path"], None)
 
     @property
     def files(self) -> list[str]:
@@ -340,6 +356,7 @@ def read_delta(
     table_path: str,
     version: Optional[int] = None,
     partition_filter: Optional[dict] = None,
+    stats_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Load a Delta table snapshot (latest, or VERSION AS OF),
     applying DELETION VECTORS when the snapshot carries them: every
@@ -353,7 +370,18 @@ def read_delta(
     ``partitionValues`` (the protocol's string form — how Delta
     planners skip partitions without listing or opening them): a file
     survives only if its recorded value equals the filter value's
-    string form for every filter key."""
+    string form for every filter key.
+
+    ``stats_filter`` is DATA SKIPPING on the log's per-add
+    ``stats.minValues/maxValues`` ({col: value} point or {col: (lo,
+    hi)} inclusive range): a file is skipped when its recorded range
+    cannot intersect the filter — Delta's stats-based pruning, the
+    mechanism that makes a point lookup on a sorted or z-ordered
+    column touch one file of a 100 TB table straight from the LOG,
+    without opening a single parquet footer.  Files without recorded
+    stats for the column are conservatively KEPT, so pruning is
+    always result-preserving; the returned rows still pass through
+    the normal row-level filter the caller applies."""
     snap = DeltaSnapshot(table_path, version)
     if partition_filter:
         unknown = set(partition_filter) - set(snap.partition_columns)
@@ -369,6 +397,29 @@ def read_delta(
             p: pvals
             for p, pvals in snap._active.items()
             if all(pvals.get(k) == w for k, w in want.items())
+        }
+        snap._dvs = {p: d for p, d in snap._dvs.items() if p in snap._active}
+    if stats_filter:
+        def _survives(path: str) -> bool:
+            st = snap._stats.get(path)
+            if not st:
+                return True  # no stats recorded: keep (never mis-prune)
+            mins = st.get("minValues") or {}
+            maxs = st.get("maxValues") or {}
+            for col_name, want in stats_filter.items():
+                if col_name not in mins or col_name not in maxs:
+                    continue
+                lo, hi = (
+                    want if isinstance(want, (tuple, list)) else (want, want)
+                )
+                if (hi is not None and mins[col_name] > hi) or (
+                    lo is not None and maxs[col_name] < lo
+                ):
+                    return False
+            return True
+
+        snap._active = {
+            p: pv for p, pv in snap._active.items() if _survives(p)
         }
         snap._dvs = {p: d for p, d in snap._dvs.items() if p in snap._active}
     if not snap._active:

@@ -75,6 +75,60 @@ def _num_records(path: str) -> int:
     return int(pq.ParquetFile(path).metadata.num_rows)
 
 
+# stats minValues/maxValues are recorded for these parquet physical
+# types only — the ones whose footer statistics order matches Delta's
+# data-skipping semantics without truncation concerns (strings are
+# recorded as-is; real Delta truncates long ones, which only WIDENS
+# the range and never breaks pruning)
+_SKIP_TYPES = {"INT32", "INT64", "FLOAT", "DOUBLE", "BYTE_ARRAY"}
+
+
+def _file_stats(path: str) -> str:
+    """The protocol's per-add ``stats`` JSON string: numRecords plus
+    per-column minValues/maxValues/nullCount folded over the file's
+    ROW-GROUP footer statistics (metadata-only — no data pages).
+    These are what ``read_delta``'s stats_filter prunes on: at 100 TB
+    a point lookup on a sorted/z-ordered column skips every
+    non-matching file from the LOG alone, without even opening the
+    parquet footers at read time."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or col.physical_type not in _SKIP_TYPES:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue  # binary column: no JSON-safe stats
+            if name not in mins or lo < mins[name]:
+                mins[name] = lo
+            if name not in maxs or hi > maxs[name]:
+                maxs[name] = hi
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    return json.dumps(
+        {
+            "numRecords": int(md.num_rows),
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        sort_keys=True,
+    )
+
+
 def _commit_info(operation: str) -> dict:
     """The protocol's ``commitInfo`` action (PROTOCOL.md §commit
     provenance): best-effort commit metadata every real writer
@@ -126,7 +180,7 @@ def _write_data_files(df: DataFrame, table_path: str, subdir: str,
                 "modificationTime": int(os.path.getmtime(full) * 1000),
                 "dataChange": True,
                 # stats is a JSON *string* per the protocol
-                "stats": json.dumps({"numRecords": _num_records(full)}),
+                "stats": _file_stats(full),
             }
         )
     return adds
@@ -187,7 +241,7 @@ def _write_partitioned_data_files(
                     "size": os.path.getsize(full),
                     "modificationTime": int(os.path.getmtime(full) * 1000),
                     "dataChange": True,
-                    "stats": json.dumps({"numRecords": _num_records(full)}),
+                    "stats": _file_stats(full),
                 }
             )
     return adds
@@ -977,7 +1031,7 @@ def restore_delta(spark, table_path: str, version: int) -> int:
             "size": os.path.getsize(full),
             "modificationTime": int(os.path.getmtime(full) * 1000),
             "dataChange": True,
-            "stats": json.dumps({"numRecords": _num_records(full)}),
+            "stats": _file_stats(full),
         }
         dv = target._dvs.get(p)
         if dv:

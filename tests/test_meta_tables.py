@@ -516,3 +516,53 @@ def test_delta_generated_compute_validate_merge(spark, tmp_path):
     append_delta(nulls, t)
     row = read_delta(spark, t).filter(F.col("k") == 100).collect()[0]
     assert row["n2"] is None
+
+
+# ---- Delta data skipping (stats_filter) ----
+
+
+def test_delta_stats_skipping_prunes_and_preserves(spark, tmp_path):
+    t = str(tmp_path / "skip")
+    df = _frame(spark, 100)
+    append_delta(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        t, n_files=4,
+    )
+    snap = DeltaSnapshot(t)
+    # every add carries min/max for the long columns
+    for p, st in snap._stats.items():
+        assert "k" in st["minValues"] and "k" in st["maxValues"], (p, st)
+    full = read_delta(spark, t)
+    assert len(full.inputFiles()) == 4
+    pruned = read_delta(spark, t, stats_filter={"k": 7})
+    assert len(pruned.inputFiles()) == 1
+    assert {r["k"] for r in pruned.filter(F.col("k") == 7).collect()} == {7}
+    # range filter spanning two files
+    rng = read_delta(spark, t, stats_filter={"k": (20, 30)})
+    assert 1 <= len(rng.inputFiles()) <= 2
+    assert rng.filter(F.col("k").between(20, 30)).count() == 11
+    # string column stats prune too
+    sp = read_delta(spark, t, stats_filter={"g": "9"})
+    assert len(sp.inputFiles()) == 0 or sp.filter(F.col("g") == "9").count() == 0
+    # a filter on a column without stats keeps everything
+    assert len(
+        read_delta(spark, t, stats_filter={"nope": 1}).inputFiles()
+    ) == 4
+
+
+def test_delta_stats_skipping_conservative_without_stats(spark, tmp_path):
+    """Adds written WITHOUT stats (foreign writers) are never pruned."""
+    t = str(tmp_path / "skip_none")
+    append_delta(_frame(spark), t)
+    log = os.path.join(t, "_delta_log", f"{0:020d}.json")
+    lines = []
+    for line in open(log):
+        a = json.loads(line)
+        if a.get("add"):
+            a["add"].pop("stats", None)
+        lines.append(json.dumps(a))
+    with open(log, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    pruned = read_delta(spark, t, stats_filter={"k": -999})
+    assert len(pruned.inputFiles()) == 2  # kept, not mis-pruned
+    assert pruned.filter(F.col("k") == -999).count() == 0
