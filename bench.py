@@ -205,6 +205,7 @@ HEADLINE = [
     "sink_delta_cm_write",
     "sink_delta_generated",
     "scan_delta_stats_pruned",
+    "scan_iceberg_stats_pruned",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

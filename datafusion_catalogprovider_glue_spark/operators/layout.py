@@ -430,3 +430,55 @@ def scan_delta_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stats skipping did not prune: {n_pruned} of {n_files} files"
         )
     return pruned.filter(F.col("l_orderkey") == probe)
+
+
+@query(
+    "scan_iceberg_stats_pruned",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+    """,
+)
+def scan_iceberg_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICEBERG SCAN PLANNING on column bounds (spec §manifests
+    lower_bounds/upper_bounds — iceberg_writer._file_bounds +
+    read_iceberg(stats_filter=...)): manifest entries carry per-column
+    value bounds folded from the parquet footers at write time, so a
+    point lookup on a range-sorted column prunes to ONE file from the
+    manifest alone — asserted in-key via inputFiles.  Completes the
+    stats-skipping symmetry with Delta (scan_delta_stats_pruned): at
+    100 TB both planners schedule single-file scans from KB-sized
+    metadata.  Probe key computed from the data, so the hash holds at
+    every sf."""
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table = os.path.join("/tmp", f"glue_spark_istats_{h}", "lineitem_iceberg")
+    if not os.path.exists(os.path.join(table, "metadata")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+        append_iceberg(
+            li.repartitionByRange(8, "l_orderkey")
+            .sortWithinPartitions("l_orderkey"),
+            table, n_files=8,
+        )
+    full = read_iceberg(spark, table)
+    n_files = len(full.inputFiles())
+    probe = full.agg(F.max("l_orderkey")).collect()[0][0]
+    pruned = read_iceberg(spark, table, stats_filter={"l_orderkey": probe})
+    n_pruned = len(pruned.inputFiles())
+    if not (n_pruned < n_files and n_pruned <= 2):
+        raise ValueError(
+            f"bounds pruning did not prune: {n_pruned} of {n_files} files"
+        )
+    return pruned.filter(F.col("l_orderkey") == probe)

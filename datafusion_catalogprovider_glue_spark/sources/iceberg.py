@@ -185,6 +185,10 @@ class IcebergSnapshot:
         # evolution landed lack the field — their files fold through
         # the default spec, the pre-evolution behavior.
         self.spec_of: dict[str, int] = {}
+        # path -> (lower_bounds, upper_bounds) column-value dicts from
+        # the manifest (spec §manifests) — file-level stats pruning;
+        # files without recorded bounds are conservatively kept
+        self.bounds: dict[str, tuple] = {}
         for list_row in list_rows:
             named_row = _named(list_schema, list_row)
             manifest_path = named_row["manifest_path"]
@@ -216,6 +220,10 @@ class IcebergSnapshot:
                         self.partitions[path] = (
                             json.loads(part) if isinstance(part, str) else part
                         )
+                    lo = entry.get("lower_bounds")
+                    hi = entry.get("upper_bounds")
+                    if lo and hi:
+                        self.bounds[path] = (json.loads(lo), json.loads(hi))
                 elif content == 1:
                     self.delete_files.append((path, seq))
                 else:
@@ -300,6 +308,7 @@ def read_iceberg(
     snapshot_id: Optional[int] = None,
     partition_filter: Optional[dict] = None,
     ref: Optional[str] = None,
+    stats_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Load an Iceberg table snapshot (current, or a pinned
     snapshot-id — time travel), applying v2 POSITIONAL DELETE files
@@ -331,6 +340,30 @@ def read_iceberg(
         snapshot_id = iceberg_ref_snapshot(table_path, ref)
     snap = IcebergSnapshot(table_path, snapshot_id)
     files = snap.files
+    if stats_filter:
+        # file-level pruning on the manifests' lower/upper_bounds
+        # ({col: value} point or {col: (lo, hi)} inclusive range) —
+        # spec scan planning: a file whose recorded range cannot
+        # intersect the filter is skipped without being opened; files
+        # without bounds are KEPT (always result-preserving)
+        def _survives(path: str) -> bool:
+            b = snap.bounds.get(path)
+            if not b:
+                return True
+            lows, highs = b
+            for col_name, want in stats_filter.items():
+                if col_name not in lows or col_name not in highs:
+                    continue
+                lo, hi = (
+                    want if isinstance(want, (tuple, list)) else (want, want)
+                )
+                if (hi is not None and lows[col_name] > hi) or (
+                    lo is not None and highs[col_name] < lo
+                ):
+                    return False
+            return True
+
+        files = [f for f in files if _survives(f)]
     if partition_filter:
         # manifest-level pruning: filter keys are SOURCE column values;
         # each folds through the table's partition-spec transform

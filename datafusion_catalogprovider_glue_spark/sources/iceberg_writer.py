@@ -77,6 +77,12 @@ _MANIFEST_SCHEMA = T.StructType(
         # identity-partition tuple as JSON (None for unpartitioned) —
         # what the reader's manifest-level pruning consumes
         T.StructField("partition", T.StringType()),
+        # spec §manifests lower_bounds/upper_bounds: per-column value
+        # bounds as JSON (subset: top-level int/long/float/double/
+        # string columns) — what scan planning prunes FILES on without
+        # opening them
+        T.StructField("lower_bounds", T.StringType()),
+        T.StructField("upper_bounds", T.StringType()),
     ]
 )
 
@@ -106,6 +112,44 @@ def _snapshot_id(seq: int) -> int:
     sequence-number / snapshot-log, which the reader orders by."""
     h = hashlib.md5(f"iceberg-snapshot#{seq}".encode()).digest()
     return int.from_bytes(h[:8], "big") & 0x7FFFFFFFFFFFFFFF
+
+
+_BOUND_TYPES = {"INT32", "INT64", "FLOAT", "DOUBLE", "BYTE_ARRAY"}
+
+
+def _file_bounds(path: str) -> tuple:
+    """(lower_bounds_json, upper_bounds_json) folded over a parquet
+    file's row-group footer statistics — metadata-only, the write-time
+    cost of making every later scan plan prunable."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lows: dict = {}
+    highs: dict = {}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or col.physical_type not in _BOUND_TYPES:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if name not in lows or lo < lows[name]:
+                lows[name] = lo
+            if name not in highs or hi > highs[name]:
+                highs[name] = hi
+    return (
+        json.dumps(lows, sort_keys=True) if lows else None,
+        json.dumps(highs, sort_keys=True) if highs else None,
+    )
 
 
 def _iceberg_schema(schema: T.StructType) -> list[dict]:
@@ -155,7 +199,10 @@ def _write_data_files(
         final = f"part-{i:05d}.parquet"
         os.rename(os.path.join(out_dir, name), os.path.join(out_dir, final))
         full = os.path.join(out_dir, final)
-        out.append((f"{subdir}/{final}", pq.read_metadata(full).num_rows, None))
+        out.append(
+            (f"{subdir}/{final}", pq.read_metadata(full).num_rows, None)
+            + _file_bounds(full)
+        )
     return out
 
 
@@ -252,6 +299,7 @@ def _write_partitioned_files(
                     # ts_day, k_bucket, …; == the column for identity)
                     dict(tup),
                 )
+                + _file_bounds(full)
             )
     return out
 
@@ -430,8 +478,10 @@ def append_iceberg(
                 n,
                 seq,
                 json.dumps(part, sort_keys=True) if part else None,
+                lo,
+                hi,
             )
-            for rel, n, part in data_files
+            for rel, n, part, lo, hi in data_files
         ],
     )
     list_rel = f"metadata/snap-{snap_id}.avro"
@@ -629,8 +679,9 @@ def merge_iceberg(
             (
                 1, 0, rel, "PARQUET", n, seq,
                 json.dumps(part, sort_keys=True) if part else None,
+                lo, hi,
             )
-            for rel, n, part in data_files
+            for rel, n, part, lo, hi in data_files
         ],
     )
     list_rel = f"metadata/snap-{snap_id}.avro"
@@ -719,8 +770,9 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int:
             (
                 1, 0, rel, "PARQUET", n, seq,
                 json.dumps(part, sort_keys=True) if part else None,
+                lo, hi,
             )
-            for rel, n, part in data_files
+            for rel, n, part, lo, hi in data_files
         ],
     )
     list_rel = f"metadata/snap-{snap_id}.avro"
@@ -917,7 +969,9 @@ def merge_iceberg_pos_delete(
         n_del = pq.read_metadata(
             os.path.join(table_path, del_rel)
         ).num_rows
-        manifest_entries.append((1, 1, del_rel, "PARQUET", n_del, seq, None))
+        manifest_entries.append(
+            (1, 1, del_rel, "PARQUET", n_del, seq, None, None, None)
+        )
     removed.unpersist(blocking=False)
 
     if new_rows.limit(1).count():
@@ -933,8 +987,9 @@ def merge_iceberg_pos_delete(
             (
                 1, 0, rel, "PARQUET", n, seq,
                 json.dumps(part, sort_keys=True) if part else None,
+                lo, hi,
             )
-            for rel, n, part in data_files
+            for rel, n, part, lo, hi in data_files
         )
     if not manifest_entries:
         raise ValueError("empty merge: source matched nothing and adds nothing")
@@ -1079,7 +1134,7 @@ def delete_iceberg_eq(
         raise ValueError("empty equality delete: no key rows")
     return _commit_fast_append(
         table_path, version, meta, seq, snap_id,
-        [(1, 2, del_rel, "PARQUET", n, seq, None)],
+        [(1, 2, del_rel, "PARQUET", n, seq, None, None, None)],
         operation="delete",
     )
 

@@ -566,3 +566,48 @@ def test_delta_stats_skipping_conservative_without_stats(spark, tmp_path):
     pruned = read_delta(spark, t, stats_filter={"k": -999})
     assert len(pruned.inputFiles()) == 2  # kept, not mis-pruned
     assert pruned.filter(F.col("k") == -999).count() == 0
+
+
+# ---- Iceberg column-bounds pruning ----
+
+from datafusion_catalogprovider_glue_spark.sources.iceberg import (  # noqa: E402
+    IcebergSnapshot,
+)
+
+
+def test_iceberg_bounds_prune_and_preserve(spark, tmp_path):
+    t = str(tmp_path / "ibounds")
+    df = _frame(spark, 100)
+    append_iceberg(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+        t, n_files=4,
+    )
+    snap = IcebergSnapshot(t)
+    assert len(snap.bounds) == 4
+    for lo, hi in snap.bounds.values():
+        assert "k" in lo and "k" in hi and lo["k"] <= hi["k"]
+    assert len(read_iceberg(spark, t).inputFiles()) == 4
+    pruned = read_iceberg(spark, t, stats_filter={"k": 7})
+    assert len(pruned.inputFiles()) == 1
+    assert {r["k"] for r in pruned.filter(F.col("k") == 7).collect()} == {7}
+    rng = read_iceberg(spark, t, stats_filter={"k": (20, 30)})
+    assert 1 <= len(rng.inputFiles()) <= 2
+    assert rng.filter(F.col("k").between(20, 30)).count() == 11
+
+
+def test_iceberg_bounds_compose_with_deletes(spark, tmp_path):
+    """Bounds pruning must not break row-level delete application:
+    deletes apply to whatever files survive."""
+    t = str(tmp_path / "ibounds_del")
+    df = _frame(spark, 40)
+    append_iceberg(
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"), t, n_files=4
+    )
+    merge_iceberg_pos_delete(
+        spark, t,
+        df.filter(F.col("k").isin(5, 6)).withColumn("n", F.lit(0)),
+        on=["k"], matched_delete=F.expr("true"),
+    )
+    out = read_iceberg(spark, t, stats_filter={"k": (0, 9)})
+    ks = {r["k"] for r in out.filter(F.col("k") < 10).collect()}
+    assert ks == set(range(10)) - {5, 6}
