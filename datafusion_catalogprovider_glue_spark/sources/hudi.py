@@ -110,24 +110,16 @@ def _commit_files(location: str, instant: str) -> dict[str, str]:
     return out
 
 
-def read_hudi(
-    spark: SparkSession,
-    location: str,
-    as_of: Optional[str] = None,
-    partition_filter: Optional[dict] = None,
-) -> DataFrame:
-    """Snapshot (or point-in-time, via ``as_of``) read of a CoW table.
-
-    Replays the completed timeline in instant order, keeping the last
-    base file written per file group — the file-slice resolution rule
-    of the spec — then scans the surviving parquet files.
-
-    ``partition_filter`` ({column: value}) prunes PARTITION-level on
-    the commits' partitionToWriteStats keys (r7, hive-partitioned
-    tables): only file slices whose partition path matches are
-    scanned — no directory listing, no file open.  The partition
-    column itself is stored IN the data files (Hudi's layout, unlike
-    Delta), so the scan needs no re-attachment."""
+def hudi_live_slices(
+    location: str, as_of: Optional[str] = None
+) -> dict[str, tuple[str, str]]:
+    """fileId → (partition path, relative base-file path) of every LIVE
+    file slice at ``as_of`` (default: latest) — the spec's file-system
+    view: ascending timeline replay where later commits win a group's
+    slice and a REPLACECOMMIT retires its replaced groups from that
+    instant on.  Shared by snapshot reads AND the CoW upsert's routing
+    index, so a writer can never route a key into a group clustering
+    already retired."""
     tl = os.path.join(location, ".hoodie")
     if not os.path.isdir(tl):
         raise SparkError(f"no .hoodie timeline under {location}")
@@ -150,6 +142,28 @@ def read_hudi(
             # on; time travel before it still resolves them above
             for fid in _replaced_file_ids(location, t):
                 latest.pop(fid, None)
+    return latest
+
+
+def read_hudi(
+    spark: SparkSession,
+    location: str,
+    as_of: Optional[str] = None,
+    partition_filter: Optional[dict] = None,
+) -> DataFrame:
+    """Snapshot (or point-in-time, via ``as_of``) read of a CoW table.
+
+    Replays the completed timeline in instant order, keeping the last
+    base file written per file group — the file-slice resolution rule
+    of the spec — then scans the surviving parquet files.
+
+    ``partition_filter`` ({column: value}) prunes PARTITION-level on
+    the commits' partitionToWriteStats keys (r7, hive-partitioned
+    tables): only file slices whose partition path matches are
+    scanned — no directory listing, no file open.  The partition
+    column itself is stored IN the data files (Hudi's layout, unlike
+    Delta), so the scan needs no re-attachment."""
+    latest = hudi_live_slices(location, as_of)
     if partition_filter:
         pf = table_partition_field(location)
         unknown = set(partition_filter) - ({pf} if pf else set())

@@ -132,6 +132,22 @@ def _refuse_partitioned(location: str, op: str) -> None:
         )
 
 
+def _refuse_clustered(location: str, op: str) -> None:
+    """MoR log ops on a CLUSTERED table are out of scope: their
+    routing indexes key off .commit/.deltacommit metadata and would
+    miss (or resurrect) replacecommit-managed groups — refuse loudly
+    rather than corrupt (clustering itself refuses tables with
+    pending logs, so the two features stay disjoint by construction)."""
+    tl = os.path.join(location, ".hoodie")
+    if os.path.isdir(tl) and any(
+        f.endswith(".replacecommit") for f in os.listdir(tl)
+    ):
+        raise SparkError(
+            f"{op} subset: table has replacecommits (clustering) — "
+            "MoR log operations on clustered tables are not supported"
+        )
+
+
 def _write_file_group(
     df: DataFrame, location: str, instant: str, file_id: str
 ) -> dict:
@@ -264,14 +280,15 @@ def upsert_hudi(
     their rows keep their original ``_hoodie_commit_time`` (the
     row-level incremental contract)."""
     from datafusion_catalogprovider_glue_spark.sources.hudi import (
-        _commit_files,
-        hudi_completed_instants,
+        hudi_live_slices,
     )
 
-    instants = hudi_completed_instants(location)
-    latest: dict[str, str] = {}
-    for t in instants:
-        latest.update(_commit_files(location, t))
+    # the LIVE slices (replacecommits folded): routing against raw
+    # .commit metadata would resurrect groups clustering retired and
+    # miss the clustered ones — duplicate rows on the next snapshot
+    latest: dict[str, str] = {
+        fid: rel for fid, (_pp, rel) in hudi_live_slices(location).items()
+    }
     instant = _next_instant(location)
     src = df.persist()
     if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
@@ -465,6 +482,7 @@ def append_hudi_log(
     reader (sources/hudi.py:read_hudi_mor).  Returns the committed
     instant."""
     _refuse_partitioned(location, "append_hudi_log")
+    _refuse_clustered(location, "append_hudi_log")
     instant = _next_instant(location)
     stats = [_write_log_file(df, location, file_id, instant)]
     _publish(
@@ -506,6 +524,7 @@ def upsert_hudi_log(
         hudi_mor_instants,
     )
 
+    _refuse_clustered(location, "upsert_hudi_log")
     base_latest: dict[str, tuple[str, str]] = {}
     log_files: dict[str, list[tuple[str, str]]] = {}
     for t, action in hudi_mor_instants(location):

@@ -611,3 +611,41 @@ def test_iceberg_bounds_compose_with_deletes(spark, tmp_path):
     out = read_iceberg(spark, t, stats_filter={"k": (0, 9)})
     ks = {r["k"] for r in out.filter(F.col("k") < 10).collect()}
     assert ks == set(range(10)) - {5, 6}
+
+
+def test_hudi_upsert_after_clustering_routes_to_live_groups(spark, tmp_path):
+    """The upsert routing index must fold replacecommits: routing
+    against raw .commit metadata would rewrite RETIRED groups and
+    duplicate rows on the next snapshot."""
+    t = str(tmp_path / "clu_upsert")
+    df = _frame(spark).drop("g")
+    append_hudi(df, t, n_groups=3)
+    cluster_hudi(spark, t, "k", n_groups=2)
+    upsert_hudi(
+        spark, df.filter(F.col("k") < 5).withColumn("n", F.col("n") + 1),
+        t, key="k",
+    )
+    got = {(r["k"], r["n"]) for r in
+           read_hudi(spark, t).select("k", "n").collect()}
+    assert got == (
+        {(i, i * 10 + 1) for i in range(5)}
+        | {(i, i * 10) for i in range(5, 20)}
+    )
+
+
+def test_hudi_mor_log_ops_refuse_clustered_tables(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        upsert_hudi_log,
+    )
+
+    t = str(tmp_path / "clu_mor_refuse")
+    df = _frame(spark).drop("g")
+    append_hudi(df, t, n_groups=1)
+    cluster_hudi(spark, t, "k")
+    with pytest.raises(SparkError, match="replacecommit"):
+        upsert_hudi_log(
+            spark, df.filter(F.col("k") < 2), t, key="k"
+        )
+    with pytest.raises(SparkError, match="replacecommit"):
+        append_hudi_log(spark, df.filter(F.col("k") < 2), t, file_id="x")
