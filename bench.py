@@ -206,6 +206,7 @@ HEADLINE = [
     "sink_delta_generated",
     "scan_delta_stats_pruned",
     "scan_iceberg_stats_pruned",
+    "scan_csv_gzip",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

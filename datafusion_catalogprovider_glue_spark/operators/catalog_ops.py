@@ -4790,3 +4790,90 @@ def sink_delta_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     if out.schema.fieldNames() != ["doc_id", "lang", "n_chars", "n_tokens"]:
         raise SparkError(f"evolved schema wrong: {out.schema.fieldNames()}")
     return out
+
+
+@query(
+    "scan_csv_gzip",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_csv_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed text through the same SerDe dispatch as
+    ``scan_csv`` — how Glue-crawled text tables usually arrive
+    (crawlers record ``compressionType: gzip`` in the table
+    parameters; the files carry ``.csv.gz``).  Spark's text sources
+    decompress splittable-or-not by EXTENSION, so the catalog path
+    needs no special arm — this key pins that the dispatch composes
+    with compression end to end and that the bytes on disk really are
+    gzip (magic asserted in-key).  At 100 TB the caveat is
+    operational, not correctness: gzip text is NOT splittable — one
+    task per file — so the fixture writes multiple files the way a
+    real pipeline shards compressed text to keep parallelism."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+    )
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+
+    apply_engine_conf(spark)
+    out = _text_scan_dir(sf_dir, "customer_csv_gz")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            load_table(spark, sf_dir, "customer")
+            .repartition(4)
+            .write.mode("overwrite")
+            .option("sep", "|")
+            .option("header", True)
+            .option("compression", "gzip")
+            .csv(out)
+        )
+    gz = [f for f in os.listdir(out) if f.endswith(".csv.gz")]
+    if len(gz) < 2:
+        raise SparkError(f"expected sharded gzip files, got {gz}")
+    with open(os.path.join(out, gz[0]), "rb") as fh:
+        if fh.read(2) != b"\x1f\x8b":
+            raise SparkError("file is not gzip-compressed")
+    client = FakeGlueClient(
+        {
+            "textdb": {
+                "customer_csv_gz": {
+                    "DatabaseName": "textdb",
+                    "Name": "customer_csv_gz",
+                    "Parameters": {"compressionType": "gzip"},
+                    "PartitionKeys": [],
+                    "StorageDescriptor": {
+                        "InputFormat": "org.apache.hadoop.mapred.TextInputFormat",
+                        "OutputFormat": "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+                        "SerdeInfo": {
+                            "SerializationLibrary": "org.apache.hadoop.hive.serde2.lazy.LazySimpleSerDe",
+                            "Parameters": {"field.delim": "|"},
+                        },
+                        "Parameters": {"skip.header.line.count": "1"},
+                        "Columns": [
+                            {"Name": n, "Type": t}
+                            for n, t in TESTDATA_GLUE_COLUMNS["customer"]
+                        ],
+                        "Location": out,
+                    },
+                }
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("textdb", "customer_csv_gz")
+    return (
+        spark.table(entry.view)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
