@@ -959,3 +959,39 @@ def test_geo_nearest_neighbor_no_window_sort(spark):
     # full candidate set (the window form sorts every partition)
     p = plan_str(q(spark, "geo_nearest_neighbor"), "simple")
     assert "Window" not in p
+
+
+SF_GEO_TEST = "/root/testdata/sf0.01"
+
+
+def test_geo_nn_two_phase_certificate(spark, tmp_path):
+    """The fine-phase certificate rule: a winner within R/4 is
+    accepted without the fallback; a customer whose nearest sits
+    between R/4 and R must still resolve through the fallback and get
+    the SAME answer as the one-shot definition."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.operators import geo
+
+    out = geo.geo_nearest_neighbor(spark, SF_GEO_TEST)
+    got = {r["c_custkey"]: (r["nearest_suppkey"], r["dist2"])
+           for r in out.collect()}
+    # re-derive from the unblocked candidate set (the radius join is
+    # oracle-checked separately, so it can serve as the reference)
+    cand = geo.geo_radius_join(spark, SF_GEO_TEST)
+    ref_rows = (
+        cand.groupBy("c_custkey")
+        .agg(F.min_by(
+            F.struct("s_suppkey", "dist2"),
+            F.struct("dist2", "s_suppkey")).alias("nn"))
+        .collect()
+    )
+    ref = {r["c_custkey"]: (r["nn"]["s_suppkey"], r["nn"]["dist2"])
+           for r in ref_rows}
+    assert got == ref
+    # both phases actually fire on this corpus: some certified winners
+    # (dist2 <= (R/4)^2) and some fallback winners (dist2 > (R/4)^2)
+    bound = (geo.GEO_RADIUS / 4) ** 2
+    d2s = [v[1] for v in got.values()]
+    assert any(d <= bound for d in d2s)
+    assert any(d > bound for d in d2s)
