@@ -230,6 +230,24 @@ def main() -> None:
     from datafusion_catalogprovider_glue_spark.tables import load_table
 
     registry.load_all_operator_modules()
+    # Python-side structured loggers write JSON records through the
+    # stdlib logging tree, NOT log4j — setLogLevel(OFF) never touches
+    # them, which is how a fragment kept reaching the driver capture
+    # through r7.  Kill the record at the source: pre-create each
+    # offender as a PLAIN muted Logger before pyspark can instantiate
+    # its handler-attaching PySparkLogger under the same name
+    # (logging.getLogger returns the existing instance, so the
+    # exception path in pyspark/errors/exceptions/base.py:178 gets our
+    # CRITICAL-level, handler-less logger and emits nothing).  The
+    # name is unprefixed in pyspark 4, hence the explicit list.
+    import logging
+
+    for _name in ("DataFrameQueryContextLogger", "PySparkLogger",
+                  "pyspark", "py4j"):
+        _lg = logging.getLogger(_name)
+        _lg.setLevel(logging.CRITICAL)
+        _lg.handlers.clear()
+        _lg.propagate = False
     spark = get_spark("bench")
     # OFF, not ERROR: the lazy-resolution keys intentionally trigger
     # (and handle) TABLE_OR_VIEW_NOT_FOUND, which Spark 4's
@@ -344,28 +362,35 @@ def _run_isolated() -> int:
     import sys
 
     env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+    # stderr defaults to DEVNULL: the round driver merges the child's
+    # stderr into its artifact capture, so any surviving JVM/py4j
+    # chatter would corrupt the one-line contract (r7's tail blemish).
+    # Set SPARK_GRAFT_BENCH_DEBUG=1 to stream it for local debugging.
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
         stdout=subprocess.PIPE,
-        stderr=subprocess.DEVNULL if env.get("SPARK_GRAFT_BENCH_QUIET")
-        else sys.stderr,
+        stderr=sys.stderr if env.get("SPARK_GRAFT_BENCH_DEBUG")
+        else subprocess.DEVNULL,
         text=True,
     )
+    debug = bool(env.get("SPARK_GRAFT_BENCH_DEBUG"))
     metric_line = None
     for raw in proc.stdout.splitlines():
         s = raw.strip()
         if not s.startswith("{"):
-            print(raw, file=sys.stderr)
+            if debug:
+                print(raw, file=sys.stderr)
             continue
         try:
             rec = json.loads(s)
         except ValueError:
-            print(raw, file=sys.stderr)
+            if debug:
+                print(raw, file=sys.stderr)
             continue
         if isinstance(rec, dict) and rec.get("metric"):
             metric_line = s
-        else:
+        elif debug:
             print(raw, file=sys.stderr)
     if metric_line is None:
         print(

@@ -1413,29 +1413,42 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the span table a removal pass anti-joins against to cut memorized
     boilerplate out of a training corpus.
 
-    Plan: tokenize → unroll the sliding windows JVM-side
-    (transform(sequence(...)) + slice, whole-stage codegen — the array
-    is materialized once per doc, each window is a slice view) →
-    explode → one map-side-combined groupBy(span).  No join at all:
-    the heavy operation is a single aggregation keyed by span text.
+    Plan (the 100 TB span-hash formulation, wired r8): tokenize →
+    unroll the sliding windows JVM-side (transform(sequence(...)) +
+    slice, whole-stage codegen) → project each window to a 128-bit
+    composite key (xxhash64(span), xxhash64('ss2', span)) IN THE SAME
+    MAP STAGE — the span string is materialized transiently in codegen
+    and never leaves the scan task; only 16 bytes/window cross the
+    shuffle (vs ~50-byte k-token strings before).  One map-side-
+    combined groupBy on the hash pair finds the repeated spans; a
+    second window pass over the (cheap, already-cached-by-OS) corpus
+    recovers the text for the survivors only, via a BROADCAST join on
+    the 16-byte survivor keys — only survivor text ever shuffles, and
+    the min(span) partial-aggregates map-side so each partition ships
+    at most one witness string per surviving span.
 
-    100 TB notes: the suffix-array machinery of the paper exists to
-    find VARIABLE-length repeats; the fixed-k span-hash formulation
-    here is the one that distributes — it needs only hash-partitioning
-    on the span.  At scale, shuffle xxhash64(span) longs instead of
-    raw span strings (the ngram-jaccard token-hash trick; counts are
-    hash-identical, 8 bytes/span through the wire) and recover span
-    text for the survivors with one semi join back; boilerplate spans
-    repeated millions of times are exactly AQE's skew-split case.
-    Removal is then `doc anti-join span-table` on the same key.
+    Collision safety: two distinct spans colliding would merge their
+    counts.  A single xxhash64 gives 2^-64 per pair (~1e-7 birthday
+    risk at 10^9 distinct spans); the independent second hash pushes
+    the pair probability to ~2^-128, i.e. no realistic corpus reaches
+    it.  The witness min(span) makes any residual collision visible
+    (the gate hash would diverge from the string-keyed oracle).
+
+    At corpus sizes where the survivor key set itself outgrows the
+    driver (boilerplate catastrophes), swap the explicit broadcast for
+    a plain shuffle join on the hash pair — the regenerated side then
+    shuffles spans once, which is output-bound.  The suffix-array
+    machinery of the paper finds VARIABLE-length repeats; the fixed-k
+    formulation here is the one that distributes.
     """
+    k = SPAN_TOKENS
     d = _parallelize(_docs(spark, sf_dir), "doc_id").select(
         "doc_id", F.split("text", " ").alias("t")
     )
-    k = SPAN_TOKENS
-    spans = (
-        d.where(F.size("t") >= k)
-        .select(
+    d = d.localCheckpoint()  # both window passes reuse the tokenized corpus
+
+    def _windows(frame: DataFrame) -> DataFrame:
+        return frame.where(F.size("t") >= k).select(
             "doc_id",
             F.explode(
                 F.transform(
@@ -1444,15 +1457,31 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("span"),
         )
+
+    hashed = _windows(d).select(
+        "doc_id",
+        F.xxhash64("span").alias("h1"),
+        F.xxhash64(F.lit("ss2"), F.col("span")).alias("h2"),
     )
-    return (
-        spans.groupBy("span")
+    flagged = (
+        hashed.groupBy("h1", "h2")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occurrences"),
             F.min("doc_id").alias("first_doc"),
         )
         .where(F.col("n_docs") >= 2)
+    )
+    rescan = _windows(d).select(
+        "span",
+        F.xxhash64("span").alias("h1"),
+        F.xxhash64(F.lit("ss2"), F.col("span")).alias("h2"),
+    )
+    return (
+        rescan.join(F.broadcast(flagged), ["h1", "h2"])
+        .groupBy("h1", "h2", "n_docs", "n_occurrences", "first_doc")
+        .agg(F.min("span").alias("span"))
+        .select("span", "n_docs", "n_occurrences", "first_doc")
     )
 
 
@@ -1507,12 +1536,22 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus an md5 of the rebuilt text (the gate-hashable witness that
     the surgery is byte-identical cross-engine).
 
-    Plan: window table → one groupBy(span) builds the flagged table →
-    hits = windows ⋈ flagged (equi-join on span; at 100 TB shuffle
-    span hashes, the dedup_substring_spans note) → covered positions
-    collapse per doc (collect_set of at most n positions) → rebuild is
-    a row-local indexed filter in codegen.  Docs without hits never
-    join, never rebuild state — the left join keeps them verbatim.
+    Plan (span-hash shuffle, wired r8): window table projected to
+    (doc_id, position, 128-bit span hash) in the map stage — the
+    k-token string is materialized transiently in codegen and hashed
+    before the first exchange, so the shuffle wire carries 24-byte
+    fixed-width rows instead of raw span strings (~k× the corpus text
+    previously).  One groupBy(h1, h2) builds the flagged table →
+    hits = windows ⋈ flagged (equi-join on the hash pair; flagged is
+    small, AQE broadcasts it) → covered positions collapse per doc
+    (collect_set of at most n positions) → rebuild is a row-local
+    indexed filter in codegen.  Docs without hits never join, never
+    rebuild state — the left join keeps them verbatim.  Span TEXT is
+    never needed downstream of detection (removal is positional), so
+    unlike dedup_substring_spans no recovery pass exists here at all.
+    Collision safety: the independent hash pair gives ~2^-128 per
+    span pair (see dedup_substring_spans); a collision would remove a
+    non-repeated span and break the md5 witness loudly.
     """
     k = SPAN_TOKENS
     d = _parallelize(_docs(spark, sf_dir), "doc_id").select(
@@ -1527,17 +1566,22 @@ def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, k)),
             )
         ).alias("i0", "s"),
-    ).select("doc_id", (F.col("i0") + 1).alias("i"), "s")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).alias("i"),
+        F.xxhash64("s").alias("h1"),
+        F.xxhash64(F.lit("ss2"), F.col("s")).alias("h2"),
+    )
     flagged = (
-        wins.groupBy("s")
+        wins.groupBy("h1", "h2")
         .agg(
             F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("first_doc")
         )
         .where(F.col("nd") >= 2)
-        .select("s", "first_doc")
+        .select("h1", "h2", "first_doc")
     )
     cov = (
-        wins.join(flagged, "s")
+        wins.join(flagged, ["h1", "h2"])
         .where(F.col("doc_id") != F.col("first_doc"))
         .select("doc_id", F.explode(F.sequence(F.col("i"), F.col("i") + (k - 1))).alias("p"))
         .groupBy("doc_id")

@@ -535,16 +535,34 @@ def test_range_binned_is_hash_join(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_substring_spans_no_join_partial_agg(spark):
-    """The span table is ONE keyed aggregation: no join anywhere, and
-    the count/min agg must be partial+final (map-side combined) so
-    only combined span states cross the exchange."""
+def test_substring_spans_hash_shuffle_broadcast_recovery(spark):
+    """r8 span-hash contract: detection aggregates on the 128-bit
+    xxhash64 pair (span STRINGS never key an exchange), and the only
+    join is the broadcast text-recovery join over the survivor keys —
+    never a shuffled join of the full window table, never a
+    cartesian."""
     p = plan_str(q(spark, "dedup_substring_spans"))
-    assert "Join" not in p
+    assert "xxhash64" in p
     assert "partial_count" in p or "HashAggregate" in p
-    # _parallelize spread + the two-phase count-distinct expansion;
-    # anything beyond these would mean an accidental extra shuffle
-    assert p.count("Exchange") <= 4
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # hashpartitioning keys must be the hash longs, not span text
+    import re
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", p):
+        assert "span" not in m.group(1)
+
+
+def test_remove_spans_hash_shuffle_no_span_strings(spark):
+    """r8: the removal pass shuffles (doc_id, i, h1, h2) fixed-width
+    rows — no exchange is keyed by the span string, and span text is
+    never recovered (removal is positional)."""
+    p = plan_str(q(spark, "dedup_remove_spans"))
+    assert "xxhash64" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    import re
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", p):
+        assert " s#" not in m.group(1) and not m.group(1).startswith("s#")
 
 
 def test_triangle_edges_broadcast_both_joins(spark):
