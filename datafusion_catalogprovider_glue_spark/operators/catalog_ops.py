@@ -4276,6 +4276,199 @@ def sink_delta_checkpoint_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_delta(spark, table)
 
 
+_CKPT_FOREIGN_ORACLE = """
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id % 3 <> 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id % 2 = 0 AND lang <> 'de'
+    UNION ALL
+    SELECT doc_id, lang, n_chars + 1000 AS n_chars FROM documents
+    WHERE doc_id % 3 = 0 AND doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id % 5 = 0
+    """
+
+
+def _ckpt_foreign_fixture(spark, sf_dir: str, tag: str, write_checkpoint):
+    """Shared fixture for the foreign-checkpoint-layout scan keys:
+    DV-bearing hive-partitioned table → checkpoint via
+    ``write_checkpoint`` → DELETE every pre-checkpoint commit (replay
+    MUST go through the checkpoint) → post-checkpoint append.
+    Returns (table_path, checkpoint_version, n_commits_deleted)."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta_dv,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        f"glue_spark_delta_{tag}_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_delta(
+        docs.filter(F.col("doc_id") % 2 == 0), table, partition_by="lang"
+    )
+    s1 = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    merge_delta_dv(
+        spark, table, s1, on=["doc_id"],
+        matched_delete=F.col("t.lang") == "de",
+    )
+    v = write_checkpoint(table)
+    log_dir = os.path.join(table, "_delta_log")
+    removed = 0
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) <= v:
+            os.remove(os.path.join(log_dir, f))
+            removed += 1
+    if removed < 2:
+        raise SparkError(f"expected to drop >=2 commits, dropped {removed}")
+    append_delta(
+        docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 5 == 0)),
+        table,
+        partition_by="lang",
+    )
+    return table, v, removed
+
+
+@query("scan_delta_checkpoint_multipart", oracle=_CKPT_FOREIGN_ORACLE)
+def scan_delta_checkpoint_multipart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-PART classic checkpoint read
+    (``{v}.checkpoint.{i:010d}.{n:010d}.parquet``, delta-io
+    PROTOCOL.md §Checkpoints) — the layout delta-spark emits once a
+    table outgrows one checkpoint file, which a 100 TB table always
+    has.  The snapshot is the UNION of all n parts.  Asserted in-key:
+    three part files exist and no single-file checkpoint does, every
+    pre-checkpoint commit is deleted (replay MUST union the parts),
+    DVs + partitioning survive, and a deliberately HIDDEN part makes
+    the reader refuse loudly (an incomplete union silently dropping
+    files would be data loss) before it is restored."""
+    import os
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        DeltaError,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        checkpoint_delta_multipart,
+    )
+
+    apply_engine_conf(spark)
+    table, v, _ = _ckpt_foreign_fixture(
+        spark, sf_dir, "ckmp",
+        lambda t: checkpoint_delta_multipart(spark, t, parts=3),
+    )
+    log_dir = os.path.join(table, "_delta_log")
+    parts = sorted(
+        f for f in os.listdir(log_dir)
+        if f.startswith(f"{v:020d}.checkpoint.") and f.endswith(".parquet")
+    )
+    if len(parts) != 3:
+        raise SparkError(f"expected 3 checkpoint parts, found {parts}")
+    if os.path.exists(os.path.join(log_dir, f"{v:020d}.checkpoint.parquet")):
+        raise SparkError("single-file checkpoint must not exist")
+    snap = DeltaSnapshot(table)
+    if not snap._dvs:
+        raise SparkError("multi-part checkpoint dropped the deletion vectors")
+    if snap.partition_columns != ["lang"]:
+        raise SparkError(f"lost partitioning: {snap.partition_columns}")
+    # an incomplete part set must refuse, never silently drop files
+    hidden = os.path.join(log_dir, parts[1])
+    os.rename(hidden, hidden + ".hidden")
+    try:
+        DeltaSnapshot(table)
+        raise SparkError("reader accepted an incomplete multi-part checkpoint")
+    except DeltaError:
+        pass
+    finally:
+        os.rename(hidden + ".hidden", hidden)
+    return read_delta(spark, table)
+
+
+@query("scan_delta_checkpoint_v2", oracle=_CKPT_FOREIGN_ORACLE)
+def scan_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V2 checkpoint read (delta-io PROTOCOL.md §V2 Checkpoints): a
+    UUID-named top-level file carrying checkpointMetadata + protocol +
+    metaData plus ``sidecar`` actions whose referenced
+    ``_delta_log/_sidecars/*.parquet`` files hold the add rows — what
+    recent delta-spark / delta-kernel writers emit.  Asserted in-key:
+    the top-level file is UUID-named, two sidecar files exist and the
+    top-level file itself holds no add rows (the reader must FOLLOW
+    the references), pre-checkpoint commits are deleted, DVs +
+    partitioning survive, and a hidden sidecar makes the reader refuse
+    loudly before it is restored."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        DeltaError,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        checkpoint_delta_v2,
+    )
+
+    apply_engine_conf(spark)
+    table, v, _ = _ckpt_foreign_fixture(
+        spark, sf_dir, "ckv2",
+        lambda t: checkpoint_delta_v2(spark, t, sidecars=2),
+    )
+    log_dir = os.path.join(table, "_delta_log")
+    tops = [
+        f for f in os.listdir(log_dir)
+        if f.startswith(f"{v:020d}.checkpoint.") and f.endswith(".parquet")
+    ]
+    if len(tops) != 1 or len(tops[0].split(".")) != 4:
+        raise SparkError(f"expected one uuid-named v2 top file, got {tops}")
+    sc_dir = os.path.join(log_dir, "_sidecars")
+    sidecars = sorted(os.listdir(sc_dir))
+    if len(sidecars) != 2:
+        raise SparkError(f"expected 2 sidecars, found {sidecars}")
+    top_rows = pq.read_table(os.path.join(log_dir, tops[0])).to_pylist()
+    if any(r.get("add") for r in top_rows):
+        raise SparkError("v2 top-level file must not inline add rows here")
+    if not any(r.get("checkpointMetadata") for r in top_rows):
+        raise SparkError("v2 top-level file missing checkpointMetadata")
+    snap = DeltaSnapshot(table)
+    if not snap._dvs:
+        raise SparkError("v2 checkpoint dropped the deletion vectors")
+    if snap.partition_columns != ["lang"]:
+        raise SparkError(f"lost partitioning: {snap.partition_columns}")
+    hidden = os.path.join(sc_dir, sidecars[0])
+    os.rename(hidden, hidden + ".hidden")
+    try:
+        DeltaSnapshot(table)
+        raise SparkError("reader accepted a missing v2 sidecar")
+    except DeltaError:
+        pass
+    finally:
+        os.rename(hidden + ".hidden", hidden)
+    return read_delta(spark, table)
+
+
 @query(
     "sink_iceberg_eq_delete",
     # evens minus the deleted %3 keys, plus ALL odds (appended AFTER

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,13 +116,100 @@ class DeltaSnapshot:
             raise DeltaError(f"no metaData action found in {log_dir!r}")
 
     def _apply_checkpoint(self, log_dir: str, version: int) -> None:
+        """Replay the checkpoint at ``version``, resolving any of the
+        three layouts real writers emit (delta-io PROTOCOL.md
+        §Checkpoints):
+
+        * classic single-file ``{v}.checkpoint.parquet`` — what this
+          engine's own checkpoint_delta writes;
+        * classic multi-part ``{v}.checkpoint.{i:010d}.{n:010d}.parquet``
+          — delta-spark's default above a size threshold; the state is
+          the UNION of all n parts, and a missing part is corruption
+          (refused loudly, never a silent partial snapshot);
+        * V2 ``{v}.checkpoint.{uuid}.{parquet|json}`` — the top-level
+          file carries checkpointMetadata/protocol/metaData plus
+          either inline file actions or ``sidecar`` actions pointing
+          at ``_delta_log/_sidecars/*.parquet`` files that hold the
+          add/remove rows.
+        """
+        prefix = f"{version:020d}.checkpoint."
+        single = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+        if os.path.exists(single):
+            self._apply_checkpoint_rows(self._read_action_file(single))
+            return
+        candidates = sorted(
+            n for n in os.listdir(log_dir) if n.startswith(prefix)
+        )
+        parts = {}
+        v2 = []
+        for name in candidates:
+            m = re.match(
+                rf"^{re.escape(prefix)}(\d{{10}})\.(\d{{10}})\.parquet$", name
+            )
+            if m:
+                parts[int(m.group(1))] = (int(m.group(2)), name)
+            elif re.match(
+                rf"^{re.escape(prefix)}[0-9a-zA-Z-]+\.(parquet|json)$", name
+            ):
+                v2.append(name)
+        if parts:
+            n_total = {n for n, _ in parts.values()}
+            if len(n_total) != 1 or set(parts) != set(
+                range(1, next(iter(n_total)) + 1)
+            ):
+                raise DeltaError(
+                    f"incomplete multi-part checkpoint at v{version}: "
+                    f"have parts {sorted(parts)} of {sorted(n_total)}"
+                )
+            for i in sorted(parts):
+                self._apply_checkpoint_rows(
+                    self._read_action_file(
+                        os.path.join(log_dir, parts[i][1])
+                    )
+                )
+            return
+        if v2:
+            # at most one v2 checkpoint per version is valid; if a
+            # writer raced, any complete one yields the same state —
+            # take the lexicographically first for determinism
+            top = os.path.join(log_dir, v2[0])
+            rows = self._read_action_file(top)
+            sidecars = []
+            for row in rows:
+                sc = row.get("sidecar")
+                if sc is not None:
+                    sidecars.append(sc["path"])
+            self._apply_checkpoint_rows(rows)
+            for rel in sidecars:
+                sc_path = os.path.join(log_dir, "_sidecars", rel)
+                if not os.path.exists(sc_path):
+                    raise DeltaError(
+                        f"v2 checkpoint sidecar missing: {sc_path!r}"
+                    )
+                self._apply_checkpoint_rows(self._read_action_file(sc_path))
+            return
+        raise DeltaError(
+            f"missing checkpoint file(s) for version {version} in "
+            f"{log_dir!r}"
+        )
+
+    @staticmethod
+    def _read_action_file(path: str) -> list[dict]:
+        """One checkpoint (part/top/sidecar) file → action-row dicts;
+        parquet or json-lines, per the V2 spec's format freedom."""
+        if path.endswith(".json"):
+            out = []
+            with open(path) as fh:
+                for line in fh:
+                    if line.strip():
+                        out.append(json.loads(line))
+            return out
         import pyarrow.parquet as pq
 
-        ckpt = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-        if not os.path.exists(ckpt):
-            raise DeltaError(f"missing checkpoint file {ckpt!r}")
-        tbl = pq.read_table(ckpt)
-        for row in tbl.to_pylist():
+        return pq.read_table(path).to_pylist()
+
+    def _apply_checkpoint_rows(self, rows: list[dict]) -> None:
+        for row in rows:
             for kind in ("metaData", "add", "remove"):
                 if row.get(kind) is not None:
                     self._apply_action({kind: row[kind]})

@@ -38,6 +38,8 @@ import time
 
 from pyspark.sql import DataFrame
 
+from datafusion_catalogprovider_glue_spark.errors import DeltaError
+
 _PROTOCOL = {"minReaderVersion": 1, "minWriterVersion": 2}
 # columnMapping requires the (2, 5) protocol per PROTOCOL.md
 _CM_PROTOCOL = {"minReaderVersion": 2, "minWriterVersion": 5}
@@ -722,6 +724,79 @@ def checkpoint_delta(spark, table_path: str) -> int:
         DeltaSnapshot,
     )
 
+    snap, rows, schema = _checkpoint_payload(table_path)
+    log_dir = _log_dir(table_path)
+    version = snap.version
+    ckpt = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), ckpt)
+    _write_last_checkpoint(log_dir, {"version": version, "size": len(rows)})
+    return version
+
+
+def _checkpoint_base_fields():
+    """pyarrow fields shared by every checkpoint layout (classic
+    single/multi-part parts and V2 top-level/sidecar files)."""
+    import pyarrow as pa
+
+    return [
+        pa.field(
+            "protocol",
+            pa.struct(
+                [
+                    ("minReaderVersion", pa.int32()),
+                    ("minWriterVersion", pa.int32()),
+                ]
+            ),
+        ),
+        pa.field(
+            "metaData",
+            pa.struct(
+                [
+                    ("id", pa.string()),
+                    ("schemaString", pa.string()),
+                    ("partitionColumns", pa.list_(pa.string())),
+                    ("configuration", pa.map_(pa.string(), pa.string())),
+                ]
+            ),
+        ),
+        pa.field(
+            "add",
+            pa.struct(
+                [
+                    ("path", pa.string()),
+                    ("partitionValues", pa.map_(pa.string(), pa.string())),
+                    ("size", pa.int64()),
+                    ("modificationTime", pa.int64()),
+                    ("dataChange", pa.bool_()),
+                    (
+                        "deletionVector",
+                        pa.struct(
+                            [
+                                ("storageType", pa.string()),
+                                ("pathOrInlineDv", pa.string()),
+                                ("offset", pa.int32()),
+                                ("sizeInBytes", pa.int32()),
+                                ("cardinality", pa.int64()),
+                            ]
+                        ),
+                    ),
+                ]
+            ),
+        ),
+    ]
+
+
+def _checkpoint_payload(table_path: str):
+    """Resolve the live snapshot and build the spec-complete action
+    rows every checkpoint layout shares: one protocol row, one
+    metaData row, one add row per active file (size/modificationTime/
+    partitionValues stat'd live, DV descriptors carried through)."""
+    import pyarrow as pa
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+
     snap = DeltaSnapshot(table_path)
     meta = {
         "id": hashlib.md5(table_path.encode()).hexdigest(),
@@ -729,10 +804,6 @@ def checkpoint_delta(spark, table_path: str) -> int:
         "partitionColumns": list(snap.partition_columns),
         "configuration": dict(snap.configuration),
     }
-    # spec-complete action rows: the protocol action (readers use it to
-    # gate feature support) and the add fields PROTOCOL.md requires in
-    # checkpoints (size, modificationTime, partitionValues) — stat'd
-    # from the live data files, partition values from the snapshot
     rows = [
         {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
         {"protocol": None, "metaData": meta, "add": None},
@@ -753,63 +824,127 @@ def checkpoint_delta(spark, table_path: str) -> int:
                 },
             }
         )
-    schema = pa.schema(
+    return snap, rows, pa.schema(_checkpoint_base_fields())
+
+
+def _write_last_checkpoint(log_dir: str, pointer_doc: dict) -> None:
+    pointer = os.path.join(log_dir, "_last_checkpoint")
+    tmp = pointer + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(pointer_doc, fh)
+    os.rename(tmp, pointer)  # pointer update is last (readers fall back)
+
+
+def checkpoint_delta_multipart(spark, table_path: str, parts: int = 2) -> int:
+    """Write a classic MULTI-PART checkpoint
+    (``{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet``, delta-io
+    PROTOCOL.md §Checkpoints) — the layout delta-spark emits once the
+    snapshot outgrows one file.  Part 1 carries protocol+metaData and
+    the add rows are split round-robin; the reader unions all n parts
+    and refuses an incomplete set.  The ``_last_checkpoint`` pointer
+    records ``parts`` as the spec describes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if parts < 1:
+        raise DeltaError(f"parts must be >= 1, got {parts}")
+    snap, rows, schema = _checkpoint_payload(table_path)
+    log_dir = _log_dir(table_path)
+    version = snap.version
+    header, adds = rows[:2], rows[2:]
+    buckets = [list(header) if i == 0 else [] for i in range(parts)]
+    for j, row in enumerate(adds):
+        buckets[j % parts].append(row)
+    for i, bucket in enumerate(buckets, start=1):
+        name = f"{version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist(bucket, schema=schema),
+            os.path.join(log_dir, name),
+        )
+    _write_last_checkpoint(
+        log_dir, {"version": version, "size": len(rows), "parts": parts}
+    )
+    return version
+
+
+def checkpoint_delta_v2(spark, table_path: str, sidecars: int = 2) -> int:
+    """Write a V2 checkpoint (delta-io PROTOCOL.md §V2 Checkpoints):
+    one UUID-named top-level file
+    (``{v:020d}.checkpoint.{uuid}.parquet``) holding
+    checkpointMetadata + protocol + metaData plus ``sidecar`` actions,
+    with the add rows split across ``_delta_log/_sidecars/*.parquet``
+    files.  This is what recent delta-spark/delta-kernel writers emit
+    for large tables; the engine's reader follows the sidecar
+    references and refuses a missing sidecar."""
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if sidecars < 1:
+        raise DeltaError(f"sidecars must be >= 1, got {sidecars}")
+    snap, rows, _ = _checkpoint_payload(table_path)
+    log_dir = _log_dir(table_path)
+    version = snap.version
+    sc_dir = os.path.join(log_dir, "_sidecars")
+    os.makedirs(sc_dir, exist_ok=True)
+    header, adds = rows[:2], rows[2:]
+    top_id = _uuid.uuid5(_uuid.NAMESPACE_URL, f"{table_path}@{version}")
+    add_field = [f for f in _checkpoint_base_fields() if f.name == "add"]
+    sc_schema = pa.schema(add_field)
+    sc_rows = []
+    buckets = [[] for _ in range(sidecars)]
+    for j, row in enumerate(adds):
+        buckets[j % sidecars].append({"add": row["add"]})
+    for i, bucket in enumerate(buckets, start=1):
+        rel = f"{top_id}-{i:04d}.parquet"
+        sc_path = os.path.join(sc_dir, rel)
+        pq.write_table(pa.Table.from_pylist(bucket, schema=sc_schema), sc_path)
+        sc_rows.append(
+            {
+                "sidecar": {
+                    "path": rel,
+                    "sizeInBytes": os.path.getsize(sc_path),
+                    "modificationTime": int(
+                        os.path.getmtime(sc_path) * 1000
+                    ),
+                }
+            }
+        )
+    top_schema = pa.schema(
         [
             pa.field(
-                "protocol",
-                pa.struct(
-                    [
-                        ("minReaderVersion", pa.int32()),
-                        ("minWriterVersion", pa.int32()),
-                    ]
-                ),
+                "checkpointMetadata",
+                pa.struct([("version", pa.int64())]),
             ),
+            *_checkpoint_base_fields()[:2],  # protocol, metaData
             pa.field(
-                "metaData",
-                pa.struct(
-                    [
-                        ("id", pa.string()),
-                        ("schemaString", pa.string()),
-                        ("partitionColumns", pa.list_(pa.string())),
-                        ("configuration", pa.map_(pa.string(), pa.string())),
-                    ]
-                ),
-            ),
-            pa.field(
-                "add",
+                "sidecar",
                 pa.struct(
                     [
                         ("path", pa.string()),
-                        ("partitionValues", pa.map_(pa.string(), pa.string())),
-                        ("size", pa.int64()),
+                        ("sizeInBytes", pa.int64()),
                         ("modificationTime", pa.int64()),
-                        ("dataChange", pa.bool_()),
-                        (
-                            "deletionVector",
-                            pa.struct(
-                                [
-                                    ("storageType", pa.string()),
-                                    ("pathOrInlineDv", pa.string()),
-                                    ("offset", pa.int32()),
-                                    ("sizeInBytes", pa.int32()),
-                                    ("cardinality", pa.int64()),
-                                ]
-                            ),
-                        ),
                     ]
                 ),
             ),
         ]
     )
-    log_dir = _log_dir(table_path)
-    version = snap.version
-    ckpt = os.path.join(log_dir, f"{version:020d}.checkpoint.parquet")
-    pq.write_table(pa.Table.from_pylist(rows, schema=schema), ckpt)
-    pointer = os.path.join(log_dir, "_last_checkpoint")
-    tmp = pointer + f".tmp.{os.getpid()}"
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "size": len(rows)}, fh)
-    os.rename(tmp, pointer)  # pointer update is last (readers fall back)
+    top_rows = [{"checkpointMetadata": {"version": version}}]
+    for row in header:
+        top_rows.append(
+            {"protocol": row["protocol"], "metaData": row["metaData"]}
+        )
+    top_rows.extend(sc_rows)
+    top_name = f"{version:020d}.checkpoint.{top_id}.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(top_rows, schema=top_schema),
+        os.path.join(log_dir, top_name),
+    )
+    _write_last_checkpoint(
+        log_dir,
+        {"version": version, "size": len(rows) + 1 + len(sc_rows)},
+    )
     return version
 
 

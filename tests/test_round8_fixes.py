@@ -1,0 +1,136 @@
+"""Round-8 pins: foreign Delta checkpoint layouts (multi-part classic
+and V2 with sidecars, delta-io PROTOCOL.md §Checkpoints / §V2
+Checkpoints) must replay to the exact same snapshot the JSON log
+yields, refuse incomplete part/sidecar sets loudly, and carry DVs +
+hive partitioning through — a checkpoint that silently drops any of
+those is data corruption after log cleanup."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.errors import DeltaError
+from datafusion_catalogprovider_glue_spark.sources.delta import (
+    DeltaSnapshot,
+    read_delta,
+)
+from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+    append_delta,
+    checkpoint_delta_multipart,
+    checkpoint_delta_v2,
+    merge_delta_dv,
+)
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fixture(spark, tmp_path, ckpt_fn):
+    """DV-bearing partitioned table, checkpointed via ckpt_fn, with
+    pre-checkpoint commits deleted and a post-checkpoint append."""
+    table = str(tmp_path / "t")
+    shutil.rmtree(table, ignore_errors=True)
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table,
+                 partition_by="lang")
+    merge_delta_dv(
+        spark, table,
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)),
+        on=["doc_id"], matched_delete=F.col("t.lang") == "de",
+    )
+    baseline = {
+        (r.doc_id, r.n_chars) for r in read_delta(spark, table).collect()
+    }
+    v = ckpt_fn(table)
+    log_dir = os.path.join(table, "_delta_log")
+    for f in os.listdir(log_dir):
+        if f.endswith(".json") and f[:-5].isdigit() and int(f[:-5]) <= v:
+            os.remove(os.path.join(log_dir, f))
+    appended = docs.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 7 == 0)
+    )
+    append_delta(appended, table, partition_by="lang")
+    expected = baseline | {
+        (r.doc_id, r.n_chars) for r in appended.collect()
+    }
+    return table, v, expected
+
+
+def test_multipart_checkpoint_replays_exact_snapshot(spark, tmp_path):
+    table, v, expected = _fixture(
+        spark, tmp_path, lambda t: checkpoint_delta_multipart(spark, t, 3)
+    )
+    snap = DeltaSnapshot(table)
+    assert snap._dvs, "DVs must survive the multi-part checkpoint"
+    assert snap.partition_columns == ["lang"]
+    got = {(r.doc_id, r.n_chars) for r in read_delta(spark, table).collect()}
+    assert got == expected
+
+
+def test_multipart_checkpoint_refuses_missing_part(spark, tmp_path):
+    table, v, _ = _fixture(
+        spark, tmp_path, lambda t: checkpoint_delta_multipart(spark, t, 3)
+    )
+    log_dir = os.path.join(table, "_delta_log")
+    part = os.path.join(
+        log_dir, f"{v:020d}.checkpoint.0000000002.0000000003.parquet"
+    )
+    os.rename(part, part + ".gone")
+    with pytest.raises(DeltaError, match="incomplete multi-part"):
+        DeltaSnapshot(table)
+
+
+def test_v2_checkpoint_replays_exact_snapshot(spark, tmp_path):
+    table, v, expected = _fixture(
+        spark, tmp_path, lambda t: checkpoint_delta_v2(spark, t, 2)
+    )
+    snap = DeltaSnapshot(table)
+    assert snap._dvs, "DVs must survive the V2 checkpoint"
+    assert snap.partition_columns == ["lang"]
+    got = {(r.doc_id, r.n_chars) for r in read_delta(spark, table).collect()}
+    assert got == expected
+
+
+def test_v2_checkpoint_refuses_missing_sidecar(spark, tmp_path):
+    table, v, _ = _fixture(
+        spark, tmp_path, lambda t: checkpoint_delta_v2(spark, t, 2)
+    )
+    sc_dir = os.path.join(table, "_delta_log", "_sidecars")
+    victim = os.path.join(sc_dir, sorted(os.listdir(sc_dir))[0])
+    os.rename(victim, victim + ".gone")
+    with pytest.raises(DeltaError, match="sidecar missing"):
+        DeltaSnapshot(table)
+
+
+def test_v2_top_level_json_actions_supported(spark, tmp_path):
+    """The V2 spec allows a JSON top-level checkpoint; the reader's
+    action-file loader must accept json-lines as well as parquet."""
+    import json
+
+    table, v, expected = _fixture(
+        spark, tmp_path, lambda t: checkpoint_delta_v2(spark, t, 2)
+    )
+    log_dir = os.path.join(table, "_delta_log")
+    top = [
+        f for f in os.listdir(log_dir)
+        if f.startswith(f"{v:020d}.checkpoint.") and f.endswith(".parquet")
+    ][0]
+    rows = DeltaSnapshot._read_action_file(os.path.join(log_dir, top))
+    json_top = os.path.join(
+        log_dir, top[: -len(".parquet")] + ".json"
+    )
+    with open(json_top, "w") as fh:
+        for row in rows:
+            fh.write(json.dumps(
+                {k: v2 for k, v2 in row.items() if v2 is not None}
+            ) + "\n")
+    os.remove(os.path.join(log_dir, top))
+    got = {(r.doc_id, r.n_chars) for r in read_delta(spark, table).collect()}
+    assert got == expected
