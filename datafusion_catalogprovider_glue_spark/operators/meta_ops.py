@@ -220,6 +220,123 @@ def meta_hudi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "meta_iceberg_partitions",
+    # lang file counts are pinned to 1 by per-lang pre-shuffle; the
+    # spec-0 (unpartitioned) epoch is pinned to one file by
+    # repartition(1).  NULL lang = the unpartitioned epoch's row.
+    oracle="""
+    SELECT CAST(NULL AS VARCHAR) AS lang, CAST(1 AS BIGINT) AS file_count,
+           count(*) AS record_count
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT lang, CAST(1 AS BIGINT), count(*)
+    FROM documents WHERE doc_id % 3 <> 0 GROUP BY lang
+    """,
+)
+def meta_iceberg_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``partitions`` metadata table (iceberg.iceberg_partitions_df)
+    across a PARTITION SPEC EVOLUTION: epoch 1 writes unpartitioned
+    (spec 0), the spec evolves, epoch 2 writes identity-partitioned by
+    lang — and the summary must unify both: one spec-0 row with a NULL
+    partition tuple plus one row per lang under the evolved spec, each
+    with manifest-stat record counts the oracle re-derives from source
+    rows.  Asserted in-key: live files span exactly two spec ids.
+    Pure metadata read — manifests only, never a data file."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        iceberg_partitions_df,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("meta_iceberg_parts", sf_dir)
+    append_iceberg(docs.filter(F.col("doc_id") % 3 == 0).repartition(1), table)
+    append_iceberg(
+        docs.filter(F.col("doc_id") % 3 != 0).repartition("lang"),
+        table,
+        partition_by="lang",
+    )
+    snap = IcebergSnapshot(table)
+    spec_ids = {snap.spec_of.get(f, snap.default_spec_id) for f in snap.files}
+    if len(spec_ids) != 2:
+        raise SparkError(f"expected files under two specs, got {spec_ids}")
+    parts = iceberg_partitions_df(spark, table)
+    return parts.select(
+        F.get_json_object("partition", "$.lang").alias("lang"),
+        "file_count",
+        "record_count",
+    )
+
+
+@query(
+    "meta_iceberg_history",
+    # is_current_ancestor is the whole point: snapshot 2 was current
+    # (ordinal 2) but the rollback moved main back to snapshot 1, so
+    # it is NOT on the current lineage; everything else is.
+    oracle="""
+    WITH e AS (SELECT count(*) AS c FROM documents WHERE doc_id % 2 = 0),
+         t AS (SELECT count(*) AS c FROM documents WHERE doc_id % 3 = 0),
+         o AS (SELECT count(*) AS c FROM documents
+               WHERE doc_id % 2 = 1 AND doc_id % 5 = 0)
+    SELECT CAST(1 AS BIGINT) AS ordinal, CAST(1 AS BIGINT) AS seq,
+           true AS is_current_ancestor, e.c AS live_rows FROM e
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), false, e.c + t.c FROM e, t
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), CAST(1 AS BIGINT), true, e.c FROM e
+    UNION ALL
+    SELECT CAST(4 AS BIGINT), CAST(3 AS BIGINT), true, e.c + o.c FROM e, o
+    """,
+)
+def meta_iceberg_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``history`` metadata table (iceberg.iceberg_history_df)
+    through a ROLLBACK (iceberg_writer.rollback_iceberg): append A,
+    append B, roll main back to A, append C — the log replays every
+    time a snapshot became current (A appears twice) and B, though
+    still in the table, is no longer a current ancestor.  live_rows
+    joins the snapshots metadata table so every count re-derives from
+    source rows.  Asserted in-key: rolling back to the now-orphaned B
+    refuses (not on the current lineage — that would silently rewrite
+    history)."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        iceberg_history_df,
+        iceberg_snapshots_df,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        rollback_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("meta_iceberg_hist", sf_dir)
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    append_iceberg(docs.filter(F.col("doc_id") % 3 == 0), table)
+    rollback_iceberg(table, seq=1)
+    append_iceberg(
+        docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 5 == 0)),
+        table,
+    )
+    try:
+        rollback_iceberg(table, seq=2)
+        raise SparkError("rollback accepted a non-ancestor target")
+    except ValueError:
+        pass
+    hist = iceberg_history_df(spark, table)
+    live = iceberg_snapshots_df(spark, table).select(
+        "snapshot_id", "live_rows"
+    )
+    return hist.join(live, "snapshot_id").select(
+        "ordinal", "seq", "is_current_ancestor", "live_rows"
+    )
+
+
+@query(
     "scan_iceberg_tag",
     oracle="""
     SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0

@@ -42,6 +42,7 @@ import os
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
@@ -747,6 +748,73 @@ def iceberg_files_df(spark: SparkSession, table_path: str) -> DataFrame:
                 T.StructField("record_count", T.LongType(), False),
                 T.StructField("sequence_number", T.LongType(), False),
                 T.StructField("spec_id", T.IntegerType(), False),
+            ]
+        ),
+    )
+
+
+def iceberg_partitions_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``partitions`` METADATA TABLE (Iceberg spec / pyiceberg's
+    ``tbl.inspect.partitions()``): one row per distinct (partition
+    tuple, spec id) among the LIVE data files of the current snapshot,
+    with file and manifest-stat record counts.  Partition tuples
+    written under DIFFERENT specs (spec evolution) keep their own
+    spec_id row — the unified capacity view a table owner reads before
+    deciding to rewrite old-spec files.  Built on the ``files``
+    metadata table, so it is a pure metadata read: manifests only,
+    never a data file, whatever the table weighs."""
+    files = iceberg_files_df(spark, table_path)
+    return files.groupBy("partition", "spec_id").agg(
+        F.count("*").alias("file_count"),
+        F.sum("record_count").alias("record_count"),
+    )
+
+
+def iceberg_history_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``history`` METADATA TABLE (spec §snapshot-log; engines'
+    ``tbl.history``): one row per snapshot-log entry — every time a
+    snapshot BECAME current, including repeats after a rollback —
+    with parent linkage and ``is_current_ancestor`` walked over
+    ``parent-snapshot-id`` from the current head.  A snapshot that
+    was current but is no longer on the current lineage (rolled
+    past) shows ``is_current_ancestor = false``: the audit signal
+    that data served from it between its two timestamps is not
+    reproducible from the current head."""
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    ancestors = set()
+    cursor = meta.get("current-snapshot-id")
+    while cursor is not None and cursor not in ancestors:
+        ancestors.add(cursor)
+        cursor = (snaps.get(cursor) or {}).get("parent-snapshot-id")
+    rows = []
+    for i, entry in enumerate(meta.get("snapshot-log") or [], start=1):
+        sid = entry["snapshot-id"]
+        snap = snaps.get(sid) or {}
+        rows.append(
+            (
+                i,
+                int(entry["timestamp-ms"]),
+                int(sid),
+                snap.get("parent-snapshot-id"),
+                int(snap.get("sequence-number") or 0),
+                sid in ancestors,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("ordinal", T.LongType(), False),
+                T.StructField("made_current_at_ms", T.LongType(), False),
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("parent_id", T.LongType(), True),
+                T.StructField("seq", T.LongType(), False),
+                T.StructField("is_current_ancestor", T.BooleanType(), False),
             ]
         ),
     )

@@ -100,6 +100,16 @@ _MANIFEST_LIST_SCHEMA = T.StructType(
 )
 
 
+def _next_log_ts(meta: dict, seq: int) -> int:
+    """Deterministic snapshot-log timestamp: seq-derived (not wall
+    clock, so two runs produce identical bytes) but clamped strictly
+    above the last log entry — a rollback appends last+1, so the next
+    data commit's seq-derived value could otherwise collide."""
+    log = meta.get("snapshot-log") or []
+    last = log[-1]["timestamp-ms"] if log else 0
+    return max(1600000000000 + seq, last + 1)
+
+
 def _snapshot_id(seq: int) -> int:
     """Deterministic 63-bit pseudo-random snapshot ID, derived from the
     SEQUENCE NUMBER ONLY — deliberately not the table path.  Real
@@ -534,7 +544,7 @@ def append_iceberg(
             # deterministic pseudo-timestamp: strictly increasing with
             # seq, derived (not wall clock) so two runs produce
             # identical bytes
-            {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
+            {"timestamp-ms": _next_log_ts(meta, seq), "snapshot-id": snap_id}
         ]
         meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
@@ -711,7 +721,7 @@ def merge_iceberg(
         }
     ]
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
-        {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
+        {"timestamp-ms": _next_log_ts(meta, seq), "snapshot-id": snap_id}
     ]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
@@ -800,7 +810,7 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int:
         }
     ]
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
-        {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
+        {"timestamp-ms": _next_log_ts(meta, seq), "snapshot-id": snap_id}
     ]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
@@ -1068,7 +1078,7 @@ def _commit_fast_append(
         }
     ]
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
-        {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
+        {"timestamp-ms": _next_log_ts(meta, seq), "snapshot-id": snap_id}
     ]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
@@ -1392,7 +1402,51 @@ def publish_iceberg_branch(table_path: str, branch: str) -> int:
     meta["current-snapshot-id"] = head
     seq = by_id[head]["sequence-number"]
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
-        {"timestamp-ms": 1600000000000 + seq, "snapshot-id": head}
+        {"timestamp-ms": _next_log_ts(meta, seq), "snapshot-id": head}
     ]
     _publish_metadata(meta_dir, version, meta)
     return head
+
+
+def rollback_iceberg(table_path: str, seq: int = None,
+                     snapshot_id: int = None) -> int:
+    """ROLLBACK main to an earlier snapshot (Iceberg's
+    ``rollback_to_snapshot`` — the incident-response primitive): a
+    pure metadata commit that moves ``current-snapshot-id`` back to a
+    CURRENT ANCESTOR and records the move in the ``snapshot-log``
+    (which is exactly what the ``history`` metadata table replays —
+    the rolled-past snapshot stays in the table but is no longer a
+    current ancestor).  Refuses a target that is not an ancestor of
+    the current head: rolling "back" to a side branch would silently
+    rewrite lineage; real engines require ``set_current_snapshot``
+    for that explicit move.  Target by ``seq`` (deterministic in
+    fixtures) or ``snapshot_id``."""
+    meta_dir, version, meta = _read_current_meta(table_path)
+    snaps = {s["snapshot-id"]: s for s in meta.get("snapshots") or []}
+    if snapshot_id is None:
+        match = [s for s in snaps.values() if s["sequence-number"] == seq]
+        if not match:
+            raise ValueError(f"no snapshot with sequence-number {seq}")
+        snapshot_id = match[0]["snapshot-id"]
+    if snapshot_id not in snaps:
+        raise ValueError(f"snapshot {snapshot_id} not in table")
+    cursor = meta.get("current-snapshot-id")
+    seen = set()
+    while cursor is not None and cursor not in seen:
+        if cursor == snapshot_id:
+            break
+        seen.add(cursor)
+        cursor = (snaps.get(cursor) or {}).get("parent-snapshot-id")
+    else:
+        raise ValueError(
+            f"snapshot {snapshot_id} is not an ancestor of the current "
+            "head — rollback must stay on the current lineage"
+        )
+    log = list(meta.get("snapshot-log") or [])
+    last_ts = log[-1]["timestamp-ms"] if log else 1600000000000
+    meta["snapshot-log"] = log + [
+        {"timestamp-ms": last_ts + 1, "snapshot-id": snapshot_id}
+    ]
+    meta["current-snapshot-id"] = snapshot_id
+    _publish_metadata(meta_dir, version, meta)
+    return snapshot_id

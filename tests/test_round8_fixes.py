@@ -134,3 +134,74 @@ def test_v2_top_level_json_actions_supported(spark, tmp_path):
     os.remove(os.path.join(log_dir, top))
     got = {(r.doc_id, r.n_chars) for r in read_delta(spark, table).collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Iceberg `partitions` + `history` metadata tables, rollback primitive
+# ---------------------------------------------------------------------------
+
+
+def test_iceberg_rollback_and_history_lineage(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        iceberg_history_df,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        rollback_iceberg,
+    )
+
+    table = str(tmp_path / "ice")
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    append_iceberg(a, table)
+    append_iceberg(docs.filter(F.col("doc_id") % 3 == 0), table)
+    rollback_iceberg(table, seq=1)
+    # the rolled-back table serves exactly snapshot A again
+    assert read_iceberg(spark, table).count() == a.count()
+    append_iceberg(docs.filter(F.col("doc_id") % 7 == 0), table)
+    hist = {
+        (r.ordinal, r.seq): r.is_current_ancestor
+        for r in iceberg_history_df(spark, table).collect()
+    }
+    assert hist == {(1, 1): True, (2, 2): False, (3, 1): True, (4, 3): True}
+    # a non-ancestor rollback target must refuse
+    with pytest.raises(ValueError, match="not an ancestor"):
+        rollback_iceberg(table, seq=2)
+    # history timestamps strictly increase (rollback entries included)
+    ts = [
+        r.made_current_at_ms
+        for r in iceberg_history_df(spark, table)
+        .orderBy("ordinal")
+        .collect()
+    ]
+    assert ts == sorted(ts) and len(set(ts)) == len(ts)
+
+
+def test_iceberg_partitions_table_unifies_specs(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        iceberg_partitions_df,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    table = str(tmp_path / "ice")
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    append_iceberg(docs.filter(F.col("doc_id") % 3 == 0).repartition(1), table)
+    append_iceberg(
+        docs.filter(F.col("doc_id") % 3 != 0).repartition("lang"),
+        table,
+        partition_by="lang",
+    )
+    rows = iceberg_partitions_df(spark, table).collect()
+    null_rows = [r for r in rows if r.partition is None]
+    lang_rows = [r for r in rows if r.partition is not None]
+    assert len(null_rows) == 1 and null_rows[0].file_count == 1
+    assert null_rows[0].record_count == docs.filter(
+        F.col("doc_id") % 3 == 0
+    ).count()
+    assert {r.spec_id for r in null_rows} != {r.spec_id for r in lang_rows}
+    assert sum(r.record_count for r in lang_rows) == docs.filter(
+        F.col("doc_id") % 3 != 0
+    ).count()
