@@ -220,6 +220,107 @@ def meta_hudi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_hudi_files_index",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 5 = 0 THEN n_chars + 2000
+                WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 5 = 0
+    """,
+)
+def scan_hudi_files_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILES-INDEX read (hudi.index_hudi_files — the engine's analog
+    of Hudi's metadata-table ``files`` partition): after indexing, the
+    snapshot's file-slice view seeds from one KB-sized index snapshot
+    and replays ONLY commits newer than it, instead of re-opening
+    every commit JSON since table creation — the listing/replay
+    eliminator at 100 TB timeline depths.  The fixture stacks insert →
+    upsert → CLUSTERING (the index must capture replacecommit
+    retirements) → index → one post-index upsert.  Asserted in-key via
+    an instrumented commit-file loader: the indexed read opens exactly
+    the post-index commits (pre-index instants never touched), while a
+    time travel BEFORE the index instant ignores the index and full-
+    replays — byte-identical results either way, hash-matched."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources import hudi as hudi_mod
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        index_hudi_files,
+        read_hudi,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        cluster_hudi,
+        upsert_hudi,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("hudi_files_index", sf_dir)
+    append_hudi(docs.filter(F.col("doc_id") % 2 == 0), table)
+    upsert_hudi(
+        spark,
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)
+        ),
+        table, key="doc_id",
+    )
+    cluster_hudi(spark, table, "doc_id", n_groups=2)
+    pre_index = sorted(
+        f.rsplit(".", 1)[0]
+        for f in os.listdir(os.path.join(table, ".hoodie"))
+        if f.endswith((".commit", ".replacecommit"))
+    )
+    idx_instant = index_hudi_files(table)
+    if idx_instant != pre_index[-1]:
+        raise SparkError(
+            f"index instant {idx_instant} != latest {pre_index[-1]}"
+        )
+    upsert_hudi(
+        spark,
+        docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(2000)
+        ),
+        table, key="doc_id",
+    )
+    post_index = [
+        f.rsplit(".", 1)[0]
+        for f in os.listdir(os.path.join(table, ".hoodie"))
+        if f.endswith((".commit", ".replacecommit"))
+        and f.rsplit(".", 1)[0] > idx_instant
+    ]
+    opened: list[str] = []
+    orig = hudi_mod._commit_files_partitioned
+
+    def _probe(location, t, action):
+        opened.append(t)
+        return orig(location, t, action)
+
+    hudi_mod._commit_files_partitioned = _probe
+    try:
+        out = read_hudi(spark, table).select("doc_id", "lang", "n_chars")
+        if sorted(set(opened)) != sorted(post_index):
+            raise SparkError(
+                f"indexed read opened {sorted(set(opened))}, expected "
+                f"exactly the post-index commits {sorted(post_index)}"
+            )
+        # time travel BEFORE the index instant must ignore it (full
+        # replay) and still resolve the pre-clustering state
+        opened.clear()
+        n_pre = read_hudi(spark, table, as_of=pre_index[0]).count()
+        if sorted(set(opened)) != [pre_index[0]]:
+            raise SparkError(
+                f"pre-index time travel replayed {sorted(set(opened))}"
+            )
+        if n_pre != docs.filter(F.col("doc_id") % 2 == 0).count():
+            raise SparkError("pre-index time travel wrong row count")
+    finally:
+        hudi_mod._commit_files_partitioned = orig
+    return out
+
+
+@query(
     "meta_iceberg_partitions",
     # lang file counts are pinned to 1 by per-lang pre-shuffle; the
     # spec-0 (unpartitioned) epoch is pinned to one file by

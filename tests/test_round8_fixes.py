@@ -205,3 +205,45 @@ def test_iceberg_partitions_table_unifies_specs(spark, tmp_path):
     assert sum(r.record_count for r in lang_rows) == docs.filter(
         F.col("doc_id") % 3 != 0
     ).count()
+
+
+# ---------------------------------------------------------------------------
+# Hudi files index (metadata-table `files` analog)
+# ---------------------------------------------------------------------------
+
+
+def test_hudi_files_index_equals_full_replay(spark, tmp_path):
+    """The index-seeded file-slice view must equal the full timeline
+    replay exactly, including replacecommit retirements captured in
+    the index and commits landing after it."""
+    from datafusion_catalogprovider_glue_spark.sources import hudi as hudi_mod
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_live_slices,
+        index_hudi_files,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        cluster_hudi,
+        upsert_hudi,
+    )
+
+    table = str(tmp_path / "hudi")
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    append_hudi(docs.filter(F.col("doc_id") % 2 == 0), table)
+    upsert_hudi(spark, docs.filter(F.col("doc_id") % 3 == 0), table,
+                key="doc_id")
+    cluster_hudi(spark, table, "doc_id", n_groups=2)
+    index_hudi_files(table)
+    upsert_hudi(spark, docs.filter(F.col("doc_id") % 5 == 0), table,
+                key="doc_id")
+    with_index = hudi_live_slices(table)
+    # force the full replay by hiding the index dir
+    idx_dir = os.path.join(table, hudi_mod._FILES_INDEX_DIR)
+    os.rename(idx_dir, idx_dir + ".hidden")
+    try:
+        full = hudi_live_slices(table)
+    finally:
+        os.rename(idx_dir + ".hidden", idx_dir)
+    assert with_index == full
