@@ -1883,3 +1883,83 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("prio", "n_rows", "p10", "p90", "winsorized_mean")
     )
+
+
+@query(
+    "agg_winsorized_mean_approx",
+    # TOLERANCE oracle (agg_approx_percentile's envelope pattern): the
+    # sketch-derived winsorized mean is engine-specific, but clamping
+    # is MONOTONE in both cut points, so the mean computed with approx
+    # cuts must lie between the means computed with the exact
+    # quantiles at p ∓ 2ε and p ± 2ε.  DuckDB re-derives the exact
+    # p10/p90 anchors and literal TRUE; the hash covers the envelope.
+    oracle="""
+    SELECT o_orderpriority AS prio, COUNT(*) AS n_rows,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.1) AS p10_exact,
+           quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_exact,
+           TRUE AS within_envelope
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_winsorized_mean_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB production path agg_winsorized_mean's exact-rank
+    formulation can't take there: cut points from the mergeable
+    GK sketch (``approx_percentile``, O(1/accuracy) state per group)
+    instead of a full ``row_number()`` sort per group — no window, no
+    per-group total ordering, just two ordinary hash aggregations and
+    a broadcast-back of the group-sized cut table.  One group spanning
+    billions of rows costs the same state as one spanning thousands.
+
+    Correctness contract: clamp(val, lo, hi) is monotone in lo and hi,
+    and each sketch cut lies between the exact quantiles at p ± 2ε
+    (rank-error guarantee, ε = 1/accuracy), so the approx winsorized
+    mean is bracketed by the means computed with the exact ∓2ε and
+    ±2ε cut pairs — the boolean the gate hashes.  The exact anchors
+    exist only to verify; the production operator is the sketch path
+    alone (drop the F.percentile columns and the plan is sort-free).
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").cast("double").alias("val"),
+    )
+    eps2 = 2.0 / 1000
+    cuts = o.groupBy("prio").agg(
+        F.approx_percentile(
+            F.col("val"), F.lit([WINSOR_LO, WINSOR_HI]), F.lit(1000)
+        ).alias("ap"),
+        F.percentile(F.col("val"), F.lit(WINSOR_LO)).alias("p10_exact"),
+        F.percentile(F.col("val"), F.lit(WINSOR_HI)).alias("p90_exact"),
+        F.percentile(F.col("val"), F.lit(WINSOR_LO - eps2)).alias("lo_min"),
+        F.percentile(F.col("val"), F.lit(WINSOR_LO + eps2)).alias("lo_max"),
+        F.percentile(F.col("val"), F.lit(WINSOR_HI - eps2)).alias("hi_min"),
+        F.percentile(F.col("val"), F.lit(WINSOR_HI + eps2)).alias("hi_max"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+    def _clamp(lo, hi):
+        return F.least(F.greatest(F.col("val"), lo), hi)
+
+    joined = o.join(F.broadcast(cuts), "prio")
+    means = joined.groupBy("prio", "n_rows").agg(
+        (
+            F.sum(_clamp(F.col("ap")[0], F.col("ap")[1])) / F.max("n_rows")
+        ).alias("m_approx"),
+        (
+            F.sum(_clamp(F.col("lo_min"), F.col("hi_min"))) / F.max("n_rows")
+        ).alias("m_min"),
+        (
+            F.sum(_clamp(F.col("lo_max"), F.col("hi_max"))) / F.max("n_rows")
+        ).alias("m_max"),
+        F.first("p10_exact").alias("p10_exact"),
+        F.first("p90_exact").alias("p90_exact"),
+    )
+    return means.select(
+        "prio",
+        "n_rows",
+        "p10_exact",
+        "p90_exact",
+        (
+            (F.col("m_approx") >= F.col("m_min"))
+            & (F.col("m_approx") <= F.col("m_max"))
+        ).alias("within_envelope"),
+    )

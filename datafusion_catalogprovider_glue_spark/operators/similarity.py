@@ -1044,19 +1044,11 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = _maxmin_seeds_subs(sub_sample, PQ_CODEBOOK)
     _, c1 = _kmeans_sub_fused(sub_sample, PQ_CODEBOOK, seeds=seeds)
 
-    # corpus ENCODE (the only full-corpus pass of the index build),
-    # then pin: 4 code bytes per vector
-    codes = (
-        _encode_subs(subs, c1)
-        .groupBy("vec_id")
-        .agg(
-            *[
-                F.max(F.when(F.col("sub") == s, F.col("cid"))).alias(f"code{s}")
-                for s in range(PQ_SUBSPACES)
-            ]
-        )
-        .localCheckpoint()
-    )
+    # corpus ENCODE (the only full-corpus pass of the index build):
+    # one inline-codebook projection, 4 code bytes per vector — no
+    # explode, no join, no shuffle (r8; was ~6x superlinear at 10x
+    # data through the explode→regroup round trip)
+    codes = _encode_codes_inline(base, c1, "nv").localCheckpoint()
     # per-query d2 lookup tables: queries x K x subspaces (tiny)
     subq = subs.filter(F.col("vec_id") < N_QUERIES)
     dt = subq.join(F.broadcast(c1), "sub").select(
@@ -1856,6 +1848,41 @@ def _maxmin_seeds_subs(sub_sample: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _encode_codes_inline(
+    vecs: DataFrame, centroids: DataFrame, vcol: str
+) -> DataFrame:
+    """Corpus ENCODE as ONE projection (r8, the embedding_kmeans
+    inline-literal treatment applied to PQ): the trained codebooks —
+    K-bounded, PQ_SUBSPACES × PQ_CODEBOOK rows, the FAISS "load
+    trained index" step — inline as literal arrays, and each
+    subspace's nearest-centroid argmin evaluates in whole-stage
+    codegen as array_min over (d2, cid) structs.  Zero shuffles, zero
+    row fan-out: replaces the posexplode → ×K broadcast join → two
+    groupBys round trip that materialized 4 rows + K join candidates
+    per vector before collapsing them again.  Numerically identical
+    to _encode_subs: same _d2_pinned fold, same (d2, cid) struct-min
+    tie order (ties to the lower cid)."""
+    by_sub: dict[int, list] = {}
+    for r in centroids.collect():
+        by_sub.setdefault(r["sub"], []).append((int(r["cid"]), list(r["cv"])))
+    cols = [F.col("vec_id")]
+    for s in range(PQ_SUBSPACES):
+        sv = F.slice(F.col(vcol), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+        cands = F.array(
+            *[
+                F.struct(
+                    _d2_pinned(
+                        sv, F.array(*[F.lit(float(x)) for x in cv])
+                    ).alias("d2"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in sorted(by_sub[s])
+            ]
+        )
+        cols.append(F.array_min(cands).getField("cid").alias(f"code{s}"))
+    return vecs.select(*cols)
+
+
 def _encode_subs(subs: DataFrame, centroids: DataFrame) -> DataFrame:
     """Assign every (vec_id, sub) subvector to its nearest codebook
     entry — min of a (pinned-rounded d2, cid) struct, map-side
@@ -2070,19 +2097,12 @@ def sim_topk_pq_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sub", "v"),
     )
-    asg, c1 = _kmeans_sub_fused(subs, PQ_CODEBOOK)
-    codes = (
-        asg.groupBy("vec_id")
-        .agg(
-            *[
-                F.max(
-                    F.when(F.col("sub") == s, F.col("cid"))
-                ).alias(f"code{s}")
-                for s in range(PQ_SUBSPACES)
-            ]
-        )
-        .localCheckpoint()  # index build: 4 code bytes per vector
-    )
+    _asg, c1 = _kmeans_sub_fused(subs, PQ_CODEBOOK)
+    # index build: one inline-codebook projection, 4 code bytes per
+    # vector (r8 — the lazy _asg re-assign is never materialized; the
+    # explode→regroup encode it represented cost two full-corpus
+    # shuffles)
+    codes = _encode_codes_inline(e, c1, "v").localCheckpoint()
     subq = subs.filter(F.col("vec_id") < N_QUERIES)
     dt = subq.join(F.broadcast(c1), "sub").select(
         F.col("vec_id").alias("query_id"),
