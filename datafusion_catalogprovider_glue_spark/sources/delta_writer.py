@@ -99,6 +99,11 @@ def _file_stats(path: str) -> str:
     mins: dict = {}
     maxs: dict = {}
     nulls: dict = {}
+    # a column with ANY row group lacking usable min/max must record
+    # no range at all — a partial fold would understate the file's
+    # true range and stats_filter would wrongly SKIP a file containing
+    # matching rows (the "conservatively kept" contract)
+    partial: set = set()
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -108,18 +113,24 @@ def _file_stats(path: str) -> str:
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:
+                partial.add(name)
                 continue
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode(), hi.decode()
                 except UnicodeDecodeError:
+                    partial.add(name)
                     continue  # binary column: no JSON-safe stats
             if name not in mins or lo < mins[name]:
                 mins[name] = lo
             if name not in maxs or hi > maxs[name]:
                 maxs[name] = hi
             nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    for name in partial:
+        mins.pop(name, None)
+        maxs.pop(name, None)
+        nulls.pop(name, None)
     return json.dumps(
         {
             "numRecords": int(md.num_rows),
@@ -625,22 +636,12 @@ def merge_delta(
     # reference them — the CDC-apply shape (an _op / _change_type
     # column riding along the change rows) every table_changes
     # consumer uses
-    # CHECK constraints gate the incoming rows (updates/inserts take
-    # source values; surviving target rows satisfy by induction)
-    _check_constraints(snap.configuration, source, "the merge source")
-    # generated columns: the source must already satisfy the recorded
-    # expressions (a merge source carries all table columns, so there
-    # is nothing to compute — only to validate)
-    gen_types = {f.name: f.dataType for f in snap.schema.fields}
-    for gname, gexpr in sorted(_generated_of(snap.schema).items()):
-        bad = source.filter(
-            ~F.col(gname).eqNullSafe(F.expr(gexpr).cast(gen_types[gname]))
-        ).limit(1).collect()
-        if bad:
-            raise ValueError(
-                f"generated column {gname!r} (= {gexpr}) does not match "
-                f"the merge source: {bad[0].asDict()}"
-            )
+    # CHECK constraints and generated columns gate the rows actually
+    # WRITTEN, not the raw source: a CDC tombstone whose only effect
+    # is a matched DELETE may legally carry null/placeholder payload
+    # columns (Delta validates constraints on write, and a deleted row
+    # is never written) — so validation runs on the merged output,
+    # after the delete clause, before any file lands (see below)
     # MERGE ambiguity rule: at most one source row per key
     dups = (
         source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
@@ -677,6 +678,20 @@ def merge_delta(
             for c in cols
         ]
     )
+    # atomic refusal BEFORE any file writes: constraints over the
+    # merged output (delete-clause rows already excluded; surviving
+    # target rows satisfy by induction and re-pass trivially)
+    _check_constraints(snap.configuration, merged, "the merge result")
+    gen_types = {f.name: f.dataType for f in snap.schema.fields}
+    for gname, gexpr in sorted(_generated_of(snap.schema).items()):
+        bad = merged.filter(
+            ~F.col(gname).eqNullSafe(F.expr(gexpr).cast(gen_types[gname]))
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"generated column {gname!r} (= {gexpr}) does not match "
+                f"the merge result: {bad[0].asDict()}"
+            )
     adds = (
         _write_partitioned_data_files(
             merged, table_path, f"commit-{version}",
@@ -1016,7 +1031,6 @@ def merge_delta_dv(
             f"merge source columns {sorted(source.columns)} != table "
             f"columns {sorted(cols)}"
         )
-    _check_constraints(snap.configuration, source, "the merge source")
     dups = (
         source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > 1).limit(1).count()
@@ -1048,6 +1062,21 @@ def merge_delta_dv(
         new_rows = source.join(drop_keys, anti_cond, "left_anti")
     else:
         new_rows = source
+    # CHECK constraints and generated columns gate the rows actually
+    # WRITTEN (delete-clause tombstones, which only mask pre-images,
+    # are exempt — merge_delta's rule), and the refusal is atomic:
+    # nothing has landed yet, no DV files, no data files
+    _check_constraints(snap.configuration, new_rows, "the merge result")
+    gen_types = {f.name: f.dataType for f in snap.schema.fields}
+    for gname, gexpr in sorted(_generated_of(snap.schema).items()):
+        bad = new_rows.filter(
+            ~F.col(gname).eqNullSafe(F.expr(gexpr).cast(gen_types[gname]))
+        ).limit(1).collect()
+        if bad:
+            raise ValueError(
+                f"generated column {gname!r} (= {gexpr}) does not match "
+                f"the merge result: {bad[0].asDict()}"
+            )
     adds_new = []
     if new_rows.limit(1).count():
         if snap.partition_columns:
@@ -1105,20 +1134,22 @@ def merge_delta_dv(
     for r in sorted(descs, key=lambda r: r["_file"]):
         rel = abs_to_rel[r["_file"]]
         full = os.path.join(table_path, rel)
-        actions.append(
-            {
-                "add": {
-                    "path": rel,
-                    "partitionValues": dict(snap._active[rel]),
-                    "size": os.path.getsize(full),
-                    "modificationTime": int(
-                        os.path.getmtime(full) * 1000
-                    ),
-                    "dataChange": True,
-                    "deletionVector": _json.loads(r["_desc"]),
-                }
-            }
-        )
+        add = {
+            "path": rel,
+            "partitionValues": dict(snap._active[rel]),
+            "size": os.path.getsize(full),
+            "modificationTime": int(os.path.getmtime(full) * 1000),
+            "dataChange": True,
+            "deletionVector": _json.loads(r["_desc"]),
+        }
+        # carry the file's recorded stats through the DV rewrite (the
+        # file's physical rows — what min/max describe — are
+        # unchanged; dropping stats would permanently disable
+        # stats_filter skipping for every DV-touched file)
+        prior_stats = snap._stats.get(rel)
+        if prior_stats is not None:
+            add["stats"] = json.dumps(prior_stats, sort_keys=True)
+        actions.append({"add": add})
     actions.extend({"add": a} for a in adds_new)
     if not actions:
         raise ValueError("empty merge: source matched nothing and adds nothing")

@@ -136,6 +136,10 @@ def _file_bounds(path: str) -> tuple:
     md = pq.ParquetFile(path).metadata
     lows: dict = {}
     highs: dict = {}
+    # a column with ANY stats-less row group records no bounds at all:
+    # a partial fold understates the file's true range and bounds
+    # pruning would wrongly skip a file containing matching rows
+    partial: set = set()
     for rg in range(md.num_row_groups):
         row_group = md.row_group(rg)
         for ci in range(row_group.num_columns):
@@ -145,17 +149,22 @@ def _file_bounds(path: str) -> tuple:
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:
+                partial.add(name)
                 continue
             lo, hi = st.min, st.max
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode(), hi.decode()
                 except UnicodeDecodeError:
+                    partial.add(name)
                     continue
             if name not in lows or lo < lows[name]:
                 lows[name] = lo
             if name not in highs or hi > highs[name]:
                 highs[name] = hi
+    for name in partial:
+        lows.pop(name, None)
+        highs.pop(name, None)
     return (
         json.dumps(lows, sort_keys=True) if lows else None,
         json.dumps(highs, sort_keys=True) if highs else None,
@@ -1351,8 +1360,17 @@ def tag_iceberg(
     if sid not in known:
         raise ValueError(f"snapshot {sid} not in table (snapshots: {known})")
     have = refs.get(name)
-    if have is not None and have.get("type") == "tag":
-        raise ValueError(f"tag {name!r} exists (tags are immutable)")
+    if have is not None:
+        if have.get("type") == "tag":
+            raise ValueError(f"tag {name!r} exists (tags are immutable)")
+        if ref_type == "tag":
+            # a tag may never clobber a BRANCH ref either — that would
+            # silently discard a WAP staging head; resetting a branch
+            # is branch_iceberg's explicit job
+            raise ValueError(
+                f"ref {name!r} exists as a branch — use branch_iceberg "
+                "to reset it or pick another tag name"
+            )
     refs[name] = {"snapshot-id": sid, "type": ref_type}
     meta["refs"] = refs
     _publish_metadata(meta_dir, version, meta)

@@ -247,3 +247,145 @@ def test_hudi_files_index_equals_full_replay(spark, tmp_path):
     finally:
         os.rename(idx_dir + ".hidden", idx_dir)
     assert with_index == full
+
+
+# ---------------------------------------------------------------------------
+# ADVICE fixes: stats conservatism, merge-gate placement, ref safety
+# ---------------------------------------------------------------------------
+
+
+def test_file_stats_drop_columns_with_partial_row_group_stats(tmp_path):
+    """A column whose min/max can't be folded over EVERY row group
+    must record no range at all: a partial fold understates the true
+    range and stats pruning would wrongly skip the file.  Fixture: a
+    two-row-group file whose string column decodes in rg1 but is
+    invalid utf-8 in rg2 (the decode-failure arm of the fold)."""
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        _file_stats,
+    )
+
+    path = str(tmp_path / "two_rg.parquet")
+    tbl = pa.table(
+        {
+            "a": pa.array([1, 2, 3, 4], pa.int64()),
+            "b": pa.array(
+                [b"aa", b"ab", b"\xff\xfe", b"\xff\xff"], pa.binary()
+            ),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=2)
+    assert pq.ParquetFile(path).metadata.num_row_groups == 2
+    stats = _json.loads(_file_stats(path))
+    assert stats["minValues"].get("a") == 1 and stats["maxValues"]["a"] == 4
+    # before the fix, b carried rg1's ["aa","ab"] range — understated
+    assert "b" not in stats["minValues"] and "b" not in stats["maxValues"]
+
+
+def test_merge_constraint_exempts_delete_only_tombstones(spark, tmp_path):
+    """CDC tombstones whose only effect is a matched DELETE may carry
+    constraint-violating placeholder payloads — constraints gate the
+    rows actually written, not the raw source (both merge paths)."""
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        add_delta_constraint,
+        merge_delta,
+        merge_delta_dv,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    for merge_fn in (merge_delta, merge_delta_dv):
+        t = str(tmp_path / merge_fn.__name__)
+        append_delta(docs.filter(F.col("doc_id") % 2 == 0), t)
+        add_delta_constraint(spark, t, "chars_pos", "n_chars >= 0")
+        # tombstone batch: matched keys, poisoned payload, all deleted
+        tomb = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+            "n_chars", F.lit(-1).cast(docs.schema["n_chars"].dataType)
+        )
+        n_before = read_delta(spark, t).count()
+        n_tomb = tomb.count()
+        merge_fn(spark, t, tomb, on=["doc_id"], matched_delete=F.lit(True))
+        assert read_delta(spark, t).count() == n_before - n_tomb
+        # a poisoned row that would actually LAND still refuses
+        with pytest.raises(ValueError, match="violated"):
+            merge_fn(
+                spark, t,
+                docs.filter(F.col("doc_id") % 7 == 3).withColumn(
+                    "n_chars",
+                    F.lit(-1).cast(docs.schema["n_chars"].dataType),
+                ),
+                on=["doc_id"],
+            )
+
+
+def test_dv_merge_validates_generated_columns(spark, tmp_path):
+    """merge_delta_dv must enforce delta.generationExpression on the
+    rows it writes, exactly like merge_delta (previously unchecked)."""
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        merge_delta_dv,
+    )
+
+    t = str(tmp_path / "gen")
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    base = docs.filter(F.col("doc_id") % 2 == 0).withColumn(
+        "n2", (F.col("n_chars") * 2).cast("long")
+    )
+    append_delta(base, t, generated={"n2": "n_chars * 2"})
+    bad = docs.filter(F.col("doc_id") % 5 == 1).withColumn(
+        "n2", F.lit(0).cast("long")
+    )
+    with pytest.raises(ValueError, match="generated column"):
+        merge_delta_dv(spark, t, bad, on=["doc_id"])
+    good = docs.filter(F.col("doc_id") % 5 == 1).withColumn(
+        "n2", (F.col("n_chars") * 2).cast("long")
+    )
+    merge_delta_dv(spark, t, good, on=["doc_id"])
+
+
+def test_dv_merge_carries_stats_through_readd(spark, tmp_path):
+    """A DV re-add must keep the prior add's stats JSON — dropping it
+    would permanently disable stats skipping for every touched file."""
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        merge_delta_dv,
+    )
+
+    t = str(tmp_path / "dvstats")
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), t)
+    snap0 = DeltaSnapshot(t)
+    assert snap0._stats, "fixture: appends must record stats"
+    merge_delta_dv(
+        spark, t,
+        docs.filter(F.col("doc_id") % 6 == 0),
+        on=["doc_id"], matched_delete=F.lit(True),
+    )
+    snap1 = DeltaSnapshot(t)
+    assert snap1._dvs, "fixture: merge must have produced DVs"
+    for rel in snap1._dvs:
+        assert rel in snap1._stats, f"DV re-add dropped stats for {rel}"
+        assert snap1._stats[rel]["numRecords"] == snap0._stats[rel][
+            "numRecords"
+        ]
+
+
+def test_tag_refuses_to_clobber_branch_ref(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        branch_iceberg,
+        tag_iceberg,
+    )
+
+    t = str(tmp_path / "ice")
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), t)
+    branch_iceberg(t, "staging")
+    with pytest.raises(ValueError, match="exists as a branch"):
+        tag_iceberg(t, "staging")
+    # resetting the branch stays allowed
+    append_iceberg(docs.filter(F.col("doc_id") % 3 == 0), t)
+    branch_iceberg(t, "staging")
