@@ -446,6 +446,93 @@ class GlueCatalog:
             False,
         )
 
+    @staticmethod
+    def _location_is_ion_binary(location: str) -> bool:
+        """True when the table's data files carry the binary Ion
+        version marker — checked on ONE file (a table mixing text and
+        binary Ion is malformed either way).  Object-store locations
+        skip the probe (no cheap peek): they keep the reference's
+        JSON approximation."""
+        import os as _os
+
+        from datafusion_catalogprovider_glue_spark.sources.ion_binary import (
+            is_ion_binary_file,
+        )
+
+        if "://" in location or not _os.path.isdir(location):
+            return False
+        for n in sorted(_os.listdir(location)):
+            if n.startswith(("_", ".")):
+                continue
+            try:
+                return is_ion_binary_file(_os.path.join(location, n))
+            except OSError:
+                return False
+        return False
+
+    def _load_ion_binary_table(
+        self,
+        database: str,
+        name: str,
+        sd: dict,
+        options: TableRegistrationOptions,
+        location: str,
+    ) -> TableEntry:
+        """BINARY Ion lowering (beyond the reference's envelope — its
+        JSON approximation, glue.rs:421-425, breaks on binary Ion in
+        both engines): decode executor-side via the pure-Python codec
+        (sources/ion_binary.py, the avro_fallback pattern).  Schema
+        from the Glue columns in derive mode; in infer mode, sampled
+        from the first file's decoded rows (string/long/double/boolean
+        from the python values, the same subset the JSON sampler
+        yields)."""
+        import os as _os
+
+        from datafusion_catalogprovider_glue_spark.sources.ion_binary import (
+            decode_ion_binary,
+            read_ion_binary,
+        )
+
+        if options is TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE:
+            columns = sd.get("Columns") or []
+            if not columns:
+                raise GlueError(
+                    f"binary Ion table {database}.{name} has no columns"
+                )
+            schema = map_glue_columns_to_spark_schema(columns)
+        else:
+            first = next(
+                _os.path.join(location, n)
+                for n in sorted(_os.listdir(location))
+                if not n.startswith(("_", "."))
+            )
+            with open(first, "rb") as fh:
+                sample = decode_ion_binary(fh.read())
+            py_to_spark = {
+                str: T.StringType(), bool: T.BooleanType(),
+                int: T.LongType(), float: T.DoubleType(),
+            }
+            fields: dict[str, T.DataType] = {}
+            for row in sample:
+                for k, v in row.items():
+                    if k not in fields and v is not None:
+                        fields[k] = py_to_spark.get(type(v), T.StringType())
+            schema = T.StructType(
+                [T.StructField(k, t, True) for k, t in fields.items()]
+            )
+        df = read_ion_binary(self.spark, location, schema)
+        return self._finish(
+            database,
+            name,
+            df,
+            T.StructType(df.schema),
+            "ion-binary",
+            location,
+            {},
+            [],
+            False,
+        )
+
     def _register_listing_table(
         self,
         database: str,
@@ -461,6 +548,14 @@ class GlueCatalog:
         if spec.format == "regex":
             return self._load_regex_table(
                 database, name, sd, spec, options, location
+            )
+
+        if spec.ion_fallback and self._location_is_ion_binary(location):
+            # BINARY Ion (version marker E0 01 00 EA): the JSON
+            # approximation (glue.rs:421-425) would fail on these —
+            # route to the pure-Python binary decoder instead
+            return self._load_ion_binary_table(
+                database, name, sd, options, location
             )
 
         reader = self.spark.read.format(spec.format).options(**spec.options)

@@ -443,6 +443,106 @@ def scan_ion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_ion_binary",
+    oracle="""
+    SELECT p_type, COUNT(*) AS n_parts,
+           CAST(SUM(p_size) AS BIGINT) AS size_sum,
+           CAST(MAX(CAST(p_retailprice AS DOUBLE)) AS DOUBLE) AS max_retail
+    FROM part
+    GROUP BY p_type
+    """,
+)
+def scan_ion_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY Amazon Ion through the IonHiveSerDe dispatch — beyond
+    the reference's envelope: it routes Ion tables to its JSON reader
+    (glue.rs:421-425), so a table whose files are binary Ion (the
+    format Ion-native producers emit) breaks there AND broke here
+    until r8.  The registration now detects the E0 01 00 EA version
+    marker and decodes via the pure-Python codec
+    (sources/ion_binary.py: local symbol tables, VarUInt lengths,
+    typed nulls — the spec subset a tabular Glue schema can carry),
+    executor-side one file per task.  The fixture ENCODES the part
+    table with the engine's own encoder (byte-level spec compliance is
+    pinned separately in tests); the oracle recomputes the aggregate
+    from the parquet source, so the hash proves binary decode ==
+    source rows exactly."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import FakeGlueClient
+    from datafusion_catalogprovider_glue_spark.sources.ion_binary import (
+        encode_ion_binary,
+    )
+
+    apply_engine_conf(spark)
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    out = os.path.join("/tmp", f"glue_spark_ionbin_{h}")
+    done = os.path.join(out, "_SUCCESS")
+    fields = ["p_partkey", "p_type", "p_size", "p_retailprice"]
+    if not os.path.exists(done):
+        os.makedirs(out, exist_ok=True)
+        rows = [
+            {
+                "p_partkey": r.p_partkey,
+                "p_type": r.p_type,
+                "p_size": int(r.p_size),
+                "p_retailprice": float(r.p_retailprice),
+            }
+            for r in load_table(spark, sf_dir, "part")
+            .select(*fields)
+            .collect()
+        ]
+        # two files so the scan fans out to two tasks
+        mid = len(rows) // 2
+        for i, chunk in enumerate((rows[:mid], rows[mid:])):
+            with open(os.path.join(out, f"part-{i}.10n"), "wb") as fh:
+                fh.write(encode_ion_binary(chunk, fields))
+        with open(done, "w"):
+            pass
+    client = FakeGlueClient(
+        {
+            "textdb": {
+                "part_ion_bin": {
+                    "DatabaseName": "textdb",
+                    "Name": "part_ion_bin",
+                    "Parameters": {},
+                    "PartitionKeys": [],
+                    "StorageDescriptor": {
+                        "InputFormat": "org.apache.hadoop.mapred.TextInputFormat",
+                        "OutputFormat": "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+                        "SerdeInfo": {
+                            "SerializationLibrary": "com.amazon.ionhiveserde.IonHiveSerDe",
+                            "Parameters": {},
+                        },
+                        "Parameters": {},
+                        "Columns": [
+                            {"Name": "p_partkey", "Type": "bigint"},
+                            {"Name": "p_type", "Type": "string"},
+                            {"Name": "p_size", "Type": "bigint"},
+                            {"Name": "p_retailprice", "Type": "double"},
+                        ],
+                        "Location": out,
+                    },
+                }
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    entry = catalog.register_table("textdb", "part_ion_bin")
+    return (
+        spark.table(entry.view)
+        .groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("p_size").cast("bigint").alias("size_sum"),
+            F.max("p_retailprice").cast("double").alias("max_retail"),
+        )
+    )
+
+
+@query(
     "scan_delta",
     oracle="""
     SELECT r.r_name, COUNT(*) AS n_nations,

@@ -44,6 +44,11 @@ class ReaderSpec:
     format: str
     options: dict[str, str] = field(default_factory=dict)
     supports_schema_inference: bool = True
+    # IonHiveSerDe tables: text Ion reads as JSON (the reference's
+    # approximation, glue.rs:421-425), but files carrying the binary
+    # Ion version marker route to the pure-Python binary decoder
+    # (sources/ion_binary.py) — detection happens at registration
+    ion_fallback: bool = False
 
 
 def calculate_reader_spec(storage_descriptor: dict) -> ReaderSpec:
@@ -84,14 +89,17 @@ def calculate_reader_spec(storage_descriptor: dict) -> ReaderSpec:
     if triple == (AVRO_IN, AVRO_OUT, AVRO_SERDE):
         return ReaderSpec("avro", supports_schema_inference=False)
 
-    # B4/B5/B6 JSON variants + Ion-as-JSON (glue.rs:411-425)
+    # B4/B5/B6 JSON variants + Ion (glue.rs:411-425)
     if input_format == TEXT_IN and output_format == TEXT_OUT and serde in (
         HIVE_JSON_SERDE,
         OPENX_JSON_SERDE,
-        ION_SERDE,  # no native Ion reader in Spark either — same
-        # approximation the reference makes (glue.rs:421-425)
+        ION_SERDE,
     ):
-        return ReaderSpec("json")
+        # Ion: TEXT Ion reads as JSON (the reference's approximation,
+        # glue.rs:421-425); BINARY Ion files (which that approximation
+        # breaks on in both engines) are detected by their version
+        # marker at registration and decode via sources/ion_binary.py
+        return ReaderSpec("json", ion_fallback=(serde == ION_SERDE))
 
     # B8c ORC (EXTENSION — the reference's dispatch has no ORC arm, so
     # real Glue ORC tables fall through to its NotImplemented fallback,

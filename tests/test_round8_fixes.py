@@ -389,3 +389,114 @@ def test_tag_refuses_to_clobber_branch_ref(spark, tmp_path):
     # resetting the branch stays allowed
     append_iceberg(docs.filter(F.col("doc_id") % 3 == 0), t)
     branch_iceberg(t, "staging")
+
+
+# ---------------------------------------------------------------------------
+# Binary Amazon Ion codec (sources/ion_binary.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ion_binary_byte_level_spec_pins():
+    """Spec vectors (amazon-ion.github.io/ion-docs/docs/binary.html):
+    BVM, type descriptors, VarUInt framing, typed encodings."""
+    from datafusion_catalogprovider_glue_spark.sources.ion_binary import (
+        _enc_value,
+        _enc_varuint,
+        decode_ion_binary,
+        encode_ion_binary,
+    )
+
+    assert _enc_varuint(0) == b"\x80"
+    assert _enc_varuint(127) == b"\xff"
+    assert _enc_varuint(128) == b"\x01\x80"  # 7-bit groups, end flag
+    assert _enc_value(True) == b"\x11" and _enc_value(False) == b"\x10"
+    assert _enc_value(None) == b"\x0f"  # null.null
+    assert _enc_value(0) == b"\x20"  # int zero: L = 0, no magnitude
+    assert _enc_value(255) == b"\x21\xff"
+    assert _enc_value(-1) == b"\x31\x01"  # negative: type 3, magnitude
+    assert _enc_value(0.0) == b"\x40"  # float zero: L = 0
+    assert _enc_value(1.0) == b"\x48\x3f\xf0" + b"\x00" * 6
+    assert _enc_value("ab") == b"\x82ab"
+    long_s = "x" * 20  # L >= 14 -> VarUInt length
+    assert _enc_value(long_s) == b"\x8e\x94" + long_s.encode()
+    stream = encode_ion_binary([{"k": 1}], ["k"])
+    assert stream[:4] == b"\xe0\x01\x00\xea"
+    assert decode_ion_binary(stream) == [{"k": 1}]
+
+
+def test_ion_binary_rejects_non_tabular_and_unknown_types():
+    from datafusion_catalogprovider_glue_spark.errors import NotImplementedYet
+    from datafusion_catalogprovider_glue_spark.sources.ion_binary import (
+        decode_ion_binary,
+    )
+
+    with pytest.raises(NotImplementedYet, match="version marker"):
+        decode_ion_binary(b"{not ion}")
+    # a top-level scalar is not a table row
+    with pytest.raises(NotImplementedYet, match="struct"):
+        decode_ion_binary(b"\xe0\x01\x00\xea\x21\x05")
+    # decimal (type 5) is outside the tabular subset -> loud refusal
+    with pytest.raises(NotImplementedYet, match="type code 5"):
+        decode_ion_binary(b"\xe0\x01\x00\xea\x51\x81")
+
+
+def test_ion_binary_catalog_autodetect(spark, tmp_path):
+    """An IonHiveSerDe table whose files are BINARY Ion routes to the
+    binary decoder; text (JSON-shaped) Ion keeps the JSON path."""
+    import json as _json
+
+    from datafusion_catalogprovider_glue_spark.catalog.catalog import (
+        GlueCatalog,
+    )
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.ion_binary import (
+        encode_ion_binary,
+    )
+
+    rows = [{"a": i, "b": f"s{i}"} for i in range(10)]
+    bin_dir, txt_dir = str(tmp_path / "bin"), str(tmp_path / "txt")
+    os.makedirs(bin_dir), os.makedirs(txt_dir)
+    with open(os.path.join(bin_dir, "data.10n"), "wb") as fh:
+        fh.write(encode_ion_binary(rows, ["a", "b"]))
+    with open(os.path.join(txt_dir, "data.json"), "w") as fh:
+        for r in rows:
+            fh.write(_json.dumps(r) + "\n")
+
+    def _table(name, loc):
+        return {
+            "DatabaseName": "db", "Name": name, "Parameters": {},
+            "PartitionKeys": [],
+            "StorageDescriptor": {
+                "InputFormat": "org.apache.hadoop.mapred.TextInputFormat",
+                "OutputFormat":
+                    "org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat",
+                "SerdeInfo": {
+                    "SerializationLibrary":
+                        "com.amazon.ionhiveserde.IonHiveSerDe",
+                    "Parameters": {},
+                },
+                "Parameters": {},
+                "Columns": [
+                    {"Name": "a", "Type": "bigint"},
+                    {"Name": "b", "Type": "string"},
+                ],
+                "Location": loc,
+            },
+        }
+
+    cat = GlueCatalog(
+        spark,
+        FakeGlueClient(
+            {"db": {"t_bin": _table("t_bin", bin_dir),
+                    "t_txt": _table("t_txt", txt_dir)}}
+        ),
+    )
+    for name, fmt in (("t_bin", "ion-binary"), ("t_txt", "json")):
+        entry = cat.register_table("db", name)
+        assert entry.format == fmt
+        got = {
+            (r.a, r.b) for r in spark.table(entry.view).collect()
+        }
+        assert got == {(i, f"s{i}") for i in range(10)}
