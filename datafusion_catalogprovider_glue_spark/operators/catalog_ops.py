@@ -443,6 +443,98 @@ def scan_ion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_delta_protocol_gate",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    """,
+)
+def scan_delta_protocol_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROTOCOL GATING (PROTOCOL.md §Protocol Evolution): a reader
+    must understand every listed readerFeature of a minReaderVersion-3
+    table or REFUSE — misreading a table whose feature changes row
+    visibility (deletionVectors, v2Checkpoint) silently returns wrong
+    data, the worst failure mode a reader has.  The fixture upgrades a
+    table to (3, 7) with features this engine supports — the replay
+    still hash-matches — then asserts in-key that an UNKNOWN future
+    readerFeature and a minReaderVersion beyond the ceiling both
+    refuse loudly instead of degrading to a wrong answer."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        DeltaError,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_proto_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+    log_dir = os.path.join(table, "_delta_log")
+
+    def _protocol_commit(version: int, protocol: dict) -> None:
+        with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+            fh.write(_json.dumps({"protocol": protocol}) + "\n")
+
+    # upgrade to table features with a supported set: replay unchanged
+    _protocol_commit(
+        1,
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "timestampNtz"],
+            "writerFeatures": ["deletionVectors"],
+        },
+    )
+    out = read_delta(spark, table)
+    # an unknown future feature must refuse, never misread
+    _protocol_commit(
+        2,
+        {
+            "minReaderVersion": 3,
+            "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "someFutureFeature"],
+        },
+    )
+    try:
+        DeltaSnapshot(table)
+        raise SparkError("reader accepted an unknown readerFeature")
+    except DeltaError:
+        pass
+    # ...and so must a reader version beyond the ceiling
+    _protocol_commit(2, {"minReaderVersion": 9, "minWriterVersion": 9})
+    try:
+        DeltaSnapshot(table)
+        raise SparkError("reader accepted minReaderVersion 9")
+    except DeltaError:
+        pass
+    os.remove(os.path.join(log_dir, f"{2:020d}.json"))
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+@query(
     "scan_ion_binary",
     oracle="""
     SELECT p_type, COUNT(*) AS n_parts,

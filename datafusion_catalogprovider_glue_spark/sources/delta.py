@@ -210,12 +210,48 @@ class DeltaSnapshot:
 
     def _apply_checkpoint_rows(self, rows: list[dict]) -> None:
         for row in rows:
-            for kind in ("metaData", "add", "remove"):
+            for kind in ("protocol", "metaData", "add", "remove"):
                 if row.get(kind) is not None:
                     self._apply_action({kind: row[kind]})
 
+    # reader capabilities for protocol gating (PROTOCOL.md §Protocol
+    # Evolution): minReaderVersion 1 = base, 2 = column mapping, 3 =
+    # table features, where EVERY listed readerFeature must be
+    # understood or the reader must refuse — misreading a table whose
+    # feature changes row visibility (e.g. deletionVectors) would
+    # silently return wrong data, the worst possible failure mode
+    _MAX_READER_VERSION = 3
+    _SUPPORTED_READER_FEATURES = frozenset(
+        {
+            "deletionVectors",   # sources/dv.py codec, DV-masked scans
+            "columnMapping",     # name + id modes
+            "v2Checkpoint",      # UUID checkpoints + sidecars (r8)
+            "timestampNtz",      # TIMESTAMP_NTZ in schemaString
+        }
+    )
+
+    def _apply_protocol(self, protocol: dict) -> None:
+        mrv = int(protocol.get("minReaderVersion") or 1)
+        if mrv > self._MAX_READER_VERSION:
+            raise DeltaError(
+                f"delta reader subset: minReaderVersion {mrv} > "
+                f"{self._MAX_READER_VERSION} — refusing rather than "
+                "misreading a table written under a newer protocol"
+            )
+        if mrv >= 3:
+            features = set(protocol.get("readerFeatures") or [])
+            unknown = features - self._SUPPORTED_READER_FEATURES
+            if unknown:
+                raise DeltaError(
+                    "delta reader subset: unsupported readerFeatures "
+                    f"{sorted(unknown)} (supported: "
+                    f"{sorted(self._SUPPORTED_READER_FEATURES)})"
+                )
+
     def _apply_action(self, action: dict) -> None:
-        if "metaData" in action and action["metaData"]:
+        if "protocol" in action and action["protocol"]:
+            self._apply_protocol(dict(action["protocol"]))
+        elif "metaData" in action and action["metaData"]:
             meta = action["metaData"]
             schema_str = meta.get("schemaString")
             if isinstance(schema_str, str):

@@ -500,3 +500,61 @@ def test_ion_binary_catalog_autodetect(spark, tmp_path):
             (r.a, r.b) for r in spark.table(entry.view).collect()
         }
         assert got == {(i, f"s{i}") for i in range(10)}
+
+
+# ---------------------------------------------------------------------------
+# Delta protocol gating (minReaderVersion / readerFeatures)
+# ---------------------------------------------------------------------------
+
+
+def _write_protocol(table, version, protocol):
+    import json as _json
+
+    p = os.path.join(table, "_delta_log", f"{version:020d}.json")
+    with open(p, "w") as fh:
+        fh.write(_json.dumps({"protocol": protocol}) + "\n")
+
+
+def test_delta_reader_gates_on_protocol(spark, tmp_path):
+    table = str(tmp_path / "t")
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+    n = read_delta(spark, table).count()
+    # supported feature set under (3, 7): replay unchanged
+    _write_protocol(table, 1, {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors", "columnMapping",
+                           "v2Checkpoint", "timestampNtz"],
+    })
+    assert read_delta(spark, table).count() == n
+    # unknown feature refuses
+    _write_protocol(table, 2, {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["someFutureFeature"],
+    })
+    with pytest.raises(DeltaError, match="someFutureFeature"):
+        DeltaSnapshot(table)
+    # reader version past the ceiling refuses
+    _write_protocol(table, 2, {"minReaderVersion": 9,
+                               "minWriterVersion": 9})
+    with pytest.raises(DeltaError, match="minReaderVersion 9"):
+        DeltaSnapshot(table)
+    # time travel BEFORE the poisoned commit still reads
+    assert DeltaSnapshot(table, version=1).version == 1
+
+
+def test_delta_protocol_gates_through_checkpoint(spark, tmp_path):
+    """Protocol actions inside a checkpoint must gate too — a V3
+    checkpointed table read only through its parquet state."""
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        checkpoint_delta,
+    )
+
+    table = str(tmp_path / "t")
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+    checkpoint_delta(spark, table)
+    log_dir = os.path.join(table, "_delta_log")
+    os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+    # the engine's own checkpoint carries (1, 2): replay fine
+    assert DeltaSnapshot(table).version == 0
