@@ -207,6 +207,15 @@ HEADLINE = [
     "scan_delta_stats_pruned",
     "scan_iceberg_stats_pruned",
     "scan_csv_gzip",
+    # r8 additions
+    "scan_delta_checkpoint_multipart",
+    "scan_delta_checkpoint_v2",
+    "scan_delta_protocol_gate",
+    "meta_iceberg_partitions",
+    "meta_iceberg_history",
+    "scan_hudi_files_index",
+    "agg_winsorized_mean_approx",
+    "scan_ion_binary",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded
