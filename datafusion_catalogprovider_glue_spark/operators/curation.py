@@ -181,15 +181,20 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes df AND carries the posting list (collect_list of doc_ids,
     each doc once since grams are per-doc distinct) in the same pass,
     then re-explodes it for the per-doc rollup.  Two content shuffles
-    total (n-gram, doc_id), no sort-merge join anywhere; measured 1.7×
-    faster than the equivalent df-table + equi-join plan at sf0.1.
-    A doc_id repartition first spreads the CPU-heavy gram build across
-    the cluster (the testdata is a single row group → 1 scan task).
-    At 100 TB the posting list of a hot boilerplate n-gram is the skew
-    term; the swap is capping the list at the df threshold (df >= 2
-    only needs TWO doc_ids retained — beyond proving >= threshold the
-    postings add nothing) which bounds per-key state at O(threshold).
-    The fraction is one integer divide, rounded once — engine-exact.
+    total, no sort-merge join anywhere; r8: the gram shuffle carries a
+    128-bit xxhash64 PAIR instead of the raw 5-gram string (the
+    dedup_substring_spans treatment — ~30-byte strings hashed to 16
+    fixed bytes in the map stage; gram text is never needed downstream
+    because df and the posting list are all the rollup consumes;
+    collision safety ~2^-128 per gram pair, argued at
+    dedup_substring_spans).  A doc_id repartition first spreads the
+    CPU-heavy gram build across the cluster (the testdata is a single
+    row group → 1 scan task).  At 100 TB the posting list of a hot
+    boilerplate n-gram is the skew term; the swap is capping the list
+    at the df threshold (df >= 2 only needs TWO doc_ids retained —
+    beyond proving >= threshold the postings add nothing) which bounds
+    per-key state at O(threshold).  The fraction is one integer
+    divide, rounded once — engine-exact.
     """
     from datafusion_catalogprovider_glue_spark.operators.dedup import _parallelize
 
@@ -207,8 +212,12 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    g = d.select("doc_id", F.explode(grams).alias("ng"))
-    per_ng = g.groupBy("ng").agg(
+    g = d.select("doc_id", F.explode(grams).alias("ng")).select(
+        "doc_id",
+        F.xxhash64("ng").alias("h1"),
+        F.xxhash64(F.lit("ng2"), F.col("ng")).alias("h2"),
+    )
+    per_ng = g.groupBy("h1", "h2").agg(
         F.count(F.lit(1)).alias("df"), F.collect_list("doc_id").alias("docs")
     )
     shared = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
