@@ -220,6 +220,61 @@ def meta_hudi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "meta_iceberg_refs",
+    # main moves with the post-tag append; the tag pins the audited
+    # snapshot; the staging branch sits one commit past main.  live
+    # row counts re-derive each ref's visible data from source rows.
+    oracle="""
+    WITH e AS (SELECT count(*) AS c FROM documents WHERE doc_id % 2 = 0),
+         t AS (SELECT count(*) AS c FROM documents WHERE doc_id % 3 = 0),
+         o AS (SELECT count(*) AS c FROM documents WHERE doc_id % 5 = 0)
+    SELECT 'main' AS name, 'branch' AS type, CAST(2 AS BIGINT) AS seq,
+           e.c + t.c AS live_rows FROM e, t
+    UNION ALL
+    SELECT 'q3-audit', 'tag', CAST(1 AS BIGINT), e.c FROM e
+    UNION ALL
+    SELECT 'staging', 'branch', CAST(3 AS BIGINT), e.c + t.c + o.c
+    FROM e, t, o
+    """,
+)
+def meta_iceberg_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``refs`` metadata table (iceberg.iceberg_refs_df): every
+    named ref — the implicit main branch, tags, WAP staging branches —
+    with its snapshot's sequence number and the LIVE ROW COUNT visible
+    at it (joined from the snapshots metadata table, so every number
+    re-derives from source rows).  The fixture tags the first commit,
+    appends to main, then stacks a staging-branch commit: three refs
+    at three different snapshots."""
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        iceberg_refs_df,
+        iceberg_snapshots_df,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        branch_iceberg,
+        tag_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("meta_iceberg_refs", sf_dir)
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    tag_iceberg(table, "q3-audit")
+    append_iceberg(docs.filter(F.col("doc_id") % 3 == 0), table)
+    branch_iceberg(table, "staging")
+    append_iceberg(
+        docs.filter(F.col("doc_id") % 5 == 0), table, branch="staging"
+    )
+    refs = iceberg_refs_df(spark, table)
+    live = iceberg_snapshots_df(spark, table).select(
+        "snapshot_id", "live_rows"
+    )
+    return refs.join(live, "snapshot_id").select(
+        "name", "type", "seq", "live_rows"
+    )
+
+
+@query(
     "scan_hudi_files_index",
     oracle="""
     SELECT doc_id, lang,

@@ -820,6 +820,44 @@ def iceberg_history_df(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def iceberg_refs_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``refs`` METADATA TABLE (spec §refs; engines' ``tbl.refs``):
+    one row per named ref — tags and branches — plus the implicit
+    ``main`` branch at the current head, each with its snapshot id and
+    that snapshot's sequence number.  The audit view of "what do our
+    pinned names actually point at"; pure metadata."""
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    seq_of = {
+        s["snapshot-id"]: s["sequence-number"]
+        for s in meta.get("snapshots") or []
+    }
+    rows = []
+    cur = meta.get("current-snapshot-id")
+    if cur is not None:
+        rows.append(("main", "branch", int(cur), int(seq_of.get(cur, 0))))
+    for name, ref in sorted((meta.get("refs") or {}).items()):
+        sid = ref["snapshot-id"]
+        rows.append(
+            (name, ref.get("type", "branch"), int(sid),
+             int(seq_of.get(sid, 0)))
+        )
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("name", T.StringType(), False),
+                T.StructField("type", T.StringType(), False),
+                T.StructField("snapshot_id", T.LongType(), False),
+                T.StructField("seq", T.LongType(), False),
+            ]
+        ),
+    )
+
+
 def _snapshots_meta(table_path: str) -> list[dict]:
     meta_dir = os.path.join(table_path, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as f:
