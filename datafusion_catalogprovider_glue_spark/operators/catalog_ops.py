@@ -443,6 +443,105 @@ def scan_ion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_delta_cdf_write",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT 'delete' AS _change_type, count(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS chars
+    FROM base WHERE doc_id % 3 = 0 AND lang = 'de' HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_preimage', count(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM base WHERE doc_id % 3 = 0 AND lang <> 'de' HAVING count(*) > 0
+    UNION ALL
+    SELECT 'update_postimage', count(*), CAST(SUM(n_chars + 1000) AS BIGINT)
+    FROM base WHERE doc_id % 3 = 0 AND lang <> 'de' HAVING count(*) > 0
+    UNION ALL
+    SELECT 'insert', count(*), CAST(SUM(n_chars + 1000) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 = 0
+    HAVING count(*) > 0
+    """,
+)
+def sink_delta_cdf_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-WRITING MERGE (PROTOCOL.md §Change Data Files): with
+    ``delta.enableChangeDataFeed`` on, merge_delta writes row-level
+    change files under ``_change_data/`` and commits ``cdc`` actions —
+    so ``table_changes`` over the merge version surfaces ONLY the rows
+    that changed, with the update_preimage/update_postimage fidelity
+    that file-level derivation cannot express (a CoW rewrite derives
+    as delete+insert of EVERY row otherwise).  Asserted in-key: the
+    commit carries cdc actions, the CDF row count equals the true
+    change count (untouched rows absent — the derivation would emit
+    2× the table), and pre/post images pair up per key.  The returned
+    per-change-type rollup is fully re-derived by the oracle from
+    source rows."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta_cdf,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta,
+        set_delta_property,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_cdfw_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)
+    set_delta_property(table, "delta.enableChangeDataFeed", "true")
+    src = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "n_chars", F.col("n_chars") + F.lit(1000)
+    )
+    v = merge_delta(
+        spark, table, src, on=["doc_id"],
+        matched_delete=F.col("t.lang") == "de",
+    )
+    with open(os.path.join(table, "_delta_log", f"{v:020d}.json")) as fh:
+        cdc_n = sum(1 for ln in fh if ln.strip() and "cdc" in _json.loads(ln))
+    if not cdc_n:
+        raise SparkError("merge under enableChangeDataFeed wrote no cdc actions")
+    cdf = read_delta_cdf(spark, table, from_version=v).persist()
+    n_even = docs.filter(F.col("doc_id") % 2 == 0).count()
+    n_changed = docs.filter(F.col("doc_id") % 3 == 0).count()
+    n_cdf = cdf.count()
+    # true change volume: every %3 key appears once (delete or insert)
+    # or twice (update pre+post) — NEVER ~2x the whole table, which is
+    # what the derivation fallback would produce for a CoW rewrite
+    if not (n_changed <= n_cdf <= 2 * n_changed) or n_cdf >= 2 * n_even:
+        raise SparkError(
+            f"cdf row count {n_cdf} is not change-shaped "
+            f"(changes {n_changed}, table {n_even})"
+        )
+    pre = cdf.filter(F.col("_change_type") == "update_preimage")
+    post = cdf.filter(F.col("_change_type") == "update_postimage")
+    if pre.count() != post.count():
+        raise SparkError("update pre/post images do not pair up")
+    return (
+        cdf.groupBy("_change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").cast("bigint").alias("chars"),
+        )
+    )
+
+
+@query(
     "scan_delta_protocol_gate",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars

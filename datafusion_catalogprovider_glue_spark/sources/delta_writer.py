@@ -700,8 +700,68 @@ def merge_delta(
         if snap.partition_columns
         else _write_data_files(merged, table_path, f"commit-{version}", 2)
     )
+    # CHANGE DATA FEED (PROTOCOL.md §Change Data Files): with
+    # delta.enableChangeDataFeed on, the merge also writes row-level
+    # change files under _change_data/ — delete pre-images, update
+    # pre+post images, inserts — and the commit carries `cdc` actions.
+    # Readers then represent this commit ONLY by these files: a CoW
+    # rewrite stops surfacing every untouched row as delete+insert,
+    # and updates gain the pre/post fidelity file-level derivation
+    # cannot express.  Change volume, not table volume, is what lands.
+    cdc_actions: list[dict] = []
+    if (snap.configuration or {}).get(
+        "delta.enableChangeDataFeed", ""
+    ).lower() == "true":
+        sel_t = [F.col(f"t.{c}").alias(c) for c in cols]
+        sel_s = [F.col(f"s.{c}").alias(c) for c in cols]
+        upd = matched
+        if matched_delete is not None:
+            upd = upd & ~matched_delete
+        if matched_update is not None:
+            upd = upd & matched_update
+        chunks = []
+        if matched_delete is not None:
+            chunks.append(
+                joined.filter(matched & matched_delete)
+                .select(*sel_t)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        chunks.append(
+            joined.filter(upd).select(*sel_t)
+            .withColumn("_change_type", F.lit("update_preimage"))
+        )
+        chunks.append(
+            joined.filter(upd).select(*sel_s)
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        chunks.append(
+            joined.filter(F.col("t.__tgt").isNull()).select(*sel_s)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        changes = chunks[0]
+        for ch in chunks[1:]:
+            changes = changes.unionByName(ch)
+        cdc_dir = f"_change_data/cdc-{version}"
+        changes.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(table_path, cdc_dir)
+        )
+        for fname in sorted(os.listdir(os.path.join(table_path, cdc_dir))):
+            if not fname.endswith(".parquet"):
+                continue
+            full = os.path.join(table_path, cdc_dir, fname)
+            cdc_actions.append(
+                {
+                    "cdc": {
+                        "path": f"{cdc_dir}/{fname}",
+                        "partitionValues": {},
+                        "size": os.path.getsize(full),
+                        "dataChange": False,
+                    }
+                }
+            )
     now = int(time.time() * 1000)
     actions = [_commit_info("MERGE")]
+    actions.extend(cdc_actions)
     actions.extend(
         {
             "remove": {
@@ -1267,6 +1327,39 @@ def _check_constraints(configuration: dict, df: DataFrame, where: str) -> None:
                 f"CHECK constraint {name!r} ({expr}) violated by a row "
                 f"in {where}: {bad[0].asDict()}"
             )
+
+
+def set_delta_property(table_path: str, key: str, value: str) -> int:
+    """ALTER TABLE ... SET TBLPROPERTIES (key = value): a metaData-only
+    commit updating one configuration key — how real tables flip
+    ``delta.enableChangeDataFeed`` on.  Constraint keys must go through
+    add_delta_constraint (it validates existing rows first)."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+
+    if key.startswith("delta.constraints."):
+        raise ValueError("use add_delta_constraint for constraint keys")
+    snap = DeltaSnapshot(table_path)
+    version = _next_version(_log_dir(table_path))
+    _commit(
+        _log_dir(table_path),
+        version,
+        [
+            _commit_info("SET TBLPROPERTIES"),
+            {
+                "metaData": {
+                    "id": hashlib.md5(table_path.encode()).hexdigest(),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema.json(),
+                    "partitionColumns": list(snap.partition_columns),
+                    "configuration": {**snap.configuration, key: value},
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+        ],
+    )
+    return version
 
 
 def add_delta_constraint(
