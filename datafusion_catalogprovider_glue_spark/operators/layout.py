@@ -381,6 +381,82 @@ def scan_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_delta_optimize_zorder",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE l_partkey = (SELECT max(l_partkey) FROM lineitem)
+    """,
+)
+def sink_delta_optimize_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER BY (delta_writer.optimize_delta_zorder): a
+    compaction rewrite along the Morton curve of (l_partkey,
+    l_suppkey), giving BOTH columns file-level min/max locality at
+    once — the multi-column data-skipping layout a plain sort cannot
+    provide.  Asserted in-key: before the rewrite (files laid out by
+    orderkey) a partkey point probe prunes nothing; after it, stats
+    skipping prunes the SAME probe to a fraction of the files on
+    EITHER z-order column; the commit is ``dataChange: false`` so the
+    CDF over the optimize version is EMPTY (incremental consumers
+    never re-see rows).  The returned probe rows hash-match the
+    source, proving the rewrite is logically identity."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta,
+        read_delta_cdf,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        optimize_delta_zorder,
+    )
+
+    apply_engine_conf(spark)
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table = os.path.join("/tmp", f"glue_spark_dzorder_{h}", "lineitem_delta")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+    )
+    vz = None
+    if not os.path.exists(os.path.join(table, "_delta_log")):
+        # scattered baseline: laid out by orderkey, so partkey/suppkey
+        # ranges overlap in every file and nothing prunes
+        append_delta(
+            li.repartitionByRange(8, "l_orderkey")
+            .sortWithinPartitions("l_orderkey"),
+            table, n_files=8,
+        )
+        vz = optimize_delta_zorder(
+            spark, table, ["l_partkey", "l_suppkey"], n_files=16, bits=16
+        )
+    full = read_delta(spark, table)
+    n_files = len(full.inputFiles())
+    p_probe = full.agg(F.max("l_partkey")).collect()[0][0]
+    s_probe = full.agg(F.max("l_suppkey")).collect()[0][0]
+    n_p = len(
+        read_delta(spark, table, stats_filter={"l_partkey": p_probe})
+        .inputFiles()
+    )
+    n_s = len(
+        read_delta(spark, table, stats_filter={"l_suppkey": s_probe})
+        .inputFiles()
+    )
+    if not (n_p < n_files and n_s < n_files and max(n_p, n_s) <= n_files // 2):
+        raise ValueError(
+            f"z-order skipping failed: partkey {n_p}, suppkey {n_s} "
+            f"of {n_files} files"
+        )
+    if vz is not None:
+        if read_delta_cdf(
+            spark, table, from_version=vz, to_version=vz
+        ).count() != 0:
+            raise ValueError("OPTIMIZE ZORDER surfaced rows in the CDF")
+    return read_delta(
+        spark, table, stats_filter={"l_partkey": p_probe}
+    ).filter(F.col("l_partkey") == p_probe)
+
+
+@query(
     "scan_delta_stats_pruned",
     oracle="""
     SELECT l_orderkey, l_partkey, l_suppkey,

@@ -563,6 +563,113 @@ def compact_delta(spark, table_path: str) -> int:
     return version
 
 
+def optimize_delta_zorder(
+    spark, table_path: str, cols: list[str], n_files: int = 8,
+    bits: int = 16,
+) -> int:
+    """OPTIMIZE ... ZORDER BY (c1, c2): a compaction rewrite that lays
+    the table out along the MORTON CURVE of two columns, so both gain
+    file-level min/max locality at once — after it, a point or range
+    probe on EITHER column prunes through the log's data-skipping
+    stats (delta-spark's multi-column clustering primitive; a plain
+    sort can only serve one column).  The interleave is pure JVM
+    bitwise codegen; the rewrite is repartitionByRange + in-partition
+    sort on the z value — one range shuffle, the same cost class as
+    the plain compaction.  Commits remove+add with ``dataChange:
+    false`` like OPTIMIZE: readers see the identical logical table
+    and incremental consumers must not re-see the rows.
+
+    Each column is first MIN/MAX-SCALED to the full ``bits``-bit
+    range — without it a column with a wider value domain dominates
+    every high interleave bit and the narrow column gets no locality
+    at all (the classic z-order pitfall; delta-spark uses range-bucket
+    ids for the same reason).  The scaling bounds come from one
+    2-value-per-column aggregate.  DVs fold away like compact_delta
+    (the rewritten files carry no masked rows); NULL z-order column
+    values refuse (order them explicitly first)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        _scan_with_identity,
+    )
+
+    if len(cols) != 2:
+        raise ValueError("optimize_delta_zorder subset: exactly two columns")
+    snap = DeltaSnapshot(table_path)
+    if snap.column_mapping:
+        raise ValueError("optimize_delta_zorder: column-mapped tables "
+                         "not supported")
+    if snap.partition_columns:
+        raise ValueError("optimize_delta_zorder subset: unpartitioned "
+                         "tables only (z-order within partitions TBD)")
+    version = _next_version(_log_dir(table_path))
+    old_rel = sorted(snap._active)
+    df = _scan_with_identity(spark, snap).drop("_file", "_pos")
+    bounds = df.agg(
+        *[F.min(c).alias(f"_lo{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"_hi{i}") for i, c in enumerate(cols)],
+        *[
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_n{i}")
+            for i, c in enumerate(cols)
+        ],
+    ).collect()[0]
+    scaled = []
+    top = (1 << bits) - 1
+    for i, name in enumerate(cols):
+        if bounds[f"_n{i}"]:
+            raise ValueError(f"z-order column {name!r} has NULLs")
+        lo, hi = float(bounds[f"_lo{i}"]), float(bounds[f"_hi{i}"])
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.floor(
+                (F.col(name).cast("double") - F.lit(lo))
+                * F.lit(float(top))
+                / F.lit(span)
+            ).cast("long")
+        )
+    a, b = scaled
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(
+                F.shiftright(a.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i + 1,
+            )
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(b.cast("long"), i).bitwiseAND(F.lit(1)),
+                2 * i,
+            )
+        )
+    laid_out = (
+        df.withColumn("_z", z)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    adds = _write_data_files(
+        laid_out, table_path, f"commit-{version}", n_files
+    )
+    now = int(time.time() * 1000)
+    actions = [_commit_info("OPTIMIZE ZORDER")]
+    actions.extend(
+        {
+            "remove": {
+                "path": p,
+                "deletionTimestamp": now,
+                "dataChange": False,
+            }
+        }
+        for p in old_rel
+    )
+    for add in adds:
+        add["dataChange"] = False
+        actions.append({"add": add})
+    _commit(_log_dir(table_path), version, actions)
+    return version
+
+
 def merge_delta(
     spark,
     table_path: str,
