@@ -216,6 +216,9 @@ HEADLINE = [
     "scan_hudi_files_index",
     "agg_winsorized_mean_approx",
     "scan_ion_binary",
+    "sink_delta_cdf_write",
+    "meta_iceberg_refs",
+    "sink_delta_optimize_zorder",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

@@ -558,3 +558,59 @@ def test_delta_protocol_gates_through_checkpoint(spark, tmp_path):
     os.remove(os.path.join(log_dir, f"{0:020d}.json"))
     # the engine's own checkpoint carries (1, 2): replay fine
     assert DeltaSnapshot(table).version == 0
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE ZORDER
+# ---------------------------------------------------------------------------
+
+
+def test_zorder_rewrite_is_logical_identity_and_folds_dvs(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        merge_delta_dv,
+        optimize_delta_zorder,
+    )
+
+    table = str(tmp_path / "z")
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table, n_files=4)
+    merge_delta_dv(
+        spark, table, docs.filter(F.col("doc_id") % 6 == 0),
+        on=["doc_id"], matched_delete=F.lit(True),
+    )
+    before = {
+        (r.doc_id, r.n_chars) for r in read_delta(spark, table).collect()
+    }
+    optimize_delta_zorder(spark, table, ["doc_id", "n_chars"], n_files=4)
+    snap = DeltaSnapshot(table)
+    assert not snap._dvs, "z-order rewrite must fold deletion vectors away"
+    after = {
+        (r.doc_id, r.n_chars) for r in read_delta(spark, table).collect()
+    }
+    assert after == before
+
+
+def test_zorder_refuses_nulls_and_partitioned(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        optimize_delta_zorder,
+    )
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    t1 = str(tmp_path / "n")
+    append_delta(
+        docs.withColumn(
+            "n_chars",
+            F.when(F.col("doc_id") % 17 == 0, None).otherwise(
+                F.col("n_chars")
+            ),
+        ),
+        t1,
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        optimize_delta_zorder(spark, t1, ["doc_id", "n_chars"])
+    t2 = str(tmp_path / "p")
+    append_delta(docs, t2, partition_by="lang")
+    with pytest.raises(ValueError, match="unpartitioned"):
+        optimize_delta_zorder(spark, t2, ["doc_id", "n_chars"])
