@@ -1048,7 +1048,9 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one inline-codebook projection, 4 code bytes per vector — no
     # explode, no join, no shuffle (r8; was ~6x superlinear at 10x
     # data through the explode→regroup round trip)
-    codes = _encode_codes_inline(base, c1, "nv").localCheckpoint()
+    codes = _encode_codes_inline(
+        e, c1, "v", normalize=True
+    ).localCheckpoint()
     # per-query d2 lookup tables: queries x K x subspaces (tiny)
     subq = subs.filter(F.col("vec_id") < N_QUERIES)
     dt = subq.join(F.broadcast(c1), "sub").select(
@@ -1849,38 +1851,84 @@ def _maxmin_seeds_subs(sub_sample: DataFrame, k: int) -> DataFrame:
 
 
 def _encode_codes_inline(
-    vecs: DataFrame, centroids: DataFrame, vcol: str
+    vecs: DataFrame, centroids: DataFrame, vcol: str,
+    normalize: bool = False,
 ) -> DataFrame:
-    """Corpus ENCODE as ONE projection (r8, the embedding_kmeans
-    inline-literal treatment applied to PQ): the trained codebooks —
-    K-bounded, PQ_SUBSPACES × PQ_CODEBOOK rows, the FAISS "load
-    trained index" step — inline as literal arrays, and each
-    subspace's nearest-centroid argmin evaluates in whole-stage
-    codegen as array_min over (d2, cid) structs.  Zero shuffles, zero
-    row fan-out: replaces the posexplode → ×K broadcast join → two
-    groupBys round trip that materialized 4 rows + K join candidates
-    per vector before collapsing them again.  Numerically identical
-    to _encode_subs: same _d2_pinned fold, same (d2, cid) struct-min
-    tie order (ties to the lower cid)."""
+    """Corpus ENCODE as one Arrow-batched vectorized pass (r8): the
+    trained codebooks — K-bounded, PQ_SUBSPACES × PQ_CODEBOOK rows,
+    the FAISS "load trained index" step — broadcast inside a
+    ``mapInPandas`` closure, and every batch computes all four
+    subspace argmins with numpy.  Zero shuffles, zero row fan-out:
+    replaces the posexplode → ×K broadcast join → two groupBys round
+    trip AND the interpreted higher-order-function fold it was first
+    rewritten to (Spark HOFs are CodegenFallback — ~5µs per 16-dim
+    lambda fold, 64 folds/vector; the vectorized pass is plain BLAS
+    arithmetic).
+
+    Bit-exactness with the DuckDB oracle is engineered, not assumed:
+    the squared distance accumulates DIM BY DIM in a python loop of
+    vectorized adds — the same left-fold order as _d2_pinned, IEEE
+    doubles throughout — then rounds to 6 dp with HALF_UP
+    (floor(x·1e6 + 0.5), valid for the non-negative d2; numpy's own
+    round() is half-even and would diverge on exact .5 boundaries),
+    and np.argmin's first-minimum rule matches the (d2, cid)
+    struct-min's ties-to-lower-cid.
+
+    ``normalize=True`` folds the L2 normalization into the same pass
+    (sum of squares accumulated dim by dim, sqrt, elementwise divide —
+    identical IEEE ops to the JVM expression) — feeding the encoder
+    raw vectors instead of a normalize PROJECTION, whose interpreted
+    lambda re-evaluated the captured norm fold per element (64×64
+    fold-elements per row, the dominant cost of the first rewrite)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
     by_sub: dict[int, list] = {}
     for r in centroids.collect():
         by_sub.setdefault(r["sub"], []).append((int(r["cid"]), list(r["cv"])))
-    cols = [F.col("vec_id")]
+    books = []
     for s in range(PQ_SUBSPACES):
-        sv = F.slice(F.col(vcol), s * PQ_SUBDIM + 1, PQ_SUBDIM)
-        cands = F.array(
-            *[
-                F.struct(
-                    _d2_pinned(
-                        sv, F.array(*[F.lit(float(x)) for x in cv])
-                    ).alias("d2"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in sorted(by_sub[s])
-            ]
+        cands = sorted(by_sub[s])
+        if [cid for cid, _ in cands] != list(range(len(cands))):
+            raise ValueError(
+                f"subspace {s} codebook cids are not contiguous: "
+                f"{[cid for cid, _ in cands]}"
+            )
+        books.append(
+            np.array([cv for _, cv in cands], dtype=np.float64)
         )
-        cols.append(F.array_min(cands).getField("cid").alias(f"code{s}"))
-    return vecs.select(*cols)
+
+    out_schema = T.StructType(
+        [T.StructField("vec_id", T.LongType())]
+        + [
+            T.StructField(f"code{s}", T.IntegerType())
+            for s in range(PQ_SUBSPACES)
+        ]
+    )
+
+    def _encode(batches):
+        for pdf in batches:
+            v = np.array(pdf[vcol].tolist(), dtype=np.float64)
+            if normalize:
+                acc = np.zeros(v.shape[0])
+                for d in range(v.shape[1]):  # same left-fold order as
+                    acc = acc + v[:, d] * v[:, d]  # the JVM expression
+                v = v / np.sqrt(acc)[:, None]
+            out = {"vec_id": pdf["vec_id"].to_numpy()}
+            for s in range(PQ_SUBSPACES):
+                sv = v[:, s * PQ_SUBDIM:(s + 1) * PQ_SUBDIM]
+                book = books[s]
+                d2 = np.zeros((sv.shape[0], book.shape[0]))
+                for d in range(PQ_SUBDIM):  # left-fold order, per dim
+                    diff = sv[:, d:d + 1] - book[None, :, d]
+                    d2 = d2 + diff * diff
+                d2 = np.floor(d2 * 1e6 + 0.5) / 1e6  # ROUND(x, 6) HALF_UP
+                out[f"code{s}"] = np.argmin(d2, axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return vecs.select("vec_id", vcol).mapInPandas(_encode, out_schema)
 
 
 def _encode_subs(subs: DataFrame, centroids: DataFrame) -> DataFrame:
