@@ -144,3 +144,23 @@ def cosine(a: Column, b: Column, digits: int = 6) -> Column:
     engines; DuckDB twin: ``ROUND(list_cosine_similarity(a::DOUBLE[],
     b::DOUBLE[]), digits)``)."""
     return F.round(dot(a, b) / (norm(a) * norm(b)), digits)
+
+
+def let(bound: Column, body) -> Column:
+    """Let-binding for Spark higher-order-function lambdas: evaluate
+    ``bound`` ONCE per row and hand it to ``body`` as a lambda
+    variable.
+
+    Why this exists: Spark's higher-order functions are
+    CodegenFallback — they run interpreted, and an interpreted lambda
+    re-evaluates every CAPTURED expression on each element.  A
+    ``transform`` over a document's n windows whose lambda captures
+    ``split(text, ' ')`` therefore recomputes the split n times —
+    O(n²) work per document that silently dominates at scale (the
+    8-gram build measured 5.3× faster at 10× data after binding).
+    Wrapping the expensive expression as the single element of an
+    array and referencing it through the transform's lambda variable
+    turns every capture into a variable lookup.  Values are identical;
+    this is a plan-shape change only.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)

@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from datafusion_catalogprovider_glue_spark.functions import let
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
 from datafusion_catalogprovider_glue_spark.tables import load_table
@@ -134,18 +135,22 @@ def _train_merges(spark: SparkSession, sf_dir: str) -> list[tuple]:
 
     merges = []
     for k in range(1, BPE_MERGES + 1):
-        syms = F.filter(F.split("seq", _US + _US), lambda s: s != "")
+        # symbol array LET-BOUND (functions.let): the interpreted pair
+        # lambda would otherwise re-split+filter the sequence per pair
         # guard: Spark's sequence(1, 0) DESCENDS for 1-symbol words
-        pairs = F.when(
-            F.size(syms) >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size(syms) - 1),
-                lambda i: F.struct(
-                    F.element_at(syms, i).alias("a"),
-                    F.element_at(syms, i + 1).alias("b"),
+        pairs = let(
+            F.filter(F.split("seq", _US + _US), lambda s: s != ""),
+            lambda syms: F.when(
+                F.size(syms) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(syms) - 1),
+                    lambda i: F.struct(
+                        F.element_at(syms, i).alias("a"),
+                        F.element_at(syms, i + 1).alias("b"),
+                    ),
                 ),
-            ),
-        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>")),
+        )
         best = (
             w.select("cnt", F.explode(pairs).alias("pr"))
             .groupBy(F.col("pr.a").alias("pa"), F.col("pr.b").alias("pb"))

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from datafusion_catalogprovider_glue_spark.functions import let
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
 from datafusion_catalogprovider_glue_spark.tables import load_table
@@ -63,6 +64,31 @@ _ENT_PAT = "\\b(customer|vector)\\b"
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     return load_table(spark, sf_dir, "documents")
+
+
+
+def _grams5():
+    """Distinct 5-gram strings of the ``text`` column, LET-BOUND so
+    the split evaluates once per row (functions.let): Spark HOFs run
+    interpreted and re-evaluate captured expressions per element, so
+    an unbound split(text) inside the window transform costs O(n²)
+    splits per document.  Guard: F.sequence(1, 0) would produce a
+    DESCENDING [1, 0] (not an empty list), so short docs need the
+    explicit empty branch."""
+
+    def _body(w):
+        n = F.size(w)
+        return F.when(
+            n >= 5,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - 4),
+                    lambda i: F.array_join(F.slice(w, i, 5), " "),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(F.split(F.col("text"), " "), _body)
 
 
 @query(
@@ -199,19 +225,7 @@ def text_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_catalogprovider_glue_spark.operators.dedup import _parallelize
 
     d = _parallelize(_docs(spark, sf_dir), "doc_id")
-    w = F.split(F.col("text"), " ")
-    n = F.size(w)
-    # Guard: F.sequence(1, 0) would produce a DESCENDING [1, 0] in
-    # Spark (not an empty list), so short docs need an explicit empty.
-    grams = F.when(
-        n >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 4),
-                lambda i: F.array_join(F.slice(w, i, 5), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _grams5()
     g = d.select("doc_id", F.explode(grams).alias("ng")).select(
         "doc_id",
         F.xxhash64("ng").alias("h1"),
@@ -425,25 +439,30 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so clean docs report 0 rather than vanishing.
     """
     d = _docs(spark, sf_dir)
-    t = F.split(F.col("text"), " ")
+
     # n-grams travel as xxhash64 longs of the token-array slice (the
     # dedup_ngram_jaccard token-hash trick): no joined gram strings are
     # ever built, the broadcast hash table holds 8-byte keys, and
     # overlap COUNTS are hash-identical (64-bit collisions are
     # negligible at eval-suite sizes).  The oracle recomputes from RAW
     # gram strings — a hash match proves the swap result-preserving.
+    # The token array is LET-BOUND (functions.let): the interpreted
+    # window lambda would otherwise re-split the text per window.
+    def _gram_hashes(t):
+        return F.array_distinct(
+            F.when(
+                F.size(t) >= _DECON_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - F.lit(_DECON_N - 1)),
+                    lambda i: F.xxhash64(F.slice(t, i, _DECON_N)),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        )
+
     grams = d.select(
         "doc_id",
         F.explode(
-            F.array_distinct(
-                F.when(
-                    F.size(t) >= _DECON_N,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(t) - F.lit(_DECON_N - 1)),
-                        lambda i: F.xxhash64(F.slice(t, i, _DECON_N)),
-                    ),
-                ).otherwise(F.array().cast("array<bigint>"))
-            )
+            let(F.split(F.col("text"), " "), _gram_hashes)
         ).alias("ng"),
     )
     is_bench = F.col("doc_id") % _BENCH_MOD == _BENCH_REM
@@ -1041,17 +1060,7 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_catalogprovider_glue_spark.operators.dedup import _parallelize
 
     d = _parallelize(_docs(spark, sf_dir), "doc_id")
-    w = F.split(F.col("text"), " ")
-    n = F.size(w)
-    grams = F.when(
-        n >= 5,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - 4),
-                lambda i: F.array_join(F.slice(w, i, 5), " "),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _grams5()
     g = d.select("doc_id", F.explode(grams).alias("ng"))
     per_ng = g.groupBy("ng").agg(
         F.min("doc_id").alias("first_doc"),

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datafusion_catalogprovider_glue_spark.functions import cosine, vec_double
+from datafusion_catalogprovider_glue_spark.functions import cosine, let, vec_double
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
 from datafusion_catalogprovider_glue_spark.tables import load_table
@@ -119,17 +119,23 @@ def dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles(words_col):
     """Distinct SHINGLE_WORDS-word shingles, computed JVM-side with
-    higher-order functions (no Python, no explode until banding)."""
-    n = F.size(words_col)
-    return F.array_distinct(
-        F.when(
-            n >= SHINGLE_WORDS,
-            F.transform(
-                F.sequence(F.lit(1), n - (SHINGLE_WORDS - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words_col, i, SHINGLE_WORDS)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words_col)))
-    )
+    higher-order functions (no Python, no explode until banding).
+    ``words_col`` is let-bound so a caller passing split(text) pays
+    the split ONCE per row, not once per window (functions.let)."""
+
+    def _body(w):
+        n = F.size(w)
+        return F.array_distinct(
+            F.when(
+                n >= SHINGLE_WORDS,
+                F.transform(
+                    F.sequence(F.lit(1), n - (SHINGLE_WORDS - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, SHINGLE_WORDS)),
+                ),
+            ).otherwise(F.array(F.concat_ws(" ", w)))
+        )
+
+    return let(words_col, _body)
 
 
 def minhash_signatures(

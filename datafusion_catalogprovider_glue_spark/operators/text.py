@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from datafusion_catalogprovider_glue_spark.functions import let
 from datafusion_catalogprovider_glue_spark.operators.registry import query
 from datafusion_catalogprovider_glue_spark.session import apply_engine_conf
 from datafusion_catalogprovider_glue_spark.tables import load_table
@@ -209,11 +210,15 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_catalogprovider_glue_spark.operators.dedup import _parallelize
 
     d = _parallelize(_docs(spark, sf_dir), "doc_id")
-    hashes = _window_hashes(F.col("text"))
+    # the window-hash array is referenced once (array_min); n_windows
+    # re-derives from the text length so the array is never computed
+    # twice per row (r8 — it previously fed both projections)
     return d.select(
         "doc_id",
-        F.array_min(hashes).alias("min_fingerprint"),
-        F.size(hashes).alias("n_windows"),
+        F.array_min(_window_hashes(F.col("text"))).alias("min_fingerprint"),
+        F.greatest(
+            F.length("text") - (FP_WINDOW - 1), F.lit(1)
+        ).cast("int").alias("n_windows"),
     )
 
 
@@ -237,10 +242,16 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling and partial aggregation absorb it; the final top-50 is
     TakeOrderedAndProject, never a global sort."""
     d = _docs(spark, sf_dir)
-    ws = F.split(F.lower(F.col("text")), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - 1),
-        lambda i: F.concat(F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)),
+    # token array LET-BOUND (functions.let): the interpreted window
+    # lambda would otherwise re-split the text per bigram
+    bigrams = let(
+        F.split(F.lower(F.col("text")), " "),
+        lambda ws: F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i), F.lit(" "), F.element_at(ws, i + 1)
+            ),
+        ),
     )
     return (
         d.select("doc_id", F.explode(bigrams).alias("bigram"))
