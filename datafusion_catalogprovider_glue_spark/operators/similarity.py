@@ -542,13 +542,21 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized vector is emitted as (vec_id, pos, nval) scalar rows
     (posexplode / zipped unnest) — the gate hashes scalars, and the
     row form is also what a feature-store sink ingests."""
+    from datafusion_catalogprovider_glue_spark.functions import let
+
     e = _emb(spark, sf_dir)
-    ss = F.aggregate(
-        F.transform(F.col("v"), lambda x: x * x),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # the norm fold is LET-BOUND (functions.let): captured inside the
+    # divide lambda it would re-fold the whole vector per element
+    nvec = let(
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("v"), lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        lambda nrm: F.transform(F.col("v"), lambda x: x / nrm),
     )
-    nvec = F.transform(F.col("v"), lambda x: x / F.sqrt(ss))
     return e.select(
         "vec_id", F.posexplode(nvec).alias("pos", "nval")
     ).withColumn("pos", F.col("pos").cast("long"))
@@ -636,19 +644,38 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; both engines round halves away from zero, and the int
     cast is exact because round() already produced an integral.  The
     code vector is emitted as (vec_id, scale, pos, qv) scalar rows
-    (posexplode / zipped unnest) for the hash gate."""
+    (posexplode / zipped unnest) for the hash gate.
+
+    amax is LET-BOUND (functions.let): captured inside the quantize
+    lambda it would re-scan the whole vector per element — 64×64 ops
+    per row instead of 64 (the interpreted-HOF capture pathology)."""
+    from datafusion_catalogprovider_glue_spark.functions import let
+
     e = _emb(spark, sf_dir)
-    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
-    q = F.when(
-        amax == 0.0, F.transform(F.col("v"), lambda x: F.lit(0))
-    ).otherwise(
-        F.transform(F.col("v"), lambda x: F.round(x / (amax / 127.0)).cast("int"))
+
+    def _quant(amax):
+        q = F.when(
+            amax == 0.0, F.transform(F.col("v"), lambda x: F.lit(0))
+        ).otherwise(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x / (amax / 127.0)).cast("int"),
+            )
+        )
+        return F.struct((amax / 127.0).alias("scale"), q.alias("q"))
+
+    sq = let(
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))), _quant
     )
-    return e.select(
-        "vec_id",
-        (amax / 127.0).alias("scale"),
-        F.posexplode(q).alias("pos", "qv"),
-    ).withColumn("pos", F.col("pos").cast("long"))
+    return (
+        e.select("vec_id", sq.alias("_s"))
+        .select(
+            "vec_id",
+            F.col("_s.scale").alias("scale"),
+            F.posexplode("_s.q").alias("pos", "qv"),
+        )
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
 
 
 @query(
@@ -1013,16 +1040,24 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     `sim_topk_bruteforce`, but the full-corpus pass reads 4-byte
     codes, not 256-byte vectors.
     """
+    from datafusion_catalogprovider_glue_spark.functions import let
+
     e = _emb(spark, sf_dir).select("vec_id", "v")
-    nrm = F.sqrt(
-        F.aggregate(
-            F.transform(F.col("v"), lambda x: x * x),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    # norm LET-BOUND (functions.let): only the bounded sample and the
+    # tiny query side read `base` (the corpus encode normalizes inside
+    # its Arrow pass), but the capture would still re-fold per element
     base = e.select(
-        "vec_id", F.transform(F.col("v"), lambda x: x / nrm).alias("nv")
+        "vec_id",
+        let(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("v"), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            lambda nrm: F.transform(F.col("v"), lambda x: x / nrm),
+        ).alias("nv"),
     )
 
     def slices(col):
