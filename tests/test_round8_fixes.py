@@ -614,3 +614,57 @@ def test_zorder_refuses_nulls_and_partitioned(spark, tmp_path):
     append_delta(docs, t2, partition_by="lang")
     with pytest.raises(ValueError, match="unpartitioned"):
         optimize_delta_zorder(spark, t2, ["doc_id", "n_chars"])
+
+
+# ---------------------------------------------------------------------------
+# functions.let — interpreted-HOF capture binding
+# ---------------------------------------------------------------------------
+
+
+def test_let_binding_is_value_identical(spark):
+    """let(bound, body) must produce exactly the values of the naive
+    captured form — it exists purely to stop interpreted HOF lambdas
+    re-evaluating captured expressions per element."""
+    from datafusion_catalogprovider_glue_spark.functions import let
+
+    d = load_table(spark, SF, "documents").select("doc_id", "text")
+    t = F.split(F.col("text"), " ")
+    k = 5
+    captured = F.when(
+        F.size(t) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (k - 1)),
+            lambda i: F.xxhash64(F.slice(t, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+
+    def _body(tt):
+        return F.when(
+            F.size(tt) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tt) - (k - 1)),
+                lambda i: F.xxhash64(F.slice(tt, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    bound = let(t, _body)
+    a = d.select("doc_id", captured.alias("g")).collect()
+    b = d.select("doc_id", bound.alias("g")).collect()
+    assert {(r.doc_id, tuple(r.g)) for r in a} == {
+        (r.doc_id, tuple(r.g)) for r in b
+    }
+
+
+def test_let_binding_matches_naive_on_nulls(spark):
+    """A NULL bound value must flow through let exactly like the
+    naive expression (size(NULL) is NULL under ANSI semantics)."""
+    from datafusion_catalogprovider_glue_spark.functions import let
+
+    df = spark.createDataFrame([(None,), ([1, 2],)], "v array<int>")
+    bound = [
+        r.n for r in df.select(
+            let(F.col("v"), lambda x: F.size(x)).alias("n")
+        ).collect()
+    ]
+    naive = [r.n for r in df.select(F.size("v").alias("n")).collect()]
+    assert bound == naive == [None, 2]
