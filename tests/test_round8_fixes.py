@@ -668,3 +668,60 @@ def test_let_binding_matches_naive_on_nulls(spark):
     ]
     naive = [r.n for r in df.select(F.size("v").alias("n")).collect()]
     assert bound == naive == [None, 2]
+
+
+# ---------------------------------------------------------------------------
+# Binary Ion codec: property-based roundtrip (hypothesis)
+# ---------------------------------------------------------------------------
+
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+_ion_scalar = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.integers(min_value=-(2 ** 70), max_value=2 ** 70),  # > 64-bit
+    st.floats(allow_nan=False, width=64),
+    st.text(max_size=40),
+    st.lists(st.integers(min_value=-1000, max_value=1000), max_size=5),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.dictionaries(
+            st.sampled_from(["a", "b", "c", "weird name", "$x", ""]),
+            _ion_scalar,
+            max_size=5,
+        ),
+        max_size=12,
+    )
+)
+def test_ion_binary_roundtrip_property(rows):
+    """encode→decode is identity for any tabular row set: arbitrary
+    field subsets per row, ints beyond 64 bits (Ion ints are
+    arbitrary-magnitude), ±0.0 and subnormal floats, empty and
+    non-identifier field names, empty docs."""
+    from datafusion_catalogprovider_glue_spark.sources.ion_binary import (
+        decode_ion_binary,
+        encode_ion_binary,
+    )
+
+    fields = ["a", "b", "c", "weird name", "$x", ""]
+    data = encode_ion_binary(rows, fields)
+    out = decode_ion_binary(data)
+    expect = [
+        {k: v for k, v in row.items() if v is not None} for row in rows
+    ]
+    assert len(out) == len(expect)
+    for got, want in zip(out, expect):
+        assert set(got) == set(want)
+        for k, v in want.items():
+            g = got[k]
+            if isinstance(v, float):
+                import math
+                assert math.copysign(1, g) == math.copysign(1, v)
+                assert g == v or (math.isnan(g) and math.isnan(v))
+            else:
+                assert g == v and type(g) is type(v)
