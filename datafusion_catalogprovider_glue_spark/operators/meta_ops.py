@@ -220,6 +220,71 @@ def meta_hudi_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "meta_iceberg_manifests",
+    # fast-appends never rewrite prior manifests, so after two appends
+    # and a pos-delete merge the current list references: manifest 1
+    # (evens, seq 1), manifest 2 (%3 docs, seq 2), and the merge's ONE
+    # combined manifest (seq 3: its updated-rows data file plus one
+    # position-delete file whose rows carry per-base file_paths) —
+    # each row's tallies re-derived from source rows.
+    oracle="""
+    WITH e AS (SELECT count(*) AS c FROM documents WHERE doc_id % 2 = 0),
+         t AS (SELECT count(*) AS c FROM documents WHERE doc_id % 3 = 0)
+    SELECT CAST(1 AS BIGINT) AS seq, 1 AS n_manifests,
+           1 AS data_files, e.c AS data_rows, 0 AS delete_files FROM e
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 1, 1, t.c, 0 FROM t
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 1, 1, t.c, 1 FROM t
+    """,
+)
+def meta_iceberg_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``manifests`` metadata table (iceberg.iceberg_manifests_df)
+    rolled up per adding snapshot: fast-appends reuse prior manifests
+    instead of rewriting them, so the current manifest list carries
+    one manifest per append plus the merge commit's data AND delete
+    manifests — the small-manifests health view that tells a table
+    owner when to rewrite_manifests.  Every file/row tally re-derives
+    from source rows via the snapshots join (seq per adding
+    snapshot)."""
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        iceberg_manifests_df,
+        iceberg_snapshots_df,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        merge_iceberg_pos_delete,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("meta_iceberg_manifests", sf_dir)
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0).repartition(1), table)
+    append_iceberg(docs.filter(F.col("doc_id") % 3 == 0).repartition(1), table)
+    merge_iceberg_pos_delete(
+        spark, table,
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)
+        ),
+        on=["doc_id"],
+    )
+    m = iceberg_manifests_df(spark, table)
+    seqs = iceberg_snapshots_df(spark, table).select(
+        F.col("snapshot_id").alias("added_snapshot_id"), "seq"
+    )
+    return (
+        m.join(seqs, "added_snapshot_id")
+        .groupBy("seq")
+        .agg(
+            F.count("*").cast("int").alias("n_manifests"),
+            F.sum("data_files").cast("int").alias("data_files"),
+            F.sum("data_rows").cast("long").alias("data_rows"),
+            F.sum("delete_files").cast("int").alias("delete_files"),
+        )
+    )
+
+
+@query(
     "meta_iceberg_refs",
     # main moves with the post-tag append; the tag pins the audited
     # snapshot; the staging branch sits one commit past main.  live

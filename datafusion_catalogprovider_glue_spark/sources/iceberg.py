@@ -820,6 +820,68 @@ def iceberg_history_df(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def iceberg_manifests_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``manifests`` METADATA TABLE (engines' ``tbl.manifests``):
+    one row per manifest referenced by the CURRENT snapshot's manifest
+    list, with the spec id it was written under, the snapshot that
+    added it, and its live data/delete entry + row tallies — the
+    fast-append health view (a snapshot accreting hundreds of tiny
+    manifests is the signal to rewrite_manifests).  Pure metadata:
+    manifest list + manifest Avro headers, never a data file."""
+    snap_meta = next(
+        s for s in _snapshots_meta(table_path)
+        if s["snapshot-id"] == snap_current_id(table_path)
+    )
+    per_manifest: dict[str, dict] = {}
+    for named_m, entry in _decode_manifests(
+        table_path, snap_meta["manifest-list"]
+    ):
+        rel = named_m["manifest_path"]
+        rec = per_manifest.setdefault(
+            rel,
+            {
+                "added_snapshot_id": int(
+                    named_m.get("added_snapshot_id") or 0
+                ),
+                "spec_id": int(named_m.get("partition_spec_id") or 0),
+                "data_files": 0,
+                "data_rows": 0,
+                "delete_files": 0,
+            },
+        )
+        if entry["status"] == STATUS_DELETED:
+            continue
+        if (entry.get("content") or 0) == 0:
+            rec["data_files"] += 1
+            rec["data_rows"] += int(entry.get("record_count") or 0)
+        else:
+            rec["delete_files"] += 1
+    rows = [
+        (
+            rel,
+            rec["added_snapshot_id"],
+            rec["spec_id"],
+            rec["data_files"],
+            rec["data_rows"],
+            rec["delete_files"],
+        )
+        for rel, rec in sorted(per_manifest.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("path", T.StringType(), False),
+                T.StructField("added_snapshot_id", T.LongType(), False),
+                T.StructField("spec_id", T.IntegerType(), False),
+                T.StructField("data_files", T.IntegerType(), False),
+                T.StructField("data_rows", T.LongType(), False),
+                T.StructField("delete_files", T.IntegerType(), False),
+            ]
+        ),
+    )
+
+
 def iceberg_refs_df(spark: SparkSession, table_path: str) -> DataFrame:
     """The ``refs`` METADATA TABLE (spec §refs; engines' ``tbl.refs``):
     one row per named ref — tags and branches — plus the implicit
