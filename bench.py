@@ -218,6 +218,7 @@ HEADLINE = [
     "scan_ion_binary",
     "sink_delta_cdf_write",
     "meta_iceberg_refs",
+    "meta_iceberg_manifests",
     "sink_delta_optimize_zorder",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
