@@ -488,12 +488,18 @@ def test_pii_redact_zero_shuffle(spark):
 
 
 def test_dup_ngram_fraction_plan(spark):
-    # group-join shape: NO join operator at all — the n-gram agg
-    # carries the posting list and re-explodes it; exchanges are the
-    # doc_id spread (single-row-group input), ng agg, doc_id agg
+    """r8 join-back shape: the df table attributes back to the
+    persisted gram table through an equi-join on the 128-bit hash pair
+    (AQE-splittable hot grams) — never a cartesian, and no exchange
+    keys on raw gram text."""
     p = plan_str(q(spark, "text_dup_ngram_fraction"), "simple")
-    assert "Join" not in p
-    assert p.count("Exchange") == 3
+    assert "Join" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    import re
+    full = plan_str(q(spark, "text_dup_ngram_fraction"))
+    assert "xxhash64" in full
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", full):
+        assert "ng#" not in m.group(1)
 
 
 def test_lateral_join_decorrelates_to_window_group_limit(spark):
@@ -752,11 +758,19 @@ def test_knn_classify_query_side_broadcasts(spark):
     assert "SortMergeJoin" not in p  # corpus must never shuffle for scoring
 
 
-def test_ngram_novelty_group_join_no_smj(spark):
-    # first-doc detection is a group-join (posting list re-explode),
-    # not a df-table sort-merge join back onto the gram stream.
+def test_ngram_novelty_joinback_on_hash_keys(spark):
+    """r8: first-doc attribution is an equi-join of the persisted
+    hash-keyed gram table against the min-doc table — hot boilerplate
+    grams are ordinary skewed join keys AQE can split, unlike the old
+    collect_list posting buffers.  No exchange may key on gram text,
+    and the join is never a cartesian."""
     p = plan_str(q(spark, "text_ngram_novelty"))
-    assert "SortMergeJoin" not in p and "Join" not in p
+    assert "Join" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "xxhash64" in p
+    import re
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", p):
+        assert "ng#" not in m.group(1)
 
 
 def test_lorenz_window_runs_post_aggregate(spark):
