@@ -653,43 +653,71 @@ def scan_ion_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sources/ion_binary.py: local symbol tables, VarUInt lengths,
     typed nulls — the spec subset a tabular Glue schema can carry),
     executor-side one file per task.  The fixture ENCODES the part
-    table with the engine's own encoder (byte-level spec compliance is
-    pinned separately in tests); the oracle recomputes the aggregate
-    from the parquet source, so the hash proves binary decode ==
-    source rows exactly."""
+    table with the engine's own encoder EXECUTOR-SIDE — one
+    mapInPandas task per output file, the multimodal_tar_write shape
+    (r9: the previous version collected the whole table to the driver
+    and encoded serially, the repo's one data-sized collect); the
+    oracle recomputes the aggregate from the parquet source, so the
+    hash proves binary decode == source rows exactly."""
     import hashlib
     import os
 
+    import pandas as pd
     from pyspark.sql import functions as F
 
     from datafusion_catalogprovider_glue_spark.catalog.fake_glue import FakeGlueClient
-    from datafusion_catalogprovider_glue_spark.sources.ion_binary import (
-        encode_ion_binary,
-    )
 
     apply_engine_conf(spark)
     h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     out = os.path.join("/tmp", f"glue_spark_ionbin_{h}")
     done = os.path.join(out, "_SUCCESS")
     fields = ["p_partkey", "p_type", "p_size", "p_retailprice"]
+    n_files = 2
     if not os.path.exists(done):
         os.makedirs(out, exist_ok=True)
-        rows = [
-            {
-                "p_partkey": r.p_partkey,
-                "p_type": r.p_type,
-                "p_size": int(r.p_size),
-                "p_retailprice": float(r.p_retailprice),
-            }
-            for r in load_table(spark, sf_dir, "part")
+        src = (
+            load_table(spark, sf_dir, "part")
             .select(*fields)
-            .collect()
-        ]
-        # two files so the scan fans out to two tasks
-        mid = len(rows) // 2
-        for i, chunk in enumerate((rows[:mid], rows[mid:])):
-            with open(os.path.join(out, f"part-{i}.10n"), "wb") as fh:
-                fh.write(encode_ion_binary(chunk, fields))
+            .withColumn(
+                "_f", (F.col("p_partkey") % n_files).cast("int")
+            )
+            .repartition(n_files, "_f")
+            .sortWithinPartitions("_f", "p_partkey")
+        )
+
+        def _encode(batches):
+            # rows arrive grouped by file id; encode each group's rows
+            # and stream ONE .10n file per id from this task
+            from datafusion_catalogprovider_glue_spark.sources.ion_binary import (
+                encode_ion_binary,
+            )
+
+            buf: dict[int, list[dict]] = {}
+            for pdf in batches:
+                for pk, pt, ps, pr, fid in zip(
+                    pdf["p_partkey"], pdf["p_type"], pdf["p_size"],
+                    pdf["p_retailprice"], pdf["_f"],
+                ):
+                    buf.setdefault(int(fid), []).append(
+                        {
+                            "p_partkey": int(pk),
+                            "p_type": str(pt),
+                            "p_size": int(ps),
+                            "p_retailprice": float(pr),
+                        }
+                    )
+            written = []
+            for fid, rows in buf.items():
+                path = os.path.join(out, f"part-{fid}.10n")
+                with open(path + ".tmp", "wb") as fh:
+                    fh.write(encode_ion_binary(rows, fields))
+                os.replace(path + ".tmp", path)
+                written.append((fid, len(rows)))
+            yield pd.DataFrame(written, columns=["f", "n"])
+
+        # K-row manifest collect (n_files rows), not a data collect
+        wrote = src.mapInPandas(_encode, "f int, n long").collect()
+        assert sum(r.n for r in wrote) > 0
         with open(done, "w"):
             pass
     client = FakeGlueClient(

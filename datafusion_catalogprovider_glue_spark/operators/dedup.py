@@ -1440,11 +1440,14 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     it.  The witness min(span) makes any residual collision visible
     (the gate hash would diverge from the string-keyed oracle).
 
-    At corpus sizes where the survivor key set itself outgrows the
-    driver (boilerplate catastrophes), swap the explicit broadcast for
-    a plain shuffle join on the hash pair — the regenerated side then
-    shuffles spans once, which is output-bound.  The suffix-array
-    machinery of the paper finds VARIABLE-length repeats; the fixed-k
+    The text-recovery join carries NO broadcast hint: the survivor-key
+    set is corpus-proportional in boilerplate-heavy data, so forcing a
+    broadcast would force a driver-side collect that OOMs at exactly
+    the 100 TB scale this targets.  AQE broadcasts it at runtime when
+    the flagged side measures small (the common case) and falls back
+    to a 16-byte-keyed shuffle join when it doesn't — span text still
+    shuffles at most once, output-bound.  The suffix-array machinery
+    of the paper finds VARIABLE-length repeats; the fixed-k
     formulation here is the one that distributes.
     """
     k = SPAN_TOKENS
@@ -1484,7 +1487,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.xxhash64(F.lit("ss2"), F.col("span")).alias("h2"),
     )
     return (
-        rescan.join(F.broadcast(flagged), ["h1", "h2"])
+        rescan.join(flagged, ["h1", "h2"])
         .groupBy("h1", "h2", "n_docs", "n_occurrences", "first_doc")
         .agg(F.min("span").alias("span"))
         .select("span", "n_docs", "n_occurrences", "first_doc")

@@ -74,6 +74,14 @@ class DeltaSnapshot:
         self.schema: Optional[T.StructType] = None
         self.partition_columns: list[str] = []
         self.configuration: dict[str, str] = {}
+        # the last protocol action seen during replay (PROTOCOL.md:
+        # exactly one is in force at any version).  Checkpoint writers
+        # MUST carry this through verbatim — after the spec-legal
+        # deletion of pre-checkpoint commits the checkpoint becomes the
+        # only protocol record, so writing a hardcoded (1,2) there
+        # would silently downgrade a (2,5)/(3,7) table and disarm the
+        # _apply_protocol refusal gate for foreign readers.
+        self.protocol: Optional[dict] = None
         # path -> partitionValues dict
         self._active: dict[str, dict] = {}
         # path -> deletionVector descriptor (PROTOCOL.md §Deletion
@@ -247,6 +255,9 @@ class DeltaSnapshot:
                     f"{sorted(unknown)} (supported: "
                     f"{sorted(self._SUPPORTED_READER_FEATURES)})"
                 )
+        self.protocol = {
+            k: v for k, v in protocol.items() if v is not None
+        }
 
     def _apply_action(self, action: dict) -> None:
         if "protocol" in action and action["protocol"]:

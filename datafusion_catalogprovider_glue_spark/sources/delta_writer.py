@@ -927,6 +927,10 @@ def _checkpoint_base_fields():
                 [
                     ("minReaderVersion", pa.int32()),
                     ("minWriterVersion", pa.int32()),
+                    # present only on (3,7) table-features protocols;
+                    # null lists for legacy protocols, per PROTOCOL.md
+                    ("readerFeatures", pa.list_(pa.string())),
+                    ("writerFeatures", pa.list_(pa.string())),
                 ]
             ),
         ),
@@ -986,8 +990,23 @@ def _checkpoint_payload(table_path: str):
         "partitionColumns": list(snap.partition_columns),
         "configuration": dict(snap.configuration),
     }
+    # carry the table's REAL protocol through (the checkpoint may be
+    # the only protocol record once pre-checkpoint commits are
+    # vacuumed); refusing beats silently downgrading a (2,5)/(3,7)
+    # table to the writer's own (1,2)
+    if snap.protocol is None:
+        raise DeltaError(
+            f"no protocol action replayed for {table_path!r}; refusing "
+            "to checkpoint a snapshot without a protocol record"
+        )
+    proto = {
+        "minReaderVersion": int(snap.protocol.get("minReaderVersion") or 1),
+        "minWriterVersion": int(snap.protocol.get("minWriterVersion") or 2),
+        "readerFeatures": snap.protocol.get("readerFeatures"),
+        "writerFeatures": snap.protocol.get("writerFeatures"),
+    }
     rows = [
-        {"protocol": dict(_PROTOCOL), "metaData": None, "add": None},
+        {"protocol": proto, "metaData": None, "add": None},
         {"protocol": None, "metaData": meta, "add": None},
     ]
     for p in sorted(snap._active):

@@ -376,14 +376,26 @@ def read_hudi_mor(
     target_fields = [f.name for f in log_schema.fields]
 
     def _decode_logs(pairs):
+        # refuse on writer-schema divergence rather than silently
+        # nulling missing columns / dropping extras — the pre-r8
+        # per-file unionByName raised loudly on evolved log-block
+        # schemas, and this single-pass decode must keep that contract
+        expected = set(target_fields)
         for t, p in pairs:
             writer_schema, rows = decode_container_file(p)
             names = [f["name"] for f in writer_schema["fields"]]
+            got = set(names)
+            if got != expected:
+                raise SparkError(
+                    f"hudi MoR log schema divergence in {p!r}: "
+                    f"missing={sorted(expected - got)} "
+                    f"extra={sorted(got - expected)} — refusing rather "
+                    "than silently nulling/dropping columns"
+                )
             idx = {n: i for i, n in enumerate(names)}
             for row in rows:
                 yield tuple(
-                    row[idx[name]] if name in idx else None
-                    for name in target_fields
+                    row[idx[name]] for name in target_fields
                 ) + (t,)
 
     logs = spark.createDataFrame(

@@ -217,7 +217,7 @@ def _dec_value(data: bytes, pos: int, symtab: list):
         while pos < end:
             v, pos = _dec_value(data, pos, symtab)
             if v is not _NOP:
-                out.append(v)
+                out.append(_unwrap_nested(v))
         return out, end
     if t == 13:  # struct
         if ln == 1 or ln == 14:
@@ -228,7 +228,7 @@ def _dec_value(data: bytes, pos: int, symtab: list):
             sid, pos = _dec_varuint(data, pos)
             v, pos = _dec_value(data, pos, symtab)
             if v is not _NOP:
-                out[_sym(symtab, sid)] = v
+                out[_sym(symtab, sid)] = _unwrap_nested(v)
         return out, end
     if t == 14:  # annotation wrapper
         if ln == 14:
@@ -257,6 +257,17 @@ class _Annotated:
     def __init__(self, sids, value):
         self.sids = sids
         self.value = value
+
+
+def _unwrap_nested(v):
+    """Annotation wrappers NESTED inside a struct field or list element
+    carry no system meaning ($ion_symbol_table is special only at the
+    stream's top level, amazon-ion spec §Annotations) — surface the
+    wrapped value instead of leaking the internal _Annotated object
+    into createDataFrame, which would crash with an opaque type error."""
+    while isinstance(v, _Annotated):
+        v = v.value
+    return v
 
 
 def _sym(symtab: list, sid: int) -> str:

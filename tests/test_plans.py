@@ -542,16 +542,23 @@ def test_range_binned_is_hash_join(spark):
 
 
 def test_substring_spans_hash_shuffle_broadcast_recovery(spark):
-    """r8 span-hash contract: detection aggregates on the 128-bit
-    xxhash64 pair (span STRINGS never key an exchange), and the only
-    join is the broadcast text-recovery join over the survivor keys —
-    never a shuffled join of the full window table, never a
-    cartesian."""
+    """r8 span-hash contract, r9-amended: detection aggregates on the
+    128-bit xxhash64 pair (span STRINGS never key an exchange), and
+    the text-recovery join is an EQUI join on the survivor hash keys.
+    r9 dropped the forced broadcast (the survivor set is
+    corpus-proportional in boilerplate-heavy data — an explicit hint
+    would drive a driver-side collect that OOMs at scale); AQE picks
+    broadcast at runtime when the flagged side measures small, so the
+    static plan may show either a broadcast or a hash-keyed shuffle
+    join — never a cartesian, and never an exchange keyed by text."""
     p = plan_str(q(spark, "dedup_substring_spans"))
     assert "xxhash64" in p
     assert "partial_count" in p or "HashAggregate" in p
-    assert "BroadcastHashJoin" in p
-    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    assert (
+        "BroadcastHashJoin" in p
+        or "SortMergeJoin" in p
+        or "ShuffledHashJoin" in p
+    )
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # hashpartitioning keys must be the hash longs, not span text
     import re

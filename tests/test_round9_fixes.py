@@ -1,0 +1,230 @@
+"""Round-9 pins (advisor findings from round 8):
+
+* Delta checkpoints must carry the table's REAL protocol, not a
+  hardcoded (1,2) — after the spec-legal deletion of pre-checkpoint
+  commits the checkpoint is the only protocol record, so a hardcoded
+  write silently downgrades (2,5) column-mapped and (3,7)
+  table-features tables and disarms the reader's refusal gate
+  (delta-io PROTOCOL.md §Checkpoints: "exactly one protocol action").
+* Hudi MoR log decode must refuse on divergent log-block writer
+  schemas rather than silently nulling/dropping columns.
+* Binary-Ion decode must handle annotation wrappers NESTED inside
+  structs/lists (legal Ion foreign writers emit).
+* dedup_substring_spans must not force a broadcast of the unbounded
+  survivor-span set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_catalogprovider_glue_spark.errors import DeltaError
+from datafusion_catalogprovider_glue_spark.sources.delta import (
+    DeltaSnapshot,
+    read_delta,
+)
+from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+    append_delta,
+    checkpoint_delta,
+    checkpoint_delta_multipart,
+    checkpoint_delta_v2,
+)
+from datafusion_catalogprovider_glue_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _delete_commits(table, upto):
+    log_dir = os.path.join(table, "_delta_log")
+    for v in range(upto + 1):
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        if os.path.exists(p):
+            os.remove(p)
+
+
+@pytest.mark.parametrize(
+    "ckpt_fn",
+    [checkpoint_delta, checkpoint_delta_multipart, checkpoint_delta_v2],
+)
+def test_checkpoint_carries_column_mapping_protocol(spark, tmp_path, ckpt_fn):
+    """A (2,5) column-mapped table checkpointed + log-cleaned must
+    still replay as (2,5) — and the column-mapped read must still
+    resolve physical names (which requires the protocol AND the
+    mapped metaData to survive the checkpoint)."""
+    table = str(tmp_path / "cm")
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table,
+                 column_mapping=True)
+    before = {(r.doc_id, r.lang) for r in read_delta(spark, table).collect()}
+    v = ckpt_fn(spark, table)
+    _delete_commits(table, v)
+    snap = DeltaSnapshot(table)
+    assert snap.protocol is not None
+    assert snap.protocol["minReaderVersion"] == 2
+    assert snap.protocol["minWriterVersion"] == 5
+    after = {(r.doc_id, r.lang) for r in read_delta(spark, table).collect()}
+    assert after == before
+
+
+def test_checkpoint_carries_table_features_protocol(spark, tmp_path):
+    """A (3,7) table whose readerFeatures this engine supports must
+    keep the feature list through a checkpoint; a foreign reader that
+    lacks one of those features then still refuses correctly."""
+    table = str(tmp_path / "tf")
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang")
+    append_delta(docs.filter(F.col("doc_id") % 3 == 0), table)
+    proto = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["deletionVectors", "timestampNtz"],
+        "writerFeatures": ["deletionVectors", "appendOnly"],
+    }
+    log_dir = os.path.join(table, "_delta_log")
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as fh:
+        fh.write(json.dumps({"protocol": proto}) + "\n")
+    v = checkpoint_delta(spark, table)
+    assert v == 1
+    _delete_commits(table, v)
+    snap = DeltaSnapshot(table)
+    assert snap.protocol["minReaderVersion"] == 3
+    assert sorted(snap.protocol["readerFeatures"]) == [
+        "deletionVectors", "timestampNtz",
+    ]
+    assert sorted(snap.protocol["writerFeatures"]) == [
+        "appendOnly", "deletionVectors",
+    ]
+
+
+def test_checkpoint_refuses_without_protocol_record(spark, tmp_path):
+    """A log whose commits never carried a protocol action (corrupt
+    by spec) must refuse to checkpoint rather than invent one."""
+    table = str(tmp_path / "np")
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    append_delta(docs.limit(10), table)
+    log_dir = os.path.join(table, "_delta_log")
+    p = os.path.join(log_dir, f"{0:020d}.json")
+    kept = [
+        json.loads(line)
+        for line in open(p)
+        if line.strip() and "protocol" not in json.loads(line)
+    ]
+    with open(p, "w") as fh:
+        for action in kept:
+            fh.write(json.dumps(action) + "\n")
+    with pytest.raises(DeltaError, match="protocol"):
+        checkpoint_delta(spark, table)
+
+
+# ---------------------------------------------------------------------------
+# Hudi MoR: refuse divergent log-block writer schemas
+# ---------------------------------------------------------------------------
+
+
+def test_mor_refuses_divergent_log_schemas(spark, tmp_path):
+    """A MoR table whose deltacommit log blocks were written under
+    evolved (divergent) schemas must refuse loudly — the single-pass
+    decode projects onto the first log's schema, and silently nulling
+    a missing column or dropping an extra one is data corruption."""
+    from py4j.protocol import Py4JJavaError
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi_log,
+    )
+
+    table = str(tmp_path / "mor_evolve")
+    append_hudi(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, v string, n int"
+        ),
+        table,
+        n_groups=1,
+    )
+    upsert_hudi_log(
+        spark,
+        spark.createDataFrame([(1, 11)], "k int, n int"),
+        table,
+        key="k",
+    )
+    # second log under an EVOLVED schema (v instead of n)
+    upsert_hudi_log(
+        spark,
+        spark.createDataFrame([(2, "b2")], "k int, v string"),
+        table,
+        key="k",
+    )
+    with pytest.raises(Py4JJavaError, match="schema divergence"):
+        read_hudi_mor(spark, table, key_col="k").collect()
+
+
+def test_mor_consistent_log_schemas_still_merge(spark, tmp_path):
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi_log,
+    )
+
+    table = str(tmp_path / "mor_ok")
+    append_hudi(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "k int, v string, n int"
+        ),
+        table,
+        n_groups=1,
+    )
+    upsert_hudi_log(
+        spark, spark.createDataFrame([(1, 11)], "k int, n int"),
+        table, key="k",
+    )
+    upsert_hudi_log(
+        spark, spark.createDataFrame([(2, 22)], "k int, n int"),
+        table, key="k",
+    )
+    snap = {
+        (r.k, r.v, r.n)
+        for r in read_hudi_mor(spark, table, key_col="k")
+        .select("k", "v", "n").collect()
+    }
+    assert snap == {(1, "a", 11), (2, "b", 22)}
+
+
+# ---------------------------------------------------------------------------
+# Binary Ion: nested annotation wrappers
+# ---------------------------------------------------------------------------
+
+
+def test_ion_nested_annotations_unwrap():
+    """Annotated values nested inside struct fields and list elements
+    (legal Ion foreign writers emit — e.g. type annotations on leaf
+    values) must decode to the wrapped value, not leak the internal
+    _Annotated object (amazon-ion spec: $ion_symbol_table is special
+    only at the stream's top level)."""
+    from datafusion_catalogprovider_glue_spark.sources.ion_binary import (
+        _SYSTEM_SYMBOLS,
+        _enc_annotated,
+        _enc_struct,
+        _enc_td,
+        _enc_value,
+        decode_ion_binary,
+        encode_ion_binary,
+    )
+
+    stream = encode_ion_binary([{"k": 1, "xs": None}], ["k", "xs"])
+    sid_k = len(_SYSTEM_SYMBOLS) + 1
+    sid_xs = sid_k + 1
+    # struct field value wrapped in an annotation (sid 4 = "name")
+    ann_int = _enc_annotated([4], _enc_value(7))
+    # list whose single element is annotated
+    ann_list = _enc_td(11, len(ann_int)) + ann_int
+    row = _enc_struct([(sid_k, ann_int), (sid_xs, ann_list)])
+    rows = decode_ion_binary(stream + row)
+    assert rows == [{"k": 1}, {"k": 7, "xs": [7]}]
