@@ -1819,6 +1819,99 @@ def scan_hudi_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_hudi_archived_timeline",
+    # final state: evens inserted at t1, %3 upserted +1000 at t2, %5
+    # upserted +7 at t3 (last writer wins for %15 keys)
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 5 = 0 THEN n_chars + 7
+                WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 5 = 0
+    """,
+)
+def scan_hudi_archived_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi TIMELINE ARCHIVAL (tech-specs §timeline) through the
+    correctness gate — the one table-format artifact every long-lived
+    100 TB table accumulates: old completed instants move out of the
+    active ``.hoodie/`` into ``.hoodie/archived/`` Avro containers,
+    and the readers must keep resolving them.  The key builds a
+    three-instant CoW table with the engine's writer, archives all but
+    the newest instant (``archive_hudi_timeline``), and asserts IN-KEY
+    that (a) the archived commit files are really GONE from the active
+    timeline, (b) the live file-slice map is IDENTICAL before and
+    after archival (the snapshot claim, metadata-level), (c) point-in-
+    time reads pinned to an ARCHIVED instant still resolve with the
+    right cardinality, and (d) the files-index fast path composes on
+    the merged timeline.  The returned DataFrame replays the final
+    snapshot through the archive; the oracle recomputes it from the
+    source table."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_live_slices,
+        index_hudi_files,
+        read_hudi,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        archive_hudi_timeline,
+        upsert_hudi,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        f"glue_spark_hudi_arch_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    t1 = append_hudi(docs.filter(F.col("doc_id") % 2 == 0), table)
+    t2 = upsert_hudi(
+        spark,
+        docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)
+        ),
+        table,
+        key="doc_id",
+    )
+    t3 = upsert_hudi(
+        spark,
+        docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(7)
+        ),
+        table,
+        key="doc_id",
+    )
+    slices_before = hudi_live_slices(table)
+    n_at_t2 = docs.filter(
+        (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 3 == 0)
+    ).count()
+    archived = archive_hudi_timeline(table, keep_last_n=1)
+    assert archived == [t1, t2], (archived, t1, t2)
+    # (a) the active timeline really lost the archived instants
+    tl = os.path.join(table, ".hoodie")
+    assert not os.path.exists(os.path.join(tl, f"{t1}.commit"))
+    assert not os.path.exists(os.path.join(tl, f"{t2}.commit"))
+    assert os.path.exists(os.path.join(tl, f"{t3}.commit"))
+    # (b) snapshot state is byte-identical at the metadata level
+    assert hudi_live_slices(table) == slices_before
+    # (c) time travel to an ARCHIVED instant resolves
+    assert read_hudi(spark, table, as_of=t2).count() == n_at_t2
+    # (d) files index composes with the merged timeline
+    assert index_hudi_files(table) == t3
+    assert hudi_live_slices(table) == slices_before
+    return read_hudi(spark, table).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "scan_hudi_mor",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -41,17 +41,96 @@ from pyspark.sql import DataFrame, SparkSession
 from datafusion_catalogprovider_glue_spark.errors import SparkError
 
 
-def hudi_completed_instants(location: str) -> list[str]:
-    """Sorted completed commit instants (the ``<ts>.commit`` files in
-    ``.hoodie/``; requested/inflight markers are not completed)."""
+# ---------------------------------------------------------------------------
+# Archived timeline (tech-specs §timeline: Hudi bounds the ACTIVE
+# timeline by moving old completed instants into .hoodie/archived/ as
+# Avro log files).  A long-lived 100 TB table WILL have an archived
+# timeline, so every timeline consumer here resolves instants through
+# the active-then-archived fallback: snapshot/time-travel/incremental
+# reads stay identical after archival instead of silently losing the
+# instants a foreign writer (or archive_hudi_timeline) moved out.
+# ---------------------------------------------------------------------------
+
+_ARCHIVED_DIR = os.path.join(".hoodie", "archived")
+
+# location → (archive-file signature, {(instant, action): metadata}).
+# The archive set only ever grows (append-only by the archival
+# contract), so a (name, size) signature is a sound cache key.
+_archived_cache: dict[str, tuple[tuple, dict]] = {}
+
+
+def _archived_timeline(location: str) -> dict[tuple[str, str], dict]:
+    """(instant, action) → commit-metadata dict for every ARCHIVED
+    instant, decoded from the Avro containers under
+    ``.hoodie/archived/`` (KB-sized metadata, driver-side by design —
+    the same scale class as the active timeline read)."""
+    adir = os.path.join(location, _ARCHIVED_DIR)
+    if not os.path.isdir(adir):
+        return {}
+    names = sorted(f for f in os.listdir(adir) if f.endswith(".avro"))
+    if not names:
+        return {}
+    sig = tuple(
+        (n, os.path.getsize(os.path.join(adir, n))) for n in names
+    )
+    cached = _archived_cache.get(location)
+    if cached is not None and cached[0] == sig:
+        return cached[1]
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        decode_container_file,
+    )
+
+    out: dict[tuple[str, str], dict] = {}
+    for n in names:
+        _schema, rows = decode_container_file(os.path.join(adir, n))
+        for instant, action, meta_json in rows:
+            out[(instant, action)] = json.loads(meta_json)
+    _archived_cache[location] = (sig, out)
+    return out
+
+
+def _load_instant_meta(location: str, instant: str, action: str) -> dict:
+    """One instant's commit metadata — active file first, archived
+    timeline fallback; a loud refusal when neither has it (an instant
+    referenced but present nowhere is timeline corruption)."""
+    p = os.path.join(location, ".hoodie", f"{instant}.{action}")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    meta = _archived_timeline(location).get((instant, action))
+    if meta is None:
+        raise SparkError(
+            f"instant {instant}.{action} at {location} is neither in "
+            "the active timeline nor archived"
+        )
+    return meta
+
+
+def _timeline(
+    location: str, actions: tuple[str, ...]
+) -> list[tuple[str, str]]:
+    """Ascending (instant, action) pairs across the ACTIVE and
+    ARCHIVED timelines for the requested action kinds."""
     tl = os.path.join(location, ".hoodie")
     if not os.path.isdir(tl):
         raise SparkError(f"no .hoodie timeline under {location}")
-    return sorted(
-        f[: -len(".commit")]
-        for f in os.listdir(tl)
-        if f.endswith(".commit")
-    )
+    out = set()
+    for f in os.listdir(tl):
+        stem, ext = os.path.splitext(f)
+        a = ext.lstrip(".")
+        if a in actions:
+            out.add((stem, a))
+    for (t, a) in _archived_timeline(location):
+        if a in actions:
+            out.add((t, a))
+    return sorted(out)
+
+
+def hudi_completed_instants(location: str) -> list[str]:
+    """Sorted completed commit instants (the ``<ts>.commit`` files in
+    ``.hoodie/`` plus archived ones; requested/inflight markers are
+    not completed)."""
+    return [t for t, _a in _timeline(location, ("commit",))]
 
 
 def table_partition_field(location: str) -> str:
@@ -74,10 +153,7 @@ def _commit_files_partitioned(
     """fileId → (partition path, relative path) from one commit's
     partitionToWriteStats — the partition key is what reads prune on
     without listing directories."""
-    with open(
-        os.path.join(location, ".hoodie", f"{instant}.{action}")
-    ) as fh:
-        meta = json.load(fh)
+    meta = _load_instant_meta(location, instant, action)
     out = {}
     for ppath, stats in meta.get("partitionToWriteStats", {}).items():
         for s in stats:
@@ -88,10 +164,7 @@ def _commit_files_partitioned(
 def _replaced_file_ids(location: str, instant: str) -> set[str]:
     """The file groups a REPLACECOMMIT retires
     (partitionToReplaceFileIds — Hudi's clustering commit shape)."""
-    with open(
-        os.path.join(location, ".hoodie", f"{instant}.replacecommit")
-    ) as fh:
-        meta = json.load(fh)
+    meta = _load_instant_meta(location, instant, "replacecommit")
     return {
         fid
         for ids in meta.get("partitionToReplaceFileIds", {}).values()
@@ -101,8 +174,7 @@ def _replaced_file_ids(location: str, instant: str) -> set[str]:
 
 def _commit_files(location: str, instant: str) -> dict[str, str]:
     """fileId → relative base-file path written by one commit."""
-    with open(os.path.join(location, ".hoodie", f"{instant}.commit")) as fh:
-        meta = json.load(fh)
+    meta = _load_instant_meta(location, instant, "commit")
     out: dict[str, str] = {}
     for stats in meta.get("partitionToWriteStats", {}).values():
         for st in stats:
@@ -128,14 +200,10 @@ def index_hudi_files(location: str) -> str:
     (the async-metadata-indexer bootstrap shape), which composes with
     any foreign writer's commits landing afterwards."""
     slices = hudi_live_slices(location)
-    instants = sorted(
-        f.rsplit(".", 1)[0]
-        for f in os.listdir(os.path.join(location, ".hoodie"))
-        if f.endswith((".commit", ".replacecommit"))
-    )
+    instants = _timeline(location, ("commit", "replacecommit"))
     if not instants:
         raise SparkError(f"nothing to index at {location}")
-    instant = instants[-1]
+    instant = instants[-1][0]
     idx_dir = os.path.join(location, _FILES_INDEX_DIR)
     os.makedirs(idx_dir, exist_ok=True)
     out = os.path.join(idx_dir, f"{instant}.files.json")
@@ -193,14 +261,7 @@ def hudi_live_slices(
     the index instant — the metadata-table fast path; correctness is
     unchanged because the index is exactly the replay state at its
     instant."""
-    tl = os.path.join(location, ".hoodie")
-    if not os.path.isdir(tl):
-        raise SparkError(f"no .hoodie timeline under {location}")
-    timeline = sorted(
-        (f.rsplit(".", 1)[0], f.rsplit(".", 1)[1])
-        for f in os.listdir(tl)
-        if f.endswith((".commit", ".replacecommit"))
-    )
+    timeline = _timeline(location, ("commit", "replacecommit"))
     if as_of is not None:
         timeline = [(t, a) for t, a in timeline if t <= as_of]
         if not timeline:
@@ -277,15 +338,7 @@ def hudi_mor_instants(location: str) -> list[tuple[str, str]]:
     """Completed instants of BOTH actions, ascending: (instant, action)
     with action in {'commit', 'deltacommit'} — base-file commits and
     log-appending delta commits share one timeline in MOR tables."""
-    tl = os.path.join(location, ".hoodie")
-    if not os.path.isdir(tl):
-        raise SparkError(f"no .hoodie timeline under {location}")
-    out = []
-    for f in os.listdir(tl):
-        for suffix in (".commit", ".deltacommit"):
-            if f.endswith(suffix):
-                out.append((f[: -len(suffix)], suffix[1:]))
-    return sorted(out)
+    return _timeline(location, ("commit", "deltacommit"))
 
 
 def read_hudi_mor(
@@ -430,8 +483,7 @@ def read_hudi_mor(
 
 def _commit_files_action(location: str, instant: str, action: str) -> dict[str, str]:
     """fileId → relative path for a specific timeline action file."""
-    with open(os.path.join(location, ".hoodie", f"{instant}.{action}")) as fh:
-        meta = json.load(fh)
+    meta = _load_instant_meta(location, instant, action)
     out: dict[str, str] = {}
     for stats in meta.get("partitionToWriteStats", {}).values():
         for st in stats:
@@ -626,19 +678,15 @@ def hudi_timeline_df(spark: SparkSession, location: str) -> DataFrame:
     100 TB as at 100 MB."""
     from pyspark.sql import types as T
 
-    tl = os.path.join(location, ".hoodie")
-    if not os.path.isdir(tl):
+    if not os.path.isdir(os.path.join(location, ".hoodie")):
         raise SparkError(f"not a hudi table (no .hoodie): {location}")
     rows = []
-    for name in os.listdir(tl):
-        stem, ext = os.path.splitext(name)
-        action = ext.lstrip(".")
-        if action not in ("commit", "deltacommit", "replacecommit"):
-            continue
+    for stem, action in _timeline(
+        location, ("commit", "deltacommit", "replacecommit")
+    ):
         if not stem.isdigit():
             continue
-        with open(os.path.join(tl, name)) as fh:
-            meta = json.load(fh)
+        meta = _load_instant_meta(location, stem, action)
         n_files = 0
         n_rows = 0
         n_parts = 0

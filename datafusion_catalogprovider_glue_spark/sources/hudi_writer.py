@@ -920,3 +920,70 @@ def _commit_file_ids(location: str, instant: str) -> list[str]:
                 for st in stats
             ]
     return []
+
+
+def archive_hudi_timeline(location: str, keep_last_n: int = 2) -> list[str]:
+    """TIMELINE ARCHIVAL (Hudi tech-specs §timeline): move completed
+    instants older than the newest ``keep_last_n`` out of the active
+    ``.hoodie/`` directory into an Avro container under
+    ``.hoodie/archived/`` — what real Hudi's HoodieTimelineArchiver
+    does on a cadence so the active timeline stays KB-sized over a
+    table's lifetime.  The archive record carries (instant, action,
+    commit-metadata JSON), so every reader in sources/hudi.py resolves
+    archived instants through the active-then-archived fallback:
+    snapshots stay hash-identical, time travel to an archived instant
+    still works, and incremental pulls whose range reaches archived
+    instants still serve (real Hudi refuses those; keeping the full
+    metadata lets this engine serve them instead, a documented
+    superset).  Inflight markers of archived instants are deleted
+    (they are crash debris once the instant completed).
+
+    Archive files are append-only and sequence-numbered
+    (``commits_.archive.N.avro``) — readers cache on the (name, size)
+    signature, which only grows.  Returns the archived instants.
+    """
+    if keep_last_n < 1:
+        raise SparkError(
+            f"keep_last_n must be >= 1 (the newest instant anchors "
+            f"_next_instant), got {keep_last_n}"
+        )
+    from pyspark.sql import types as T
+
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+
+    tl = _timeline_dir(location)
+    completed = sorted(
+        (stem, ext.lstrip("."))
+        for stem, ext in (os.path.splitext(f) for f in os.listdir(tl))
+        if ext.lstrip(".") in ("commit", "deltacommit", "replacecommit")
+    )
+    to_archive = completed[:-keep_last_n]
+    if not to_archive:
+        return []
+    records = []
+    for instant, action in to_archive:
+        with open(os.path.join(tl, f"{instant}.{action}")) as fh:
+            meta = json.load(fh)
+        records.append((instant, action, json.dumps(meta, sort_keys=True)))
+    adir = os.path.join(tl, "archived")
+    os.makedirs(adir, exist_ok=True)
+    seq = 1 + sum(1 for f in os.listdir(adir) if f.endswith(".avro"))
+    schema = T.StructType(
+        [
+            T.StructField("instant", T.StringType()),
+            T.StructField("action", T.StringType()),
+            T.StructField("metadata", T.StringType()),
+        ]
+    )
+    path = os.path.join(adir, f"commits_.archive.{seq}.avro")
+    tmp = path + f".tmp.{os.getpid()}"
+    write_avro_container(tmp, schema, records)
+    os.rename(tmp, path)  # publish-then-delete: readers never see a gap
+    for instant, action in to_archive:
+        os.remove(os.path.join(tl, f"{instant}.{action}"))
+        marker = os.path.join(tl, f"{instant}.{action}.inflight")
+        if os.path.exists(marker):
+            os.remove(marker)
+    return [t for t, _a in to_archive]

@@ -198,6 +198,110 @@ def test_mor_consistent_log_schemas_still_merge(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Hudi archived timeline
+# ---------------------------------------------------------------------------
+
+
+def test_mor_archival_preserves_snapshot_and_incremental(spark, tmp_path):
+    """Archiving deltacommit instants must leave the MoR snapshot
+    identical (log files stay; their timeline metadata resolves via
+    the archive) and keep serving incremental pulls whose range
+    reaches archived instants."""
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        read_hudi_mor,
+        read_hudi_mor_incremental,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        archive_hudi_timeline,
+        upsert_hudi_log,
+    )
+
+    table = str(tmp_path / "mor_arch")
+    t1 = append_hudi(
+        spark.createDataFrame(
+            [(i, f"v{i}", 100 + i) for i in range(6)],
+            "k int, v string, n int",
+        ),
+        table,
+        n_groups=2,
+    )
+    t2 = upsert_hudi_log(
+        spark, spark.createDataFrame([(0, 1000), (3, 1003)], "k int, n int"),
+        table, key="k",
+    )
+    t3 = upsert_hudi_log(
+        spark, spark.createDataFrame([(1, 2001)], "k int, n int"),
+        table, key="k",
+    )
+
+    def _snap():
+        return {
+            (r.k, r.v, r.n)
+            for r in read_hudi_mor(spark, table, key_col="k")
+            .select("k", "v", "n").collect()
+        }
+
+    before = _snap()
+    archived = archive_hudi_timeline(table, keep_last_n=1)
+    assert archived == [t1, t2]
+    assert not os.path.exists(
+        os.path.join(table, ".hoodie", f"{t2}.deltacommit")
+    )
+    assert _snap() == before
+    inc = {
+        (r.k, r.n)
+        for r in read_hudi_mor_incremental(spark, table, "k", begin="0")
+        .select("k", "n").collect()
+    }
+    assert inc == {(0, 1000), (3, 1003), (1, 2001)} | {
+        (i, 100 + i) for i in (2, 4, 5)
+    }
+    # archiving everything would orphan _next_instant's anchor: refuse
+    with pytest.raises(Exception, match="keep_last_n"):
+        archive_hudi_timeline(table, keep_last_n=0)
+    assert t3  # silence unused warning
+
+
+def test_archival_is_incremental_and_cached(spark, tmp_path):
+    """A second archival appends a NEW archive file (append-only
+    contract) and the merged timeline stays complete."""
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_completed_instants,
+        read_hudi,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        archive_hudi_timeline,
+        upsert_hudi,
+    )
+
+    table = str(tmp_path / "cow_arch")
+    base = spark.createDataFrame(
+        [(i, 10 * i) for i in range(8)], "k int, n int"
+    )
+    t1 = append_hudi(base, table)
+    t2 = upsert_hudi(
+        spark, spark.createDataFrame([(0, 999)], "k int, n int"),
+        table, key="k",
+    )
+    assert archive_hudi_timeline(table, keep_last_n=1) == [t1]
+    t3 = upsert_hudi(
+        spark, spark.createDataFrame([(1, 888)], "k int, n int"),
+        table, key="k",
+    )
+    assert archive_hudi_timeline(table, keep_last_n=1) == [t2]
+    adir = os.path.join(table, ".hoodie", "archived")
+    assert len([f for f in os.listdir(adir) if f.endswith(".avro")]) == 2
+    assert hudi_completed_instants(table) == [t1, t2, t3]
+    got = {(r.k, r.n) for r in read_hudi(spark, table).collect()}
+    assert got == {(0, 999), (1, 888)} | {(i, 10 * i) for i in range(2, 8)}
+    # time travel to the twice-removed archived instant
+    old = {(r.k, r.n) for r in read_hudi(spark, table, as_of=t1).collect()}
+    assert old == {(i, 10 * i) for i in range(8)}
+
+
+# ---------------------------------------------------------------------------
 # Binary Ion: nested annotation wrappers
 # ---------------------------------------------------------------------------
 
