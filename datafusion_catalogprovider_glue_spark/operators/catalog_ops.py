@@ -4882,6 +4882,98 @@ def scan_delta_checkpoint_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_delta_log_compacted",
+    # v0 evens; v1 odd %3 rows; v2 CoW merge updates %4 keys (+500).
+    # %4 keys are all even and present, so no inserts.
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 4 = 0 THEN n_chars + 500
+                ELSE n_chars END AS n_chars
+    FROM documents
+    WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+    """,
+)
+def scan_delta_log_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-COMPACTION files (delta-io PROTOCOL.md §Log Compaction,
+    ``{start}.{end}.compacted.json``) — the third foreign-log artifact
+    class after classic and V2 checkpoints, completing B28's matrix:
+    delta-spark writes one per N commits and metadata cleanup then
+    deletes the commits inside the range, so a reader that ignores the
+    compaction file replays a hole.  Asserted in-key: commits 1..2 are
+    DELETED after compacting (replay MUST go through the compaction
+    file), the reconciled snapshot is IDENTICAL file-for-file to the
+    pre-deletion one (including remove-tombstone handling: the CoW
+    merge at v2 removed v0/v1 files), time travel PINNED INSIDE the
+    compacted range refuses loudly (its commit no longer exists), and
+    time travel to the range END resolves through the compaction file.
+    The writer twin (delta_writer.compact_delta_log) emits the spec's
+    reconciled-action form."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        DeltaError,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        compact_delta_log,
+        merge_delta,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_logc_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)  # v0
+    append_delta(
+        docs.filter(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0)
+        ),
+        table,
+    )  # v1
+    merge_delta(
+        spark,
+        table,
+        docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(500)
+        ),
+        on=["doc_id"],
+    )  # v2: CoW rewrite — removes v0/v1 files, adds the merged state
+    before = DeltaSnapshot(table)
+    compact_delta_log(spark, table, 1, 2)
+    log_dir = os.path.join(table, "_delta_log")
+    for v in (1, 2):
+        os.remove(os.path.join(log_dir, f"{v:020d}.json"))
+    snap = DeltaSnapshot(table)
+    if snap.version != before.version or snap._active != before._active:
+        raise SparkError("compacted replay diverged from the full log")
+    # a version pinned INSIDE the compacted range is unrecoverable
+    try:
+        DeltaSnapshot(table, version=1)
+        raise SparkError("reader served a version compacted away")
+    except DeltaError:
+        pass
+    # ...but the range END resolves through the compaction file
+    if DeltaSnapshot(table, version=2).version != 2:
+        raise SparkError("time travel to the compacted range end broke")
+    return read_delta(spark, table)
+
+
+@query(
     "sink_iceberg_eq_delete",
     # evens minus the deleted %3 keys, plus ALL odds (appended AFTER
     # the delete — strictly-greater sequence scoping keeps them)

@@ -54,6 +54,27 @@ def _commit_files(log_dir: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
+_COMPACTED_RE = re.compile(r"^(\d{20})\.(\d{20})\.compacted\.json$")
+
+
+def _compacted_files(log_dir: str) -> list[tuple[int, int, str]]:
+    """(start, end, path) of every log-compaction file
+    ``{start}.{end}.compacted.json`` (delta-io PROTOCOL.md §Log
+    Compaction) — the third foreign-log artifact class after classic
+    and V2 checkpoints; delta-spark emits them and later deletes the
+    commits inside the range, so a reader that ignores them replays a
+    hole."""
+    out = []
+    for name in os.listdir(log_dir):
+        m = _COMPACTED_RE.match(name)
+        if m:
+            s, e = int(m.group(1)), int(m.group(2))
+            if e < s:
+                raise DeltaError(f"invalid compacted log range: {name}")
+            out.append((s, e, os.path.join(log_dir, name)))
+    return sorted(out)
+
+
 def _last_checkpoint(log_dir: str) -> Optional[int]:
     p = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(p):
@@ -95,11 +116,16 @@ class DeltaSnapshot:
 
         ckpt_version = _last_checkpoint(log_dir)
         commits = _commit_files(log_dir)
-        if not commits and ckpt_version is None:
+        compacted = _compacted_files(log_dir)
+        if not commits and ckpt_version is None and not compacted:
             raise DeltaError(f"empty delta log at {table_path!r}")
-        if version is not None and commits and version > commits[-1][0]:
+        last_known = max(
+            [v for v, _p in commits] + [e for _s, e, _p in compacted],
+            default=ckpt_version if ckpt_version is not None else -1,
+        )
+        if version is not None and version > last_known:
             raise DeltaError(
-                f"version {version} not in log (latest {commits[-1][0]})"
+                f"version {version} not in log (latest {last_known})"
             )
 
         use_ckpt = ckpt_version is not None and (
@@ -110,16 +136,45 @@ class DeltaSnapshot:
         self.version: int = ckpt_version if use_ckpt else -1
         if use_ckpt:
             self._apply_checkpoint(log_dir, ckpt_version)
-        for v, path in commits:
-            if use_ckpt and v <= ckpt_version:
+        commit_map = dict(commits)
+        target = version if version is not None else last_known
+        v = (ckpt_version + 1) if use_ckpt else 0
+        while v <= target:
+            if v in commit_map:
+                with open(commit_map[v]) as f:
+                    for line in f:
+                        if line.strip():
+                            self._apply_action(json.loads(line))
+                self.version = v
+                v += 1
                 continue
-            if version is not None and v > version:
-                break
-            with open(path) as f:
-                for line in f:
-                    if line.strip():
-                        self._apply_action(json.loads(line))
-            self.version = v
+            # commit v was cleaned up: a log-compaction file starting
+            # exactly at v (and not reaching past the pinned target —
+            # its reconciled state would leak newer versions) replays
+            # the whole range in one read
+            cands = [(e, p) for s, e, p in compacted
+                     if s == v and e <= target]
+            if cands:
+                e, path = max(cands)
+                with open(path) as f:
+                    for line in f:
+                        if line.strip():
+                            self._apply_action(json.loads(line))
+                self.version = e
+                v = e + 1
+                continue
+            inside = [(s, e) for s, e, _p in compacted if s <= v <= e]
+            if inside:
+                raise DeltaError(
+                    f"version {v} at {table_path!r} was compacted into "
+                    f"range {inside[0]} and its commit deleted — a "
+                    "snapshot pinned inside the range cannot be "
+                    "reconstructed"
+                )
+            raise DeltaError(
+                f"missing commit {v} in {log_dir!r} (replaying to "
+                f"{target}) — refusing a snapshot with a hole in it"
+            )
         if self.schema is None:
             raise DeltaError(f"no metaData action found in {log_dir!r}")
 

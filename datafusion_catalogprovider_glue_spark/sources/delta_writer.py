@@ -1028,6 +1028,69 @@ def _checkpoint_payload(table_path: str):
     return snap, rows, pa.schema(_checkpoint_base_fields())
 
 
+def compact_delta_log(spark, table_path: str, start: int, end: int) -> str:
+    """LOG COMPACTION (delta-io PROTOCOL.md §Log Compaction): write
+    ``{start}.{end}.compacted.json`` holding the RECONCILED actions of
+    commits ``start..end`` — the state log replay would produce over
+    exactly that range: the latest protocol / metaData seen in-range,
+    the latest ``txn`` per appId, and per file path the latest add OR
+    remove (a remove tombstone survives so replay from an earlier base
+    still retires the file; an in-range add superseded by a remove is
+    dropped).  delta-spark emits these so readers can replay one file
+    instead of N commits, then deletes the commits inside the range
+    during metadata cleanup; sources/delta.py resolves them on replay.
+
+    Every commit in the range must still exist (compaction reconciles
+    commits, it cannot invent them).  Returns the written path.
+    Metadata-sized driver work by design, like checkpointing."""
+    if not (0 <= start <= end):
+        raise DeltaError(f"invalid compaction range [{start}, {end}]")
+    log_dir = _log_dir(table_path)
+    latest: dict[str, dict] = {}  # action kind → latest action
+    files: dict[str, tuple[str, dict]] = {}  # path → (kind, action)
+    txns: dict[str, dict] = {}
+    for v in range(start, end + 1):
+        p = os.path.join(log_dir, f"{v:020d}.json")
+        if not os.path.exists(p):
+            raise DeltaError(
+                f"cannot compact [{start}, {end}] at {table_path!r}: "
+                f"commit {v} is missing"
+            )
+        with open(p) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                if action.get("protocol"):
+                    latest["protocol"] = action["protocol"]
+                elif action.get("metaData"):
+                    latest["metaData"] = action["metaData"]
+                elif action.get("txn"):
+                    txns[action["txn"].get("appId", "")] = action["txn"]
+                elif action.get("add"):
+                    files[action["add"]["path"]] = ("add", action["add"])
+                elif action.get("remove"):
+                    files[action["remove"]["path"]] = (
+                        "remove", action["remove"],
+                    )
+                # commitInfo is informational and not reconciled
+    out = os.path.join(
+        log_dir, f"{start:020d}.{end:020d}.compacted.json"
+    )
+    tmp = out + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        for kind in ("protocol", "metaData"):
+            if kind in latest:
+                fh.write(json.dumps({kind: latest[kind]}) + "\n")
+        for app_id in sorted(txns):
+            fh.write(json.dumps({"txn": txns[app_id]}) + "\n")
+        for path in sorted(files):
+            kind, action = files[path]
+            fh.write(json.dumps({kind: action}) + "\n")
+    os.rename(tmp, out)  # atomic publish, like every log artifact here
+    return out
+
+
 def _write_last_checkpoint(log_dir: str, pointer_doc: dict) -> None:
     pointer = os.path.join(log_dir, "_last_checkpoint")
     tmp = pointer + f".tmp.{os.getpid()}"

@@ -198,6 +198,90 @@ def test_mor_consistent_log_schemas_still_merge(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Delta log compaction
+# ---------------------------------------------------------------------------
+
+
+def test_log_compaction_carries_dvs_and_starts_at_zero(spark, tmp_path):
+    """A compacted range that starts at version 0 must fully replace
+    the log prefix, and an in-range DV merge's deletionVector
+    descriptor must survive reconciliation (dropping it resurrects
+    deleted rows)."""
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        compact_delta_log,
+        merge_delta_dv,
+    )
+
+    table = str(tmp_path / "dvlc")
+    docs = load_table(spark, SF, "documents").select("doc_id", "n_chars")
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)  # v0
+    merge_delta_dv(
+        spark, table, docs.filter(F.col("doc_id") % 6 == 0),
+        on=["doc_id"], matched_delete=F.lit(True),
+    )  # v1: DV masks the %6 rows
+    want = {
+        (r.doc_id, r.n_chars) for r in read_delta(spark, table).collect()
+    }
+    before = DeltaSnapshot(table)
+    assert before._dvs
+    compact_delta_log(spark, table, 0, 1)
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    snap = DeltaSnapshot(table)
+    assert snap._dvs == before._dvs
+    assert snap.protocol == before.protocol
+    got = {
+        (r.doc_id, r.n_chars) for r in read_delta(spark, table).collect()
+    }
+    assert got == want
+
+
+def test_log_compaction_refuses_missing_commit_and_holes(spark, tmp_path):
+    """Compacting over a missing commit refuses (it cannot invent
+    history), and a reader facing a hole with no covering compaction
+    file refuses instead of silently serving a stale snapshot."""
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        compact_delta_log,
+    )
+
+    table = str(tmp_path / "holes")
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)  # v0
+    append_delta(docs.filter(F.col("doc_id") % 2 == 1), table)  # v1
+    append_delta(docs.filter(F.col("doc_id") % 7 == 3), table)  # v2
+    os.remove(os.path.join(table, "_delta_log", f"{1:020d}.json"))
+    with pytest.raises(DeltaError, match="commit 1 is missing"):
+        compact_delta_log(spark, table, 0, 2)
+    with pytest.raises(DeltaError, match="hole"):
+        DeltaSnapshot(table)
+
+
+def test_log_compaction_composes_with_checkpoint(spark, tmp_path):
+    """Replay order: checkpoint base -> compacted range -> live
+    commits, all three artifact classes in one log."""
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        compact_delta_log,
+    )
+
+    table = str(tmp_path / "mix")
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    append_delta(docs.filter(F.col("doc_id") % 4 == 0), table)  # v0
+    v = checkpoint_delta(spark, table)
+    assert v == 0
+    append_delta(docs.filter(F.col("doc_id") % 4 == 1), table)  # v1
+    append_delta(docs.filter(F.col("doc_id") % 4 == 2), table)  # v2
+    append_delta(docs.filter(F.col("doc_id") % 4 == 3), table)  # v3
+    want = read_delta(spark, table).count()
+    compact_delta_log(spark, table, 1, 2)
+    log_dir = os.path.join(table, "_delta_log")
+    for x in (0, 1, 2):
+        os.remove(os.path.join(log_dir, f"{x:020d}.json"))
+    snap = DeltaSnapshot(table)
+    assert snap.version == 3
+    assert read_delta(spark, table).count() == want
+
+
+# ---------------------------------------------------------------------------
 # Hudi archived timeline
 # ---------------------------------------------------------------------------
 
