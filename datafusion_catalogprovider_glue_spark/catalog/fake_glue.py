@@ -129,12 +129,16 @@ class FakeGlueClient:
         databases: dict[str, dict[str, dict]],
         page_size: int = 0,
         partitions: Optional[dict[tuple[str, str], list[dict]]] = None,
+        column_stats: Optional[dict[tuple[str, str], dict]] = None,
     ):
         self._databases = databases
         # page_size > 0 emulates live Glue's NextToken pagination
         self._page_size = page_size
         # (db, table) -> [{"Values": [...], "StorageDescriptor": {...}}]
         self._partitions = dict(partitions or {})
+        # (db, table) -> {column: ColumnStatistics item} — what a real
+        # catalog records after `aws glue start-column-statistics-...`
+        self._column_stats = dict(column_stats or {})
         # per-API call counts — lets tests pin HOW MANY Glue round
         # trips a code path costs (lazy resolution: exactly one
         # GetTable; register_all: databases x tables)
@@ -194,10 +198,85 @@ class FakeGlueClient:
         items = self._partitions.get((DatabaseName, TableName), [])
         return self._paginate(items, "Partitions", NextToken)
 
+    def get_column_statistics_for_table(
+        self, DatabaseName: str, TableName: str, ColumnNames: list
+    ) -> dict:
+        """Glue ``GetColumnStatisticsForTable``: per requested column
+        either a ColumnStatistics item (ColumnName + StatisticsData
+        keyed by Type: LONG/DOUBLE/... with NumberOfNulls /
+        NumberOfDistinctValues / Minimum/MaximumValue) or an entry in
+        ``Errors`` (ColumnStatisticsNotFound) — real Glue only has
+        stats for columns an analysis run covered.  Max 100 columns
+        per call, like the live API."""
+        self._count("GetColumnStatisticsForTable")
+        if len(ColumnNames) > 100:
+            raise AwsError("ValidationException: at most 100 ColumnNames")
+        if DatabaseName not in self._databases or (
+            TableName not in self._databases[DatabaseName]
+        ):
+            raise AwsError(
+                f"EntityNotFoundException: table {DatabaseName}.{TableName}"
+            )
+        have = self._column_stats.get((DatabaseName, TableName), {})
+        out, errors = [], []
+        for name in ColumnNames:
+            if name in have:
+                out.append(have[name])
+            else:
+                errors.append(
+                    {
+                        "ColumnName": name,
+                        "Error": {
+                            "ErrorCode": "ColumnStatisticsNotFound",
+                            "ErrorMessage": f"no statistics for {name}",
+                        },
+                    }
+                )
+        return {"ColumnStatisticsList": out, "Errors": errors}
+
     @classmethod
     def from_json(cls, path: str) -> "FakeGlueClient":
         with open(path) as fh:
             return cls(json.load(fh))
+
+
+def glue_column_statistics(
+    client, database: str, table: str, columns: list
+) -> dict[str, dict]:
+    """Ingest Glue-recorded column statistics into the engine's CBO
+    profile shape ({column: {n_nulls, n_distinct, min_val, max_val}})
+    — the catalog-plane twin of the one-pass computed profile
+    (operators/catalog_ops.catalog_column_stats): where the catalog
+    already analyzed a column, planning reads KB of API response
+    instead of re-scanning the table; absent columns are simply
+    missing from the result and the caller recomputes them.  Parses
+    the Long/Double/Boolean StatisticsData arms (the numeric subset a
+    CBO consumes); other arms are skipped rather than misread."""
+    resp = client.get_column_statistics_for_table(
+        DatabaseName=database, TableName=table, ColumnNames=list(columns)
+    )
+    out: dict[str, dict] = {}
+    for item in resp.get("ColumnStatisticsList") or []:
+        data = item.get("StatisticsData") or {}
+        kind = data.get("Type")
+        arm = {
+            "LONG": "LongColumnStatisticsData",
+            "DOUBLE": "DoubleColumnStatisticsData",
+            "BOOLEAN": "BooleanColumnStatisticsData",
+        }.get(kind)
+        if arm is None or arm not in data:
+            continue
+        d = data[arm]
+        prof = {
+            "n_nulls": int(d.get("NumberOfNulls", 0)),
+            "n_distinct": int(d.get("NumberOfDistinctValues", 0)),
+        }
+        if "MinimumValue" in d:
+            prof["min_val"] = float(d["MinimumValue"])
+        if "MaximumValue" in d:
+            prof["max_val"] = float(d["MaximumValue"])
+        out[item["ColumnName"]] = prof
+    return out
 
 
 def testdata_fixture(sf_dir: str, database: str = "default") -> FakeGlueClient:

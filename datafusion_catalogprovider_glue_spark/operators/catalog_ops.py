@@ -1594,6 +1594,150 @@ def catalog_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_glue_column_stats",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS DOUBLE) AS min_val,
+           CAST(MAX(o_custkey) AS DOUBLE) AS max_val,
+           'computed' AS source
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey', CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT),
+           CAST(MIN(o_orderkey) AS DOUBLE),
+           CAST(MAX(o_orderkey) AS DOUBLE), 'glue'
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS DOUBLE),
+           CAST(MAX(o_totalprice) AS DOUBLE), 'glue'
+    FROM orders
+    """,
+)
+def catalog_glue_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Glue ``GetColumnStatisticsForTable`` ingestion — the
+    catalog-plane twin of A14's computed profile: where the catalog
+    already ANALYZED a column (real Glue records NDV/nulls/min/max
+    per column), planning ingests the KB-sized API response instead
+    of re-scanning the table; columns the analysis never covered
+    (the API's ColumnStatisticsNotFound arm) fall back to the
+    one-pass computed profile.  The fixture seeds FakeGlue with
+    catalog stats for o_orderkey (LONG arm) and o_totalprice (DOUBLE
+    arm) and leaves o_custkey absent; asserted in-key: exactly ONE
+    GetColumnStatisticsForTable round trip, and the Spark job that
+    runs afterwards aggregates ONLY the fallback column.  Hash-
+    matching the merged profile against a full recomputation proves
+    the ingested numbers are the true ones."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+        glue_column_statistics,
+        parquet_table,
+    )
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.tables import table_path
+
+    apply_engine_conf(spark)
+    o = load_table(spark, sf_dir, "orders")
+    # fixture: what a real `start-column-statistics-task-run` records —
+    # true per-column stats for the ANALYZED columns only
+    seed = o.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.count("o_orderkey").alias("ok_nn"),
+        F.countDistinct("o_orderkey").alias("ok_ndv"),
+        F.min("o_orderkey").cast("double").alias("ok_min"),
+        F.max("o_orderkey").cast("double").alias("ok_max"),
+        F.count("o_totalprice").alias("tp_nn"),
+        F.countDistinct("o_totalprice").alias("tp_ndv"),
+        F.min("o_totalprice").cast("double").alias("tp_min"),
+        F.max("o_totalprice").cast("double").alias("tp_max"),
+    ).collect()[0]
+    stats = {
+        "o_orderkey": {
+            "ColumnName": "o_orderkey",
+            "ColumnType": "bigint",
+            "StatisticsData": {
+                "Type": "LONG",
+                "LongColumnStatisticsData": {
+                    "MinimumValue": int(seed.ok_min),
+                    "MaximumValue": int(seed.ok_max),
+                    "NumberOfNulls": int(seed.rows - seed.ok_nn),
+                    "NumberOfDistinctValues": int(seed.ok_ndv),
+                },
+            },
+        },
+        "o_totalprice": {
+            "ColumnName": "o_totalprice",
+            "ColumnType": "double",
+            "StatisticsData": {
+                "Type": "DOUBLE",
+                "DoubleColumnStatisticsData": {
+                    "MinimumValue": float(seed.tp_min),
+                    "MaximumValue": float(seed.tp_max),
+                    "NumberOfNulls": int(seed.rows - seed.tp_nn),
+                    "NumberOfDistinctValues": int(seed.tp_ndv),
+                },
+            },
+        },
+    }
+    client = FakeGlueClient(
+        {
+            "db": {
+                "orders": parquet_table(
+                    "db", "orders", table_path(sf_dir, "orders"),
+                    [("o_orderkey", "bigint"), ("o_custkey", "bigint"),
+                     ("o_totalprice", "double")],
+                )
+            }
+        },
+        column_stats={("db", "orders"): stats},
+    )
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    ingested = glue_column_statistics(client, "db", "orders", cols)
+    if client.calls.get("GetColumnStatisticsForTable") != 1:
+        raise SparkError(
+            f"expected exactly 1 stats round trip: {client.calls}"
+        )
+    if sorted(ingested) != ["o_orderkey", "o_totalprice"]:
+        raise SparkError(f"unexpected ingested column set: {ingested}")
+    glue_rows = spark.createDataFrame(
+        [
+            (c, ingested[c]["n_nulls"], ingested[c]["n_distinct"],
+             ingested[c]["min_val"], ingested[c]["max_val"], "glue")
+            for c in sorted(ingested)
+        ],
+        "column_name string, n_nulls bigint, n_distinct bigint, "
+        "min_val double, max_val double, source string",
+    )
+    missing = [c for c in cols if c not in ingested]
+    # fallback recompute touches ONLY the never-analyzed columns
+    agg = o.select(*missing).agg(
+        *[x for c in missing for x in (
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(c).cast("double").alias(f"{c}__min"),
+            F.max(c).cast("double").alias(f"{c}__max"),
+        )]
+    )
+    computed = None
+    for c in missing:
+        row = agg.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__ndv").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_val"),
+            F.col(f"{c}__max").alias("max_val"),
+            F.lit("computed").alias("source"),
+        )
+        computed = row if computed is None else computed.unionByName(row)
+    return glue_rows.unionByName(computed)
+
+
+@query(
     "scan_csv_quoted",
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
@@ -5229,6 +5373,130 @@ def sink_iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise SparkError("time travel to an expired snapshot must refuse")
     except NotImplementedYet:
         pass  # "snapshot N not in table" — the documented refusal
+    return read_iceberg(spark, table)
+
+
+@query(
+    "sink_iceberg_expire_policy",
+    # four appends partitioned by doc_id % 4 — all four survive expiry
+    # (only SNAPSHOT metadata ages out; every file stays referenced by
+    # the retained head)
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    """,
+)
+def sink_iceberg_expire_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION-POLICY expiry + ORPHAN-FILE cleanup (the two Iceberg
+    maintenance actions a long-lived table runs on a cadence,
+    spec §snapshot-retention):
+
+    * ``expire_iceberg_snapshots_policy(older_than, retain_last)`` —
+      age-based expiry that always retains the newest N, the current
+      snapshot, and every REF-PINNED snapshot (expiring a tagged
+      snapshot would break the tag).  Asserted in-key: exactly the
+      unpinned old snapshots expire, time travel to the TAGGED old
+      snapshot still resolves while the untagged expired one refuses.
+    * ``remove_orphan_iceberg_files`` — deletes planted commit debris
+      (a data file and a manifest no snapshot references) while every
+      LIVE file stays byte-identical (md5 digests compared in-key) —
+      the reclaim plain expiry can never perform because no snapshot
+      ever referenced the debris."""
+    import hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        NotImplementedYet,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        expire_iceberg_snapshots_policy,
+        remove_orphan_iceberg_files,
+        tag_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_expol_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)  # idempotent per run
+    snaps = [
+        append_iceberg(docs.filter(F.col("doc_id") % 4 == i), table)
+        for i in range(4)
+    ]
+    tag_iceberg(table, "audited", snapshot_id=snaps[1])
+    # plant orphan debris: a data file and a manifest NO snapshot
+    # references (what an aborted commit leaves behind)
+    some_data = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(os.path.join(table, "data"))
+        for f in sorted(fs) if f.endswith(".parquet")
+    )
+    orphan_data = os.path.join(
+        table, "data", "commit-9999", "orphan-debris.parquet"
+    )
+    os.makedirs(os.path.dirname(orphan_data), exist_ok=True)
+    shutil.copyfile(some_data, orphan_data)
+    orphan_manifest = os.path.join(
+        table, "metadata", "manifest-9999-0.avro"
+    )
+    with open(orphan_manifest, "wb") as fh:
+        fh.write(b"Obj\x01debris")
+
+    def _digest(p):
+        with open(p, "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    # parquet data files only: Spark's _SUCCESS/.crc write markers are
+    # themselves unreferenced debris the cleanup legitimately reclaims
+    live_before = {
+        os.path.relpath(os.path.join(r, f), table): _digest(
+            os.path.join(r, f)
+        )
+        for r, _d, fs in os.walk(os.path.join(table, "data"))
+        for f in fs
+        if f.endswith(".parquet") and "orphan" not in f
+    }
+    # ts(snap i) = 1600000000000 + seq; expire everything older than
+    # the newest — pinned: current + retain_last(1) => snaps[3], the
+    # tag => snaps[1]; so exactly snaps[0] and snaps[2] expire
+    res = expire_iceberg_snapshots_policy(
+        table, older_than_ms=1600000000000 + 4, retain_last=1
+    )
+    if sorted(res["expired_ids"]) != sorted([snaps[0], snaps[2]]):
+        raise SparkError(f"wrong retention arithmetic: {res}")
+    # appends share no files across snapshots here, so expiry deletes
+    # only the expired snapshots' own manifest lists/manifests (their
+    # DATA files remain referenced by the retained head's manifests)
+    if read_iceberg(spark, table, snapshot_id=snaps[1]).count() <= 0:
+        raise SparkError("tag-pinned snapshot must survive policy expiry")
+    try:
+        read_iceberg(spark, table, snapshot_id=snaps[0]).count()
+        raise SparkError("expired snapshot must refuse")
+    except NotImplementedYet:
+        pass
+    deleted = remove_orphan_iceberg_files(table)
+    if "data/commit-9999/orphan-debris.parquet" not in deleted:
+        raise SparkError(f"orphan data file not reclaimed: {deleted}")
+    if "metadata/manifest-9999-0.avro" not in deleted:
+        raise SparkError(f"orphan manifest not reclaimed: {deleted}")
+    live_after = {
+        rel: _digest(os.path.join(table, rel)) for rel in live_before
+        if os.path.exists(os.path.join(table, rel))
+    }
+    if live_after != live_before:
+        raise SparkError("orphan cleanup touched live data files")
     return read_iceberg(spark, table)
 
 

@@ -103,6 +103,10 @@ class DeltaSnapshot:
         # would silently downgrade a (2,5)/(3,7) table and disarm the
         # _apply_protocol refusal gate for foreign readers.
         self.protocol: Optional[dict] = None
+        # appId -> latest txn version (PROTOCOL.md §Transaction
+        # Identifiers) — what an idempotent streaming writer consults
+        # to skip an already-committed micro-batch after a restart
+        self.txns: dict[str, int] = {}
         # path -> partitionValues dict
         self._active: dict[str, dict] = {}
         # path -> deletionVector descriptor (PROTOCOL.md §Deletion
@@ -273,7 +277,7 @@ class DeltaSnapshot:
 
     def _apply_checkpoint_rows(self, rows: list[dict]) -> None:
         for row in rows:
-            for kind in ("protocol", "metaData", "add", "remove"):
+            for kind in ("protocol", "metaData", "add", "remove", "txn"):
                 if row.get(kind) is not None:
                     self._apply_action({kind: row[kind]})
 
@@ -356,6 +360,10 @@ class DeltaSnapshot:
             self._active.pop(action["remove"]["path"], None)
             self._dvs.pop(action["remove"]["path"], None)
             self._stats.pop(action["remove"]["path"], None)
+        elif "txn" in action and action["txn"]:
+            t = action["txn"]
+            if t.get("appId") is not None and t.get("version") is not None:
+                self.txns[t["appId"]] = int(t["version"])
 
     @property
     def files(self) -> list[str]:

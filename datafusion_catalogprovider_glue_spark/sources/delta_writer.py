@@ -338,6 +338,7 @@ def append_delta(
     merge_schema: bool = False,
     column_mapping: bool = False,
     generated: dict = None,
+    txn: tuple = None,
 ) -> int:
     """Append ``df`` to the Delta table at ``table_path`` (creating it
     with the schema's metaData action on version 0).  With
@@ -505,8 +506,19 @@ def append_delta(
     elif evolved_meta is not None:
         actions.append(evolved_meta)
     actions.extend({"add": a} for a in adds)
+    if txn is not None:
+        actions.append(_txn_action(txn))
     _commit(log_dir, version, actions)
     return version
+
+
+def _txn_action(txn: tuple) -> dict:
+    """The spec's ``txn`` action (PROTOCOL.md §Transaction
+    Identifiers): (appId, version) — how idempotent streaming writers
+    make foreachBatch exactly-once (skip batches whose version is
+    already recorded; Delta's own streaming sink does exactly this)."""
+    app_id, version = txn
+    return {"txn": {"appId": str(app_id), "version": int(version)}}
 
 
 def compact_delta(spark, table_path: str) -> int:
@@ -678,6 +690,7 @@ def merge_delta(
     matched_delete=None,
     matched_update=None,
     expected_version: int = None,
+    txn: tuple = None,
 ) -> int:
     """Batch MERGE INTO the Delta table at ``table_path`` — the keyed
     upsert every incremental pipeline materializes with:
@@ -880,6 +893,8 @@ def merge_delta(
         for p in sorted(snap._active)
     )
     actions.extend({"add": a} for a in adds)
+    if txn is not None:
+        actions.append(_txn_action(txn))
     _commit(_log_dir(table_path), version, actions)
     return version
 
@@ -942,6 +957,15 @@ def _checkpoint_base_fields():
                     ("schemaString", pa.string()),
                     ("partitionColumns", pa.list_(pa.string())),
                     ("configuration", pa.map_(pa.string(), pa.string())),
+                ]
+            ),
+        ),
+        pa.field(
+            "txn",
+            pa.struct(
+                [
+                    ("appId", pa.string()),
+                    ("version", pa.int64()),
                 ]
             ),
         ),
@@ -1009,6 +1033,13 @@ def _checkpoint_payload(table_path: str):
         {"protocol": proto, "metaData": None, "add": None},
         {"protocol": None, "metaData": meta, "add": None},
     ]
+    # latest txn per appId (PROTOCOL.md: checkpoints must preserve
+    # transaction identifiers, or an idempotent streaming writer
+    # re-applies batches after log cleanup)
+    for app_id in sorted(snap.txns):
+        rows.append(
+            {"txn": {"appId": app_id, "version": snap.txns[app_id]}}
+        )
     for p in sorted(snap._active):
         full = os.path.join(table_path, p)
         rows.append(
@@ -1115,7 +1146,8 @@ def checkpoint_delta_multipart(spark, table_path: str, parts: int = 2) -> int:
     snap, rows, schema = _checkpoint_payload(table_path)
     log_dir = _log_dir(table_path)
     version = snap.version
-    header, adds = rows[:2], rows[2:]
+    header = [r for r in rows if r.get("add") is None]
+    adds = [r for r in rows if r.get("add") is not None]
     buckets = [list(header) if i == 0 else [] for i in range(parts)]
     for j, row in enumerate(adds):
         buckets[j % parts].append(row)
@@ -1152,7 +1184,8 @@ def checkpoint_delta_v2(spark, table_path: str, sidecars: int = 2) -> int:
     version = snap.version
     sc_dir = os.path.join(log_dir, "_sidecars")
     os.makedirs(sc_dir, exist_ok=True)
-    header, adds = rows[:2], rows[2:]
+    header = [r for r in rows if r.get("add") is None]
+    adds = [r for r in rows if r.get("add") is not None]
     top_id = _uuid.uuid5(_uuid.NAMESPACE_URL, f"{table_path}@{version}")
     add_field = [f for f in _checkpoint_base_fields() if f.name == "add"]
     sc_schema = pa.schema(add_field)
@@ -1181,7 +1214,7 @@ def checkpoint_delta_v2(spark, table_path: str, sidecars: int = 2) -> int:
                 "checkpointMetadata",
                 pa.struct([("version", pa.int64())]),
             ),
-            *_checkpoint_base_fields()[:2],  # protocol, metaData
+            *_checkpoint_base_fields()[:3],  # protocol, metaData, txn
             pa.field(
                 "sidecar",
                 pa.struct(
@@ -1197,7 +1230,11 @@ def checkpoint_delta_v2(spark, table_path: str, sidecars: int = 2) -> int:
     top_rows = [{"checkpointMetadata": {"version": version}}]
     for row in header:
         top_rows.append(
-            {"protocol": row["protocol"], "metaData": row["metaData"]}
+            {
+                "protocol": row.get("protocol"),
+                "metaData": row.get("metaData"),
+                "txn": row.get("txn"),
+            }
         )
     top_rows.extend(sc_rows)
     top_name = f"{version:020d}.checkpoint.{top_id}.parquet"

@@ -1185,31 +1185,48 @@ def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
         s["snapshot-id"] == meta["current-snapshot-id"] for s in kept
     ):
         raise ValueError("expiry would drop the current snapshot")
+    return _apply_expiry(table_path, meta_dir, version, meta, kept, expired)
 
-    def _referenced(snap_list) -> set:
-        refs = set()
-        for s in snap_list:
-            list_rel = s["manifest-list"]
-            refs.add(list_rel)
-            list_schema, rows = decode_container_file(
-                os.path.join(table_path, list_rel)
+
+def _referenced_files(table_path: str, snap_list) -> set:
+    """Every path (manifest list, manifest, data/delete file) reachable
+    from the given snapshots — the liveness set expiry and orphan
+    cleanup compute on.  Metadata-sized driver work (KB avro files)."""
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        decode_container_file,
+    )
+
+    refs = set()
+    for s in snap_list:
+        list_rel = s["manifest-list"]
+        refs.add(list_rel)
+        list_schema, rows = decode_container_file(
+            os.path.join(table_path, list_rel)
+        )
+        names = [f["name"] for f in list_schema["fields"]]
+        for r in rows:
+            m = dict(zip(names, r))
+            refs.add(m["manifest_path"])
+            m_schema, m_rows = decode_container_file(
+                os.path.join(table_path, m["manifest_path"])
             )
-            names = [f["name"] for f in list_schema["fields"]]
-            for r in rows:
-                m = dict(zip(names, r))
-                refs.add(m["manifest_path"])
-                m_schema, m_rows = decode_container_file(
-                    os.path.join(table_path, m["manifest_path"])
+            for mr in m_rows:
+                entry = dict(
+                    zip([f["name"] for f in m_schema["fields"]], mr)
                 )
-                for mr in m_rows:
-                    entry = dict(
-                        zip([f["name"] for f in m_schema["fields"]], mr)
-                    )
-                    refs.add(entry["file_path"])
-        return refs
+                refs.add(entry["file_path"])
+    return refs
 
-    live = _referenced(kept)
-    dead = _referenced(expired) - live
+
+def _apply_expiry(
+    table_path: str, meta_dir: str, version: int, meta: dict,
+    kept, expired,
+) -> list[str]:
+    """Shared expiry tail: delete every file only the expired
+    snapshots reference, then publish metadata retaining the kept
+    ones.  Returns the deleted relative paths, sorted."""
+    live = _referenced_files(table_path, kept)
+    dead = _referenced_files(table_path, expired) - live
     deleted = []
     for rel in sorted(dead):
         full = os.path.join(table_path, rel)
@@ -1218,7 +1235,10 @@ def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
             deleted.append(rel)
     kept_ids = {s["snapshot-id"] for s in kept}
     meta = dict(meta)
-    meta["snapshots"] = [s for s in snaps if s["snapshot-id"] in kept_ids]
+    meta["snapshots"] = [
+        s for s in meta.get("snapshots") or []
+        if s["snapshot-id"] in kept_ids
+    ]
     meta["snapshot-log"] = [
         e
         for e in (meta.get("snapshot-log") or [])
@@ -1235,6 +1255,95 @@ def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
         fh.write(str(new_version))
     os.rename(tmp_hint, hint)
     return deleted
+
+
+def _snapshot_ts(meta: dict, snap: dict) -> int:
+    """A snapshot's timestamp: its snapshot-log entry when present
+    (main-line commits), else the seq-derived pseudo-timestamp branch/
+    staged commits would have logged (the same _next_log_ts base)."""
+    for e in meta.get("snapshot-log") or []:
+        if e["snapshot-id"] == snap["snapshot-id"]:
+            return int(e["timestamp-ms"])
+    return 1600000000000 + int(snap.get("sequence-number", 0))
+
+
+def expire_iceberg_snapshots_policy(
+    table_path: str,
+    older_than_ms: int,
+    retain_last: int = 1,
+) -> dict:
+    """RETENTION-POLICY expiry (the spec's expireSnapshots shape:
+    ``olderThan`` + ``retainLast``): expire snapshots whose timestamp
+    is strictly below ``older_than_ms``, but ALWAYS retain (a) the
+    most recent ``retain_last`` snapshots, (b) the current snapshot,
+    and (c) any snapshot a ref (branch or tag) points at — expiring a
+    tagged snapshot would silently break the ref, so refs pin their
+    targets exactly as Iceberg's reference retention does.  Returns
+    {"expired_ids": [...], "deleted": [...]} so maintenance jobs can
+    audit the reclaim.  Keep-last-N expiry is expire_iceberg_snapshots;
+    this is its age-based production twin."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    meta_dir = os.path.join(table_path, "metadata")
+    version, meta = _load_meta(meta_dir)
+    snaps = meta.get("snapshots") or []
+    ordered = sorted(snaps, key=lambda s: s.get("sequence-number", 0))
+    pinned = {meta.get("current-snapshot-id")}
+    for ref in (meta.get("refs") or {}).values():
+        pinned.add(ref.get("snapshot-id"))
+    pinned.update(s["snapshot-id"] for s in ordered[-retain_last:])
+    expired = [
+        s for s in ordered
+        if s["snapshot-id"] not in pinned
+        and _snapshot_ts(meta, s) < older_than_ms
+    ]
+    if not expired:
+        return {"expired_ids": [], "deleted": []}
+    expired_ids = {s["snapshot-id"] for s in expired}
+    kept = [s for s in ordered if s["snapshot-id"] not in expired_ids]
+    deleted = _apply_expiry(
+        table_path, meta_dir, version, meta, kept, expired
+    )
+    return {"expired_ids": sorted(expired_ids), "deleted": deleted}
+
+
+def remove_orphan_iceberg_files(
+    table_path: str, older_than_ms: int = None
+) -> list[str]:
+    """REMOVE ORPHAN FILES (the Iceberg maintenance action): delete
+    files under the table location that NO snapshot of the current
+    metadata references — the debris failed/aborted commits leave
+    behind, which plain expiry never reclaims because no snapshot ever
+    referenced it.  Protected: everything reachable from any current
+    snapshot (data, delete files, manifests, manifest lists) and the
+    metadata directory's version files (``v*.metadata.json``,
+    ``version-hint.text``).  ``older_than_ms`` (epoch millis, against
+    file mtime) is the spec's safety horizon so in-flight writers'
+    staging files survive; None applies no age filter.  Returns the
+    deleted relative paths, sorted.  Driver-side metadata work — the
+    listing is the same walk a real maintenance job distributes."""
+    meta_dir = os.path.join(table_path, "metadata")
+    _version, meta = _load_meta(meta_dir)
+    live = _referenced_files(table_path, meta.get("snapshots") or [])
+    deleted = []
+    for root, _dirs, files in os.walk(table_path):
+        for name in files:
+            full = os.path.join(root, name)
+            rel = os.path.relpath(full, table_path)
+            if rel in live:
+                continue
+            if rel.startswith("metadata") and (
+                name.endswith(".metadata.json")
+                or name == "version-hint.text"
+            ):
+                continue
+            if older_than_ms is not None and (
+                os.path.getmtime(full) * 1000 >= older_than_ms
+            ):
+                continue
+            os.remove(full)
+            deleted.append(rel)
+    return sorted(deleted)
 
 
 def evolve_iceberg_schema(

@@ -710,7 +710,18 @@ def stream_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("s.event_id") > F.col("t.event_id"))
     )
 
-    def _merge(batch_df, _batch_id):
+    # exactly-once across restarts: each batch commits the spec's txn
+    # action (appId, batchId); a batch re-delivered after a crash
+    # between the Delta commit and the streaming checkpoint is SKIPPED
+    # instead of double-applied — Delta's own streaming sink contract
+    # (PROTOCOL.md §Transaction Identifiers), restart-pinned in
+    # tests/test_streaming.py
+    app_id = "stream_upsert_delta"
+
+    def _merge(batch_df, batch_id):
+        if _os.path.exists(_os.path.join(table_dir, "_delta_log")):
+            if batch_id <= DeltaSnapshot(table_dir).txns.get(app_id, -1):
+                return  # already committed before a restart
         latest = (
             batch_df.select(*cols)
             .withColumn("_rn", F.row_number().over(w))
@@ -718,11 +729,12 @@ def stream_upsert_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("_rn")
         )
         if not _os.path.exists(_os.path.join(table_dir, "_delta_log")):
-            append_delta(latest, table_dir, n_files=2)
+            append_delta(latest, table_dir, n_files=2,
+                         txn=(app_id, batch_id))
         else:
             merge_delta(
                 spark, table_dir, latest, on=["user_id"],
-                matched_update=newer,
+                matched_update=newer, txn=(app_id, batch_id),
             )
 
     stream = spark.readStream.schema(raw_schema).option(

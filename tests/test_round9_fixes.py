@@ -198,6 +198,136 @@ def test_mor_consistent_log_schemas_still_merge(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Streaming restart / exactly-once recovery (Delta txn identifiers)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_upsert_delta_restart_exactly_once(spark, tmp_path):
+    """Kill an availableNow drain AFTER a micro-batch's Delta commit
+    but BEFORE the streaming checkpoint records it, restart from the
+    same checkpointLocation, and prove exactly-once convergence: the
+    re-delivered batch is SKIPPED via the spec's txn action (one Delta
+    version per EFFECTIVE batch, no double-apply) and the final state
+    is the keep-latest oracle."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        merge_delta,
+    )
+
+    base = str(tmp_path)
+    stream_dir = os.path.join(base, "in")
+    table_dir = os.path.join(base, "delta")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(stream_dir)
+    for i in range(3):
+        staging = os.path.join(base, f"_c{i}")
+        spark.createDataFrame(
+            [(k, i, 10 * i + k) for k in range(5)], "k int, seq int, v int"
+        ).coalesce(1).write.parquet(staging)
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs if f.endswith(".parquet")
+        )
+        os.replace(part, os.path.join(stream_dir, f"chunk-{i}.parquet"))
+
+    app_id = "restart_pin"
+    newer = F.col("s.seq") > F.col("t.seq")
+
+    def make_merge(fail_on):
+        def _merge(bdf, bid):
+            if os.path.exists(os.path.join(table_dir, "_delta_log")):
+                if bid <= DeltaSnapshot(table_dir).txns.get(app_id, -1):
+                    return  # re-delivered after restart: skip
+            from pyspark.sql.window import Window as W
+
+            latest = (
+                bdf.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        W.partitionBy("k").orderBy(F.col("seq").desc())
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            if not os.path.exists(os.path.join(table_dir, "_delta_log")):
+                append_delta(latest, table_dir, n_files=1,
+                             txn=(app_id, bid))
+            else:
+                merge_delta(spark, table_dir, latest, on=["k"],
+                            matched_update=newer, txn=(app_id, bid))
+            if fail_on is not None and bid == fail_on:
+                raise RuntimeError(
+                    "injected crash AFTER the delta commit, BEFORE the "
+                    "streaming checkpoint"
+                )
+        return _merge
+
+    def run(fail_on):
+        q = (
+            spark.readStream.schema("k int, seq int, v int")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(stream_dir)
+            .writeStream.foreachBatch(make_merge(fail_on))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run(fail_on=1)
+    # batch 0 (create) and batch 1 (merge) are committed to Delta;
+    # the streaming checkpoint does NOT have batch 1
+    snap = DeltaSnapshot(table_dir)
+    assert snap.version == 1
+    assert snap.txns == {app_id: 1}
+    run(fail_on=None)  # restart: re-delivers batch 1, then batch 2
+    snap = DeltaSnapshot(table_dir)
+    # exactly one Delta version per EFFECTIVE batch: the re-delivered
+    # batch 1 must NOT have committed again
+    assert snap.version == 2
+    assert snap.txns == {app_id: 2}
+    got = {
+        (r.k, r.seq, r.v) for r in read_delta(spark, table_dir).collect()
+    }
+    assert got == {(k, 2, 20 + k) for k in range(5)}
+
+
+def test_txn_survives_checkpoint_and_log_cleanup(spark, tmp_path):
+    """PROTOCOL.md: checkpoints preserve transaction identifiers —
+    after checkpoint + commit deletion the streaming writer must still
+    see its last committed batch id (all three checkpoint layouts)."""
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        merge_delta,
+    )
+
+    for name, ckpt_fn in (
+        ("c1", checkpoint_delta),
+        ("c2", checkpoint_delta_multipart),
+        ("c3", checkpoint_delta_v2),
+    ):
+        table = str(tmp_path / name)
+        df = spark.createDataFrame(
+            [(k, 0) for k in range(4)], "k int, v int"
+        )
+        append_delta(df, table, txn=("app", 0))
+        merge_delta(
+            spark, table,
+            spark.createDataFrame([(1, 99)], "k int, v int"),
+            on=["k"], txn=("app", 1),
+        )
+        v = ckpt_fn(spark, table)
+        _delete_commits(table, v)
+        snap = DeltaSnapshot(table)
+        assert snap.txns == {"app": 1}, (name, snap.txns)
+        got = {(r.k, r.v) for r in read_delta(spark, table).collect()}
+        assert got == {(0, 0), (1, 99), (2, 0), (3, 0)}
+
+
+# ---------------------------------------------------------------------------
 # Delta log compaction
 # ---------------------------------------------------------------------------
 
