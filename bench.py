@@ -220,6 +220,13 @@ HEADLINE = [
     "meta_iceberg_refs",
     "meta_iceberg_manifests",
     "sink_delta_optimize_zorder",
+    # r9 additions: archived timeline, log compaction, retention policy,
+    # catalog stats ingestion, partition inventory view
+    "scan_hudi_archived_timeline",
+    "scan_delta_log_compacted",
+    "sink_iceberg_expire_policy",
+    "catalog_glue_column_stats",
+    "info_schema_partitions",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded
