@@ -95,6 +95,10 @@ class TableEntry:
     options: dict[str, str] = field(default_factory=dict)
     partition_keys: list[tuple[str, str]] = field(default_factory=list)
     is_delta: bool = False
+    # registered partition inventory ({"values": [...], "location": s})
+    # — what information_schema.partitions projects (A13's inspection
+    # symmetry); empty for unpartitioned / discovery-scanned tables
+    partitions: list[dict] = field(default_factory=list)
 
 
 RegistrationResult = Union[TableEntry, GlueError]
@@ -376,7 +380,7 @@ class GlueCatalog:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        return self._finish(
+        entry = self._finish(
             database,
             name,
             out,
@@ -387,6 +391,16 @@ class GlueCatalog:
             partition_keys,
             False,
         )
+        entry.partitions = [
+            {
+                "values": list(p.get("Values") or []),
+                "location": (p.get("StorageDescriptor") or {}).get(
+                    "Location"
+                ),
+            }
+            for p in partitions
+        ]
+        return entry
 
     def _load_regex_table(
         self,

@@ -936,6 +936,71 @@ def scan_glue_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "info_schema_partitions",
+    # the fixture lays segment i (ascending) under seg_<i>; the oracle
+    # re-derives the binding from the source table
+    oracle="""
+    SELECT 'customer_scattered' AS table_name,
+           'c_mktsegment=' || seg AS partition_values,
+           'seg_' || CAST(ROW_NUMBER() OVER (ORDER BY seg) - 1 AS VARCHAR)
+             AS location_name
+    FROM (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    """,
+)
+def info_schema_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/A13 inspection symmetry: the registered partition inventory
+    (values + storage location per explicit Glue partition) exposed as
+    an information_schema-style view over the A13b scattered-partition
+    fixture — hash-matching the values↔location binding re-derived
+    from the source table proves no partition is dropped, reordered,
+    or bound to the wrong directory.  Driver-side metadata, like the
+    other C6 views."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+        parquet_table,
+    )
+    from datafusion_catalogprovider_glue_spark.fixtures.glue_partitions import (
+        build_scattered_partitions,
+    )
+    from datafusion_catalogprovider_glue_spark.infoschema import (
+        information_schema_partitions,
+    )
+
+    apply_engine_conf(spark)
+    root, partitions = build_scattered_partitions(spark, sf_dir)
+    data_cols = [
+        (n, t)
+        for n, t in TESTDATA_GLUE_COLUMNS["customer"]
+        if n != "c_mktsegment"
+    ]
+    client = FakeGlueClient(
+        {
+            "partdb": {
+                "customer_scattered": parquet_table(
+                    "partdb", "customer_scattered", root, data_cols,
+                    partition_keys=[("c_mktsegment", "string")],
+                )
+            }
+        },
+        partitions={("partdb", "customer_scattered"): partitions},
+    )
+    catalog = GlueCatalog(spark, client)
+    catalog.register_table("partdb", "customer_scattered")
+    view = information_schema_partitions(catalog)
+    return view.select(
+        "table_name",
+        "partition_values",
+        F.element_at(F.split(F.col("location"), "/"), -1).alias(
+            "location_name"
+        ),
+    )
+
+
+@query(
     "scan_delta_dv",
     oracle="""
     SELECT r.r_name, COUNT(*) AS n_nations,

@@ -126,6 +126,26 @@ def _timeline(
     return sorted(out)
 
 
+def hudi_max_extra_int(location: str, key: str) -> Optional[int]:
+    """Largest integer value recorded under ``extraMetadata[key]``
+    across the whole timeline (active + archived) — how an idempotent
+    streaming writer recovers its last committed batch id after a
+    restart (Hudi's DeltaStreamer-checkpoint pattern).  None when no
+    commit carries the key.  Metadata-sized driver work."""
+    best: Optional[int] = None
+    for t, a in _timeline(
+        location, ("commit", "deltacommit", "replacecommit")
+    ):
+        meta = _load_instant_meta(location, t, a)
+        val = (meta.get("extraMetadata") or {}).get(key)
+        if val is None:
+            continue
+        iv = int(val)
+        if best is None or iv > best:
+            best = iv
+    return best
+
+
 def hudi_completed_instants(location: str) -> list[str]:
     """Sorted completed commit instants (the ``<ts>.commit`` files in
     ``.hoodie/`` plus archived ones; requested/inflight markers are

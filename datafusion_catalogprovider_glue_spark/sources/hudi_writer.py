@@ -176,6 +176,7 @@ def _write_file_group(
 def append_hudi(
     df: DataFrame, location: str, n_groups: int = 2,
     partition_by: str = None,
+    extra_metadata: dict = None,
 ) -> str:
     """INSERT ``df`` as new file groups under a new instant.  With
     ``partition_by``, the table is HIVE-PARTITIONED: data lays out
@@ -197,7 +198,10 @@ def append_hudi(
         stats = _write_partitioned_file_groups(
             df, location, instant, partition_by
         )
-        _publish(location, instant, stats, partition_field=partition_by)
+        _publish(
+            location, instant, stats, partition_field=partition_by,
+            extra=_extra_meta(extra_metadata),
+        )
         return instant
     splits = df.withColumn(
         "_g", F.pmod(F.xxhash64(*df.columns[:1]), F.lit(n_groups))
@@ -208,8 +212,19 @@ def append_hudi(
         stats.append(
             _write_file_group(part, location, instant, f"fg-{instant}-{g}")
         )
-    _publish(location, instant, stats)
+    _publish(
+        location, instant, stats, extra=_extra_meta(extra_metadata)
+    )
     return instant
+
+
+def _extra_meta(extra_metadata: dict) -> dict:
+    """Hudi's commit ``extraMetadata`` block (what DeltaStreamer
+    stores its checkpoint under) — how an idempotent streaming writer
+    records its last committed batch id IN the table."""
+    return (
+        {"extraMetadata": dict(extra_metadata)} if extra_metadata else None
+    )
 
 
 def _write_partitioned_file_groups(
@@ -493,7 +508,8 @@ def append_hudi_log(
 
 
 def upsert_hudi_log(
-    spark: SparkSession, df: DataFrame, location: str, key: str
+    spark: SparkSession, df: DataFrame, location: str, key: str,
+    extra_metadata: dict = None,
 ) -> str:
     """MoR UPSERT as one DELTACOMMIT: routes each source row to the
     log of the file group HOLDING its key (Hudi's index-tagging step
@@ -658,7 +674,7 @@ def upsert_hudi_log(
     _publish(
         location, instant, by_part,
         action="deltacommit", table_type="MERGE_ON_READ",
-        partition_field=pf,
+        partition_field=pf, extra=_extra_meta(extra_metadata),
     )
     src.unpersist(blocking=False)
     return instant

@@ -330,6 +330,7 @@ def append_iceberg(
     partition_by=None,
     transform: str = "identity",
     branch: str = None,
+    summary_extra: dict = None,
 ) -> int:
     """Append ``df`` to the Iceberg table at ``table_path`` (creating
     v1 metadata on first call).  Returns the committed SNAPSHOT ID
@@ -537,8 +538,9 @@ def append_iceberg(
             # verify fast-forward safety (ancestor walk)
             "parent-snapshot-id": parent_id,
             # spec §snapshots: the summary's REQUIRED field is
-            # `operation` — what the snapshots metadata table projects
-            "summary": {"operation": "append"},
+            # `operation`; extra string properties (how Iceberg's own
+            # streaming sink records its epoch id) ride along
+            "summary": {"operation": "append", **(summary_extra or {})},
         }
     ]
     if branch is not None:
@@ -608,6 +610,7 @@ def merge_iceberg(
     on: list[str],
     matched_delete=None,
     matched_update=None,
+    summary_extra: dict = None,
 ) -> int:
     """Batch MERGE INTO the Iceberg table — WHEN MATCHED AND cond THEN
     DELETE / WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN
@@ -726,7 +729,9 @@ def merge_iceberg(
             "manifest-list": list_rel,
             # spec §snapshots: the summary's REQUIRED field is
             # `operation` — what the snapshots metadata table projects
-            "summary": {"operation": "overwrite"},
+            "summary": {
+                "operation": "overwrite", **(summary_extra or {}),
+            },
         }
     ]
     meta["snapshot-log"] = list(meta.get("snapshot-log") or []) + [
@@ -1186,6 +1191,25 @@ def expire_iceberg_snapshots(table_path: str, keep_last: int = 1) -> list[str]:
     ):
         raise ValueError("expiry would drop the current snapshot")
     return _apply_expiry(table_path, meta_dir, version, meta, kept, expired)
+
+
+def iceberg_max_summary_int(table_path: str, key: str):
+    """Largest integer value recorded under ``summary[key]`` across
+    the table's snapshots — how an idempotent streaming writer
+    recovers its last committed batch id after a restart (Iceberg's
+    own Spark streaming sink records its epoch id in the snapshot
+    summary the same way).  None when no snapshot carries the key."""
+    meta_dir = os.path.join(table_path, "metadata")
+    _version, meta = _load_meta(meta_dir)
+    best = None
+    for s in meta.get("snapshots") or []:
+        val = (s.get("summary") or {}).get(key)
+        if val is None:
+            continue
+        iv = int(val)
+        if best is None or iv > best:
+            best = iv
+    return best
 
 
 def _referenced_files(table_path: str, snap_list) -> set:

@@ -836,21 +836,39 @@ def stream_upsert_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("s.event_id") > F.col("t.event_id"))
     )
 
-    def _merge(batch_df, _batch_id):
+    # exactly-once across restarts: the batch id rides in the snapshot
+    # summary (Iceberg's own streaming sink records its epoch id the
+    # same way); a batch re-delivered after a crash between the
+    # Iceberg commit and the streaming checkpoint is SKIPPED
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        iceberg_max_summary_int,
+    )
+
+    _BATCH_KEY = "streaming-batch-id"
+
+    def _merge(batch_df, batch_id):
+        exists = _os.path.exists(
+            _os.path.join(table_dir, "metadata", "version-hint.text")
+        )
+        if exists:
+            last = iceberg_max_summary_int(table_dir, _BATCH_KEY)
+            if last is not None and batch_id <= last:
+                return  # already committed before a restart
         latest = (
             batch_df.select(*cols)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if not _os.path.exists(
-            _os.path.join(table_dir, "metadata", "version-hint.text")
-        ):
-            append_iceberg(latest, table_dir, n_files=2)
+        extra = {_BATCH_KEY: str(batch_id)}
+        if not exists:
+            append_iceberg(
+                latest, table_dir, n_files=2, summary_extra=extra
+            )
         else:
             merge_iceberg(
                 spark, table_dir, latest, on=["user_id"],
-                matched_update=newer,
+                matched_update=newer, summary_extra=extra,
             )
 
     stream = spark.readStream.schema(raw_schema).option(
@@ -962,15 +980,32 @@ def stream_upsert_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").desc(), F.col("event_id").desc()
     )
 
-    def _merge(batch_df, _batch_id):
+    # exactly-once across restarts: the batch id rides in the commit's
+    # extraMetadata (Hudi's DeltaStreamer-checkpoint pattern); a batch
+    # re-delivered after a crash between the Hudi commit and the
+    # streaming checkpoint is SKIPPED
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_max_extra_int,
+    )
+
+    _BATCH_KEY = "streamingBatchId"
+
+    def _merge(batch_df, batch_id):
+        exists = _os.path.exists(_os.path.join(table_dir, ".hoodie"))
+        if exists:
+            last = hudi_max_extra_int(table_dir, _BATCH_KEY)
+            if last is not None and batch_id <= last:
+                return  # already committed before a restart
+        extra = {_BATCH_KEY: str(batch_id)}
         latest = (
             batch_df.select(*cols)
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if not _os.path.exists(_os.path.join(table_dir, ".hoodie")):
-            append_hudi(latest, table_dir, n_groups=2)
+        if not exists:
+            append_hudi(latest, table_dir, n_groups=2,
+                        extra_metadata=extra)
             return
         cur = read_hudi_mor(spark, table_dir, key_col="user_id").select(
             F.col("user_id"),
@@ -986,7 +1021,8 @@ def stream_upsert_hudi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).select(*cols)
         if newer.limit(1).count():
-            upsert_hudi_log(spark, newer, table_dir, key="user_id")
+            upsert_hudi_log(spark, newer, table_dir, key="user_id",
+                            extra_metadata=extra)
 
     stream = spark.readStream.schema(raw_schema).option(
         "maxFilesPerTrigger", "1"

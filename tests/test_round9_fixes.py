@@ -296,6 +296,154 @@ def test_stream_upsert_delta_restart_exactly_once(spark, tmp_path):
     assert got == {(k, 2, 20 + k) for k in range(5)}
 
 
+def _chunked_source(spark, base):
+    stream_dir = os.path.join(base, "in")
+    os.makedirs(stream_dir)
+    for i in range(3):
+        staging = os.path.join(base, f"_c{i}")
+        spark.createDataFrame(
+            [(k, i, 10 * i + k) for k in range(5)], "k int, seq int, v int"
+        ).coalesce(1).write.parquet(staging)
+        part = next(
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(staging)
+            for f in fs if f.endswith(".parquet")
+        )
+        os.replace(part, os.path.join(stream_dir, f"chunk-{i}.parquet"))
+    return stream_dir
+
+
+def _drain(spark, stream_dir, ckpt, merge_fn):
+    q = (
+        spark.readStream.schema("k int, seq int, v int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(merge_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_stream_upsert_iceberg_restart_exactly_once(spark, tmp_path):
+    """Same kill-and-restart contract as the Delta pin, for the
+    Iceberg sink: the batch id rides in the snapshot summary; the
+    re-delivered batch commits NO second snapshot."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        iceberg_max_summary_int,
+        merge_iceberg,
+    )
+
+    base = str(tmp_path)
+    table_dir = os.path.join(base, "ice")
+    stream_dir = _chunked_source(spark, base)
+    hint = os.path.join(table_dir, "metadata", "version-hint.text")
+
+    def make_merge(fail_on):
+        def _merge(bdf, bid):
+            exists = os.path.exists(hint)
+            if exists:
+                last = iceberg_max_summary_int(
+                    table_dir, "streaming-batch-id"
+                )
+                if last is not None and bid <= last:
+                    return
+            extra = {"streaming-batch-id": str(bid)}
+            if not exists:
+                append_iceberg(bdf, table_dir, n_files=1,
+                               summary_extra=extra)
+            else:
+                merge_iceberg(
+                    spark, table_dir, bdf, on=["k"],
+                    matched_update=F.col("s.seq") > F.col("t.seq"),
+                    summary_extra=extra,
+                )
+            if fail_on is not None and bid == fail_on:
+                raise RuntimeError("injected crash after iceberg commit")
+        return _merge
+
+    ckpt = os.path.join(base, "ckpt")
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        _drain(spark, stream_dir, ckpt, make_merge(1))
+    assert iceberg_max_summary_int(table_dir, "streaming-batch-id") == 1
+    _drain(spark, stream_dir, ckpt, make_merge(None))
+    assert iceberg_max_summary_int(table_dir, "streaming-batch-id") == 2
+    meta_dir = os.path.join(table_dir, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = json.load(fh)
+    # one snapshot per EFFECTIVE batch — no double-apply
+    assert len(meta["snapshots"]) == 3
+    got = {(r.k, r.seq, r.v) for r in read_iceberg(spark, table_dir)
+           .select("k", "seq", "v").collect()}
+    assert got == {(k, 2, 20 + k) for k in range(5)}
+
+
+def test_stream_upsert_hudi_restart_exactly_once(spark, tmp_path):
+    """Same kill-and-restart contract for the Hudi MoR sink: the
+    batch id rides in the commit's extraMetadata; the re-delivered
+    batch commits NO second deltacommit."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_max_extra_int,
+        hudi_mor_instants,
+        read_hudi_mor,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi_log,
+    )
+
+    base = str(tmp_path)
+    table_dir = os.path.join(base, "hudi")
+    stream_dir = _chunked_source(spark, base)
+
+    def make_merge(fail_on):
+        def _merge(bdf, bid):
+            exists = os.path.exists(os.path.join(table_dir, ".hoodie"))
+            if exists:
+                last = hudi_max_extra_int(table_dir, "streamingBatchId")
+                if last is not None and bid <= last:
+                    return
+            extra = {"streamingBatchId": str(bid)}
+            if not exists:
+                append_hudi(bdf, table_dir, n_groups=1,
+                            extra_metadata=extra)
+            else:
+                upsert_hudi_log(spark, bdf, table_dir, key="k",
+                                extra_metadata=extra)
+            if fail_on is not None and bid == fail_on:
+                raise RuntimeError("injected crash after hudi commit")
+        return _merge
+
+    ckpt = os.path.join(base, "ckpt")
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        _drain(spark, stream_dir, ckpt, make_merge(1))
+    assert hudi_max_extra_int(table_dir, "streamingBatchId") == 1
+    _drain(spark, stream_dir, ckpt, make_merge(None))
+    assert hudi_max_extra_int(table_dir, "streamingBatchId") == 2
+    instants = hudi_mor_instants(table_dir)
+    # one instant per EFFECTIVE batch: 1 commit + 2 deltacommits
+    assert [a for _t, a in instants] == [
+        "commit", "deltacommit", "deltacommit",
+    ]
+    got = {
+        (r.k, r.seq, r.v)
+        for r in read_hudi_mor(spark, table_dir, key_col="k")
+        .select("k", "seq", "v").collect()
+    }
+    assert got == {(k, 2, 20 + k) for k in range(5)}
+
+
 def test_txn_survives_checkpoint_and_log_cleanup(spark, tmp_path):
     """PROTOCOL.md: checkpoints preserve transaction identifiers —
     after checkpoint + commit deletion the streaming writer must still
