@@ -192,7 +192,17 @@ def test_delta_checkpoint_spec_fields(spark, tmp_path):
     ckpt = os.path.join(table, "_delta_log", f"{v:020d}.checkpoint.parquet")
     rows = pq.read_table(ckpt).to_pylist()
     protocols = [r["protocol"] for r in rows if r.get("protocol")]
-    assert protocols == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    # r9: the checkpoint protocol struct gained (nullable) feature-list
+    # fields so (3,7) tables checkpoint losslessly; a legacy (1,2)
+    # table writes them as null
+    assert protocols == [
+        {
+            "minReaderVersion": 1,
+            "minWriterVersion": 2,
+            "readerFeatures": None,
+            "writerFeatures": None,
+        }
+    ]
     adds = [r["add"] for r in rows if r.get("add")]
     assert adds, "checkpoint must list the live files"
     for a in adds:
