@@ -888,11 +888,30 @@ def read_delta_cdf(
 
     # full log replay from version 0: DV derivation needs each file's
     # PRE-commit mask and the active-file set (a re-add with a DV is a
-    # masking operation, not an insert)
+    # masking operation, not an insert).  Row-level change info lives
+    # ONLY in commit files — checkpoints and log-compaction files are
+    # reconciled state — so a cleaned/compacted-away commit makes the
+    # feed unreconstructable: refuse rather than silently omit changes
+    # (delta-spark's table_changes fails the same way after cleanup)
+    commits = _commit_files(log_dir)
+    present = {v for v, _p in commits}
+    last_needed = (
+        to_version if to_version is not None
+        else (max(present) if present else -1)
+    )
+    missing = [v for v in range(0, last_needed + 1) if v not in present]
+    if missing:
+        raise DeltaError(
+            f"change data feed needs commits 0..{last_needed} but "
+            f"{missing[:5]}{'...' if len(missing) > 5 else ''} were "
+            "cleaned up (checkpointed/compacted logs carry no "
+            "row-level change info) — refusing rather than omitting "
+            "changes"
+        )
     active: set = set()
     dv_state: dict = {}
     pv_state: dict = {}
-    for v, path in _commit_files(log_dir):
+    for v, path in commits:
         if to_version is not None and v > to_version:
             break
         cdc, adds, removes, dv_grows = [], [], [], []
