@@ -227,6 +227,9 @@ HEADLINE = [
     "sink_iceberg_expire_policy",
     "catalog_glue_column_stats",
     "info_schema_partitions",
+    "quality_doc_repetition",
+    "pipeline_dedup_keep_best",
+    "dedup_edit_distance",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

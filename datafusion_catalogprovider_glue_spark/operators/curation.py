@@ -177,6 +177,105 @@ def quality_gopher_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "quality_doc_repetition",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(string_split(text, ' ')) AS wc
+      FROM documents
+    ), ok AS (
+      SELECT doc_id, t, wc FROM base WHERE wc >= 3
+    ), c2 AS (
+      SELECT doc_id, wc, MAX(c) AS m FROM (
+        SELECT doc_id, wc, g, COUNT(*) AS c FROM (
+          SELECT doc_id, wc,
+                 unnest([array_to_string(t[i:i+1], ' ')
+                         FOR i IN range(1, len(t))]) AS g
+          FROM ok)
+        GROUP BY doc_id, wc, g)
+      GROUP BY doc_id, wc
+    ), c3 AS (
+      SELECT doc_id, MAX(c) AS m FROM (
+        SELECT doc_id, g, COUNT(*) AS c FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(t[i:i+2], ' ')
+                         FOR i IN range(1, len(t) - 1)]) AS g
+          FROM ok)
+        GROUP BY doc_id, g)
+      GROUP BY doc_id
+    )
+    SELECT c2.doc_id AS doc_id, CAST(c2.wc AS BIGINT) AS word_count,
+           ROUND(c2.m * 2.0 / c2.wc, 6) AS top2_cov,
+           ROUND(c3.m * 3.0 / c2.wc, 6) AS top3_cov,
+           c2.m * 2.0 / c2.wc <= 0.20 AS pass_rep2,
+           c3.m * 3.0 / c2.wc <= 0.18 AS pass_rep3,
+           (c2.m * 2.0 / c2.wc <= 0.20 AND c3.m * 3.0 / c2.wc <= 0.18)
+             AS keep
+    FROM c2 JOIN c3 ON c2.doc_id = c3.doc_id
+    """,
+)
+def quality_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition signals (Gopher / Rae et al. 2021
+    §A1.2 "repetition removal" — the rule family quality_gopher_filters
+    deliberately omits): the fraction of the document covered by its
+    single most frequent 2-gram and 3-gram, with Gopher's 0.20 / 0.18
+    rejection thresholds (adapted to word fraction; Gopher measures
+    character fraction — same signal, integer-deterministic here).
+    Templated/spammy documents repeat one phrase hundreds of times and
+    sail through word-level filters; this is the standard gate that
+    catches them.
+
+    Plan shape: grams explode to (doc_id, xxhash64(gram)) pairs —
+    fixed-width rows, gram TEXT never keys an exchange (the span-hash
+    contract) — then two hash aggregations with map-side partial
+    combine (per-(doc, gram) count, max per doc).  Per-doc keys mean
+    skew is bounded by document length; both n-gram passes join back
+    on doc_id.  At 100 TB this is explode + combinable aggs, no
+    all-pairs anything."""
+    apply_engine_conf(spark)
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .where(F.size("t") >= 3)
+        .select("doc_id", F.size("t").alias("wc"), "t")
+    )
+
+    def _top_cov(n: int, alias: str) -> DataFrame:
+        grams = d.select(
+            "doc_id",
+            "wc",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(" ", F.slice(F.col("t"), i, n))
+                    ),
+                )
+            ).alias("h"),
+        )
+        return (
+            grams.groupBy("doc_id", "wc", "h")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("doc_id", "wc")
+            .agg(F.max("c").alias(alias))
+        )
+    c2 = _top_cov(2, "m2")
+    c3 = _top_cov(3, "m3").drop("wc")
+    out = c2.join(c3, "doc_id")
+    cov2 = F.col("m2") * 2.0 / F.col("wc")
+    cov3 = F.col("m3") * 3.0 / F.col("wc")
+    return out.select(
+        "doc_id",
+        F.col("wc").cast("long").alias("word_count"),
+        F.round(cov2, 6).alias("top2_cov"),
+        F.round(cov3, 6).alias("top3_cov"),
+        (cov2 <= 0.20).alias("pass_rep2"),
+        (cov3 <= 0.18).alias("pass_rep3"),
+        ((cov2 <= 0.20) & (cov3 <= 0.18)).alias("keep"),
+    )
+
+
+@query(
     "text_dup_ngram_fraction",
     oracle="""
     WITH g AS (

@@ -1055,6 +1055,89 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipeline_dedup_keep_best",
+    oracle="""
+    WITH RECURSIVE toks AS MATERIALIZED (
+        SELECT doc_id, lang,
+               list_distinct(string_split(text, ' ')) AS t,
+               len(list_distinct(string_split(text, ' '))) AS n
+        FROM documents
+    ),
+    p AS MATERIALIZED (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE least(a.n, b.n) * 1.0 / greatest(a.n, b.n) >= 0.8
+          AND CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+              / (a.n + b.n - len(list_intersect(a.t, b.t))) >= 0.8
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, dst FROM p UNION ALL SELECT dst, src FROM p
+    ),
+    walk(node, root) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, w.root FROM walk w
+        JOIN edges e ON e.src = w.node AND w.root < e.dst
+    ),
+    cl AS (
+        SELECT node AS doc_id, MIN(root) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    q AS (
+        SELECT doc_id,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) AS dr
+        FROM documents
+    )
+    SELECT cl.doc_id AS doc_id, cl.cluster_id AS cluster_id,
+           ROUND(q.dr, 6) AS quality,
+           ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                              ORDER BY q.dr DESC, cl.doc_id) = 1 AS keep
+    FROM cl JOIN q ON cl.doc_id = q.doc_id
+    """,
+)
+def pipeline_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster formation composed with a QUALITY-AWARE keep
+    policy — the production refinement of dedup_clusters' keep-min-id:
+    within each duplicate cluster the member with the best quality
+    score survives (FineWeb/CCNet-style pipelines do exactly this so
+    dedup never throws away the cleanest copy).  Quality here is the
+    distinct-token ratio (one of the Gopher measures, integer-exact);
+    ties break on doc_id so the selection is deterministic.
+
+    Plan shape: the cluster map comes from the shared CC machinery
+    (pair-graph blocked join + size-gated broadcast label rounds — see
+    dedup_clusters); the policy itself is one join of the cluster map
+    against a scan-stage quality projection plus one window argmax
+    PARTITIONED BY cluster_id — per-cluster state, never a global
+    sort.  At 100 TB the added cost over dedup_clusters is one
+    combinable join + a bounded window."""
+    from pyspark.sql.window import Window
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        let(
+            F.split("text", " "),
+            lambda t: F.size(F.array_distinct(t)) / F.size(t),
+        ).alias("dr"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("dr").desc(), F.col("doc_id")
+    )
+    return (
+        clusters.join(d, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.round("dr", 6).alias("quality"),
+            (F.col("_rn") == 1).alias("keep"),
+        )
+    )
+
+
 SIMHASH_BANDS = 4       # Manku-style: r=3 differing bits can't touch all 4 bands
 SIMHASH_RADIUS = 3      # near-dup iff hamming(simhash_a, simhash_b) <= 3
 
