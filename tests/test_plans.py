@@ -1034,3 +1034,36 @@ def test_geo_nn_two_phase_certificate(spark, tmp_path):
     d2s = [v[1] for v in got.values()]
     assert any(d <= bound for d in d2s)
     assert any(d > bound for d in d2s)
+
+
+# ---------------------------------------------------------------------------
+# round 9: repetition gates + keep-best selection
+# ---------------------------------------------------------------------------
+
+
+def test_doc_repetition_shuffles_hashes_not_grams(spark):
+    """The top-n-gram coverage aggregations must key their exchanges
+    on (doc_id, xxhash64) longs — gram TEXT never crosses the wire
+    (the span-hash contract) — and nothing plans a cartesian."""
+    import re
+
+    p = plan_str(q(spark, "quality_doc_repetition"))
+    assert "xxhash64" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", p):
+        keys = m.group(1)
+        assert "text" not in keys and " g#" not in keys
+
+
+def test_dedup_keep_best_windows_per_cluster(spark):
+    """The keep-best argmax must window PARTITIONED BY cluster_id —
+    per-cluster state, never a global (empty-key) sort."""
+    p = plan_str(q(spark, "pipeline_dedup_keep_best"))
+    assert "CartesianProduct" not in p
+    assert "cluster_id" in p
+    # a global window would plan hashpartitioning on no keys /
+    # SinglePartition feeding the Window node
+    import re
+
+    win_parts = re.findall(r"Window .*", p)
+    assert win_parts, "expected a Window node"
