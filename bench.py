@@ -230,6 +230,7 @@ HEADLINE = [
     "quality_doc_repetition",
     "pipeline_dedup_keep_best",
     "dedup_edit_distance",
+    "meta_iceberg_metadata_log",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

@@ -494,6 +494,69 @@ def meta_iceberg_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "meta_iceberg_metadata_log",
+    # every row re-derives from source counts: v1 pinned the evens
+    # append, v2 the +%3 append, v3 (current) the +odd-%5 append
+    oracle="""
+    WITH e AS (SELECT count(*) AS c FROM documents WHERE doc_id % 2 = 0),
+         t AS (SELECT count(*) AS c FROM documents WHERE doc_id % 3 = 0),
+         o AS (SELECT count(*) AS c FROM documents
+               WHERE doc_id % 2 = 1 AND doc_id % 5 = 0)
+    SELECT CAST(1 AS BIGINT) AS ordinal, 'v1.metadata.json' AS metadata_file,
+           CAST(1 AS BIGINT) AS latest_seq, false AS is_current,
+           e.c AS live_rows FROM e
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'v2.metadata.json', CAST(2 AS BIGINT), false,
+           e.c + t.c FROM e, t
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'v3.metadata.json', CAST(3 AS BIGINT), true,
+           e.c + t.c + o.c FROM e, t, o
+    """,
+)
+def meta_iceberg_metadata_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``metadata_log_entries`` metadata table
+    (iceberg.iceberg_metadata_log_df) over a three-commit table: every
+    publish records the OUTGOING metadata file in the spec's
+    ``metadata-log`` (§table-metadata), so catalog tooling can walk —
+    and roll back to — earlier METADATA versions, the coarser lever
+    that also reverts schema/spec/ref changes.  Each logged entry is
+    resolved to the snapshot state it pinned and joined to the
+    snapshots metadata table so every live-row count re-derives from
+    source rows.  Asserted in-key: the log names exactly v1..v(N-1)
+    in order (no gaps — a writer that skipped an entry would strand
+    rollback tooling)."""
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        iceberg_metadata_log_df,
+        iceberg_snapshots_df,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = _docs3(spark, sf_dir)
+    table = _tmp_table("meta_iceberg_mlog", sf_dir)
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    append_iceberg(docs.filter(F.col("doc_id") % 3 == 0), table)
+    append_iceberg(
+        docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 5 == 0)),
+        table,
+    )
+    mlog = iceberg_metadata_log_df(spark, table)
+    names = [r.metadata_file for r in mlog.orderBy("ordinal").collect()]
+    if names != ["v1.metadata.json", "v2.metadata.json",
+                 "v3.metadata.json"]:
+        raise SparkError(f"metadata-log is gappy or misordered: {names}")
+    live = iceberg_snapshots_df(spark, table).select(
+        F.col("snapshot_id").alias("latest_snapshot_id"), "live_rows"
+    )
+    return mlog.join(live, "latest_snapshot_id").select(
+        "ordinal", "metadata_file", "latest_seq", "is_current", "live_rows"
+    )
+
+
+@query(
     "meta_iceberg_history",
     # is_current_ancestor is the whole point: snapshot 2 was current
     # (ordinal 2) but the rollback moved main back to snapshot 1, so

@@ -920,6 +920,71 @@ def iceberg_refs_df(spark: SparkSession, table_path: str) -> DataFrame:
     )
 
 
+def iceberg_metadata_log_df(spark: SparkSession, table_path: str) -> DataFrame:
+    """The ``metadata_log_entries`` METADATA TABLE (spec
+    §table-metadata ``metadata-log``): one row per PREVIOUS metadata
+    file the writer recorded at each commit, plus the current file —
+    each resolved (when the file still exists) to the snapshot state
+    it pinned: latest sequence number and current snapshot id.  This
+    is what catalog tooling walks to roll a table back to an earlier
+    METADATA version (a coarser lever than snapshot rollback: it also
+    reverts schema/spec/ref changes).  Pure driver-side KB metadata."""
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+
+    def _state(m: dict) -> tuple:
+        return (
+            int(m.get("last-sequence-number") or 0),
+            m.get("current-snapshot-id"),
+        )
+
+    rows = []
+    for i, ent in enumerate(meta.get("metadata-log") or [], start=1):
+        rel = ent["metadata-file"]
+        full = os.path.join(table_path, rel)
+        seq, snap = (None, None)
+        if os.path.exists(full):  # expired metadata may be reclaimed
+            with open(full) as f:
+                seq, snap = _state(json.load(f))
+        rows.append(
+            (
+                i,
+                int(ent["timestamp-ms"]),
+                os.path.basename(rel),
+                seq,
+                snap,
+                False,
+            )
+        )
+    cur_seq, cur_snap = _state(meta)
+    rows.append(
+        (
+            len(rows) + 1,
+            None,
+            f"v{version}.metadata.json",
+            cur_seq,
+            cur_snap,
+            True,
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("ordinal", T.LongType(), False),
+                T.StructField("timestamp_ms", T.LongType(), True),
+                T.StructField("metadata_file", T.StringType(), False),
+                T.StructField("latest_seq", T.LongType(), True),
+                T.StructField("latest_snapshot_id", T.LongType(), True),
+                T.StructField("is_current", T.BooleanType(), False),
+            ]
+        ),
+    )
+
+
 def _snapshots_meta(table_path: str) -> list[dict]:
     meta_dir = os.path.join(table_path, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as f:

@@ -560,15 +560,8 @@ def append_iceberg(
         meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
 
-    new_version = version + 1
-    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
-    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
-    tmp_hint = hint + ".tmp"
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(new_version))
-    os.rename(tmp_hint, hint)  # atomic publish, the commit point
+    # atomic publish, the commit point
+    _publish_metadata(meta_dir, version, meta)
     return snap_id
 
 
@@ -739,16 +732,7 @@ def merge_iceberg(
     ]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
-    new_version = version + 1
-    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
-    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
-    hint = os.path.join(meta_dir, "version-hint.text")
-    tmp_hint = hint + ".tmp"
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(new_version))
-    os.rename(tmp_hint, hint)
+    _publish_metadata(meta_dir, version, meta)
     return snap_id
 
 
@@ -828,16 +812,7 @@ def compact_iceberg(spark: SparkSession, table_path: str) -> int:
     ]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
-    new_version = version + 1
-    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
-    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
-    hint = os.path.join(meta_dir, "version-hint.text")
-    tmp_hint = hint + ".tmp"
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(new_version))
-    os.rename(tmp_hint, hint)
+    _publish_metadata(meta_dir, version, meta)
     return snap_id
 
 
@@ -1096,16 +1071,7 @@ def _commit_fast_append(
     ]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
-    new_version = version + 1
-    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
-    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
-    hint = os.path.join(meta_dir, "version-hint.text")
-    tmp_hint = hint + ".tmp"
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(new_version))
-    os.rename(tmp_hint, hint)
+    _publish_metadata(meta_dir, version, meta)
     return snap_id
 
 
@@ -1268,16 +1234,7 @@ def _apply_expiry(
         for e in (meta.get("snapshot-log") or [])
         if e["snapshot-id"] in kept_ids
     ]
-    new_version = version + 1
-    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
-    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
-    hint = os.path.join(meta_dir, "version-hint.text")
-    tmp_hint = hint + ".tmp"
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(new_version))
-    os.rename(tmp_hint, hint)
+    _publish_metadata(meta_dir, version, meta)
     return deleted
 
 
@@ -1440,16 +1397,7 @@ def evolve_iceberg_schema(
         {"schema-id": new_sid, "type": "struct", "fields": fields}
     ]
     meta["current-schema-id"] = new_sid
-    new_version = version + 1
-    tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump(meta, fh, sort_keys=True)
-    os.rename(tmp, os.path.join(meta_dir, f"v{new_version}.metadata.json"))
-    hint = os.path.join(meta_dir, "version-hint.text")
-    tmp_hint = hint + ".tmp"
-    with open(tmp_hint, "w") as fh:
-        fh.write(str(new_version))
-    os.rename(tmp_hint, hint)
+    _publish_metadata(meta_dir, version, meta)
     return new_sid
 
 
@@ -1460,9 +1408,25 @@ def _read_current_meta(table_path: str) -> tuple[str, int, dict]:
 
 
 def _publish_metadata(meta_dir: str, version: int, meta: dict) -> None:
-    """Metadata-only commit: next metadata.json + hint swap (the same
-    atomic publish tail every data commit uses)."""
+    """The publish tail EVERY commit uses: record the outgoing
+    metadata file in ``metadata-log`` (spec §table-metadata: "a list
+    of previous metadata files" — what the metadata_log_entries
+    metadata table and catalog rollback tooling read), then write the
+    next metadata.json + hint swap atomically.  Timestamps are
+    version-derived (deterministic), clamped strictly increasing."""
     new_version = version + 1
+    meta = dict(meta)
+    prev = os.path.join(meta_dir, f"v{version}.metadata.json")
+    if os.path.exists(prev):
+        log = list(meta.get("metadata-log") or [])
+        last = log[-1]["timestamp-ms"] if log else 0
+        log.append(
+            {
+                "timestamp-ms": max(1600000000000 + version, last + 1),
+                "metadata-file": f"metadata/v{version}.metadata.json",
+            }
+        )
+        meta["metadata-log"] = log
     tmp = os.path.join(meta_dir, f"v{new_version}.metadata.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh, sort_keys=True)
