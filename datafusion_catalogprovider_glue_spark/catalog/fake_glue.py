@@ -267,9 +267,19 @@ def glue_column_statistics(
         if arm is None or arm not in data:
             continue
         d = data[arm]
+        if kind == "BOOLEAN":
+            # Real Glue BooleanColumnStatisticsData carries
+            # NumberOfTrues/NumberOfFalses (no NDV field); derive the
+            # distinct count from which sides are populated so a CBO
+            # consumer never sees n_distinct=0 for an analyzed column.
+            n_distinct = int(int(d.get("NumberOfTrues", 0)) > 0) + int(
+                int(d.get("NumberOfFalses", 0)) > 0
+            )
+        else:
+            n_distinct = int(d.get("NumberOfDistinctValues", 0))
         prof = {
             "n_nulls": int(d.get("NumberOfNulls", 0)),
-            "n_distinct": int(d.get("NumberOfDistinctValues", 0)),
+            "n_distinct": n_distinct,
         }
         if "MinimumValue" in d:
             prof["min_val"] = float(d["MinimumValue"])

@@ -152,12 +152,19 @@ class DeltaSnapshot:
                 self.version = v
                 v += 1
                 continue
-            # commit v was cleaned up: a log-compaction file starting
-            # exactly at v (and not reaching past the pinned target —
-            # its reconciled state would leak newer versions) replays
-            # the whole range in one read
+            # commit v was cleaned up: a log-compaction file COVERING v
+            # (and not reaching past the pinned target — its reconciled
+            # state would leak newer versions) replays the whole range
+            # in one read.  s < v is fine even though commits s..v-1
+            # were already replayed: the compaction holds the RANGE's
+            # reconciled latest action per path (removes kept as
+            # tombstones), so re-applying it on top of partial in-range
+            # state is an idempotent overwrite — this is what recovers
+            # a PARTIALLY cleaned range (first commits survive, a later
+            # one deleted: replay enters via the commits, hits the
+            # hole, restarts the range from the compaction file).
             cands = [(e, p) for s, e, p in compacted
-                     if s == v and e <= target]
+                     if s <= v <= e and e <= target]
             if cands:
                 e, path = max(cands)
                 with open(path) as f:
@@ -172,8 +179,8 @@ class DeltaSnapshot:
                 raise DeltaError(
                     f"version {v} at {table_path!r} was compacted into "
                     f"range {inside[0]} and its commit deleted — a "
-                    "snapshot pinned inside the range cannot be "
-                    "reconstructed"
+                    "snapshot pinned inside the range (range end past "
+                    "the pinned version) cannot be reconstructed"
                 )
             raise DeltaError(
                 f"missing commit {v} in {log_dir!r} (replaying to "
@@ -748,6 +755,20 @@ def read_delta_cdf(
     log_dir = os.path.join(table_path, _LOG_DIR)
     if not os.path.isdir(log_dir):
         raise DeltaError(f"no {_LOG_DIR} at {table_path!r}")
+    # a to_version the table never reached is a caller error, not a
+    # cleanup problem — raise "not in log" BEFORE the missing-commit
+    # check below can misattribute it to cleaned-up commits
+    if to_version is not None:
+        _ckpt = _last_checkpoint(log_dir)
+        _latest = max(
+            [v for v, _p in _commit_files(log_dir)]
+            + [e for _s, e, _p in _compacted_files(log_dir)],
+            default=_ckpt if _ckpt is not None else -1,
+        )
+        if to_version > _latest:
+            raise DeltaError(
+                f"version {to_version} not in log (latest {_latest})"
+            )
     # schema + partitioning from the snapshot machinery
     head = DeltaSnapshot(table_path, version=from_version)
     snap_schema = head.schema

@@ -55,7 +55,10 @@ _ARCHIVED_DIR = os.path.join(".hoodie", "archived")
 
 # location → (archive-file signature, {(instant, action): metadata}).
 # The archive set only ever grows (append-only by the archival
-# contract), so a (name, size) signature is a sound cache key.
+# contract) for a LIVE table, but this engine's fixtures rebuild
+# tables at the same path (rmtree + rewrite), so the signature
+# includes mtime_ns alongside (name, size): a rebuilt archive file
+# that coincidentally matches the old name+size still invalidates.
 _archived_cache: dict[str, tuple[tuple, dict]] = {}
 
 
@@ -71,7 +74,9 @@ def _archived_timeline(location: str) -> dict[tuple[str, str], dict]:
     if not names:
         return {}
     sig = tuple(
-        (n, os.path.getsize(os.path.join(adir, n))) for n in names
+        (n, st.st_size, st.st_mtime_ns)
+        for n in names
+        for st in (os.stat(os.path.join(adir, n)),)
     )
     cached = _archived_cache.get(location)
     if cached is not None and cached[0] == sig:

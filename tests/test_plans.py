@@ -1061,9 +1061,19 @@ def test_dedup_keep_best_windows_per_cluster(spark):
     p = plan_str(q(spark, "pipeline_dedup_keep_best"))
     assert "CartesianProduct" not in p
     assert "cluster_id" in p
-    # a global window would plan hashpartitioning on no keys /
-    # SinglePartition feeding the Window node
+    # a global window would plan an empty partition spec (physical
+    # Window prints "Window [fns], [part keys], [order]") over a
+    # SinglePartition exchange — require cluster_id IN the Window
+    # node's own partition-key list, not merely somewhere in the plan
     import re
 
-    win_parts = re.findall(r"Window .*", p)
+    win_parts = re.findall(
+        r"windowspecdefinition\((.*?)specifiedwindowframe", p
+    )
     assert win_parts, "expected a Window node"
+    for keys in win_parts:
+        assert "cluster_id" in keys, (
+            f"Window spec partition/order keys {keys!r} lack "
+            "cluster_id — global sort regression"
+        )
+    assert "SinglePartition" not in p
