@@ -200,7 +200,7 @@ def stream_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# E5b: streaming funnel — per-user conversion state machine
+# E5c: streaming funnel — per-user conversion state machine
 # ---------------------------------------------------------------------------
 
 _FUNNEL_STEPS = ["view", "click", "purchase"]
@@ -292,7 +292,7 @@ def _funnel_step(
     """,
 )
 def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E5b: streaming conversion funnel with arbitrary per-key state —
+    """E5c: streaming conversion funnel with arbitrary per-key state —
     the cart-abandonment-style operator the sessionizer's module
     docstring promises.  Same stream wiring as
     stream_stateful_sessionize (parquet source → watermark 0 →
