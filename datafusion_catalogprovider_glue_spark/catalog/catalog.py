@@ -126,10 +126,24 @@ class GlueCatalog:
         database: str,
         table: str,
         options: TableRegistrationOptions = TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE,
+        partition_expression: Optional[str] = None,
     ) -> TableEntry:
-        """A2: fetch ONE table (GetTable) and register it (glue.rs:55-90)."""
+        """A2: fetch ONE table (GetTable) and register it (glue.rs:55-90).
+
+        ``partition_expression`` (A13d) pushes a Glue partition-filter
+        expression into GetPartitions so the SERVICE prunes partitions
+        before they ever reach the client — at 10⁵ partitions the
+        full-pagination A13b path makes registration itself the
+        bottleneck (100 pages of metadata to then discard client-side);
+        the expression keeps both the payload and the page count
+        proportional to the partitions actually wanted.  Only
+        meaningful for tables with explicit Glue partitions; the
+        registered table exposes exactly the matching partitions."""
         response = self.client.get_table(DatabaseName=database, Name=table)
-        return self._register_glue_table(response["Table"], options)
+        return self._register_glue_table(
+            response["Table"], options,
+            partition_expression=partition_expression,
+        )
 
     def register_tables(
         self,
@@ -173,7 +187,8 @@ class GlueCatalog:
             token = {"NextToken": next_token}
 
     def _register_glue_table(
-        self, table: dict, options: TableRegistrationOptions
+        self, table: dict, options: TableRegistrationOptions,
+        partition_expression: Optional[str] = None,
     ) -> TableEntry:
         """A5 dispatch: delta vs listing (glue.rs:174-212)."""
         database = table.get("DatabaseName")
@@ -185,7 +200,10 @@ class GlueCatalog:
         params = table.get("Parameters") or {}
         if params.get("table_type", "").lower() == "delta":  # glue.rs:191-196
             return self._register_delta_table(database, name, table)
-        return self._register_listing_table(database, name, table, options)
+        return self._register_listing_table(
+            database, name, table, options,
+            partition_expression=partition_expression,
+        )
 
     def _register_delta_table(self, database: str, name: str, table: dict) -> TableEntry:
         """A6 (glue.rs:214-240): load the Delta log as the table.
@@ -297,22 +315,34 @@ class GlueCatalog:
             )
         return partitions
 
-    def _get_partitions(self, database: str, name: str) -> list[dict]:
+    def _get_partitions(
+        self, database: str, name: str,
+        expression: Optional[str] = None,
+    ) -> list[dict]:
         """A13b: full GetPartitions pagination (live Glue caps pages at
         1000 partitions).  Clients without the call — or tables with no
         explicit partitions — fall back to Hive-style directory
-        discovery."""
+        discovery.  ``expression`` (A13d) goes to the SERVICE verbatim
+        (GetPartitions Expression=...), which filters before paging —
+        the page budget scales with matching partitions, not the
+        table's partition count."""
         getter = getattr(self.client, "get_partitions", None)
         if getter is None:
             return []
+        extra = {"Expression": expression} if expression else {}
         parts: list[dict] = []
         token: dict = {}
         while True:
             try:
                 response = getter(
-                    DatabaseName=database, TableName=name, **token
+                    DatabaseName=database, TableName=name, **extra, **token
                 )
             except Exception:
+                if expression:
+                    # a user-supplied expression must fail LOUDLY — a
+                    # silent [] here would register the table with no
+                    # partitions and quietly serve zero rows
+                    raise
                 return []
             parts.extend(response.get("Partitions") or [])
             next_token = response.get("NextToken")
@@ -553,6 +583,7 @@ class GlueCatalog:
         name: str,
         table: dict,
         options: TableRegistrationOptions,
+        partition_expression: Optional[str] = None,
     ) -> TableEntry:
         """A7 (glue.rs:243-274): format dispatch + schema mode + load."""
         sd = self._storage_descriptor(database, name, table)
@@ -607,11 +638,20 @@ class GlueCatalog:
             # tables frequently carry per-partition StorageDescriptors
             # whose locations are NOT Hive-style dirs under one root —
             # GetPartitions is the source of truth when it returns any
-            explicit = self._get_partitions(database, name)
+            explicit = self._get_partitions(
+                database, name, expression=partition_expression
+            )
             if explicit:
                 return self._register_explicit_partitions(
                     database, name, sd, spec, options, partition_keys,
                     explicit, location,
+                )
+            if partition_expression:
+                raise SparkError(
+                    f"partition expression {partition_expression!r} on "
+                    f"{database}.{name} matched no partitions (or the "
+                    "table has no explicit Glue partitions) — refusing "
+                    "a silently empty registration"
                 )
             # Hive-style partition dirs: Spark discovers them; basePath
             # keeps the partition columns when loading the root

@@ -181,13 +181,22 @@ class FakeGlueClient:
             )
 
     def get_partitions(
-        self, DatabaseName: str, TableName: str, NextToken=None
+        self, DatabaseName: str, TableName: str, NextToken=None,
+        Expression=None,
     ) -> dict:
         """Glue GetPartitions shape: each partition carries its Values
         (one per PartitionKey, in key order) and its own
         StorageDescriptor whose Location may live ANYWHERE — not
         necessarily under the table root.  Paginated like the other
-        calls."""
+        calls.
+
+        ``Expression`` is the live API's SERVER-SIDE partition filter
+        (the documented subset: =, <>, <, <=, >, >=, LIKE, IN,
+        BETWEEN, IS [NOT] NULL, AND/OR/NOT, parentheses; string
+        literals single-quoted, ≤2048 chars) — evaluated here against
+        each partition's typed Values BEFORE pagination, exactly like
+        live Glue, so a selective filter shrinks both the result set
+        and the page count the client pays."""
         self._count("GetPartitions")
         if DatabaseName not in self._databases or (
             TableName not in self._databases[DatabaseName]
@@ -196,6 +205,24 @@ class FakeGlueClient:
                 f"EntityNotFoundException: table {DatabaseName}.{TableName}"
             )
         items = self._partitions.get((DatabaseName, TableName), [])
+        if Expression:
+            if len(Expression) > 2048:
+                raise AwsError(
+                    "InvalidInputException: Expression exceeds 2048 chars"
+                )
+            tbl = self._databases[DatabaseName][TableName]
+            keys = [
+                (k["Name"], k.get("Type", "string"))
+                for k in tbl.get("PartitionKeys") or []
+            ]
+            try:
+                pred = parse_partition_expression(Expression)
+            except ValueError as exc:
+                raise AwsError(f"InvalidInputException: {exc}") from exc
+            items = [
+                p for p in items
+                if pred(dict_from_values(keys, p.get("Values") or []))
+            ]
         return self._paginate(items, "Partitions", NextToken)
 
     def get_column_statistics_for_table(
@@ -238,6 +265,278 @@ class FakeGlueClient:
     def from_json(cls, path: str) -> "FakeGlueClient":
         with open(path) as fh:
             return cls(json.load(fh))
+
+
+# ---------------------------------------------------------------------------
+# GetPartitions Expression — the live API's server-side partition filter
+# ---------------------------------------------------------------------------
+
+_NUMERIC_GLUE_TYPES = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long",
+    "float", "double",
+}
+
+
+def dict_from_values(
+    keys: list[tuple[str, str]], values: list
+) -> dict[str, object]:
+    """Partition Values (strings, in PartitionKey order) → {name:
+    typed value} for expression evaluation.  Numeric key types compare
+    numerically (live Glue does the same — '9' < '10' for an int key);
+    Hive's null sentinel maps to None so IS NULL works."""
+    out: dict[str, object] = {}
+    for (name, gtype), raw in zip(keys, values):
+        base = gtype.split("(")[0].strip().lower()
+        if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+            out[name.lower()] = None
+        elif base in _NUMERIC_GLUE_TYPES or base.startswith("decimal"):
+            try:
+                out[name.lower()] = float(raw)
+            except ValueError:
+                out[name.lower()] = raw
+        else:
+            out[name.lower()] = raw
+    return out
+
+
+def _tokenize_expression(s: str) -> list[tuple[str, str]]:
+    """(kind, text) tokens: op, lparen, rparen, comma, str, num, word."""
+    toks: list[tuple[str, str]] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isspace():
+            i += 1
+        elif c == "'":
+            j = i + 1
+            buf = []
+            while j < n:
+                if s[j] == "'" and j + 1 < n and s[j + 1] == "'":
+                    buf.append("'")  # '' escapes a quote
+                    j += 2
+                elif s[j] == "'":
+                    break
+                else:
+                    buf.append(s[j])
+                    j += 1
+            else:
+                raise ValueError("unterminated string literal")
+            toks.append(("str", "".join(buf)))
+            i = j + 1
+        elif c in "()":
+            toks.append(("lparen" if c == "(" else "rparen", c))
+            i += 1
+        elif c == ",":
+            toks.append(("comma", c))
+            i += 1
+        elif s[i:i + 2] in ("<>", "<=", ">=", "!="):
+            toks.append(("op", "<>" if s[i:i + 2] == "!=" else s[i:i + 2]))
+            i += 2
+        elif c in "=<>":
+            toks.append(("op", c))
+            i += 1
+        elif c.isdigit() or (
+            c in "+-." and i + 1 < n and (s[i + 1].isdigit() or s[i + 1] == ".")
+        ):
+            j = i + 1
+            while j < n and (s[j].isdigit() or s[j] in ".eE+-"):
+                # stop a trailing +/- that isn't an exponent sign
+                if s[j] in "+-" and s[j - 1] not in "eE":
+                    break
+                j += 1
+            toks.append(("num", s[i:j]))
+            i = j
+        elif c.isalpha() or c == "_" or c == "`":
+            if c == "`":  # backtick-quoted identifier
+                j = s.index("`", i + 1)
+                toks.append(("word", s[i + 1:j]))
+                i = j + 1
+            else:
+                j = i + 1
+                while j < n and (s[j].isalnum() or s[j] in "_."):
+                    j += 1
+                toks.append(("word", s[i:j]))
+                i = j
+        else:
+            raise ValueError(f"unexpected character {c!r} at {i}")
+    return toks
+
+
+def parse_partition_expression(expression: str):
+    """Parse the Glue GetPartitions filter grammar into a predicate
+    ``row_dict -> bool`` (row keys lower-cased; typed per
+    dict_from_values).  Grammar (the publicly documented subset):
+
+        expr     := and_term (OR and_term)*
+        and_term := not_term (AND not_term)*
+        not_term := NOT not_term | '(' expr ')' | predicate
+        predicate:= col (=|<>|<|<=|>|>=) literal
+                  | col [NOT] LIKE 'pattern'    (%, _ wildcards)
+                  | col [NOT] IN '(' literal (',' literal)* ')'
+                  | col [NOT] BETWEEN literal AND literal
+                  | col IS [NOT] NULL
+
+    Comparisons against a NULL partition value are three-valued-false,
+    matching live Glue/Hive semantics."""
+    import re as _re
+
+    toks = _tokenize_expression(expression)
+    pos = [0]
+
+    def peek(k: int = 0):
+        p = pos[0] + k
+        return toks[p] if p < len(toks) else ("eof", "")
+
+    def take(kind=None, text=None):
+        t = peek()
+        if kind and t[0] != kind:
+            raise ValueError(f"expected {kind}, got {t}")
+        if text and t[1].upper() != text:
+            raise ValueError(f"expected {text}, got {t}")
+        pos[0] += 1
+        return t
+
+    def literal():
+        t = take()
+        if t[0] == "str":
+            return t[1]
+        if t[0] == "num":
+            return float(t[1])
+        raise ValueError(f"expected literal, got {t}")
+
+    def coerce(col_val, lit):
+        # a numeric literal against a string-typed key falls back to
+        # string comparison of its original text (live Glue treats
+        # unquoted numbers on string keys as strings)
+        if isinstance(col_val, float) and isinstance(lit, str):
+            try:
+                return col_val, float(lit)
+            except ValueError:
+                return str(col_val), lit
+        if isinstance(col_val, str) and isinstance(lit, float):
+            return col_val, _format_num(lit)
+        return col_val, lit
+
+    def predicate():
+        if peek()[0] == "lparen":
+            take("lparen")
+            inner = expr()
+            take("rparen")
+            return inner
+        if peek()[0] == "word" and peek()[1].upper() == "NOT":
+            take()
+            inner = predicate()
+            return lambda row: not inner(row)
+        col = take("word")[1].lower()
+        t = peek()
+        negate = False
+        if t[0] == "word" and t[1].upper() == "NOT":
+            take()
+            negate = True
+            t = peek()
+        if t[0] == "op":
+            op = take("op")[1]
+            lit = literal()
+
+            def cmp(row, op=op, lit=lit, col=col):
+                v = row.get(col)
+                if v is None:
+                    return False
+                v, z = coerce(v, lit)
+                return {
+                    "=": v == z, "<>": v != z, "<": v < z,
+                    "<=": v <= z, ">": v > z, ">=": v >= z,
+                }[op]
+
+            base = cmp
+        elif t[0] == "word" and t[1].upper() == "LIKE":
+            take()
+            pat = take("str")[1]
+            rx = _re.compile(
+                "^" + _re.escape(pat).replace("%", ".*").replace("_", ".")
+                + "$"
+            )
+            base = lambda row, rx=rx, col=col: (  # noqa: E731
+                row.get(col) is not None and bool(rx.match(str(row[col])))
+            )
+        elif t[0] == "word" and t[1].upper() == "IN":
+            take()
+            take("lparen")
+            lits = [literal()]
+            while peek()[0] == "comma":
+                take("comma")
+                lits.append(literal())
+            take("rparen")
+
+            def inset(row, lits=lits, col=col):
+                v = row.get(col)
+                if v is None:
+                    return False
+                return any(coerce(v, z)[0] == coerce(v, z)[1] for z in lits)
+
+            base = inset
+        elif t[0] == "word" and t[1].upper() == "BETWEEN":
+            take()
+            lo = literal()
+            take("word", "AND")
+            hi = literal()
+
+            def betw(row, lo=lo, hi=hi, col=col):
+                v = row.get(col)
+                if v is None:
+                    return False
+                v1, lo2 = coerce(v, lo)
+                v2, hi2 = coerce(v, hi)
+                return lo2 <= v1 and v2 <= hi2
+
+            base = betw
+        elif t[0] == "word" and t[1].upper() == "IS":
+            take()
+            isnot = False
+            if peek()[0] == "word" and peek()[1].upper() == "NOT":
+                take()
+                isnot = True
+            take("word", "NULL")
+            base = lambda row, isnot=isnot, col=col: (  # noqa: E731
+                (row.get(col) is not None) if isnot else (row.get(col) is None)
+            )
+        else:
+            raise ValueError(f"expected comparison after column, got {t}")
+        if negate:
+            return lambda row, base=base: not base(row)
+        return base
+
+    def not_term():
+        if peek()[0] == "word" and peek()[1].upper() == "NOT":
+            take()
+            inner = not_term()
+            return lambda row: not inner(row)
+        return predicate()
+
+    def and_term():
+        parts = [not_term()]
+        while peek()[0] == "word" and peek()[1].upper() == "AND":
+            take()
+            parts.append(not_term())
+        return lambda row, parts=parts: all(p(row) for p in parts)
+
+    def expr():
+        parts = [and_term()]
+        while peek()[0] == "word" and peek()[1].upper() == "OR":
+            take()
+            parts.append(and_term())
+        return lambda row, parts=parts: any(p(row) for p in parts)
+
+    out = expr()
+    if pos[0] != len(toks):
+        raise ValueError(f"trailing tokens at {pos[0]}: {toks[pos[0]:]}")
+    return out
+
+
+def _format_num(x: float) -> str:
+    """Render a numeric literal the way it would appear as a partition
+    Value string (ints without the trailing .0)."""
+    return str(int(x)) if float(x).is_integer() else str(x)
 
 
 def glue_column_statistics(
