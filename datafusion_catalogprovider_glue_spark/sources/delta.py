@@ -301,6 +301,29 @@ class DeltaSnapshot:
             "columnMapping",     # name + id modes
             "v2Checkpoint",      # UUID checkpoints + sidecars (r8)
             "timestampNtz",      # TIMESTAMP_NTZ in schemaString
+            # r10: ALTER COLUMN TYPE widening — pre-widening files keep
+            # their narrow physical type and are read through the
+            # current (wider) schema via the parquet reader's widening
+            # promotions (SPARK-40876); the recorded delta.typeChanges
+            # are validated against _SUPPORTED_WIDENINGS below, so an
+            # unknown (e.g. narrowing or decimal) change still refuses
+            "typeWidening",
+            "typeWidening-preview",
+        }
+    )
+    # the widenings this reader can serve: every pair is a promotion
+    # Spark's vectorized parquet reader performs losslessly when the
+    # read schema is wider than the footer type (delta-io PROTOCOL.md
+    # §Type Widening's integer/float subset; date→timestampNtz and
+    # decimal widenings are NOT claimed — tables carrying them refuse)
+    _SUPPORTED_WIDENINGS = frozenset(
+        {
+            ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+            ("short", "integer"), ("short", "long"),
+            ("integer", "long"),
+            ("float", "double"),
+            ("byte", "double"), ("short", "double"),
+            ("integer", "double"),
         }
     )
 
@@ -325,6 +348,31 @@ class DeltaSnapshot:
             k: v for k, v in protocol.items() if v is not None
         }
 
+    def _validate_type_changes(self, schema: T.StructType) -> None:
+        """typeWidening gate: every ``delta.typeChanges`` entry in the
+        schema's field metadata must be a widening this reader's scan
+        actually performs (_SUPPORTED_WIDENINGS) — misreading a
+        pre-change file under an unservable conversion would corrupt
+        values, so anything else refuses loudly, exactly like the
+        readerFeatures gate."""
+        def walk(fields, path):
+            for f in fields:
+                meta = f.metadata or {}
+                for ch in meta.get("delta.typeChanges") or []:
+                    pair = (ch.get("fromType"), ch.get("toType"))
+                    if pair not in self._SUPPORTED_WIDENINGS:
+                        raise DeltaError(
+                            "delta reader subset: unsupported type "
+                            f"change {pair[0]!r} -> {pair[1]!r} on "
+                            f"column {'.'.join(path + [f.name])!r} "
+                            "(supported widenings: "
+                            f"{sorted(self._SUPPORTED_WIDENINGS)})"
+                        )
+                if isinstance(f.dataType, T.StructType):
+                    walk(f.dataType.fields, path + [f.name])
+
+        walk(schema.fields, [])
+
     def _apply_action(self, action: dict) -> None:
         if "protocol" in action and action["protocol"]:
             self._apply_protocol(dict(action["protocol"]))
@@ -333,6 +381,7 @@ class DeltaSnapshot:
             schema_str = meta.get("schemaString")
             if isinstance(schema_str, str):
                 self.schema = T.StructType.fromJson(json.loads(schema_str))
+                self._validate_type_changes(self.schema)
             self.partition_columns = list(meta.get("partitionColumns") or [])
             self.configuration = dict(meta.get("configuration") or {})
             mode = self.configuration.get("delta.columnMapping.mode", "none")

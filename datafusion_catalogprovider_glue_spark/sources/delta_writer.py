@@ -1588,6 +1588,115 @@ def set_delta_property(table_path: str, key: str, value: str) -> int:
     return version
 
 
+# the widening pairs this engine serves end-to-end — MUST stay the
+# reader's _SUPPORTED_WIDENINGS (sources/delta.py) or the writer could
+# commit a change its own reader refuses
+_SUPPORTED_WIDENINGS = frozenset(
+    {
+        ("byte", "short"), ("byte", "integer"), ("byte", "long"),
+        ("short", "integer"), ("short", "long"),
+        ("integer", "long"),
+        ("float", "double"),
+        ("byte", "double"), ("short", "double"), ("integer", "double"),
+    }
+)
+
+
+def widen_delta_column(spark, table_path: str, column: str, to_type: str) -> int:
+    """ALTER TABLE ... ALTER COLUMN ... TYPE (delta-io PROTOCOL.md
+    §Type Widening — the (3,7) ``typeWidening`` table feature current
+    delta-spark emits): a METADATA-ONLY commit that
+
+    * rewrites ``schemaString`` with the column at the wider type,
+    * appends ``{"fromType", "toType"}`` to the field's
+      ``delta.typeChanges`` metadata (what foreign readers gate on),
+    * upgrades the protocol to minReader 3 / minWriter 7 with
+      ``typeWidening`` in BOTH feature lists (pre-existing features
+      carried; the implicit (1,2) writer features materialized per the
+      spec's upgrade rule).
+
+    NO data file is rewritten — pre-widening files keep their narrow
+    physical type, and the reader serves them through the new schema
+    via parquet widening promotions.  Only the spec's lossless
+    integer/float widenings are accepted (the subset the paired reader
+    declares); anything else refuses.  Returns the committed version."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+
+    snap = DeltaSnapshot(table_path)
+    by_name = {f.name: f for f in snap.schema.fields}
+    if column not in by_name:
+        raise DeltaError(f"no column {column!r} in {table_path!r}")
+    old_field = by_name[column]
+    from_type = old_field.dataType.typeName()
+    if (from_type, to_type) == (from_type, from_type):
+        raise DeltaError(f"column {column!r} is already {to_type!r}")
+    if (from_type, to_type) not in _SUPPORTED_WIDENINGS:
+        raise DeltaError(
+            f"unsupported type change {from_type!r} -> {to_type!r} "
+            f"(supported widenings: {sorted(_SUPPORTED_WIDENINGS)})"
+        )
+    if column in snap.partition_columns:
+        raise DeltaError(
+            "widening a partition column is not supported (partition "
+            "values are stored as log strings, not parquet columns)"
+        )
+    new_meta = dict(old_field.metadata or {})
+    new_meta["delta.typeChanges"] = list(
+        new_meta.get("delta.typeChanges") or []
+    ) + [{"fromType": from_type, "toType": to_type}]
+    import pyspark.sql.types as T
+
+    target = {
+        "short": T.ShortType(), "integer": T.IntegerType(),
+        "long": T.LongType(), "double": T.DoubleType(),
+    }[to_type]
+    new_schema = T.StructType(
+        [
+            T.StructField(f.name, target, f.nullable, new_meta)
+            if f.name == column
+            else f
+            for f in snap.schema.fields
+        ]
+    )
+    old_proto = snap.protocol or dict(_PROTOCOL)
+    reader_feats = set(old_proto.get("readerFeatures") or [])
+    writer_feats = set(old_proto.get("writerFeatures") or [])
+    if int(old_proto.get("minWriterVersion") or 2) < 7 and not writer_feats:
+        # materialize the (1,2)-implicit writer features on upgrade,
+        # like delta-spark's protocol transition does
+        writer_feats |= {"appendOnly", "invariants"}
+    reader_feats.add("typeWidening")
+    writer_feats.add("typeWidening")
+    protocol = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": sorted(reader_feats),
+        "writerFeatures": sorted(writer_feats),
+    }
+    version = _next_version(_log_dir(table_path))
+    _commit(
+        _log_dir(table_path),
+        version,
+        [
+            _commit_info("ALTER COLUMN TYPE"),
+            {"protocol": protocol},
+            {
+                "metaData": {
+                    "id": hashlib.md5(table_path.encode()).hexdigest(),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": new_schema.json(),
+                    "partitionColumns": list(snap.partition_columns),
+                    "configuration": dict(snap.configuration),
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+        ],
+    )
+    return version
+
+
 def add_delta_constraint(
     spark, table_path: str, name: str, expr: str
 ) -> int:
