@@ -558,3 +558,68 @@ def scan_iceberg_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"bounds pruning did not prune: {n_pruned} of {n_files} files"
         )
     return pruned.filter(F.col("l_orderkey") == probe)
+
+
+@query(
+    "scan_hudi_stats_pruned",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           CAST(l_quantity AS DOUBLE) AS l_quantity
+    FROM lineitem
+    WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+    """,
+)
+def scan_hudi_stats_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUDI COLUMN-STATS DATA SKIPPING (hudi.index_hudi_column_stats +
+    read_hudi(stats_filter=...) — the metadata table's
+    ``column_stats`` partition, tech-specs §metadata-table; r9 verdict
+    item 5): lineitem lands as 8 file slices with DISJOINT l_orderkey
+    ranges (one range-bucketed append per slice), the column-stats
+    index folds each slice's footer [min,max,nulls] into one KB JSON
+    snapshot, and a point lookup prunes to the ONE slice whose
+    recorded range covers the key — asserted in-key via inputFiles —
+    without opening any parquet footer at plan time.  Completes the
+    trio's data-skipping symmetry (Delta B25 log stats, Iceberg B26
+    manifest bounds, Hudi r10 column_stats).  Probe key computed from
+    the data, so the hash holds at every sf."""
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        index_hudi_column_stats,
+        read_hudi,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+    )
+
+    apply_engine_conf(spark)
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table = os.path.join("/tmp", f"glue_spark_hstats_{h}", "lineitem_hudi")
+    if not os.path.isdir(os.path.join(table, ".hoodie")):
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            F.col("l_quantity").cast("double").alias("l_quantity"),
+        )
+        lo, hi = li.agg(
+            F.min("l_orderkey"), F.max("l_orderkey")
+        ).collect()[0]
+        step = max(1, (hi - lo + 8) // 8)
+        for b in range(8):  # disjoint key ranges → prunable slices
+            lo_b, hi_b = lo + b * step, lo + (b + 1) * step
+            batch = li.filter(
+                (F.col("l_orderkey") >= lo_b)
+                & (F.col("l_orderkey") < hi_b)
+            )
+            append_hudi(batch.coalesce(1), table, n_groups=1)
+        index_hudi_column_stats(table)
+    full = read_hudi(spark, table)
+    n_files = len(full.inputFiles())
+    probe = full.agg(F.max("l_orderkey")).collect()[0][0]
+    pruned = read_hudi(spark, table, stats_filter={"l_orderkey": probe})
+    n_pruned = len(pruned.inputFiles())
+    if not (n_pruned < n_files and n_pruned <= 2):
+        raise ValueError(
+            f"column-stats skipping did not prune: {n_pruned} of "
+            f"{n_files} slices"
+        )
+    return pruned.filter(F.col("l_orderkey") == probe).select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )

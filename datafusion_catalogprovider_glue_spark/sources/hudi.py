@@ -270,6 +270,133 @@ def _latest_files_index(
     }
 
 
+_COL_STATS_DIR = os.path.join(".hoodie", "metadata", "col_stats")
+
+
+def _footer_bounds(path: str) -> dict[str, list]:
+    """{column: [min, max, null_count]} folded over one parquet file's
+    row-group footer statistics — KB of metadata per file, read ONCE
+    at index time.  A column with any stats-less or binary-opaque row
+    group records nothing (a partial fold understates the true range
+    and pruning would wrongly skip matching rows)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    lows: dict = {}
+    highs: dict = {}
+    nulls: dict = {}
+    partial: set = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                partial.add(name)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    partial.add(name)
+                    continue
+            if not isinstance(lo, (int, float, str, bool)):
+                # non-JSON-portable statistics (timestamps, decimals):
+                # skip rather than store a lossy representation
+                partial.add(name)
+                continue
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+            if name not in lows or lo < lows[name]:
+                lows[name] = lo
+            if name not in highs or hi > highs[name]:
+                highs[name] = hi
+    return {
+        name: [lows[name], highs[name], nulls.get(name, 0)]
+        for name in lows
+        if name in highs and name not in partial
+    }
+
+
+def index_hudi_column_stats(location: str) -> str:
+    """Build the COLUMN-STATS INDEX — the engine's analog of Hudi's
+    metadata table ``column_stats`` partition (tech-specs
+    §metadata-table, the index ``hoodie.metadata.index.column.stats.
+    enable`` maintains): per live file slice, per primitive column,
+    [min, max, null_count] folded from the parquet footers, stored as
+    one KB-sized JSON snapshot under ``.hoodie/metadata/col_stats/``.
+    ``read_hudi(stats_filter=...)`` then prunes file slices from the
+    INDEX without opening any footer — Delta B25 / Iceberg B26's data
+    skipping, completing the trio.
+
+    INCREMENTAL like the files index: footer reads happen only for
+    slices the previous snapshot has no entry for (keyed by relative
+    base-file path — a new slice of a file group has a new file name,
+    so stale stats can never be inherited).  Real Hudi maintains the
+    index transactionally per commit; on-demand re-indexing is the
+    async-metadata-indexer bootstrap shape, same as
+    index_hudi_files."""
+    slices = hudi_live_slices(location)
+    instants = _timeline(location, ("commit", "replacecommit"))
+    if not instants:
+        raise SparkError(f"nothing to index at {location}")
+    instant = instants[-1][0]
+    prev = _latest_col_stats(location, None)
+    prev_by_rel = {}
+    if prev is not None:
+        _pi, prev_stats, prev_rels = prev
+        prev_by_rel = {
+            prev_rels[fid]: st
+            for fid, st in prev_stats.items()
+            if fid in prev_rels
+        }
+    stats: dict[str, dict] = {}
+    rels: dict[str, str] = {}
+    for fid, (_ppath, rel) in slices.items():
+        rels[fid] = rel
+        if rel in prev_by_rel:
+            stats[fid] = prev_by_rel[rel]  # same file bytes: reuse
+        else:
+            stats[fid] = _footer_bounds(os.path.join(location, rel))
+    idx_dir = os.path.join(location, _COL_STATS_DIR)
+    os.makedirs(idx_dir, exist_ok=True)
+    out = os.path.join(idx_dir, f"{instant}.colstats.json")
+    tmp = out + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"instant": instant, "stats": stats, "rels": rels},
+            fh,
+            sort_keys=True,
+        )
+    os.rename(tmp, out)
+    return instant
+
+
+def _latest_col_stats(
+    location: str, as_of: Optional[str]
+) -> Optional[tuple[str, dict, dict]]:
+    """(instant, {fileId: {col: [lo, hi, nulls]}}, {fileId: rel}) of
+    the newest column-stats snapshot with instant <= as_of, or None."""
+    idx_dir = os.path.join(location, _COL_STATS_DIR)
+    if not os.path.isdir(idx_dir):
+        return None
+    names = sorted(
+        f for f in os.listdir(idx_dir) if f.endswith(".colstats.json")
+    )
+    usable = [
+        n for n in names
+        if as_of is None or n[: -len(".colstats.json")] <= as_of
+    ]
+    if not usable:
+        return None
+    with open(os.path.join(idx_dir, usable[-1])) as fh:
+        doc = json.load(fh)
+    return doc["instant"], doc["stats"], doc.get("rels") or {}
+
+
 def hudi_live_slices(
     location: str, as_of: Optional[str] = None
 ) -> dict[str, tuple[str, str]]:
@@ -313,6 +440,7 @@ def read_hudi(
     location: str,
     as_of: Optional[str] = None,
     partition_filter: Optional[dict] = None,
+    stats_filter: Optional[dict] = None,
 ) -> DataFrame:
     """Snapshot (or point-in-time, via ``as_of``) read of a CoW table.
 
@@ -325,8 +453,47 @@ def read_hudi(
     tables): only file slices whose partition path matches are
     scanned — no directory listing, no file open.  The partition
     column itself is stored IN the data files (Hudi's layout, unlike
-    Delta), so the scan needs no re-attachment."""
+    Delta), so the scan needs no re-attachment.
+
+    ``stats_filter`` ({col: value} point or {col: (lo, hi)} range,
+    r10) is DATA SKIPPING from the column-stats index
+    (index_hudi_column_stats — the metadata table's ``column_stats``
+    partition): a file slice is skipped when its recorded [min, max]
+    cannot intersect the filter, straight from the KB-sized index,
+    no footer opened.  Slices without recorded stats (committed after
+    the index, or stats-less columns) are conservatively KEPT, so
+    pruning is always result-preserving — the Delta B25 / Iceberg B26
+    discipline."""
     latest = hudi_live_slices(location, as_of)
+    unpruned = dict(latest)
+    if stats_filter:
+        idx = _latest_col_stats(location, as_of)
+        if idx is None:
+            raise SparkError(
+                f"stats_filter needs a column-stats index at "
+                f"{location} (run index_hudi_column_stats first)"
+            )
+        _instant, stats, _rels = idx
+
+        def _survives(fid: str) -> bool:
+            st = stats.get(fid)
+            if st is None:
+                return True  # newer than the index: keep
+            for col, want in stats_filter.items():
+                if col not in st:
+                    continue  # no recorded bounds: keep
+                rec_lo, rec_hi, _n = st[col]
+                lo, hi = (
+                    want if isinstance(want, (tuple, list))
+                    else (want, want)
+                )
+                if (hi is not None and rec_lo > hi) or (
+                    lo is not None and rec_hi < lo
+                ):
+                    return False
+            return True
+
+        latest = {f: pr for f, pr in latest.items() if _survives(f)}
     if partition_filter:
         pf = table_partition_field(location)
         unknown = set(partition_filter) - ({pf} if pf else set())
@@ -350,6 +517,15 @@ def read_hudi(
         for _ppath, rel in sorted(latest.values())
     ]
     if not paths:
+        if stats_filter and unpruned:
+            # every slice's recorded range excludes the probe: the
+            # answer is provably empty — serve it with the table's
+            # schema (footer of one live file) and zero data reads
+            any_rel = sorted(unpruned.values())[0][1]
+            schema = spark.read.parquet(
+                os.path.join(location, any_rel)
+            ).schema
+            return spark.createDataFrame([], schema)
         raise SparkError(f"hudi table at {location} has no base files")
     return spark.read.parquet(*paths)
 
