@@ -936,6 +936,101 @@ def scan_glue_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_glue_partitions_pushdown",
+    oracle="""
+    SELECT c_mktsegment AS seg, COUNT(*) AS n_customers,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+    GROUP BY c_mktsegment
+    """,
+)
+def scan_glue_partitions_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13d (r10): SERVER-SIDE GetPartitions Expression pushdown — the
+    live Glue API filters partitions in the service
+    (``GetPartitions(Expression="c_mktsegment IN (...)")``), so at 10⁵
+    partitions a selective registration pays pages proportional to the
+    MATCHING partitions, not the table's partition count.  The r9 A13b
+    path paginated everything and pruned client-side, which makes
+    registration itself the bottleneck on wide tables; the reference
+    has no answer either (glue.rs:433-447 only does listing
+    discovery), so this extends the catalog plane the same way
+    A13b/A13c did.
+
+    In-key assertions:
+    * the SERVICE returned ONLY the matching partitions — the
+      registered inventory is exactly the two requested segments
+      (a client-side-pruning regression would register five);
+    * page budget: page_size=2 and 2 matching partitions ⇒ exactly
+      ONE GetPartitions round trip (the unfiltered path pays
+      ceil(5/2)=3) — asserted against the client's call counter.
+
+    Correctness: the registered view hash-matches a plain filtered
+    GROUP BY over the original table, proving the expression semantics
+    (typed IN over the partition key) bind the right directories."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+        parquet_table,
+    )
+    from datafusion_catalogprovider_glue_spark.fixtures.glue_partitions import (
+        build_scattered_partitions,
+    )
+
+    apply_engine_conf(spark)
+    root, partitions = build_scattered_partitions(spark, sf_dir)
+    data_cols = [
+        (n, t)
+        for n, t in TESTDATA_GLUE_COLUMNS["customer"]
+        if n != "c_mktsegment"
+    ]
+    client = FakeGlueClient(
+        {
+            "partdb": {
+                "customer_scattered": parquet_table(
+                    "partdb",
+                    "customer_scattered",
+                    root,
+                    data_cols,
+                    partition_keys=[("c_mktsegment", "string")],
+                )
+            }
+        },
+        page_size=2,
+        partitions={("partdb", "customer_scattered"): partitions},
+    )
+    catalog = GlueCatalog(spark, client)
+    wanted = {"AUTOMOBILE", "BUILDING"}
+    entry = catalog.register_table(
+        "partdb",
+        "customer_scattered",
+        partition_expression="c_mktsegment IN ('AUTOMOBILE', 'BUILDING')",
+    )
+    got_values = {p["values"][0] for p in entry.partitions}
+    if got_values != wanted:
+        raise AssertionError(
+            f"service-side pushdown returned {got_values}, "
+            f"wanted exactly {wanted}"
+        )
+    n_calls = client.calls.get("GetPartitions", 0)
+    if n_calls != 1:
+        raise AssertionError(
+            f"expression pushdown page budget blown: {n_calls} "
+            "GetPartitions calls for 2 matching partitions at "
+            "page_size=2 (expected exactly 1)"
+        )
+    return (
+        spark.table(entry.view)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_custkey").alias("key_sum"),
+        )
+    )
+
+
+@query(
     "info_schema_partitions",
     # the fixture lays segment i (ascending) under seg_<i>; the oracle
     # re-derives the binding from the source table
@@ -4703,6 +4798,169 @@ def scan_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_iceberg_v3_dv",
+    # v1 evens; v2 DV-deletes the %10 keys (puffin vector); v3 appends
+    # the odd %3 rows AFTER the DV (seq scoping: unaffected)
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id % 2 = 1 AND doc_id % 3 = 0
+    ) GROUP BY lang
+    """,
+)
+def scan_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg V3 DELETION VECTORS (spec v3 §Position Delete Vectors —
+    puffin-stored roaring bitmaps, Iceberg 1.8+/format-version 3's
+    replacement for v2 position-delete files; r9 verdict item 7): a
+    DV merge masks rows via ONE puffin blob per referenced data file
+    (sources/puffin.py codec, reusing the engine's roaring halves),
+    registered as content=1 manifest entries with
+    referenced_data_file/content_offset/content_size_in_bytes; the
+    reader decodes blobs EXECUTOR-side and applies them through the
+    exact seq-scoped anti join v2 position deletes use — a file
+    appended AFTER the DV keeps all its rows.
+
+    Asserted in-key:
+    * format-version bumped to 3 and the puffin file exists with
+      footer-listed cardinalities summing to the deleted-row count;
+    * every pre-merge data file is byte-identical after the merge
+      (DVs never rewrite data);
+    * a corrupted DV blob (flipped byte in a cloned table) refuses
+      loudly (CRC gate) instead of resurrecting or dropping rows;
+    * an unsupported v3 feature (row-lineage smuggled into cloned
+      metadata) refuses loudly."""
+    import hashlib
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        NotImplementedYet,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        merge_iceberg_dv_v3,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.puffin import (
+        read_puffin_footer,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_v3dv_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
+    pre = IcebergSnapshot(table)
+
+    def _digest(path):
+        with open(path, "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()
+
+    before = {f: _digest(f) for f in pre.files}
+    n_deleted = docs.filter(F.col("doc_id") % 10 == 0).count()
+    merge_iceberg_dv_v3(
+        spark, table,
+        docs.filter(F.col("doc_id") % 10 == 0),
+        on=["doc_id"], matched_delete=F.lit(True),
+    )
+    append_iceberg(
+        docs.filter(
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0)
+        ),
+        table,
+    )
+    snap = IcebergSnapshot(table)
+    meta_dir = os.path.join(table, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as fh:
+        v = int(fh.read().strip())
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as fh:
+        meta = _json.load(fh)
+    if int(meta.get("format-version") or 1) != 3:
+        raise SparkError(
+            f"DV merge left format-version {meta.get('format-version')}"
+        )
+    if not snap.dv_entries:
+        raise SparkError("no deletion-vector entries in the snapshot")
+    puffin_path = snap.dv_entries[0][0]
+    card = sum(
+        int(b["properties"]["cardinality"])
+        for b in read_puffin_footer(puffin_path)
+        if b["type"] == "deletion-vector-v1"
+    )
+    if card != n_deleted:
+        raise SparkError(
+            f"puffin cardinality {card} != deleted rows {n_deleted}"
+        )
+    after = {f: _digest(f) for f in pre.files}
+    if after != before:
+        raise SparkError("DV merge rewrote data files")
+    # corrupted blob must refuse (CRC gate)
+    bad = table + "_bad"
+    shutil.rmtree(bad, ignore_errors=True)
+    shutil.copytree(table, bad)
+    bad_puf = os.path.join(
+        bad, os.path.relpath(puffin_path, table)
+    )
+    with open(bad_puf, "r+b") as fh:
+        fh.seek(12)  # inside the first blob's vector bytes
+        b = fh.read(1)
+        fh.seek(12)
+        fh.write(bytes([b[0] ^ 0xFF]))
+    try:
+        read_iceberg(spark, bad).count()
+        raise SparkError("reader served a corrupted deletion vector")
+    except Exception as exc:
+        if "corrupted deletion vector" in str(exc):
+            raise
+    # unsupported v3 feature must refuse
+    worse = table + "_lineage"
+    shutil.rmtree(worse, ignore_errors=True)
+    shutil.copytree(table, worse)
+    wmeta_dir = os.path.join(worse, "metadata")
+    with open(os.path.join(wmeta_dir, "version-hint.text")) as fh:
+        wv = int(fh.read().strip())
+    wpath = os.path.join(wmeta_dir, f"v{wv}.metadata.json")
+    with open(wpath) as fh:
+        wmeta = _json.load(fh)
+    wmeta["row-lineage"] = True
+    with open(wpath, "w") as fh:
+        _json.dump(wmeta, fh)
+    try:
+        IcebergSnapshot(worse)
+        raise SparkError("reader accepted a v3 row-lineage table")
+    except NotImplementedYet:
+        pass
+    return (
+        read_iceberg(spark, table)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+    )
+
+
+@query(
     "sink_iceberg_merge_dv",
     # same chained-merge algebra as sink_delta_merge_dv_partitioned —
     # what differs is the physical mechanism (v2 position deletes)
@@ -5180,6 +5438,166 @@ def scan_delta_log_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     if DeltaSnapshot(table, version=2).version != 2:
         raise SparkError("time travel to the compacted range end broke")
     return read_delta(spark, table)
+
+
+@query(
+    "scan_delta_type_widening",
+    # v0 writes evens with c_nationkey as INT and c_acctbal as FLOAT;
+    # ALTER COLUMN TYPE widens both (int->long, float->double); v3
+    # appends odds with +3e9 on the key (long-only values).  The
+    # oracle reproduces the float round-trip exactly (IEEE widening is
+    # value-preserving, so CAST(CAST(x AS REAL) AS DOUBLE) matches).
+    oracle="""
+    WITH rows_all AS (
+        SELECT c_custkey,
+               CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey,
+               CAST(c_nationkey AS BIGINT) + 3000000000 AS c_nationkey,
+               CAST(CAST(c_acctbal AS REAL) AS DOUBLE) AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 1
+    )
+    SELECT c_mktsegment AS seg, COUNT(*) AS n_rows,
+           CAST(SUM(c_nationkey) AS BIGINT) AS key_sum,
+           CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+                AS DOUBLE) AS bal_sum
+    FROM rows_all GROUP BY c_mktsegment
+    """,
+)
+def scan_delta_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta TYPE WIDENING (delta-io PROTOCOL.md §Type Widening — the
+    real (3,7) ``typeWidening`` readerFeature current delta-spark
+    emits on ALTER COLUMN TYPE; r9 verdict item 4): pre-widening data
+    files keep their NARROW physical type (int32 / float footers) and
+    must be read through the evolved wider schema via the parquet
+    reader's widening promotions, post-widening files carry genuinely
+    long-only values — both served in ONE scan under the current
+    schema, hash-matched.
+
+    Asserted in-key:
+    * the widened table's protocol really is minReader 3 with
+      ``typeWidening`` listed (not a silent schema overwrite);
+    * the pre-widening parquet footer still holds the NARROW types
+      (int32/float) — proving the read path widens at scan time
+      rather than the fixture having rewritten data;
+    * an UNSUPPORTED recorded type change (integer→date smuggled into
+      ``delta.typeChanges``) still refuses loudly — the gate
+      validates changes, it does not just trust the feature flag.
+
+    Scale: ALTER COLUMN TYPE is a metadata-only commit (zero data
+    rewrite at any table size); the widening itself runs inside the
+    vectorized parquet reader (SPARK-40876), so the scan cost is the
+    plain scan cost."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        DeltaError,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.functions import dsum
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        widen_delta_column,
+    )
+
+    apply_engine_conf(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        F.col("c_acctbal").cast("float").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_delta_widen_"
+        + _hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    append_delta(cust.filter(F.col("c_custkey") % 2 == 0), table)  # v0
+    widen_delta_column(spark, table, "c_nationkey", "long")  # v1
+    widen_delta_column(spark, table, "c_acctbal", "double")  # v2
+    append_delta(
+        cust.filter(F.col("c_custkey") % 2 == 1)
+        .withColumn(
+            "c_nationkey",
+            F.col("c_nationkey").cast("long") + F.lit(3000000000),
+        )
+        .withColumn("c_acctbal", F.col("c_acctbal").cast("double")),
+        table,
+    )  # v3: wide physical files
+    snap = DeltaSnapshot(table)
+    proto = snap.protocol or {}
+    if int(proto.get("minReaderVersion") or 0) != 3 or (
+        "typeWidening" not in (proto.get("readerFeatures") or [])
+    ):
+        raise SparkError(
+            f"widening did not upgrade the protocol: {proto}"
+        )
+    # the v0 files' footers must still be NARROW (int32/float): the
+    # fixture never rewrote them, so the SCAN is doing the widening
+    import pyarrow.parquet as pq
+
+    saw_narrow = False
+    for p in snap.files:
+        arrow_schema = pq.read_schema(p)
+        if str(arrow_schema.field("c_nationkey").type) == "int32":
+            if str(arrow_schema.field("c_acctbal").type) != "float":
+                raise SparkError(
+                    f"v0 file {p} has int32 key but non-float balance"
+                )
+            saw_narrow = True
+    if not saw_narrow:
+        raise SparkError(
+            "no narrow-footer file survived — the fixture rewrote "
+            "data and the widening path is untested"
+        )
+    # unsupported recorded change must refuse: clone the log, swap the
+    # typeChanges entry for integer->date, expect the loud gate
+    bad = table + "_bad"
+    shutil.rmtree(bad, ignore_errors=True)
+    shutil.copytree(table, bad)
+    bad_log = os.path.join(bad, "_delta_log")
+    for name in sorted(os.listdir(bad_log)):
+        if not name.endswith(".json"):
+            continue
+        bp = os.path.join(bad_log, name)
+        with open(bp) as fh:
+            txt = fh.read()
+        # typeChanges live INSIDE schemaString (a JSON string within
+        # JSON), so the quotes are backslash-escaped in the commit file
+        txt = txt.replace(
+            '\\"toType\\":\\"long\\"', '\\"toType\\":\\"date\\"'
+        )
+        with open(bp, "w") as fh:
+            fh.write(txt)
+    try:
+        DeltaSnapshot(bad)
+        raise SparkError(
+            "reader accepted an unsupported integer->date type change"
+        )
+    except DeltaError:
+        pass
+    return (
+        read_delta(spark, table)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("c_nationkey").alias("key_sum"),
+            dsum(F.col("c_acctbal"), 2).alias("bal_sum"),
+        )
+    )
 
 
 @query(

@@ -97,6 +97,27 @@ class IcebergSnapshot:
             version = int(f.read().strip())
         with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
             meta = json.load(f)
+        # format-version gate (spec §Table Metadata): v3 is served for
+        # its DELETION-VECTOR feature only — every other v3-only
+        # surface refuses loudly rather than misreading (the same
+        # discipline as Delta's readerFeatures gate)
+        fv = int(meta.get("format-version") or 1)
+        if fv > 3:
+            raise NotImplementedYet(
+                f"iceberg reader subset: format-version {fv} > 3"
+            )
+        if fv >= 3:
+            if meta.get("row-lineage"):
+                raise NotImplementedYet(
+                    "iceberg reader subset: v3 row-lineage tables"
+                )
+            for s in meta.get("schemas") or [meta.get("schema")] or []:
+                for fld in (s or {}).get("fields", []):
+                    if "initial-default" in fld or "write-default" in fld:
+                        raise NotImplementedYet(
+                            "iceberg reader subset: v3 field default "
+                            f"values (column {fld.get('name')!r})"
+                        )
 
         schemas = meta.get("schemas") or [meta.get("schema")]
         current_schema_id = meta.get("current-schema-id", 0)
@@ -165,6 +186,10 @@ class IcebergSnapshot:
         # number <= the delete file's (same-commit deletes apply; a
         # file re-added at a HIGHER sequence number keeps its rows).
         self.delete_files: list[tuple[str, int]] = []
+        # (puffin_path, content_offset, content_size, referenced data
+        # file, sequence_number) for v3 DELETION VECTORS — puffin-blob
+        # position deletes, scoped exactly like delete_files
+        self.dv_entries: list[tuple[str, int, int, str, int]] = []
         # (path, sequence_number) for data files and v2 EQUALITY
         # delete files; the spec applies an equality delete only to
         # data files with a STRICTLY SMALLER sequence number (a file
@@ -202,15 +227,17 @@ class IcebergSnapshot:
                 if entry["status"] == STATUS_DELETED:
                     continue
                 fmt = (entry.get("file_format") or "PARQUET").upper()
-                if fmt != "PARQUET":
-                    raise NotImplementedYet(
-                        f"iceberg reader subset: {fmt} data files"
-                    )
                 path = os.path.join(table_path, entry["file_path"])
                 seq = int(entry.get("sequence_number") or 0)
                 # spec v2 manifest `content`: 0 = data, 1 = position
                 # deletes, 2 = equality deletes
                 content = entry.get("content") or 0
+                if fmt != "PARQUET" and not (
+                    fmt == "PUFFIN" and content == 1
+                ):
+                    raise NotImplementedYet(
+                        f"iceberg reader subset: {fmt} data files"
+                    )
                 if content == 0:
                     self.files.append(path)
                     self.data_seq.append((path, seq))
@@ -226,13 +253,45 @@ class IcebergSnapshot:
                     if lo and hi:
                         self.bounds[path] = (json.loads(lo), json.loads(hi))
                 elif content == 1:
-                    self.delete_files.append((path, seq))
+                    ref = entry.get("referenced_data_file")
+                    if ref:
+                        # v3 DELETION VECTOR: a puffin blob at
+                        # (content_offset, content_size_in_bytes)
+                        # masking ONE data file
+                        self.dv_entries.append(
+                            (
+                                path,
+                                int(entry.get("content_offset") or 0),
+                                int(entry.get("content_size_in_bytes") or 0),
+                                ref,
+                                seq,
+                            )
+                        )
+                    else:
+                        self.delete_files.append((path, seq))
                 else:
                     self.eq_deletes.append((path, seq))
+        if self.dv_entries and self.delete_files:
+            # spec v3: a DV supersedes the file's position deletes and
+            # a data file carries at most one DV — a table mixing live
+            # v2 delete files with DVs is outside this reader's subset
+            raise NotImplementedYet(
+                "iceberg reader subset: table mixes v3 deletion "
+                "vectors with v2 position-delete files"
+            )
+        seen_ref: set = set()
+        for _p, _o, _s, ref, _q in self.dv_entries:
+            if ref in seen_ref:
+                raise NotImplementedYet(
+                    f"iceberg reader subset: data file {ref!r} carries "
+                    "more than one deletion vector (spec v3 allows one)"
+                )
+            seen_ref.add(ref)
         self.files.sort()
         self.data_seq.sort()
         self.delete_files.sort()
         self.eq_deletes.sort()
+        self.dv_entries.sort()
 
 
 def _resolve_file_projections(
@@ -464,9 +523,9 @@ def read_iceberg(
     with_pos = parts[0]
     for p in parts[1:]:
         with_pos = with_pos.unionByName(p)
-    if not snap.delete_files and not snap.eq_deletes:
+    if not snap.delete_files and not snap.eq_deletes and not snap.dv_entries:
         return with_pos.select(*cols)
-    if snap.delete_files:
+    if snap.delete_files or snap.dv_entries:
         # each delete file carries its sequence number as a literal;
         # a (file, pos) entry kills a data row only when the delete's
         # sequence number >= the data file's (spec: <= comparison on
@@ -479,6 +538,46 @@ def read_iceberg(
             )
             for path, seq in snap.delete_files
         ]
+        if snap.dv_entries:
+            # v3 DELETION VECTORS: KB-sized puffin blob descriptors go
+            # to the executors; positions expand WHERE the tasks run
+            # (mapInPandas, the delta _deleted_rows_df discipline) and
+            # then flow through the exact same seq-scoped anti join as
+            # v2 position deletes
+            import pandas as pd
+
+            desc = spark.createDataFrame(
+                [
+                    (p, o, s, ref, seq)
+                    for p, o, s, ref, seq in snap.dv_entries
+                ],
+                "puf string, off long, length long, ref string, dseq int",
+            ).repartition(min(len(snap.dv_entries), 32))
+
+            def _expand(pdfs):
+                from datafusion_catalogprovider_glue_spark.sources.puffin import (  # noqa: E501
+                    read_puffin_dv,
+                )
+
+                for pdf in pdfs:
+                    for row in pdf.to_dict("records"):
+                        positions = read_puffin_dv(
+                            row["puf"], row["off"], row["length"]
+                        )
+                        yield pd.DataFrame(
+                            {
+                                "_if_file": row["ref"],
+                                "_if_pos": pd.Series(
+                                    positions, dtype="int64"
+                                ),
+                                "_del_seq": row["dseq"],
+                            }
+                        )
+
+            dv_rows = desc.mapInPandas(
+                _expand, "_if_file string, _if_pos long, _del_seq int"
+            ).withColumn("_if_file", _norm(F.col("_if_file")))
+            del_parts.append(dv_rows)
         dels = del_parts[0]
         for p in del_parts[1:]:
             dels = dels.unionByName(p)
@@ -582,11 +681,19 @@ def read_iceberg_incremental(
     parts = []
     prev_snap = IcebergSnapshot(table_path, ids[0])
     prev = set(prev_snap.files)
-    prev_dels = set(prev_snap.delete_files) | set(prev_snap.eq_deletes)
+    prev_dels = (
+        set(prev_snap.delete_files)
+        | set(prev_snap.eq_deletes)
+        | set(prev_snap.dv_entries)
+    )
     for sid in ids[1:]:
         cur_snap = IcebergSnapshot(table_path, sid)
         cur = set(cur_snap.files)
-        cur_dels = set(cur_snap.delete_files) | set(cur_snap.eq_deletes)
+        cur_dels = (
+            set(cur_snap.delete_files)
+            | set(cur_snap.eq_deletes)
+            | set(cur_snap.dv_entries)
+        )
         if prev - cur:
             raise NotImplementedYet(
                 f"incremental scan: snapshot {sid} removes files "

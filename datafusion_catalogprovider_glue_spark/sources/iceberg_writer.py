@@ -86,6 +86,21 @@ _MANIFEST_SCHEMA = T.StructType(
     ]
 )
 
+# v3 manifest entries: the DELETION-VECTOR fields (spec v3
+# §manifests) — referenced_data_file names the ONE data file the DV
+# masks, content_offset/content_size_in_bytes locate the blob inside
+# the puffin file.  A separate schema: fast-append commits write one
+# NEW manifest, so v2 manifests carry forward untouched and the reader
+# resolves fields by name from each container's embedded schema.
+_MANIFEST_SCHEMA_V3 = T.StructType(
+    list(_MANIFEST_SCHEMA.fields)
+    + [
+        T.StructField("referenced_data_file", T.StringType()),
+        T.StructField("content_offset", T.LongType()),
+        T.StructField("content_size_in_bytes", T.LongType()),
+    ]
+)
+
 _MANIFEST_LIST_SCHEMA = T.StructType(
     [
         T.StructField("manifest_path", T.StringType()),
@@ -998,6 +1013,207 @@ def merge_iceberg_pos_delete(
     )
 
 
+def merge_iceberg_dv_v3(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    on: list[str],
+    matched_delete=None,
+) -> int:
+    """MERGE emitting V3 DELETION VECTORS (spec v3 §Position Delete
+    Vectors — Iceberg 1.8+/format-version 3's puffin-stored
+    replacement for v2 position-delete files):
+
+    * every MATCHED target pre-image becomes one bit in a per-data-file
+      roaring DV; all DVs of the commit land in ONE puffin file
+      (sources/puffin.py), each registered as a content=1 manifest
+      entry with ``referenced_data_file`` + ``content_offset`` +
+      ``content_size_in_bytes`` and file_format PUFFIN;
+    * updated + inserted rows land as new data files (default spec);
+    * the commit is a fast-append and bumps format-version to 3.
+
+    DV bytes are ENCODED WHERE THE MATCHES ARE (applyInPandas per
+    file group — the merge_delta_dv discipline); the driver collects
+    only KB-sized blobs to assemble the puffin.  The spec's
+    one-DV-per-data-file rule is enforced here (a second DV merge
+    against an already-masked file refuses — real writers merge the
+    old DV into the new one; chaining is future work) and in the
+    reader.  v2 delete files on the table refuse (mixing is outside
+    the subset).  Returns the new snapshot id."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        IcebergSnapshot,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.puffin import (
+        encode_dv_blob,
+    )
+
+    snap = IcebergSnapshot(table_path)
+    if snap.delete_files or snap.eq_deletes:
+        raise NotImplementedYet(
+            "iceberg DV merge subset: table carries v2 delete files"
+        )
+    cols = [f.name for f in snap.schema.fields]
+    if sorted(source.columns) != sorted(cols):
+        raise ValueError(
+            f"merge source columns {sorted(source.columns)} != table "
+            f"columns {sorted(cols)}"
+        )
+    dups = (
+        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1).limit(1).count()
+    )
+    if dups:
+        raise ValueError(
+            "merge source has duplicate keys — a target row may match "
+            "at most one source row"
+        )
+    root = os.path.abspath(table_path) + "/"
+    scheme_re = r"^[a-z][a-z0-9+.\-]*:/+"
+
+    def _norm(col):
+        return F.regexp_replace(
+            F.when(
+                col.rlike(scheme_re) | col.startswith("/"), col
+            ).otherwise(F.concat(F.lit(root), col)),
+            scheme_re,
+            "/",
+        )
+
+    scan = spark.read.schema(snap.schema).parquet(*snap.files).select(
+        *[F.col(c) for c in cols],
+        _norm(F.col("_metadata.file_path")).alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    if snap.dv_entries:
+        # chained DV merges would need old-DV + new-DV union into one
+        # vector per file (the spec's at-most-one rule); scope: refuse
+        masked = {ref for _p, _o, _s, ref, _q in snap.dv_entries}
+        raise NotImplementedYet(
+            "iceberg DV merge subset: table already carries deletion "
+            f"vectors for {sorted(masked)[:3]} — one DV per data file"
+        )
+    t = scan.alias("t")
+    s = source.withColumn("__src", F.lit(True)).alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
+    matched = t.join(s, cond, "inner")
+    removed = matched.select(
+        F.col("t._file").alias("_file"), F.col("t._pos").alias("_pos")
+    )
+
+    # per-file roaring blobs, encoded executor-side
+    def _encode_group(key, pdf):
+        positions = sorted(int(p) for p in pdf["_pos"])
+        return pd.DataFrame(
+            {
+                "_file": [key[0]],
+                "blob": [encode_dv_blob(positions)],
+                "cardinality": [len(positions)],
+            }
+        )
+
+    blobs = (
+        removed.groupBy("_file")
+        .applyInPandas(
+            _encode_group,
+            "_file string, blob binary, cardinality long",
+        )
+        .collect()
+    )
+    if matched_delete is not None:
+        drop_keys = matched.filter(matched_delete).select(
+            *[F.col(f"s.{k}").alias(k) for k in on]
+        )
+        anti_cond = [source[k].eqNullSafe(drop_keys[k]) for k in on]
+        new_rows = source.join(drop_keys, anti_cond, "left_anti")
+    else:
+        new_rows = source
+
+    meta_dir = os.path.join(table_path, "metadata")
+    version, meta = _load_meta(meta_dir)
+    seq = meta["last-sequence-number"] + 1
+    snap_id = _snapshot_id(seq)
+
+    manifest_entries = []
+    if blobs:
+        import struct as _struct
+
+        puffin_rel = f"data/deletes-{seq}.puffin"
+        os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
+        from datafusion_catalogprovider_glue_spark.sources.puffin import (
+            DV_BLOB_TYPE,
+            PUFFIN_MAGIC,
+        )
+
+        body = bytearray(PUFFIN_MAGIC)
+        blobs_meta = []
+        for row in sorted(blobs, key=lambda r: r["_file"]):
+            rel_file = row["_file"]
+            if rel_file.startswith(root):
+                rel_file = rel_file[len(root):]
+            offset = len(body)
+            body += bytes(row["blob"])
+            blobs_meta.append(
+                {
+                    "type": DV_BLOB_TYPE,
+                    "fields": [],
+                    "snapshot-id": snap_id,
+                    "sequence-number": seq,
+                    "offset": offset,
+                    "length": len(bytes(row["blob"])),
+                    "properties": {
+                        "referenced-data-file": rel_file,
+                        "cardinality": str(int(row["cardinality"])),
+                    },
+                }
+            )
+            manifest_entries.append(
+                (
+                    1, 1, puffin_rel, "PUFFIN",
+                    int(row["cardinality"]), seq, None, None, None,
+                    rel_file, offset, len(bytes(row["blob"])),
+                )
+            )
+        payload = json.dumps({"blobs": blobs_meta}, sort_keys=True).encode()
+        body += PUFFIN_MAGIC
+        body += payload
+        body += _struct.pack("<I", len(payload))
+        body += _struct.pack("<I", 0)
+        body += PUFFIN_MAGIC
+        out_path = os.path.join(table_path, puffin_rel)
+        with open(out_path + ".tmp", "wb") as fh:
+            fh.write(bytes(body))
+        os.replace(out_path + ".tmp", out_path)
+
+    if new_rows.limit(1).count():
+        part_by = _default_spec_partition_by(meta)
+        data_files = (
+            _write_partitioned_files(
+                new_rows.select(*cols), table_path, seq, part_by
+            )
+            if part_by
+            else _write_data_files(new_rows.select(*cols), table_path, seq, 1)
+        )
+        manifest_entries.extend(
+            (
+                1, 0, rel, "PARQUET", n, seq,
+                json.dumps(part, sort_keys=True) if part else None,
+                lo, hi,
+                None, None, None,
+            )
+            for rel, n, part, lo, hi in data_files
+        )
+    if not manifest_entries:
+        raise ValueError("empty merge: source matched nothing and adds nothing")
+
+    return _commit_fast_append(
+        table_path, version, meta, seq, snap_id, manifest_entries,
+        manifest_schema=_MANIFEST_SCHEMA_V3, format_version=3,
+    )
+
+
 def _commit_fast_append(
     table_path: str,
     version: int,
@@ -1006,16 +1222,20 @@ def _commit_fast_append(
     snap_id: int,
     manifest_entries: list[tuple],
     operation: str = "overwrite",
+    manifest_schema: T.StructType = None,
+    format_version: int = None,
 ) -> int:
     """Publish ONE new manifest under a FAST-APPEND manifest list
     (every prior manifest carries forward with its spec-id) and the
     next metadata.json — the commit tail shared by the row-level
-    delete writers."""
+    delete writers.  ``manifest_schema`` lets the v3 DV writer emit
+    the extended entry shape; ``format_version`` bumps the table's
+    format-version on commit (never downgrades)."""
     meta_dir = os.path.join(table_path, "metadata")
     manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
     write_avro_container(
         os.path.join(table_path, manifest_rel),
-        _MANIFEST_SCHEMA,
+        manifest_schema if manifest_schema is not None else _MANIFEST_SCHEMA,
         manifest_entries,
     )
     prior = meta["snapshots"]
@@ -1056,6 +1276,10 @@ def _commit_fast_append(
         ],
     )
     meta = dict(meta)
+    if format_version is not None:
+        meta["format-version"] = max(
+            int(meta.get("format-version") or 1), format_version
+        )
     meta["snapshots"] = list(meta["snapshots"]) + [
         {
             "snapshot-id": snap_id,
