@@ -322,6 +322,7 @@ def main() -> None:
     # that scales with data volume.  Compile time is a constant, not a
     # throughput term.
     timings: dict[str, float] = {}
+    row_counts: dict[str, int] = {}
     for name in headline:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -331,6 +332,13 @@ def main() -> None:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
+        # result-row counts for the scaling artifacts (r9 verdict item
+        # 2): a ratio that tracks OUTPUT growth (pair generators on
+        # denser fixtures) is not a compute regression, and wall alone
+        # can't tell the two apart.  Untimed, opt-in — the extra job
+        # never touches the measured numbers.
+        if os.environ.get("SPARK_GRAFT_BENCH_COUNT_ROWS"):
+            row_counts[name] = fn(spark, sf_dir).count()
         # drop persisted intermediates (e.g. signature tables) so later
         # queries aren't measured under another query's cache pressure.
         # clearCache alone is NOT enough: operators that localCheckpoint
@@ -375,6 +383,8 @@ def main() -> None:
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "loadavg_gate": gate,
     }
+    if row_counts:
+        record["rows"] = row_counts
     # The driver records stdout[-2000:] and parses its LAST line; a
     # per-query dict over ~100 keys exceeds that window (round-4's line
     # was ~3.1 kB → head-truncated → `parsed: null`).  Two-part fix:

@@ -28,7 +28,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(sf_dir: str, keys: str = "") -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    # row counts make output-bound growth distinguishable from compute
+    # growth in the ratio (counted untimed, outside the measured runs)
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_COUNT_ROWS="1",
+    )
     if keys:
         env["SPARK_GRAFT_BENCH_KEYS"] = keys
     out = subprocess.run(
@@ -67,6 +73,14 @@ def main() -> int:
             continue
         ratio = round(hi_s / lo_s, 2) if lo_s > 0 else None
         rows[k] = {"lo_s": lo_s, "hi_s": hi_s, "ratio": ratio}
+        lo_rows = (lo.get("rows") or {}).get(k)
+        hi_rows = (hi.get("rows") or {}).get(k)
+        if lo_rows is not None and hi_rows is not None:
+            rows[k]["lo_rows"] = lo_rows
+            rows[k]["hi_rows"] = hi_rows
+            rows[k]["rows_ratio"] = (
+                round(hi_rows / lo_rows, 2) if lo_rows > 0 else None
+            )
         if ratio is not None and ratio > args.data_ratio:
             flagged.append(k)
     ratios = sorted(
