@@ -32,6 +32,17 @@ _BASE_CONF: dict[str, str] = {
     # scheduler handles, and AQE coalesces downstream stages.
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # RocksDB state store (r10): the default HDFSBackedStateStore holds
+    # every key's state ON-HEAP per executor — at 100 TB stateful-
+    # streaming scale (E keys: sessionize/funnel/CEP/dedup state keyed
+    # by user) that heap residency is the production bottleneck, and
+    # the production answer is the RocksDB provider (bundled with
+    # Spark): state lives off-heap/on-disk with incremental checkpoint
+    # snapshots.  Runtime-settable; read per streaming query at start.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 
