@@ -366,6 +366,33 @@ def main() -> None:
         ):
             rdd.unpersist()
 
+    # sink-key fixture/op split (r9 verdict item 9): the heaviest sink
+    # keys are fixture-dominated, so a regression in the MEASURED
+    # OPERATION (a DV merge against a DV-carrying table, a MoR
+    # deltacommit) could hide inside fixture noise.  Time the two
+    # halves separately (once each, AFTER the headline numbers — the
+    # headline metric is unchanged); recorded in bench_full.json only.
+    sink_splits: dict[str, dict] = {}
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_SPLITS"):
+        from datafusion_catalogprovider_glue_spark.operators.bench_splits import (  # noqa: E501
+            SINK_SPLITS,
+        )
+
+        for name, (build_fn, op_fn) in SINK_SPLITS.items():
+            if name not in headline:
+                continue
+            start = time.perf_counter()
+            ctx = build_fn(spark, sf_dir)
+            t_build = time.perf_counter() - start
+            start = time.perf_counter()
+            op_fn(spark, sf_dir, ctx)
+            t_op = time.perf_counter() - start
+            sink_splits[name] = {
+                "fixture_s": round(t_build, 3),
+                "op_s": round(t_op, 3),
+            }
+            spark.catalog.clearCache()
+
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf_val = float(sf)
@@ -385,6 +412,8 @@ def main() -> None:
     }
     if row_counts:
         record["rows"] = row_counts
+    if sink_splits:
+        record["sink_splits"] = sink_splits
     # The driver records stdout[-2000:] and parses its LAST line; a
     # per-query dict over ~100 keys exceeds that window (round-4's line
     # was ~3.1 kB → head-truncated → `parsed: null`).  Two-part fix:
@@ -404,6 +433,10 @@ def main() -> None:
         slowest = sorted(timings.items(), key=lambda kv: -kv[1])
         shown: dict[str, float] = {}
         base = dict(record)
+        # bulky optional sections live in bench_full.json; the printed
+        # line keeps only the headline + the slowest queries that fit
+        base.pop("rows", None)
+        base.pop("sink_splits", None)
         base["queries"] = shown
         base["queries_total_n"] = len(timings)
         base["full_file"] = "bench_full.json"
