@@ -127,6 +127,7 @@ class GlueCatalog:
         table: str,
         options: TableRegistrationOptions = TableRegistrationOptions.DERIVE_SCHEMA_FROM_GLUE_TABLE,
         partition_expression: Optional[str] = None,
+        version_id: Optional[str] = None,
     ) -> TableEntry:
         """A2: fetch ONE table (GetTable) and register it (glue.rs:55-90).
 
@@ -138,7 +139,29 @@ class GlueCatalog:
         the expression keeps both the payload and the page count
         proportional to the partitions actually wanted.  Only
         meaningful for tables with explicit Glue partitions; the
-        registered table exposes exactly the matching partitions."""
+        registered table exposes exactly the matching partitions.
+
+        ``version_id`` (A26, r10) registers a HISTORICAL table version
+        via ``GetTableVersion`` — catalog-plane time travel: every
+        UpdateTable creates a version holding the full old Table dict
+        (schema AND location), so "what did this table look like
+        before the migration" is one API call, with the historical
+        schema/location registered exactly like a current table.
+        Exactly ONE GetTableVersion round trip; the versioned view is
+        registered under ``<view>__v<id>`` so current and historical
+        versions coexist in one session."""
+        if version_id is not None:
+            response = self.client.get_table_version(
+                DatabaseName=database, TableName=table, VersionId=version_id
+            )
+            tbl = dict(response["TableVersion"]["Table"])
+            tbl.setdefault("DatabaseName", database)
+            # suffix the registered name: current and historical
+            # versions must not clobber each other's views
+            tbl = {**tbl, "Name": f"{tbl.get('Name', table)}__v{version_id}"}
+            return self._register_glue_table(
+                tbl, options, partition_expression=partition_expression
+            )
         response = self.client.get_table(DatabaseName=database, Name=table)
         return self._register_glue_table(
             response["Table"], options,

@@ -139,6 +139,10 @@ class FakeGlueClient:
         # (db, table) -> {column: ColumnStatistics item} — what a real
         # catalog records after `aws glue start-column-statistics-...`
         self._column_stats = dict(column_stats or {})
+        # (db, table) -> [Table dict per version, oldest first] — grown
+        # by update_table; tables never updated have one implicit
+        # version (the current dict)
+        self._versions: dict[tuple[str, str], list[dict]] = {}
         # per-API call counts — lets tests pin HOW MANY Glue round
         # trips a code path costs (lazy resolution: exactly one
         # GetTable; register_all: databases x tables)
@@ -179,6 +183,60 @@ class FakeGlueClient:
             raise AwsError(
                 f"EntityNotFoundException: table {DatabaseName}.{Name}"
             )
+
+    # -- table VERSION history (the live API's UpdateTable /
+    # -- GetTableVersions / GetTableVersion trio: every UpdateTable
+    # -- creates a new version; old versions keep their full Table
+    # -- dict — schema AND location — so catalog-plane time travel can
+    # -- register what a table looked like before a migration)
+
+    def update_table(self, DatabaseName: str, TableInput: dict) -> dict:
+        self._count("UpdateTable")
+        name = TableInput.get("Name")
+        if DatabaseName not in self._databases or (
+            name not in self._databases[DatabaseName]
+        ):
+            raise AwsError(
+                f"EntityNotFoundException: table {DatabaseName}.{name}"
+            )
+        old = self._databases[DatabaseName][name]
+        hist = self._versions.setdefault((DatabaseName, name), [old])
+        new = {**TableInput, "DatabaseName": DatabaseName}
+        hist.append(new)
+        self._databases[DatabaseName][name] = new
+        return {}
+
+    def get_table_versions(
+        self, DatabaseName: str, TableName: str, NextToken=None
+    ) -> dict:
+        """Ascending VersionId order ("1" = oldest), moto-compatible."""
+        self._count("GetTableVersions")
+        hist = self._version_history(DatabaseName, TableName)
+        items = [
+            {"VersionId": str(i + 1), "Table": t}
+            for i, t in enumerate(hist)
+        ]
+        return self._paginate(items, "TableVersions", NextToken)
+
+    def get_table_version(
+        self, DatabaseName: str, TableName: str, VersionId: str
+    ) -> dict:
+        self._count("GetTableVersion")
+        hist = self._version_history(DatabaseName, TableName)
+        idx = int(VersionId) - 1
+        if not (0 <= idx < len(hist)):
+            raise AwsError(
+                f"EntityNotFoundException: version {VersionId} of "
+                f"{DatabaseName}.{TableName}"
+            )
+        return {
+            "TableVersion": {"VersionId": VersionId, "Table": hist[idx]}
+        }
+
+    def _version_history(self, db: str, name: str) -> list[dict]:
+        if db not in self._databases or name not in self._databases[db]:
+            raise AwsError(f"EntityNotFoundException: table {db}.{name}")
+        return self._versions.get((db, name), [self._databases[db][name]])
 
     def get_partitions(
         self, DatabaseName: str, TableName: str, NextToken=None,

@@ -1031,6 +1031,243 @@ def scan_glue_partitions_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "catalog_iceberg_ndv_stats",
+    # deterministic KMV twin: same md5 60-bit hash space, same K=256,
+    # same floor((K-1)/theta) estimate — identical IEEE arithmetic on
+    # identical integer inputs, so the estimates hash-match exactly
+    oracle="""
+    WITH h1 AS (SELECT DISTINCT
+            CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 2, 15)
+                 AS BIGINT) AS hv FROM customer),
+         h2 AS (SELECT DISTINCT
+            CAST('0x' || substr(md5(CAST(c_nationkey AS VARCHAR)), 2, 15)
+                 AS BIGINT) AS hv FROM customer),
+         h3 AS (SELECT DISTINCT
+            CAST('0x' || substr(md5(c_mktsegment), 2, 15)
+                 AS BIGINT) AS hv FROM customer)
+    SELECT 'c_custkey' AS column_name,
+           CASE WHEN (SELECT COUNT(*) FROM h1) < 256
+                THEN (SELECT COUNT(*) FROM h1)
+                ELSE CAST(FLOOR(255.0 / (
+                    (SELECT hv FROM h1 ORDER BY hv LIMIT 1 OFFSET 255)
+                    / 1152921504606846976.0)) AS BIGINT)
+           END AS ndv_est
+    UNION ALL
+    SELECT 'c_nationkey',
+           CASE WHEN (SELECT COUNT(*) FROM h2) < 256
+                THEN (SELECT COUNT(*) FROM h2)
+                ELSE CAST(FLOOR(255.0 / (
+                    (SELECT hv FROM h2 ORDER BY hv LIMIT 1 OFFSET 255)
+                    / 1152921504606846976.0)) AS BIGINT)
+           END
+    UNION ALL
+    SELECT 'c_mktsegment',
+           CASE WHEN (SELECT COUNT(*) FROM h3) < 256
+                THEN (SELECT COUNT(*) FROM h3)
+                ELSE CAST(FLOOR(255.0 / (
+                    (SELECT hv FROM h3 ORDER BY hv LIMIT 1 OFFSET 255)
+                    / 1152921504606846976.0)) AS BIGINT)
+           END
+    """,
+)
+def catalog_iceberg_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg STATISTICS FILES with NDV sketches (spec §Table
+    Metadata ``statistics`` — the puffin sidecar UpdateStatistics
+    registers; r10, composing B46's codec with the A14 CBO story):
+    per-column KMV sketches land as puffin blobs whose ``ndv``
+    property is what engines read for cardinality estimation WITHOUT
+    touching data; the profile read costs KBs of metadata.
+
+    The three columns exercise BOTH estimator modes: c_custkey has
+    ≥256 distinct values at the oracle-checked scale factors (true
+    estimation, theta from the 256th smallest hash), c_nationkey (25)
+    and c_mktsegment (5) stay exact.  Asserted in-key:
+    * the profile comes from the registered statistics entry for the
+      CURRENT snapshot (entry shape per spec: statistics-path, file
+      sizes, blob-metadata with field ids);
+    * each blob's payload round-trips and its RE-COMPUTED estimate
+      equals the recorded property (the payload is real, not a
+      label);
+    * the profile read opens no data file (tracked via a file-open
+      probe on the table's parquet paths).
+
+    The deterministic-KMV-vs-datasketches deviation is documented on
+    the writer; the value-oracle here is the point: the estimate is
+    reproducible arithmetic, not an opaque sketch."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        iceberg_ndv_profile,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+        write_iceberg_ndv_stats,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.puffin import (
+        decode_kmv_blob,
+        kmv_estimate,
+        read_puffin_footer,
+    )
+
+    apply_engine_conf(spark)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_ice_ndv_"
+        + _hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    append_iceberg(cust, table)
+    cols = ["c_custkey", "c_nationkey", "c_mktsegment"]
+    stats_path = write_iceberg_ndv_stats(spark, table, cols)
+    # payload honesty: re-derive each estimate from the stored hashes
+    for blob in read_puffin_footer(stats_path):
+        if blob["type"] != "kmv-ndv-v1":
+            continue
+        with open(stats_path, "rb") as fh:
+            fh.seek(blob["offset"])
+            payload = fh.read(blob["length"])
+        hashes = decode_kmv_blob(payload)
+        recomputed = kmv_estimate(hashes, len(hashes))
+        if recomputed != int(blob["properties"]["ndv"]):
+            raise SparkError(
+                f"stored ndv {blob['properties']['ndv']} != payload "
+                f"recomputation {recomputed} for "
+                f"{blob['properties'].get('column')}"
+            )
+    # the profile read must be metadata-only: no parquet file opens
+    import builtins
+
+    opened: list[str] = []
+    real_open = builtins.open
+
+    def probe(path, *a, **kw):
+        if isinstance(path, str) and path.endswith(".parquet"):
+            opened.append(path)
+        return real_open(path, *a, **kw)
+
+    builtins.open = probe
+    try:
+        profile = iceberg_ndv_profile(table)
+    finally:
+        builtins.open = real_open
+    if opened:
+        raise SparkError(
+            f"NDV profile read opened data files: {opened[:3]}"
+        )
+    if set(profile) != set(cols):
+        raise SparkError(f"profile columns {sorted(profile)} != {cols}")
+    return spark.createDataFrame(
+        [(c, profile[c]) for c in cols],
+        "column_name string, ndv_est long",
+    )
+
+
+@query(
+    "catalog_table_version_travel",
+    oracle="""
+    SELECT 'v1' AS version, COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT 'v2' AS version, COUNT(*) AS n_rows,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    """,
+)
+def catalog_table_version_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26 (r10): Glue TABLE-VERSION time travel — the live API's
+    UpdateTable / GetTableVersions / GetTableVersion trio: every
+    UpdateTable creates a version keeping the FULL old Table dict
+    (schema AND location), so "register what this table looked like
+    before the migration" is catalog-plane time travel, one API call.
+
+    The fixture migrates a table: v1 = two-column parquet of the even
+    customers at location A, then UpdateTable points it at location B
+    with three columns and all rows (v2 = current).  The engine
+    registers BOTH the current table and version_id="1"; the result
+    proves each registration reads its own location AND schema (a
+    reader that resolved the version to the current location would
+    double the v1 counts; one that kept the current schema would
+    project a column v1's files lack).
+
+    In-key budgets: the historical registration costs exactly ONE
+    GetTableVersion; the current one exactly ONE GetTable.  Version
+    enumeration (GetTableVersions pagination) is pinned in
+    tests/test_glue_expression.py — this key measures the travel
+    path."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+        parquet_table,
+    )
+    from datafusion_catalogprovider_glue_spark.fixtures import scan_dir
+
+    apply_engine_conf(spark)
+    root = scan_dir(sf_dir, "glue_versions")
+    loc_v1 = os.path.join(root, "v1")
+    loc_v2 = os.path.join(root, "v2")
+    cust = load_table(spark, sf_dir, "customer")
+    if not os.path.exists(os.path.join(loc_v2, "_SUCCESS")):
+        (
+            cust.filter(F.col("c_custkey") % 2 == 0)
+            .select("c_custkey", "c_acctbal")
+            .write.mode("overwrite").parquet(loc_v1)
+        )
+        (
+            cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+            .write.mode("overwrite").parquet(loc_v2)
+        )
+    v1_cols = [("c_custkey", "bigint"), ("c_acctbal", "double")]
+    v2_cols = v1_cols + [("c_mktsegment", "string")]
+    client = FakeGlueClient(
+        {"db": {"customer_hist": parquet_table(
+            "db", "customer_hist", loc_v1, v1_cols
+        )}}
+    )
+    client.update_table(
+        DatabaseName="db",
+        TableInput=parquet_table("db", "customer_hist", loc_v2, v2_cols),
+    )
+    catalog = GlueCatalog(spark, client)
+    cur = catalog.register_table("db", "customer_hist")
+    old = catalog.register_table("db", "customer_hist", version_id="1")
+    if client.calls.get("GetTableVersion", 0) != 1:
+        raise AssertionError(
+            f"version travel cost {client.calls.get('GetTableVersion')} "
+            "GetTableVersion calls (expected exactly 1)"
+        )
+    if client.calls.get("GetTable", 0) != 1:
+        raise AssertionError(
+            f"current registration cost {client.calls.get('GetTable')} "
+            "GetTable calls (expected exactly 1)"
+        )
+    if [f.name for f in spark.table(old.view).schema.fields] != [
+        "c_custkey", "c_acctbal"
+    ]:
+        raise AssertionError("historical version lost its own schema")
+    v1_agg = spark.table(old.view).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("key_sum"),
+    ).select(F.lit("v1").alias("version"), "n_rows", "key_sum")
+    v2_agg = spark.table(cur.view).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").alias("key_sum"),
+    ).select(F.lit("v2").alias("version"), "n_rows", "key_sum")
+    return v1_agg.unionByName(v2_agg)
+
+
+@query(
     "info_schema_partitions",
     # the fixture lays segment i (ascending) under seg_<i>; the oracle
     # re-derives the binding from the source table

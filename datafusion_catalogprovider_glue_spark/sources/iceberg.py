@@ -748,6 +748,44 @@ def _decode_manifests(table_path: str, manifest_list_rel: str):
             yield named_m, _named(m_schema, m_row)
 
 
+def iceberg_ndv_profile(table_path: str) -> dict[str, int]:
+    """Per-column NDV from the table's registered STATISTICS FILE
+    (spec §Table Metadata ``statistics``): resolve the entry for the
+    CURRENT snapshot (stale entries for expired snapshots are
+    ignored), read each blob's ``ndv`` property from the KB-sized
+    blob-metadata — no data file is touched, which is the entire
+    point of statistics files for CBO planning at 100 TB.  Returns
+    {column: ndv} for blobs whose column is resolvable by field id
+    (current name) — the shape catalog_column_stats consumers merge."""
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    current = meta.get("current-snapshot-id")
+    entry = next(
+        (
+            s for s in meta.get("statistics") or []
+            if s.get("snapshot-id") == current
+        ),
+        None,
+    )
+    if entry is None:
+        return {}
+    snap = IcebergSnapshot(table_path)
+    name_of = {fid: name for fid, name in snap.current_fields}
+    out: dict[str, int] = {}
+    for blob in entry.get("blob-metadata") or []:
+        props = blob.get("properties") or {}
+        if "ndv" not in props:
+            continue
+        fields = blob.get("fields") or []
+        if len(fields) != 1 or fields[0] not in name_of:
+            continue
+        out[name_of[fields[0]]] = int(props["ndv"])
+    return out
+
+
 def iceberg_snapshots_df(spark: SparkSession, table_path: str) -> DataFrame:
     """The ``snapshots`` METADATA TABLE (Iceberg spec §snapshots;
     ``SELECT * FROM tbl.snapshots`` in engines): one row per snapshot,

@@ -98,6 +98,37 @@ def decode_dv_blob(blob: bytes) -> list[int]:
     return _decode_positions(vec[4:])
 
 
+def write_puffin_file(
+    path: str, blobs: list[tuple[dict, bytes]]
+) -> tuple[list[dict], int]:
+    """Write a puffin file from (blob-metadata, payload) pairs.  The
+    metadata dicts get their ``offset``/``length`` filled in; returns
+    (final blob-metadata list, footer size in bytes) — the shapes an
+    Iceberg statistics-file entry records."""
+    body = bytearray(PUFFIN_MAGIC)
+    metas: list[dict] = []
+    for meta, payload in blobs:
+        m = dict(meta)
+        m["offset"] = len(body)
+        m["length"] = len(payload)
+        body += payload
+        metas.append(m)
+    payload_json = json.dumps({"blobs": metas}, sort_keys=True).encode()
+    footer_size = 4 + len(payload_json) + 4 + 4 + 4
+    body += PUFFIN_MAGIC
+    body += payload_json
+    body += struct.pack("<I", len(payload_json))
+    body += struct.pack("<I", 0)  # flags: uncompressed footer
+    body += PUFFIN_MAGIC
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fh:
+        fh.write(bytes(body))
+    import os
+
+    os.replace(tmp, path)
+    return metas, footer_size
+
+
 def write_puffin_dv_file(
     path: str,
     dvs: dict[str, list[int]],
@@ -108,46 +139,74 @@ def write_puffin_dv_file(
     referenced data file.  Returns {data_file: {"offset", "length",
     "cardinality"}} — what the manifest entry's content_offset /
     content_size_in_bytes / record_count fields carry."""
-    blobs_meta: list[dict] = []
-    out: dict[str, dict] = {}
-    body = bytearray(PUFFIN_MAGIC)
+    pairs = []
     for data_file in sorted(dvs):
         positions = sorted(set(dvs[data_file]))
-        blob = encode_dv_blob(positions)
-        offset = len(body)
-        body += blob
-        blobs_meta.append(
-            {
-                "type": DV_BLOB_TYPE,
-                "fields": [],
-                "snapshot-id": snapshot_id,
-                "sequence-number": sequence_number,
-                "offset": offset,
-                "length": len(blob),
-                "properties": {
-                    "referenced-data-file": data_file,
-                    "cardinality": str(len(positions)),
+        pairs.append(
+            (
+                {
+                    "type": DV_BLOB_TYPE,
+                    "fields": [],
+                    "snapshot-id": snapshot_id,
+                    "sequence-number": sequence_number,
+                    "properties": {
+                        "referenced-data-file": data_file,
+                        "cardinality": str(len(positions)),
+                    },
                 },
-            }
+                encode_dv_blob(positions),
+            )
         )
-        out[data_file] = {
-            "offset": offset,
-            "length": len(blob),
-            "cardinality": len(positions),
+    metas, _footer = write_puffin_file(path, pairs)
+    return {
+        m["properties"]["referenced-data-file"]: {
+            "offset": m["offset"],
+            "length": m["length"],
+            "cardinality": int(m["properties"]["cardinality"]),
         }
-    payload = json.dumps({"blobs": blobs_meta}, sort_keys=True).encode()
-    body += PUFFIN_MAGIC
-    body += payload
-    body += struct.pack("<I", len(payload))
-    body += struct.pack("<I", 0)  # flags: uncompressed footer
-    body += PUFFIN_MAGIC
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as fh:
-        fh.write(bytes(body))
-    import os
+        for m in metas
+    }
 
-    os.replace(tmp, path)
-    return out
+
+# --- KMV NDV sketch blobs (Iceberg statistics files) -----------------
+
+KMV_BLOB_TYPE = "kmv-ndv-v1"
+KMV_K = 256
+KMV_HASH_SPACE = float(1 << 60)  # 15 md5 hex chars
+
+
+def kmv_estimate(smallest_hashes: list[int], n_seen: int) -> int:
+    """Deterministic KMV NDV estimate from the K smallest distinct
+    60-bit hashes: exact count below K, else floor((K−1)/theta) with
+    theta = h_K / 2^60.  floor (not round) so the SQL oracle twin is
+    bit-identical (ROUND tie-breaking differs between engines —
+    banker's vs half-away — while FLOOR on the same IEEE quotient
+    cannot)."""
+    import math
+
+    if n_seen < KMV_K:
+        return n_seen
+    theta = smallest_hashes[KMV_K - 1] / KMV_HASH_SPACE
+    return int(math.floor((KMV_K - 1) / theta))
+
+
+def encode_kmv_blob(smallest_hashes: list[int]) -> bytes:
+    """K smallest hashes as 8-byte LE integers, count-prefixed."""
+    out = bytearray(struct.pack("<I", len(smallest_hashes)))
+    for h in smallest_hashes:
+        out += struct.pack("<q", h)
+    return bytes(out)
+
+
+def decode_kmv_blob(blob: bytes) -> list[int]:
+    (n,) = struct.unpack_from("<I", blob, 0)
+    if len(blob) != 4 + 8 * n:
+        raise NotImplementedYet(
+            f"kmv blob truncated: {len(blob)} bytes for {n} hashes"
+        )
+    return [
+        struct.unpack_from("<q", blob, 4 + 8 * i)[0] for i in range(n)
+    ]
 
 
 def read_puffin_footer(path: str) -> list[dict]:

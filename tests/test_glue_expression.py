@@ -169,6 +169,75 @@ def test_expression_parity_with_moto_glue():
     assert moto is not None
 
 
+def test_table_versions_track_updates_and_match_moto():
+    """UpdateTable grows the version history; GetTableVersions /
+    GetTableVersion serve the full historical Table dicts — parity
+    checked against moto's implementation of the live API."""
+    from moto import mock_aws
+
+    fake = FakeGlueClient(
+        {"db": {"t": parquet_table("db", "t", "/tmp/a", [("x", "int")])}}
+    )
+    fake.update_table(
+        DatabaseName="db",
+        TableInput=parquet_table(
+            "db", "t", "/tmp/b", [("x", "int"), ("y", "string")]
+        ),
+    )
+    vs = fake.get_table_versions(DatabaseName="db", TableName="t")
+    fake_hist = [
+        (v["VersionId"], v["Table"]["StorageDescriptor"]["Location"])
+        for v in vs["TableVersions"]
+    ]
+    assert fake_hist == [("1", "/tmp/a"), ("2", "/tmp/b")]
+    one = fake.get_table_version(
+        DatabaseName="db", TableName="t", VersionId="1"
+    )
+    assert one["TableVersion"]["Table"]["StorageDescriptor"][
+        "Location"
+    ] == "/tmp/a"
+    assert len(
+        one["TableVersion"]["Table"]["StorageDescriptor"]["Columns"]
+    ) == 1
+    with pytest.raises(AwsError, match="EntityNotFound"):
+        fake.get_table_version(
+            DatabaseName="db", TableName="t", VersionId="9"
+        )
+    with mock_aws():
+        import boto3
+
+        g = boto3.client("glue", region_name="us-east-1")
+        g.create_database(DatabaseInput={"Name": "db"})
+        g.create_table(DatabaseName="db", TableInput={
+            "Name": "t",
+            "StorageDescriptor": {
+                "Columns": [{"Name": "x", "Type": "int"}],
+                "Location": "/tmp/a",
+            },
+        })
+        g.update_table(DatabaseName="db", TableInput={
+            "Name": "t",
+            "StorageDescriptor": {
+                "Columns": [{"Name": "x", "Type": "int"},
+                            {"Name": "y", "Type": "string"}],
+                "Location": "/tmp/b",
+            },
+        })
+        moto_hist = [
+            (v["VersionId"], v["Table"]["StorageDescriptor"]["Location"])
+            for v in g.get_table_versions(
+                DatabaseName="db", TableName="t"
+            )["TableVersions"]
+        ]
+        assert moto_hist == fake_hist
+        moto_one = g.get_table_version(
+            DatabaseName="db", TableName="t", VersionId="1"
+        )
+        assert moto_one["TableVersion"]["Table"]["StorageDescriptor"][
+            "Location"
+        ] == "/tmp/a"
+
+
 def test_get_partitions_bad_expression_is_invalid_input():
     c = _client()
     with pytest.raises(AwsError, match="InvalidInputException"):
