@@ -231,6 +231,15 @@ HEADLINE = [
     "pipeline_dedup_keep_best",
     "dedup_edit_distance",
     "meta_iceberg_metadata_log",
+    # r10 additions: partition-expression pushdown, type widening,
+    # hudi column-stats pruning, iceberg v3 DVs, table-version travel,
+    # statistics-file NDV sketches
+    "scan_glue_partitions_pushdown",
+    "scan_delta_type_widening",
+    "scan_hudi_stats_pruned",
+    "scan_iceberg_v3_dv",
+    "catalog_table_version_travel",
+    "catalog_iceberg_ndv_stats",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

@@ -661,6 +661,8 @@ def _jaccard_pairs_prefix(d: DataFrame, t: float) -> DataFrame:
         est_index_bytes < _PREFIX_BCAST_LIMIT
         and est_payload_bytes < _PREFIX_BCAST_LIMIT
     )
+    global _LAST_PREFIX_STRATEGY  # observable for the plan-shape pins
+    _LAST_PREFIX_STRATEGY = "broadcast" if bcast else "smj"
     raw = (
         probe.join(
             F.broadcast(index) if bcast else index, ["lang", "tok", "ny"]
@@ -798,6 +800,9 @@ def _jaccard_pairs_prefix(d: DataFrame, t: float) -> DataFrame:
 # spark.sql.autoBroadcastJoinThreshold territory for a 32-thread
 # local executor while leaving the SMJ arm for genuinely large corpora
 _PREFIX_BCAST_LIMIT = 256 << 20
+# last cost-based decision _jaccard_pairs_prefix took ("broadcast" /
+# "smj") — read by tests/test_plans.py to pin the arm selection
+_LAST_PREFIX_STRATEGY: str = ""
 
 
 

@@ -1077,3 +1077,66 @@ def test_dedup_keep_best_windows_per_cluster(spark):
             "cluster_id — global sort regression"
         )
     assert "SinglePartition" not in p
+
+
+def _prefix_pairs_frame(spark):
+    """The slim persisted token-set frame _jaccard_pairs_prefix takes
+    (the sf0.001 corpus is below the prefix cutover, so the pins
+    drive the prefix path directly)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.operators import dedup
+
+    return (
+        dedup._docs(spark, SF_DIR)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.transform(F.split("text", " "), lambda w: F.xxhash64(w))
+            ).alias("wset"),
+        )
+        .withColumn("n", F.size("wset"))
+        .persist()
+    )
+
+
+def test_jaccard_prefix_takes_fused_broadcast_arm_when_small(spark):
+    """r10 cost-based arm selection: under the guards the prefix path
+    must take the FUSED broadcast arm (index + rank-split + verify as
+    BroadcastHashJoins, no SortMergeJoin anywhere in the pair
+    pipeline) — and record that decision observably."""
+    from datafusion_catalogprovider_glue_spark.operators import dedup
+
+    d = _prefix_pairs_frame(spark)
+    try:
+        df = dedup._jaccard_pairs_prefix(d, dedup.JACCARD_SIM_THRESHOLD)
+        p = plan_str(df, "simple")
+        assert dedup._LAST_PREFIX_STRATEGY == "broadcast"
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+        assert "CartesianProduct" not in p
+        assert df.count() >= 0  # the fused plan executes
+    finally:
+        d.unpersist()
+
+
+def test_jaccard_prefix_smj_arm_above_guard(spark, monkeypatch):
+    """Force the guard to zero: the SMJ arm must be chosen (the 100 TB
+    path still exists, avoids cartesians, and returns the SAME pair
+    set as the broadcast arm — the arms are result-identical)."""
+    from datafusion_catalogprovider_glue_spark.operators import dedup
+
+    d = _prefix_pairs_frame(spark)
+    try:
+        bc = dedup._jaccard_pairs_prefix(d, dedup.JACCARD_SIM_THRESHOLD)
+        want = {(r.doc_a, r.doc_b, r.jaccard) for r in bc.collect()}
+        monkeypatch.setattr(dedup, "_PREFIX_BCAST_LIMIT", 0)
+        df = dedup._jaccard_pairs_prefix(d, dedup.JACCARD_SIM_THRESHOLD)
+        assert dedup._LAST_PREFIX_STRATEGY == "smj"
+        p = plan_str(df, "simple")
+        assert "CartesianProduct" not in p
+        got = {(r.doc_a, r.doc_b, r.jaccard) for r in df.collect()}
+        assert got == want
+    finally:
+        d.unpersist()
