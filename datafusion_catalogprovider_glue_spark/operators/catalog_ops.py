@@ -5037,14 +5037,15 @@ def scan_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "scan_iceberg_v3_dv",
     # v1 evens; v2 DV-deletes the %10 keys (puffin vector); v3 appends
-    # the odd %3 rows AFTER the DV (seq scoping: unaffected)
+    # the odd %3 rows AFTER the DV (seq scoping: unaffected); v4 is a
+    # CHAINED DV merge deleting %20==2 from the already-masked files
     oracle="""
     SELECT lang, COUNT(*) AS n_docs,
            CAST(SUM(doc_id) AS BIGINT) AS id_sum,
            CAST(SUM(n_chars) AS BIGINT) AS chars_sum
     FROM (
       SELECT doc_id, lang, n_chars FROM documents
-      WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+      WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0 AND doc_id % 20 <> 2
       UNION ALL
       SELECT doc_id, lang, n_chars FROM documents
       WHERE doc_id % 2 = 1 AND doc_id % 3 = 0
@@ -5125,6 +5126,34 @@ def scan_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         table,
     )
+    mid_snap = IcebergSnapshot(table)
+    mid_id = None
+    import json as _mid_json
+
+    with open(
+        os.path.join(table, "metadata", "version-hint.text")
+    ) as fh:
+        _v = int(fh.read().strip())
+    with open(
+        os.path.join(table, "metadata", f"v{_v}.metadata.json")
+    ) as fh:
+        mid_id = _mid_json.load(fh)["current-snapshot-id"]
+    mid_count = read_iceberg(spark, table).count()
+    # CHAINED DV merge: the %20==2 keys live in files ALREADY carrying
+    # DVs — the replacement vector must union the old positions, the
+    # superseded manifest entry must retire (the reader's
+    # one-DV-per-file gate would refuse otherwise), and time travel to
+    # the pre-chain snapshot must still serve the old state
+    merge_iceberg_dv_v3(
+        spark, table,
+        docs.filter(F.col("doc_id") % 20 == 2),
+        on=["doc_id"], matched_delete=F.lit(True),
+    )
+    if read_iceberg(spark, table, snapshot_id=mid_id).count() != mid_count:
+        raise SparkError(
+            "chained DV merge broke time travel to the prior snapshot"
+        )
+    assert mid_snap is not None
     snap = IcebergSnapshot(table)
     meta_dir = os.path.join(table, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as fh:
@@ -5138,14 +5167,23 @@ def scan_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not snap.dv_entries:
         raise SparkError("no deletion-vector entries in the snapshot")
     puffin_path = snap.dv_entries[0][0]
-    card = sum(
-        int(b["properties"]["cardinality"])
-        for b in read_puffin_footer(puffin_path)
-        if b["type"] == "deletion-vector-v1"
+    assert read_puffin_footer(puffin_path)  # parseable sidecar
+    n_deleted_2 = docs.filter(F.col("doc_id") % 20 == 2).count()
+    # LIVE masked rows = every position reachable through the CURRENT
+    # manifest entries (superseded blobs still sit in the old puffin
+    # bytes but no entry references them) — must equal both deletes
+    from datafusion_catalogprovider_glue_spark.sources.puffin import (
+        read_puffin_dv as _read_dv,
     )
-    if card != n_deleted:
+
+    live_masked = sum(
+        len(_read_dv(p, o, s))
+        for p, o, s, _ref, _q in snap.dv_entries
+    )
+    if live_masked != n_deleted + n_deleted_2:
         raise SparkError(
-            f"puffin cardinality {card} != deleted rows {n_deleted}"
+            f"live DV positions {live_masked} != total deleted rows "
+            f"{n_deleted + n_deleted_2}"
         )
     after = {f: _digest(f) for f in pre.files}
     if after != before:
@@ -5154,13 +5192,15 @@ def scan_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = table + "_bad"
     shutil.rmtree(bad, ignore_errors=True)
     shutil.copytree(table, bad)
-    bad_puf = os.path.join(
-        bad, os.path.relpath(puffin_path, table)
-    )
+    # corrupt a byte inside a LIVE entry's vector (offset+8 is past
+    # the blob's length+magic prefix) — a superseded blob's bytes are
+    # unreferenced and corrupting those would not exercise the gate
+    live_p, live_o, _s, _ref, _q = snap.dv_entries[0]
+    bad_puf = os.path.join(bad, os.path.relpath(live_p, table))
     with open(bad_puf, "r+b") as fh:
-        fh.seek(12)  # inside the first blob's vector bytes
+        fh.seek(live_o + 8)
         b = fh.read(1)
-        fh.seek(12)
+        fh.seek(live_o + 8)
         fh.write(bytes([b[0] ^ 0xFF]))
     try:
         read_iceberg(spark, bad).count()

@@ -115,6 +115,30 @@ _MANIFEST_LIST_SCHEMA = T.StructType(
 )
 
 
+_AVRO_TO_SPARK = {
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "string": T.StringType(),
+    "boolean": T.BooleanType(),
+    "double": T.DoubleType(),
+    "float": T.FloatType(),
+    "bytes": T.BinaryType(),
+}
+
+
+def _struct_from_avro_schema(avro_schema: dict) -> T.StructType:
+    """StructType mirroring a decoded flat nullable-primitive Avro
+    record schema — so a manifest REWRITE round-trips under exactly
+    the schema the original container declared (entries written by an
+    older writer keep their own field set)."""
+    fields = []
+    for f in avro_schema["fields"]:
+        t = f["type"]
+        prim = next(x for x in t if x != "null") if isinstance(t, list) else t
+        fields.append(T.StructField(f["name"], _AVRO_TO_SPARK[prim], True))
+    return T.StructType(fields)
+
+
 def _next_log_ts(meta: dict, seq: int) -> int:
     """Deterministic snapshot-log timestamp: seq-derived (not wall
     clock, so two runs produce identical bytes) but clamped strictly
@@ -1034,12 +1058,18 @@ def merge_iceberg_dv_v3(
 
     DV bytes are ENCODED WHERE THE MATCHES ARE (applyInPandas per
     file group — the merge_delta_dv discipline); the driver collects
-    only KB-sized blobs to assemble the puffin.  The spec's
-    one-DV-per-data-file rule is enforced here (a second DV merge
-    against an already-masked file refuses — real writers merge the
-    old DV into the new one; chaining is future work) and in the
-    reader.  v2 delete files on the table refuse (mixing is outside
-    the subset).  Returns the new snapshot id."""
+    only KB-sized blobs to assemble the puffin.
+
+    CHAINED merges work (r10): the identity scan applies the table's
+    existing DVs (an already-deleted row can never rematch), a
+    re-masked file's replacement vector UNIONS the old positions, and
+    the superseded manifest entry is dropped from the carried-forward
+    manifest (rewritten under a -rw name; prior snapshots keep their
+    original manifests, so time travel is unchanged) — preserving the
+    spec's one-DV-per-data-file rule that the reader enforces.  Files
+    whose DV is untouched this commit keep their old entry.  v2
+    delete files on the table refuse (mixing is outside the subset).
+    Returns the new snapshot id."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -1087,13 +1117,44 @@ def merge_iceberg_dv_v3(
         _norm(F.col("_metadata.file_path")).alias("_file"),
         F.col("_metadata.row_index").alias("_pos"),
     )
+    old_dv_rows = None
     if snap.dv_entries:
-        # chained DV merges would need old-DV + new-DV union into one
-        # vector per file (the spec's at-most-one rule); scope: refuse
-        masked = {ref for _p, _o, _s, ref, _q in snap.dv_entries}
-        raise NotImplementedYet(
-            "iceberg DV merge subset: table already carries deletion "
-            f"vectors for {sorted(masked)[:3]} — one DV per data file"
+        # CHAINED merge: the table already carries DVs.  The identity
+        # scan must apply them (an already-deleted row can never
+        # rematch), and the new per-file vectors must UNION the old
+        # positions (spec v3: at most one DV per data file — the
+        # replacement supersedes, never sits beside).  Old vectors
+        # expand executor-side from KB descriptors, the reader's own
+        # discipline.
+        import pandas as _pd
+
+        desc = spark.createDataFrame(
+            [(p, o, s, ref) for p, o, s, ref, _q in snap.dv_entries],
+            "puf string, off long, length long, ref string",
+        ).repartition(min(len(snap.dv_entries), 32))
+
+        def _expand_old(pdfs):
+            from datafusion_catalogprovider_glue_spark.sources.puffin import (  # noqa: E501
+                read_puffin_dv,
+            )
+
+            for pdf in pdfs:
+                for row in pdf.to_dict("records"):
+                    positions = read_puffin_dv(
+                        row["puf"], row["off"], row["length"]
+                    )
+                    yield _pd.DataFrame(
+                        {
+                            "_file": row["ref"],
+                            "_pos": _pd.Series(positions, dtype="int64"),
+                        }
+                    )
+
+        old_dv_rows = desc.mapInPandas(
+            _expand_old, "_file string, _pos long"
+        ).withColumn("_file", _norm(F.col("_file")))
+        scan = scan.join(
+            F.broadcast(old_dv_rows), ["_file", "_pos"], "left_anti"
         )
     t = scan.alias("t")
     s = source.withColumn("__src", F.lit(True)).alias("s")
@@ -1102,6 +1163,14 @@ def merge_iceberg_dv_v3(
     removed = matched.select(
         F.col("t._file").alias("_file"), F.col("t._pos").alias("_pos")
     )
+    if old_dv_rows is not None:
+        # files re-masked this commit absorb their OLD vector into the
+        # replacement; files untouched this commit keep their old DV
+        # entry (dropped from the carried manifests only when replaced)
+        refiles = removed.select("_file").distinct()
+        removed = removed.unionByName(
+            old_dv_rows.join(F.broadcast(refiles), "_file", "semi")
+        )
 
     # per-file roaring blobs, encoded executor-side
     def _encode_group(key, pdf):
@@ -1208,9 +1277,20 @@ def merge_iceberg_dv_v3(
     if not manifest_entries:
         raise ValueError("empty merge: source matched nothing and adds nothing")
 
+    replaced = {
+        e[9] for e in manifest_entries if e[1] == 1 and e[9]
+    }  # referenced_data_file of this commit's DV entries
+
+    def _superseded(entry: dict) -> bool:
+        return (
+            (entry.get("content") or 0) == 1
+            and entry.get("referenced_data_file") in replaced
+        )
+
     return _commit_fast_append(
         table_path, version, meta, seq, snap_id, manifest_entries,
         manifest_schema=_MANIFEST_SCHEMA_V3, format_version=3,
+        drop_prior_entry=_superseded if replaced else None,
     )
 
 
@@ -1224,13 +1304,23 @@ def _commit_fast_append(
     operation: str = "overwrite",
     manifest_schema: T.StructType = None,
     format_version: int = None,
+    drop_prior_entry=None,
 ) -> int:
     """Publish ONE new manifest under a FAST-APPEND manifest list
     (every prior manifest carries forward with its spec-id) and the
     next metadata.json — the commit tail shared by the row-level
     delete writers.  ``manifest_schema`` lets the v3 DV writer emit
     the extended entry shape; ``format_version`` bumps the table's
-    format-version on commit (never downgrades)."""
+    format-version on commit (never downgrades).
+
+    ``drop_prior_entry`` (entry-dict → bool) REWRITES any carried
+    prior manifest whose entries match, dropping them — how a chained
+    DV merge retires the superseded per-file vector (spec v3: a data
+    file carries at most ONE DV, so the replacement must remove the
+    old entry from the snapshot, not just add a new one).  Untouched
+    manifests carry forward byte-identical; rewritten ones publish
+    under a -rw suffix so prior SNAPSHOTS (which reference the old
+    manifest path) still time-travel unchanged."""
     meta_dir = os.path.join(table_path, "metadata")
     manifest_rel = f"metadata/manifest-{seq}-{snap_id}.avro"
     write_avro_container(
@@ -1253,6 +1343,38 @@ def _commit_fast_append(
         )
         names = [f["name"] for f in list_schema["fields"]]
         prior_manifests = [dict(zip(names, r)) for r in rows]
+    if drop_prior_entry is not None and prior_manifests:
+        rewritten = []
+        for i, m in enumerate(prior_manifests):
+            m_schema, m_rows = decode_container_file(
+                os.path.join(table_path, m["manifest_path"])
+            )
+            m_names = [f["name"] for f in m_schema["fields"]]
+            keep = [
+                r for r in m_rows
+                if not drop_prior_entry(dict(zip(m_names, r)))
+            ]
+            if len(keep) == len(m_rows):
+                rewritten.append(m)
+                continue
+            if not keep:
+                continue  # every entry superseded: manifest retires
+            new_rel = f"metadata/manifest-{seq}-{snap_id}-rw{i}.avro"
+            write_avro_container(
+                os.path.join(table_path, new_rel),
+                _struct_from_avro_schema(m_schema),
+                keep,
+            )
+            rewritten.append(
+                {
+                    **m,
+                    "manifest_path": new_rel,
+                    "manifest_length": os.path.getsize(
+                        os.path.join(table_path, new_rel)
+                    ),
+                }
+            )
+        prior_manifests = rewritten
     list_rel = f"metadata/snap-{snap_id}.avro"
     write_avro_container(
         os.path.join(table_path, list_rel),

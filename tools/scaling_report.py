@@ -45,7 +45,22 @@ def run_bench(sf_dir: str, keys: str = "") -> dict:
         check=True,
     ).stdout
     line = [l for l in out.splitlines() if l.startswith('{"metric"')][-1]
-    return json.loads(line)
+    parsed = json.loads(line)
+    # the PRINTED line truncates its per-query dict to fit the
+    # driver's 2000-char tail (key sets >~55 drop their fastest
+    # entries) — the complete record always lands in bench_full.json;
+    # prefer it whenever it matches this run
+    full_path = os.path.join(REPO, "bench_full.json")
+    try:
+        with open(full_path) as fh:
+            full = json.load(fh)
+        if full.get("sf") == parsed.get("sf") and set(
+            parsed.get("queries") or {}
+        ) <= set(full.get("queries") or {}):
+            return full
+    except Exception:
+        pass
+    return parsed
 
 
 def main() -> int:
