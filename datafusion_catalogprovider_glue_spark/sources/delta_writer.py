@@ -1630,17 +1630,17 @@ def widen_delta_column(spark, table_path: str, column: str, to_type: str) -> int
         raise DeltaError(f"no column {column!r} in {table_path!r}")
     old_field = by_name[column]
     from_type = old_field.dataType.typeName()
+    if column in snap.partition_columns:
+        raise DeltaError(
+            "widening a partition column is not supported (partition "
+            "values are stored as log strings, not parquet columns)"
+        )
     if (from_type, to_type) == (from_type, from_type):
         raise DeltaError(f"column {column!r} is already {to_type!r}")
     if (from_type, to_type) not in _SUPPORTED_WIDENINGS:
         raise DeltaError(
             f"unsupported type change {from_type!r} -> {to_type!r} "
             f"(supported widenings: {sorted(_SUPPORTED_WIDENINGS)})"
-        )
-    if column in snap.partition_columns:
-        raise DeltaError(
-            "widening a partition column is not supported (partition "
-            "values are stored as log strings, not parquet columns)"
         )
     new_meta = dict(old_field.metadata or {})
     new_meta["delta.typeChanges"] = list(
