@@ -240,6 +240,8 @@ HEADLINE = [
     "scan_iceberg_v3_dv",
     "catalog_table_version_travel",
     "catalog_iceberg_ndv_stats",
+    "catalog_register_table_formats",
+    "scan_delta_uniform_iceberg",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

@@ -1171,6 +1171,111 @@ def catalog_iceberg_ndv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "catalog_register_table_formats",
+    # iceberg table = evens, hudi table = odds (upserted: %9 get +100)
+    oracle="""
+    SELECT 'iceberg' AS fmt, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'hudi' AS fmt, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 9 = 1 THEN n_chars + 100
+                         ELSE n_chars END) AS BIGINT) AS chars_sum
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def catalog_register_table_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5b/A5c (r10): Glue TABLE-TYPE dispatch for the full trio — the
+    reference only routes ``table_type=delta`` (glue.rs:191-196), but
+    real Glue catalogs are full of Athena-managed Iceberg tables
+    (Parameters.table_type=ICEBERG) and Hudi-sync tables
+    (table_type=hudi); registering them through the catalog must route
+    to the built-in metadata-chain/timeline readers exactly like the
+    delta arm, never to a directory-listing scan (which would read
+    dead files: pre-upsert Hudi base files, unreferenced Iceberg
+    data).
+
+    The fixture makes the listing-scan failure mode REAL: the hudi
+    table carries a superseded file slice (an upsert rewrote one file
+    group), so a path that listed the directory would double-count —
+    the hash match proves timeline resolution ran.  In-key: both
+    entries land in information_schema.tables with their formats."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.catalog.fake_glue import (
+        FakeGlueClient,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    ice = os.path.join("/tmp", f"glue_spark_cat_ice_{h}")
+    hud = os.path.join("/tmp", f"glue_spark_cat_hud_{h}")
+    shutil.rmtree(ice, ignore_errors=True)
+    shutil.rmtree(hud, ignore_errors=True)
+    append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), ice)
+    append_hudi(docs.filter(F.col("doc_id") % 2 == 1), hud)
+    upsert_hudi(
+        spark,
+        docs.filter(
+            (F.col("doc_id") % 9 == 1) & (F.col("doc_id") % 2 == 1)
+        ).withColumn("n_chars", F.col("n_chars") + F.lit(100)),
+        hud,
+        key="doc_id",
+    )
+
+    def _tbl(name, loc, ttype):
+        return {
+            "DatabaseName": "lakedb",
+            "Name": name,
+            "Parameters": {"table_type": ttype},
+            "PartitionKeys": [],
+            "StorageDescriptor": {"Columns": [], "Location": loc},
+        }
+
+    client = FakeGlueClient(
+        {
+            "lakedb": {
+                "docs_iceberg": _tbl("docs_iceberg", ice, "ICEBERG"),
+                "docs_hudi": _tbl("docs_hudi", hud, "hudi"),
+            }
+        }
+    )
+    catalog = GlueCatalog(spark, client)
+    e_ice = catalog.register_table("lakedb", "docs_iceberg")
+    e_hud = catalog.register_table("lakedb", "docs_hudi")
+    if (e_ice.format, e_hud.format) != ("iceberg", "hudi"):
+        raise AssertionError(
+            f"dispatch formats {(e_ice.format, e_hud.format)}"
+        )
+    info = {(e.table, e.format) for e in catalog.entries()}
+    if not {("docs_iceberg", "iceberg"), ("docs_hudi", "hudi")} <= info:
+        raise AssertionError(f"catalog registry missing entries: {info}")
+    ice_agg = spark.table(e_ice.view).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+    ).select(F.lit("iceberg").alias("fmt"), "n_docs", "chars_sum")
+    hud_agg = spark.table(e_hud.view).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars_sum"),
+    ).select(F.lit("hudi").alias("fmt"), "n_docs", "chars_sum")
+    return ice_agg.unionByName(hud_agg)
+
+
+@query(
     "catalog_table_version_travel",
     oracle="""
     SELECT 'v1' AS version, COUNT(*) AS n_rows,
@@ -5031,6 +5136,114 @@ def scan_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return read_delta_cdf(spark, table).select(
         "_commit_version", "_change_type", "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "scan_delta_uniform_iceberg",
+    # delta state: evens, CoW-merged so %4 keys carry +500 — read back
+    # through the ICEBERG reader over UniForm-generated metadata
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 4 = 0 THEN n_chars + 500
+                         ELSE n_chars END) AS BIGINT) AS chars_sum
+    FROM documents WHERE doc_id % 2 = 0
+    GROUP BY lang
+    """,
+)
+def scan_delta_uniform_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIFORM — Iceberg metadata over a Delta table (delta-io
+    Universal Format: ``delta.universalFormat.enabledFormats=iceberg``
+    makes Iceberg clients read the SAME parquet files, zero copies;
+    r10 cross-format bridge):
+    ``delta_writer.write_uniform_iceberg_metadata`` generates the
+    metadata chain (version-hint → metadata.json with assigned field
+    ids → manifest list → manifest) describing exactly the current
+    Delta snapshot, and THIS ENGINE'S OWN Iceberg reader serves it.
+
+    The fixture makes staleness real: a CoW merge leaves DEAD files
+    in the table directory, so a reader that listed the directory (or
+    metadata that leaked the pre-merge files) would double-count —
+    asserted in-key by comparing the Iceberg reader's inputFiles
+    against the Delta reader's, which must be the SAME file set.
+    Also asserted: a DV-carrying table REFUSES metadata generation
+    (row visibility lives in the Delta log — real UniForm has the
+    same restriction), and both readers return identical row counts.
+    Hash-matched through the ICEBERG read path."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        DeltaError,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta,
+        merge_delta_dv,
+        write_uniform_iceberg_metadata,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_uniform_"
+        + _hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), table)  # v0
+    merge_delta(
+        spark, table,
+        docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(500)
+        ),
+        on=["doc_id"],
+    )  # v1: CoW rewrite — v0 files are now DEAD but still on disk
+    write_uniform_iceberg_metadata(spark, table)
+    via_delta = read_delta(spark, table)
+    via_iceberg = read_iceberg(spark, table)
+    d_files = set(via_delta.inputFiles())
+    i_files = set(via_iceberg.inputFiles())
+    if d_files != i_files:
+        raise SparkError(
+            f"uniform metadata diverged from the delta snapshot: "
+            f"delta-only {sorted(d_files - i_files)[:2]}, "
+            f"iceberg-only {sorted(i_files - d_files)[:2]}"
+        )
+    if via_delta.count() != via_iceberg.count():
+        raise SparkError("cross-format row counts diverged")
+    # DV tables must refuse metadata generation
+    dv_table = table + "_dv"
+    shutil.rmtree(dv_table, ignore_errors=True)
+    append_delta(docs.filter(F.col("doc_id") % 2 == 1), dv_table)
+    merge_delta_dv(
+        spark, dv_table,
+        docs.filter(F.col("doc_id") % 3 == 0),
+        on=["doc_id"], matched_delete=F.lit(True),
+    )
+    try:
+        write_uniform_iceberg_metadata(spark, dv_table)
+        raise SparkError("uniform accepted a DV-carrying table")
+    except DeltaError:
+        pass
+    return (
+        via_iceberg.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
     )
 
 

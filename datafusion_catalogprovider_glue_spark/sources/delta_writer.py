@@ -1697,6 +1697,145 @@ def widen_delta_column(spark, table_path: str, column: str, to_type: str) -> int
     return version
 
 
+def write_uniform_iceberg_metadata(spark, table_path: str) -> str:
+    """UNIFORM-style Iceberg metadata over a Delta table (the
+    delta-io "Universal Format" feature: delta-spark ≥3.0 with
+    ``delta.universalFormat.enabledFormats=iceberg`` writes Iceberg
+    metadata NEXT TO the Delta log so Iceberg clients read the same
+    parquet files — zero data copies): generate ``metadata/`` —
+    version-hint, metadata.json (schema with assigned field ids, one
+    snapshot), manifest list and manifest — describing exactly the
+    CURRENT Delta snapshot's active files.
+
+    Like real UniForm the subset refuses what Iceberg clients cannot
+    serve from Delta state: DELETION VECTORS (row visibility lives in
+    the Delta log, not the files) and PARTITIONED tables (Delta data
+    files EXCLUDE partition columns; Iceberg identity-partition files
+    include them, so a cross-read would silently null those columns).
+    Metadata-sized driver work; per-file record counts come from the
+    log's add.stats, falling back to one KB footer read for
+    checkpoint-laundered adds.  Returns the metadata dir."""
+    import pyarrow.parquet as pq
+
+    from datafusion_catalogprovider_glue_spark.sources.avro_fallback import (
+        write_avro_container,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        _MANIFEST_LIST_SCHEMA,
+        _MANIFEST_SCHEMA,
+        _snapshot_id,
+    )
+
+    snap = DeltaSnapshot(table_path)
+    if snap._dvs:
+        raise DeltaError(
+            "uniform subset: deletion vectors cannot be represented "
+            "in Iceberg metadata (row visibility lives in the Delta "
+            "log) — purge DVs (CoW rewrite) first, like real UniForm"
+        )
+    if snap.partition_columns:
+        raise DeltaError(
+            "uniform subset: partitioned Delta tables exclude the "
+            "partition columns from data files; an Iceberg reader "
+            "would silently null them — unpartitioned tables only"
+        )
+    if snap.column_mapping:
+        raise DeltaError(
+            "uniform subset: column-mapping tables bind by physical "
+            "names/ids — not represented in this flat metadata"
+        )
+    _SPARK_TO_ICE = {
+        "integer": "int", "long": "long", "float": "float",
+        "double": "double", "string": "string", "boolean": "boolean",
+        "date": "date", "binary": "binary",
+        # Spark TimestampType is session-tz — Iceberg's timestamptz
+        "timestamp": "timestamptz",
+        "timestamp_ntz": "timestamp",
+    }
+    fields = []
+    for i, f in enumerate(snap.schema.fields, start=1):
+        simple = f.dataType.typeName()
+        if simple not in _SPARK_TO_ICE:
+            raise DeltaError(
+                f"uniform subset: unsupported type {simple!r} for "
+                f"{f.name!r}"
+            )
+        fields.append(
+            {
+                "id": i,
+                "name": f.name,
+                "required": False,
+                "type": _SPARK_TO_ICE[simple],
+            }
+        )
+    meta_dir = os.path.join(table_path, "metadata")
+    os.makedirs(meta_dir, exist_ok=True)
+    seq = 1
+    snap_id = _snapshot_id(snap.version + 1)
+    entries = []
+    for rel in sorted(snap._active):
+        st = snap._stats.get(rel) or {}
+        n = st.get("numRecords")
+        if n is None:
+            n = pq.read_metadata(os.path.join(table_path, rel)).num_rows
+        entries.append((1, 0, rel, "PARQUET", int(n), seq, None, None, None))
+    manifest_rel = f"metadata/manifest-uniform-{snap.version}.avro"
+    write_avro_container(
+        os.path.join(table_path, manifest_rel), _MANIFEST_SCHEMA, entries
+    )
+    list_rel = f"metadata/snap-uniform-{snap.version}.avro"
+    write_avro_container(
+        os.path.join(table_path, list_rel),
+        _MANIFEST_LIST_SCHEMA,
+        [
+            (
+                manifest_rel,
+                os.path.getsize(os.path.join(table_path, manifest_rel)),
+                snap_id,
+                0,
+            )
+        ],
+    )
+    meta = {
+        "format-version": 2,
+        "table-uuid": hashlib.md5(
+            (table_path + "-uniform").encode()
+        ).hexdigest(),
+        "location": table_path,
+        "last-sequence-number": seq,
+        "last-column-id": len(fields),
+        "current-schema-id": 0,
+        "schemas": [{"schema-id": 0, "type": "struct", "fields": fields}],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "current-snapshot-id": snap_id,
+        "snapshots": [
+            {
+                "snapshot-id": snap_id,
+                "sequence-number": seq,
+                "manifest-list": list_rel,
+                "summary": {
+                    "operation": "append",
+                    # the provenance marker real UniForm writes
+                    "delta-version": str(snap.version),
+                },
+            }
+        ],
+        "snapshot-log": [
+            {"timestamp-ms": 1600000000000 + seq, "snapshot-id": snap_id}
+        ],
+        "properties": {"write.format.default": "parquet"},
+    }
+    with open(os.path.join(meta_dir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh, sort_keys=True)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return meta_dir
+
+
 def add_delta_constraint(
     spark, table_path: str, name: str, expr: str
 ) -> int:
