@@ -260,13 +260,37 @@ class GlueCatalog:
         self, database: str, name: str, table: dict
     ) -> TableEntry:
         """A5c: load the Hudi timeline as the table (CoW snapshot
-        read; MoR tables need the key column and go through
-        read_hudi_mor directly)."""
+        read).  A MERGE-ON-READ table (deltacommits in the timeline)
+        REFUSES unless the Glue parameters opt into the
+        read-optimized view — silently serving base files only would
+        drop every un-compacted log record, the worst failure mode;
+        real Hudi Glue sync registers MoR tables as _ro/_rt pairs for
+        exactly this reason.  Snapshot MoR reads need the record key
+        and go through sources/hudi.read_hudi_mor directly."""
+        import os as _os
+
         from datafusion_catalogprovider_glue_spark.sources.hudi import (
             read_hudi,
         )
 
         location = self._table_location(database, name, table)
+        params = table.get("Parameters") or {}
+        tl = _os.path.join(location, ".hoodie")
+        has_deltacommits = _os.path.isdir(tl) and any(
+            f.endswith(".deltacommit") for f in _os.listdir(tl)
+        )
+        if has_deltacommits and params.get(
+            "hoodie.query.as.ro.table", ""
+        ).lower() != "true":
+            raise SparkError(
+                f"hudi table {database}.{name} is MERGE-ON-READ "
+                "(deltacommits present): a base-file-only read would "
+                "silently drop un-compacted log records.  Register the "
+                "read-optimized view with Parameters "
+                "hoodie.query.as.ro.table=true, or use "
+                "sources/hudi.read_hudi_mor(key_col) for snapshot "
+                "semantics"
+            )
         df = read_hudi(self.spark, location)
         return self._finish(
             database, name, df, T.StructType(df.schema), "hudi",
