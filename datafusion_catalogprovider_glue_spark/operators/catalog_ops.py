@@ -5140,6 +5140,152 @@ def scan_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_time_travel_timestamp",
+    # delta AS OF ict(v2) = evens + odd %3; iceberg AS OF ts(snap1) =
+    # evens; hudi AS OF instant1 = odds before the upsert
+    oracle="""
+    SELECT 'delta' AS fmt, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+    UNION ALL
+    SELECT 'iceberg', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT 'hudi', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def scan_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF across the trio (r10) — the time-travel spelling
+    users actually write, resolved from each format's RELIABLE clock
+    rather than file mtimes:
+
+    * **Delta**: IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit
+      Timestamps — the (3,7) ``inCommitTimestamp`` writer feature;
+      enable_in_commit_timestamps + monotonic stamping in every later
+      commit).  Resolution = latest version with ict <= query ts;
+      pre-enablement and pre-first-timestamp queries REFUSE (file-
+      mtime fallback is exactly the unreliable thing the feature
+      replaces).
+    * **Iceberg**: the snapshot-log (spec §table-metadata) — the
+      authority for when each snapshot BECAME CURRENT, so a rollback
+      (re-appending an old snapshot under a new timestamp) resolves
+      correctly where snapshot-own commit times would not.
+    * **Hudi**: instants ARE timestamps (as_of, long supported).
+
+    All three clocks here are deterministic (seq-derived), which is
+    what makes this key value-oracle-checkable.  In-key: the delta
+    resolution is pinned version-exact, and too-early timestamps
+    refuse on both delta and iceberg."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import (
+        DeltaError,
+        NotImplementedYet,
+        SparkError,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        delta_version_at_timestamp,
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        _ICT_BASE_MS,
+        append_delta,
+        enable_in_commit_timestamps,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_completed_instants,
+        read_hudi,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        upsert_hudi,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg import (
+        read_iceberg,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.iceberg_writer import (
+        append_iceberg,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    d_tbl = os.path.join("/tmp", f"glue_spark_ttd_{h}")
+    i_tbl = os.path.join("/tmp", f"glue_spark_tti_{h}")
+    h_tbl = os.path.join("/tmp", f"glue_spark_tth_{h}")
+    for t in (d_tbl, i_tbl, h_tbl):
+        shutil.rmtree(t, ignore_errors=True)
+    evens = docs.filter(F.col("doc_id") % 2 == 0)
+    odd3 = docs.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0)
+    )
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+
+    # delta: v0 evens, v1 enablement, v2 odd%3, v3 extra — AS OF ict(v2)
+    append_delta(evens, d_tbl)
+    enable_in_commit_timestamps(spark, d_tbl)
+    append_delta(odd3, d_tbl)  # v2, ict = base + 2000
+    append_delta(
+        docs.filter(F.col("doc_id") % 30 == 5), d_tbl
+    )  # v3: must NOT be visible at the queried timestamp
+    ts_v2 = _ICT_BASE_MS + 2000
+    if delta_version_at_timestamp(d_tbl, ts_v2) != 2:
+        raise SparkError("ICT resolution picked the wrong version")
+    if delta_version_at_timestamp(d_tbl, ts_v2 + 999) != 2:
+        raise SparkError("ICT resolution is not latest-at-or-before")
+    try:
+        delta_version_at_timestamp(d_tbl, _ICT_BASE_MS - 1)
+        raise SparkError("pre-enablement timestamp did not refuse")
+    except DeltaError:
+        pass
+    via_delta = read_delta(spark, d_tbl, timestamp=ts_v2)
+
+    # iceberg: two snapshots; AS OF the FIRST log entry's timestamp
+    append_iceberg(evens, i_tbl)
+    append_iceberg(odd3, i_tbl)
+    via_iceberg = read_iceberg(
+        spark, i_tbl, as_of_timestamp_ms=1600000000000 + 1
+    )
+    try:
+        read_iceberg(spark, i_tbl, as_of_timestamp_ms=1)
+        raise SparkError("pre-history iceberg timestamp did not refuse")
+    except NotImplementedYet:
+        pass
+
+    # hudi: instants are the clock; AS OF the first completed instant
+    append_hudi(odds, h_tbl)
+    upsert_hudi(
+        spark,
+        docs.filter(
+            (F.col("doc_id") % 9 == 1) & (F.col("doc_id") % 2 == 1)
+        ).withColumn("n_chars", F.col("n_chars") + F.lit(100)),
+        h_tbl,
+        key="doc_id",
+    )
+    t1 = hudi_completed_instants(h_tbl)[0]
+    via_hudi = read_hudi(spark, h_tbl, as_of=t1)
+
+    def _agg(df, fmt):
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_sum"),
+        ).select(F.lit(fmt).alias("fmt"), "n_docs", "chars_sum")
+
+    return (
+        _agg(via_delta, "delta")
+        .unionByName(_agg(via_iceberg, "iceberg"))
+        .unionByName(_agg(via_hudi.select("doc_id", "n_chars"), "hudi"))
+    )
+
+
+@query(
     "scan_delta_uniform_iceberg",
     # delta state: evens, CoW-merged so %4 keys carry +500 — read back
     # through the ICEBERG reader over UniForm-generated metadata

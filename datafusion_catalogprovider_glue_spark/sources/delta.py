@@ -605,12 +605,63 @@ def _scan_with_identity(
     return out
 
 
+def delta_version_at_timestamp(table_path: str, timestamp_ms: int) -> int:
+    """TIMESTAMP AS OF resolution from in-commit timestamps: the
+    LATEST version whose recorded inCommitTimestamp <= the query
+    timestamp (the spec's rule).  Refuses on tables without ICTs
+    (file-mtime resolution is exactly the unreliable thing the
+    feature replaces) and on timestamps before the first stamped
+    commit."""
+    log_dir = os.path.join(table_path, _LOG_DIR)
+    stamped: list[tuple[int, int]] = []
+    for v, path in _commit_files(log_dir):
+        with open(path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                ci = json.loads(line).get("commitInfo")
+                if ci and "inCommitTimestamp" in ci:
+                    stamped.append((v, int(ci["inCommitTimestamp"])))
+                break  # commitInfo is the first action when stamped
+    if not stamped:
+        raise DeltaError(
+            f"no in-commit timestamps at {table_path!r} — enable the "
+            "feature (enable_in_commit_timestamps) for TIMESTAMP AS OF"
+        )
+    # the chain must be unbroken from the first stamped commit to the
+    # head: a LATER unstamped commit (log cleanup severed the writer's
+    # prev-commit probe) would make resolution silently serve a stale
+    # version for late timestamps — refuse instead
+    last_stamped = max(v for v, _ts in stamped)
+    unstamped_later = [
+        v for v, _p in _commit_files(log_dir)
+        if v > last_stamped
+    ]
+    if unstamped_later:
+        raise DeltaError(
+            f"in-commit timestamp chain broken: commits "
+            f"{unstamped_later[:3]} after version {last_stamped} carry "
+            "no inCommitTimestamp — refusing TIMESTAMP AS OF rather "
+            "than resolving a stale snapshot"
+        )
+    eligible = [v for v, ts in stamped if ts <= timestamp_ms]
+    if not eligible:
+        first_v, first_ts = stamped[0]
+        raise DeltaError(
+            f"timestamp {timestamp_ms} precedes the first in-commit "
+            f"timestamp {first_ts} (version {first_v})"
+        )
+    return max(eligible)
+
+
+
 def read_delta(
     spark: SparkSession,
     table_path: str,
     version: Optional[int] = None,
     partition_filter: Optional[dict] = None,
     stats_filter: Optional[dict] = None,
+    timestamp: Optional[int] = None,
 ) -> DataFrame:
     """Load a Delta table snapshot (latest, or VERSION AS OF),
     applying DELETION VECTORS when the snapshot carries them: every
@@ -636,6 +687,14 @@ def read_delta(
     stats for the column are conservatively KEPT, so pruning is
     always result-preserving; the returned rows still pass through
     the normal row-level filter the caller applies."""
+    if timestamp is not None:
+        # TIMESTAMP AS OF via in-commit timestamps (the reliable
+        # resolution — file mtimes move under copies/retention)
+        if version is not None:
+            raise DeltaError(
+                "pass either version or timestamp, not both"
+            )
+        version = delta_version_at_timestamp(table_path, timestamp)
     snap = DeltaSnapshot(table_path, version)
     if partition_filter:
         unknown = set(partition_filter) - set(snap.partition_columns)

@@ -204,7 +204,66 @@ class ConcurrentWriteError(RuntimeError):
     re-read the table and retry (Delta's optimistic concurrency)."""
 
 
+_ICT_BASE_MS = 1700000000000  # deterministic seq-derived timestamps
+
+
+def _prev_ict(log_dir: str, version: int):
+    """inCommitTimestamp of commit version-1, or None when the table
+    has not enabled ICT (PROTOCOL.md §In-Commit Timestamps: once
+    enabled every later commit must carry one, so the previous
+    commit's presence/absence IS the enablement state — one KB read,
+    no log replay)."""
+    if version == 0:
+        return None
+    prev = os.path.join(log_dir, f"{version - 1:020d}.json")
+    if not os.path.exists(prev):
+        return None  # cleaned-up prefix: ICT chain not resumable here
+    with open(prev) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            ci = action.get("commitInfo")
+            if ci and "inCommitTimestamp" in ci:
+                return int(ci["inCommitTimestamp"])
+    return None
+
+
 def _commit(log_dir: str, version: int, actions: list[dict]) -> None:
+    # ICT stamping (spec: monotonically increasing, recorded in
+    # commitInfo which must be the FIRST action of the commit):
+    # deterministic seq-derived value clamped strictly above the
+    # previous commit's — every writer path funnels through here, so
+    # enabling the feature once keeps the whole chain stamped
+    prev_ts = _prev_ict(log_dir, version)
+    if prev_ts is not None:
+        ict = max(_ICT_BASE_MS + version * 1000, prev_ts + 1)
+        stamped = []
+        saw_ci = False
+        for a in actions:
+            if a.get("commitInfo") and not saw_ci:
+                saw_ci = True
+                stamped.append(
+                    {
+                        "commitInfo": {
+                            **a["commitInfo"],
+                            "inCommitTimestamp": ict,
+                        }
+                    }
+                )
+            else:
+                stamped.append(a)
+        if not saw_ci:
+            stamped.insert(
+                0,
+                {
+                    "commitInfo": {
+                        "operation": "WRITE",
+                        "inCommitTimestamp": ict,
+                    }
+                },
+            )
+        actions = stamped
     path = os.path.join(log_dir, f"{version:020d}.json")
     tmp = path + f".tmp.{os.getpid()}"
     with open(tmp, "w") as fh:
@@ -1689,6 +1748,79 @@ def widen_delta_column(spark, table_path: str, column: str, to_type: str) -> int
                     "schemaString": new_schema.json(),
                     "partitionColumns": list(snap.partition_columns),
                     "configuration": dict(snap.configuration),
+                    "createdTime": int(time.time() * 1000),
+                }
+            },
+        ],
+    )
+    return version
+
+
+def enable_in_commit_timestamps(spark, table_path: str) -> int:
+    """Enable IN-COMMIT TIMESTAMPS (PROTOCOL.md §In-Commit Timestamps
+    — the (3,7) ``inCommitTimestamp`` writer feature current
+    delta-spark turns on for reliable TIMESTAMP AS OF: file
+    modification times move under retention/copy jobs, the recorded
+    commit timestamp never does): a metadata-only commit that
+
+    * upgrades the protocol to minWriter 7 with ``inCommitTimestamp``
+      listed (implicit (1,2) features materialized),
+    * sets ``delta.enableInCommitTimestamps=true`` plus the spec's
+      enablement provenance keys (enablement version + timestamp),
+    * and itself carries the FIRST ``inCommitTimestamp``.
+
+    Every later commit through this writer is stamped monotonically
+    (seq-derived, deterministic) by ``_commit``.  Returns the
+    committed version."""
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        DeltaSnapshot,
+    )
+
+    snap = DeltaSnapshot(table_path)
+    log_dir = _log_dir(table_path)
+    version = _next_version(log_dir)
+    ict = _ICT_BASE_MS + version * 1000
+    old_proto = snap.protocol or dict(_PROTOCOL)
+    writer_feats = set(old_proto.get("writerFeatures") or [])
+    if int(old_proto.get("minWriterVersion") or 2) < 7 and not writer_feats:
+        writer_feats |= {"appendOnly", "invariants"}
+    writer_feats.add("inCommitTimestamp")
+    protocol = {
+        "minReaderVersion": int(old_proto.get("minReaderVersion") or 1),
+        "minWriterVersion": 7,
+        "writerFeatures": sorted(writer_feats),
+    }
+    if protocol["minReaderVersion"] >= 3:
+        protocol["readerFeatures"] = sorted(
+            set(old_proto.get("readerFeatures") or [])
+        )
+    _commit(
+        log_dir,
+        version,
+        [
+            {
+                "commitInfo": {
+                    "operation": "SET TBLPROPERTIES",
+                    "inCommitTimestamp": ict,
+                }
+            },
+            {"protocol": protocol},
+            {
+                "metaData": {
+                    "id": hashlib.md5(table_path.encode()).hexdigest(),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": snap.schema.json(),
+                    "partitionColumns": list(snap.partition_columns),
+                    "configuration": {
+                        **snap.configuration,
+                        "delta.enableInCommitTimestamps": "true",
+                        "delta.inCommitTimestampEnablementVersion": str(
+                            version
+                        ),
+                        "delta.inCommitTimestampEnablementTimestamp": str(
+                            ict
+                        ),
+                    },
                     "createdTime": int(time.time() * 1000),
                 }
             },

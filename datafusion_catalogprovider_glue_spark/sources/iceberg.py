@@ -347,6 +347,34 @@ def _resolve_file_projections(
     return sorted(groups.items(), key=lambda kv: kv[1][0])
 
 
+def iceberg_snapshot_at_timestamp(table_path: str, ts_ms: int) -> int:
+    """TIMESTAMP AS OF resolution (the Iceberg API's
+    ``snapshotIdAsOfTime``): the snapshot-log entry with the LARGEST
+    timestamp-ms <= the query time.  The log is the spec's authority
+    for when each snapshot became current — a rollback re-appends an
+    older snapshot with a NEW timestamp, so walking snapshots by
+    their own commit times would resolve a rolled-back table
+    wrongly."""
+    meta_dir = os.path.join(table_path, "metadata")
+    with open(os.path.join(meta_dir, "version-hint.text")) as f:
+        version = int(f.read().strip())
+    with open(os.path.join(meta_dir, f"v{version}.metadata.json")) as f:
+        meta = json.load(f)
+    log = meta.get("snapshot-log") or []
+    if not log:
+        raise NotImplementedYet(
+            f"no snapshot-log at {table_path!r} — timestamp travel "
+            "needs the log"
+        )
+    eligible = [e for e in log if int(e["timestamp-ms"]) <= ts_ms]
+    if not eligible:
+        raise NotImplementedYet(
+            f"timestamp {ts_ms} precedes the first snapshot-log entry "
+            f"({log[0]['timestamp-ms']})"
+        )
+    return int(eligible[-1]["snapshot-id"])
+
+
 def iceberg_ref_snapshot(table_path: str, name: str) -> int:
     """Resolve a named REF (spec §refs — tag or branch) to its
     snapshot id.  Metadata-only."""
@@ -369,6 +397,7 @@ def read_iceberg(
     partition_filter: Optional[dict] = None,
     ref: Optional[str] = None,
     stats_filter: Optional[dict] = None,
+    as_of_timestamp_ms: Optional[int] = None,
 ) -> DataFrame:
     """Load an Iceberg table snapshot (current, or a pinned
     snapshot-id — time travel), applying v2 POSITIONAL DELETE files
@@ -398,6 +427,14 @@ def read_iceberg(
         if snapshot_id is not None:
             raise ValueError("pass snapshot_id OR ref, not both")
         snapshot_id = iceberg_ref_snapshot(table_path, ref)
+    if as_of_timestamp_ms is not None:
+        if snapshot_id is not None:
+            raise ValueError(
+                "pass snapshot_id/ref OR as_of_timestamp_ms, not both"
+            )
+        snapshot_id = iceberg_snapshot_at_timestamp(
+            table_path, as_of_timestamp_ms
+        )
     snap = IcebergSnapshot(table_path, snapshot_id)
     files = snap.files
     if stats_filter:
