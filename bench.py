@@ -243,6 +243,7 @@ HEADLINE = [
     "catalog_register_table_formats",
     "scan_delta_uniform_iceberg",
     "scan_time_travel_timestamp",
+    "sink_hudi_clean",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

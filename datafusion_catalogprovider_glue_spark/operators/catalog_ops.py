@@ -5140,6 +5140,131 @@ def scan_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sink_hudi_clean",
+    # odds appended, then %3 upserted (+1000), then %5 upserted (+2000)
+    # — the final state after cleaning must be byte-for-byte the same
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 5 = 0 THEN n_chars + 2000
+                WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                ELSE n_chars END AS n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def sink_hudi_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi CLEANER (hudi_writer.clean_hudi_file_slices — tech-specs
+    §cleaner KEEP_LATEST_FILE_VERSIONS; r10, closing the trio's last
+    maintenance asymmetry: Delta has VACUUM, Iceberg has expire +
+    orphan cleanup, Hudi now reclaims superseded file slices): two
+    upserts leave every touched file group with three base-file
+    versions on disk; cleaning with keep_last_n=1 deletes the older
+    two and records them in a ``{instant}.clean`` timeline file.
+
+    Asserted in-key:
+    * bytes actually reclaimed (the cleaned files are GONE, disk
+      parquet count shrinks) while the CURRENT snapshot's rows are
+      IDENTICAL before/after (count + checksum compared);
+    * time travel to a cleaned instant refuses LOUDLY via the .clean
+      registry (never an opaque missing-file scan error);
+    * the live snapshot keeps resolving through the files-index path
+      and the timeline gains exactly one .clean instant."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        hudi_completed_instants,
+        read_hudi,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.hudi_writer import (
+        append_hudi,
+        clean_hudi_file_slices,
+        upsert_hudi,
+    )
+
+    apply_engine_conf(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    table = os.path.join(
+        "/tmp",
+        "glue_spark_hclean_"
+        + _hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(table, ignore_errors=True)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    append_hudi(odds, table)
+    upsert_hudi(
+        spark,
+        odds.filter(F.col("doc_id") % 3 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(1000)
+        ),
+        table,
+        key="doc_id",
+    )
+    upsert_hudi(
+        spark,
+        odds.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "n_chars", F.col("n_chars") + F.lit(2000)
+        ),
+        table,
+        key="doc_id",
+    )
+    t1 = hudi_completed_instants(table)[0]
+
+    def _disk_parquet():
+        return sorted(
+            f for f in os.listdir(table) if f.endswith(".parquet")
+        )
+
+    def _checksum():
+        row = (
+            read_hudi(spark, table)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # bit_xor: order-independent, overflow-free checksum
+                F.expr("bit_xor(xxhash64(doc_id, n_chars))").alias("x"),
+            )
+            .collect()[0]
+        )
+        return (row.n, row.x)
+
+    before_files = _disk_parquet()
+    before_sum = _checksum()
+    reclaimed = clean_hudi_file_slices(table, keep_last_n=1)
+    if not reclaimed:
+        raise SparkError("cleaner reclaimed nothing on a 3-deep table")
+    after_files = _disk_parquet()
+    if len(after_files) >= len(before_files):
+        raise SparkError(
+            f"no bytes reclaimed: {len(before_files)} -> "
+            f"{len(after_files)} base files"
+        )
+    if any(os.path.basename(p) in after_files for p in reclaimed):
+        raise SparkError("a reclaimed file is still on disk")
+    if _checksum() != before_sum:
+        raise SparkError("cleaning changed the CURRENT snapshot")
+    try:
+        read_hudi(spark, table, as_of=t1).count()
+        raise SparkError(
+            "time travel into cleaned history did not refuse"
+        )
+    except SparkError as exc:
+        if "CLEAN" not in str(exc):
+            raise
+    n_clean = len(
+        [f for f in os.listdir(os.path.join(table, ".hoodie"))
+         if f.endswith(".clean")]
+    )
+    if n_clean != 1:
+        raise SparkError(f"expected one .clean instant, got {n_clean}")
+    return read_hudi(spark, table).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "scan_time_travel_timestamp",
     # delta AS OF ict(v2) = evens + odd %3; iceberg AS OF ts(snap1) =
     # evens; hudi AS OF instant1 = odds before the upsert

@@ -435,6 +435,23 @@ def hudi_live_slices(
     return latest
 
 
+def _cleaned_files(location: str) -> set[str]:
+    """Relative base-file paths reclaimed by CLEAN instants
+    (``{instant}.clean`` metadata — hudi_writer.clean_hudi_file_slices)
+    — the registry that turns a time travel into cleaned history into
+    a LOUD refusal instead of an opaque missing-file scan error."""
+    tl = os.path.join(location, ".hoodie")
+    out: set[str] = set()
+    if not os.path.isdir(tl):
+        return out
+    for f in os.listdir(tl):
+        if f.endswith(".clean"):
+            with open(os.path.join(tl, f)) as fh:
+                doc = json.load(fh)
+            out.update(c["path"] for c in doc.get("cleaned") or [])
+    return out
+
+
 def read_hudi(
     spark: SparkSession,
     location: str,
@@ -465,6 +482,20 @@ def read_hudi(
     pruning is always result-preserving — the Delta B25 / Iceberg B26
     discipline."""
     latest = hudi_live_slices(location, as_of)
+    gone = _cleaned_files(location)
+    if gone:
+        hit = {
+            fid: rel
+            for fid, (_pp, rel) in latest.items()
+            if rel in gone
+        }
+        if hit:
+            raise SparkError(
+                f"file slices {sorted(hit.values())[:3]} were reclaimed "
+                "by a CLEAN instant — the requested snapshot "
+                f"({'as_of=' + as_of if as_of else 'latest'}) is no "
+                "longer reconstructable"
+            )
     unpruned = dict(latest)
     if stats_filter:
         idx = _latest_col_stats(location, as_of)

@@ -61,13 +61,15 @@ def _timeline_dir(location: str) -> str:
 
 
 def _next_instant(location: str) -> str:
-    # one timeline interleaves .commit, .deltacommit, and
-    # .replacecommit; the next instant must clear all three
+    # one timeline interleaves .commit, .deltacommit, .replacecommit
+    # and .clean; the next instant must clear all of them (a reused
+    # id would alias a data commit with a maintenance instant)
     tl = _timeline_dir(location)
     done = [
         int(f[: -len(suffix)])
         for f in os.listdir(tl)
-        for suffix in (".commit", ".deltacommit", ".replacecommit")
+        for suffix in (".commit", ".deltacommit", ".replacecommit",
+                       ".clean")
         if f.endswith(suffix) and f[: -len(suffix)].isdigit()
     ]
     return str(max(done) + 1 if done else _BASE_INSTANT)
@@ -936,6 +938,75 @@ def _commit_file_ids(location: str, instant: str) -> list[str]:
                 for st in stats
             ]
     return []
+
+
+def clean_hudi_file_slices(
+    location: str, keep_last_n: int = 1
+) -> list[str]:
+    """Hudi CLEANER (tech-specs §cleaner, KEEP_LATEST_FILE_VERSIONS
+    policy — the maintenance action that reclaims superseded file
+    slices the way Delta VACUUM / Iceberg expire+orphan-cleanup do;
+    r10, the trio's last maintenance asymmetry): per file group, keep
+    the newest ``keep_last_n`` base-file versions, DELETE the older
+    ones, and record the action as a ``{instant}.clean`` metadata
+    file listing every reclaimed path — the registry readers consult
+    to refuse time travel into cleaned history LOUDLY instead of
+    failing with an opaque missing-file scan error.
+
+    The LIVE slice of every group always survives (keep_last_n >= 1
+    enforced).  CoW only: MoR log files belong to their slice and go
+    through compaction first (refused).  Metadata-sized driver work;
+    the deletes are per-file unlinks exactly like Delta's vacuum."""
+    if keep_last_n < 1:
+        raise SparkError(
+            f"keep_last_n={keep_last_n}: the live file version of "
+            "every group must survive cleaning"
+        )
+    from datafusion_catalogprovider_glue_spark.sources.hudi import (
+        _load_instant_meta,
+        _timeline,
+    )
+
+    tl_dir = _timeline_dir(location)
+    if any(f.endswith(".deltacommit") for f in os.listdir(tl_dir)):
+        raise SparkError(
+            "cleaning a MERGE-ON-READ table: log files belong to "
+            "their slice — compact first (compact_hudi)"
+        )
+    # full slice HISTORY per file group, ascending commit order
+    history: dict[str, list[tuple[str, str]]] = {}
+    for instant, action in _timeline(
+        location, ("commit", "replacecommit")
+    ):
+        meta = _load_instant_meta(location, instant, action)
+        for stats in (meta.get("partitionToWriteStats") or {}).values():
+            for st in stats:
+                history.setdefault(st["fileId"], []).append(
+                    (instant, st["path"])
+                )
+    cleaned: list[dict] = []
+    for fid, slices in history.items():
+        for instant, rel in slices[: max(0, len(slices) - keep_last_n)]:
+            full = os.path.join(location, rel)
+            if os.path.exists(full):
+                os.remove(full)
+                cleaned.append(
+                    {"fileId": fid, "path": rel, "instant": instant}
+                )
+    if not cleaned:
+        return []
+    clean_instant = _next_instant(location)
+    doc = {
+        "policy": "KEEP_LATEST_FILE_VERSIONS",
+        "retained": keep_last_n,
+        "cleaned": sorted(cleaned, key=lambda c: (c["fileId"], c["instant"])),
+    }
+    out = os.path.join(tl_dir, f"{clean_instant}.clean")
+    tmp = out + f".tmp.{os.getpid()}"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh, sort_keys=True)
+    os.rename(tmp, out)
+    return [c["path"] for c in doc["cleaned"]]
 
 
 def archive_hudi_timeline(location: str, keep_last_n: int = 2) -> list[str]:
