@@ -244,6 +244,7 @@ HEADLINE = [
     "scan_delta_uniform_iceberg",
     "scan_time_travel_timestamp",
     "sink_hudi_clean",
+    "scan_delta_pyds",
     # stream_upsert_delta is oracle-checked in the gate but excluded
     # here like the other stream_* keys (streaming startup dominates).
     # stream_sliding_topk is oracle-checked in the gate but excluded

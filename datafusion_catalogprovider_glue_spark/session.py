@@ -43,6 +43,9 @@ _BASE_CONF: dict[str, str] = {
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider"
     ),
+    # Python Data Source filter pushdown (SPARK-50603, default off in
+    # 4.1): sources/pyds.py prunes files from pushed filters
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 
