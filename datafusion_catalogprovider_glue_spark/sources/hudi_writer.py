@@ -188,7 +188,14 @@ def append_hudi(
     partition path (the spec's partitionToWriteStats shape), and
     reads prune partition-level on those keys.  A later append must
     match the recorded partitioning.  Returns the committed
-    instant."""
+    instant.
+
+    All ``n_groups`` file groups are written by ONE distributed job
+    (rows hash-route to their group's staging partition, the driver
+    only renames) — the previous one-job-per-group driver loop scanned
+    the source once per group, which at 10^4 groups is 10^4 sequential
+    jobs (guide §2.4: remove passes outright).  Row→group assignment
+    (pmod(xxhash64(first col), n_groups)) is unchanged."""
     have = table_partition_field(location)
     want = partition_by
     if os.path.isdir(os.path.join(location, ".hoodie")) and have != want:
@@ -205,17 +212,27 @@ def append_hudi(
             extra=_extra_meta(extra_metadata),
         )
         return instant
-    splits = df.withColumn(
-        "_g", F.pmod(F.xxhash64(*df.columns[:1]), F.lit(n_groups))
-    )
-    stats = []
-    for g in range(n_groups):
-        part = splits.filter(F.col("_g") == g).drop("_g")
-        stats.append(
-            _write_file_group(part, location, instant, f"fg-{instant}-{g}")
+    fids = [f"fg-{instant}-{g}" for g in range(n_groups)]
+    routed = (
+        df.withColumn(
+            "_g", F.pmod(F.xxhash64(*df.columns[:1]), F.lit(n_groups))
         )
+        .withColumn("_hoodie_commit_time", F.lit(instant))
+        .withColumn(
+            "_dest",
+            F.concat(F.lit(f"fg-{instant}-"), F.col("_g").cast("string"),
+                     F.lit(_DEST_SEP)),
+        )
+        .drop("_g")
+    )
+    by_part = _write_dest_routed(
+        df.sparkSession, routed, location, instant,
+        expect_fids=fids,
+        empty_schema_of=df,
+    )
     _publish(
-        location, instant, stats, extra=_extra_meta(extra_metadata)
+        location, instant, by_part.get("", []),
+        extra=_extra_meta(extra_metadata),
     )
     return instant
 
@@ -287,6 +304,103 @@ def _part_slug(raw: str) -> str:
     return f"{safe}-{_hashlib.md5(raw.encode()).hexdigest()[:6]}"
 
 
+# staging-layout separator between file-group id and partition path in
+# the routing column (Hive path escaping round-trips control chars)
+_DEST_SEP = "\x1f"
+_NEW_GROUP = "__new__"
+
+
+def _write_dest_routed(
+    spark: SparkSession,
+    routed: DataFrame,
+    location: str,
+    instant: str,
+    expect_fids: list[str] = None,
+    empty_schema_of: DataFrame = None,
+) -> dict[str, list[dict]]:
+    """Write EVERY file group of a commit in ONE distributed job.
+
+    ``routed`` carries a ``_dest`` column ``<fileId>\\x1f<ppath>``
+    (``__new__`` as the fileId means "mint a new group for this
+    partition").  Rows hash-route to their destination's partition
+    (repartition by _dest: one task owns a destination wholesale, so
+    each group stays exactly ONE base file), the staging layout is a
+    ``partitionBy("_dest")`` directory tree, and the driver renames
+    each part file into the spec's ``<fileId>_0-0-0_<instant>.parquet``
+    name under its partition directory — metadata-only driver work.
+
+    Replaces the previous one-Spark-job-per-file-group driver loop:
+    at 10^4 file groups that is 10^4 sequential scans+writes; this is
+    one shuffle + one write stage (guide §2.4/§2.6).
+
+    ``expect_fids``: groups that must exist even when they receive no
+    rows (the append contract records every minted group); missing
+    ones are written as empty single-file groups.
+    Returns ``{ppath: [{"fileId","path"}, ...]}`` ("" = unpartitioned).
+    """
+    from urllib.parse import unquote
+
+    staging = os.path.join(location, f"_staging_routed_{instant}")
+    (
+        routed.repartition("_dest")
+        .write.partitionBy("_dest")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    by_part: dict[str, list[dict]] = {}
+    seen_fids: set[str] = set()
+    for d in sorted(os.listdir(staging)):
+        if not d.startswith("_dest="):
+            continue
+        dest = unquote(d[len("_dest="):])
+        fid, _sep, ppath = dest.partition(_DEST_SEP)
+        if fid == _NEW_GROUP:
+            if ppath:
+                # _dest was built as <fid>\x1f<col>=<raw>; the single
+                # unquote above already recovered raw verbatim
+                fid = f"fg-{instant}-{_part_slug(ppath.split('=', 1)[1])}-0"
+            else:
+                fid = f"fg-{instant}-new"
+        names = sorted(
+            n
+            for n in os.listdir(os.path.join(staging, d))
+            if n.endswith(".parquet")
+        )
+        if len(names) != 1:
+            raise SparkError(
+                f"file-group write produced {len(names)} files for "
+                f"{fid!r} — a group must stay one base file"
+            )
+        if ppath:
+            os.makedirs(os.path.join(location, ppath), exist_ok=True)
+        name = f"{fid}_0-0-0_{instant}.parquet"
+        os.replace(
+            os.path.join(staging, d, names[0]),
+            os.path.join(location, ppath, name) if ppath
+            else os.path.join(location, name),
+        )
+        seen_fids.add(fid)
+        by_part.setdefault(ppath, []).append(
+            {
+                "fileId": fid,
+                "path": os.path.join(ppath, name) if ppath else name,
+            }
+        )
+    shutil.rmtree(staging)
+    for fid in expect_fids or []:
+        if fid in seen_fids:
+            continue
+        # a minted group that received no rows still publishes (the
+        # append contract: n_groups groups exist) — schema-only file
+        by_part.setdefault("", []).append(
+            _write_file_group(
+                empty_schema_of.filter(F.lit(False)),
+                location, instant, fid,
+            )
+        )
+    return by_part
+
+
 def upsert_hudi(
     spark: SparkSession, df: DataFrame, location: str, key: str
 ) -> str:
@@ -295,7 +409,18 @@ def upsert_hudi(
     into one new file group, all under ONE instant.  Only the touched
     file groups rewrite; untouched groups keep their base files and
     their rows keep their original ``_hoodie_commit_time`` (the
-    row-level incremental contract)."""
+    row-level incremental contract).
+
+    Scale shape (optimization r10, guide §2.4): TWO Spark jobs total —
+    one key-column pass over all live base files that validates the
+    source (duplicate keys, the one-key-one-file-group invariant) AND
+    resolves the touched groups, then one distributed rewrite that
+    routes carried + updated + inserted rows to their destination file
+    group and writes every group in a single ``partitionBy`` stage.
+    The previous implementation looped file groups on the driver
+    (probe-count + rewrite job per group, an extra anti-join per
+    iteration in the insert lineage): at 10^4 groups that is 3x10^4
+    sequential jobs; this is O(1) jobs regardless of group count."""
     from datafusion_catalogprovider_glue_spark.sources.hudi import (
         hudi_live_slices,
     )
@@ -303,98 +428,120 @@ def upsert_hudi(
     # the LIVE slices (replacecommits folded): routing against raw
     # .commit metadata would resurrect groups clustering retired and
     # miss the clustered ones — duplicate rows on the next snapshot
+    live = hudi_live_slices(location)
     latest: dict[str, str] = {
-        fid: rel for fid, (_pp, rel) in hudi_live_slices(location).items()
+        fid: rel for fid, (_pp, rel) in live.items()
     }
     instant = _next_instant(location)
+    pf = table_partition_field(location)
     src = df.persist()
-    if src.groupBy(key).count().filter(F.col("count") > 1).limit(1).count():
-        raise SparkError("upsert source has duplicate record keys")
-    # Hudi invariant: a record key lives in exactly ONE file group.
-    # Two appends of the same key violate it (append never tags keys);
-    # an upsert of such a key would rewrite it into EVERY holding
-    # group, duplicating the row — refuse loudly instead.  The check
-    # scans only the key column (parquet column pruning) of files the
-    # rewrite loop reads anyway.
-    key_frames = [
-        spark.read.parquet(os.path.join(location, rel)).select(
-            F.col(key), F.lit(file_id).alias("_fg")
+    base = None
+    if latest:
+        paths = {
+            os.path.abspath(os.path.join(location, rel)): fid
+            for fid, rel in latest.items()
+        }
+        # one scan of all live base files, file-group identity derived
+        # from the file path (metadata column — no per-file read jobs)
+        fg_map = F.create_map(
+            *[F.lit(x) for p, fid in sorted(paths.items()) for x in (p, fid)]
         )
-        for file_id, rel in sorted(latest.items())
+        base = (
+            spark.read.parquet(*sorted(paths))
+            .withColumn(
+                "_fg",
+                fg_map[F.regexp_replace(
+                    F.col("_metadata.file_path"), "^file:/*", "/"
+                )],
+            )
+        )
+    # ONE validation+routing job: source-duplicate gate, the
+    # one-key-one-file-group invariant gate, and the touched-group set
+    # come back together (each is metadata-sized)
+    probe_parts = [
+        src.groupBy(key).agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("v"))
+        .select(F.lit("dup").alias("what"), F.col("v").cast("string"))
     ]
-    if key_frames:
-        all_keys = key_frames[0]
-        for kf in key_frames[1:]:
-            all_keys = all_keys.unionByName(kf)
-        multi = (
-            all_keys.join(src.select(key), key, "left_semi")
-            .groupBy(key)
-            .agg(F.countDistinct("_fg").alias("_n"))
-            .filter(F.col("_n") > 1)
-            .limit(1)
-            .count()
+    if base is not None:
+        km = base.select(F.col(key).alias("__k"), "_fg").join(
+            src.select(F.col(key).alias("__k")), "__k", "inner"
         )
-        if multi:
+        probe_parts.append(
+            km.groupBy("__k").agg(F.countDistinct("_fg").alias("n"))
+            .agg(F.max("n").alias("v"))
+            .select(F.lit("multi").alias("what"), F.col("v").cast("string"))
+        )
+        probe_parts.append(
+            km.select("_fg").distinct()
+            .select(F.lit("fg").alias("what"), F.col("_fg").alias("v"))
+        )
+    probe = probe_parts[0]
+    for p in probe_parts[1:]:
+        probe = probe.unionByName(p)
+    touched: set[str] = set()
+    for r in probe.collect():
+        if r["what"] == "dup" and r["v"] is not None and int(r["v"]) > 1:
+            raise SparkError("upsert source has duplicate record keys")
+        if r["what"] == "multi" and r["v"] is not None and int(r["v"]) > 1:
+            # Hudi invariant: a record key lives in exactly ONE file
+            # group.  Two appends of the same key violate it; an upsert
+            # of such a key would rewrite it into EVERY holding group,
+            # duplicating the row — refuse loudly instead.
             raise SparkError(
                 "upsert matches a record key present in more than one "
                 "file group — the table violates Hudi's one-key-one-"
                 "file-group invariant (duplicate inserts?); compact or "
                 "dedupe before upserting"
             )
-    # stats key by partition path (dirname of the slice — "" for
-    # unpartitioned tables), the spec's partitionToWriteStats shape;
-    # a rewritten slice stays IN ITS partition directory
-    by_part: dict[str, list[dict]] = {}
-    remaining = src
-    for file_id, rel in sorted(latest.items()):
-        base = spark.read.parquet(os.path.join(location, rel))
-        hit = base.join(
-            src.select(F.col(key).alias("__k")),
-            base[key] == F.col("__k"),
-            "left_semi",
+        if r["what"] == "fg":
+            touched.add(r["v"])
+    # destination routing: rewritten groups keep their fileId AND their
+    # partition directory; inserts mint per-partition new groups
+    pieces = []
+    if touched:
+        dest_of = {
+            fid: f"{fid}{_DEST_SEP}{os.path.dirname(latest[fid])}"
+            for fid in sorted(touched)
+        }
+        dest_map = F.create_map(
+            *[F.lit(x) for fid in sorted(dest_of) for x in (fid, dest_of[fid])]
         )
-        if hit.limit(1).count() == 0:
-            continue  # untouched file group: no rewrite, no commit entry
-        updates = src.join(base.select(key), key, "left_semi")
+        tb = base.filter(F.col("_fg").isin(sorted(touched)))
         # carried-over rows keep their ORIGINAL commit time; updated
         # rows get the new instant (row-level incremental semantics)
-        carried = base.join(src.select(key), key, "left_anti")
-        rewritten = carried.unionByName(
-            updates.withColumn("_hoodie_commit_time", F.lit(instant))
+        carried = tb.join(src.select(key), key, "left_anti")
+        updates = (
+            # distinct: a key duplicated WITHIN one base file (legal
+            # for append-created groups) must yield ONE update row —
+            # the multi-group gate already pins one _fg per key
+            src.join(base.select(key, "_fg").distinct(), key, "inner")
+            .withColumn("_hoodie_commit_time", F.lit(instant))
         )
-        staging = os.path.join(location, f"_staging_{file_id}_{instant}")
-        rewritten.coalesce(1).write.mode("overwrite").parquet(staging)
-        part = next(
-            os.path.join(r, f)
-            for r, _d, fs in os.walk(staging)
-            for f in fs
-            if f.endswith(".parquet")
+        pieces.append(
+            carried.unionByName(updates)
+            .withColumn("_dest", dest_map[F.col("_fg")])
+            .drop("_fg")
         )
-        ppath = os.path.dirname(rel)
-        name = f"{file_id}_0-0-0_{instant}.parquet"
-        os.replace(part, os.path.join(location, ppath, name))
-        shutil.rmtree(staging)
-        by_part.setdefault(ppath, []).append(
-            {
-                "fileId": file_id,
-                "path": os.path.join(ppath, name) if ppath else name,
-            }
+    inserts = (
+        src.join(base.select(key), key, "left_anti") if base is not None
+        else src
+    ).withColumn("_hoodie_commit_time", F.lit(instant))
+    if pf:
+        insert_dest = F.concat(
+            F.lit(_NEW_GROUP + _DEST_SEP + pf + "="),
+            F.coalesce(
+                F.col(pf).cast("string"),
+                F.lit("__HIVE_DEFAULT_PARTITION__"),
+            ),
         )
-        remaining = remaining.join(updates.select(key), key, "left_anti")
-    inserts = remaining
-    pf = table_partition_field(location)
-    if inserts.limit(1).count():
-        if pf:
-            for ppath, entries in _write_partitioned_file_groups(
-                inserts, location, instant, pf
-            ).items():
-                by_part.setdefault(ppath, []).extend(entries)
-        else:
-            by_part.setdefault("", []).append(
-                _write_file_group(
-                    inserts, location, instant, f"fg-{instant}-new"
-                )
-            )
+    else:
+        insert_dest = F.lit(_NEW_GROUP + _DEST_SEP)
+    pieces.append(inserts.withColumn("_dest", insert_dest))
+    routed = pieces[0]
+    for p in pieces[1:]:
+        routed = routed.unionByName(p)
+    by_part = _write_dest_routed(spark, routed, location, instant)
     if not by_part:
         raise SparkError("upsert source is empty — nothing to commit")
     _publish(location, instant, by_part, partition_field=pf)
