@@ -1376,31 +1376,44 @@ def merge_delta_dv(
             f"merge source columns {sorted(source.columns)} != table "
             f"columns {sorted(cols)}"
         )
-    dups = (
-        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1).limit(1).count()
-    )
-    if dups:
+    # ONE source pass gates duplicate keys AND returns the source row
+    # count (keys are unique after the gate, so downstream emptiness
+    # checks become arithmetic instead of extra limit-count jobs —
+    # optimization r10, guide §1.2/§2.4: fewer passes)
+    probe = source.groupBy(*on).agg(F.count(F.lit(1)).alias("n")).agg(
+        F.max("n").alias("mx"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+    ).first()
+    if probe["mx"] is not None and probe["mx"] > 1:
         raise ValueError(
             "merge source has duplicate keys — a target row may match "
             "at most one source row"
         )
+    n_src = int(probe["total"])
     # target scan retaining (file, row_index) identity, partition
     # columns re-attached, EXISTING DVs applied (executor-decoded) so
-    # already-deleted rows can never rematch
+    # already-deleted rows can never rematch.  The matched projection
+    # is persisted and materialized ONCE — the previous shape
+    # recomputed the target-scan join for the write's anti-join and
+    # again for the DV-encode pass (two extra full table scans).
     t = _scan_with_identity(spark, snap).alias("t")
     s = source.withColumn("__src", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
-    matched = t.join(s, cond, "inner")
+    flag = (
+        F.lit(False) if matched_delete is None
+        else matched_delete.cast("boolean")
+    )
+    matched_small = t.join(s, cond, "inner").select(
+        F.col("t._file").alias("_file"),
+        F.col("t._pos").alias("_pos"),
+        *[F.col(f"s.{k}").alias(k) for k in on],
+        flag.alias("_drop"),
+    ).persist()
     # all matched pre-images leave their files (updates re-emit from
     # the source; delete-clause rows just vanish)
-    removed = matched.select(
-        F.col("t._file").alias("_file"), F.col("t._pos").alias("_pos")
-    ).persist()
+    removed = matched_small.select("_file", "_pos")
     if matched_delete is not None:
-        drop_keys = matched.filter(matched_delete).select(
-            *[F.col(f"s.{k}").alias(k) for k in on]
-        )
+        drop_keys = matched_small.filter(F.col("_drop")).select(*on).distinct()
         anti_cond = [
             source[k].eqNullSafe(drop_keys[k]) for k in on
         ]
@@ -1423,7 +1436,10 @@ def merge_delta_dv(
                 f"the merge result: {bad[0].asDict()}"
             )
     adds_new = []
-    if new_rows.limit(1).count():
+    if n_src > 0:
+        # write unconditionally; emptiness (everything matched the
+        # delete clause) is detected from the written footers' row
+        # counts — no probe-count job re-running the matched join
         if snap.partition_columns:
             adds_new = _write_partitioned_data_files(
                 new_rows.select(*cols), table_path,
@@ -1433,6 +1449,19 @@ def merge_delta_dv(
             adds_new = _write_data_files(
                 new_rows.select(*cols), table_path, f"commit-{version}", 1
             )
+        kept = []
+        for a in adds_new:
+            if json.loads(a["stats"])["numRecords"] > 0:
+                kept.append(a)
+            else:
+                os.unlink(os.path.join(table_path, a["path"]))
+        if not kept:
+            _sub = os.path.join(table_path, f"commit-{version}")
+            if os.path.isdir(_sub):
+                import shutil as _shutil
+
+                _shutil.rmtree(_sub)
+        adds_new = kept
     # union the new masks with each touched file's EXISTING DV rows
     # (untouched files keep their old descriptors); then encode one
     # sidecar per file WHERE THE GROUP'S TASK RUNS — only the
@@ -1470,7 +1499,7 @@ def merge_delta_dv(
         .applyInPandas(_encode_group, "_file string, _desc string")
         .collect()
     )
-    removed.unpersist(blocking=False)
+    matched_small.unpersist(blocking=False)
     abs_to_rel = {
         os.path.abspath(os.path.join(table_path, p)): p
         for p in snap._active

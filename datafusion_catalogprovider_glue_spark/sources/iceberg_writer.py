@@ -903,15 +903,19 @@ def merge_iceberg_pos_delete(
             f"merge source columns {sorted(source.columns)} != table "
             f"columns {sorted(cols)}"
         )
-    dups = (
-        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1).limit(1).count()
-    )
-    if dups:
+    # ONE source pass gates duplicate keys AND returns the source row
+    # count (keys unique after the gate → downstream emptiness checks
+    # become arithmetic; no extra limit-count jobs — guide §1.2/§2.4)
+    probe = source.groupBy(*on).agg(F.count(F.lit(1)).alias("n")).agg(
+        F.max("n").alias("mx"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+    ).first()
+    if probe["mx"] is not None and probe["mx"] > 1:
         raise ValueError(
             "merge source has duplicate keys — a target row may match "
             "at most one source row"
         )
+    n_src = int(probe["total"])
     root = os.path.abspath(table_path) + "/"
     scheme_re = r"^[a-z][a-z0-9+.\-]*:/+"
 
@@ -930,19 +934,30 @@ def merge_iceberg_pos_delete(
         F.col("_metadata.row_index").alias("_pos"),
     )
     if snap.delete_files:
-        del_parts = [
-            spark.read.parquet(path).select(
-                _norm(F.col("file_path")).alias("_file"),
-                F.col("pos").cast("long").alias("_pos"),
-                F.lit(seq).alias("_del_seq"),
+        # one scan over ALL live delete files (explicit schema — no
+        # per-file inference jobs), sequence attached from the path
+        del_seq_map = F.create_map(
+            *[
+                F.lit(x)
+                for path, seq in sorted(snap.delete_files)
+                for x in (os.path.abspath(path), seq)
+            ]
+        )
+        dels = (
+            spark.read.schema("file_path string, pos long").parquet(
+                *sorted(p for p, _s in snap.delete_files)
             )
-            for path, seq in snap.delete_files
-        ]
-        dels = del_parts[0]
-        for p in del_parts[1:]:
-            dels = dels.unionByName(p)
-        dels = dels.groupBy("_file", "_pos").agg(
-            F.max("_del_seq").alias("_del_seq")
+            .select(
+                _norm(F.col("file_path")).alias("_file"),
+                F.col("pos").alias("_pos"),
+                del_seq_map[
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), scheme_re, "/"
+                    )
+                ].alias("_del_seq"),
+            )
+            .groupBy("_file", "_pos")
+            .agg(F.max("_del_seq").alias("_del_seq"))
         )
         seq_map = F.broadcast(
             spark.createDataFrame(
@@ -961,18 +976,20 @@ def merge_iceberg_pos_delete(
     t = scan.alias("t")
     s = source.withColumn("__src", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
-    matched = t.join(s, cond, "inner")
-    removed = matched.select(
-        F.col("t._file").alias("_file"), F.col("t._pos").alias("_pos")
+    flag = (
+        F.lit(False) if matched_delete is None
+        else matched_delete.cast("boolean")
+    )
+    # the matched projection materializes ONCE (the delete-parquet
+    # write below is its first action); the write's anti-join and the
+    # drop-key count reuse it instead of re-running the target scan
+    matched_small = t.join(s, cond, "inner").select(
+        F.col("t._file").alias("_file"),
+        F.col("t._pos").alias("_pos"),
+        *[F.col(f"s.{k}").alias(k) for k in on],
+        flag.alias("_drop"),
     ).persist()
-    if matched_delete is not None:
-        drop_keys = matched.filter(matched_delete).select(
-            *[F.col(f"s.{k}").alias(k) for k in on]
-        )
-        anti_cond = [source[k].eqNullSafe(drop_keys[k]) for k in on]
-        new_rows = source.join(drop_keys, anti_cond, "left_anti")
-    else:
-        new_rows = source
+    removed = matched_small.select("_file", "_pos")
 
     meta_dir = os.path.join(table_path, "metadata")
     version, meta = _load_meta(meta_dir)
@@ -981,38 +998,47 @@ def merge_iceberg_pos_delete(
 
     manifest_entries = []
     # ONE delete parquet for all matched pre-images (table-relative
-    # file paths — the reader normalizes either form)
+    # file paths — the reader normalizes either form); written
+    # unconditionally to staging, published only when non-empty (the
+    # footer row count replaces the previous probe-count job)
     del_rel = None
-    if removed.limit(1).count():
-        del_df = removed.select(
-            F.replace(
-                F.col("_file"), F.lit(root), F.lit("")
-            ).alias("file_path"),
-            F.col("_pos").cast("long").alias("pos"),
-        ).orderBy("file_path", "pos")
-        staging = os.path.join(table_path, f"_staging_del_{seq}")
-        del_df.coalesce(1).write.mode("overwrite").parquet(staging)
-        part = next(
-            os.path.join(r, f)
-            for r, _d, fs in os.walk(staging)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+    del_df = removed.select(
+        F.replace(
+            F.col("_file"), F.lit(root), F.lit("")
+        ).alias("file_path"),
+        F.col("_pos").cast("long").alias("pos"),
+    ).orderBy("file_path", "pos")
+    staging = os.path.join(table_path, f"_staging_del_{seq}")
+    del_df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        os.path.join(r, f)
+        for r, _d, fs in os.walk(staging)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    import shutil as _shutil
+
+    n_del = pq.read_metadata(part).num_rows
+    if n_del:
         del_rel = f"data/deletes-{seq}.parquet"
         os.makedirs(os.path.join(table_path, "data"), exist_ok=True)
         os.replace(part, os.path.join(table_path, del_rel))
-        import shutil as _shutil
-
-        _shutil.rmtree(staging)
-        n_del = pq.read_metadata(
-            os.path.join(table_path, del_rel)
-        ).num_rows
         manifest_entries.append(
             (1, 1, del_rel, "PARQUET", n_del, seq, None, None, None)
         )
-    removed.unpersist(blocking=False)
+    _shutil.rmtree(staging)
 
-    if new_rows.limit(1).count():
+    if matched_delete is not None:
+        drop_keys = matched_small.filter(F.col("_drop")).select(*on).distinct()
+        anti_cond = [source[k].eqNullSafe(drop_keys[k]) for k in on]
+        new_rows = source.join(drop_keys, anti_cond, "left_anti")
+    else:
+        new_rows = source
+
+    if n_src > 0:
+        # write unconditionally; emptiness (everything matched the
+        # delete clause) is detected from the footer row counts the
+        # listing already reads — no probe-count job
         part_by = _default_spec_partition_by(meta)
         data_files = (
             _write_partitioned_files(
@@ -1021,6 +1047,10 @@ def merge_iceberg_pos_delete(
             if part_by
             else _write_data_files(new_rows.select(*cols), table_path, seq, 1)
         )
+        empty = [rel for rel, n, *_rest in data_files if n == 0]
+        for rel in empty:
+            os.unlink(os.path.join(table_path, rel))
+        data_files = [t for t in data_files if t[1] > 0]
         manifest_entries.extend(
             (
                 1, 0, rel, "PARQUET", n, seq,
@@ -1029,6 +1059,7 @@ def merge_iceberg_pos_delete(
             )
             for rel, n, part, lo, hi in data_files
         )
+    matched_small.unpersist(blocking=False)
     if not manifest_entries:
         raise ValueError("empty merge: source matched nothing and adds nothing")
 
@@ -1091,15 +1122,19 @@ def merge_iceberg_dv_v3(
             f"merge source columns {sorted(source.columns)} != table "
             f"columns {sorted(cols)}"
         )
-    dups = (
-        source.groupBy(*on).agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") > 1).limit(1).count()
-    )
-    if dups:
+    # ONE source pass gates duplicate keys AND returns the source row
+    # count (keys unique after the gate → downstream emptiness checks
+    # become arithmetic; no extra limit-count jobs — guide §1.2/§2.4)
+    probe = source.groupBy(*on).agg(F.count(F.lit(1)).alias("n")).agg(
+        F.max("n").alias("mx"),
+        F.coalesce(F.sum("n"), F.lit(0)).alias("total"),
+    ).first()
+    if probe["mx"] is not None and probe["mx"] > 1:
         raise ValueError(
             "merge source has duplicate keys — a target row may match "
             "at most one source row"
         )
+    n_src = int(probe["total"])
     root = os.path.abspath(table_path) + "/"
     scheme_re = r"^[a-z][a-z0-9+.\-]*:/+"
 
@@ -1159,10 +1194,22 @@ def merge_iceberg_dv_v3(
     t = scan.alias("t")
     s = source.withColumn("__src", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in on]
-    matched = t.join(s, cond, "inner")
-    removed = matched.select(
-        F.col("t._file").alias("_file"), F.col("t._pos").alias("_pos")
+    flag = (
+        F.lit(False) if matched_delete is None
+        else matched_delete.cast("boolean")
     )
+    # the matched projection materializes ONCE (the DV-encode collect
+    # below is its first action); the drop-key count and the write's
+    # anti-join reuse it instead of re-running the target scan + the
+    # executor-side old-DV expansion (two extra full passes before —
+    # optimization r10, guide §1.2/§2.4)
+    matched_small = t.join(s, cond, "inner").select(
+        F.col("t._file").alias("_file"),
+        F.col("t._pos").alias("_pos"),
+        *[F.col(f"s.{k}").alias(k) for k in on],
+        flag.alias("_drop"),
+    ).persist()
+    removed = matched_small.select("_file", "_pos")
     if old_dv_rows is not None:
         # files re-masked this commit absorb their OLD vector into the
         # replacement; files untouched this commit keep their old DV
@@ -1192,9 +1239,7 @@ def merge_iceberg_dv_v3(
         .collect()
     )
     if matched_delete is not None:
-        drop_keys = matched.filter(matched_delete).select(
-            *[F.col(f"s.{k}").alias(k) for k in on]
-        )
+        drop_keys = matched_small.filter(F.col("_drop")).select(*on).distinct()
         anti_cond = [source[k].eqNullSafe(drop_keys[k]) for k in on]
         new_rows = source.join(drop_keys, anti_cond, "left_anti")
     else:
@@ -1256,7 +1301,10 @@ def merge_iceberg_dv_v3(
             fh.write(bytes(body))
         os.replace(out_path + ".tmp", out_path)
 
-    if new_rows.limit(1).count():
+    if n_src > 0:
+        # write unconditionally; emptiness (everything matched the
+        # delete clause) is detected from the footer row counts the
+        # listing already reads — no probe-count job
         part_by = _default_spec_partition_by(meta)
         data_files = (
             _write_partitioned_files(
@@ -1265,6 +1313,10 @@ def merge_iceberg_dv_v3(
             if part_by
             else _write_data_files(new_rows.select(*cols), table_path, seq, 1)
         )
+        empty = [rel for rel, n, *_rest in data_files if n == 0]
+        for rel in empty:
+            os.unlink(os.path.join(table_path, rel))
+        data_files = [t for t in data_files if t[1] > 0]
         manifest_entries.extend(
             (
                 1, 0, rel, "PARQUET", n, seq,
@@ -1274,6 +1326,7 @@ def merge_iceberg_dv_v3(
             )
             for rel, n, part, lo, hi in data_files
         )
+    matched_small.unpersist(blocking=False)
     if not manifest_entries:
         raise ValueError("empty merge: source matched nothing and adds nothing")
 
