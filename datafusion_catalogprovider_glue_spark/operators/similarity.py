@@ -98,9 +98,29 @@ def _sample_seed_ids(sample: DataFrame, k: int) -> list[int]:
     return [r.vec_id for r in _hash_order(sample).limit(k).collect()]
 
 
+def _double_sql(x: float) -> str:
+    """Shortest round-trip SQL double literal.  Python ``repr`` emits the
+    shortest string that parses back to the same IEEE 754 double, and
+    Spark's parser is correctly rounded, so the ``D``-suffixed literal is
+    bit-identical to ``F.lit(float(x))``."""
+    return repr(float(x)) + "D"
+
+
+def _double_array_sql(xs) -> str:
+    """A ``DOUBLE`` array literal as ONE SQL fragment."""
+    return "array(" + ",".join(_double_sql(x) for x in xs) + ")"
+
+
 def _codebook_lit(centroids: list[list[float]]):
-    """The codebook as ONE nested-array literal column."""
-    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    """The codebook as ONE nested-array literal column.
+
+    Rendered as a single SQL string parsed JVM-side: the expression-API
+    form ``F.array(*[F.array(*[F.lit(x) ...]) ...])`` issues one py4j
+    round-trip per coordinate — K×D ≈ 1024 driver RPCs per call site,
+    measured as ~10k py4j calls dominating sim_topk_ivf's plan-build
+    wall.  The parsed Catalyst tree (CreateArray of double Literals) is
+    identical either way."""
+    return F.expr("array(" + ",".join(_double_array_sql(c) for c in centroids) + ")")
 
 
 def _d2_table(vcol, centroids: list[list[float]], digits: int | None = None):
@@ -469,7 +489,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "load the trained index" step; bounded by IVF_CELLS, not data)
     cents = sorted(c1.collect(), key=lambda r: r.cid)
     centroids = [list(r.cv) for r in cents]
-    cid_arr = F.array(*[F.lit(int(r.cid)) for r in cents])
+    cid_arr = F.expr("array(" + ",".join(str(int(r.cid)) for r in cents) + ")")
 
     # Index BUILD is a materialization step (FAISS writes the inverted
     # file to disk; here localCheckpoint pins the assignment).  Without
@@ -831,7 +851,8 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
 
     def _pj(row: list[float]):
-        lit = F.array(*[F.lit(x) for x in row])
+        # one parsed SQL fragment per sign row (not 64 F.lit py4j calls)
+        lit = F.expr(_double_array_sql(row))
         return F.round(
             F.aggregate(
                 F.zip_with(F.col("v"), lit, lambda x, y: x * y),
@@ -1083,9 +1104,12 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one inline-codebook projection, 4 code bytes per vector — no
     # explode, no join, no shuffle (r8; was ~6x superlinear at 10x
     # data through the explode→regroup round trip)
-    codes = _encode_codes_inline(
-        e, c1, "v", normalize=True
-    ).localCheckpoint()
+    # codes has ONE consumer (the ADC probe below), so it is NOT
+    # localCheckpoint'd: the encode pass pipelines into the ADC job
+    # instead of paying a separate full-corpus materialization — at
+    # 100 TB this also avoids pinning corpus-sized codes in executor
+    # storage memory.
+    codes = _encode_codes_inline(e, c1, "v", normalize=True)
     # per-query d2 lookup tables: queries x K x subspaces (tiny)
     subq = subs.filter(F.col("vec_id") < N_QUERIES)
     dt = subq.join(F.broadcast(c1), "sub").select(
@@ -1881,8 +1905,10 @@ def _maxmin_seeds_subs(sub_sample: DataFrame, k: int) -> DataFrame:
         )
         .groupBy("sub")
         .applyInPandas(maxmin, "sub int, cid int, cv array<double>")
-        .localCheckpoint()
     )
+    # NOT localCheckpoint'd: the seeds have exactly one consumer (the
+    # broadcast inside the Lloyd round's assignment join), so pinning
+    # them was one extra blocking job per call with nothing reused.
 
 
 def _encode_codes_inline(
@@ -2185,7 +2211,8 @@ def sim_topk_pq_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector (r8 — the lazy _asg re-assign is never materialized; the
     # explode→regroup encode it represented cost two full-corpus
     # shuffles)
-    codes = _encode_codes_inline(e, c1, "v").localCheckpoint()
+    # single consumer (ADC probe): pipeline the encode into the ADC job
+    codes = _encode_codes_inline(e, c1, "v")
     subq = subs.filter(F.col("vec_id") < N_QUERIES)
     dt = subq.join(F.broadcast(c1), "sub").select(
         F.col("vec_id").alias("query_id"),
