@@ -5661,13 +5661,20 @@ def scan_delta_uniform_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     if via_delta.count() != via_iceberg.count():
         raise SparkError("cross-format row counts diverged")
-    # DV tables must refuse metadata generation
+    # DV tables must refuse metadata generation.  The probe only needs
+    # A table whose latest state carries a deletion vector — it feeds
+    # nothing into the returned result — so it is built from a tiny
+    # deterministic slice (doc_id < 120 guarantees matched keys for the
+    # DV delete) instead of re-committing the full corpus twice.
     dv_table = table + "_dv"
     shutil.rmtree(dv_table, ignore_errors=True)
-    append_delta(docs.filter(F.col("doc_id") % 2 == 1), dv_table)
+    probe_rows = docs.filter(
+        (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 120)
+    )
+    append_delta(probe_rows, dv_table)
     merge_delta_dv(
         spark, dv_table,
-        docs.filter(F.col("doc_id") % 3 == 0),
+        probe_rows.filter(F.col("doc_id") % 3 == 0),
         on=["doc_id"], matched_delete=F.lit(True),
     )
     try:
@@ -5764,7 +5771,13 @@ def scan_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             return hashlib.md5(fh.read()).hexdigest()
 
     before = {f: _digest(f) for f in pre.files}
-    n_deleted = docs.filter(F.col("doc_id") % 10 == 0).count()
+    # both deleted-row counts in ONE aggregation job over the source
+    # (they were two separate full-scan count() actions)
+    _cnt = docs.agg(
+        F.sum((F.col("doc_id") % 10 == 0).cast("long")).alias("a"),
+        F.sum((F.col("doc_id") % 20 == 2).cast("long")).alias("b"),
+    ).collect()[0]
+    n_deleted = int(_cnt["a"] or 0)
     merge_iceberg_dv_v3(
         spark, table,
         docs.filter(F.col("doc_id") % 10 == 0),
@@ -5818,7 +5831,7 @@ def scan_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise SparkError("no deletion-vector entries in the snapshot")
     puffin_path = snap.dv_entries[0][0]
     assert read_puffin_footer(puffin_path)  # parseable sidecar
-    n_deleted_2 = docs.filter(F.col("doc_id") % 20 == 2).count()
+    n_deleted_2 = int(_cnt["b"] or 0)
     # LIVE masked rows = every position reachable through the CURRENT
     # manifest entries (superseded blobs still sit in the old puffin
     # bytes but no entry references them) — must equal both deletes

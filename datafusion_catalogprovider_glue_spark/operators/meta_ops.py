@@ -886,11 +886,22 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         # convergence after EVERY applied batch: cardinality against the
         # primary's state at v (cheap); the lossless full-row proof is
-        # the oracle hash match on the final state
-        if (
-            read_delta(spark, replica).count()
-            != read_delta(spark, primary, version=v).count()
-        ):
+        # the oracle hash match on the final state.  Both cardinalities
+        # come back from ONE tagged-union job (they were two separate
+        # count() actions per version).
+        _sides = {
+            r["side"]: r["n"]
+            for r in read_delta(spark, replica)
+            .select(F.lit(1).alias("side"))
+            .unionByName(
+                read_delta(spark, primary, version=v)
+                .select(F.lit(2).alias("side"))
+            )
+            .groupBy("side")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        if _sides.get(1, 0) != _sides.get(2, 0):
             raise SparkError(f"replica diverged after applying version {v}")
         batch.unpersist(blocking=False)
     return read_delta(spark, replica)
