@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -562,6 +563,33 @@ def read_iceberg(
         with_pos = with_pos.unionByName(p)
     if not snap.delete_files and not snap.eq_deletes and not snap.dv_entries:
         return with_pos.select(*cols)
+
+    def _norm_py(p: str) -> str:
+        # driver-side twin of _norm (same regex, same root-prepend)
+        if not (re.match(scheme_re, p) or p.startswith("/")):
+            p = root + p
+        return re.sub(scheme_re, "/", p)
+
+    # The data-file→sequence-number map is DRIVER-KNOWN metadata (it
+    # came out of the manifests just parsed).  Up to a bounded file
+    # count, render it as one literal map expression parsed JVM-side:
+    # the seq-scoping predicate can then evaluate on the TINY delete
+    # side (or inline on the corpus for equality deletes) instead of
+    # joining a broadcast (file, seq) frame against the corpus — one
+    # broadcast exchange job fewer per action.  Above the bound the
+    # expression tree would dominate planning, so the broadcast-join
+    # path below stays (at that scale the extra exchange is noise).
+    seq_pairs = [(_norm_py(p), int(s)) for p, s in snap.data_seq]
+    seq_lookup = None
+    if 0 < len(seq_pairs) <= 1024:
+        def _esc(s: str) -> str:
+            return s.replace("\\", "\\\\").replace("'", "\\'")
+
+        seq_lookup = F.expr(
+            "map("
+            + ",".join(f"'{_esc(p)}',{s}" for p, s in seq_pairs)
+            + ")"
+        )
     if snap.delete_files or snap.dv_entries:
         # each delete file carries its sequence number as a literal;
         # a (file, pos) entry kills a data row only when the delete's
@@ -618,23 +646,43 @@ def read_iceberg(
         dels = del_parts[0]
         for p in del_parts[1:]:
             dels = dels.unionByName(p)
-        dels = dels.groupBy("_if_file", "_if_pos").agg(
-            F.max("_del_seq").alias("_del_seq")
-        )
-        seq_map = F.broadcast(
-            spark.createDataFrame(
-                snap.data_seq, "_if_file string, _if_seq int"
-            ).withColumn("_if_file", _norm(F.col("_if_file")))
-        )
-        with_pos = (
-            with_pos.join(seq_map, "_if_file", "left")
-            .join(F.broadcast(dels), ["_if_file", "_if_pos"], "left")
-            .filter(
-                F.col("_del_seq").isNull()
-                | (F.col("_del_seq") < F.coalesce(F.col("_if_seq"), F.lit(0)))
+        if seq_lookup is not None:
+            # seq scoping on the tiny delete side: an entry kills its
+            # (file, pos) row iff _del_seq >= the data file's sequence
+            # number (missing → 0, matching the old coalesce).  The
+            # corpus then sees ONE broadcast left-anti join; anti-join
+            # semantics ignore build-side duplicates, so the
+            # per-(file,pos) max-seq aggregation is unnecessary too.
+            kill = dels.filter(
+                F.col("_del_seq")
+                >= F.coalesce(
+                    seq_lookup[F.col("_if_file")], F.lit(0)
+                )
+            ).select("_if_file", "_if_pos")
+            with_pos = with_pos.join(
+                F.broadcast(kill), ["_if_file", "_if_pos"], "left_anti"
             )
-            .drop("_del_seq", "_if_seq")
-        )
+        else:
+            dels = dels.groupBy("_if_file", "_if_pos").agg(
+                F.max("_del_seq").alias("_del_seq")
+            )
+            seq_map = F.broadcast(
+                spark.createDataFrame(
+                    snap.data_seq, "_if_file string, _if_seq int"
+                ).withColumn("_if_file", _norm(F.col("_if_file")))
+            )
+            with_pos = (
+                with_pos.join(seq_map, "_if_file", "left")
+                .join(F.broadcast(dels), ["_if_file", "_if_pos"], "left")
+                .filter(
+                    F.col("_del_seq").isNull()
+                    | (
+                        F.col("_del_seq")
+                        < F.coalesce(F.col("_if_seq"), F.lit(0))
+                    )
+                )
+                .drop("_del_seq", "_if_seq")
+            )
     if snap.eq_deletes:
         # EQUALITY deletes (spec §equality-delete-files): a data row is
         # dropped when its values null-safe-match a delete row on the
@@ -645,15 +693,26 @@ def read_iceberg(
         # the delete file's own columns (the flat-manifest subset of
         # the spec's `equality_ids` field list).  One broadcast anti
         # join per delete file — corpus rows never shuffle.
-        seq_df = F.broadcast(
-            spark.createDataFrame(
-                snap.data_seq, "_if_file string, _if_seq int"
-            ).withColumn("_if_file", _norm(F.col("_if_file")))
+        seq_df = (
+            None
+            if seq_lookup is not None
+            else F.broadcast(
+                spark.createDataFrame(
+                    snap.data_seq, "_if_file string, _if_seq int"
+                ).withColumn("_if_file", _norm(F.col("_if_file")))
+            )
         )
     for eq_path, eq_seq in snap.eq_deletes:
         eq = spark.read.parquet(eq_path).distinct()
         eq_ids = eq.columns
-        with_seq = with_pos.join(seq_df, "_if_file", "left")
+        if seq_lookup is not None:
+            # inline literal lookup instead of a broadcast (file, seq)
+            # join against the corpus — one exchange fewer per action
+            with_seq = with_pos.withColumn(
+                "_if_seq", seq_lookup[F.col("_if_file")]
+            )
+        else:
+            with_seq = with_pos.join(seq_df, "_if_file", "left")
         cond = F.lit(eq_seq) > F.coalesce(F.col("_if_seq"), F.lit(0))
         for c in eq_ids:
             cond = cond & with_seq[c].eqNullSafe(eq[c])
