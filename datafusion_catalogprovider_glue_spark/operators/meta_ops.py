@@ -885,23 +885,47 @@ def stream_cdc_replicate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 matched_delete=F.col("s._change_type") == "delete",
             )
         # convergence after EVERY applied batch: cardinality against the
-        # primary's state at v (cheap); the lossless full-row proof is
-        # the oracle hash match on the final state.  Both cardinalities
-        # come back from ONE tagged-union job (they were two separate
-        # count() actions per version).
-        _sides = {
-            r["side"]: r["n"]
-            for r in read_delta(spark, replica)
-            .select(F.lit(1).alias("side"))
-            .unionByName(
-                read_delta(spark, primary, version=v)
-                .select(F.lit(2).alias("side"))
-            )
-            .groupBy("side")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        if _sides.get(1, 0) != _sides.get(2, 0):
+        # primary's state at v; the lossless full-row proof is the
+        # oracle hash match on the final state.  Live counts derive
+        # DRIVER-SIDE from the snapshots' add-action footer stats minus
+        # DV cardinalities (the stats-based COUNT(*) every production
+        # Delta engine serves) — the previous tagged-union count()
+        # full-scanned BOTH tables per version, a cost ∝ table size
+        # inside a loop whose contract is cost ∝ change volume
+        # (optimization r10, guide §1.2/§5: no data jobs for
+        # metadata-sized questions).  Falls back to one tagged-union
+        # scan job if any live file lacks stats.
+        def _live_rows(path: str, version=None):
+            s = DeltaSnapshot(path, version)
+            total = 0
+            for p in s._active:
+                st = s._stats.get(p)
+                if not st or st.get("numRecords") is None:
+                    return None
+                total += int(st["numRecords"])
+            for p, dv in s._dvs.items():
+                if dv.get("cardinality") is None:
+                    return None
+                total -= int(dv["cardinality"])
+            return total
+
+        n_rep = _live_rows(replica)
+        n_pri = _live_rows(primary, version=v)
+        if n_rep is None or n_pri is None:
+            _sides = {
+                r["side"]: r["n"]
+                for r in read_delta(spark, replica)
+                .select(F.lit(1).alias("side"))
+                .unionByName(
+                    read_delta(spark, primary, version=v)
+                    .select(F.lit(2).alias("side"))
+                )
+                .groupBy("side")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            n_rep, n_pri = _sides.get(1, 0), _sides.get(2, 0)
+        if n_rep != n_pri:
             raise SparkError(f"replica diverged after applying version {v}")
         batch.unpersist(blocking=False)
     return read_delta(spark, replica)

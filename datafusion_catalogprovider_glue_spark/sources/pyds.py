@@ -220,17 +220,24 @@ class _GlueDeltaReader(DataSourceReader):
 
         tbl = pq.read_table(partition.path)
         if partition.dv_descriptor:
+            import numpy as np
+
             from datafusion_catalogprovider_glue_spark.sources.dv import (
                 read_dv,
             )
 
             desc = json.loads(partition.dv_descriptor)
-            dead = set(read_dv(partition.table_path, desc))
-            keep = pa.array(
-                [i not in dead for i in range(tbl.num_rows)],
-                type=pa.bool_(),
+            # vectorized mask (guide §4.2): flip the dead positions in
+            # one numpy scatter instead of a per-row Python loop —
+            # positions past the file's row count are no-ops, matching
+            # the membership-test semantics this replaces
+            dead = np.fromiter(
+                read_dv(partition.table_path, desc), dtype=np.int64
             )
-            tbl = tbl.filter(keep)
+            keep = np.ones(tbl.num_rows, dtype=bool)
+            if dead.size:
+                keep[dead[dead < tbl.num_rows]] = False
+            tbl = tbl.filter(pa.array(keep))
         for f in self._schema.fields:
             if f.name not in tbl.column_names:
                 import pyspark.sql.types as T
@@ -247,8 +254,13 @@ class _GlueDeltaReader(DataSourceReader):
                     val = int(raw)
                 elif raw is not None and pa_type == pa.float64():
                     val = float(raw)
+                # constant column in one C-level repeat, not a
+                # row-count-sized Python list (guide §4.2)
                 tbl = tbl.append_column(
-                    f.name, pa.array([val] * tbl.num_rows, type=pa_type)
+                    f.name,
+                    pa.repeat(
+                        pa.scalar(val, type=pa_type), tbl.num_rows
+                    ),
                 )
         tbl = tbl.select([f.name for f in self._schema.fields])
         for batch in tbl.to_batches():
@@ -306,29 +318,33 @@ class _GlueDeltaStreamReader(SimpleDataSourceStreamReader):
                     for batch in tbl.select(names).to_batches():
                         yield batch
 
+    def _tuples(self, batches):
+        """Schema-ordered row tuples from arrow batches, built by
+        columnar zip — no per-row dict materialization (guide §4.2);
+        absent columns pad with nulls like the dict .get they
+        replace."""
+        names = [f.name for f in self._schema.fields]
+        for batch in batches:
+            present = set(batch.schema.names)
+            cols = [
+                batch.column(n).to_pylist()
+                if n in present
+                else [None] * batch.num_rows
+                for n in names
+            ]
+            yield from zip(*cols)
+
     def read(self, start):
         start_v = int(start["version"])
         end_v = max((v for v, _p in _log_commits(self._path)), default=-1)
         if end_v <= start_v:
             return iter([]), {"version": start_v}
-        rows = []
-        for batch in self._added_rows(start_v, end_v):
-            rows.extend(batch.to_pylist())
-        tuples = [
-            tuple(r.get(f.name) for f in self._schema.fields)
-            for r in rows
-        ]
+        tuples = list(self._tuples(self._added_rows(start_v, end_v)))
         return iter(tuples), {"version": end_v}
 
     def readBetweenOffsets(self, start, end):
-        rows = []
-        for batch in self._added_rows(
-            int(start["version"]), int(end["version"])
-        ):
-            rows.extend(batch.to_pylist())
-        return iter(
-            tuple(r.get(f.name) for f in self._schema.fields)
-            for r in rows
+        return self._tuples(
+            self._added_rows(int(start["version"]), int(end["version"]))
         )
 
     def commit(self, end):
