@@ -96,7 +96,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     edges = edges.localCheckpoint()  # graph build runs once, not per iteration
-    outw = (
+    # the loop sides are nation-bounded by schema invariant (≤25 nodes,
+    # ≤625 edges) but checkpointing erased their stats, so Catalyst
+    # planned every per-iteration join as a shuffle — explicit
+    # broadcast hints (guide §3.1: force it when you KNOW a side is
+    # small) leave one tiny aggregation exchange per iteration
+    # (A/B at sf0.1: 1.80 → 1.42 s steady-state, hash-identical)
+    edges = F.broadcast(edges)
+    outw = F.broadcast(
         edges.groupBy("src")
         .agg(F.sum("w").alias("out_w"))
         .withColumnRenamed("src", "osrc")
@@ -112,7 +119,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         contrib = F.col("r") * F.col("w") / F.col("out_w")
         ranks = (
             nodes.join(edges, edges.dst == nodes.node, "left")
-            .join(ranks.withColumnRenamed("node", "rnode"),
+            .join(F.broadcast(ranks.withColumnRenamed("node", "rnode")),
                   F.col("rnode") == F.col("src"), "left")
             .join(outw, F.col("osrc") == F.col("src"), "left")
             .groupBy("node")
@@ -306,6 +313,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rn_w = Window.partitionBy("src").orderBy(F.col("sw").desc(), F.col("lbl"))
     for _ in range(LPA_ITERS):
+        # NOTE (optimization r10): broadcasting the node-sized label
+        # side here, the graph_pagerank treatment, measured WORSE in a
+        # same-box A/B (best-of-2 × 2: 2.13–2.30 s hinted vs
+        # 1.80–1.95 s unhinted at sf0.1) — the round's rollup+window
+        # exchanges dominate and the hint only displaces them — so the
+        # loop keeps Catalyst's own plan.
         labels = (
             edges.join(
                 labels.withColumnRenamed("node", "nbr"),
