@@ -517,9 +517,26 @@ def sink_delta_cdf_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not cdc_n:
         raise SparkError("merge under enableChangeDataFeed wrote no cdc actions")
     cdf = read_delta_cdf(spark, table, from_version=v).persist()
-    n_even = docs.filter(F.col("doc_id") % 2 == 0).count()
-    n_changed = docs.filter(F.col("doc_id") % 3 == 0).count()
-    n_cdf = cdf.count()
+    # both source cardinalities from ONE aggregation over docs, and the
+    # CDF total + pre/post-image counts from ONE aggregation over the
+    # persisted feed — this ran five separate full-scan count() actions
+    # (optimization r10, guide §1.2: don't re-pass over data for
+    # questions one pass answers)
+    _src = docs.agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("even"),
+        F.sum((F.col("doc_id") % 3 == 0).cast("long")).alias("changed"),
+    ).collect()[0]
+    n_even, n_changed = int(_src["even"] or 0), int(_src["changed"] or 0)
+    _c = cdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("_change_type") == "update_preimage").cast("long")
+        ).alias("pre"),
+        F.sum(
+            (F.col("_change_type") == "update_postimage").cast("long")
+        ).alias("post"),
+    ).collect()[0]
+    n_cdf = int(_c["n"])
     # true change volume: every %3 key appears once (delete or insert)
     # or twice (update pre+post) — NEVER ~2x the whole table, which is
     # what the derivation fallback would produce for a CoW rewrite
@@ -528,9 +545,7 @@ def sink_delta_cdf_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cdf row count {n_cdf} is not change-shaped "
             f"(changes {n_changed}, table {n_even})"
         )
-    pre = cdf.filter(F.col("_change_type") == "update_preimage")
-    post = cdf.filter(F.col("_change_type") == "update_postimage")
-    if pre.count() != post.count():
+    if int(_c["pre"] or 0) != int(_c["post"] or 0):
         raise SparkError("update pre/post images do not pair up")
     return (
         cdf.groupBy("_change_type")
@@ -5286,14 +5301,22 @@ def stream_delta_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(180)
 
     drain()
+    # both expected cardinalities from ONE source aggregation (they
+    # were two separate full-scan count() actions — optimization r10,
+    # guide §1.2); the out-side counts stay per-drain, that is the
+    # restart assertion itself
+    _w = docs.agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("even"),
+        F.sum((F.col("doc_id") % 4 == 1).cast("long")).alias("odd1"),
+    ).collect()[0]
+    want1 = int(_w["even"] or 0)
     n1 = spark.read.parquet(out).count()
-    want1 = docs.filter(F.col("doc_id") % 2 == 0).count()
     if n1 != want1:
         raise SparkError(f"first drain emitted {n1}, expected {want1}")
     append_delta(docs.filter(F.col("doc_id") % 4 == 1), table)
     drain()  # restart from the checkpoint: ONLY the new commit lands
     n2 = spark.read.parquet(out).count()
-    want2 = want1 + docs.filter(F.col("doc_id") % 4 == 1).count()
+    want2 = want1 + int(_w["odd1"] or 0)
     if n2 != want2:
         raise SparkError(
             f"restart drain reached {n2}, expected {want2} — offsets "
