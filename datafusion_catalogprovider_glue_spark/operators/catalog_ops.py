@@ -2552,9 +2552,6 @@ def scan_hudi_archived_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="doc_id",
     )
     slices_before = hudi_live_slices(table)
-    n_at_t2 = docs.filter(
-        (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 3 == 0)
-    ).count()
     archived = archive_hudi_timeline(table, keep_last_n=1)
     assert archived == [t1, t2], (archived, t1, t2)
     # (a) the active timeline really lost the archived instants
@@ -2564,8 +2561,24 @@ def scan_hudi_archived_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert os.path.exists(os.path.join(tl, f"{t3}.commit"))
     # (b) snapshot state is byte-identical at the metadata level
     assert hudi_live_slices(table) == slices_before
-    # (c) time travel to an ARCHIVED instant resolves
-    assert read_hudi(spark, table, as_of=t2).count() == n_at_t2
+    # (c) time travel to an ARCHIVED instant resolves — expected and
+    # observed cardinality in ONE tagged-union aggregation job (the
+    # expected-count job used to run separately before the archive;
+    # docs is independent of the archive so the fused probe moves here)
+    _ac = (
+        read_hudi(spark, table, as_of=t2).select(F.lit("h").alias("_t"))
+        .unionByName(
+            docs.filter(
+                (F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 3 == 0)
+            ).select(F.lit("d").alias("_t"))
+        )
+        .agg(
+            F.sum((F.col("_t") == "h").cast("long")).alias("h"),
+            F.sum((F.col("_t") == "d").cast("long")).alias("d"),
+        )
+        .collect()[0]
+    )
+    assert int(_ac["h"] or 0) == int(_ac["d"] or 0)
     # (d) files index composes with the merged timeline
     assert index_hudi_files(table) == t3
     assert hudi_live_slices(table) == slices_before
@@ -4483,9 +4496,21 @@ def sink_iceberg_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise SparkError(
             f"compaction did not compact: {n_before} -> {len(snap.files)}"
         )
-    # time travel crosses the rewrite: snapshot s1 still serves evens
-    n_evens = read_iceberg(spark, table, snapshot_id=s1).count()
-    n_all = docs.count()
+    # time travel crosses the rewrite: snapshot s1 still serves evens —
+    # both cardinalities in ONE tagged-union aggregation job (they
+    # were two separate full-scan count() actions)
+    _cc = (
+        read_iceberg(spark, table, snapshot_id=s1)
+        .select(F.lit("s").alias("_t"))
+        .unionByName(docs.select(F.lit("d").alias("_t")))
+        .agg(
+            F.sum((F.col("_t") == "s").cast("long")).alias("s"),
+            F.sum((F.col("_t") == "d").cast("long")).alias("d"),
+        )
+        .collect()[0]
+    )
+    n_evens = int(_cc["s"] or 0)
+    n_all = int(_cc["d"] or 0)
     if n_evens >= n_all or n_evens == 0:
         raise SparkError(f"pre-compaction time travel broken: {n_evens}")
     assert s3 != s1
@@ -5225,7 +5250,18 @@ def scan_delta_pyds(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by="lang",
     )
     via_pyds = spark.read.format("glue_delta").load(t_dv)
-    if via_pyds.count() != read_delta(spark, t_dv).count():
+    # both reader cardinalities in ONE tagged-union aggregation job
+    # (they were two separate full-scan count() actions)
+    _pc = (
+        via_pyds.select(F.lit("p").alias("_t"))
+        .unionByName(read_delta(spark, t_dv).select(F.lit("e").alias("_t")))
+        .agg(
+            F.sum((F.col("_t") == "p").cast("long")).alias("p"),
+            F.sum((F.col("_t") == "e").cast("long")).alias("e"),
+        )
+        .collect()[0]
+    )
+    if int(_pc["p"] or 0) != int(_pc["e"] or 0):
         raise SparkError(
             "python data source diverged from the engine reader"
         )
@@ -5682,7 +5718,18 @@ def scan_delta_uniform_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"delta-only {sorted(d_files - i_files)[:2]}, "
             f"iceberg-only {sorted(i_files - d_files)[:2]}"
         )
-    if via_delta.count() != via_iceberg.count():
+    # both format readers' cardinalities in ONE tagged-union
+    # aggregation job (they were two separate full-scan count()s)
+    _uc = (
+        via_delta.select(F.lit("d").alias("_t"))
+        .unionByName(via_iceberg.select(F.lit("i").alias("_t")))
+        .agg(
+            F.sum((F.col("_t") == "d").cast("long")).alias("d"),
+            F.sum((F.col("_t") == "i").cast("long")).alias("i"),
+        )
+        .collect()[0]
+    )
+    if int(_uc["d"] or 0) != int(_uc["i"] or 0):
         raise SparkError("cross-format row counts diverged")
     # DV tables must refuse metadata generation.  The probe only needs
     # A table whose latest state carries a deletion vector — it feeds
@@ -6027,9 +6074,23 @@ def sink_iceberg_merge_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed = [p for p, d in before.items() if _digest(p) != d]
     if changed:
         raise SparkError(f"pos-delete merge rewrote data files: {changed}")
-    # time travel: the pre-merge snapshot still serves the original rows
-    n0 = read_iceberg(spark, table, snapshot_id=snap0).count()
-    if n0 != docs.filter(F.col("doc_id") % 2 == 0).count():
+    # time travel: the pre-merge snapshot still serves the original
+    # rows — both cardinalities in ONE tagged-union aggregation job
+    # (they were two separate full-scan count() actions)
+    _tc = (
+        read_iceberg(spark, table, snapshot_id=snap0)
+        .select(F.lit("s").alias("_t"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select(F.lit("d").alias("_t"))
+        )
+        .agg(
+            F.sum((F.col("_t") == "s").cast("long")).alias("s"),
+            F.sum((F.col("_t") == "d").cast("long")).alias("d"),
+        )
+        .collect()[0]
+    )
+    if int(_tc["s"] or 0) != int(_tc["d"] or 0):
         raise SparkError("time travel across pos-delete merges broke")
     return read_iceberg(spark, table)
 
@@ -6925,7 +6986,12 @@ def sink_iceberg_expire_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # appends share no files across snapshots here, so expiry deletes
     # only the expired snapshots' own manifest lists/manifests (their
     # DATA files remain referenced by the retained head's manifests)
-    if read_iceberg(spark, table, snapshot_id=snaps[1]).count() <= 0:
+    # survival = the snapshot resolves and serves at least one row;
+    # limit(1) stops the scan at the first row instead of counting
+    # every file of the pinned snapshot
+    if read_iceberg(
+        spark, table, snapshot_id=snaps[1]
+    ).limit(1).count() <= 0:
         raise SparkError("tag-pinned snapshot must survive policy expiry")
     try:
         read_iceberg(spark, table, snapshot_id=snaps[0]).count()

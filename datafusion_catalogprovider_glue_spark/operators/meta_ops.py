@@ -428,12 +428,27 @@ def scan_hudi_files_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         # time travel BEFORE the index instant must ignore it (full
         # replay) and still resolve the pre-clustering state
         opened.clear()
-        n_pre = read_hudi(spark, table, as_of=pre_index[0]).count()
+        # time-travel count AND its expected count in ONE tagged-union
+        # aggregation job (the docs side is plain parquet and touches
+        # no commit loader, so the `opened` probe is unaffected)
+        _fc = (
+            read_hudi(spark, table, as_of=pre_index[0])
+            .select(F.lit("h").alias("_t"))
+            .unionByName(
+                docs.filter(F.col("doc_id") % 2 == 0)
+                .select(F.lit("d").alias("_t"))
+            )
+            .agg(
+                F.sum((F.col("_t") == "h").cast("long")).alias("h"),
+                F.sum((F.col("_t") == "d").cast("long")).alias("d"),
+            )
+            .collect()[0]
+        )
         if sorted(set(opened)) != [pre_index[0]]:
             raise SparkError(
                 f"pre-index time travel replayed {sorted(set(opened))}"
             )
-        if n_pre != docs.filter(F.col("doc_id") % 2 == 0).count():
+        if int(_fc["h"] or 0) != int(_fc["d"] or 0):
             raise SparkError("pre-index time travel wrong row count")
     finally:
         hudi_mod._commit_files_partitioned = orig
@@ -695,18 +710,36 @@ def sink_iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_engine_conf(spark)
     docs = _docs3(spark, sf_dir)
     table = _tmp_table("iceberg_wap", sf_dir)
-    n_base = docs.filter(F.col("doc_id") % 2 == 0).count()
     append_iceberg(docs.filter(F.col("doc_id") % 2 == 0), table)
     # WRITE: stage onto the branch (auto-created at the main head)
     append_iceberg(
         docs.filter(F.col("doc_id") % 3 == 0), table, branch="audit"
     )
-    # main is untouched while staged
-    if read_iceberg(spark, table).count() != n_base:
+    # main-untouched + audit-sees-staged, all three cardinalities
+    # (main read, branch read, expected base) in ONE tagged-union
+    # aggregation job (they were three separate full-scan count()s)
+    _wc = (
+        read_iceberg(spark, table).select(F.lit("m").alias("_t"))
+        .unionByName(
+            read_iceberg(spark, table, ref="audit")
+            .select(F.lit("a").alias("_t"))
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 2 == 0)
+            .select(F.lit("b").alias("_t"))
+        )
+        .agg(
+            F.sum((F.col("_t") == "m").cast("long")).alias("m"),
+            F.sum((F.col("_t") == "a").cast("long")).alias("a"),
+            F.sum((F.col("_t") == "b").cast("long")).alias("b"),
+        )
+        .collect()[0]
+    )
+    n_base = int(_wc["b"] or 0)
+    if int(_wc["m"] or 0) != n_base:
         raise SparkError("staged branch append leaked into main")
     # AUDIT: the gate queries the BRANCH
-    staged = read_iceberg(spark, table, ref="audit")
-    if staged.count() <= n_base:
+    if int(_wc["a"] or 0) <= n_base:
         raise SparkError("audit read does not see the staged rows")
     # PUBLISH: verified-ancestor fast-forward
     publish_iceberg_branch(table, "audit")
@@ -757,8 +790,16 @@ def sink_delta_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0)),
         table,
     )
-    # a violating append refuses atomically
-    versions_before = delta_history(spark, table).count()
+    # a violating append refuses atomically.  The version-count probe
+    # reads the log listing driver-side (delta_history's row count IS
+    # len(_commit_files) — same metadata, zero Spark jobs instead of
+    # two local-relation count() jobs)
+    from datafusion_catalogprovider_glue_spark.sources.delta import (
+        _commit_files as _dcf,
+    )
+
+    _log_dir = os.path.join(table, "_delta_log")
+    versions_before = len(_dcf(_log_dir))
     try:
         append_delta(
             docs.filter(F.col("doc_id") % 2 == 1)
@@ -768,7 +809,7 @@ def sink_delta_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise SparkError("violating append must refuse")
     except ValueError:
         pass
-    if delta_history(spark, table).count() != versions_before:
+    if len(_dcf(_log_dir)) != versions_before:
         raise SparkError("refused append left a commit behind")
     ops = [
         r["operation"] for r in delta_history(spark, table).collect()
@@ -993,16 +1034,32 @@ def sink_hudi_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_pre = read_hudi(spark, table).count()
     instant = cluster_hudi(spark, table, "doc_id", n_groups=2)
-    # rows keep their pre-clustering commit times
-    max_ct = read_hudi(spark, table).agg(
-        F.max("_hoodie_commit_time")
-    ).collect()[0][0]
+    # post-clustering commit-time max AND the pre-replacecommit time
+    # travel count in ONE tagged-union aggregation job (they were two
+    # separate full-scan actions over the clustered table)
+    _kc = (
+        read_hudi(spark, table).select(
+            F.lit("c").alias("_t"), F.col("_hoodie_commit_time").alias("_v")
+        )
+        .unionByName(
+            read_hudi(spark, table, as_of=pre).select(
+                F.lit("p").alias("_t"),
+                F.lit(None).cast("string").alias("_v"),
+            )
+        )
+        .agg(
+            F.max(F.when(F.col("_t") == "c", F.col("_v"))).alias("max_ct"),
+            F.sum((F.col("_t") == "p").cast("long")).alias("n_tt"),
+        )
+        .collect()[0]
+    )
+    max_ct = _kc["max_ct"]
     if not max_ct < instant:
         raise SparkError(
             f"clustering re-stamped commit times ({max_ct} >= {instant})"
         )
     # time travel before the replacecommit resolves the OLD groups
-    if read_hudi(spark, table, as_of=pre).count() != n_pre:
+    if int(_kc["n_tt"] or 0) != n_pre:
         raise SparkError("pre-clustering time travel broken")
     # new base files: range-disjoint doc_id spans
     new_files = sorted(
@@ -1125,11 +1182,15 @@ def sink_delta_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
         table,
     )
     # a wrong supplied value refuses atomically
+    # version-count probe driver-side (see sink_delta_constraint):
+    # delta_history's row count IS len(_commit_files) — zero Spark
+    # jobs instead of two local-relation count() jobs
     from datafusion_catalogprovider_glue_spark.sources.delta import (
-        delta_history,
+        _commit_files as _dcf,
     )
 
-    n_versions = delta_history(spark, table).count()
+    _log_dir = os.path.join(table, "_delta_log")
+    n_versions = len(_dcf(_log_dir))
     try:
         append_delta(
             docs.filter(F.col("doc_id") % 2 == 1).withColumn(
@@ -1140,7 +1201,7 @@ def sink_delta_generated(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise SparkError("wrong generated value must refuse")
     except ValueError:
         pass
-    if delta_history(spark, table).count() != n_versions:
+    if len(_dcf(_log_dir)) != n_versions:
         raise SparkError("refused append left a commit behind")
     meta = {
         f.name: (f.metadata or {}).get("delta.generationExpression")
