@@ -15,10 +15,16 @@ import tempfile
 
 from pyspark.sql import SparkSession
 
-# Defaults applied to every session we build.  At real cluster scale the
-# shuffle-partition count is sized by AQE from
-# spark.sql.adaptive.coalescePartitions.initialPartitionNum; locally we
-# seed it with the core count so small benches don't over-schedule.
+# Defaults applied to every session we build.  The shuffle-partition
+# count is SCALE-ADAPTIVE, not a constant (guide §2.2 / round rule:
+# a constant tuned to local[32] is wrong both when the driver benches
+# at a lower core count and at cluster scale): it resolves, in order,
+# to $SPARK_GRAFT_SHUFFLE_PARTITIONS (production override — size so
+# post-AQE partitions land in the 100 MB–1 GB band), else the live
+# context's defaultParallelism (== the local[N] core count, so a
+# lower-core driver run schedules fewer, proportionally sized
+# shuffles), else the $SPARK_GRAFT_CPUS seed at build time.  AQE
+# coalescing then shrinks small stages further at runtime.
 _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
@@ -26,7 +32,6 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.session.timeZone": "UTC",
-    "spark.sql.shuffle.partitions": "32",
     # 128 MiB splits: good balance of task count vs per-task overhead for
     # columnar scans; at 100 TB this yields ~800k tasks which Spark's
     # scheduler handles, and AQE coalesces downstream stages.
@@ -49,6 +54,17 @@ _BASE_CONF: dict[str, str] = {
 }
 
 
+def _shuffle_partitions(spark: SparkSession = None) -> str:
+    """Scale-adaptive shuffle-partition count (see _BASE_CONF note)."""
+    explicit = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    if explicit:
+        return explicit
+    if spark is not None:
+        return str(spark.sparkContext.defaultParallelism)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    return cpus if cpus and cpus.isdigit() else str(os.cpu_count() or 8)
+
+
 def apply_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-mutable engine defaults to an existing session.
 
@@ -61,6 +77,12 @@ def apply_engine_conf(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass  # static conf on a live session — keep the session's value
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", _shuffle_partitions(spark)
+        )
+    except Exception:
+        pass
     _ship_package(spark)
     return spark
 
@@ -96,6 +118,9 @@ def get_spark(app_name: str = "datafusion-catalogprovider-glue-spark") -> SparkS
     builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
     for key, value in _BASE_CONF.items():
         builder = builder.config(key, value)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", _shuffle_partitions()
+    )
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     builder = builder.config("spark.ui.enabled", "false")
     spark = builder.getOrCreate()

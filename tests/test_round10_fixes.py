@@ -178,3 +178,31 @@ def test_archived_timeline_cache_invalidates_on_rewrite(spark, tmp_path):
     assert real_decode is not None
     # and the public surface still resolves the archived instant
     assert t1 in hudi_completed_instants(table)
+
+
+def test_shuffle_partitions_scale_adaptive(spark, monkeypatch):
+    """r10 optimization: the shuffle-partition count must derive from
+    the environment (explicit override > live parallelism > CPU seed),
+    never a constant pinned to local[32] — the driver benches at lower
+    core counts and a cluster needs thousands (guide §2.2)."""
+    from datafusion_catalogprovider_glue_spark.session import (
+        _shuffle_partitions,
+        apply_engine_conf,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    # live session: follows the context's defaultParallelism
+    assert _shuffle_partitions(spark) == str(
+        spark.sparkContext.defaultParallelism
+    )
+    # production override wins
+    monkeypatch.setenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4096")
+    assert _shuffle_partitions(spark) == "4096"
+    apply_engine_conf(spark)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "4096"
+    # restore the session's adaptive value for later tests
+    monkeypatch.delenv("SPARK_GRAFT_SHUFFLE_PARTITIONS", raising=False)
+    apply_engine_conf(spark)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(
+        spark.sparkContext.defaultParallelism
+    )
