@@ -5841,11 +5841,21 @@ def scan_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
             return hashlib.md5(fh.read()).hexdigest()
 
     before = {f: _digest(f) for f in pre.files}
-    # both deleted-row counts in ONE aggregation job over the source
-    # (they were two separate full-scan count() actions)
+    # both deleted-row counts AND the mid-snapshot expectation terms in
+    # ONE aggregation job over the source (the deleted counts were two
+    # separate full-scan count() actions, and the mid-snapshot row
+    # count was a third full-scan read of the table — it is pure
+    # arithmetic over source slices: evens − %10-deletes + the odd-%3
+    # append, which also makes the time-travel check independent of a
+    # prior table read)
     _cnt = docs.agg(
         F.sum((F.col("doc_id") % 10 == 0).cast("long")).alias("a"),
         F.sum((F.col("doc_id") % 20 == 2).cast("long")).alias("b"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("e"),
+        F.sum(
+            ((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == 0))
+            .cast("long")
+        ).alias("o3"),
     ).collect()[0]
     n_deleted = int(_cnt["a"] or 0)
     merge_iceberg_dv_v3(
@@ -5871,7 +5881,11 @@ def scan_iceberg_v3_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(table, "metadata", f"v{_v}.metadata.json")
     ) as fh:
         mid_id = _mid_json.load(fh)["current-snapshot-id"]
-    mid_count = read_iceberg(spark, table).count()
+    # expected mid-snapshot cardinality from source arithmetic (see
+    # the fused aggregation above) — no table re-read
+    mid_count = (
+        int(_cnt["e"] or 0) - n_deleted + int(_cnt["o3"] or 0)
+    )
     # CHAINED DV merge: the %20==2 keys live in files ALREADY carrying
     # DVs — the replacement vector must union the old positions, the
     # superseded manifest entry must retire (the reader's
