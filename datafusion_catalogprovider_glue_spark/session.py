@@ -28,6 +28,20 @@ from pyspark.sql import SparkSession
 _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # size coalesced partitions by BYTES (the advisory size), not
+    # parallelism (guide §2.2: post-shuffle partitions belong in the
+    # 100 MB–1 GB band, not "a few MB"; the parallelismFirst default
+    # deliberately under-sizes them to chase core count, which at
+    # bench scale schedules 32-task micro-stages and at 100 TB
+    # produces millions of tiny reducers).  Interleaved same-process
+    # A/B at sf0.1, advisory size at its 64m default both sides:
+    # 7/8 relational/pipeline keys faster, min-total 7.43 → 6.84 s;
+    # the CPU-dense dedup/ANN keys measured neutral (12.64 vs
+    # 12.83 s).  The advisory size itself stays at Spark's default —
+    # raising it to 256m measured neutral-to-worse locally; at
+    # cluster scale it is the production knob to revisit alongside
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",

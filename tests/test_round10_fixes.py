@@ -206,3 +206,11 @@ def test_shuffle_partitions_scale_adaptive(spark, monkeypatch):
     assert spark.conf.get("spark.sql.shuffle.partitions") == str(
         spark.sparkContext.defaultParallelism
     )
+    # AQE coalescing must size partitions by bytes, not core count
+    # (guide §2.2; A/B recorded in session.py)
+    assert (
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+        )
+        == "false"
+    )
