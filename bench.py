@@ -257,6 +257,21 @@ HEADLINE = [
 ]
 
 
+def _steal_jiffies() -> int:
+    """Cumulative CPU-steal jiffies from /proc/stat (field 8) — on a
+    shared-host VM, steal bursts inflate wall times by 2-4x while
+    loadavg stays clean (observed r10: the same key at 2.0 s on a
+    steal-free boot and 7.2 s with ~2k jiffies/run stolen).  Recording
+    the per-run delta makes cross-session bench comparisons judgeable
+    the same way loadavg_gate made same-session ones judgeable."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8])
+    except Exception:
+        return 0
+
+
 def _loadavg_gate(threshold: float = 2.0, max_wait_s: float = 300.0) -> dict:
     """Protocol-clean-by-construction (r8 judge item 8): the driver's
     capture repeatedly diverged from the quiet anchor because the box
@@ -337,6 +352,7 @@ def main() -> None:
     # throughput term.
     timings: dict[str, float] = {}
     row_counts: dict[str, int] = {}
+    steal0 = _steal_jiffies()
     for name in headline:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -423,6 +439,9 @@ def main() -> None:
         "sf": sf_val,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "loadavg_gate": gate,
+        # host-contention context for the measured section (see
+        # _steal_jiffies): 100 jiffies == 1 stolen core-second
+        "cpu_steal_jiffies": _steal_jiffies() - steal0,
     }
     if row_counts:
         record["rows"] = row_counts

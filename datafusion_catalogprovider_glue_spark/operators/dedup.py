@@ -1016,9 +1016,31 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n_edges = cur.count()
+    # Checkpoint materializations are RIGHT-SIZED from the measured
+    # edge count (optimization r10, guide §2.2/§2.6): localCheckpoint
+    # runs the plan through the RDD path, which AQE's byte-based
+    # reducer coalescing never touches — left alone, every round
+    # materialized 32+ near-empty tasks per checkpoint (and every
+    # consumer job re-scanned that many partitions), pure scheduler
+    # overhead on a KB-sized label map.  |upd| <= live nodes <=
+    # 2*n_edges and |contracted cur| <= n_edges, so ~1M edge-rows per
+    # partition (~tens of MB) sizes every intermediate into the
+    # advisory band; the session's shuffle parallelism caps it so a
+    # cluster-scale first round still fans out.
+    def _parts(n: int) -> int:
+        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        return max(1, min(cap, n // 1_000_000 + 1))
+
+    # labels is NODE-count sized and never shrinks with contraction —
+    # size it once from the initial bound (|nodes| <= 2*n_edges), not
+    # the per-round edge count (which at scale would squeeze a
+    # billion-row label table into one task by round 3)
+    labels_parts = _parts(2 * n_edges)
+
     for rnd in range(20):  # hard bound; contraction converges in O(log diameter)
         if n_edges == 0:
             break
+        n_parts = _parts(n_edges)
         # this round's label map over current super-nodes: min(self,
         # min neighbor) — one map-side-combinable aggregation over the
         # (contracted) edge set.
@@ -1032,6 +1054,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur.groupBy(F.col("dst").alias("node"))
             .agg(F.min("src").alias("m"))
             .select("node", F.least("node", "m").alias("new"))
+            .coalesce(n_parts)
             .localCheckpoint()
         )
         # Round 1 skips pointer jumping entirely: on the clique-heavy
@@ -1055,6 +1078,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             upd = (
                 upd.join(hop, upd.new == hop.h_node, "left")
                 .select("node", F.coalesce("h_new", "new").alias("new"))
+                .coalesce(n_parts)
                 .localCheckpoint(eager=False)
             )
         # docs remap through the round map (labels always hold current
@@ -1066,6 +1090,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "doc_id", F.coalesce("new", "cluster_id").alias("cluster_id")
             )
+            .coalesce(labels_parts)
             .localCheckpoint(eager=False)
         )
         # CONTRACT the edges: both endpoints through the map (LEFT
@@ -1095,6 +1120,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("src") != F.col("dst"))
             .distinct()
+            .coalesce(n_parts)
             .localCheckpoint()
         )
         n_edges = cur.count()
