@@ -454,18 +454,24 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     upgrading the old rows-only check."""
     li = _t(spark, sf_dir, "lineitem")
     qs, eps = [0.25, 0.5, 0.75], 2.0 / 1000
+    # one array-percentile aggregate for all nine exact anchors, not
+    # three: each scalar/array F.percentile agg buffers and sorts the
+    # full per-group value list separately — three value-list copies
+    # per partial-agg buffer, three sorts, triple shuffle payload
+    # (optimization r10, guide §1.2 per-task work / §2.3).  Same
+    # percentile_cont semantics, hash-identical result.
+    all_qs = qs + [q - eps for q in qs] + [q + eps for q in qs]
     agg = li.groupBy("l_returnflag").agg(
         F.approx_percentile(
             F.col("l_quantity"), F.lit(qs), F.lit(1000)
         ).alias("approx"),
-        F.percentile(F.col("l_quantity"), F.lit(qs)).alias("exact"),
-        F.percentile(
-            F.col("l_quantity"), F.lit([q - eps for q in qs])
-        ).alias("lo"),
-        F.percentile(
-            F.col("l_quantity"), F.lit([q + eps for q in qs])
-        ).alias("hi"),
+        F.percentile(F.col("l_quantity"), F.lit(all_qs)).alias("pall"),
         F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "l_returnflag", "approx", "n_rows",
+        F.slice("pall", 1, len(qs)).alias("exact"),
+        F.slice("pall", len(qs) + 1, len(qs)).alias("lo"),
+        F.slice("pall", 2 * len(qs) + 1, len(qs)).alias("hi"),
     )
     z = F.arrays_zip("approx", "exact", "lo", "hi")
     return agg.select(
@@ -1923,17 +1929,35 @@ def agg_winsorized_mean_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("val"),
     )
     eps2 = 2.0 / 1000
+    # the six exact verification anchors come from ONE array-percentile
+    # aggregate, not six scalar ones: each scalar F.percentile agg
+    # buffers and sorts the full per-group value list SEPARATELY (six
+    # value-list copies per group in every partial-agg buffer, six
+    # sorts, six times the shuffle payload) — the array form buffers
+    # once, sorts once, extracts all six ranks (optimization r10,
+    # guide §1.2 per-task work / §2.3 shuffle fewer bytes).  Same
+    # percentile_cont semantics, same values, hash-identical result.
     cuts = o.groupBy("prio").agg(
         F.approx_percentile(
             F.col("val"), F.lit([WINSOR_LO, WINSOR_HI]), F.lit(1000)
         ).alias("ap"),
-        F.percentile(F.col("val"), F.lit(WINSOR_LO)).alias("p10_exact"),
-        F.percentile(F.col("val"), F.lit(WINSOR_HI)).alias("p90_exact"),
-        F.percentile(F.col("val"), F.lit(WINSOR_LO - eps2)).alias("lo_min"),
-        F.percentile(F.col("val"), F.lit(WINSOR_LO + eps2)).alias("lo_max"),
-        F.percentile(F.col("val"), F.lit(WINSOR_HI - eps2)).alias("hi_min"),
-        F.percentile(F.col("val"), F.lit(WINSOR_HI + eps2)).alias("hi_max"),
+        F.percentile(
+            F.col("val"),
+            F.lit([
+                WINSOR_LO, WINSOR_HI,
+                WINSOR_LO - eps2, WINSOR_LO + eps2,
+                WINSOR_HI - eps2, WINSOR_HI + eps2,
+            ]),
+        ).alias("px"),
         F.count(F.lit(1)).alias("n_rows"),
+    ).select(
+        "prio", "ap", "n_rows",
+        F.col("px")[0].alias("p10_exact"),
+        F.col("px")[1].alias("p90_exact"),
+        F.col("px")[2].alias("lo_min"),
+        F.col("px")[3].alias("lo_max"),
+        F.col("px")[4].alias("hi_min"),
+        F.col("px")[5].alias("hi_max"),
     )
 
     def _clamp(lo, hi):
