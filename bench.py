@@ -355,6 +355,9 @@ def main() -> None:
     steal0 = _steal_jiffies()
     for name in headline:
         fn = registry.QUERIES[name]
+        # label every job with its bench key (guide §1.5) so UI/REST
+        # profiles attribute jobs without description-string guessing
+        spark.sparkContext.setJobDescription(f"bench:{name}")
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
         for _ in range(2):
@@ -411,6 +414,7 @@ def main() -> None:
         for name, (build_fn, op_fn) in SINK_SPLITS.items():
             if name not in headline:
                 continue
+            spark.sparkContext.setJobDescription(f"bench-split:{name}")
             start = time.perf_counter()
             ctx = build_fn(spark, sf_dir)
             t_build = time.perf_counter() - start
@@ -423,6 +427,7 @@ def main() -> None:
             }
             spark.catalog.clearCache()
 
+    spark.sparkContext.setJobDescription(None)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
     try:
         sf_val = float(sf)
