@@ -257,19 +257,60 @@ HEADLINE = [
 ]
 
 
-def _steal_jiffies() -> int:
+def _steal_jiffies() -> int | None:
     """Cumulative CPU-steal jiffies from /proc/stat (field 8) — on a
     shared-host VM, steal bursts inflate wall times by 2-4x while
     loadavg stays clean (observed r10: the same key at 2.0 s on a
     steal-free boot and 7.2 s with ~2k jiffies/run stolen).  Recording
     the per-run delta makes cross-session bench comparisons judgeable
-    the same way loadavg_gate made same-session ones judgeable."""
+    the same way loadavg_gate made same-session ones judgeable.
+    Returns None (recorded as null) when /proc/stat is unreadable — a
+    missing measurement must not masquerade as a steal-free run
+    (r10 advice item 1)."""
     try:
         with open("/proc/stat") as fh:
             parts = fh.readline().split()
         return int(parts[8])
     except Exception:
-        return 0
+        return None
+
+
+def _steal_delta(a: int | None, b: int | None) -> int | None:
+    return None if a is None or b is None else b - a
+
+
+def _steal_gate(threshold_cs: float = 2.0, max_wait_s: float = 120.0) -> dict:
+    """Steal analogue of _loadavg_gate (r10 verdict item 2): loadavg
+    only sees guest-visible load, so a host-side steal burst passes the
+    loadavg gate and lands entirely on whichever key is running.
+    Sample the steal RATE (stolen core-seconds per wall second; 100
+    jiffies == 1 core-second) over 1-s windows and wait, bounded, until
+    it drops under ``threshold_cs`` — and record what happened IN the
+    artifact so a cross-boot comparison is judgeable without forensics."""
+
+    def _rate() -> float | None:
+        a = _steal_jiffies()
+        time.sleep(1.0)
+        b = _steal_jiffies()
+        d = _steal_delta(a, b)
+        return None if d is None else d / 100.0
+
+    start = _rate()
+    if start is None:
+        return {"unavailable": True}
+    waited = 1.0
+    cur = start
+    while cur is not None and cur > threshold_cs and waited < max_wait_s:
+        time.sleep(4.0)
+        waited += 5.0
+        cur = _rate()
+    return {
+        "threshold_core_s_per_s": threshold_cs,
+        "start": round(start, 2),
+        "at_measure": None if cur is None else round(cur, 2),
+        "waited_s": round(waited, 1),
+        "timed_out": cur is not None and cur > threshold_cs,
+    }
 
 
 def _loadavg_gate(threshold: float = 2.0, max_wait_s: float = 300.0) -> dict:
@@ -331,8 +372,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):
         gate = {"skipped": True,
                 "start": round(os.getloadavg()[0], 2)}
+        steal_gate = {"skipped": True}
     else:
         gate = _loadavg_gate()
+        steal_gate = _steal_gate()
     spark = get_spark("bench")
     # OFF, not ERROR: the lazy-resolution keys intentionally trigger
     # (and handle) TABLE_OR_VIEW_NOT_FOUND, which Spark 4's
@@ -351,6 +394,15 @@ def main() -> None:
     # that scales with data volume.  Compile time is a constant, not a
     # throughput term.
     timings: dict[str, float] = {}
+    # steal-robust companions to the best-of-2 headline (r10 verdict
+    # item 2, ADDITIVE fields only — `value` semantics unchanged): the
+    # per-key run array + per-key steal delta let a reader attribute
+    # any one inflated number to the burst that caused it, and
+    # median_total is the burst-resistant total (with 2 runs the median
+    # is the mean, so one stolen run moves it half as far as it moves a
+    # sum of per-run values and the artifact shows which run it was).
+    run_arrays: dict[str, list[float]] = {}
+    steal_per_key: dict[str, int] = {}
     row_counts: dict[str, int] = {}
     steal0 = _steal_jiffies()
     for name in headline:
@@ -359,12 +411,17 @@ def main() -> None:
         # profiles attribute jobs without description-string guessing
         spark.sparkContext.setJobDescription(f"bench:{name}")
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
+        runs: list[float] = []
+        k0 = _steal_jiffies()
         for _ in range(2):
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - start)
+        kd = _steal_delta(k0, _steal_jiffies())
+        if kd is not None:
+            steal_per_key[name] = kd
+        run_arrays[name] = [round(x, 3) for x in runs]
+        timings[name] = round(min(runs), 3)
         # result-row counts for the scaling artifacts (r9 verdict item
         # 2): a ratio that tracks OUTPUT growth (pair generators on
         # denser fixtures) is not a compute regression, and wall alone
@@ -398,6 +455,12 @@ def main() -> None:
             spark.sparkContext._jsc.getPersistentRDDs().values()
         ):
             rdd.unpersist()
+
+    # snapshot the steal counter HERE so cpu_steal_jiffies covers
+    # exactly the headline timed loop (warmup table load is before
+    # steal0; the untimed sink splits below are after) — r10 advice
+    # item 3: the field must cover what its name says it covers
+    steal_headline = _steal_delta(steal0, _steal_jiffies())
 
     # sink-key fixture/op split (r9 verdict item 9): the heaviest sink
     # keys are fixture-dominated, so a regression in the MEASURED
@@ -436,6 +499,8 @@ def main() -> None:
     # ambient machine load at measurement time: round-over-round deltas
     # under ~15% are indistinguishable from background noise unless the
     # box was comparably quiet — loadavg makes that judgeable.
+    import statistics
+
     record = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
@@ -444,14 +509,26 @@ def main() -> None:
         "sf": sf_val,
         "loadavg": [round(x, 2) for x in os.getloadavg()],
         "loadavg_gate": gate,
-        # host-contention context for the measured section (see
-        # _steal_jiffies): 100 jiffies == 1 stolen core-second
-        "cpu_steal_jiffies": _steal_jiffies() - steal0,
+        "steal_gate": steal_gate,
+        # host-contention context for the HEADLINE TIMED LOOP only
+        # (see _steal_jiffies): 100 jiffies == 1 stolen core-second;
+        # null means /proc/stat was unreadable, not a clean run
+        "cpu_steal_jiffies": steal_headline,
+        # burst-resistant companion total (additive; headline `value`
+        # stays best-of-2 for round-over-round comparability)
+        "median_total": round(
+            sum(statistics.median(v) for v in run_arrays.values()), 3
+        ),
     }
     if row_counts:
         record["rows"] = row_counts
     if sink_splits:
         record["sink_splits"] = sink_splits
+    # bulky per-key diagnostics: full file only (popped from the
+    # printed line when it overflows the driver's 2000-char window)
+    record["query_runs"] = run_arrays
+    if steal_per_key:
+        record["query_steal"] = steal_per_key
     # The driver records stdout[-2000:] and parses its LAST line; a
     # per-query dict over ~100 keys exceeds that window (round-4's line
     # was ~3.1 kB → head-truncated → `parsed: null`).  Two-part fix:
@@ -475,6 +552,8 @@ def main() -> None:
         # line keeps only the headline + the slowest queries that fit
         base.pop("rows", None)
         base.pop("sink_splits", None)
+        base.pop("query_runs", None)
+        base.pop("query_steal", None)
         base["queries"] = shown
         base["queries_total_n"] = len(timings)
         base["full_file"] = "bench_full.json"

@@ -1028,7 +1028,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # advisory band; the session's shuffle parallelism caps it so a
     # cluster-scale first round still fans out.
     def _parts(n: int) -> int:
-        cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        # some managed platforms set this conf to a non-numeric value
+        # (e.g. "auto"); fall back to the live parallelism rather than
+        # failing the whole query on the int() parse (r10 advice item 2)
+        try:
+            cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except ValueError:
+            cap = spark.sparkContext.defaultParallelism
         return max(1, min(cap, n // 1_000_000 + 1))
 
     # labels is NODE-count sized and never shrinks with contraction —
